@@ -1,0 +1,218 @@
+package graft
+
+import graft.governance.AccessControl
+import graft.quality.Quality
+import graft.source.SourceReader
+import graft.template.TemplateLoader
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, quality aggregates — SURVEY.md §2.1, §2.2, §2.4.
+  *
+  * Oracle-parity conventions used throughout the registry:
+  *  - money/double sums go through DECIMAL(18,2) and are cast back to
+  *    DOUBLE, so Spark and DuckDB agree bit-for-bit (no float-order drift);
+  *  - freshness/as-of instants are fixed literals (no now());
+  *  - DuckDB sums of integers are cast to BIGINT to match Spark's LongType.
+  */
+object CoreQueries {
+
+  import Queries.tbl
+
+  val TemplatesDir = "/root/repo/templates"
+  val CsvFixture = "/root/repo/fixtures/events_sample.csv"
+  val JsonFixture = "/root/repo/fixtures/events_sample.jsonl"
+
+  /** 2024-02-01T00:00:00Z, just after the events table's max ts. */
+  val FreshnessAsOfMs = 1706745600000L
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // §2.1 scans
+    // ------------------------------------------------------------------
+    "scan_parquet" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_shipdate")),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+             |FROM lineitem WHERE l_orderkey < 1000""".stripMargin),
+      doc = "declared-schema parquet scan with pushed filter + pruned columns"),
+
+    "scan_csv" -> QueryDef(
+      (s, _) => {
+        val t = TemplateLoader.get(TemplatesDir, "events_ingest")
+        SourceReader.read(s, t)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      },
+      Some(s"""SELECT event_id, ts, event_type, value
+              |FROM read_csv('$CsvFixture', delim='|', header=true,
+              |  columns={'event_id':'BIGINT','ts':'TIMESTAMP','user_id':'BIGINT',
+              |           'event_type':'VARCHAR','value':'DOUBLE','props':'VARCHAR'},
+              |  timestampformat='%Y-%m-%d %H:%M:%S.%f')""".stripMargin),
+      doc = "CSV scan with delimiter/column_names/skip_rows options"),
+
+    "scan_json" -> QueryDef(
+      (s, _) => {
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        SourceReader.conform(s.read.json(JsonFixture), t.schema)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      },
+      Some(s"""SELECT event_id, ts, event_type, value
+              |FROM read_json('$JsonFixture', format='newline_delimited',
+              |  columns={'event_id':'BIGINT','ts':'TIMESTAMP','user_id':'BIGINT',
+              |           'event_type':'VARCHAR','value':'DOUBLE','props':'VARCHAR'},
+              |  timestampformat='%Y-%m-%d %H:%M:%S.%f')""".stripMargin),
+      doc = "newline-JSON scan cast to declared schema"),
+
+    // ------------------------------------------------------------------
+    // §2.2 projections / filters
+    // ------------------------------------------------------------------
+    "project_pii_mask" -> QueryDef(
+      (s, dir) => {
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        AccessControl.maskPii(tbl(s, dir, "events"), t, AccessControl.Reader)
+      },
+      Some("SELECT event_id, ts, event_type, value, props FROM events"),
+      doc = "restricted columns dropped for reader principals"),
+
+    "project_schema_conform" -> QueryDef(
+      (s, dir) => {
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        SourceReader.conform(tbl(s, dir, "events"), t.schema)
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM events"""),
+      doc = "declared column order + types projection"),
+
+    "filter_required_notnull" -> QueryDef(
+      (s, dir) => {
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val df = tbl(s, dir, "events")
+        df.filter(t.requiredColumns.map(c => col(c).isNotNull).reduce(_ && _))
+          .select(col("event_id"), col("event_type"), col("user_id"))
+      },
+      Some("""SELECT event_id, event_type, user_id FROM events
+             |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+             |  AND user_id IS NOT NULL AND event_type IS NOT NULL""".stripMargin),
+      doc = "required-column NOT NULL enforcement"),
+
+    "filter_predicate" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") > 0.05 && col("l_quantity") < 25)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount > 0.05 AND l_quantity < 25""".stripMargin),
+      doc = "arbitrary WHERE predicates, pushed to the parquet scan"),
+
+    // ------------------------------------------------------------------
+    // §2.4 quality aggregates
+    // ------------------------------------------------------------------
+    "agg_row_count" -> QueryDef(
+      (s, dir) => tbl(s, dir, "events").agg(count(lit(1)).as("row_count")),
+      Some("SELECT count(*) AS row_count FROM events")),
+
+    "agg_missing_count" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events").agg(
+          (count(lit(1)) - count(col("event_id"))).as("missing_event_id"),
+          (count(lit(1)) - count(col("ts"))).as("missing_ts"),
+          (count(lit(1)) - count(col("user_id"))).as("missing_user_id"),
+          (count(lit(1)) - count(col("value"))).as("missing_value")),
+      Some("""SELECT count(*) - count(event_id) AS missing_event_id,
+             |       count(*) - count(ts) AS missing_ts,
+             |       count(*) - count(user_id) AS missing_user_id,
+             |       count(*) - count(value) AS missing_value
+             |FROM events""".stripMargin)),
+
+    "agg_duplicate_count" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events").agg(
+          (count(col("event_id")) - count_distinct(col("event_id"))).as("dup_event_id"),
+          (count(col("event_type")) - count_distinct(col("event_type"))).as("dup_event_type")),
+      Some("""SELECT CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS dup_event_id,
+             |       CAST(count(event_type) - count(DISTINCT event_type) AS BIGINT) AS dup_event_type
+             |FROM events""".stripMargin),
+      doc = "Soda duplicate_count: rows beyond the first per value"),
+
+    "agg_freshness" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events").agg(
+          (lit(FreshnessAsOfMs) - unix_millis(max(col("ts")))).as("age_ms")),
+      Some(s"""SELECT $FreshnessAsOfMs - epoch_ms(max(ts)) AS age_ms FROM events"""),
+      doc = "now - max(ts), with a fixed as_of for determinism"),
+
+    "quality_gate" -> QueryDef(
+      (s, dir) => {
+        val results = Quality.gate(
+          tbl(s, dir, "events"), "testdata.events",
+          Seq(
+            Quality.rowCount(),
+            Quality.missingCount("event_id"),
+            Quality.missingCount("ts"),
+            Quality.duplicateCount("event_id"),
+            Quality.freshness("ts", FreshnessAsOfMs, maxAgeMs = 7L * 24 * 3600 * 1000)))
+        import s.implicits._
+        results.toDF().select(col("check"), col("column"), col("value"), col("passed"), col("severity"))
+      },
+      Some(s"""SELECT 'row_count' AS "check", '*' AS "column",
+              |       CAST(count(*) AS BIGINT) AS value, count(*) > 0 AS passed, 'fail' AS severity FROM events
+              |UNION ALL SELECT 'missing_count', 'event_id', CAST(count(*) - count(event_id) AS BIGINT),
+              |       count(*) - count(event_id) = 0, 'fail' FROM events
+              |UNION ALL SELECT 'missing_count', 'ts', CAST(count(*) - count(ts) AS BIGINT),
+              |       count(*) - count(ts) = 0, 'fail' FROM events
+              |UNION ALL SELECT 'duplicate_count', 'event_id',
+              |       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+              |       count(event_id) - count(DISTINCT event_id) = 0, 'fail' FROM events
+              |UNION ALL SELECT 'freshness', 'ts', $FreshnessAsOfMs - epoch_ms(max(ts)),
+              |       $FreshnessAsOfMs - epoch_ms(max(ts)) < ${7L * 24 * 3600 * 1000}, 'fail' FROM events""".stripMargin),
+      doc = "whole check suite as ONE multi-aggregate pass + gate semantics"),
+
+    // ------------------------------------------------------------------
+    // flagship: TPC-H Q1-shaped pricing summary (entry query)
+    // ------------------------------------------------------------------
+    "q1_agg" -> QueryDef(
+      (s, dir) => Q1.build(tbl(s, dir, "lineitem")),
+      Some(Q1.oracle))
+  )
+
+  /** TPC-H Q1-shaped flagship: filter -> groupBy -> multi-aggregate.
+    * Decimal-exact sums; avg derived from exact sums for oracle parity.
+    */
+  object Q1 {
+    import org.apache.spark.sql.{Column, DataFrame}
+    private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
+    def build(lineitem: DataFrame): DataFrame =
+      lineitem
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")) *
+              (lit(1).cast("decimal(18,2)") + dec("l_tax")))
+            .cast("double").as("sum_charge"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+
+    val oracle: String =
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
+}

@@ -1,0 +1,55 @@
+package graft.governance
+
+import graft.template.TableTemplate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Role model + PII masking projection.
+  *
+  * Reference semantics: `LAKEHOUSE_ACCESS_LEVEL=reader` drops every column
+  * whose template `access_level == "restricted"` on read, and audits the
+  * drop (`resources/iceberg.py:132-152`); role matrix reader/writer/admin
+  * (`docs/architecture.md:147-158`). We key off Spark session config
+  * `graft.access.level` first, then the environment, defaulting to admin.
+  *
+  * Scale note: the mask is a plain negative projection, so Catalyst folds
+  * it into column pruning — restricted columns are never read off disk.
+  */
+object AccessControl {
+
+  sealed trait Level { def name: String }
+  case object Reader extends Level { val name = "reader" }
+  case object Writer extends Level { val name = "writer" }
+  case object Admin extends Level { val name = "admin" }
+
+  def resolve(spark: SparkSession): Level = {
+    val conf = spark.conf.getOption("graft.access.level")
+      .orElse(sys.env.get("LAKEHOUSE_ACCESS_LEVEL"))
+      .getOrElse("admin")
+    conf.toLowerCase match {
+      case "reader" => Reader
+      case "writer" => Writer
+      case _        => Admin
+    }
+  }
+
+  /** `project_pii_mask`: drop restricted columns for reader principals.
+    * No-op for writer/admin. Audits `pii_columns_dropped` when it fires.
+    */
+  def maskPii(df: DataFrame, template: TableTemplate, level: Level): DataFrame =
+    level match {
+      case Reader =>
+        val restricted = template.restrictedColumns.filter(df.columns.contains)
+        if (restricted.isEmpty) df
+        else {
+          Audit.log(
+            "pii_columns_dropped",
+            template.fullName,
+            Map("columns" -> restricted.sorted.mkString(","), "access_level" -> level.name))
+          df.drop(restricted: _*)
+        }
+      case _ => df
+    }
+
+  def maskPii(df: DataFrame, template: TableTemplate, spark: SparkSession): DataFrame =
+    maskPii(df, template, resolve(spark))
+}

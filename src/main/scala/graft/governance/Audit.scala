@@ -1,0 +1,54 @@
+package graft.governance
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.slf4j.LoggerFactory
+
+/** Structured JSON audit events — same five-event taxonomy as the reference
+  * (`dagster/lakehouse/utils/audit.py:16-36`): table_read, table_write,
+  * source_ingest, pii_columns_dropped, schema_drift. UTC ISO-8601
+  * timestamps; the record is returned (and buffered) so tests can assert
+  * on it, mirroring `tests/test_audit.py:12-94`.
+  *
+  * Scale note: audit emission is driver-side only (one event per
+  * table-level operation, never per row), so it adds zero executor work.
+  */
+object Audit {
+
+  final case class AuditEvent(
+      event: String,
+      table: String,
+      timestamp: String,
+      details: Map[String, String]
+  ) {
+    def toJson: String = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val det = details.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+      s"""{"event": ${q(event)}, "table": ${q(table)}, "timestamp": ${q(timestamp)}, "details": $det}"""
+    }
+  }
+
+  val EventTypes: Set[String] = Set(
+    "table_read", "table_write", "source_ingest", "pii_columns_dropped", "schema_drift")
+
+  private val logger = LoggerFactory.getLogger("lakehouse.audit")
+  private val buffer = new ConcurrentLinkedQueue[AuditEvent]()
+
+  /** Emit an audit event; returns the record for assertion/testing. */
+  def log(event: String, table: String, details: Map[String, String] = Map.empty): AuditEvent = {
+    require(EventTypes.contains(event), s"Unknown audit event type: $event (allowed: $EventTypes)")
+    val rec = AuditEvent(event, table, DateTimeFormatter.ISO_INSTANT.format(Instant.now()), details)
+    logger.info(rec.toJson)
+    buffer.add(rec)
+    rec
+  }
+
+  /** Events recorded so far (test/introspection surface). */
+  def recorded: Seq[AuditEvent] = buffer.asScala.toSeq
+
+  def clear(): Unit = buffer.clear()
+}

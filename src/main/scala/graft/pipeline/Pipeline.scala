@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.governance.Audit
+import graft.sink.{SnapshotTable, TableSink}
+import graft.source.SourceReader
+import graft.template.{TableTemplate, TemplateLoader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Template-driven job auto-generation — for each template with a
+  * `source:` block, an ingest job: read path -> conform schema -> write
+  * table -> audit `source_ingest`, with retries; the Spark equivalent of
+  * the reference's source-asset factory
+  * (`dagster/lakehouse/assets/source_assets.py:83-126`; retry policy
+  * 2 retries / 30 s delay at :94).
+  */
+object Pipeline {
+
+  final case class IngestJob(template: TableTemplate) {
+    def run(spark: SparkSession, warehouse: String,
+        retries: Int = 2, retryDelayMs: Long = 30000): SnapshotTable = {
+      val table = SnapshotTable(warehouse, template.namespace, template.name)
+      var attempt = 0
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt <= retries) {
+        try {
+          val df = SourceReader.read(spark, template)
+          TableSink.overwrite(df, template, table)
+          Audit.log("source_ingest", template.fullName,
+            Map("path" -> template.source.get.path, "format" -> template.source.get.format))
+          done = true
+        } catch {
+          case e: Throwable =>
+            lastErr = e
+            attempt += 1
+            if (attempt <= retries && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+        }
+      }
+      if (!done) throw new RuntimeException(
+        s"Ingest failed for ${template.fullName} after ${retries + 1} attempts", lastErr)
+      table
+    }
+  }
+
+  /** `source_asset_autogen`: one job per sourced template. */
+  def fromTemplates(templateDir: String): Seq[IngestJob] =
+    TemplateLoader.load(templateDir).values.toSeq
+      .filter(_.source.isDefined)
+      .sortBy(_.name)
+      .map(IngestJob.apply)
+
+  /** Read path with governance (table_read audit + PII mask). */
+  def readTable(spark: SparkSession, warehouse: String, template: TableTemplate): DataFrame =
+    TableSink.read(spark, SnapshotTable(warehouse, template.namespace, template.name), template)
+}

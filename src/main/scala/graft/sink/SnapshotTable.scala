@@ -1,0 +1,150 @@
+package graft.sink
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.governance.Audit
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-mode snapshot table: the Iceberg-semantics subset the engine
+  * needs when no Iceberg catalog is available (this image carries no
+  * Iceberg runtime jar — see SURVEY.md §7.4).
+  *
+  * Reproduces, on a plain filesystem, the reference's table behaviors:
+  *  - atomic full-refresh overwrite (`resources/iceberg.py:59-105`) — data
+  *    is written to a new immutable snapshot directory and the table's
+  *    metadata pointer is swapped atomically (write-temp + atomic move),
+  *    mirroring Iceberg's optimistic metadata-swap commit
+  *    (`docs/deep-dive.md:66-69`);
+  *  - append commits (event_stream pattern) — a new snapshot references the
+  *    previous snapshot's directories plus the newly written one, so
+  *    appends never rewrite old data (O(delta), not O(table), which is the
+  *    property that matters at 100 TB);
+  *  - snapshot history + time travel (`SELECT ... FOR SYSTEM_VERSION AS OF`,
+  *    reference `aws/modules/athena/main.tf:48-67`);
+  *  - snapshot expiration per `history_expire_max_snapshot_age_ms`
+  *    (`table-templates/_schema.json:105-107`).
+  *
+  * Metadata format: one JSON file listing snapshots; each snapshot lists
+  * the data directories it is composed of. Directories are immutable once
+  * committed.
+  */
+final case class Snapshot(
+    id: Long,
+    committedAtMs: Long,
+    operation: String, // overwrite | append
+    dataDirs: Seq[String]
+)
+
+final class SnapshotTable(val root: String, val fullName: String) {
+
+  private def metadataPath = Paths.get(root, "metadata.json")
+
+  def exists: Boolean = Files.exists(metadataPath)
+
+  def snapshots: Seq[Snapshot] =
+    if (!exists) Nil
+    else parse(new String(Files.readAllBytes(metadataPath), StandardCharsets.UTF_8))
+
+  def currentSnapshot: Option[Snapshot] = snapshots.lastOption
+
+  /** Read the table at its current snapshot. */
+  def read(spark: SparkSession): DataFrame = readSnapshot(spark, requireCurrent.id)
+
+  /** Time travel: read the table as of a snapshot id. */
+  def readSnapshot(spark: SparkSession, snapshotId: Long): DataFrame = {
+    val snap = snapshots.find(_.id == snapshotId).getOrElse(
+      throw new NoSuchElementException(
+        s"Table $fullName has no snapshot $snapshotId (available: ${snapshots.map(_.id).mkString(", ")})"))
+    if (snap.dataDirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(snap.dataDirs: _*)
+  }
+
+  /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
+  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil): Snapshot =
+    commit(df, "overwrite", carryForward = Nil, partitionCols, sortCols)
+
+  /** Append: new snapshot = previous data dirs + newly written dir. */
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil): Snapshot =
+    commit(df, "append", carryForward = currentSnapshot.map(_.dataDirs).getOrElse(Nil), partitionCols, sortCols)
+
+  /** Drop snapshots older than `olderThanMs` (never the current one) and
+    * delete data directories no surviving snapshot references.
+    */
+  def expireSnapshots(olderThanMs: Long): Seq[Long] = {
+    val all = snapshots
+    if (all.isEmpty) return Nil
+    val current = all.last
+    val (expired, kept0) = all.init.partition(_.committedAtMs < olderThanMs)
+    val kept = kept0 :+ current
+    if (expired.isEmpty) return Nil
+    val liveDirs = kept.flatMap(_.dataDirs).toSet
+    writeMetadata(kept)
+    expired.flatMap(_.dataDirs).distinct.filterNot(liveDirs.contains).foreach { d =>
+      deleteRecursively(new File(d))
+    }
+    expired.map(_.id)
+  }
+
+  private def requireCurrent: Snapshot = currentSnapshot.getOrElse(
+    throw new RuntimeException(
+      s"Table $fullName is not registered in the warehouse. " +
+        "Create it first (Pipeline.ensureTable / DDL) before reading or writing - " +
+        "the equivalent of the reference's 'run terraform apply' remediation."))
+
+  private def commit(
+      df: DataFrame,
+      op: String,
+      carryForward: Seq[String],
+      partitionCols: Seq[String],
+      sortCols: Seq[org.apache.spark.sql.Column]): Snapshot = {
+    val prev = snapshots
+    val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+    val dataDir = Paths.get(root, f"snap-$id%05d").toString
+    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols: _*) else df
+    val writer = sorted.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(dataDir)
+    val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir)
+    writeMetadata(prev :+ snap)
+    Audit.log("table_write", fullName, Map("operation" -> op, "snapshot_id" -> id.toString))
+    snap
+  }
+
+  private def writeMetadata(snaps: Seq[Snapshot]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val json = snaps.map { s =>
+      val dirs = s.dataDirs.map(d => "\"" + d.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","data_dirs":$dirs}"""
+    }.mkString("[", ",", "]")
+    // atomic metadata swap: temp file + atomic move, the commit point.
+    val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metadataPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // Minimal JSON parse for our own fixed-shape metadata (no deps).
+  private def parse(json: String): Seq[Snapshot] = {
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)","data_dirs":\[(.*?)\]\}""".r
+    snapRe.findAllMatchIn(json).map { m =>
+      val dirs =
+        if (m.group(4).isEmpty) Nil
+        else m.group(4).split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), dirs)
+    }.toSeq
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}
+
+object SnapshotTable {
+  /** Warehouse layout: `<warehouse>/<namespace>.<name>/`. */
+  def apply(warehouse: String, namespace: String, name: String): SnapshotTable =
+    new SnapshotTable(Paths.get(warehouse, s"$namespace.$name").toString, s"$namespace.$name")
+}
