@@ -1,5 +1,314 @@
 package graft
 
+import java.io.File
+
+import graft.drift.SchemaDrift
+import graft.governance.{AccessControl, Alerting, Audit}
+import graft.pipeline.Pipeline
+import graft.quality.Quality
+import graft.sink.{SnapshotTable, TableSink}
+import graft.source.SourceReader
+import graft.template.TemplateLoader
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** Schema / metadata / governance operators (SURVEY.md §2.1 sinks, §2.9)
+  * plus the snapshot-table write/time-travel surface, each expressed as a
+  * driver-verifiable query. Where an operator is metadata-only (template
+  * load, drift, role matrix, audit taxonomy), the query materializes its
+  * result as rows and the oracle hardcodes the independently-derived
+  * expectation — NOT derived from the code under test.
+  *
+  * Write-path queries (`sink_overwrite`, `time_travel_*`,
+  * `pipeline_autogen`) exercise the real parquet snapshot commit machinery
+  * end-to-end into a scratch warehouse, then read back; the oracle
+  * recomputes the expected rows from the immutable source tables.
+  */
 object MetaQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  import Queries.tbl
+
+  val TemplatesDir = "/root/repo/templates"
+
+  /** Scratch warehouse, wiped per query invocation (commits are real). */
+  private def freshWarehouse(key: String): String = {
+    val dir = new File(s"/tmp/graft_wh/$key")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dir)
+    dir.mkdirs()
+    dir.toString
+  }
+
+  private val EventsCut = "2024-01-30 00:00:00"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // §2.9 template model
+    // ------------------------------------------------------------------
+    "template_load" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        TemplateLoader.load(TemplatesDir).values.toSeq
+          .map(t => (t.name, t.namespace, t.columns.size,
+            t.requiredColumns.size, t.restrictedColumns.size,
+            t.partitionSpec.map(p => p.transform).mkString(","),
+            t.source.isDefined))
+          .sortBy(_._1)
+          .toDF("name", "namespace", "n_columns", "n_required",
+            "n_restricted", "partition_transforms", "has_source")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('event_stream', 'lakehouse', 9, 5, 2, 'day,hour', false),
+             |  ('events', 'testdata', 6, 4, 1, 'day', false),
+             |  ('events_ingest', 'testdata', 6, 4, 1, 'day', true),
+             |  ('feature_table', 'lakehouse', 9, 4, 0, 'day', false),
+             |  ('scd_type2', 'lakehouse', 11, 7, 1, 'month', false))
+             |AS t(name, namespace, n_columns, n_required, n_restricted,
+             |     partition_transforms, has_source)""".stripMargin),
+      doc = "YAML template loading: declared schema/partition/governance facts"),
+
+    "retention_config" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        TemplateLoader.load(TemplatesDir).values.toSeq
+          .map(t => (t.fullName, t.retentionMs.map(_.toString).orNull, t.writeFormat))
+          .sortBy(_._1)
+          .toDF("table", "retention_ms", "write_format")
+          .withColumn("retention_ms", col("retention_ms").cast("long"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('lakehouse.event_stream', CAST(604800000 AS BIGINT), 'parquet'),
+             |  ('lakehouse.feature_table', 2592000000, 'parquet'),
+             |  ('lakehouse.scd_type2', 2592000000, 'parquet'),
+             |  ('testdata.events', 604800000, 'parquet'),
+             |  ('testdata.events_ingest', CAST(NULL AS BIGINT), 'parquet'))
+             |AS t("table", retention_ms, write_format)""".stripMargin),
+      doc = "per-table snapshot retention / write format plumb-through"),
+
+    "schema_diff" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        // live schema drifted three ways: props dropped, extra_col added,
+        // value retyped double -> string
+        val live = StructType(
+          t.schema.fields.filterNot(_.name == "props").map {
+            case f if f.name == "value" => StructField("value", StringType)
+            case f => f
+          } :+ StructField("extra_col", IntegerType))
+        SchemaDrift.check(t, live).issues
+          .map(i => (i.column, i.issue, i.expected, i.actual))
+          .toDF("column", "issue", "expected", "actual")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('props', 'missing', 'string', ''),
+             |  ('extra_col', 'extra', '', 'int'),
+             |  ('value', 'type_mismatch', 'double', 'string'))
+             |AS t("column", issue, expected, actual)""".stripMargin),
+      doc = "template-vs-live schema drift: missing / extra / type mismatch"),
+
+    "audit_log" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        Audit.clear()
+        Audit.log("table_read", "testdata.events", Map("snapshot_id" -> "1"))
+        Audit.log("table_write", "testdata.events", Map("operation" -> "overwrite"))
+        Audit.log("source_ingest", "testdata.events_ingest", Map("format" -> "csv"))
+        Audit.log("pii_columns_dropped", "testdata.events", Map("columns" -> "user_id"))
+        Audit.log("schema_drift", "testdata.events", Map("issues" -> "missing:props"))
+        val recs = Audit.recorded.map { r =>
+          (r.event, r.table, r.details.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+            r.timestamp.endsWith("Z") && r.toJson.startsWith("{\"event\":"))
+        }
+        Audit.clear()
+        recs.toDF("event", "table", "details", "wellformed")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('table_read', 'testdata.events', 'snapshot_id=1', true),
+             |  ('table_write', 'testdata.events', 'operation=overwrite', true),
+             |  ('source_ingest', 'testdata.events_ingest', 'format=csv', true),
+             |  ('pii_columns_dropped', 'testdata.events', 'columns=user_id', true),
+             |  ('schema_drift', 'testdata.events', 'issues=missing:props', true))
+             |AS t(event, "table", details, wellformed)""".stripMargin),
+      doc = "five-event audit taxonomy, JSON records, UTC ISO timestamps"),
+
+    "alert_dispatch" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        def fired(env: Map[String, String]): Seq[String] = {
+          val ch = Alerting.alert("drift", "schema drift detected", env)
+          if (ch.isEmpty) Seq("<none>") else ch
+        }
+        val sns = Map("ALERT_SNS_TOPIC_ARN" -> "arn:aws:sns:us-east-1:1:alerts")
+        val slack = Map("ALERT_SLACK_WEBHOOK_URL" -> "https://hooks.slack.invalid/T0/B0")
+        (fired(sns ++ slack).map(("both", _)) ++
+          fired(sns).map(("sns_only", _)) ++
+          fired(slack).map(("slack_only", _)) ++
+          fired(Map.empty).map(("unconfigured", _)))
+          .toDF("config", "channel")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('both', 'sns'), ('both', 'slack'),
+             |  ('sns_only', 'sns'), ('slack_only', 'slack'),
+             |  ('unconfigured', '<none>'))
+             |AS t(config, channel)""".stripMargin),
+      doc = "alert fan-out selection: SNS / Slack / warn-when-unconfigured"),
+
+    "access_level_resolve" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val df = tbl(s, dir, "events")
+        Seq(AccessControl.Reader, AccessControl.Writer, AccessControl.Admin).map { lvl =>
+          val masked = AccessControl.maskPii(df, t, lvl)
+          (lvl.name, masked.columns.length, masked.columns.contains("user_id"))
+        }.toDF("level", "visible_columns", "sees_restricted")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('reader', 5, false), ('writer', 6, true), ('admin', 6, true))
+             |AS t(level, visible_columns, sees_restricted)""".stripMargin),
+      doc = "role matrix: reader loses restricted columns, writer/admin see all"),
+
+    "ddl_create_table" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        Seq("events", "scd_type2")
+          .map(n => TemplateLoader.get(TemplatesDir, n))
+          .map(t => (t.fullName, TableSink.createTableDdl(t).replaceAll("\\s+", " ")))
+          .toDF("table", "ddl")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('testdata.events',
+             |   'CREATE TABLE IF NOT EXISTS testdata.events ( event_id BIGINT NOT NULL, ts TIMESTAMP NOT NULL, user_id BIGINT NOT NULL, event_type STRING NOT NULL, value DOUBLE, props STRING ) USING iceberg PARTITIONED BY (days(ts)) TBLPROPERTIES (''history_expire_max_snapshot_age_ms''=''604800000'', ''write_format''=''parquet'')'),
+             |  ('lakehouse.scd_type2',
+             |   'CREATE TABLE IF NOT EXISTS lakehouse.scd_type2 ( surrogate_key BIGINT NOT NULL, natural_key STRING NOT NULL, name STRING NOT NULL, email STRING, category STRING, status STRING NOT NULL, effective_from TIMESTAMP NOT NULL, effective_to TIMESTAMP, is_current BOOLEAN NOT NULL, source_system STRING, updated_at TIMESTAMP NOT NULL ) USING iceberg PARTITIONED BY (months(effective_from)) TBLPROPERTIES (''history_expire_max_snapshot_age_ms''=''2592000000'', ''write_format''=''parquet'')'))
+             |AS t("table", ddl)""".stripMargin),
+      doc = "template -> Iceberg CREATE TABLE DDL with partition transforms"),
+
+    // ------------------------------------------------------------------
+    // §2.1 sinks + time travel (real commits into a scratch warehouse)
+    // ------------------------------------------------------------------
+    "sink_overwrite" -> QueryDef(
+      (s, dir) => {
+        val wh = freshWarehouse("sink_overwrite")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val df = tbl(s, dir, "events").filter(col("event_id") % 5 === 0)
+        TableSink.overwrite(df, t, table)
+        // read back through the governed read path (admin: no masking)
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id % 5 = 0""".stripMargin),
+      doc = "atomic full-refresh overwrite: write snapshot, swap pointer, read back"),
+
+    "time_travel_snapshots" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val wh = freshWarehouse("time_travel")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+        TableSink.append(events.filter(col("ts") >= cut), t, table)
+        // snapshot history, newest first, limit 10 (committed_at is wall
+        // clock, so the oracle-checked projection is id/op/row_count)
+        table.snapshots.sortBy(-_.id).take(10)
+          .map(sn => (sn.id, sn.operation, table.readSnapshot(s, sn.id).count()))
+          .toDF("snapshot_id", "operation", "row_count")
+      },
+      Some(s"""SELECT * FROM (
+              |  SELECT 1 AS snapshot_id, 'overwrite' AS operation,
+              |    (SELECT count(*) FROM events WHERE ts < TIMESTAMP '$EventsCut') AS row_count
+              |  UNION ALL
+              |  SELECT 2, 'append', (SELECT count(*) FROM events))""".stripMargin),
+      doc = "snapshot history listing; append = prior dirs + delta (O(delta) commit)"),
+
+    "time_travel_as_of" -> QueryDef(
+      (s, dir) => {
+        val wh = freshWarehouse("time_travel_as_of")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+        TableSink.append(events.filter(col("ts") >= cut), t, table)
+        // query AS OF the first snapshot: the appended rows must not appear
+        table.readSnapshot(s, 1L)
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type
+              |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
+      doc = "time travel: read table state as of an earlier snapshot id"),
+
+    "sink_schema_check" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(freshWarehouse("sink_schema_check"), "x", "y")
+        def outcome(f: => Any): (String, Boolean) =
+          try { f; ("<no error>", false) }
+          catch { case e: Throwable => (e.getClass.getSimpleName, true) }
+        val bad = tbl(s, dir, "events").drop("props").withColumn("rogue", lit(1))
+        val mismatch = outcome(TableSink.overwrite(bad, t, table))
+        val missing = outcome(table.read(s))
+        val guard = outcome(SourceReader.validatePath("/etc/passwd"))
+        Seq(
+          ("schema_mismatch", mismatch._1, mismatch._2),
+          ("missing_table", missing._1, missing._2),
+          ("path_guard", guard._1, guard._2))
+          .toDF("case", "error", "raised")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('schema_mismatch', 'IllegalArgumentException', true),
+             |  ('missing_table', 'RuntimeException', true),
+             |  ('path_guard', 'IllegalArgumentException', true))
+             |AS t("case", error, raised)""".stripMargin),
+      doc = "pre-write schema diff, missing-table remediation error, source path guard"),
+
+    "quality_warn" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // warn-severity failing check must NOT gate (reference
+        // compliance_checks.yaml:8-9 warn semantics)
+        val results = Quality.gate(
+          tbl(s, dir, "events"), "testdata.events",
+          Seq(
+            Quality.rowCount(),
+            Quality.duplicateCount("event_type").copy(severity = Quality.Warn)))
+        results.toDF().select(col("check"), col("column"), col("value"),
+          col("passed"), col("severity"))
+      },
+      Some("""SELECT 'row_count' AS "check", '*' AS "column",
+             |  CAST(count(*) AS BIGINT) AS value, count(*) > 0 AS passed,
+             |  'fail' AS severity FROM events
+             |UNION ALL
+             |SELECT 'duplicate_count', 'event_type',
+             |  CAST(count(event_type) - count(DISTINCT event_type) AS BIGINT),
+             |  count(event_type) - count(DISTINCT event_type) = 0, 'warn'
+             |FROM events""".stripMargin),
+      doc = "warn-severity checks report but do not gate"),
+
+    "pipeline_autogen" -> QueryDef(
+      (s, _) => {
+        val wh = freshWarehouse("pipeline_autogen")
+        val jobs = Pipeline.fromTemplates(TemplatesDir)
+        // exactly the sourced templates get jobs (events_ingest only)
+        require(jobs.map(_.template.name) == Seq("events_ingest"),
+          s"expected one autogenerated job, got ${jobs.map(_.template.name)}")
+        val table = jobs.head.run(s, wh, retries = 0, retryDelayMs = 0)
+        table.read(s).select("event_id", "ts", "event_type", "value")
+      },
+      Some(s"""SELECT event_id, ts, event_type, value
+              |FROM read_csv('${CoreQueries.CsvFixture}', delim='|', header=true,
+              |  columns={'event_id':'BIGINT','ts':'TIMESTAMP','user_id':'BIGINT',
+              |           'event_type':'VARCHAR','value':'DOUBLE','props':'VARCHAR'},
+              |  timestampformat='%Y-%m-%d %H:%M:%S.%f')""".stripMargin),
+      doc = "template-driven ingest autogeneration: scan -> conform -> sink -> read back")
+  )
 }

@@ -1,5 +1,271 @@
 package graft
 
+import graft.patterns.{FeatureStore, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's three declared table patterns as verifiable queries
+  * (SURVEY.md §2.10): SCD Type 2 dimension maintenance, append-only event
+  * streams, and the point-in-time feature store.
+  *
+  * Each query constructs its inputs deterministically from the testdata
+  * tables (no fixtures, no now()) so the DuckDB oracle can rebuild the
+  * exact same state.
+  */
 object PatternQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  import Queries.tbl
+
+  /** Fixed merge instant (2024-03-01T00:00:00Z). */
+  private val MergeAtMs = 1709251200000L
+  private val MergeAtSql = "TIMESTAMP '2024-03-01 00:00:00'"
+  /** Dimension birth instant (2024-01-01T00:00:00Z). */
+  private val Epoch0Sql = "TIMESTAMP '2024-01-01 00:00:00'"
+  private val Epoch0Ms = 1704067200000L
+
+  /** The existing dimension: every customer, one current version born at
+    * epoch0. (SCD2 shape per `table-templates/scd_type2.yaml:31-48`.)
+    */
+  private def dim(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(
+      col("c_custkey").as("natural_key"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("acctbal"),
+      timestamp_millis(lit(Epoch0Ms)).as("effective_from"),
+      lit(null).cast("timestamp").as("effective_to"),
+      lit(true).as("is_current"))
+
+  private val DimSql =
+    s"""SELECT c_custkey AS natural_key, c_name AS name,
+       |  c_mktsegment AS segment, c_acctbal AS acctbal,
+       |  $Epoch0Sql AS effective_from,
+       |  CAST(NULL AS TIMESTAMP) AS effective_to,
+       |  true AS is_current
+       |FROM customer""".stripMargin
+
+  /** The change feed: customers with custkey % 3 = 0 get a new balance
+    * (+100) — a changed version; custkey % 7 = 0 among them also changes
+    * segment. Keys 900000+ are brand new.
+    */
+  private def feed(s: SparkSession, dir: String): DataFrame = {
+    val changed = tbl(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(
+        col("c_custkey").as("natural_key"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 7 === 0, lit("MACHINERY")).otherwise(col("c_mktsegment")).as("segment"),
+        (col("c_acctbal").cast("decimal(18,2)") + 100).cast("double").as("acctbal"))
+    val fresh = tbl(s, dir, "customer")
+      .filter(col("c_custkey") % 11 === 0)
+      .select(
+        (col("c_custkey") + 900000).as("natural_key"),
+        concat(lit("NewCo#"), col("c_custkey")).as("name"),
+        lit("STARTUP").as("segment"),
+        lit(0.0).as("acctbal"))
+    changed.unionByName(fresh)
+  }
+
+  private val FeedSql =
+    """SELECT c_custkey AS natural_key, c_name AS name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS segment,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT c_custkey + 900000, 'NewCo#' || c_custkey, 'STARTUP', 0.0
+      |FROM customer WHERE c_custkey % 11 = 0""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // SCD Type 2
+    // ------------------------------------------------------------------
+    "scd2_merge" -> QueryDef(
+      (s, dir) =>
+        Scd2.merge(dim(s, dir), feed(s, dir),
+          trackedCols = Seq("name", "segment", "acctbal"),
+          effectiveAt = timestamp_millis(lit(MergeAtMs))),
+      Some(s"""WITH dim AS ($DimSql), feed AS ($FeedSql),
+              |matched AS (
+              |  SELECT d.*, f.natural_key AS f_key, f.name AS f_name,
+              |         f.segment AS f_segment, f.acctbal AS f_acctbal,
+              |         (d.name IS DISTINCT FROM f.name
+              |          OR d.segment IS DISTINCT FROM f.segment
+              |          OR d.acctbal IS DISTINCT FROM f.acctbal) AS changed
+              |  FROM dim d JOIN feed f ON d.natural_key = f.natural_key)
+              |SELECT natural_key, name, segment, acctbal,
+              |       effective_from, $MergeAtSql AS effective_to, false AS is_current
+              |FROM matched WHERE changed
+              |UNION ALL
+              |SELECT natural_key, name, segment, acctbal,
+              |       effective_from, effective_to, is_current
+              |FROM matched WHERE NOT changed
+              |UNION ALL
+              |SELECT d.natural_key, d.name, d.segment, d.acctbal,
+              |       d.effective_from, d.effective_to, d.is_current
+              |FROM dim d WHERE NOT EXISTS
+              |  (SELECT 1 FROM feed f WHERE f.natural_key = d.natural_key)
+              |UNION ALL
+              |SELECT f_key, f_name, f_segment, f_acctbal,
+              |       $MergeAtSql, CAST(NULL AS TIMESTAMP), true
+              |FROM matched WHERE changed
+              |UNION ALL
+              |SELECT f.natural_key, f.name, f.segment, f.acctbal,
+              |       $MergeAtSql, CAST(NULL AS TIMESTAMP), true
+              |FROM feed f WHERE NOT EXISTS
+              |  (SELECT 1 FROM dim d WHERE d.natural_key = f.natural_key)""".stripMargin),
+      doc = "full SCD2 merge: close changed, pass unchanged/absent, open new"),
+
+    "scd2_key_join" -> QueryDef(
+      (s, dir) => {
+        // the merge's core equi-join in isolation: current dim rows
+        // matched to the incoming feed on natural_key.
+        val d = Scd2.currentView(dim(s, dir)).select(
+          col("natural_key"), col("segment").as("dim_segment"),
+          col("acctbal").as("dim_acctbal"))
+        val f = feed(s, dir).select(
+          col("natural_key"), col("segment").as("feed_segment"),
+          col("acctbal").as("feed_acctbal"))
+        d.join(f, Seq("natural_key"), "full_outer")
+      },
+      Some(s"""WITH dim AS ($DimSql), feed AS ($FeedSql)
+              |SELECT COALESCE(d.natural_key, f.natural_key) AS natural_key,
+              |  d.segment AS dim_segment, d.acctbal AS dim_acctbal,
+              |  f.segment AS feed_segment, f.acctbal AS feed_acctbal
+              |FROM (SELECT * FROM dim WHERE is_current) d
+              |FULL OUTER JOIN feed f ON d.natural_key = f.natural_key""".stripMargin),
+      doc = "SCD2 matching join: current dimension vs incoming feed"),
+
+    "scd2_current_view" -> QueryDef(
+      (s, dir) => {
+        val merged = Scd2.merge(dim(s, dir), feed(s, dir),
+          Seq("name", "segment", "acctbal"), timestamp_millis(lit(MergeAtMs)))
+        Scd2.currentView(merged).select("natural_key", "segment", "acctbal", "effective_from")
+      },
+      Some(s"""WITH dim AS ($DimSql), feed AS ($FeedSql),
+              |matched AS (
+              |  SELECT d.natural_key, f.name AS f_name, f.segment AS f_segment,
+              |         f.acctbal AS f_acctbal, d.effective_from,
+              |         (d.name IS DISTINCT FROM f.name
+              |          OR d.segment IS DISTINCT FROM f.segment
+              |          OR d.acctbal IS DISTINCT FROM f.acctbal) AS changed,
+              |         d.segment AS d_segment, d.acctbal AS d_acctbal
+              |  FROM dim d JOIN feed f ON d.natural_key = f.natural_key)
+              |SELECT natural_key, d_segment AS segment, d_acctbal AS acctbal, effective_from
+              |FROM matched WHERE NOT changed
+              |UNION ALL
+              |SELECT d.natural_key, d.segment, d.acctbal, d.effective_from
+              |FROM dim d WHERE NOT EXISTS
+              |  (SELECT 1 FROM feed f WHERE f.natural_key = d.natural_key)
+              |UNION ALL
+              |SELECT natural_key, f_segment, f_acctbal, $MergeAtSql
+              |FROM matched WHERE changed
+              |UNION ALL
+              |SELECT f.natural_key, f.segment, f.acctbal, $MergeAtSql
+              |FROM feed f WHERE NOT EXISTS
+              |  (SELECT 1 FROM dim d WHERE d.natural_key = f.natural_key)""".stripMargin),
+      doc = "current slice after a merge: exactly one row per natural_key"),
+
+    "scd2_window_close" -> QueryDef(
+      (s, dir) => {
+        // raw version history: each order is a version of its customer's
+        // state; windowClose derives effective_to / is_current via lead().
+        val versions = tbl(s, dir, "orders").select(
+          col("o_custkey").as("natural_key"),
+          col("o_orderdate").as("effective_from"),
+          col("o_totalprice").as("state_price"),
+          col("o_orderkey"))
+        Scd2.windowClose(
+            versions.dropDuplicates("natural_key", "effective_from"),
+            "natural_key", "effective_from")
+          .select("natural_key", "effective_from", "effective_to", "is_current")
+      },
+      Some("""WITH versions AS (
+             |  SELECT natural_key, effective_from FROM (
+             |    SELECT o_custkey AS natural_key, o_orderdate AS effective_from,
+             |      row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
+             |    FROM orders) WHERE rn = 1)
+             |SELECT natural_key, effective_from,
+             |  lead(effective_from, 1) OVER (PARTITION BY natural_key ORDER BY effective_from) AS effective_to,
+             |  lead(effective_from, 1) OVER (PARTITION BY natural_key ORDER BY effective_from) IS NULL AS is_current
+             |FROM versions""".stripMargin),
+      doc = "window realization of close-old-versions: lead() per key"),
+
+    // ------------------------------------------------------------------
+    // append-only event stream
+    // ------------------------------------------------------------------
+    "event_append" -> QueryDef(
+      (s, dir) => {
+        // batch = events in the last day of the dataset; table = the rest.
+        // The appended delta is the batch minus ids already present
+        // (left anti against the pruned id column).
+        val events = tbl(s, dir, "events")
+        val cut = lit("2024-01-30 00:00:00").cast("timestamp")
+        val existing = events.filter(col("ts") < cut)
+        // deliberate overlap: batch includes ids ending in 0 from the
+        // existing range to prove the dedupe guard drops them
+        val batch = events.filter(col("ts") >= cut)
+          .unionByName(existing.filter(col("event_id") % 100 === 0))
+        batch.join(existing.select("event_id"), Seq("event_id"), "left_anti")
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some("""WITH existing AS (
+             |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'),
+             |batch AS (
+             |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
+             |  UNION ALL
+             |  SELECT * FROM existing WHERE event_id % 100 = 0)
+             |SELECT event_id, ts, user_id, event_type FROM batch b
+             |WHERE NOT EXISTS
+             |  (SELECT 1 FROM existing e WHERE e.event_id = b.event_id)""".stripMargin),
+      doc = "append-only ingest with duplicate-id guard (anti join on pruned ids)"),
+
+    // ------------------------------------------------------------------
+    // feature store
+    // ------------------------------------------------------------------
+    "feature_materialize" -> QueryDef(
+      (s, dir) =>
+        FeatureStore.materialize(
+          tbl(s, dir, "events"),
+          entityCol = "user_id", tsCol = "ts",
+          featureSet = "user_activity", modelVersion = "v1",
+          computedAt = timestamp_millis(lit(MergeAtMs)),
+          aggs = Map(
+            "event_count" -> count(lit(1)),
+            "purchase_count" -> sum(when(col("event_type") === "purchase", 1).otherwise(0)),
+            "total_value" -> sum(col("value").cast("decimal(18,6)")).cast("double"))),
+      Some(s"""SELECT user_id AS entity_id, max(ts) AS feature_timestamp,
+              |  count(*) AS event_count,
+              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+              |  'user_activity' AS feature_set, 'v1' AS model_version,
+              |  $MergeAtSql AS computed_at
+              |FROM events GROUP BY user_id""".stripMargin),
+      doc = "per-entity feature aggregation into the feature_table shape"),
+
+    "asof_feature_join" -> QueryDef(
+      (s, dir) => {
+        val events = tbl(s, dir, "events")
+        // features: per (user, ts) aggregated activity value; labels:
+        // purchase events. Dedup per (entity, ts) keeps the as-of pick
+        // deterministic on both engines.
+        val features = events.filter(col("event_type").isin("view", "click"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("feature_value"))
+        val labels = events.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        FeatureStore.asofJoin(labels, features,
+            entityCol = "user_id", labelTsCol = "ts", featureTsCol = "ts")
+          .select(col("event_id"), col("user_id"), col("feature_value"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, ts, max(value) AS feature_value FROM events
+             |  WHERE event_type IN ('view','click') GROUP BY user_id, ts),
+             |l AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT l.event_id, l.user_id, f.feature_value
+             |FROM l ASOF LEFT JOIN f
+             |  ON l.user_id = f.user_id AND f.ts <= l.ts""".stripMargin),
+      doc = "point-in-time as-of join: one shuffle, no range-join explosion")
+  )
 }

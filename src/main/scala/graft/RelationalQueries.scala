@@ -1,5 +1,353 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface — joins, windows, sorts/top-k, set ops, grouping
+  * analytics, scalar derivations (SURVEY.md §2.3, §2.5–§2.8).
+  *
+  * The reference delegates all of this to Athena/BigQuery
+  * (`docs/architecture.md:78,109`); here it is first-class Catalyst work.
+  * Scale conventions:
+  *  - dimension sides of joins are `broadcast()`ed explicitly (region,
+  *    nation, filtered customer) — no shuffle of the fact table beyond
+  *    what the aggregation itself needs;
+  *  - every ranking has a total-order tie-break so results are stable
+  *    under any partitioning;
+  *  - money math goes through DECIMAL(18,2) for bit-exact oracle parity;
+  *  - windows use the SQL-standard default RANGE frame, identical in
+  *    Spark and DuckDB.
+  */
 object RelationalQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  import Queries.tbl
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // §2.3 joins
+    // ------------------------------------------------------------------
+    "join_inner" -> QueryDef(
+      (s, dir) => {
+        // Q3-shaped: revenue per order for one market segment. The
+        // customer side is filtered and small -> broadcast; lineitem never
+        // shuffles for the join, only for the final groupBy.
+        val cust = tbl(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val orders = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+        val li = tbl(s, dir, "lineitem")
+        li.join(broadcast(orders.join(broadcast(cust),
+            orders("o_custkey") === cust("c_custkey"))
+            .select("o_orderkey", "o_orderdate")),
+            li("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-06-01'
+             |GROUP BY o_orderkey, o_orderdate""".stripMargin),
+      doc = "broadcast equi-join chain fact<-dim with aggregation"),
+
+    "join_multiway" -> QueryDef(
+      (s, dir) => {
+        // Q5-shaped: revenue by nation; all dims broadcast, single
+        // fact-side shuffle at the final groupBy.
+        val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = tbl(s, dir, "nation")
+        val cust = tbl(s, dir, "customer")
+        val orders = tbl(s, dir, "orders")
+        val supplier = tbl(s, dir, "supplier")
+        val li = tbl(s, dir, "lineitem")
+        li.join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
+          .join(broadcast(orders.select("o_orderkey", "o_custkey")),
+            li("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey") &&
+              supplier("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin),
+      doc = "five-way star join, all dimensions broadcast"),
+
+    "join_left_outer" -> QueryDef(
+      (s, dir) => {
+        val nation = tbl(s, dir, "nation")
+        val cust = tbl(s, dir, "customer")
+        nation.join(cust, nation("n_nationkey") === cust("c_nationkey"), "left_outer")
+          .groupBy(col("n_nationkey"), col("n_name"))
+          .agg(count(col("c_custkey")).as("customer_count"),
+            sum(dec("c_acctbal")).cast("double").as("total_acctbal"))
+      },
+      Some("""SELECT n_nationkey, n_name, count(c_custkey) AS customer_count,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+             |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+             |GROUP BY n_nationkey, n_name""".stripMargin),
+      doc = "left outer join preserving unmatched dimension rows"),
+
+    "join_semi" -> QueryDef(
+      (s, dir) => {
+        val orders = tbl(s, dir, "orders")
+        val li = tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        orders.join(li, orders("o_orderkey") === li("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin),
+      doc = "left semi join (EXISTS)"),
+
+    "join_anti" -> QueryDef(
+      (s, dir) => {
+        val cust = tbl(s, dir, "customer")
+        val orders = tbl(s, dir, "orders")
+        cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+      doc = "left anti join (NOT EXISTS): customers with no orders"),
+
+    // ------------------------------------------------------------------
+    // §2.5 windows
+    // ------------------------------------------------------------------
+    "window_rank" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        tbl(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin),
+      doc = "top-3 orders per customer; total-order tie-break on o_orderkey"),
+
+    "window_running" -> QueryDef(
+      (s, dir) => {
+        // SQL-standard default RANGE frame: ties on o_orderdate aggregate
+        // together, so the running sum is deterministic.
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+        tbl(s, dir, "orders")
+          .withColumn("running_spend", sum(dec("o_totalprice")).over(w).cast("double"))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS DOUBLE) AS running_spend
+             |FROM orders""".stripMargin),
+      doc = "cumulative sum per key, default RANGE frame"),
+
+    "window_lag" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        tbl(s, dir, "orders")
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("delta",
+            (dec("o_totalprice") - col("prev_price").cast("decimal(18,2)")).cast("double"))
+          .select("o_custkey", "o_orderkey", "prev_price", "delta")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) - CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS delta
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin),
+      doc = "lag analytic: order-over-order spend delta"),
+
+    // ------------------------------------------------------------------
+    // §2.6 sorts / limits / top-k
+    // ------------------------------------------------------------------
+    "sort_limit_topk" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
+      doc = "global top-k: Spark plans TakeOrderedAndProject, no full sort"),
+
+    "sort_within_partitions" -> QueryDef(
+      (s, dir) =>
+        // the declared-write-sort operator: cluster rows inside partitions
+        // without a global range shuffle; row set is oracle-checked (the
+        // verifier is order-insensitive), the clustering is a layout
+        // property asserted in SortSpec.
+        tbl(s, dir, "lineitem")
+          .repartition(col("l_returnflag"))
+          .sortWithinPartitions(col("l_shipdate").asc_nulls_last, col("l_orderkey").asc)
+          .filter(col("l_quantity") >= 49)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+             |FROM lineitem WHERE l_quantity >= 49""".stripMargin),
+      doc = "sortWithinPartitions: write-side clustering, no global shuffle"),
+
+    // ------------------------------------------------------------------
+    // §2.7 set operations
+    // ------------------------------------------------------------------
+    "set_union" -> QueryDef(
+      (s, dir) => {
+        val buyers = tbl(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+        val rich = tbl(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("custkey"))
+        buyers.union(rich).distinct()
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |UNION
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 9000""".stripMargin)),
+
+    "set_intersect" -> QueryDef(
+      (s, dir) => {
+        val buyers = tbl(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        val rich = tbl(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("custkey"))
+        buyers.intersect(rich)
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |INTERSECT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 9000""".stripMargin)),
+
+    "set_except" -> QueryDef(
+      (s, dir) => {
+        val all = tbl(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        val buyers = tbl(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        all.except(buyers)
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // §2.4 grouping analytics (rollup / cube / grouping sets / distinct)
+    // ------------------------------------------------------------------
+    "agg_rollup" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).as("g_rf"),
+            grouping(col("l_linestatus")).as("g_ls"),
+            count(lit(1)).as("n"),
+            sum(dec("l_quantity")).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    "agg_cube" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping(col("o_orderstatus")).as("g_st"),
+            grouping(col("o_orderpriority")).as("g_pr"),
+            count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_pr,
+             |  count(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    "agg_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        tbl(s, dir, "events").createOrReplaceTempView("graft_events_gs")
+        s.sql("""SELECT event_type, user_id % 10 AS user_bucket,
+                |  CAST(grouping(event_type) AS INT) AS g_et,
+                |  count(*) AS n
+                |FROM graft_events_gs
+                |GROUP BY GROUPING SETS ((event_type), (user_id % 10))""".stripMargin)
+      },
+      Some("""SELECT event_type, user_id % 10 AS user_bucket,
+             |  CAST(grouping(event_type) AS INT) AS g_et,
+             |  count(*) AS n
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (user_id % 10))""".stripMargin),
+      doc = "explicit grouping sets via the engine's SQL surface"),
+
+    "agg_distinct" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("distinct_users"),
+            count(lit(1)).as("events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+             |  count(*) AS events
+             |FROM events GROUP BY event_type""".stripMargin),
+      doc = "distinct aggregate (two-phase partial/final under the hood)"),
+
+    // approx_count_distinct: HLL sketch values are engine-specific, so this
+    // key has no SQL oracle (rows-only check) — the exact companion above
+    // is the correctness anchor.
+    "agg_approx_distinct" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")),
+      None,
+      doc = "HLL++ sketch distinct; constant memory per group at any scale"),
+
+    // ------------------------------------------------------------------
+    // §2.8 scalar derivations
+    // ------------------------------------------------------------------
+    "json_payload_extract" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("prop_k")),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+             |FROM events""".stripMargin),
+      doc = "typed field extraction from JSON payload column"),
+
+    "ts_partition_derive" -> QueryDef(
+      (s, dir) =>
+        // The portable slice of the Iceberg transform vocabulary
+        // (year/month/day/hour/truncate + a mod bucket). The engine's real
+        // write path (TableSink.transformColumn) additionally uses
+        // murmur-hash bucketing, which has no DuckDB equivalent.
+        tbl(s, dir, "events")
+          .select(col("event_id"),
+            year(col("ts")).as("ts_year"),
+            month(col("ts")).as("ts_month"),
+            dayofmonth(col("ts")).as("ts_day"),
+            hour(col("ts")).as("ts_hour"),
+            substring(col("event_type"), 1, 3).as("type_trunc"),
+            pmod(col("event_id"), lit(16)).as("id_bucket")),
+      Some("""SELECT event_id,
+             |  CAST(year(ts) AS INT) AS ts_year,
+             |  CAST(month(ts) AS INT) AS ts_month,
+             |  CAST(day(ts) AS INT) AS ts_day,
+             |  CAST(hour(ts) AS INT) AS ts_hour,
+             |  substr(event_type, 1, 3) AS type_trunc,
+             |  event_id % 16 AS id_bucket
+             |FROM events""".stripMargin),
+      doc = "partition transform vocabulary: year/month/day/hour/truncate/bucket")
+  )
 }

@@ -58,7 +58,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
       throw new NoSuchElementException(
         s"Table $fullName has no snapshot $snapshotId (available: ${snapshots.map(_.id).mkString(", ")})"))
     if (snap.dataDirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(snap.dataDirs: _*)
+    else
+      // one read per committed dir, unioned — multi-root partition
+      // discovery would reject sibling partitioned directories
+      // (CONFLICTING_DIRECTORY_STRUCTURES), and per-dir reads keep each
+      // commit's partition layout independently prunable.
+      snap.dataDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
   /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
