@@ -1,5 +1,124 @@
 package graft
 
+import graft.dedup.Dedup
+
+/** Deduplication operators over the `documents` / `embeddings` tables
+  * (north-star LLM-pipeline surface). Oracles rebuild the identical
+  * algorithm in DuckDB — same md5-derived hashes, same permutation
+  * constants, same fold order — so pair sets match exactly.
+  */
 object DedupQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  import Queries.tbl
+
+  /** DuckDB CTE: distinct word 3-gram shingles per document. */
+  private val ShinglesSql =
+    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])
+      |    ELSE [] END) AS shingles
+      |FROM t)""".stripMargin
+
+  /** DuckDB minhash signature CTE (over `sh`): 8 permutations of the
+    * md5-derived 60-bit shingle hash mod P.
+    */
+  private val SigsSql = {
+    val perms = Dedup.A.zip(Dedup.B).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.P}))"
+    }.mkString("[", ",\n    ", "]")
+    s"""hs AS (SELECT doc_id, shingles,
+       |  list_transform(shingles, s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % ${Dedup.P}) AS hs
+       |FROM sh WHERE len(shingles) > 0),
+       |sigs AS (SELECT doc_id, shingles,
+       |  $perms AS sig
+       |FROM hs)""".stripMargin
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exact(tbl(s, dir, "documents"), "text"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+             |  count(*) AS copies
+             |FROM documents GROUP BY md5(text)""".stripMargin),
+      doc = "exact dedup by content hash; text never shuffles, only (hash, id)"),
+
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => Dedup.jaccardPairs(
+        Dedup.shingled(tbl(s, dir, "documents"), "text", 3),
+        minJaccard = 0.4, maxDf = 10),
+      Some(s"""WITH $ShinglesSql,
+              |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+              |rare AS (SELECT sh FROM p GROUP BY sh HAVING count(*) <= 10),
+              |pr AS (SELECT p.doc_id, p.sh FROM p JOIN rare USING (sh)),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+              |SELECT doc_a, doc_b, common,
+              |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+              |FROM pairs
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.4""".stripMargin),
+      doc = "n-gram Jaccard near-dup via inverted-index join + frequent-shingle cap"),
+
+    "dedup_minhash" -> QueryDef(
+      (s, dir) => Dedup.minhashLshPairs(
+        tbl(s, dir, "documents"), "text", n = 3, rowsPerBand = 2, minJaccard = 0.4),
+      Some(s"""WITH $ShinglesSql,
+              |$SigsSql,
+              |banded AS (
+              |  SELECT doc_id, t.b AS band,
+              |    CONCAT(sig[2 * CAST(t.b AS INT) + 1], ':', sig[2 * CAST(t.b AS INT) + 2]) AS bucket
+              |  FROM sigs, range(0, 4) t(b)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              |verified AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+              |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+              |  FROM cand
+              |  JOIN sh sa ON doc_a = sa.doc_id
+              |  JOIN sh sb ON doc_b = sb.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+              |FROM verified
+              |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.4""".stripMargin),
+      doc = "MinHash(8) + LSH(4 bands x 2) candidate pairs, Jaccard-verified"),
+
+    "dedup_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhash(tbl(s, dir, "documents"), "text"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+             |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS th
+             |  FROM documents)
+             |SELECT doc_id,
+             |  list_sum(list_transform(range(0, 32), b -> CASE
+             |    WHEN list_sum(list_transform(th, h -> CASE
+             |      WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+             |FROM w""".stripMargin),
+      doc = "32-bit SimHash signatures: per-bit majority vote of token hashes"),
+
+    "dedup_embedding" -> QueryDef(
+      (s, dir) => Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "label", minCos = 0.3),
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
+             |    round(
+             |      list_reduce(list_transform(range(1, 65),
+             |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y) /
+             |      (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
+             |       sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 4) AS cos
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT vec_a, vec_b, block, cos FROM p WHERE cos >= 0.3""".stripMargin),
+      doc = "embedding cosine near-dup within blocking key (IVF-cell pattern)")
+  )
 }

@@ -1,5 +1,72 @@
 package graft
 
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star
+  * LLM-pipeline surface): exact brute-force cosine top-k baseline and the
+  * LSH-bucketed approximate variant. The DuckDB oracles replicate the
+  * identical projections/buckets/rounding, so even the *approximate*
+  * results match exactly.
+  */
 object SimilarityQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  import Queries.tbl
+
+  /** DuckDB: sequential-fold cosine between double arrays a and b. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |  list_reduce(list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y) /
+       |  (sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)) *
+       |   sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y))), 4)""".stripMargin
+
+  /** DuckDB: LSH bucket of double array v — J sign bits of integer-grid
+    * hyperplane projections (mirrors Similarity.bucket exactly).
+    */
+  private def bucketSql(v: String): String =
+    (0 until Similarity.Planes).map { j =>
+      s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
+         |  i -> $v[CAST(i AS INT)] * CAST(($j * 31 + (i - 1) * 17) % 7 - 3 AS DOUBLE)),
+         |  (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("(", " +\n ", ")")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "similarity_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE query_id < 5),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id, ${cosSql("q.qv", "e.v")} AS cos
+              |  FROM e JOIN q ON q.query_id <> e.vec_id)
+              |SELECT query_id, vec_id, cos, rank FROM (
+              |  SELECT query_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 10""".stripMargin),
+      doc = "exact cosine top-10, queries broadcast, corpus streamed once"),
+
+    "similarity_lsh" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, dim = 64, k = 5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |c AS (SELECT vec_id, v, ${bucketSql("v")} AS b FROM e),
+              |q AS (SELECT vec_id AS query_id, v AS qv, b AS qb FROM c WHERE vec_id < 20),
+              |scored AS (
+              |  SELECT q.query_id, c.vec_id, ${cosSql("q.qv", "c.v")} AS cos
+              |  FROM c JOIN q ON q.qb = c.b AND q.query_id <> c.vec_id)
+              |SELECT query_id, vec_id, cos, rank FROM (
+              |  SELECT query_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5""".stripMargin),
+      doc = "hyperplane-LSH bucketed ANN: equi-join on 8-bit signature, then rank")
+  )
 }

@@ -1,5 +1,87 @@
 package graft
 
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * LLM-pipeline surface): token counting, quality scoring, language ID,
+  * document fingerprinting. Every query is a narrow no-shuffle projection;
+  * oracles mirror the exact arithmetic in DuckDB (shared md5-based
+  * hashing, rounded ratios).
+  */
 object TextQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  import Queries.tbl
+
+  /** DuckDB fragment: lowercase whitespace tokens. */
+  private val ToksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  private def markerSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "text_token_count" -> QueryDef(
+      (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS word_tokens,
+             |  CAST(length(text) AS INT) AS n_chars
+             |FROM documents""".stripMargin),
+      doc = "whitespace + word-regex token counts; no shuffle, codegen only"),
+
+    "text_quality_score" -> QueryDef(
+      (s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"), "text"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+              |    regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+              |    length(text) AS n_chars,
+              |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS punct
+              |  FROM documents)
+              |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+              |  round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+              |  round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+              |  round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len,
+              |  round(CAST(
+              |    (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+              |    (CASE WHEN round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) > 0.05 THEN 0.3 ELSE 0.0 END) +
+              |    (CASE WHEN round(CAST(punct AS DOUBLE) / n_chars, 6) < 0.2 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6) AS quality_score
+              |FROM t""".stripMargin),
+      doc = "length/punct/stopword quality signals + composite score"),
+
+    "text_language_id" -> QueryDef(
+      (s, dir) => TextAnalysis.languageId(tbl(s, dir, "documents"), "text"),
+      Some {
+        val scores = TextAnalysis.Markers.map { case (l, ws) =>
+          s"CAST(len(list_filter(toks, x -> list_contains(${markerSql(ws)}, x))) AS INT) AS score_$l"
+        }.mkString(",\n  ")
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+           |s AS (SELECT doc_id,
+           |  $scores
+           |FROM t)
+           |SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+           |  CASE
+           |    WHEN score_en = 0 AND score_es = 0 AND score_de = 0
+           |     AND score_fr = 0 AND score_zh = 0 THEN 'und'
+           |    WHEN score_en >= greatest(score_es, score_de, score_fr, score_zh) THEN 'en'
+           |    WHEN score_es >= greatest(score_de, score_fr, score_zh) THEN 'es'
+           |    WHEN score_de >= greatest(score_fr, score_zh) THEN 'de'
+           |    WHEN score_fr >= score_zh THEN 'fr'
+           |    ELSE 'zh'
+           |  END AS predicted_lang
+           |FROM s""".stripMargin
+      },
+      doc = "marker-word language ID with deterministic argmax tie-break"),
+
+    "text_fingerprint" -> QueryDef(
+      (s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text", k = 8),
+      Some("""SELECT doc_id, md5(text) AS content_md5,
+             |  list_min(list_transform(
+             |    range(1, greatest(length(text) - 7, 1) + 1),
+             |    i -> CAST(CONCAT('0x', substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+             |  )) AS min_shingle_hash
+             |FROM documents""".stripMargin),
+      doc = "content hash + winnowing-style min-shingle rolling fingerprint")
+  )
 }

@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. These are extensions beyond the reference's own surface
+  * (its `documents`-style payloads are opaque strings parsed downstream);
+  * designed here as pure narrow transformations — no shuffle, no UDFs,
+  * everything whole-stage-codegen'd `functions._` / higher-order array
+  * expressions, so they stream over 100 TB of parquet at scan speed.
+  */
+object TextAnalysis {
+
+  /** Cross-engine-stable 60-bit hash of a string (first 15 hex digits of
+    * md5). Used for fingerprints/minhash so the DuckDB oracle can
+    * reproduce values exactly; Spark's native murmur `hash()` is faster
+    * but engine-private (use it when oracle parity is not required).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens of a non-empty trimmed document. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Word tokens per a BPE-ish regex (runs of alphanumerics). */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))
+
+  /** `text_token_count`: whitespace tokens, regex word tokens, chars. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(wordTokens(col(textCol))).as("word_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** `text_quality_score`: length/punctuation/stopword/word-shape signals
+    * with a composite [0,1] score — the standard cheap pre-filter stage of
+    * a training-data pipeline. All ratios are DECIMAL-rounded so the
+    * score is bit-stable across engines.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val words = wordTokens(col(textCol))
+    val nChars = length(col(textCol))
+    val nTok = size(toks)
+    val stop = array(StopwordsEn.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stop, t)))
+    val punct = nChars - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))
+    def r6(c: Column) = round(c.cast("double"), 6)
+    val stopRatio = r6(stopHits.cast("double") / nTok)
+    val punctRatio = r6(punct.cast("double") / nChars)
+    val meanWordLen = r6(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(size(words), lit(1)))
+    df.select(
+      col("doc_id"), nTok.as("n_tokens"), stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"), meanWordLen.as("mean_word_len"),
+      // composite: in-range token count, some stopwords, low punctuation
+      r6(
+        when(nTok.between(10, 100000), 0.4).otherwise(0.0) +
+          when(stopRatio > 0.05, 0.3).otherwise(0.0) +
+          when(punctRatio < 0.2, 0.3).otherwise(0.0)).as("quality_score"))
+  }
+
+  /** Tiny per-language function-word marker lists for the n-gram/stopword
+    * language-ID heuristic. Whole-token matches only.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "on", "is", "are")
+
+  /** `text_language_id`: score = marker hits per language over lowercase
+    * whitespace tokens; predict the argmax with lexicographic tie-break
+    * ('und' = undetermined when no marker hits at all).
+    */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = Markers.foldLeft(df.select(col("doc_id"), toks.as("_toks"))) {
+      case (d, (lang, words)) =>
+        val markers = array(words.map(lit): _*)
+        d.withColumn(s"score_$lang", size(filter(col("_toks"), t => array_contains(markers, t))))
+    }
+    val best = Markers.map { case (lang, _) => struct(col(s"score_$lang").as("s"), lit(lang).as("l")) }
+    // greatest() on structs orders by score then language desc; we want
+    // lexicographic-asc tie-break, so invert via negated-lang trick: order
+    // structs by (score, reverse-rank) using the marker list order.
+    val bestStruct = Markers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"score_$lang").as("s"), lit(Markers.size - i).as("r"), lit(lang).as("l"))
+    }
+    val outCols = col("doc_id") +:
+      (Markers.map { case (l, _) => col(s"score_$l") } :+
+        when(greatest(bestStruct: _*).getField("s") === 0, lit("und"))
+          .otherwise(greatest(bestStruct: _*).getField("l")).as("predicted_lang"))
+    scored.select(outCols: _*)
+  }
+
+  /** `text_fingerprint`: whole-document content hash + a winnowing-style
+    * shingle fingerprint (min over k-char-shingle hashes) that is robust
+    * to local edits — the standard rolling-hash document signature.
+    */
+  def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val n = length(col(textCol)) - (k - 1)
+    val shingleHashes = transform(
+      sequence(lit(1), greatest(n, lit(1))),
+      i => hash60(col(textCol).substr(i, lit(k))))
+    df.select(
+      col("doc_id"),
+      md5(col(textCol)).as("content_md5"),
+      array_min(shingleHashes).as("min_shingle_hash"))
+  }
+}
