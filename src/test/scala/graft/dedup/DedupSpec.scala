@@ -1,0 +1,71 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "entirely different content about spark engines"),
+    (5L, "short"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps the lowest doc_id") {
+    val out = Dedup.exact(docs, "text")
+    assert(out.count() == 4) // 1+2 collapse
+    val dup = out.filter($"copies" === 2).head()
+    assert(dup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("shingling: distinct word n-grams; short docs yield empty sets") {
+    val sh = Dedup.shingled(docs, "text", 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size == 7) // 9 tokens -> 7 trigrams, all distinct
+    assert(sh(5L).isEmpty) // 1 token < n
+  }
+
+  test("jaccard pairs find exact and near duplicates with correct scores") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingled(docs, "text", 3), 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical
+    // docs 1 and 3 differ in one token, which perturbs the last 2 of 7
+    // trigrams: shared 5, union 9 -> 5/9
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 0.555556)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH surfaces the same high-similarity pairs as exact jaccard") {
+    val out = Dedup.minhashLshPairs(docs, "text", n = 3, rowsPerBand = 2, minJaccard = 0.4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(out.contains((1L, 2L))) // identical docs always collide
+    // every reported pair is verified >= 0.4, so no false positives
+    assert(out.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+  }
+
+  test("simhash: identical docs share signatures; unrelated docs differ") {
+    val sigs = Dedup.simhash(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("embedding near-dup pairs respect the blocking key and threshold") {
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.1f)), // same block, similar
+      (3L, 0, Seq(-1.0f, 0.0f)), // same block, opposite
+      (4L, 1, Seq(1.0f, 0.0f))) // other block: never paired with 1
+      .toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingPairs(emb, "label", minCos = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.governance
+
+import graft.SparkSpec
+import graft.template.TemplateLoader
+
+class AuditSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("audit records carry the five-event taxonomy and reject others") {
+    Audit.clear()
+    val rec = Audit.log("table_read", "ns.t", Map("rows" -> "5"))
+    assert(rec.event == "table_read")
+    assert(Audit.recorded.last == rec)
+    intercept[IllegalArgumentException](Audit.log("made_up_event", "ns.t"))
+    Audit.clear()
+  }
+
+  test("audit records serialize as JSON with UTC ISO-8601 timestamps") {
+    val rec = Audit.log("schema_drift", "ns.t", Map("a" -> "b\"c"))
+    assert(rec.timestamp.endsWith("Z")) // ISO_INSTANT is always UTC
+    assert(rec.toJson.contains("\"event\": \"schema_drift\""))
+    assert(rec.toJson.contains("\\\"")) // quotes escaped
+    Audit.clear()
+  }
+}
+
+class AlertingSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  val sns = Map("ALERT_SNS_TOPIC_ARN" -> "arn:x")
+  val slack = Map("ALERT_SLACK_WEBHOOK_URL" -> "https://h/x")
+
+  test("dispatches to every configured channel") {
+    assert(Alerting.alert("s", "m", sns ++ slack).sorted == Seq("slack", "sns"))
+    assert(Alerting.alert("s", "m", sns) == Seq("sns"))
+    assert(Alerting.alert("s", "m", slack) == Seq("slack"))
+  }
+
+  test("no configured channel -> warn, empty dispatch") {
+    assert(Alerting.alert("s", "m", Map.empty).isEmpty)
+  }
+
+  test("delivered alerts are recorded for assertion") {
+    Alerting.clear()
+    Alerting.alert("subj", "msg", sns)
+    assert(Alerting.deliveredAlerts.exists(a => a.channel == "sns" && a.subject == "subj"))
+    Alerting.clear()
+  }
+}
+
+class AccessControlSpec extends SparkSpec {
+
+  lazy val t = TemplateLoader.get("/root/repo/templates", "events")
+
+  test("reader loses restricted columns; the drop is audited") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, "x")).toDF("event_id", "user_id", "event_type")
+    Audit.clear()
+    val masked = AccessControl.maskPii(df, t, AccessControl.Reader)
+    assert(!masked.columns.contains("user_id"))
+    assert(Audit.recorded.exists(_.event == "pii_columns_dropped"))
+    Audit.clear()
+  }
+
+  test("writer and admin see everything; no audit emitted") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("event_id", "user_id")
+    Audit.clear()
+    assert(AccessControl.maskPii(df, t, AccessControl.Writer).columns.contains("user_id"))
+    assert(AccessControl.maskPii(df, t, AccessControl.Admin).columns.contains("user_id"))
+    assert(Audit.recorded.isEmpty)
+  }
+
+  test("level resolves from session conf, then env, defaulting to admin") {
+    spark.conf.set("graft.access.level", "reader")
+    assert(AccessControl.resolve(spark) == AccessControl.Reader)
+    spark.conf.set("graft.access.level", "writer")
+    assert(AccessControl.resolve(spark) == AccessControl.Writer)
+    spark.conf.unset("graft.access.level")
+    assert(AccessControl.resolve(spark) == AccessControl.Admin)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 4-dim toy corpus with known cosine structure
+  lazy val corpus = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.7f, 0.7f, 0.0f, 0.0f)),
+    (5L, Seq(1.0f, 0.0f, 0.0f, 0.0f))) // exact copy of vec 0
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic tie-breaks") {
+    val out = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, k = 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(5L, 1L, 4L))
+    assert(out.head.getAs[Double]("cos") > 0.99)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("self-matches are excluded") {
+    val out = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, k = 10)
+    assert(!out.collect().exists(_.getAs[Long]("vec_id") == 0L))
+  }
+
+  test("LSH results are a subset of brute-force candidates with equal scores") {
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, 10)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val lsh = Similarity.lshTopK(corpus.filter($"vec_id" === 0), corpus, dim = 4, k = 10)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos"))
+    assert(lsh.exists(_._1 == 5L)) // the identical vector shares every bucket bit
+    lsh.foreach { case (id, cos) => assert(brute(id) == cos) }
+    // opposite vector never shares all 8 sign bits
+    assert(!lsh.exists(_._1 == 3L))
+  }
+
+  test("bucket signatures are stable and pack into 8 bits") {
+    val b = corpus.select($"vec_id",
+      Similarity.bucket(Similarity.asDouble($"embedding"), 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b.values.forall(v => v >= 0 && v < 256))
+    assert(b(0L) != b(3L)) // opposite vectors flip every nonzero projection
+  }
+}

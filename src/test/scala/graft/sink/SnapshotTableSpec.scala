@@ -1,0 +1,70 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.template.TemplateLoader
+
+class SnapshotTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def freshTable(): SnapshotTable =
+    SnapshotTable(Files.createTempDirectory("graft_snap").toString, "ns", "t")
+
+  test("overwrite then append: snapshots accumulate, appends are O(delta)") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2, 3).toDF("v"))
+    t.append(Seq(4, 5).toDF("v"))
+    val snaps = t.snapshots
+    assert(snaps.map(_.operation) == Seq("overwrite", "append"))
+    // append snapshot references the previous dirs + one new dir
+    assert(snaps(1).dataDirs.startsWith(snaps(0).dataDirs))
+    assert(snaps(1).dataDirs.size == snaps(0).dataDirs.size + 1)
+    assert(t.read(spark).count() == 5)
+  }
+
+  test("time travel reads the table as of an older snapshot") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2, 3).toDF("v"))
+    t.append(Seq(4, 5).toDF("v"))
+    assert(t.readSnapshot(spark, 1L).count() == 3)
+    assert(t.readSnapshot(spark, 2L).count() == 5)
+    val e = intercept[NoSuchElementException](t.readSnapshot(spark, 99L))
+    assert(e.getMessage.contains("no snapshot 99"))
+  }
+
+  test("overwrite replaces content atomically (old snapshot still readable)") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2, 3).toDF("v"))
+    t.overwrite(Seq(9).toDF("v"))
+    assert(t.read(spark).count() == 1)
+    assert(t.readSnapshot(spark, 1L).count() == 3) // until expired
+  }
+
+  test("expireSnapshots drops old history but never the current snapshot") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    t.overwrite(Seq(2).toDF("v"))
+    val expired = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 60000)
+    assert(expired == Seq(1L))
+    assert(t.snapshots.map(_.id) == Seq(2L))
+    assert(t.read(spark).as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("reading an unregistered table raises the remediation error") {
+    val t = freshTable()
+    val e = intercept[RuntimeException](t.read(spark))
+    assert(e.getMessage.contains("not registered"))
+  }
+
+  test("TableSink.overwrite enforces the declared schema before writing") {
+    val tpl = TemplateLoader.get("/root/repo/templates", "events")
+    val t = freshTable()
+    val bad = Seq((1L, "x")).toDF("event_id", "rogue")
+    val e = intercept[IllegalArgumentException](TableSink.overwrite(bad, tpl, t))
+    assert(e.getMessage.contains("rogue"))
+    assert(e.getMessage.contains("Missing columns"))
+    assert(!t.exists) // nothing was committed
+  }
+}
