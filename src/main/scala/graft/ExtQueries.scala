@@ -1,0 +1,83 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension-surface queries: multimodal binary columns and the
+  * batch-equivalent of the streaming windowed aggregation (Structured
+  * Streaming runs the SAME plan incrementally — see graft.streaming).
+  *
+  * The synthetic media table derives deterministic binary payloads and
+  * metadata from `documents` (this container ships no real media), so the
+  * DuckDB oracle can recompute every feature from the same md5 hex.
+  */
+object ExtQueries {
+
+  import Queries.tbl
+
+  /** documents -> media rows: payload = unhex(md5(text)) (16 bytes),
+    * metadata derived from n_chars.
+    */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      unhex(md5(col("text"))).as("payload"),
+      struct(
+        ((col("n_chars") % 624) + 16).cast("int").as("width"),
+        (((col("n_chars") * 7) % 464) + 16).cast("int").as("height"),
+        (col("n_chars") / 40).cast("int").as("n_frames")).as("meta"))
+
+  private val MetaSql =
+    """m AS (SELECT doc_id AS media_id,
+      |  CAST((n_chars % 624) + 16 AS INT) AS width,
+      |  CAST(((n_chars * 7) % 464) + 16 AS INT) AS height,
+      |  CAST(n_chars // 40 AS INT) AS n_frames
+      |FROM documents)""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "stream_window_agg" -> QueryDef(
+      (s, dir) => Streaming.windowedCounts(tbl(s, dir, "events")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      doc = "tumbling-window agg shared verbatim with the streaming ingest plan"),
+
+    "mm_decode_features" -> QueryDef(
+      (s, dir) => Multimodal.decodeFeatures(media(s, dir), batchSize = 128),
+      Some("""WITH b AS (
+             |  SELECT doc_id AS media_id,
+             |    list_transform(range(0, 16),
+             |      i -> CAST(CONCAT('0x', substr(md5(text), CAST(2 * i + 1 AS INT), 2)) AS INT)) AS bytes
+             |  FROM documents)
+             |SELECT media_id, 16 AS n_bytes,
+             |  CAST(len(list_filter(bytes, x -> x // 64 = 0)) AS INT) AS bin0,
+             |  CAST(len(list_filter(bytes, x -> x // 64 = 1)) AS INT) AS bin1,
+             |  CAST(len(list_filter(bytes, x -> x // 64 = 2)) AS INT) AS bin2,
+             |  CAST(len(list_filter(bytes, x -> x // 64 = 3)) AS INT) AS bin3,
+             |  round(CAST(list_sum(bytes) AS DOUBLE) / 16, 6) AS mean_byte
+             |FROM b""".stripMargin),
+      doc = "batched binary decode (stub kernel): payload -> fixed-width features"),
+
+    "mm_resize_meta" -> QueryDef(
+      (s, dir) => Multimodal.resizePlan(media(s, dir), maxSide = 224),
+      Some(s"""WITH $MetaSql
+              |SELECT media_id, width, height,
+              |  CAST(CASE WHEN width >= height THEN least(width, 224)
+              |    ELSE floor(width * 224.0 / greatest(height, 1)) END AS INT) AS target_w,
+              |  CAST(CASE WHEN height > width THEN least(height, 224)
+              |    ELSE floor(height * 224.0 / greatest(width, 1)) END AS INT) AS target_h
+              |FROM m""".stripMargin),
+      doc = "metadata-only resize planning; binary column pruned at scan"),
+
+    "mm_frame_sample" -> QueryDef(
+      (s, dir) => Multimodal.frameSample(media(s, dir), stride = 3, maxFrames = 10),
+      Some(s"""WITH $MetaSql
+              |SELECT media_id, unnest((range(0, n_frames, 3))[1:10]) AS frame_idx
+              |FROM m WHERE n_frames > 0""".stripMargin),
+      doc = "uniform frame sampling via generator over metadata")
+  )
+}

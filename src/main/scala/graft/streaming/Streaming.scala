@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingestion for the event_stream pattern — the
+  * idiomatic upgrade of the reference's batch-append "event stream"
+  * (SURVEY.md §1.4, §2.11): `readStream` -> watermark -> windowed
+  * aggregation / stateful per-key tracking -> `writeStream`.
+  *
+  * Every transform here is SHARED with the batch surface: the same
+  * function builds the same logical plan over a static DataFrame (the
+  * driver-verified `stream_window_agg` query) and over a streaming one —
+  * which is exactly Structured Streaming's contract (incremental
+  * execution of the same plan).
+  *
+  * Scale notes: the windowed count is a streaming partial aggregation
+  * with state keyed by (window, event_type) — state size is bounded by
+  * the watermark horizon, not the stream length. The stateful session
+  * op keys by user_id; state is per-key constant-width.
+  */
+object Streaming {
+
+  /** Tumbling-window per-type counts. `watermarkDelay = None` for batch. */
+  def windowedCounts(events: DataFrame, watermarkDelay: Option[String] = None): DataFrame = {
+    val src = watermarkDelay.fold(events)(d => events.withWatermark("ts", d))
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** File-source streaming read with a declared schema (no inference
+    * pass), the streaming analogue of SourceReader.
+    */
+  def readEventStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Start the ingest query: watermarked windowed counts appended to a
+    * parquet sink once their window is sealed by the watermark.
+    */
+  def startIngest(events: DataFrame, sinkPath: String, checkpoint: String) =
+    windowedCounts(events, Some("1 hour"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  final case class Event(user_id: Long, event_type: String, value: Double)
+  final case class UserStats(user_id: Long, events: Long, purchases: Long, total_value: Double)
+
+  /** Custom per-key streaming state: running per-user activity stats via
+    * mapGroupsWithState (KeyValueGroupedDataset surface).
+    */
+  def userStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L, 0.0))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserStats(uid, s.events + 1,
+              s.purchases + (if (e.event_type == "purchase") 1 else 0),
+              s.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val media = Seq(
+    (1L, Array[Byte](0, 63, 64, -128, -1), 640, 480, 9), // bytes 0,63,64,128,255
+    (2L, Array[Byte](), 100, 300, 0),
+    (3L, Array[Byte](10, 10, 10), 224, 224, 2))
+    .toDF("media_id", "payload", "w", "h", "nf")
+    .withColumn("meta", struct($"w".as("width"), $"h".as("height"), $"nf".as("n_frames")))
+
+  test("decode stub produces per-byte histograms with exact batch shape") {
+    val out = Multimodal.decodeFeatures(media, batchSize = 2).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val m1 = out(1L)
+    assert(m1.getAs[Int]("n_bytes") == 5)
+    assert((m1.getAs[Int]("bin0"), m1.getAs[Int]("bin1"),
+      m1.getAs[Int]("bin2"), m1.getAs[Int]("bin3")) == (2, 1, 1, 1))
+    assert(m1.getAs[Double]("mean_byte") == (0 + 63 + 64 + 128 + 255) / 5.0)
+    assert(out(2L).getAs[Int]("n_bytes") == 0) // empty payload survives
+  }
+
+  test("decodeBatch is called with whole batches (vectorized shape)") {
+    val batch = Seq((1L, Array[Byte](1, 2)), (2L, Array[Byte](3)))
+    val res = Multimodal.decodeBatch(batch)
+    assert(res.map(_.media_id) == Seq(1L, 2L)) // order preserved
+  }
+
+  test("resize planning preserves aspect ratio and never upsizes past bound") {
+    val out = Multimodal.resizePlan(media, maxSide = 224).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("target_w"), r.getAs[Int]("target_h"))).toMap
+    assert(out(1L) == (224, 168)) // 640x480 -> fit width, 480*224/640
+    assert(out(2L) == (74, 224))  // portrait: fit height, 100*224/300
+    assert(out(3L) == (224, 224)) // already at bound
+  }
+
+  test("frame sampling emits stride-spaced indices, capped, skipping empties") {
+    val out = Multimodal.frameSample(media, stride = 3, maxFrames = 2).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq(0, 3)) // capped at 2 of 0,3,6
+    assert(!out.exists(_._1 == 2L)) // n_frames = 0 -> no rows
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq(0))
+  }
+
+  test("metadata-only ops prune the binary column at scan") {
+    val plan = Multimodal.resizePlan(media, 224).queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("payload"))
+  }
+}

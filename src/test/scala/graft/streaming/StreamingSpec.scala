@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+final case class Raw(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def t(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("streaming windowed counts incrementally match the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Raw]
+    val query = Streaming.windowedCounts(mem.toDF(), Some("1 hour"))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Raw(t(10, 5), "click", 1.0), Raw(t(10, 40), "click", 2.0),
+        Raw(t(10, 50), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((t(10), "click", 2L, 3.0)))
+      assert(rows.contains((t(10), "view", 1L, 5.0)))
+
+      // identical semantics in one batch pass over the same data
+      val batch = Streaming.windowedCounts(
+        Seq(Raw(t(10, 5), "click", 1.0), Raw(t(10, 40), "click", 2.0),
+          Raw(t(10, 50), "view", 5.0)).toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(batch == rows)
+    } finally query.stop()
+  }
+
+  test("watermark seals windows: append mode emits only closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Raw]
+    val query = Streaming.windowedCounts(mem.toDF(), Some("1 hour"))
+      .writeStream.format("memory").queryName("win_append")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Raw(t(10, 5), "click", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("win_append").isEmpty) // window still open
+
+      // event at 12:30 advances the watermark to 11:30 -> 10:00 window closes
+      mem.addData(Raw(t(12, 30), "view", 1.0))
+      query.processAllAvailable()
+      val emitted = spark.table("win_append")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(emitted == Set((t(10), "click", 1L, 1.0)))
+
+      // a late event behind the watermark is dropped, not re-emitted
+      mem.addData(Raw(t(9, 0), "click", 9.0))
+      query.processAllAvailable()
+      assert(spark.table("win_append").count() == 1)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Event]
+    val query = Streaming.userStats(mem.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Streaming.Event(1L, "view", 1.0), Streaming.Event(1L, "purchase", 10.0))
+      query.processAllAvailable()
+      mem.addData(Streaming.Event(1L, "purchase", 5.0), Streaming.Event(2L, "view", 2.0))
+      query.processAllAvailable()
+      val last = spark.table("user_stats")
+        .as[Streaming.UserStats].collect().groupBy(_.user_id)
+        .map { case (k, v) => k -> v.maxBy(_.events) }
+      assert(last(1L) == Streaming.UserStats(1L, 3L, 2L, 16.0))
+      assert(last(2L) == Streaming.UserStats(2L, 1L, 0L, 2.0))
+    } finally query.stop()
+  }
+}
