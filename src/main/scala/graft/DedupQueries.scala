@@ -47,7 +47,7 @@ object DedupQueries {
 
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.jaccardPairs(
-        Dedup.shingled(tbl(s, dir, "documents"), "text", 3),
+        Dedup.shinglePostings(tbl(s, dir, "documents"), "text", 3),
         minJaccard = 0.4, maxDf = 10),
       Some(s"""WITH $ShinglesSql,
               |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -9,17 +10,22 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the whole point of these ops is the 100 TB case):
   *  - NOTHING does a cross join. Candidate generation is always an
-  *    inverted-index / bucket equi-join: explode a bounded key (shingle,
-  *    LSH band signature, blocking key), shuffle once on that key, and
-  *    only compare documents that collide.
+  *    inverted-index / bucket equi-join: shuffle once on a bounded key
+  *    (shingle, LSH band signature, blocking key) and only compare
+  *    documents that collide.
   *  - Frequent shingles are capped (`maxDf`): a shingle appearing in huge
   *    numbers of documents contributes no discriminative signal but
   *    produces O(df²) candidate pairs — the classic skew bomb. Dropping
   *    them bounds every posting list.
-  *  - Signatures (minhash/simhash) are fixed-width per document, computed
-  *    in one narrow pass (higher-order array expressions, codegen, no
-  *    UDF), so signature generation streams at scan speed and the
-  *    pair-generation shuffle carries K longs per doc, not the text.
+  *  - The hot path is ROW-SHAPED, not array-shaped: shingles are built by
+  *    posexplode + window-lead (each token materialized once), and
+  *    minhash signatures are plain `groupBy(doc).agg(min(perm(h)))`
+  *    aggregations. An earlier array-lambda formulation
+  *    (`transform(sequence(...), i -> element_at(split(text)...))`) was
+  *    ~50x slower because Catalyst inlines the tokenizer into every
+  *    lambda reference and the generator re-evaluates it per output row —
+  *    measured 40 s vs <1 s at sf0.1. Keep nested higher-order
+  *    expressions out of exploded/aggregated hot paths.
   *  - Hashes are md5-derived (`TextAnalysis.hash60`) so the DuckDB oracle
   *    reproduces results bit-for-bit; swap in murmur `hash()` for
   *    production speed if oracle parity is not needed.
@@ -41,99 +47,134 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
 
-  /** Distinct word n-gram shingles per document: (doc_id, shingles). */
-  def shingled(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // guard: Spark's sequence(1, k) is DESCENDING for k < 1, so short
-    // documents must produce an explicitly empty shingle set
-    val grams = when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    df.select(col("doc_id"), array_distinct(grams).as("shingles"))
+  /** Distinct (doc_id, sh) word-n-gram postings — the inverted-index
+    * representation every near-dup op consumes. Row-shaped: posexplode
+    * tokenizes once, window-lead assembles each n-gram once, `distinct`
+    * is one shuffle with map-side partial aggregation.
+    */
+  def shinglePostings(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val toks = df.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"_t$o"))
+    toks.select(col("doc_id") +: col("tok").as("_t0") +: leads: _*)
+      .filter(col(s"_t${n - 1}").isNotNull) // drop trailing partial grams
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(o => col(s"_t$o")): _*).as("sh"))
+      .distinct()
   }
 
-  /** `dedup_ngram_jaccard`: exact Jaccard over shingle sets via an
-    * inverted-index self-join — candidates share >=1 shingle; shingles
-    * with document frequency > maxDf are dropped (skew cap).
+  /** Array-of-shingles view (test/inspection surface; the operators
+    * themselves stay on the postings representation).
     */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double, maxDf: Int = 10): DataFrame = {
-    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val rare = postings.groupBy("sh").count().filter(col("count") <= maxDf).select("sh")
-    val p = postings.join(rare, "sh")
-    val common = p.as("a").join(p.as("b"),
+  def shingled(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val sets = shinglePostings(df, textCol, n)
+      .groupBy(col("doc_id")).agg(collect_list(col("sh")).as("shingles"))
+    // docs too short for any n-gram still get an (empty) row
+    df.select(col("doc_id")).join(sets, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("shingles"), array().cast("array<string>")).as("shingles"))
+  }
+
+  /** Postings with document frequency capped (skew guard). */
+  private def rarePostings(postings: DataFrame, maxDf: Int): DataFrame = {
+    val rare = postings.groupBy("sh").count()
+      .filter(col("count") <= maxDf).select("sh")
+    postings.join(rare, "sh")
+  }
+
+  /** Pair candidates sharing >=1 rare shingle, with common-shingle count. */
+  private def commonCounts(p: DataFrame): DataFrame =
+    p.as("a").join(p.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+
+  /** `dedup_ngram_jaccard`: exact Jaccard over shingle sets via the
+    * inverted-index self-join.
+    */
+  def jaccardPairs(postings: DataFrame, minJaccard: Double, maxDf: Int = 10): DataFrame = {
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    commonCounts(rarePostings(postings, maxDf))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
-  /** K-wide minhash signature per document (K = A.size). */
-  def minhashSignature(sh: DataFrame): DataFrame = {
-    val hashes = transform(col("shingles"), s => TextAnalysis.hash60(s) % P)
-    val sig = array(A.indices.map { i =>
-      array_min(transform(hashes, h => (lit(A(i)) * h + lit(B(i))) % P))
-    }: _*)
-    sh.select(col("doc_id"), sig.as("sig"))
+  /** K-wide minhash signature, one column per permutation: a single
+    * hash-aggregate over the postings (map-side partial mins, fixed-width
+    * state — K longs per doc).
+    */
+  def minhashSignature(postings: DataFrame): DataFrame = {
+    val h = TextAnalysis.hash60(col("sh")) % P
+    postings.groupBy(col("doc_id"))
+      .agg(min((lit(A.head) * h + lit(B.head)) % P).as("sig0"),
+        A.indices.tail.map(i => min((lit(A(i)) * h + lit(B(i))) % P).as(s"sig$i")): _*)
   }
 
-  /** `dedup_minhash`: LSH banding over minhash signatures (bands of
-    * `rowsPerBand` sig entries), candidate pairs from band-bucket
-    * collisions, verified with exact Jaccard. Collision probability for
-    * similarity s is 1-(1-s^r)^b — with K=8, r=2, b=4 the S-curve centers
-    * near s=0.5.
+  /** `dedup_minhash`: LSH banding over minhash signatures, candidate
+    * pairs from band-bucket collisions, verified with exact Jaccard
+    * computed on the postings index (no shingle arrays are ever built).
+    * Collision probability for similarity s is 1-(1-s^r)^b — K=8, r=2,
+    * b=4 centers the S-curve near s=0.5.
     */
   def minhashLshPairs(
       df: DataFrame, textCol: String, n: Int = 3,
       rowsPerBand: Int = 2, minJaccard: Double = 0.4): DataFrame = {
-    val sh = shingled(df, textCol, n).filter(size(col("shingles")) > 0)
-    val sigs = minhashSignature(sh)
+    val postings = shinglePostings(df, textCol, n)
+    val sigs = minhashSignature(postings)
     val bands = A.size / rowsPerBand
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws(":", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-      }: _*)))
-      .toDF("doc_id", "band", "bucket")
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col(s"sig${b * rowsPerBand + r}")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val withSets = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-    withSets
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+    // verify on the inverted index: common-shingle counts restricted to
+    // candidate pairs, then the Jaccard threshold
+    val pa = postings.select(col("doc_id").as("doc_a"), col("sh"))
+    val pb = postings.select(col("doc_id").as("doc_b"), col("sh"))
+    val common = candidates.join(pa, "doc_a").join(pb, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("common")), 6))
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
 
   /** `dedup_simhash`: 32-bit SimHash over word tokens — per-bit majority
-    * vote of token hashes. Near-dup docs land within small Hamming
-    * distance; identical signature = near-certain duplicate.
+    * vote of token hashes, computed as a row-shaped explode + one
+    * aggregation (32 conditional sums), not nested array lambdas.
     */
-  def simhash(df: DataFrame, textCol: String): DataFrame =
-    df.select(col("doc_id"), TextAnalysis.wordTokens(col(textCol)).as("_w"))
-      .withColumn("_th", transform(col("_w"), t => TextAnalysis.hash60(t) % 4294967296L))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
-          |  IF(aggregate(_th, 0L, (a, h) ->
-          |       a + IF((h div CAST(pow(2, b) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
-          |     CAST(pow(2, b) AS BIGINT), 0L))""".stripMargin))
-      .select("doc_id", "simhash")
+  def simhash(df: DataFrame, textCol: String): DataFrame = {
+    val tok = df.select(col("doc_id"),
+      explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), (TextAnalysis.hash60(col("tok")) % 4294967296L).as("h"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when((col("h") / (1L << b)).cast("long") % 2 === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 32).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+    // docs with no word tokens hash to 0 (all-bits negative majority)
+    df.select(col("doc_id")).join(sigs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
 
   /** Cosine similarity of two double arrays, sequential fold (matches the
     * oracle's fold order; rounded by callers before any comparison).
@@ -145,19 +186,29 @@ object Dedup {
     dot / (na * nb)
   }
 
+  /** Dot product only (callers supply precomputed norms). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  /** Euclidean norm of a double array. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (s, v) => s + v))
+
   /** `dedup_embedding`: cosine near-duplicate pairs within a blocking key
     * (here a label/cluster column — at scale this is the coarse-quantizer
-    * cell of an IVF index). Pairs only form inside a block: the shuffle
-    * is on the block key, never all-pairs.
+    * cell of an IVF index). Pairs only form inside a block, and norms are
+    * precomputed per vector BEFORE the join, so each pair costs exactly
+    * one dot product.
     */
   def embeddingPairs(emb: DataFrame, blockCol: String, minCos: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     e.as("a").join(e.as("b"),
         col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.block").as("block"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

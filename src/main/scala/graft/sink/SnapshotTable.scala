@@ -107,7 +107,15 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val prev = snapshots
     val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
     val dataDir = Paths.get(root, f"snap-$id%05d").toString
-    val sorted = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols: _*) else df
+    // cluster rows by partition value before a partitioned write: without
+    // this every task writes a file into every partition directory
+    // (tasks x partitions small files — the classic small-file explosion);
+    // with it each partition directory gets O(1) files.
+    val clustered =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val sorted = if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
     val writer = sorted.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dataDir)

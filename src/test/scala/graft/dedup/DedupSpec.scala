@@ -31,7 +31,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccard pairs find exact and near duplicates with correct scores") {
-    val pairs = Dedup.jaccardPairs(Dedup.shingled(docs, "text", 3), 0.3)
+    val pairs = Dedup.jaccardPairs(Dedup.shinglePostings(docs, "text", 3), 0.3)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
         r.getAs[Double]("jaccard")).toMap
     assert(pairs((1L, 2L)) == 1.0) // identical
