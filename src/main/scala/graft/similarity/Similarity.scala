@@ -1,6 +1,5 @@
 package graft.similarity
 
-import graft.dedup.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,71 +8,103 @@ import org.apache.spark.sql.functions._
   *
   * Two tiers, mirroring a production ANN stack:
   *  - `bruteForceTopK` — exact cosine top-k for a SMALL query set against
-  *    the full corpus. The query side is broadcast, so the corpus streams
-  *    once with no shuffle; ranking shuffles only (query_id, vec_id,
-  *    score) triples, never vectors.
+  *    the full corpus.
   *  - `lshTopK` — random-hyperplane LSH: each vector gets a J-bit bucket
   *    signature (sign of J fixed pseudo-random projections); queries only
-  *    compare against corpus vectors in the SAME bucket. This is the
-  *    scale path: the corpus-side work drops from O(|Q|·N) to
-  *    O(collisions), and the bucket join is a plain equi-shuffle that
-  *    partitions the corpus once. The hyperplanes are deterministic
-  *    integer grids so the DuckDB oracle reproduces buckets exactly
-  *    (production would use seeded gaussians).
+  *    compare against corpus vectors in the SAME bucket, dropping
+  *    corpus-side work from O(|Q|·N) to O(collisions). The hyperplanes
+  *    are deterministic integer grids so the DuckDB oracle reproduces
+  *    buckets exactly (production would use seeded gaussians).
   *
-  * At 100 TB the same shape becomes IVF: bucket = coarse-centroid id from
-  * a trained quantizer, signatures precomputed and stored as a column.
+  * Execution shape: all vector math is ROW-SHAPED — embeddings are
+  * posexploded to (id, pos, x) and dot products / projections become
+  * plain join + sum aggregations (matrix-multiply-as-join). Higher-order
+  * array lambdas (`aggregate`, `zip_with`) are interpreted, not
+  * codegen'd, and cost ~2x+ on the scoring hot path; the row shape keeps
+  * everything inside WholeStageCodegen and scales out by partitioning on
+  * the id/bucket keys. Norms are computed once per vector, never per
+  * pair. At 100 TB the same shape becomes IVF with stored norm + bucket
+  * columns.
   */
 object Similarity {
 
   /** Number of hyperplanes = signature bits. */
   val Planes = 8
-  /** Deterministic integer hyperplane weight for (plane j, 1-based dim i). */
-  private def weight(j: Int, i: Column): Column =
-    (lit(j * 31) + (i - 1) * 17) % 7 - 3
 
   /** Cast a float embedding to double (exact widening). */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
-  /** Signed projection of `v` (1-based double array, dim `d`) on plane j. */
-  private def projection(v: Column, j: Int, d: Int): Column =
-    aggregate(sequence(lit(1), lit(d)), lit(0.0),
-      (acc, i) => acc + element_at(v, i) * weight(j, i).cast("double"))
+  /** (id, pos, x) row view of an embedding column. */
+  private def exploded(df: DataFrame, idCol: String, asId: String): DataFrame =
+    df.select(col(idCol).as(asId), posexplode(asDouble(col("embedding"))))
+      .toDF(asId, "pos", "x")
 
-  /** LSH bucket id: J sign bits packed into a long. */
-  def bucket(v: Column, d: Int): Column =
-    (0 until Planes).map(j => when(projection(v, j, d) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** Per-vector Euclidean norm (one pass, row-shaped). */
+  private def norms(e: DataFrame, idCol: String): DataFrame =
+    e.groupBy(col(idCol)).agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
 
-  /** Exact cosine top-k of each query vector against the corpus.
-    * `queries`/`corpus`: (vec_id, embedding). Scores rounded to 4 dp with
-    * vec_id tie-break so ranking is stable across engines and partitions.
+  /** Deterministic integer hyperplane weight for plane j at 0-based pos. */
+  private def weight(j: Int): Column =
+    (lit(j * 31) + col("pos") * 17) % 7 - 3
+
+  /** Per-vector LSH bucket: J sign bits packed into a long, all J
+    * projections computed in ONE aggregation pass over the row view.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(Dedup.cosine(col("qv"), col("cv")), 4))
+  private def buckets(e: DataFrame, idCol: String): DataFrame = {
+    val projections = (0 until Planes).map(j =>
+      sum(col("x") * weight(j).cast("double")).as(s"p$j"))
+    val packed = (0 until Planes).map(j =>
+      when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    e.groupBy(col(idCol)).agg(projections.head, projections.tail: _*)
+      .select(col(idCol), packed.as("bucket"))
+  }
+
+  /** Rank pair scores: cos = dot/(|q||c|) rounded to 4 dp, vec_id
+    * tie-break, top k per query.
+    */
+  private def rank(dots: DataFrame, qn: DataFrame, cn: DataFrame, k: Int): DataFrame = {
+    val scored = dots
+      .join(broadcast(qn.select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
+      .join(cn.select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
+      .withColumn("cos", round(col("dot") / (col("qnrm") * col("cnrm")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** Exact cosine top-k of each (small) query set against the corpus:
+    * corpus streams once; the (64 x |Q|)-row query side is broadcast.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qe = exploded(queries, "vec_id", "query_id")
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val dots = ce.join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("pos"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"))
+    rank(dots, norms(qe, "query_id"), norms(ce, "vec_id"), k)
   }
 
   /** ANN top-k: compare only within matching LSH buckets. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qb", bucket(col("qv"), dim))
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("cv"))
-      .withColumn("cb", bucket(col("cv"), dim))
-    val scored = c.join(broadcast(q),
-        col("qb") === col("cb") && col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(Dedup.cosine(col("qv"), col("cv")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos", "rank")
+    val qe = exploded(queries, "vec_id", "query_id")
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val candidates = buckets(ce, "vec_id")
+      .join(broadcast(buckets(qe, "query_id")
+        .withColumnRenamed("bucket", "qbucket")), col("bucket") === col("qbucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val dots = candidates
+      .join(ce, "vec_id")
+      .join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("query_id", "pos"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"))
+    rank(dots, norms(qe, "query_id"), norms(ce, "vec_id"), k)
   }
+
+  /** Bucket signature surface for tests/inspection: (vec_id, bucket). */
+  def bucketSignatures(corpus: DataFrame): DataFrame =
+    buckets(exploded(corpus, "vec_id", "vec_id"), "vec_id")
 }

@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan assertions for the scale properties SURVEY.md §4 calls
+  * out: predicate pushdown into the parquet scan, column pruning,
+  * broadcast joins for dimension sides, top-k without a global sort, and
+  * no cartesian products anywhere in the registry.
+  */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def planOf(key: String): String =
+    Queries.all(key).fn(spark, dir).queryExecution.executedPlan.toString
+
+  test("scan_parquet pushes its filter into the scan and prunes columns") {
+    val p = planOf("scan_parquet")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,1000)]"))
+    // 4 of lineitem's 11 columns read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("filter_predicate pushes every conjunct") {
+    val p = planOf("filter_predicate")
+    assert(p.contains("GreaterThanOrEqual(l_shipda") || p.contains("PushedFilters: [IsNotNull"))
+    assert(!p.contains("PushedFilters: []"))
+  }
+
+  test("star joins broadcast every dimension side (no fact-table shuffle join)") {
+    for (q <- Seq("join_inner", "join_multiway")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // the multiway join's lineitem scan reads only the join/agg columns
+    assert(planOf("join_multiway").contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = planOf("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("dimension-filter pushdown reaches the customer scan inside the join") {
+    assert(planOf("join_inner").contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("no query in the registry plans a cartesian product or nested-loop join") {
+    for ((k, d) <- Queries.all) {
+      val p = d.fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin Inner"), s"$k plans an inner NL join")
+    }
+  }
+}

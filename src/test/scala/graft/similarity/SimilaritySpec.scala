@@ -42,8 +42,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("bucket signatures are stable and pack into 8 bits") {
-    val b = corpus.select($"vec_id",
-      Similarity.bucket(Similarity.asDouble($"embedding"), 4).as("b"))
+    val b = Similarity.bucketSignatures(corpus)
       .as[(Long, Long)].collect().toMap
     assert(b.values.forall(v => v >= 0 && v < 256))
     assert(b(0L) != b(3L)) // opposite vectors flip every nonzero projection
