@@ -130,6 +130,37 @@ object RelationalQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
       doc = "left anti join (NOT EXISTS): customers with no orders"),
 
+    "join_skew_salted" -> QueryDef(
+      (s, dir) => {
+        // Skew pattern: the fact side is heavily skewed on the join key
+        // (5 distinct event_types over 600k rows -> one reducer per key
+        // in a plain shuffle join). Salting spreads each hot key over 16
+        // sub-keys: fact rows get salt = id % 16, the small dim side is
+        // replicated x16, and the join runs on (key, salt) — every
+        // reducer gets 1/16th of a hot key. AQE's skew-join handles the
+        // moderate case automatically; explicit salting is the pattern
+        // that survives extreme single-key skew at 100 TB.
+        val events = tbl(s, dir, "events")
+        val dim = events.select(col("event_type")).distinct()
+          .withColumn("weight", length(col("event_type")))
+        val salted = events.withColumn("salt", pmod(col("event_id"), lit(16)))
+        val dimSalted = dim.withColumn("salt",
+          explode(sequence(lit(0), lit(15)))).withColumn("salt", col("salt").cast("long"))
+        salted.join(dimSalted, Seq("event_type", "salt"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("value").cast("decimal(18,6)") * col("weight"))
+            .cast("double").as("weighted_value"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT DISTINCT event_type, length(event_type) AS weight FROM events)
+             |SELECT e.event_type,
+             |  CAST(sum(CAST(e.value AS DECIMAL(18,6)) * d.weight) AS DOUBLE) AS weighted_value,
+             |  count(*) AS n
+             |FROM events e JOIN dim d ON e.event_type = d.event_type
+             |GROUP BY e.event_type""".stripMargin),
+      doc = "salted join: hot keys spread over 16 sub-keys, dim replicated"),
+
     // ------------------------------------------------------------------
     // §2.5 windows
     // ------------------------------------------------------------------
