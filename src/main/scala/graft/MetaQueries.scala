@@ -246,6 +246,26 @@ object MetaQueries {
               |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
       doc = "time travel: read table state as of an earlier snapshot id"),
 
+    "retention_expire" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val wh = freshWarehouse("retention_expire")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        TableSink.overwrite(events.filter(col("event_id") % 2 === 0), t, table)
+        TableSink.overwrite(events, t, table)
+        // expire everything older than "now + 1h": history drops, the
+        // current snapshot always survives
+        val expired = table.expireSnapshots(System.currentTimeMillis() + 3600000L)
+        Seq((expired.size, table.snapshots.size,
+          table.snapshots.head.id, table.read(s).count()))
+          .toDF("expired", "remaining", "current_id", "current_rows")
+      },
+      Some("""SELECT 1 AS expired, 1 AS remaining, CAST(2 AS BIGINT) AS current_id,
+             |  (SELECT count(*) FROM events) AS current_rows""".stripMargin),
+      doc = "snapshot expiration: history GC'd, current snapshot immortal"),
+
     "sink_schema_check" -> QueryDef(
       (s, dir) => {
         import s.implicits._
