@@ -74,6 +74,54 @@ object TextQueries {
       },
       doc = "marker-word language ID with deterministic argmax tie-break"),
 
+    "text_pii_redact" -> QueryDef(
+      (s, dir) => {
+        // Inject deterministic synthetic PII (the corpus has none), then
+        // redact emails/phones with portable regexes — the text-scrub
+        // stage of a training pipeline. Narrow, codegen'd, no shuffle.
+        val withPii = tbl(s, dir, "documents").select(
+          col("doc_id"),
+          concat(col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com or +1-555-"), col("doc_id")).as("text"))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+        val phone = "\\+1-555-[0-9]+"
+        withPii.select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("redacted_md5"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    text || ' contact: user' || doc_id || '@example.com or +1-555-' || doc_id AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '\+1-555-[0-9]+')) AS INT) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |    '\+1-555-[0-9]+', '<PHONE>', 'g')) AS redacted_md5
+             |FROM w""".stripMargin),
+      doc = "email/phone redaction: the PII-scrub stage, pure narrow map"),
+
+    "sample_split" -> QueryDef(
+      (s, dir) =>
+        // Deterministic hash-based train/val/test assignment: stable
+        // under any partitioning, reshuffling, or re-run — the property
+        // a 100 TB pipeline needs (no random() anywhere).
+        tbl(s, dir, "documents").select(
+          col("doc_id"),
+          pmod(graft.text.TextAnalysis.hash60(concat(lit("split:"), col("doc_id"))), lit(10L)).as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 8, "train").when(col("bucket") < 9, "val").otherwise("test")),
+      Some("""SELECT doc_id,
+             |  CAST(CONCAT('0x', substr(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 10 AS bucket,
+             |  CASE WHEN CAST(CONCAT('0x', substr(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 10 < 8 THEN 'train'
+             |       WHEN CAST(CONCAT('0x', substr(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 10 < 9 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin),
+      doc = "deterministic hash-based train/val/test split (no random())"),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text", k = 8),
       Some("""SELECT doc_id, md5(text) AS content_md5,
