@@ -34,7 +34,10 @@ object TableSink {
     case "month"    => (s"${p.column}_month", date_format(col(p.column), "yyyy-MM"))
     case "day"      => (s"${p.column}_day", to_date(col(p.column)))
     case "hour"     => (s"${p.column}_hour", date_format(col(p.column), "yyyy-MM-dd-HH"))
-    case "bucket"   => (s"${p.column}_bucket", pmod(hash(col(p.column)), lit(p.n)))
+    // Iceberg-spec murmur bucket (NOT Spark's hash(): different seed and
+    // byte layout — see graft.functions.IcebergBucketHash)
+    case "bucket"   => (s"${p.column}_bucket",
+      graft.functions.IcebergBucketHash.bucket(p.n, col(p.column)))
     case "truncate" => (s"${p.column}_trunc", substring(col(p.column), 0, p.n))
     case other      => throw new IllegalArgumentException(s"Unknown partition transform: $other")
   }
