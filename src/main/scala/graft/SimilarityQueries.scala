@@ -50,6 +50,25 @@ object SimilarityQueries {
               |WHERE rank <= 10""".stripMargin),
       doc = "exact cosine top-10, queries broadcast, corpus streamed once"),
 
+    "similarity_topk_heap" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.bruteForceTopKHeap(emb.filter(col("vec_id") < 5), emb, k = 10)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE query_id < 5),
+              |scored AS (
+              |  SELECT q.query_id, e.vec_id, ${cosSql("q.qv", "e.v")} AS cos
+              |  FROM e JOIN q ON q.query_id <> e.vec_id)
+              |SELECT query_id, vec_id, cos, rank FROM (
+              |  SELECT query_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 10""".stripMargin),
+      doc = "same top-10, ranked by the bounded-heap aggregate (TopKAggregator): " +
+        "map-side partials truncate to k, shuffle carries k entries per group"),
+
     "similarity_lsh" -> QueryDef(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")

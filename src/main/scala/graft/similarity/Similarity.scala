@@ -107,4 +107,36 @@ object Similarity {
   /** Bucket signature surface for tests/inspection: (vec_id, bucket). */
   def bucketSignatures(corpus: DataFrame): DataFrame =
     buckets(exploded(corpus, "vec_id", "vec_id"), "vec_id")
+
+  /** Brute-force top-k ranked by the bounded-heap aggregate instead of a
+    * window: map-side partials already truncate to k, so the final
+    * shuffle carries at most k entries per (partition, query) — the
+    * formulation that survives a hot query against 10^9 corpus rows.
+    * Same output (and oracle) as [[bruteForceTopK]].
+    */
+  def bruteForceTopKHeap(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qe = exploded(queries, "vec_id", "query_id")
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val dots = ce.join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("pos"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"))
+    val scored = dots
+      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
+      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
+      .select(col("query_id"),
+        col("vec_id"), round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    scored.select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._1").as("vec_id"),
+        col("col._2").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+  }
 }
