@@ -1,0 +1,71 @@
+package graft.props
+
+import com.google.common.hash.Hashing
+import graft.functions.{IcebergBucketHash, TopKAggregator}
+import graft.types.IcebergTypes
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties over the engine's pure kernels (SURVEY.md §5):
+  * hashing parity with Iceberg's reference implementation, top-k
+  * aggregation invariants under arbitrary splits, type-mapping totality.
+  */
+object EngineProps extends Properties("graft") {
+
+  // ---------------------------------------------------------------- hashing
+
+  property("icebergBucket.long matches Guava murmur3_32 for all longs") =
+    forAll { (v: Long) =>
+      IcebergBucketHash.hashLong(v) == Hashing.murmur3_32_fixed().hashLong(v).asInt()
+    }
+
+  property("icebergBucket.bytes matches Guava for arbitrary byte arrays") =
+    forAll { (bytes: Array[Byte]) =>
+      IcebergBucketHash.hashBytes(bytes) ==
+        Hashing.murmur3_32_fixed().hashBytes(bytes).asInt()
+    }
+
+  property("bucket values land in [0, n) for any positive n") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue), Gen.chooseNum(1, 1 << 20)) {
+      (v: Long, n: Int) =>
+        val b = (IcebergBucketHash.hashLong(v) & Int.MaxValue) % n
+        b >= 0 && b < n
+    }
+
+  // ----------------------------------------------------------------- top-k
+
+  private val entriesGen: Gen[List[(Long, Double)]] = Gen.listOf(
+    Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0, 9).map(_.toDouble)))
+
+  property("topK(k) == sort.take(k) regardless of arrival order") =
+    forAll(entriesGen, Gen.chooseNum(1, 8)) { (entries, k) =>
+      val agg = new TopKAggregator(k)
+      val out = agg.finish(entries.foldLeft(agg.zero)(agg.reduce))
+      out == entries.sortBy { case (id, s) => (-s, id) }.take(k)
+    }
+
+  property("topK merge is associative with reduce (partial aggregation safety)") =
+    forAll(entriesGen, entriesGen, Gen.chooseNum(1, 6)) { (l, r, k) =>
+      val agg = new TopKAggregator(k)
+      val whole = agg.finish((l ++ r).foldLeft(agg.zero)(agg.reduce))
+      val split = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      split == whole
+    }
+
+  // ------------------------------------------------------------------ types
+
+  property("every iceberg type string maps to a Spark type (total, no throw)") =
+    forAll(Gen.oneOf(Gen.alphaNumStr, Gen.oneOf(
+      "boolean", "int", "long", "float", "double", "date", "time",
+      "timestamp", "timestamptz", "string", "uuid", "binary", "decimal(9,2)"))) {
+      (t: String) => IcebergTypes.toSpark(t) != null
+    }
+
+  property("decimal mapping round-trips precision and scale") =
+    forAll(Gen.chooseNum(1, 38), Gen.chooseNum(0, 18)) { (p, s0) =>
+      val s = math.min(s0, p)
+      Prop(IcebergTypes.toSpark(s"decimal($p,$s)") ==
+        org.apache.spark.sql.types.DecimalType(p, s))
+    }
+}
