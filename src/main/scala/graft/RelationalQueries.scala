@@ -225,6 +225,23 @@ object RelationalQueries {
              |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin),
       doc = "global top-k: Spark plans TakeOrderedAndProject, no full sort"),
 
+    "sort_global" -> QueryDef(
+      (s, dir) =>
+        // total order via range partitioning: Spark samples key ranges,
+        // then each partition sorts locally — the only all-data sort in
+        // the registry, here bounded to one month of lineitem.
+        tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1996-02-01'
+             |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin),
+      doc = "global sort via range partitioning (sampled key ranges)"),
+
     "sort_within_partitions" -> QueryDef(
       (s, dir) =>
         // the declared-write-sort operator: cluster rows inside partitions

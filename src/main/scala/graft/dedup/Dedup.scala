@@ -124,7 +124,12 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, textCol: String, n: Int = 3,
       rowsPerBand: Int = 2, minJaccard: Double = 0.4): DataFrame = {
+    // the postings index feeds three consumers (signatures, the
+    // candidate-verification join, set sizes) — persist it so the
+    // tokenize+window+distinct pipeline runs once, not three times
+    // (MEMORY_AND_DISK: spills instead of recomputing at scale)
     val postings = shinglePostings(df, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignature(postings)
     val bands = A.size / rowsPerBand
     val banded = sigs.select(col("doc_id"),

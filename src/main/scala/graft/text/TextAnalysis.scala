@@ -107,15 +107,20 @@ object TextAnalysis {
   /** `text_fingerprint`: whole-document content hash + a winnowing-style
     * shingle fingerprint (min over k-char-shingle hashes) that is robust
     * to local edits — the standard rolling-hash document signature.
+    *
+    * Row-shaped (explode positions -> hash -> map-side min aggregation):
+    * the array-lambda formulation (`transform(sequence(...))`) runs on
+    * the interpreted expression path and was the registry's slowest
+    * narrow op; only (doc_id, hash) pairs reach the shuffle.
     */
   def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
-    val n = length(col(textCol)) - (k - 1)
-    val shingleHashes = transform(
-      sequence(lit(1), greatest(n, lit(1))),
-      i => hash60(col(textCol).substr(i, lit(k))))
-    df.select(
-      col("doc_id"),
-      md5(col(textCol)).as("content_md5"),
-      array_min(shingleHashes).as("min_shingle_hash"))
+    val n = greatest(length(col(textCol)) - (k - 1), lit(1))
+    val minh = df
+      .select(col("doc_id"), col(textCol).as("_t"),
+        explode(sequence(lit(1), n)).as("_i"))
+      .select(col("doc_id"), hash60(col("_t").substr(col("_i"), lit(k))).as("_h"))
+      .groupBy(col("doc_id")).agg(min(col("_h")).as("min_shingle_hash"))
+    df.select(col("doc_id"), md5(col(textCol)).as("content_md5"))
+      .join(minh, Seq("doc_id"), "left_outer")
   }
 }
