@@ -107,6 +107,36 @@ object DedupQueries {
              |FROM w""".stripMargin),
       doc = "32-bit SimHash signatures: per-bit majority vote of token hashes"),
 
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), "text", maxHamming = 2),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+             |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS th
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_sum(list_transform(range(0, 32), b -> CASE
+             |      WHEN list_sum(list_transform(th, h -> CASE
+             |        WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             |      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+             |  FROM w),
+             |banded AS (
+             |  SELECT doc_id, t.b AS band,
+             |    (simhash // CAST(pow(256, t.b) AS BIGINT)) % 256 AS bv
+             |  FROM sh, range(0, 4) t(b)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST(bit_count(xor(sa.simhash::BIGINT, sb.simhash::BIGINT)) AS INT) AS hamming
+             |FROM cand
+             |JOIN sh sa ON doc_a = sa.doc_id
+             |JOIN sh sb ON doc_b = sb.doc_id
+             |WHERE bit_count(xor(sa.simhash::BIGINT, sb.simhash::BIGINT)) <= 2""".stripMargin),
+      doc = "SimHash band-bucket candidates + exact Hamming filter (pigeonhole-complete for d<=3)"),
+
     "dedup_embedding" -> QueryDef(
       (s, dir) => Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "label", minCos = 0.3),
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

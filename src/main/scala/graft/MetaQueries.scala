@@ -246,6 +246,35 @@ object MetaQueries {
               |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
       doc = "time travel: read table state as of an earlier snapshot id"),
 
+    "backend_config" -> QueryDef(
+      (s, _) => {
+        import s.implicits._
+        import graft.catalog.BackendConfig
+        val cases = Seq(
+          Map("LAKEHOUSE_BACKEND" -> "aws-glue"),
+          Map("LAKEHOUSE_BACKEND" -> "aws-nessie", "NESSIE_URI" -> "http://n:19120/api/v2"),
+          Map("LAKEHOUSE_BACKEND" -> "gcp"),
+          Map.empty[String, String]) // default
+        val rows = cases.map { env =>
+          val b = BackendConfig.resolve(env)
+          (env.getOrElse("LAKEHOUSE_BACKEND", "<default>"), b.name, b.catalogImpl,
+            b.conf.size, b.conf.keys.exists(_.endsWith(".warehouse")))
+        } :+ {
+          val err = try { BackendConfig.resolve(Map("LAKEHOUSE_BACKEND" -> "azure")); "" }
+          catch { case e: IllegalArgumentException => "IllegalArgumentException" }
+          ("azure", "<error>", err, 0, false)
+        }
+        rows.toDF("env_backend", "resolved", "catalog_impl", "n_conf", "has_warehouse")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('aws-glue', 'aws-glue', 'glue', 4, true),
+             |  ('aws-nessie', 'aws-nessie', 'nessie', 5, true),
+             |  ('gcp', 'gcp', 'rest', 4, true),
+             |  ('<default>', 'aws-glue', 'glue', 4, true),
+             |  ('azure', '<error>', 'IllegalArgumentException', 0, false))
+             |AS t(env_backend, resolved, catalog_impl, n_conf, has_warehouse)""".stripMargin),
+      doc = "LAKEHOUSE_BACKEND dispatch matrix: glue / nessie / gcp / default / invalid"),
+
     "retention_expire" -> QueryDef(
       (s, dir) => {
         import s.implicits._

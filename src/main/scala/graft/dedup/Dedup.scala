@@ -181,6 +181,32 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
+  /** `dedup_simhash_pairs`: near-dup pairs by SimHash banding — docs
+    * sharing any of the 4 signature bytes become candidates (a pair
+    * within Hamming distance d <= 3 of a 4-band split MUST agree on at
+    * least one band — pigeonhole), then exact Hamming distance filters.
+    * Same inverted-index shape as every other candidate generator here.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, maxHamming: Int = 2): DataFrame = {
+    val sigs = simhash(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        ((col("simhash") / math.pow(256, b).toLong).cast("long") % 256)): _*)))
+      .toDF("doc_id", "band", "bv")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Cosine similarity of two double arrays, sequential fold (matches the
     * oracle's fold order; rounded by callers before any comparison).
     */
