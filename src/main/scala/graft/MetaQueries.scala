@@ -246,6 +246,35 @@ object MetaQueries {
               |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
       doc = "time travel: read table state as of an earlier snapshot id"),
 
+    "quality_checkfile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cf = graft.quality.CheckLoader.load(
+          "/root/repo/quality/events_checks.yaml", CoreQueries.FreshnessAsOfMs)
+        require(cf.table == "testdata.events")
+        Quality.gate(tbl(s, dir, "events"), cf.table, cf.checks)
+          .toDF().select(col("check"), col("column"), col("value"),
+            col("passed"), col("severity"))
+      },
+      Some(s"""SELECT 'row_count' AS "check", '*' AS "column",
+              |  CAST(count(*) AS BIGINT) AS value, count(*) > 0 AS passed,
+              |  'fail' AS severity FROM events
+              |UNION ALL SELECT 'missing_count', 'event_id', CAST(count(*) - count(event_id) AS BIGINT),
+              |  count(*) - count(event_id) = 0, 'fail' FROM events
+              |UNION ALL SELECT 'missing_count', 'ts', CAST(count(*) - count(ts) AS BIGINT),
+              |  count(*) - count(ts) = 0, 'fail' FROM events
+              |UNION ALL SELECT 'missing_count', 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+              |  count(*) - count(user_id) = 0, 'fail' FROM events
+              |UNION ALL SELECT 'duplicate_count', 'event_id',
+              |  CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+              |  count(event_id) - count(DISTINCT event_id) = 0, 'fail' FROM events
+              |UNION ALL SELECT 'freshness', 'ts', ${CoreQueries.FreshnessAsOfMs} - epoch_ms(max(ts)),
+              |  ${CoreQueries.FreshnessAsOfMs} - epoch_ms(max(ts)) < ${7L * 86400000L}, 'fail' FROM events
+              |UNION ALL SELECT 'duplicate_count', 'event_type',
+              |  CAST(count(event_type) - count(DISTINCT event_type) AS BIGINT),
+              |  count(event_type) - count(DISTINCT event_type) = 0, 'warn' FROM events""".stripMargin),
+      doc = "declarative YAML check suite compiled to one aggregate pass"),
+
     "backend_config" -> QueryDef(
       (s, _) => {
         import s.implicits._
