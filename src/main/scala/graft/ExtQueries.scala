@@ -67,9 +67,9 @@ object ExtQueries {
       Some(s"""WITH $MetaSql
               |SELECT media_id, width, height,
               |  CAST(CASE WHEN width >= height THEN least(width, 224)
-              |    ELSE floor(width * 224.0 / greatest(height, 1)) END AS INT) AS target_w,
+              |    ELSE floor(width * 1.0 * least(height, 224) / greatest(height, 1)) END AS INT) AS target_w,
               |  CAST(CASE WHEN height > width THEN least(height, 224)
-              |    ELSE floor(height * 224.0 / greatest(width, 1)) END AS INT) AS target_h
+              |    ELSE floor(height * 1.0 * least(width, 224) / greatest(width, 1)) END AS INT) AS target_h
               |FROM m""".stripMargin),
       doc = "metadata-only resize planning; binary column pruned at scan"),
 

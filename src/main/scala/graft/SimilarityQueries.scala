@@ -72,7 +72,7 @@ object SimilarityQueries {
     "similarity_lsh" -> QueryDef(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, dim = 64, k = 5)
+        Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               |c AS (SELECT vec_id, v, ${bucketSql("v")} AS b FROM e),

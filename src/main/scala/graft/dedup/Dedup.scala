@@ -38,6 +38,18 @@ object Dedup {
   val A: Seq[Long] = Seq(1299721L, 1750357L, 2750159L, 3407807L, 4256233L, 5800079L, 6700417L, 7368787L)
   val B: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
 
+  /** Per-operator cache slots: persisting an index consumed by several
+    * branches of one query is the right call, but a library must not leak
+    * a new cache entry per invocation — each slot unpersists its previous
+    * occupant (lazily; in-flight jobs finish on the old blocks).
+    */
+  private val cacheSlots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cacheSwap(slot: String, df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheSlots.put(slot, cached).foreach(_.unpersist(blocking = false))
+    cached
+  }
+
   /** `dedup_exact`: group by content hash, keep the lowest doc_id as the
     * canonical representative. One hash-shuffle; the text itself never
     * shuffles (hash + id only).
@@ -128,8 +140,7 @@ object Dedup {
     // candidate-verification join, set sizes) — persist it so the
     // tokenize+window+distinct pipeline runs once, not three times
     // (MEMORY_AND_DISK: spills instead of recomputing at scale)
-    val postings = shinglePostings(df, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = cacheSwap("minhash_postings", shinglePostings(df, textCol, n))
     val sigs = minhashSignature(postings)
     val bands = A.size / rowsPerBand
     val banded = sigs.select(col("doc_id"),
@@ -188,8 +199,7 @@ object Dedup {
     * Same inverted-index shape as every other candidate generator here.
     */
   def simhashPairs(df: DataFrame, textCol: String, maxHamming: Int = 2): DataFrame = {
-    val sigs = simhash(df, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = cacheSwap("simhash_sigs", simhash(df, textCol))
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         ((col("simhash") / math.pow(256, b).toLong).cast("long") % 256)): _*)))

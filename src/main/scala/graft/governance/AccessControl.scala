@@ -22,13 +22,19 @@ object AccessControl {
   case object Admin extends Level { val name = "admin" }
 
   def resolve(spark: SparkSession): Level = {
-    val conf = spark.conf.getOption("graft.access.level")
-      .orElse(sys.env.get("LAKEHOUSE_ACCESS_LEVEL"))
-      .getOrElse("admin")
-    conf.toLowerCase match {
-      case "reader" => Reader
-      case "writer" => Writer
-      case _        => Admin
+    spark.conf.getOption("graft.access.level")
+      .orElse(sys.env.get("LAKEHOUSE_ACCESS_LEVEL")) match {
+      case None => Admin // unconfigured = operator session (reference default)
+      case Some(level) => level.toLowerCase match {
+        case "reader" => Reader
+        case "writer" => Writer
+        case "admin"  => Admin
+        // fail CLOSED: a typo'd level must not silently grant PII access
+        case other =>
+          org.slf4j.LoggerFactory.getLogger("lakehouse.access")
+            .warn(s"Unknown access level '$other'; treating as reader (least privilege)")
+          Reader
+      }
     }
   }
 

@@ -35,6 +35,11 @@ object Audit {
   val EventTypes: Set[String] = Set(
     "table_read", "table_write", "source_ingest", "pii_columns_dropped", "schema_drift")
 
+  /** In-memory tail kept for tests/introspection; the logger output is
+    * the durable audit trail, so the buffer is bounded.
+    */
+  val MaxBuffered = 1000
+
   private val logger = LoggerFactory.getLogger("lakehouse.audit")
   private val buffer = new ConcurrentLinkedQueue[AuditEvent]()
 
@@ -44,6 +49,7 @@ object Audit {
     val rec = AuditEvent(event, table, DateTimeFormatter.ISO_INSTANT.format(Instant.now()), details)
     logger.info(rec.toJson)
     buffer.add(rec)
+    while (buffer.size > MaxBuffered) buffer.poll() // bounded: log is the record of truth
     rec
   }
 

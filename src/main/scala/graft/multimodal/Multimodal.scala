@@ -68,13 +68,17 @@ object Multimodal {
       col("media_id"),
       col("meta.width").as("width"),
       col("meta.height").as("height"),
+      // clamp the long side to the bound (never upscale), scale the short
+      // side by the same ratio: aspect preserved in both orientations
       when(col("meta.width") >= col("meta.height"),
         least(col("meta.width"), lit(maxSide)))
-        .otherwise(floor(col("meta.width") * maxSide / greatest(col("meta.height"), lit(1))))
+        .otherwise(floor(col("meta.width") * least(col("meta.height"), lit(maxSide)) /
+          greatest(col("meta.height"), lit(1))))
         .cast("int").as("target_w"),
       when(col("meta.height") > col("meta.width"),
         least(col("meta.height"), lit(maxSide)))
-        .otherwise(floor(col("meta.height") * maxSide / greatest(col("meta.width"), lit(1))))
+        .otherwise(floor(col("meta.height") * least(col("meta.width"), lit(maxSide)) /
+          greatest(col("meta.width"), lit(1))))
         .cast("int").as("target_h"))
 
   /** `mm_frame_sample`: uniform frame sampling for "video" rows —

@@ -35,21 +35,23 @@ object FeatureStore {
     val featCols = features.columns.filterNot(c => c == entityCol || c == featureTsCol).toSeq
     val labelCols = labels.columns.toSeq
 
+    // the feature payload travels as ONE struct, so last(ignoreNulls)
+    // carries whole rows: a newer feature row whose individual values are
+    // null correctly shadows older non-null values (per-column carry
+    // would resurrect them, breaking point-in-time semantics)
+    val fRowType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__fts", features.schema(featureTsCol).dataType) +:
+        featCols.map(c => features.schema(c)))
+
     val featSide = features.select(
-      col(entityCol).as("_e") +:
-        col(featureTsCol).as("_ts") +:
-        lit(0).as("_side") +:
-        (featCols.map(c => col(c).as(s"_f_$c")) ++
-          labelCols.map(c => lit(null).cast(labels.schema(c).dataType).as(s"_l_$c")) :+
-          col(featureTsCol).as("_f_ts_val")): _*)
+      Seq(col(entityCol).as("_e"), col(featureTsCol).as("_ts"), lit(0).as("_side"),
+        struct(col(featureTsCol).as("__fts") +: featCols.map(col): _*).as("_f")) ++
+        labelCols.map(c => lit(null).cast(labels.schema(c).dataType).as(s"_l_$c")): _*)
 
     val labelSide = labels.select(
-      col(entityCol).as("_e") +:
-        col(labelTsCol).as("_ts") +:
-        lit(1).as("_side") +:
-        (featCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"_f_$c")) ++
-          labelCols.map(c => col(c).as(s"_l_$c")) :+
-          lit(null).cast(features.schema(featureTsCol).dataType).as("_f_ts_val")): _*)
+      Seq(col(entityCol).as("_e"), col(labelTsCol).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(fRowType).as("_f")) ++
+        labelCols.map(c => col(c).as(s"_l_$c")): _*)
 
     val w = Window.partitionBy(col("_e"))
       .orderBy(col("_ts").asc, col("_side").asc)
@@ -57,16 +59,14 @@ object FeatureStore {
 
     val carried = featSide.unionByName(labelSide)
       .select(
-        (Seq(col("_e"), col("_ts"), col("_side")) ++
-          featCols.map(c => last(col(s"_f_$c"), ignoreNulls = true).over(w).as(s"_c_$c")) ++
-          Seq(last(col("_f_ts_val"), ignoreNulls = true).over(w).as("_c_fts")) ++
+        (Seq(col("_side"), last(col("_f"), ignoreNulls = true).over(w).as("_cf")) ++
           labelCols.map(c => col(s"_l_$c"))): _*)
 
     carried.filter(col("_side") === 1)
       .select(
         (labelCols.map(c => col(s"_l_$c").as(c)) ++
-          Seq(col("_c_fts").as(featureTsCol)) ++
-          featCols.map(c => col(s"_c_$c").as(c))): _*)
+          Seq(col("_cf").getField("__fts").as(featureTsCol)) ++
+          featCols.map(c => col("_cf").getField(c).as(c))): _*)
   }
 
   /** `feature_materialize`: produce the feature_table shape from per-entity

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * the id/bucket keys. Norms are computed once per vector, never per
   * pair. At 100 TB the same shape becomes IVF with stored norm + bucket
   * columns.
+  *
+  * Accepted trade-off: groupBy sums are partition-order-dependent
+  * floating point, while the DuckDB oracle folds sequentially. Scores
+  * are rounded to 4 dp and sign decisions would need |projection| below
+  * ~1e-12 of its scale to flip, so oracle divergence is vanishingly
+  * unlikely — but it is not impossible; a flaky similarity_* hash
+  * mismatch should look here first.
   */
 object Similarity {
 
@@ -88,7 +95,7 @@ object Similarity {
   }
 
   /** ANN top-k: compare only within matching LSH buckets. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int): DataFrame = {
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val qe = exploded(queries, "vec_id", "query_id")
     val ce = exploded(corpus, "vec_id", "vec_id")
     val candidates = buckets(ce, "vec_id")

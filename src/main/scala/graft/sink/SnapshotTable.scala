@@ -68,11 +68,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil): Snapshot =
-    commit(df, "overwrite", carryForward = Nil, partitionCols, sortCols)
+    commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols)
 
   /** Append: new snapshot = previous data dirs + newly written dir. */
   def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil): Snapshot =
-    commit(df, "append", carryForward = currentSnapshot.map(_.dataDirs).getOrElse(Nil), partitionCols, sortCols)
+    commit(df, "append", carryPrevious = true, partitionCols, sortCols)
 
   /** Drop snapshots older than `olderThanMs` (never the current one) and
     * delete data directories no surviving snapshot references.
@@ -101,10 +101,27 @@ final class SnapshotTable(val root: String, val fullName: String) {
   private def commit(
       df: DataFrame,
       op: String,
-      carryForward: Seq[String],
+      carryPrevious: Boolean,
+      partitionCols: Seq[String],
+      sortCols: Seq[org.apache.spark.sql.Column]): Snapshot =
+    // Commit protocol: readers always see a consistent table (the
+    // metadata pointer swap below is atomic), and concurrent writers in
+    // THIS JVM are serialized per table root so no commit is lost — the
+    // previous-state read happens inside the lock. Cross-process writers
+    // would need a real catalog's compare-and-swap (Iceberg's optimistic
+    // commit); parquet-mode makes no such claim.
+    SnapshotTable.commitLock(root).synchronized {
+      commitLocked(df, op, carryPrevious, partitionCols, sortCols)
+    }
+
+  private def commitLocked(
+      df: DataFrame,
+      op: String,
+      carryPrevious: Boolean,
       partitionCols: Seq[String],
       sortCols: Seq[org.apache.spark.sql.Column]): Snapshot = {
     val prev = snapshots
+    val carryForward = if (carryPrevious) prev.lastOption.map(_.dataDirs).getOrElse(Nil) else Nil
     val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
     val dataDir = Paths.get(root, f"snap-$id%05d").toString
     // cluster rows by partition value before a partitioned write: without
@@ -157,6 +174,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
 }
 
 object SnapshotTable {
+
+  private val commitLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** One lock object per table root (JVM-wide writer serialization). */
+  private[sink] def commitLock(root: String): Object =
+    commitLocks.getOrElseUpdate(new java.io.File(root).getAbsolutePath, new Object)
+
   /** Warehouse layout: `<warehouse>/<namespace>.<name>/`. */
   def apply(warehouse: String, namespace: String, name: String): SnapshotTable =
     new SnapshotTable(Paths.get(warehouse, s"$namespace.$name").toString, s"$namespace.$name")

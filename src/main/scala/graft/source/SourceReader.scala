@@ -85,18 +85,36 @@ object SourceReader {
       .option("sep", delimiter)
       .option("timestampFormat", options.getOrElse("timestamp_format", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
       .option("mode", "PERMISSIVE")
-    columnNames match {
+    val fileSchema = columnNames match {
       case Some(names) =>
-        // explicit column names: rows are data (skip_rows consumes any
-        // header). Build the read schema in file order from the declared
-        // schema.
-        val fileSchema = StructType(names.map(n =>
+        // explicit column names: build the read schema in file order from
+        // the declared schema
+        StructType(names.map(n =>
           schema.fields.find(_.name == n).getOrElse(
             throw new IllegalArgumentException(s"column_names entry '$n' not in declared schema"))))
-        val withHeader = base.option("header", skipRows > 0).schema(fileSchema)
-        withHeader.csv(path)
-      case None =>
-        base.option("header", skipRows > 0).schema(schema).csv(path)
+      case None => schema
+    }
+    if (skipRows <= 1)
+      // 0 = raw data, 1 = header line: Spark's splittable native path
+      base.option("header", skipRows == 1).schema(fileSchema).csv(path)
+    else {
+      // multi-line preamble: read lines, drop the first skipRows by file
+      // order, then parse. monotonically_increasing_id encodes
+      // (partition, offset), so the filter is only line-accurate for a
+      // single input file — fine for preamble'd exports, which are
+      // single-file by nature; a multi-file directory would need
+      // per-file indexing.
+      import org.apache.spark.sql.functions.{col => c, from_csv, lit, monotonically_increasing_id}
+      val lines = spark.read.text(path)
+        .withColumn("_idx", monotonically_increasing_id())
+        .filter(c("_idx") >= skipRows)
+      val parseOpts = Map(
+        "sep" -> delimiter,
+        "timestampFormat" -> options.getOrElse("timestamp_format", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        "mode" -> "PERMISSIVE")
+      lines
+        .select(from_csv(c("value"), fileSchema, parseOpts).as("_r"))
+        .select(fileSchema.fieldNames.map(n => c(s"_r.$n").as(n)).toSeq: _*)
     }
   }
 }

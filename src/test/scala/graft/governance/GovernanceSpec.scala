@@ -77,4 +77,12 @@ class AccessControlSpec extends SparkSpec {
     spark.conf.unset("graft.access.level")
     assert(AccessControl.resolve(spark) == AccessControl.Admin)
   }
+
+  test("unknown access levels fail CLOSED to reader, never admin") {
+    for (typo <- Seq("readonly", "Read-er", "root", ""))  {
+      spark.conf.set("graft.access.level", typo)
+      assert(AccessControl.resolve(spark) == AccessControl.Reader, typo)
+    }
+    spark.conf.unset("graft.access.level")
+  }
 }

@@ -35,6 +35,20 @@ class FeatureStoreSpec extends SparkSpec {
     assert(out("l5").isEmpty)
   }
 
+  test("a newer feature row with a null value shadows older non-null values") {
+    // point-in-time semantics: the as-of row is the LATEST row <= label
+    // ts, including its nulls — per-column carry would resurrect t1's 10.0
+    val f = Seq(("e1", 1000L, Some(10.0)), ("e1", 2000L, None))
+      .toDF("entity", "ms", "fval")
+      .withColumn("fts", timestamp_millis($"ms")).drop("ms")
+    val l = Seq(("l1", "e1", 3000L)).toDF("label_id", "entity", "ms")
+      .withColumn("lts", timestamp_millis($"ms")).drop("ms")
+    val out = FeatureStore.asofJoin(l, f, "entity", "lts", "fts")
+      .select($"label_id", unix_millis($"fts"), $"fval")
+      .as[(String, Long, Option[Double])].head()
+    assert(out == (("l1", 2000L, None)))
+  }
+
   test("as-of join plans exactly one shuffle (no range-join explosion)") {
     val out = FeatureStore.asofJoin(labels, features, "entity", "lts", "fts")
     val exchanges = out.queryExecution.executedPlan.toString()

@@ -33,7 +33,7 @@ class SimilaritySpec extends SparkSpec {
   test("LSH results are a subset of brute-force candidates with equal scores") {
     val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, 10)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
-    val lsh = Similarity.lshTopK(corpus.filter($"vec_id" === 0), corpus, dim = 4, k = 10)
+    val lsh = Similarity.lshTopK(corpus.filter($"vec_id" === 0), corpus, k = 10)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos"))
     assert(lsh.exists(_._1 == 5L)) // the identical vector shares every bucket bit
     lsh.foreach { case (id, cos) => assert(brute(id) == cos) }

@@ -27,6 +27,19 @@ class SourceReaderSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("skip_rows > 1 drops the whole preamble before parsing") {
+    import java.nio.file.Files
+    val f = Files.createTempFile("pre", ".csv")
+    Files.writeString(f, "# exported 2024\n# by tool v2\n1|a\n2|b\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = SourceReader.read(spark,
+      graft.template.SourceDef(s"local://$f", "csv",
+        Map("delimiter" -> "|", "skip_rows" -> "2")), schema)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("json ingest casts to the declared schema") {
     val t = TemplateLoader.get("/root/repo/templates", "events")
     val raw = spark.read.json("/root/repo/fixtures/events_sample.jsonl")
