@@ -212,6 +212,23 @@ object RelationalQueries {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin),
       doc = "lag analytic: order-over-order spend delta"),
 
+    "window_ntile" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        tbl(s, dir, "orders")
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .select("o_orderkey", "o_orderpriority", "quartile", "pct_rank")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin),
+      doc = "ntile + percent_rank analytics with total-order tie-break"),
+
     // ------------------------------------------------------------------
     // §2.6 sorts / limits / top-k
     // ------------------------------------------------------------------

@@ -47,6 +47,20 @@ class PlanSpec extends SparkSpec {
     assert(planOf("join_inner").contains("EqualTo(c_mktsegment,BUILDING)"))
   }
 
+  test("snapshot-table reads prune partition directories on the derived column") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val t = graft.template.TemplateLoader.get("/root/repo/templates", "events")
+    val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
+    graft.sink.TableSink.overwrite(Queries.tbl(spark, dir, "events"), t, table)
+    // filter on the derived day partition column -> PartitionFilters,
+    // and the pushed file count shrinks to the matching directories
+    val pruned = table.read(spark).filter(col("ts_day") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(ts_day"), scan.take(500))
+    assert(pruned.count() > 0)
+  }
+
   test("no query in the registry plans a cartesian product or nested-loop join") {
     for ((k, d) <- Queries.all) {
       val p = d.fn(spark, dir).queryExecution.executedPlan.toString
