@@ -356,6 +356,39 @@ object RelationalQueries {
              |GROUP BY GROUPING SETS ((event_type), (user_id % 10))""".stripMargin),
       doc = "explicit grouping sets via the engine's SQL surface"),
 
+    "agg_pivot" -> QueryDef(
+      (s, dir) =>
+        // pivot with an EXPLICIT value list: without it Spark runs an
+        // extra distinct-collect job and the column set becomes
+        // data-dependent — both wrong at scale.
+        tbl(s, dir, "events")
+          .groupBy((col("user_id") % 10).as("user_bucket"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .count(),
+      Some("""SELECT user_id % 10 AS user_bucket,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |  sum(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             |  sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             |  sum(CASE WHEN event_type = 'error' THEN 1 END) AS error
+             |FROM events GROUP BY user_id % 10""".stripMargin),
+      doc = "pivot to wide counts; explicit value list avoids a discovery pass"),
+
+    "agg_percentile" -> QueryDef(
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+            round(max(col("o_totalprice")), 4).as("p100")),
+      Some("""SELECT o_orderpriority,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+             |  round(max(o_totalprice), 4) AS p100
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      doc = "exact interpolated percentiles per group"),
+
     "agg_distinct" -> QueryDef(
       (s, dir) =>
         tbl(s, dir, "events")
