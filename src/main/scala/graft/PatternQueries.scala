@@ -1,6 +1,7 @@
 package graft
 
 import graft.patterns.{FeatureStore, Scd2}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -191,9 +192,72 @@ object PatternQueries {
              |FROM versions""".stripMargin),
       doc = "window realization of close-old-versions: lead() per key"),
 
+    "scd2_asof_state" -> QueryDef(
+      (s, dir) => {
+        // point-in-time dimension lookup: the version of each key in
+        // force at an instant T — the query SCD2 exists to answer.
+        val versions = tbl(s, dir, "orders").select(
+          col("o_custkey").as("natural_key"),
+          col("o_orderdate").as("effective_from"),
+          col("o_totalprice").as("state_price"),
+          col("o_orderkey"))
+        val closed = Scd2.windowClose(
+          versions.dropDuplicates("natural_key", "effective_from"),
+          "natural_key", "effective_from")
+        val t = lit("1997-01-01 00:00:00").cast("timestamp")
+        closed.filter(col("effective_from") <= t &&
+            (col("effective_to").isNull || col("effective_to") > t))
+          .select("natural_key", "effective_from", "state_price")
+      },
+      Some("""WITH versions AS (
+             |  SELECT natural_key, effective_from, state_price FROM (
+             |    SELECT o_custkey AS natural_key, o_orderdate AS effective_from,
+             |      o_totalprice AS state_price,
+             |      row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rn
+             |    FROM orders) WHERE rn = 1),
+             |closed AS (
+             |  SELECT natural_key, effective_from, state_price,
+             |    lead(effective_from, 1) OVER (PARTITION BY natural_key ORDER BY effective_from) AS effective_to
+             |  FROM versions)
+             |SELECT natural_key, effective_from, state_price FROM closed
+             |WHERE effective_from <= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND (effective_to IS NULL OR effective_to > TIMESTAMP '1997-01-01 00:00:00')""".stripMargin),
+      doc = "point-in-time SCD2 state: at most one version per key at instant T"),
+
     // ------------------------------------------------------------------
     // append-only event stream
     // ------------------------------------------------------------------
+    "event_sessionize" -> QueryDef(
+      (s, dir) => {
+        // classic event sessionization: a 30-minute inactivity gap opens
+        // a new session; session ids via cumulative sum of gap markers.
+        // ROWS frame explicitly (RANGE would merge equal timestamps).
+        val events = tbl(s, dir, "events")
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cum = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events
+          .withColumn("gap",
+            when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(byUser)) > 1800000L
+              || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+          .withColumn("session_id", sum(col("gap")).over(cum))
+          .select("event_id", "user_id", "session_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(sum(gap) OVER (PARTITION BY user_id
+             |    ORDER BY ts ASC, event_id ASC
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |FROM (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+             |         WHEN epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER w) > 1800000 THEN 1
+             |         ELSE 0 END AS gap
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))""".stripMargin),
+      doc = "30-min-gap sessionization: lag marker + running sum, one shuffle"),
+
     "event_append" -> QueryDef(
       (s, dir) => {
         // batch = events in the last day of the dataset; table = the rest.

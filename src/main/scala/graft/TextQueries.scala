@@ -74,6 +74,32 @@ object TextQueries {
       },
       doc = "marker-word language ID with deterministic argmax tie-break"),
 
+    "text_ngram_freq" -> QueryDef(
+      (s, dir) => {
+        // corpus vocabulary building: term-frequency table of word
+        // bigrams (duplicates counted), top 50. Row-shaped: explode +
+        // window lead + count, then TakeOrdered — the frequency pass of
+        // a tokenizer-training pipeline.
+        import org.apache.spark.sql.expressions.Window
+        val toks = tbl(s, dir, "documents").select(col("doc_id"),
+          posexplode(graft.text.TextAnalysis.tokens(col("text")))).toDF("doc_id", "pos", "tok")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("bigram").asc)
+          .limit(50)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             |b AS (
+             |  SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bigram
+             |  FROM t, unnest(range(1, len(toks))) AS u(i))
+             |SELECT bigram, count(*) AS freq FROM b
+             |GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 50""".stripMargin),
+      doc = "bigram term-frequency vocabulary (top-50, deterministic tie-break)"),
+
     "text_pii_redact" -> QueryDef(
       (s, dir) => {
         // Inject deterministic synthetic PII (the corpus has none), then
