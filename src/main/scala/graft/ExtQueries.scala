@@ -46,6 +46,48 @@ object ExtQueries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       doc = "tumbling-window agg shared verbatim with the streaming ingest plan"),
 
+    "stream_window_sliding" -> QueryDef(
+      (s, dir) =>
+        // sliding windows: each event lands in window_size/slide windows
+        // (here 2h/1h = 2); Spark expands via a generator, state still
+        // bounded by the watermark horizon when run as a stream.
+        tbl(s, dir, "events")
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").as("window_start"), col("event_type"), col("n")),
+      Some("""WITH expanded AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) - CAST(u.o AS INT) * INTERVAL '1 hour' AS window_start,
+             |    event_type
+             |  FROM events, unnest([0, 1]) AS u(o))
+             |SELECT window_start, event_type, count(*) AS n
+             |FROM expanded GROUP BY 1, 2""".stripMargin),
+      doc = "sliding-window aggregation (2h window, 1h slide)"),
+
+    "stream_session_window" -> QueryDef(
+      (s, dir) =>
+        // Spark's native session_window: per-user sessions close after
+        // 30 min of inactivity — must agree exactly with the hand-rolled
+        // lag+running-sum sessionization (event_sessionize).
+        tbl(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start").as("session_start"), col("n_events")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts, 1) OVER w IS NULL THEN 1
+             |         WHEN epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER w) > 1800000 THEN 1
+             |         ELSE 0 END AS gap
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts ASC
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM s GROUP BY user_id, session_id""".stripMargin),
+      doc = "native session_window vs hand-rolled sessionization: identical sessions"),
+
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(media(s, dir), batchSize = 128),
       Some("""WITH b AS (

@@ -63,6 +63,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source ingest end to end: readStream -> watermark -> parquet sink") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val sink = Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    // batch 1: events in the 10:00 window
+    Seq(Raw(t(10, 5), "click", 1.0), Raw(t(10, 40), "click", 2.0))
+      .toDF().write.mode("append").parquet(src)
+    val query = Streaming.startIngest(
+      Streaming.readEventStream(spark, src, schema), sink, ckpt)
+    try {
+      query.processAllAvailable()
+      // 10:00 window still open -> no rows emitted yet (the file sink
+      // may still commit empty part files)
+      assert(spark.read.parquet(sink).count() == 0)
+
+      // batch 2: a 12:30 event advances the watermark past 11:00,
+      // sealing and emitting the 10:00 window
+      Seq(Raw(t(12, 30), "view", 9.0)).toDF().write.mode("append").parquet(src)
+      query.processAllAvailable()
+      val out = spark.read.parquet(sink)
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(out == Set((t(10), "click", 2L, 3.0)))
+    } finally query.stop()
+  }
+
+
   test("mapGroupsWithState keeps running per-user stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
