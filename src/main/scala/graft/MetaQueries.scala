@@ -275,6 +275,33 @@ object MetaQueries {
               |  count(event_type) - count(DISTINCT event_type) = 0, 'warn' FROM events""".stripMargin),
       doc = "declarative YAML check suite compiled to one aggregate pass"),
 
+    "pipeline_maintain" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val wh = freshWarehouse("pipeline_maintain")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        TableSink.overwrite(events.filter(col("event_id") % 3 === 0), t, table)
+        TableSink.overwrite(events.filter(col("event_id") % 2 === 0), t, table)
+        // nowMs far enough ahead that the first snapshot exceeds the
+        // events template's 7-day retention; current snapshot survives
+        val results = Pipeline.maintain(
+          TemplatesDir, wh, System.currentTimeMillis() + t.retentionMs.get + 3600000L)
+        results.map(r => (r.table, r.retentionMs.map(_.toString).orNull,
+            r.expired.size, r.expired.mkString(",")))
+          .toDF("table", "retention_ms", "n_expired", "expired_ids")
+          .withColumn("retention_ms", col("retention_ms").cast("long"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('lakehouse.event_stream', CAST(604800000 AS BIGINT), 0, ''),
+             |  ('lakehouse.feature_table', 2592000000, 0, ''),
+             |  ('lakehouse.scd_type2', 2592000000, 0, ''),
+             |  ('testdata.events', 604800000, 1, '1'),
+             |  ('testdata.events_ingest', CAST(NULL AS BIGINT), 0, ''))
+             |AS t("table", retention_ms, n_expired, expired_ids)""".stripMargin),
+      doc = "warehouse-wide retention maintenance: expire per-template history"),
+
     "backend_config" -> QueryDef(
       (s, _) => {
         import s.implicits._

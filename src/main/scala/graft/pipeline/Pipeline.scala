@@ -52,4 +52,25 @@ object Pipeline {
   /** Read path with governance (table_read audit + PII mask). */
   def readTable(spark: SparkSession, warehouse: String, template: TableTemplate): DataFrame =
     TableSink.read(spark, SnapshotTable(warehouse, template.namespace, template.name), template)
+
+  final case class MaintenanceResult(table: String, retentionMs: Option[Long], expired: Seq[Long])
+
+  /** Warehouse maintenance: expire snapshot history older than each
+    * template's `history_expire_max_snapshot_age_ms`, relative to an
+    * explicit `nowMs` (deterministic, schedulable — the engine's
+    * equivalent of Iceberg's ExpireSnapshots action driven by the
+    * reference's per-table retention property, `_schema.json:105-107`).
+    * Tables without a retention or without a registered footprint are
+    * reported untouched. Metadata-only on the driver except for the
+    * data-directory deletes of expired snapshots.
+    */
+  def maintain(templateDir: String, warehouse: String, nowMs: Long): Seq[MaintenanceResult] =
+    TemplateLoader.load(templateDir).values.toSeq.sortBy(_.fullName).map { t =>
+      val table = SnapshotTable(warehouse, t.namespace, t.name)
+      val expired = t.retentionMs match {
+        case Some(retention) if table.exists => table.expireSnapshots(nowMs - retention)
+        case _ => Nil
+      }
+      MaintenanceResult(t.fullName, t.retentionMs, expired)
+    }
 }
