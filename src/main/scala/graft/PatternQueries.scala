@@ -201,9 +201,14 @@ object PatternQueries {
           col("o_orderdate").as("effective_from"),
           col("o_totalprice").as("state_price"),
           col("o_orderkey"))
-        val closed = Scd2.windowClose(
-          versions.dropDuplicates("natural_key", "effective_from"),
-          "natural_key", "effective_from")
+        // deterministic survivor per (key, instant): min o_orderkey —
+        // dropDuplicates picks a partition-order-dependent row, which
+        // diverges from the oracle whenever duplicate versions differ
+        val pick = Window.partitionBy(col("natural_key"), col("effective_from"))
+          .orderBy(col("o_orderkey").asc)
+        val dedup = versions.withColumn("_rn", row_number().over(pick))
+          .filter(col("_rn") === 1).drop("_rn")
+        val closed = Scd2.windowClose(dedup, "natural_key", "effective_from")
         val t = lit("1997-01-01 00:00:00").cast("timestamp")
         closed.filter(col("effective_from") <= t &&
             (col("effective_to").isNull || col("effective_to") > t))

@@ -42,6 +42,9 @@ object Dedup {
     * branches of one query is the right call, but a library must not leak
     * a new cache entry per invocation — each slot unpersists its previous
     * occupant (lazily; in-flight jobs finish on the old blocks).
+    * Assumes the driver issues these operators sequentially (as
+    * Verify/Bench do); concurrent invocations on DIFFERENT datasets would
+    * evict each other and should scope their own persists instead.
     */
   private val cacheSlots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def cacheSwap(slot: String, df: DataFrame): DataFrame = {

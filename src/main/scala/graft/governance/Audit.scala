@@ -42,6 +42,7 @@ object Audit {
 
   private val logger = LoggerFactory.getLogger("lakehouse.audit")
   private val buffer = new ConcurrentLinkedQueue[AuditEvent]()
+  private val buffered = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Emit an audit event; returns the record for assertion/testing. */
   def log(event: String, table: String, details: Map[String, String] = Map.empty): AuditEvent = {
@@ -49,12 +50,16 @@ object Audit {
     val rec = AuditEvent(event, table, DateTimeFormatter.ISO_INSTANT.format(Instant.now()), details)
     logger.info(rec.toJson)
     buffer.add(rec)
-    while (buffer.size > MaxBuffered) buffer.poll() // bounded: log is the record of truth
+    // bounded tail, O(1) per record (queue.size() is O(n)); the logger
+    // output is the durable audit trail
+    if (buffered.incrementAndGet() > MaxBuffered) {
+      if (buffer.poll() != null) buffered.decrementAndGet()
+    }
     rec
   }
 
   /** Events recorded so far (test/introspection surface). */
   def recorded: Seq[AuditEvent] = buffer.asScala.toSeq
 
-  def clear(): Unit = buffer.clear()
+  def clear(): Unit = { buffer.clear(); buffered.set(0) }
 }

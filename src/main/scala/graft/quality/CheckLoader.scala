@@ -92,7 +92,10 @@ object CheckLoader {
       val em = e.asInstanceOf[JMap[String, Any]].asScala
       val sev = em.get("severity").map(_.toString) match {
         case Some("warn") => Quality.Warn
-        case _            => Quality.Fail
+        case Some("fail") | None => Quality.Fail
+        case Some(other) => throw new IllegalArgumentException(
+          s"Unknown severity '$other' in $path (expected 'warn' or 'fail') - " +
+            "refusing to guess: a typo'd warn silently becoming a hard gate inverts intent")
       }
       parseCheck(em("check").toString, sev, asOfEpochMs)
     }

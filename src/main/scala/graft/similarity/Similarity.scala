@@ -66,14 +66,8 @@ object Similarity {
       .select(col(idCol), packed.as("bucket"))
   }
 
-  /** Rank pair scores: cos = dot/(|q||c|) rounded to 4 dp, vec_id
-    * tie-break, top k per query.
-    */
-  private def rank(dots: DataFrame, qn: DataFrame, cn: DataFrame, k: Int): DataFrame = {
-    val scored = dots
-      .join(broadcast(qn.select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
-      .join(cn.select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
-      .withColumn("cos", round(col("dot") / (col("qnrm") * col("cnrm")), 4))
+  /** Rank scored pairs: (cos desc, vec_id asc), top k per query. */
+  private def rankWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -81,18 +75,27 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
-  /** Exact cosine top-k of each (small) query set against the corpus:
-    * corpus streams once; the (64 x |Q|)-row query side is broadcast.
+  /** All-pairs scored rows (query_id, vec_id, cos): the shared cosine
+    * contract of both ranking variants — corpus streams once, the
+    * (64 x |Q|)-row query side is broadcast, norms join once per vector.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  private def scoredPairs(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val qe = exploded(queries, "vec_id", "query_id")
     val ce = exploded(corpus, "vec_id", "vec_id")
     val dots = ce.join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("pos"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("x") * col("qx")).as("dot"))
-    rank(dots, norms(qe, "query_id"), norms(ce, "vec_id"), k)
+    dots
+      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
+      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
   }
+
+  /** Exact cosine top-k via window ranking. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    rankWindow(scoredPairs(queries, corpus), k)
 
   /** ANN top-k: compare only within matching LSH buckets. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -108,7 +111,12 @@ object Similarity {
       .join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("query_id", "pos"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("x") * col("qx")).as("dot"))
-    rank(dots, norms(qe, "query_id"), norms(ce, "vec_id"), k)
+    val scored = dots
+      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
+      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+    rankWindow(scored, k)
   }
 
   /** Bucket signature surface for tests/inspection: (vec_id, bucket). */
@@ -122,17 +130,7 @@ object Similarity {
     * Same output (and oracle) as [[bruteForceTopK]].
     */
   def bruteForceTopKHeap(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val qe = exploded(queries, "vec_id", "query_id")
-    val ce = exploded(corpus, "vec_id", "vec_id")
-    val dots = ce.join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("pos"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("x") * col("qx")).as("dot"))
-    val scored = dots
-      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
-      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
-      .select(col("query_id"),
-        col("vec_id"), round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+    val scored = scoredPairs(queries, corpus)
     val spark = scored.sparkSession
     import spark.implicits._
     val topk = new graft.functions.TopKAggregator(k).toColumn

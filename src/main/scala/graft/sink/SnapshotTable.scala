@@ -77,7 +77,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
   /** Drop snapshots older than `olderThanMs` (never the current one) and
     * delete data directories no surviving snapshot references.
     */
-  def expireSnapshots(olderThanMs: Long): Seq[Long] = {
+  def expireSnapshots(olderThanMs: Long): Seq[Long] =
+    // same lock as commit(): maintenance must not interleave with an
+    // in-flight append's read-modify-write of the metadata pointer
+    SnapshotTable.commitLock(root).synchronized { expireLocked(olderThanMs) }
+
+  private def expireLocked(olderThanMs: Long): Seq[Long] = {
     val all = snapshots
     if (all.isEmpty) return Nil
     val current = all.last

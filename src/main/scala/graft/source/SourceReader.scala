@@ -104,8 +104,17 @@ object SourceReader {
       // single input file — fine for preamble'd exports, which are
       // single-file by nature; a multi-file directory would need
       // per-file indexing.
-      import org.apache.spark.sql.functions.{col => c, from_csv, lit, monotonically_increasing_id}
-      val lines = spark.read.text(path)
+      import org.apache.spark.sql.functions.{col => c, from_csv, input_file_name, monotonically_increasing_id}
+      val raw = spark.read.text(path)
+      // enforce the single-file assumption instead of silently letting
+      // other files' preamble lines through as corrupt rows
+      val nFiles = raw.select(input_file_name()).distinct().count()
+      if (nFiles > 1)
+        throw new IllegalArgumentException(
+          s"skip_rows=$skipRows is only line-accurate for a single input file; " +
+            s"path '$path' resolves to $nFiles files. Split the ingest per file " +
+            "or strip the preamble upstream.")
+      val lines = raw
         .withColumn("_idx", monotonically_increasing_id())
         .filter(c("_idx") >= skipRows)
       val parseOpts = Map(

@@ -32,6 +32,19 @@ class CheckLoaderSpec extends AnyFunSuite {
     assert(eq.column == "x")
   }
 
+  test("unknown severity values are rejected, not coerced to fail") {
+    import java.nio.file.Files
+    val f = java.io.File.createTempFile("sev", ".yaml")
+    Files.writeString(f.toPath,
+      "table: t
+checks:
+  - check: row_count > 0
+    severity: warning
+")
+    val e = intercept[IllegalArgumentException](CheckLoader.load(f.getPath, 0L))
+    assert(e.getMessage.contains("warning"))
+  }
+
   test("unparseable checks and missing keys raise actionable errors") {
     intercept[IllegalArgumentException](
       CheckLoader.parseCheck("made_up(x) > 1", Quality.Fail, 0L))
