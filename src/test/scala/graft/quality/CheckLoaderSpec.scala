@@ -36,11 +36,7 @@ class CheckLoaderSpec extends AnyFunSuite {
     import java.nio.file.Files
     val f = java.io.File.createTempFile("sev", ".yaml")
     Files.writeString(f.toPath,
-      "table: t
-checks:
-  - check: row_count > 0
-    severity: warning
-")
+      "table: t\nchecks:\n  - check: row_count > 0\n    severity: warning\n")
     val e = intercept[IllegalArgumentException](CheckLoader.load(f.getPath, 0L))
     assert(e.getMessage.contains("warning"))
   }
