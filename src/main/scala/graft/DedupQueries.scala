@@ -38,6 +38,83 @@ object DedupQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    "corpus_clean" -> QueryDef(
+      (s, dir) => {
+        // The capstone training-data pipeline as ONE composed plan:
+        //   quality filter -> language filter -> exact dedup (keep min
+        //   doc_id) -> near-dup removal (drop the higher doc_id of every
+        //   Jaccard>=0.6 pair) -> clean corpus.
+        // Every stage is the already-verified operator; Catalyst fuses
+        // the narrow stages and the near-dup anti-join reuses the
+        // inverted-index candidates — no extra full scans.
+        import org.apache.spark.sql.functions._
+        val docs = tbl(s, dir, "documents")
+        val scored = graft.text.TextAnalysis.qualityScore(docs, "text")
+          .filter(col("quality_score") >= 0.7).select("doc_id")
+        val lang = graft.text.TextAnalysis.languageId(docs, "text")
+          .filter(col("predicted_lang") === "en").select("doc_id")
+        val surviving = docs.join(scored, "doc_id").join(lang, "doc_id")
+        val exactKeep = Dedup.exact(surviving, "text")
+          .select(col("keep_doc_id").as("doc_id"))
+        val kept = surviving.join(exactKeep, "doc_id")
+        val nearDupLosers = Dedup.jaccardPairs(
+            Dedup.shinglePostings(kept, "text", 3), minJaccard = 0.6, maxDf = 10)
+          .select(col("doc_b").as("doc_id")).distinct()
+        kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source", "n_chars")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id,
+              |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+              |    length(text) AS n_chars,
+              |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS punct
+              |  FROM documents),
+              |quality AS (
+              |  SELECT doc_id FROM q
+              |  WHERE round(CAST(
+              |    (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+              |    (CASE WHEN round(CAST(len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','to','in','on','is','are'], x))) AS DOUBLE) / len(toks), 6) > 0.05 THEN 0.3 ELSE 0.0 END) +
+              |    (CASE WHEN round(CAST(punct AS DOUBLE) / n_chars, 6) < 0.2 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6) >= 0.7),
+              |lt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+              |ls AS (SELECT doc_id,
+              |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+              |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un'], x))) AS s_es,
+              |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu'], x))) AS s_de,
+              |  len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est','que'], x))) AS s_fr,
+              |  len(list_filter(toks, x -> list_contains(['de','shi','le','zai','you','wo','ta'], x))) AS s_zh
+              |  FROM lt),
+              |english AS (
+              |  SELECT doc_id FROM ls
+              |  WHERE NOT (s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 AND s_zh = 0)
+              |    AND s_en >= greatest(s_es, s_de, s_fr, s_zh)),
+              |surviving AS (
+              |  SELECT d.* FROM documents d
+              |  JOIN quality USING (doc_id) JOIN english USING (doc_id)),
+              |kept AS (
+              |  SELECT s.* FROM surviving s
+              |  JOIN (SELECT min(doc_id) AS doc_id FROM surviving GROUP BY md5(text)) k
+              |    USING (doc_id)),
+              |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM kept),
+              |sh AS (SELECT doc_id,
+              |  list_distinct(CASE WHEN len(toks) >= 3 THEN
+              |    list_transform(range(1, len(toks) - 1),
+              |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])
+              |    ELSE [] END) AS shingles FROM t),
+              |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+              |rare AS (SELECT sh FROM p GROUP BY sh HAVING count(*) <= 10),
+              |pr AS (SELECT p.doc_id, p.sh FROM p JOIN rare USING (sh)),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+              |losers AS (
+              |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+              |  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+              |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.6)
+              |SELECT doc_id, lang, source, n_chars FROM kept
+              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+      doc = "capstone pipeline: quality + language + exact dedup + near-dup removal in one plan"),
+
     "dedup_exact" -> QueryDef(
       (s, dir) => Dedup.exact(tbl(s, dir, "documents"), "text"),
       Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
