@@ -69,6 +69,46 @@ object SimilarityQueries {
       doc = "same top-10, ranked by the bounded-heap aggregate (TopKAggregator): " +
         "map-side partials truncate to k, shuffle carries k entries per group"),
 
+    "similarity_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "label", k = 5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |ex AS (SELECT vec_id, label, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
+              |  FROM e, unnest(range(0, 64)) AS u(i)),
+              |cents AS (SELECT label AS cell, pos, avg(x) AS c FROM ex GROUP BY 1, 2),
+              |cn2 AS (SELECT cell, sum(c * c) AS cn2 FROM cents GROUP BY 1),
+              |vn2 AS (SELECT vec_id, sum(x * x) AS vn2 FROM ex GROUP BY 1),
+              |dots AS (
+              |  SELECT ex.vec_id, cents.cell, sum(ex.x * cents.c) AS vc
+              |  FROM ex JOIN cents USING (pos) GROUP BY 1, 2),
+              |assign AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT d.vec_id, d.cell,
+              |      row_number() OVER (PARTITION BY d.vec_id
+              |        ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
+              |    FROM dots d JOIN cn2 c USING (cell) JOIN vn2 v USING (vec_id))
+              |  WHERE rn = 1),
+              |cand AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id
+              |  FROM (SELECT * FROM assign WHERE vec_id < 10) q
+              |  JOIN assign c USING (cell)
+              |  WHERE q.vec_id <> c.vec_id),
+              |scored AS (
+              |  SELECT cand.query_id, cand.vec_id,
+              |    ${cosSql("qe.v", "ce.v")} AS cos
+              |  FROM cand
+              |  JOIN e qe ON cand.query_id = qe.vec_id
+              |  JOIN e ce ON cand.vec_id = ce.vec_id)
+              |SELECT query_id, vec_id, cos, rank FROM (
+              |  SELECT query_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5""".stripMargin),
+      doc = "IVF-style ANN: learned centroid cells, nprobe=1, candidates N/cells"),
+
     "embedding_centroids" -> QueryDef(
       (s, dir) => {
         // per-label centroids (the k-means E-step / mean-pooling

@@ -119,6 +119,63 @@ object Similarity {
     rankWindow(scored, k)
   }
 
+  /** Per-dimension centroid view (cell, pos, c) of a corpus, using a
+    * label column as the trained coarse quantizer's cells.
+    */
+  private def centroidRows(corpus: DataFrame, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"),
+        posexplode(asDouble(col("embedding")))).toDF("cell", "pos", "cx")
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("cx")).as("c"))
+
+  /** Nearest-cell assignment by squared L2 distance: argmin over cells of
+    * ||v||^2 - 2 v.c + ||c||^2, computed as one join + aggregation with a
+    * deterministic (distance, cell) tie-break. Returns (id, cell).
+    */
+  private def assignCells(e: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+    val cnorm2 = cents.groupBy(col("cell")).agg(sum(col("c") * col("c")).as("cn2"))
+    val vnorm2 = e.groupBy(col(idCol)).agg(sum(col("x") * col("x")).as("vn2"))
+    val dots = e.join(broadcast(cents), Seq("pos"))
+      .groupBy(col(idCol), col("cell"))
+      .agg(sum(col("x") * col("c")).as("vc"))
+    dots.join(broadcast(cnorm2), "cell").join(vnorm2, idCol)
+      .withColumn("d2", round(col("vn2") - lit(2.0) * col("vc") + col("cn2"), 6))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("cell"))
+  }
+
+  /** `similarity_ivf`: IVF-style ANN — a coarse quantizer (here the
+    * per-label centroids) partitions the corpus into cells; each query
+    * probes only its nearest cell (nprobe=1). Candidate volume drops
+    * from N to N/cells; the cell assignment is itself one scan + one
+    * broadcast join (centroids are tiny). The LSH variant buckets by
+    * random projections; IVF buckets by learned structure — both exist
+    * because real pipelines need both.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val cents = centroidRows(corpus, cellCol)
+    val qe = exploded(queries, "vec_id", "query_id")
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val corpusCells = assignCells(ce, "vec_id", cents)
+    val queryCells = assignCells(qe, "query_id", cents)
+    val candidates = corpusCells.join(broadcast(queryCells), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val dots = candidates
+      .join(ce, "vec_id")
+      .join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("query_id", "pos"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("x") * col("qx")).as("dot"))
+    val scored = dots
+      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
+      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+    rankWindow(scored, k)
+  }
+
   /** Bucket signature surface for tests/inspection: (vec_id, bucket). */
   def bucketSignatures(corpus: DataFrame): DataFrame =
     buckets(exploded(corpus, "vec_id", "vec_id"), "vec_id")
