@@ -58,7 +58,7 @@ object DedupQueries {
           .select(col("keep_doc_id").as("doc_id"))
         val kept = surviving.join(exactKeep, "doc_id")
         val nearDupLosers = Dedup.jaccardPairs(
-            Dedup.shinglePostings(kept, "text", 3), minJaccard = 0.6, maxDf = 10)
+            Dedup.sharedPostings(kept, "text", 3), minJaccard = 0.6, maxDf = 10)
           .select(col("doc_b").as("doc_id")).distinct()
         kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "source", "n_chars")
@@ -124,7 +124,7 @@ object DedupQueries {
 
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.jaccardPairs(
-        Dedup.shinglePostings(tbl(s, dir, "documents"), "text", 3),
+        Dedup.sharedPostings(tbl(s, dir, "documents"), "text", 3),
         minJaccard = 0.4, maxDf = 10),
       Some(s"""WITH $ShinglesSql,
               |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
@@ -171,48 +171,52 @@ object DedupQueries {
 
     "dedup_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(tbl(s, dir, "documents"), "text"),
+      // integer bit math ((h >> b) & 1) mirroring the engine's shiftright,
+      // and the outer list_sum CAST to BIGINT: DuckDB's HUGEINT otherwise
+      // reaches the driver's pandas compare as float64 and hash-mismatches
+      // Spark's int64 even when every value is equal
       Some("""WITH w AS (
              |  SELECT doc_id,
              |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-             |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS th
+             |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
              |  FROM documents)
              |SELECT doc_id,
-             |  list_sum(list_transform(range(0, 32), b -> CASE
+             |  CAST(list_sum(list_transform(range(0, 60), b -> CASE
              |    WHEN list_sum(list_transform(th, h -> CASE
-             |      WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-             |    THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+             |      WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
              |FROM w""".stripMargin),
-      doc = "32-bit SimHash signatures: per-bit majority vote of token hashes"),
+      doc = "60-bit SimHash signatures: per-bit majority vote of token hashes"),
 
     "dedup_simhash_pairs" -> QueryDef(
       (s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), "text", maxHamming = 2),
       Some("""WITH w AS (
              |  SELECT doc_id,
              |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-             |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4294967296) AS th
+             |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
              |  FROM documents),
              |sh AS (
              |  SELECT doc_id,
-             |    list_sum(list_transform(range(0, 32), b -> CASE
+             |    CAST(list_sum(list_transform(range(0, 60), b -> CASE
              |      WHEN list_sum(list_transform(th, h -> CASE
-             |        WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-             |      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS simhash
+             |        WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+             |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
              |  FROM w),
              |banded AS (
              |  SELECT doc_id, t.b AS band,
-             |    (simhash // CAST(pow(256, t.b) AS BIGINT)) % 256 AS bv
+             |    (simhash >> CAST(15 * t.b AS INT)) & 32767 AS bv
              |  FROM sh, range(0, 4) t(b)),
              |cand AS (
              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM banded a JOIN banded b
              |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
              |SELECT doc_a, doc_b,
-             |  CAST(bit_count(xor(sa.simhash::BIGINT, sb.simhash::BIGINT)) AS INT) AS hamming
+             |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
              |FROM cand
              |JOIN sh sa ON doc_a = sa.doc_id
              |JOIN sh sb ON doc_b = sb.doc_id
-             |WHERE bit_count(xor(sa.simhash::BIGINT, sb.simhash::BIGINT)) <= 2""".stripMargin),
-      doc = "SimHash band-bucket candidates + exact Hamming filter (pigeonhole-complete for d<=3)"),
+             |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2""".stripMargin),
+      doc = "SimHash 4x15-bit band-bucket candidates + exact Hamming filter (pigeonhole-complete for d<=3)"),
 
     "dedup_embedding" -> QueryDef(
       (s, dir) => Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "label", minCos = 0.3),

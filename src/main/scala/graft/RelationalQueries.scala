@@ -31,18 +31,21 @@ object RelationalQueries {
     // ------------------------------------------------------------------
     "join_inner" -> QueryDef(
       (s, dir) => {
-        // Q3-shaped: revenue per order for one market segment. The
-        // customer side is filtered and small -> broadcast; lineitem never
-        // shuffles for the join, only for the final groupBy.
+        // Q3-shaped: revenue per order for one market segment. Only the
+        // filtered customer KEY SET is broadcast (a true dimension);
+        // orders and lineitem are both fact tables that scale with the
+        // data, so their join shuffles on l_orderkey/o_orderkey — an
+        // explicit fact-side broadcast hint OOMs at 100x, and AQE will
+        // still locally broadcast if the filtered side turns out tiny.
         val cust = tbl(s, dir, "customer")
           .filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")
         val orders = tbl(s, dir, "orders")
           .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
         val li = tbl(s, dir, "lineitem")
-        li.join(broadcast(orders.join(broadcast(cust),
+        li.join(orders.join(broadcast(cust),
             orders("o_custkey") === cust("c_custkey"))
-            .select("o_orderkey", "o_orderdate")),
+            .select("o_orderkey", "o_orderdate"),
             li("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
@@ -60,8 +63,14 @@ object RelationalQueries {
 
     "join_multiway" -> QueryDef(
       (s, dir) => {
-        // Q5-shaped: revenue by nation; all dims broadcast, single
-        // fact-side shuffle at the final groupBy.
+        // Q5-shaped: revenue by nation. Broadcast hints go ONLY on the
+        // true dimensions (supplier, nation, region — bounded size);
+        // orders and customer scale linearly with the data, so those
+        // joins shuffle on their keys and AQE converts them to local
+        // broadcasts at runtime only if the actual size allows. An
+        // explicit broadcast of a fact-side projection was the round-1
+        // defect: the hint overrides size estimation entirely and builds
+        // the whole table on every executor.
         val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
         val nation = tbl(s, dir, "nation")
         val cust = tbl(s, dir, "customer")
@@ -69,9 +78,9 @@ object RelationalQueries {
         val supplier = tbl(s, dir, "supplier")
         val li = tbl(s, dir, "lineitem")
         li.join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
-          .join(broadcast(orders.select("o_orderkey", "o_custkey")),
+          .join(orders.select("o_orderkey", "o_custkey"),
             li("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+          .join(cust.select("c_custkey", "c_nationkey"),
             col("o_custkey") === col("c_custkey") &&
               supplier("s_nationkey") === col("c_nationkey"))
           .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
@@ -90,7 +99,7 @@ object RelationalQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin),
-      doc = "five-way star join, all dimensions broadcast"),
+      doc = "five-way star join: bounded dims broadcast, fact-fact joins shuffle"),
 
     "join_left_outer" -> QueryDef(
       (s, dir) => {
@@ -365,12 +374,15 @@ object RelationalQueries {
           .groupBy((col("user_id") % 10).as("user_bucket"))
           .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
           .count(),
+      // each pivot column CAST AS BIGINT: DuckDB's bare sum(CASE...) is
+      // HUGEINT, which the driver's pandas compare renders as float64 and
+      // hash-mismatches Spark's int64 counts even when values are equal
       Some("""SELECT user_id % 10 AS user_bucket,
-             |  sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
-             |  sum(CASE WHEN event_type = 'view' THEN 1 END) AS view,
-             |  sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-             |  sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
-             |  sum(CASE WHEN event_type = 'error' THEN 1 END) AS error
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
              |FROM events GROUP BY user_id % 10""".stripMargin),
       doc = "pivot to wide counts; explicit value list avoids a discovery pass"),
 

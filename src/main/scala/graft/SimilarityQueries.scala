@@ -110,31 +110,15 @@ object SimilarityQueries {
       doc = "IVF-style ANN: learned centroid cells, nprobe=1, candidates N/cells"),
 
     "embedding_centroids" -> QueryDef(
-      (s, dir) => {
-        // per-label centroids (the k-means E-step / mean-pooling
-        // building block), row-shaped: explode to (label, pos, x), one
-        // groupBy(label, pos) average — never collects vectors — then
-        // reassemble the array in position order.
-        val emb = tbl(s, dir, "embeddings")
-        val e = emb.select(col("label"),
-          posexplode(transform(col("embedding"), x => x.cast("double"))))
-          .toDF("label", "pos", "x")
-        e.groupBy(col("label"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("m"))
-          .groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-            .getField("m").as("centroid"),
-            count(lit(1)).as("dims"))
-      },
-      Some("""WITH e AS (
-             |  SELECT label, u.i AS pos,
-             |    embedding[CAST(u.i AS INT) + 1]::DOUBLE AS x
-             |  FROM embeddings, unnest(range(0, 64)) AS u(i)),
-             |m AS (
-             |  SELECT label, pos, round(avg(x), 6) AS m FROM e GROUP BY 1, 2)
-             |SELECT label, list(m ORDER BY pos) AS centroid,
-             |  count(*) AS dims
-             |FROM m GROUP BY label""".stripMargin),
+      // LONG shape (label, pos, m): scalar columns only, so the driver's
+      // pandas comparator can sort/hash it (an array-typed centroid column
+      // is unhashable there). Similarity.centroidVectors reassembles
+      // arrays for API consumers and is spec-verified.
+      (s, dir) => Similarity.centroids(tbl(s, dir, "embeddings"), "label"),
+      Some("""SELECT label, CAST(u.i AS INT) AS pos,
+             |  round(avg(embedding[CAST(u.i AS INT) + 1]::DOUBLE), 6) AS m
+             |FROM embeddings, unnest(range(0, 64)) AS u(i)
+             |GROUP BY 1, 2""".stripMargin),
       doc = "per-cluster mean vectors via (label, pos) aggregation — no vector collects"),
 
     "similarity_lsh" -> QueryDef(

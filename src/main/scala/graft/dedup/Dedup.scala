@@ -53,6 +53,35 @@ object Dedup {
     cached
   }
 
+  /** Shared postings cache, keyed by (canonicalized source plan, column,
+    * n): within one driver run the tokenize + window + distinct pipeline
+    * for a given dataset is built ONCE and every consumer
+    * (`dedup_ngram_jaccard`, `dedup_minhash`, `corpus_clean`) feeds on
+    * the same persisted index instead of rebuilding it per operator.
+    * Bounded to [[PostingsCacheSlots]] entries, oldest evicted (lazy
+    * unpersist — in-flight jobs finish on the old blocks).
+    */
+  val PostingsCacheSlots = 4
+  private val postingsCache =
+    new java.util.LinkedHashMap[(Int, String, Int), DataFrame]()
+
+  def sharedPostings(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    postingsCache.synchronized {
+      val key = (df.queryExecution.logical.canonicalized.semanticHash(), textCol, n)
+      Option(postingsCache.get(key)).getOrElse {
+        val built = shinglePostings(df, textCol, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        postingsCache.put(key, built)
+        if (postingsCache.size > PostingsCacheSlots) {
+          val it = postingsCache.entrySet().iterator()
+          val oldest = it.next()
+          it.remove()
+          oldest.getValue.unpersist(blocking = false)
+        }
+        built
+      }
+    }
+
   /** `dedup_exact`: group by content hash, keep the lowest doc_id as the
     * canonical representative. One hash-shuffle; the text itself never
     * shuffles (hash + id only).
@@ -140,10 +169,11 @@ object Dedup {
       df: DataFrame, textCol: String, n: Int = 3,
       rowsPerBand: Int = 2, minJaccard: Double = 0.4): DataFrame = {
     // the postings index feeds three consumers (signatures, the
-    // candidate-verification join, set sizes) — persist it so the
-    // tokenize+window+distinct pipeline runs once, not three times
-    // (MEMORY_AND_DISK: spills instead of recomputing at scale)
-    val postings = cacheSwap("minhash_postings", shinglePostings(df, textCol, n))
+    // candidate-verification join, set sizes) AND is shared with the
+    // other shingle-based operators through the keyed cache — the
+    // tokenize+window+distinct pipeline runs once per dataset, not once
+    // per operator (MEMORY_AND_DISK: spills instead of recomputing)
+    val postings = sharedPostings(df, textCol, n)
     val sigs = minhashSignature(postings)
     val bands = A.size / rowsPerBand
     val banded = sigs.select(col("doc_id"),
@@ -174,18 +204,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** `dedup_simhash`: 32-bit SimHash over word tokens — per-bit majority
+  /** SimHash geometry: 60 signature bits (the full md5-derived hash60
+    * width) split into 4 bands of 15 bits. Band buckets therefore have
+    * 2^15 = 32768 values, so unrelated docs collide on a band at
+    * ~1/32768 — candidate volume ~4·N²/32768, vs N²/256 for the 8-bit
+    * bands this replaces (the round-1 scale-killer: at corpus scale the
+    * candidate self-join degenerated toward quadratic).
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 15
+
+  /** `dedup_simhash`: 60-bit SimHash over word tokens — per-bit majority
     * vote of token hashes, computed as a row-shaped explode + one
-    * aggregation (32 conditional sums), not nested array lambdas.
+    * aggregation (60 conditional sums), not nested array lambdas.
+    * Bit extraction is pure integer ops (`shiftright`/`% 2`): a
+    * double-division formulation loses bits above 2^53 (mantissa width)
+    * and falls out of whole-stage codegen.
     */
   def simhash(df: DataFrame, textCol: String): DataFrame = {
     val tok = df.select(col("doc_id"),
       explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), (TextAnalysis.hash60(col("tok")) % 4294967296L).as("h"))
-    val bitSums = (0 until 32).map { b =>
-      sum(when((col("h") / (1L << b)).cast("long") % 2 === 1, 1).otherwise(-1)).as(s"b$b")
+      .select(col("doc_id"), TextAnalysis.hash60(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
     }
-    val packed = (0 until 32).map { b =>
+    val packed = (0 until SimhashBits).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sigs = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -196,16 +240,17 @@ object Dedup {
   }
 
   /** `dedup_simhash_pairs`: near-dup pairs by SimHash banding — docs
-    * sharing any of the 4 signature bytes become candidates (a pair
-    * within Hamming distance d <= 3 of a 4-band split MUST agree on at
-    * least one band — pigeonhole), then exact Hamming distance filters.
-    * Same inverted-index shape as every other candidate generator here.
+    * sharing any of the 4 15-bit signature bands become candidates (a
+    * pair within Hamming distance d <= 3 of a 4-band split MUST agree on
+    * at least one band — pigeonhole), then exact Hamming distance
+    * filters. Same inverted-index shape as every other candidate
+    * generator here.
     */
   def simhashPairs(df: DataFrame, textCol: String, maxHamming: Int = 2): DataFrame = {
     val sigs = cacheSwap("simhash_sigs", simhash(df, textCol))
     val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        ((col("simhash") / math.pow(256, b).toLong).cast("long") % 256)): _*)))
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright(col("simhash"), b * SimhashBandBits) % (1 << SimhashBandBits)): _*)))
       .toDF("doc_id", "band", "bv")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -176,6 +176,28 @@ object Similarity {
     rankWindow(scored, k)
   }
 
+  /** `embedding_centroids`: per-cell mean vectors in the LONG shape
+    * (cell, pos, m) — the k-means E-step / mean-pooling building block.
+    * Row-shaped: explode to (cell, pos, x), one (cell, pos) average;
+    * vectors are never collected. The long shape is also the
+    * driver-verifiable contract (scalar columns hash deterministically);
+    * [[centroidVectors]] reassembles arrays for API consumers.
+    */
+  def centroids(corpus: DataFrame, cellCol: String): DataFrame =
+    centroidRows(corpus, cellCol)
+      .select(col("cell").as("label"), col("pos"),
+        round(col("c"), 6).as("m"))
+
+  /** Array-of-doubles view of [[centroids]]: one row per cell with the
+    * mean vector assembled in position order plus its dimension count.
+    */
+  def centroidVectors(corpus: DataFrame, cellCol: String): DataFrame =
+    centroids(corpus, cellCol)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("centroid"),
+        count(lit(1)).as("dims"))
+
   /** Bucket signature surface for tests/inspection: (vec_id, bucket). */
   def bucketSignatures(corpus: DataFrame): DataFrame =
     buckets(exploded(corpus, "vec_id", "vec_id"), "vec_id")

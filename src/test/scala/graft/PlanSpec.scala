@@ -25,12 +25,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: []"))
   }
 
-  test("star joins broadcast every dimension side (no fact-table shuffle join)") {
-    for (q <- Seq("join_inner", "join_multiway")) {
-      val p = planOf(q)
-      assert(p.contains("BroadcastHashJoin"), q)
-      assert(!p.contains("SortMergeJoin"), q)
-      assert(!p.contains("CartesianProduct"), q)
+  test("star joins: dims broadcast, fact relations NEVER the build side of a broadcast") {
+    // Disable size-based auto-broadcast and AQE so the only
+    // BroadcastExchanges left are the ones our explicit hints force —
+    // exactly the set that must not contain a fact table (a fact-side
+    // hint overrides size estimation and OOMs at the 100 TB target).
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("join_inner", "join_multiway")) {
+        val plan = Queries.all(q).fn(spark, dir).queryExecution.executedPlan
+        val broadcasts = plan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        assert(broadcasts.nonEmpty, s"$q should broadcast its dimension sides")
+        for (b <- broadcasts) {
+          val sub = b.toString
+          assert(!sub.contains("orders") && !sub.contains("lineitem"),
+            s"$q broadcasts a fact-side relation:\n$sub")
+        }
+        // the fact-fact edge (lineitem <-> orders) is a shuffle join
+        val p = plan.toString
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q has no shuffle join for its fact-fact edge")
+        assert(!p.contains("CartesianProduct"), q)
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     // the multiway join's lineitem scan reads only the join/agg columns
     assert(planOf("join_multiway").contains(
