@@ -206,6 +206,23 @@ object MetaQueries {
              |FROM events WHERE event_id % 5 = 0""".stripMargin),
       doc = "atomic full-refresh overwrite: write snapshot, swap pointer, read back"),
 
+    "sink_write_format" -> QueryDef(
+      (s, dir) => {
+        // declared write_format dispatch (`_schema.json:100-103`): an
+        // orc-format template writes ORC data files through the same
+        // snapshot commit machinery, and the snapshot records its format
+        // so reads dispatch without the template in hand
+        val wh = freshWarehouse("sink_write_format")
+        val t0 = TemplateLoader.get(TemplatesDir, "events")
+        val t = t0.copy(properties = t0.properties + ("write_format" -> "orc"))
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events").filter(col("event_id") % 7 === 0), t, table)
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id % 7 = 0""".stripMargin),
+      doc = "orc write-format dispatch: template-declared format, snapshot-recorded, read back"),
+
     "time_travel_snapshots" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -363,18 +380,26 @@ object MetaQueries {
         val mismatch = outcome(TableSink.overwrite(bad, t, table))
         val missing = outcome(table.read(s))
         val guard = outcome(SourceReader.validatePath("/etc/passwd"))
+        // avro is in the template vocabulary but needs the external
+        // spark-avro module: the write must fail with remediation, not a
+        // ClassNotFoundException mid-job
+        val avroT = t.copy(properties = t.properties + ("write_format" -> "avro"))
+        val avro = outcome(TableSink.overwrite(tbl(s, dir, "events"), avroT,
+          SnapshotTable(freshWarehouse("sink_schema_check_avro"), "x", "z")))
         Seq(
           ("schema_mismatch", mismatch._1, mismatch._2),
           ("missing_table", missing._1, missing._2),
-          ("path_guard", guard._1, guard._2))
+          ("path_guard", guard._1, guard._2),
+          ("avro_unavailable", avro._1, avro._2))
           .toDF("case", "error", "raised")
       },
       Some("""SELECT * FROM (VALUES
              |  ('schema_mismatch', 'IllegalArgumentException', true),
              |  ('missing_table', 'RuntimeException', true),
-             |  ('path_guard', 'IllegalArgumentException', true))
+             |  ('path_guard', 'IllegalArgumentException', true),
+             |  ('avro_unavailable', 'IllegalArgumentException', true))
              |AS t("case", error, raised)""".stripMargin),
-      doc = "pre-write schema diff, missing-table remediation error, source path guard"),
+      doc = "pre-write schema diff, missing-table error, source path guard, avro remediation"),
 
     "quality_warn" -> QueryDef(
       (s, dir) => {

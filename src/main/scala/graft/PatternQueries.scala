@@ -17,9 +17,12 @@ object PatternQueries {
 
   import Queries.tbl
 
-  /** Fixed merge instant (2024-03-01T00:00:00Z). */
-  private val MergeAtMs = 1709251200000L
-  private val MergeAtSql = "TIMESTAMP '2024-03-01 00:00:00'"
+  /** Fixed merge instant (2024-03-01T00:00:00Z). Package-visible: the
+    * declarative quality suites (QualityQueries) check the SCD/feature
+    * tables this module builds and anchor freshness just after it.
+    */
+  private[graft] val MergeAtMs = 1709251200000L
+  private[graft] val MergeAtSql = "TIMESTAMP '2024-03-01 00:00:00'"
   /** Dimension birth instant (2024-01-01T00:00:00Z). */
   private val Epoch0Sql = "TIMESTAMP '2024-01-01 00:00:00'"
   private val Epoch0Ms = 1704067200000L
@@ -37,7 +40,7 @@ object PatternQueries {
       lit(null).cast("timestamp").as("effective_to"),
       lit(true).as("is_current"))
 
-  private val DimSql =
+  private[graft] val DimSql =
     s"""SELECT c_custkey AS natural_key, c_name AS name,
        |  c_mktsegment AS segment, c_acctbal AS acctbal,
        |  $Epoch0Sql AS effective_from,
@@ -67,7 +70,7 @@ object PatternQueries {
     changed.unionByName(fresh)
   }
 
-  private val FeedSql =
+  private[graft] val FeedSql =
     """SELECT c_custkey AS natural_key, c_name AS name,
       |  CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS segment,
       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS acctbal
@@ -76,16 +79,81 @@ object PatternQueries {
       |SELECT c_custkey + 900000, 'NewCo#' || c_custkey, 'STARTUP', 0.0
       |FROM customer WHERE c_custkey % 11 = 0""".stripMargin
 
+  /** The post-merge SCD2 dimension (shared with the declarative quality
+    * suites, which check this exact table).
+    */
+  private[graft] def mergedScd(s: SparkSession, dir: String): DataFrame =
+    Scd2.merge(dim(s, dir), feed(s, dir),
+      trackedCols = Seq("name", "segment", "acctbal"),
+      effectiveAt = timestamp_millis(lit(MergeAtMs)))
+
+  /** The materialized feature table (shared with the quality suites). */
+  private[graft] def featureTable(s: SparkSession, dir: String): DataFrame =
+    FeatureStore.materialize(
+      tbl(s, dir, "events"),
+      entityCol = "user_id", tsCol = "ts",
+      featureSet = "user_activity", modelVersion = "v1",
+      computedAt = timestamp_millis(lit(MergeAtMs)),
+      aggs = Map(
+        "event_count" -> count(lit(1)),
+        "purchase_count" -> sum(when(col("event_type") === "purchase", 1).otherwise(0)),
+        "total_value" -> sum(col("value").cast("decimal(18,6)")).cast("double")))
+
+  /** DuckDB rebuild of [[featureTable]] (reused as a CTE by the quality
+    * suite oracles).
+    */
+  private[graft] val FeatureSql =
+    s"""SELECT user_id AS entity_id, max(ts) AS feature_timestamp,
+       |  count(*) AS event_count,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       |  'user_activity' AS feature_set, 'v1' AS model_version,
+       |  $MergeAtSql AS computed_at
+       |FROM events GROUP BY user_id""".stripMargin
+
+  /** DuckDB rebuild of [[mergedScd]] as a chain of CTEs ending in
+    * `merged` (reused by the quality suite oracles; mirrors the
+    * scd2_merge oracle).
+    */
+  private[graft] val MergedScdSql =
+    s"""dim AS ($DimSql), feed AS ($FeedSql),
+       |matched AS (
+       |  SELECT d.*, f.natural_key AS f_key, f.name AS f_name,
+       |         f.segment AS f_segment, f.acctbal AS f_acctbal,
+       |         (d.name IS DISTINCT FROM f.name
+       |          OR d.segment IS DISTINCT FROM f.segment
+       |          OR d.acctbal IS DISTINCT FROM f.acctbal) AS changed
+       |  FROM dim d JOIN feed f ON d.natural_key = f.natural_key),
+       |merged AS (
+       |  SELECT natural_key, name, segment, acctbal,
+       |         effective_from, $MergeAtSql AS effective_to, false AS is_current
+       |  FROM matched WHERE changed
+       |  UNION ALL
+       |  SELECT natural_key, name, segment, acctbal,
+       |         effective_from, effective_to, is_current
+       |  FROM matched WHERE NOT changed
+       |  UNION ALL
+       |  SELECT d.natural_key, d.name, d.segment, d.acctbal,
+       |         d.effective_from, d.effective_to, d.is_current
+       |  FROM dim d WHERE NOT EXISTS
+       |    (SELECT 1 FROM feed f WHERE f.natural_key = d.natural_key)
+       |  UNION ALL
+       |  SELECT f_key, f_name, f_segment, f_acctbal,
+       |         $MergeAtSql, CAST(NULL AS TIMESTAMP), true
+       |  FROM matched WHERE changed
+       |  UNION ALL
+       |  SELECT f.natural_key, f.name, f.segment, f.acctbal,
+       |         $MergeAtSql, CAST(NULL AS TIMESTAMP), true
+       |  FROM feed f WHERE NOT EXISTS
+       |    (SELECT 1 FROM dim d WHERE d.natural_key = f.natural_key))""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
     // SCD Type 2
     // ------------------------------------------------------------------
     "scd2_merge" -> QueryDef(
-      (s, dir) =>
-        Scd2.merge(dim(s, dir), feed(s, dir),
-          trackedCols = Seq("name", "segment", "acctbal"),
-          effectiveAt = timestamp_millis(lit(MergeAtMs))),
+      (s, dir) => mergedScd(s, dir),
       Some(s"""WITH dim AS ($DimSql), feed AS ($FeedSql),
               |matched AS (
               |  SELECT d.*, f.natural_key AS f_key, f.name AS f_name,
@@ -138,11 +206,8 @@ object PatternQueries {
       doc = "SCD2 matching join: current dimension vs incoming feed"),
 
     "scd2_current_view" -> QueryDef(
-      (s, dir) => {
-        val merged = Scd2.merge(dim(s, dir), feed(s, dir),
-          Seq("name", "segment", "acctbal"), timestamp_millis(lit(MergeAtMs)))
-        Scd2.currentView(merged).select("natural_key", "segment", "acctbal", "effective_from")
-      },
+      (s, dir) => Scd2.currentView(mergedScd(s, dir))
+        .select("natural_key", "segment", "acctbal", "effective_from"),
       Some(s"""WITH dim AS ($DimSql), feed AS ($FeedSql),
               |matched AS (
               |  SELECT d.natural_key, f.name AS f_name, f.segment AS f_segment,
@@ -293,23 +358,8 @@ object PatternQueries {
     // feature store
     // ------------------------------------------------------------------
     "feature_materialize" -> QueryDef(
-      (s, dir) =>
-        FeatureStore.materialize(
-          tbl(s, dir, "events"),
-          entityCol = "user_id", tsCol = "ts",
-          featureSet = "user_activity", modelVersion = "v1",
-          computedAt = timestamp_millis(lit(MergeAtMs)),
-          aggs = Map(
-            "event_count" -> count(lit(1)),
-            "purchase_count" -> sum(when(col("event_type") === "purchase", 1).otherwise(0)),
-            "total_value" -> sum(col("value").cast("decimal(18,6)")).cast("double"))),
-      Some(s"""SELECT user_id AS entity_id, max(ts) AS feature_timestamp,
-              |  count(*) AS event_count,
-              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
-              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-              |  'user_activity' AS feature_set, 'v1' AS model_version,
-              |  $MergeAtSql AS computed_at
-              |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => featureTable(s, dir),
+      Some(FeatureSql),
       doc = "per-entity feature aggregation into the feature_table shape"),
 
     "asof_feature_join" -> QueryDef(

@@ -34,5 +34,5 @@ object Queries {
   lazy val all: Map[String, QueryDef] =
     CoreQueries.defs ++ RelationalQueries.defs ++ PatternQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      MetaQueries.defs ++ ExtQueries.defs
+      MetaQueries.defs ++ ExtQueries.defs ++ QualityQueries.defs
 }

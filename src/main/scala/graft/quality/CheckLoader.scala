@@ -78,11 +78,15 @@ object CheckLoader {
             "with metric in {row_count, missing_count, duplicate_count, freshness}.")
     }
 
-  def load(path: String, asOfEpochMs: Long): CheckFile = {
+  private def readRoot(path: String): scala.collection.mutable.Map[String, Any] = {
     val in = new FileInputStream(new File(path))
     val raw = try new Yaml().load[Any](in) finally in.close()
     if (raw == null) throw new IllegalArgumentException(s"Empty check file: $path")
-    val m = raw.asInstanceOf[JMap[String, Any]].asScala
+    raw.asInstanceOf[JMap[String, Any]].asScala
+  }
+
+  private def parseSuite(
+      m: scala.collection.Map[String, Any], path: String, asOfEpochMs: Long): CheckFile = {
     val table = m.getOrElse("table",
       throw new IllegalArgumentException(s"Check file $path missing 'table'")).toString
     val entries = m.getOrElse("checks",
@@ -100,5 +104,33 @@ object CheckLoader {
       parseCheck(em("check").toString, sev, asOfEpochMs)
     }
     CheckFile(table, checks)
+  }
+
+  def load(path: String, asOfEpochMs: Long): CheckFile = {
+    val m = readRoot(path)
+    require(!m.contains("suites"),
+      s"$path declares multiple suites; use loadSuites")
+    parseSuite(m, path, asOfEpochMs)
+  }
+
+  /** Multi-suite form: one file declaring checks over SEVERAL tables —
+    * the shape of the reference's compliance suite, which spans the
+    * event stream and the SCD dimension in a single document. Accepts
+    * the single-table form too. `asOfFor` supplies the freshness anchor
+    * per table (different tables live on different clocks).
+    */
+  def loadSuites(path: String, asOfFor: String => Long): Seq[CheckFile] = {
+    val m = readRoot(path)
+    m.get("suites") match {
+      case Some(list) =>
+        list.asInstanceOf[JList[Any]].asScala.toSeq.map { s =>
+          val sm = s.asInstanceOf[JMap[String, Any]].asScala
+          val table = sm.getOrElse("table",
+            throw new IllegalArgumentException(s"Suite in $path missing 'table'")).toString
+          parseSuite(sm, path, asOfFor(table))
+        }
+      case None =>
+        Seq(parseSuite(m, path, asOfFor(m("table").toString)))
+    }
   }
 }

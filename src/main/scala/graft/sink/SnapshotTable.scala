@@ -34,7 +34,8 @@ final case class Snapshot(
     id: Long,
     committedAtMs: Long,
     operation: String, // overwrite | append
-    dataDirs: Seq[String]
+    dataDirs: Seq[String],
+    format: String = "parquet" // parquet | orc (per _schema.json:100-103)
 )
 
 final class SnapshotTable(val root: String, val fullName: String) {
@@ -63,16 +64,16 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // discovery would reject sibling partitioned directories
       // (CONFLICTING_DIRECTORY_STRUCTURES), and per-dir reads keep each
       // commit's partition layout independently prunable.
-      snap.dataDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      snap.dataDirs.map(spark.read.format(snap.format).load(_)).reduce(_ unionByName _)
   }
 
   /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
-  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil): Snapshot =
-    commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols)
+  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet"): Snapshot =
+    commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format)
 
   /** Append: new snapshot = previous data dirs + newly written dir. */
-  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil): Snapshot =
-    commit(df, "append", carryPrevious = true, partitionCols, sortCols)
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet"): Snapshot =
+    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format)
 
   /** Drop snapshots older than `olderThanMs` (never the current one) and
     * delete data directories no surviving snapshot references.
@@ -108,7 +109,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       op: String,
       carryPrevious: Boolean,
       partitionCols: Seq[String],
-      sortCols: Seq[org.apache.spark.sql.Column]): Snapshot =
+      sortCols: Seq[org.apache.spark.sql.Column],
+      format: String): Snapshot =
     // Commit protocol: readers always see a consistent table (the
     // metadata pointer swap below is atomic), and concurrent writers in
     // THIS JVM are serialized per table root so no commit is lost — the
@@ -116,7 +118,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // would need a real catalog's compare-and-swap (Iceberg's optimistic
     // commit); parquet-mode makes no such claim.
     SnapshotTable.commitLock(root).synchronized {
-      commitLocked(df, op, carryPrevious, partitionCols, sortCols)
+      commitLocked(df, op, carryPrevious, partitionCols, sortCols, format)
     }
 
   private def commitLocked(
@@ -124,8 +126,27 @@ final class SnapshotTable(val root: String, val fullName: String) {
       op: String,
       carryPrevious: Boolean,
       partitionCols: Seq[String],
-      sortCols: Seq[org.apache.spark.sql.Column]): Snapshot = {
+      sortCols: Seq[org.apache.spark.sql.Column],
+      format: String): Snapshot = {
+    // dispatch per the template vocabulary (parquet|orc|avro,
+    // `table-templates/_schema.json:100-103`). avro is declared-but-
+    // unavailable here: the DataFrame avro source lives in the external
+    // spark-avro module, which this distribution does not ship — fail
+    // with the remediation instead of a ClassNotFoundException mid-write.
+    if (format == "avro")
+      throw new IllegalArgumentException(
+        s"write_format 'avro' for $fullName requires the spark-avro module on the " +
+          "classpath; this distribution ships parquet and orc")
+    require(SnapshotTable.SupportedFormats.contains(format),
+      s"Unknown write_format '$format' for $fullName " +
+        s"(supported: ${SnapshotTable.SupportedFormats.mkString(", ")})")
     val prev = snapshots
+    prev.lastOption.filter(_.dataDirs.nonEmpty).foreach { last =>
+      if (carryPrevious)
+        require(last.format == format,
+          s"Append format '$format' differs from table format '${last.format}' for " +
+            s"$fullName; carried snapshot dirs must stay one format")
+    }
     val carryForward = if (carryPrevious) prev.lastOption.map(_.dataDirs).getOrElse(Nil) else Nil
     val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
     val dataDir = Paths.get(root, f"snap-$id%05d").toString
@@ -138,10 +159,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
         df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       else df
     val sorted = if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
-    val writer = sorted.write.mode("overwrite")
+    val writer = sorted.write.mode("overwrite").format(format)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(dataDir)
-    val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir)
+      .save(dataDir)
+    val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir, format)
     writeMetadata(prev :+ snap)
     Audit.log("table_write", fullName, Map("operation" -> op, "snapshot_id" -> id.toString))
     snap
@@ -152,7 +173,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val json = snaps.map { s =>
       val dirs = s.dataDirs.map(d => "\"" + d.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString("[", ",", "]")
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","data_dirs":$dirs}"""
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -162,13 +183,16 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   // Minimal JSON parse for our own fixed-shape metadata (no deps).
   private def parse(json: String): Seq[Snapshot] = {
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)","data_dirs":\[(.*?)\]\}""".r
+    // "format" is optional on read: metadata written before the field
+    // existed defaults to parquet (the only format back then)
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?"data_dirs":\[(.*?)\]\}""".r
     snapRe.findAllMatchIn(json).map { m =>
       val dirs =
-        if (m.group(4).isEmpty) Nil
-        else m.group(4).split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")
+        if (m.group(5).isEmpty) Nil
+        else m.group(5).split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")
           .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), dirs)
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), dirs,
+        Option(m.group(4)).getOrElse("parquet"))
     }.toSeq
   }
 
@@ -179,6 +203,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
 }
 
 object SnapshotTable {
+
+  /** Write formats this engine can materialize (avro is declared by the
+    * template vocabulary but needs the external spark-avro module).
+    */
+  val SupportedFormats: Set[String] = Set("parquet", "orc")
 
   private val commitLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 

@@ -85,14 +85,16 @@ object TableSink {
   def overwrite(df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
-    table.overwrite(withParts, partCols, template.sortOrder.map(sortColumn))
+    table.overwrite(withParts, partCols, template.sortOrder.map(sortColumn),
+      template.writeFormat)
   }
 
   /** `event_append`: append-only commit (never updates existing rows). */
   def append(df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
-    table.append(withParts, partCols, template.sortOrder.map(sortColumn))
+    table.append(withParts, partCols, template.sortOrder.map(sortColumn),
+      template.writeFormat)
   }
 
   /** Governed read of a snapshot table: audits `table_read` (row count is

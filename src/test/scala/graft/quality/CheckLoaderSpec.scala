@@ -41,6 +41,23 @@ class CheckLoaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("warning"))
   }
 
+  test("multi-suite files load per-table suites with per-table asOf anchors") {
+    val suites = CheckLoader.loadSuites(
+      "/root/repo/quality/compliance_checks.yaml",
+      t => if (t == "testdata.events") 1000L else 2000L)
+    assert(suites.map(_.table) == Seq("testdata.events", "lakehouse.scd_type2"))
+    assert(suites.head.checks.count(_.severity == Quality.Warn) == 1)
+    assert(suites(1).checks.map(_.name) == Seq("missing_count", "freshness"))
+  }
+
+  test("loadSuites accepts the single-table form; load rejects multi-suite files") {
+    val single = CheckLoader.loadSuites("/root/repo/quality/feature_checks.yaml", _ => 0L)
+    assert(single.map(_.table) == Seq("lakehouse.feature_table"))
+    assert(single.head.checks.size == 6)
+    intercept[IllegalArgumentException](
+      CheckLoader.load("/root/repo/quality/scd_checks.yaml", 0L))
+  }
+
   test("unparseable checks and missing keys raise actionable errors") {
     intercept[IllegalArgumentException](
       CheckLoader.parseCheck("made_up(x) > 1", Quality.Fail, 0L))

@@ -58,6 +58,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("not registered"))
   }
 
+  test("orc write format round-trips through the snapshot machinery") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), format = "orc")
+    t.append(Seq((3L, "c")).toDF("id", "s"), format = "orc")
+    assert(t.snapshots.forall(_.format == "orc"))
+    assert(t.read(spark).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // and the data files really are ORC, not parquet with an orc label
+    val dir = t.snapshots.head.dataDirs.head
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".orc")))
+  }
+
+  test("append in a different format than the table is refused") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"), format = "orc")
+    val e = intercept[IllegalArgumentException](t.append(Seq(2).toDF("v")))
+    assert(e.getMessage.contains("orc"))
+  }
+
+  test("avro write format fails with remediation, unknown formats are rejected") {
+    val t = freshTable()
+    val e = intercept[IllegalArgumentException](t.overwrite(Seq(1).toDF("v"), format = "avro"))
+    assert(e.getMessage.contains("spark-avro"))
+    val u = intercept[IllegalArgumentException](t.overwrite(Seq(1).toDF("v"), format = "feather"))
+    assert(u.getMessage.contains("feather"))
+    assert(!t.exists)
+  }
+
   test("TableSink.overwrite enforces the declared schema before writing") {
     val tpl = TemplateLoader.get("/root/repo/templates", "events")
     val t = freshTable()
