@@ -170,7 +170,7 @@ object DedupQueries {
       doc = "MinHash(8) + LSH(4 bands x 2) candidate pairs, Jaccard-verified"),
 
     "dedup_simhash" -> QueryDef(
-      (s, dir) => Dedup.simhash(tbl(s, dir, "documents"), "text"),
+      (s, dir) => Dedup.sharedSimhash(tbl(s, dir, "documents"), "text"),
       // integer bit math ((h >> b) & 1) mirroring the engine's shiftright,
       // and the outer list_sum CAST to BIGINT: DuckDB's HUGEINT otherwise
       // reaches the driver's pandas compare as float64 and hash-mismatches

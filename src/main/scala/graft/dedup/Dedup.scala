@@ -38,49 +38,49 @@ object Dedup {
   val A: Seq[Long] = Seq(1299721L, 1750357L, 2750159L, 3407807L, 4256233L, 5800079L, 6700417L, 7368787L)
   val B: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
 
-  /** Per-operator cache slots: persisting an index consumed by several
-    * branches of one query is the right call, but a library must not leak
-    * a new cache entry per invocation — each slot unpersists its previous
-    * occupant (lazily; in-flight jobs finish on the old blocks).
-    * Assumes the driver issues these operators sequentially (as
-    * Verify/Bench do); concurrent invocations on DIFFERENT datasets would
-    * evict each other and should scope their own persists instead.
+  /** Derived-index cache, keyed by (canonicalized source plan, column,
+    * param): within one driver run an expensive derived table (shingle
+    * postings, SimHash signatures) is built ONCE per dataset and every
+    * consumer feeds on the same persisted copy instead of rebuilding it
+    * per operator. Bounded; oldest entry evicted with a LAZY unpersist
+    * (in-flight jobs finish on the old blocks). A library must not leak
+    * a cache entry per invocation — the plan-keyed bound guarantees that.
     */
-  private val cacheSlots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def cacheSwap(slot: String, df: DataFrame): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cacheSlots.put(slot, cached).foreach(_.unpersist(blocking = false))
-    cached
-  }
-
-  /** Shared postings cache, keyed by (canonicalized source plan, column,
-    * n): within one driver run the tokenize + window + distinct pipeline
-    * for a given dataset is built ONCE and every consumer
-    * (`dedup_ngram_jaccard`, `dedup_minhash`, `corpus_clean`) feeds on
-    * the same persisted index instead of rebuilding it per operator.
-    * Bounded to [[PostingsCacheSlots]] entries, oldest evicted (lazy
-    * unpersist — in-flight jobs finish on the old blocks).
-    */
-  val PostingsCacheSlots = 4
-  private val postingsCache =
-    new java.util.LinkedHashMap[(Int, String, Int), DataFrame]()
-
-  def sharedPostings(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    postingsCache.synchronized {
-      val key = (df.queryExecution.logical.canonicalized.semanticHash(), textCol, n)
-      Option(postingsCache.get(key)).getOrElse {
-        val built = shinglePostings(df, textCol, n)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        postingsCache.put(key, built)
-        if (postingsCache.size > PostingsCacheSlots) {
-          val it = postingsCache.entrySet().iterator()
-          val oldest = it.next()
-          it.remove()
-          oldest.getValue.unpersist(blocking = false)
+  val CacheSlots = 4
+  private final class KeyedCache {
+    private val m = new java.util.LinkedHashMap[(Int, String, Int), DataFrame]()
+    def getOrBuild(df: DataFrame, col: String, param: Int)(build: => DataFrame): DataFrame =
+      m.synchronized {
+        val key = (df.queryExecution.logical.canonicalized.semanticHash(), col, param)
+        Option(m.get(key)).getOrElse {
+          val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          m.put(key, built)
+          if (m.size > CacheSlots) {
+            val it = m.entrySet().iterator()
+            val oldest = it.next()
+            it.remove()
+            oldest.getValue.unpersist(blocking = false)
+          }
+          built
         }
-        built
       }
-    }
+  }
+  private val postingsCache = new KeyedCache
+  private val simhashCache = new KeyedCache
+
+  /** [[shinglePostings]] through the keyed cache (`dedup_ngram_jaccard`,
+    * `dedup_minhash`, `corpus_clean` share one postings build per
+    * dataset).
+    */
+  def sharedPostings(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    postingsCache.getOrBuild(df, textCol, n)(shinglePostings(df, textCol, n))
+
+  /** [[simhash]] through the keyed cache: the signature table feeds both
+    * the signature query and the banded pair generator — computed once
+    * per dataset per run.
+    */
+  def sharedSimhash(df: DataFrame, textCol: String): DataFrame =
+    simhashCache.getOrBuild(df, textCol, 0)(simhash(df, textCol))
 
   /** `dedup_exact`: group by content hash, keep the lowest doc_id as the
     * canonical representative. One hash-shuffle; the text itself never
@@ -226,13 +226,30 @@ object Dedup {
     val tok = df.select(col("doc_id"),
       explode(TextAnalysis.wordTokens(col(textCol))).as("tok"))
       .select(col("doc_id"), TextAnalysis.hash60(col("tok")).as("h"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
-    }
+    // Per-bit ONES counts in PACKED accumulators: 3 counters of 21 bits
+    // per long, so the aggregate carries 20 sum buffers instead of 60.
+    // One aggregate expression per BIT compiled to a Janino unit so large
+    // it cost ~7 s to compile (pure fixed overhead, both at sf0.001 and
+    // sf0.1); the packed form plans+runs the same query in ~1 s. Lanes
+    // cannot carry into each other while tokens/doc < 2^21 (~2M — a
+    // larger "document" is a corpus-ingestion bug, not a hash input).
+    // Majority vote: bit set  <=>  2*ones > tokens (ties vote negative,
+    // matching the ±1-sum > 0 formulation the oracle uses).
+    val lanes = 3
+    val groups = SimhashBits / lanes // 20 packed sums
+    val sums = (0 until groups).map { j =>
+      val term = (0 until lanes).map { l =>
+        shiftright(col("h"), j + groups * l).bitwiseAND(lit(1L)) * lit(1L << (21 * l))
+      }.reduce(_ + _)
+      sum(term).as(s"g$j")
+    } :+ count(lit(1)).as("n_tok")
     val packed = (0 until SimhashBits).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      val j = b % groups
+      val l = b / groups
+      val ones = shiftright(col(s"g$j"), 21 * l).bitwiseAND(lit((1L << 21) - 1))
+      when(ones * 2 > col("n_tok"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigs = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
     // docs with no word tokens hash to 0 (all-bits negative majority)
     df.select(col("doc_id")).join(sigs, Seq("doc_id"), "left_outer")
@@ -247,7 +264,7 @@ object Dedup {
     * generator here.
     */
   def simhashPairs(df: DataFrame, textCol: String, maxHamming: Int = 2): DataFrame = {
-    val sigs = cacheSwap("simhash_sigs", simhash(df, textCol))
+    val sigs = sharedSimhash(df, textCol)
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until SimhashBands).map(b =>
         shiftright(col("simhash"), b * SimhashBandBits) % (1 << SimhashBandBits)): _*)))
