@@ -111,6 +111,51 @@ object MetaQueries {
              |AS t("column", issue, expected, actual)""".stripMargin),
       doc = "template-vs-live schema drift: missing / extra / type mismatch"),
 
+    "drift_sensor" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // warehouse with ONE created table whose live schema drifted
+        // three ways (props dropped, value retyped, rogue added; written
+        // through the raw snapshot API precisely because the governed
+        // sink would refuse it) — the sensor must flag it, skip every
+        // not-yet-created table, and advance its cursor; due() gates
+        // re-evaluation at the reference's hourly cadence
+        val wh = freshWarehouse("drift_sensor")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val live = tbl(s, dir, "events").drop("props")
+          .withColumn("value", col("value").cast("string"))
+          .withColumn("rogue", lit(1))
+        SnapshotTable(wh, t.namespace, t.name).overwrite(live)
+        val nowMs = CoreQueries.FreshnessAsOfMs
+        val run = graft.drift.DriftSensor.evaluate(TemplatesDir, wh, s, nowMs, Map.empty)
+        val rows =
+          run.drift.flatMap(r => r.issues.map(i => ("drift", r.table, s"${i.issue}:${i.column}"))) ++
+            run.skipped.map(("skipped", _, "")) ++
+            Seq(
+              ("cursor", "", run.cursor),
+              ("due_no_cursor", "", graft.drift.DriftSensor.due(None, nowMs).toString),
+              ("due_within_interval", "",
+                graft.drift.DriftSensor.due(Some(run.cursor), nowMs + 60000L).toString),
+              ("due_after_interval", "",
+                graft.drift.DriftSensor.due(Some(run.cursor),
+                  nowMs + graft.drift.DriftSensor.MinIntervalMs).toString))
+        rows.toDF("case", "table", "detail")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('drift', 'testdata.events', 'missing:props'),
+             |  ('drift', 'testdata.events', 'extra:rogue'),
+             |  ('drift', 'testdata.events', 'type_mismatch:value'),
+             |  ('skipped', 'lakehouse.event_stream', ''),
+             |  ('skipped', 'lakehouse.feature_table', ''),
+             |  ('skipped', 'lakehouse.scd_type2', ''),
+             |  ('skipped', 'testdata.events_ingest', ''),
+             |  ('cursor', '', '2024-02-01T00:00:00Z'),
+             |  ('due_no_cursor', '', 'true'),
+             |  ('due_within_interval', '', 'false'),
+             |  ('due_after_interval', '', 'true'))
+             |AS t("case", "table", detail)""".stripMargin),
+      doc = "hourly drift sensor: per-table skip/flag loop, cursor advance, due() gating"),
+
     "audit_log" -> QueryDef(
       (s, _) => {
         import s.implicits._
