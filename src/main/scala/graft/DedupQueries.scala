@@ -44,19 +44,20 @@ object DedupQueries {
         //   quality filter -> language filter -> exact dedup (keep min
         //   doc_id) -> near-dup removal (drop the higher doc_id of every
         //   Jaccard>=0.6 pair) -> clean corpus.
-        // Every stage is the already-verified operator; Catalyst fuses
-        // the narrow stages and the near-dup anti-join reuses the
-        // inverted-index candidates — no extra full scans.
+        // Quality + language are appended COLUMN expressions on the one
+        // scan (no self-joins of separately-derived doc_id sets — at
+        // 100 TB a join per filter stage is three extra shuffles), and
+        // exact dedup is a min-doc_id window over the content hash, so
+        // the whole prefix is scan -> narrow filters -> ONE hash shuffle.
+        import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
         val docs = tbl(s, dir, "documents")
-        val scored = graft.text.TextAnalysis.qualityScore(docs, "text")
-          .filter(col("quality_score") >= 0.7).select("doc_id")
-        val lang = graft.text.TextAnalysis.languageId(docs, "text")
-          .filter(col("predicted_lang") === "en").select("doc_id")
-        val surviving = docs.join(scored, "doc_id").join(lang, "doc_id")
-        val exactKeep = Dedup.exact(surviving, "text")
-          .select(col("keep_doc_id").as("doc_id"))
-        val kept = surviving.join(exactKeep, "doc_id")
+        val kept = docs
+          .filter(graft.text.TextAnalysis.qualityScoreCol(col("text")) >= 0.7 &&
+            graft.text.TextAnalysis.predictedLangCol(col("text")) === "en")
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+          .filter(col("_rn") === 1).drop("_rn")
         val nearDupLosers = Dedup.jaccardPairs(
             Dedup.sharedPostings(kept, "text", 3), minJaccard = 0.6, maxDf = 10)
           .select(col("doc_b").as("doc_id")).distinct()

@@ -303,18 +303,33 @@ object Dedup {
   /** `dedup_embedding`: cosine near-duplicate pairs within a blocking key
     * (here a label/cluster column — at scale this is the coarse-quantizer
     * cell of an IVF index). Pairs only form inside a block, and norms are
-    * precomputed per vector BEFORE the join, so each pair costs exactly
-    * one dot product.
+    * precomputed per vector BEFORE the pair stage, so each pair costs
+    * exactly one dot product.
+    *
+    * ROW-SHAPED like the similarity module: vectors posexplode to
+    * (vec_id, block, pos, x) and the within-block dot products are a
+    * (block, pos) equi-join + sum aggregation, all inside whole-stage
+    * codegen. The earlier array-shaped join computed each pair's dot
+    * with `zip_with`/`aggregate` lambdas — interpreted, not codegen'd —
+    * which is exactly the per-pair hot path those expressions must stay
+    * off of.
     */
   def embeddingPairs(emb: DataFrame, blockCol: String, minCos: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    e.as("a").join(e.as("b"),
-        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.block").as("block"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+        posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .toDF("vec_id", "block", "pos", "x")
+    val nrm = e.groupBy(col("vec_id")).agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    val dots = e.as("a").join(e.as("b"),
+        col("a.block") === col("b.block") && col("a.pos") === col("b.pos") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.block").as("block"))
+      .agg(sum(col("a.x") * col("b.x")).as("dot"))
+    dots
+      .join(nrm.select(col("vec_id").as("vec_a"), col("nrm").as("na")), "vec_a")
+      .join(nrm.select(col("vec_id").as("vec_b"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("block"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

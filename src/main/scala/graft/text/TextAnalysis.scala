@@ -37,10 +37,31 @@ object TextAnalysis {
       size(wordTokens(col(textCol))).as("word_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** Composite [0,1] quality score as ONE column expression, so pipeline
+    * stages (corpus_clean) can append it to an existing scan instead of
+    * joining a separately-derived table. All ratios DECIMAL-rounded so
+    * the score is bit-stable across engines.
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTok = size(toks)
+    val stop = array(StopwordsEn.map(lit): _*)
+    val stopHits = size(filter(toks, t => array_contains(stop, t)))
+    val punct = nChars - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    def r6(c: Column) = round(c.cast("double"), 6)
+    val stopRatio = r6(stopHits.cast("double") / nTok)
+    val punctRatio = r6(punct.cast("double") / nChars)
+    // composite: in-range token count, some stopwords, low punctuation
+    r6(
+      when(nTok.between(10, 100000), 0.4).otherwise(0.0) +
+        when(stopRatio > 0.05, 0.3).otherwise(0.0) +
+        when(punctRatio < 0.2, 0.3).otherwise(0.0))
+  }
+
   /** `text_quality_score`: length/punctuation/stopword/word-shape signals
-    * with a composite [0,1] score — the standard cheap pre-filter stage of
-    * a training-data pipeline. All ratios are DECIMAL-rounded so the
-    * score is bit-stable across engines.
+    * with the composite score — the standard cheap pre-filter stage of a
+    * training-data pipeline.
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
@@ -59,11 +80,7 @@ object TextAnalysis {
     df.select(
       col("doc_id"), nTok.as("n_tokens"), stopRatio.as("stop_ratio"),
       punctRatio.as("punct_ratio"), meanWordLen.as("mean_word_len"),
-      // composite: in-range token count, some stopwords, low punctuation
-      r6(
-        when(nTok.between(10, 100000), 0.4).otherwise(0.0) +
-          when(stopRatio > 0.05, 0.3).otherwise(0.0) +
-          when(punctRatio < 0.2, 0.3).otherwise(0.0)).as("quality_score"))
+      qualityScoreCol(col(textCol)).as("quality_score"))
   }
 
   /** Tiny per-language function-word marker lists for the n-gram/stopword
@@ -78,6 +95,21 @@ object TextAnalysis {
 
   val StopwordsEn: Seq[String] =
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "on", "is", "are")
+
+  /** Predicted language as ONE column expression (argmax of marker hits,
+    * marker-list-order tie-break, 'und' when no hits) — the fusable form
+    * of [[languageId]] for pipeline stages.
+    */
+  def predictedLangCol(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val bestStruct = Markers.zipWithIndex.map { case ((lang, words), i) =>
+      val markers = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(markers, t))).as("s"),
+        lit(Markers.size - i).as("r"), lit(lang).as("l"))
+    }
+    when(greatest(bestStruct: _*).getField("s") === 0, lit("und"))
+      .otherwise(greatest(bestStruct: _*).getField("l"))
+  }
 
   /** `text_language_id`: score = marker hits per language over lowercase
     * whitespace tokens; predict the argmax with lexicographic tie-break
