@@ -88,6 +88,58 @@ object ExtQueries {
              |FROM s GROUP BY user_id, session_id""".stripMargin),
       doc = "native session_window vs hand-rolled sessionization: identical sessions"),
 
+    "stream_dedup" -> QueryDef(
+      (s, dir) => {
+        // re-delivered events (ids ending in 0, full identical rows)
+        // unioned into the feed; the dedup guard collapses them. Batch
+        // and streaming share the plan; the streaming variant
+        // (dropDuplicatesWithinWatermark, bounded state) is
+        // MemoryStream-spec-verified.
+        val events = tbl(s, dir, "events")
+        val feed = events.unionByName(events.filter(col("event_id") % 10 === 0))
+        Streaming.dedupEvents(feed, "event_id")
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events""".stripMargin),
+      doc = "streaming-shaped exact dedup guard on the event id (batch-shared plan)"),
+
+    "stream_lakehouse_ingest" -> QueryDef(
+      (s, dir) => {
+        // REAL streaming end-to-end: file-source readStream over the
+        // events parquet -> foreachBatch -> governed snapshot append
+        // (schema check + partition derivation + audit per microbatch),
+        // then read the committed table back. AvailableNow drains the
+        // source and stops, so the query is deterministic.
+        import org.apache.spark.sql.types._
+        val wh = MetaQueries.freshWarehouse("stream_lakehouse_ingest")
+        val t = graft.template.TemplateLoader.get(MetaQueries.TemplatesDir, "events")
+        val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
+        // physical parquet schema: ts is INT64 TIMESTAMP(NANOS) -> read
+        // as long (nanosAsLong, set by tbl()) and restore micros, exactly
+        // as the batch reader does
+        Queries.tbl(s, dir, "events") // ensures nanosAsLong conf is set
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        // the file source streams a DIRECTORY; testdata ships single
+        // files, so stage a symlink under the scratch area (read-only
+        // source data untouched)
+        val srcDir = java.nio.file.Paths.get(wh, "src")
+        java.nio.file.Files.createDirectories(srcDir)
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve("events.parquet"),
+          java.nio.file.Paths.get(dir, "events.parquet"))
+        val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = Streaming.startLakehouseIngest(stream, t, table, s"$wh/_checkpoint")
+        q.awaitTermination()
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events""".stripMargin),
+      doc = "streaming ingest into the lakehouse: readStream -> foreachBatch governed append"),
+
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(media(s, dir), batchSize = 128),
       Some("""WITH b AS (

@@ -31,7 +31,7 @@ object MetaQueries {
   val TemplatesDir = "/root/repo/templates"
 
   /** Scratch warehouse, wiped per query invocation (commits are real). */
-  private def freshWarehouse(key: String): String = {
+  private[graft] def freshWarehouse(key: String): String = {
     val dir = new File(s"/tmp/graft_wh/$key")
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)

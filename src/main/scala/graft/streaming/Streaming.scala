@@ -51,6 +51,44 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming exact dedup on an id column — the ingest guard in front
+    * of an append-only sink (`event_append`'s anti-join, as a stream).
+    * With a watermark, state holds only ids within the horizon
+    * (`dropDuplicatesWithinWatermark`): bounded state at any stream
+    * length. Batch form (`watermarkDelay = None`) is a plain
+    * dropDuplicates — deterministic when duplicate rows are identical,
+    * as re-delivered events are.
+    */
+  def dedupEvents(
+      events: DataFrame, idCol: String, tsCol: String = "ts",
+      watermarkDelay: Option[String] = None): DataFrame =
+    watermarkDelay match {
+      case Some(d) =>
+        events.withWatermark(tsCol, d).dropDuplicatesWithinWatermark(idCol)
+      case None => events.dropDuplicates(idCol)
+    }
+
+  /** Streaming ingest INTO the lakehouse: each microbatch goes through
+    * the full governed sink (schema check, partition derivation,
+    * declared sort, audit, O(delta) append commit) via foreachBatch —
+    * the streaming realization of the reference's event_stream append
+    * pattern. AvailableNow: drains everything currently readable, then
+    * stops (replayable, checkpoint-resumable).
+    */
+  def startLakehouseIngest(
+      stream: DataFrame,
+      template: graft.template.TableTemplate,
+      table: graft.sink.SnapshotTable,
+      checkpoint: String) =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.TableSink.append(batch.toDF(), template, table)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class Event(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, events: Long, purchases: Long, total_value: Double)
 

@@ -95,6 +95,54 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("streaming dedup drops re-delivered ids within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val query = Streaming.dedupEvents(
+        mem.toDF().toDF("event_id", "ts", "event_type"),
+        "event_id", "ts", watermarkDelay = Some("1 hour"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, t(10, 0), "click"), (2L, t(10, 5), "view"))
+      query.processAllAvailable()
+      // same ids re-delivered in a later batch, still within the horizon
+      mem.addData((1L, t(10, 30), "click"), (3L, t(10, 40), "view"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("foreachBatch lakehouse ingest commits governed appends per microbatch") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft_lh_src").toString
+    val wh = Files.createTempDirectory("graft_lh_wh").toString
+    val tpl = graft.template.TemplateLoader.get("/root/repo/templates", "events")
+    val table = graft.sink.SnapshotTable(wh, tpl.namespace, tpl.name)
+    val rows = Seq(
+      (1L, t(10, 5), 7L, "click", 1.0, "{}"),
+      (2L, t(10, 40), 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("append").parquet(src)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = Streaming.startLakehouseIngest(stream, tpl, table,
+      Files.createTempDirectory("graft_lh_ckpt").toString)
+    q.awaitTermination()
+    assert(table.snapshots.nonEmpty)
+    assert(table.snapshots.forall(_.operation == "append"))
+    assert(table.read(spark).count() == 2)
+    // partition derivation happened inside the governed sink
+    assert(table.read(spark).columns.contains("ts_day"))
+  }
+
   test("mapGroupsWithState keeps running per-user stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Event]
