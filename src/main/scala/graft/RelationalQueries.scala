@@ -139,6 +139,35 @@ object RelationalQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
       doc = "left anti join (NOT EXISTS): customers with no orders"),
 
+    "join_bucketed" -> QueryDef(
+      (s, dir) => {
+        // co-located fact-fact join: both sides bucketed on the join key
+        // at WRITE time, so the join itself needs NO exchange — the
+        // 100 TB answer to lineitem⨝orders when the broadcast hint is
+        // off the table and a per-query shuffle is the dominant cost.
+        // Bucket count 8 stands in for the production 1000s; PlanSpec
+        // asserts the exchange-free join shape.
+        val wh = MetaQueries.freshWarehouse("join_bucketed")
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+        s.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+        tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/orders").saveAsTable("graft_bucketed_orders")
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/lineitem").saveAsTable("graft_bucketed_lineitem")
+        s.table("graft_bucketed_lineitem")
+          .join(s.table("graft_bucketed_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
+      doc = "bucketed co-located join: bucketBy at write, zero-exchange fact-fact join"),
+
     "join_skew_salted" -> QueryDef(
       (s, dir) => {
         // Skew pattern: the fact side is heavily skewed on the join key
@@ -412,16 +441,25 @@ object RelationalQueries {
              |FROM events GROUP BY event_type""".stripMargin),
       doc = "distinct aggregate (two-phase partial/final under the hood)"),
 
-    // approx_count_distinct: HLL sketch values are engine-specific, so this
-    // key has no SQL oracle (rows-only check) — the exact companion above
-    // is the correctness anchor.
+    // approx_count_distinct: the raw HLL sketch value is engine-specific
+    // and can never hash-match a DuckDB oracle — so the VERIFIABLE
+    // contract is the accuracy guarantee itself: the sketch (rsd=0.02)
+    // must land within 10% of the exact count. The oracle recomputes the
+    // exact count and expects the tolerance check to hold.
     "agg_approx_distinct" -> QueryDef(
       (s, dir) =>
         tbl(s, dir, "events")
           .groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")),
-      None,
-      doc = "HLL++ sketch distinct; constant memory per group at any scale"),
+          .agg(
+            count_distinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.02).as("_approx"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("_approx") - col("exact_users")).cast("double") <=
+              col("exact_users") * 0.1).as("approx_within_10pct")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             |  true AS approx_within_10pct
+             |FROM events GROUP BY event_type""".stripMargin),
+      doc = "HLL++ sketch distinct; constant memory per group; oracle checks the error bound"),
 
     // ------------------------------------------------------------------
     // §2.8 scalar derivations

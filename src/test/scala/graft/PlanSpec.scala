@@ -62,6 +62,30 @@ class PlanSpec extends SparkSpec {
       "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"))
   }
 
+  test("bucketed join: no exchange feeds the fact-fact join") {
+    val conf = spark.conf
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Queries.all("join_bucketed").fn(spark, dir).queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, "bucketed join should sort-merge")
+      // neither join input may contain a shuffle: bucketing pre-located it
+      for (j <- joins; side <- j.children)
+        assert(side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty, s"bucketed join side shuffles:\n$side")
+      // the final groupBy still exchanges (different key) — that's expected
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = planOf("sort_limit_topk")
     assert(p.contains("TakeOrderedAndProject"))
