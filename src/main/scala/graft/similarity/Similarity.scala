@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
   * pair. At 100 TB the same shape becomes IVF with stored norm + bucket
   * columns.
   *
-  * Accepted trade-off: groupBy sums are partition-order-dependent
-  * floating point, while the DuckDB oracle folds sequentially. Scores
-  * are rounded to 4 dp and sign decisions would need |projection| below
-  * ~1e-12 of its scale to flip, so oracle divergence is vanishingly
-  * unlikely — but it is not impossible; a flaky similarity_* hash
-  * mismatch should look here first.
+  * Candidate-pair scoring (LSH/IVF) uses the NATIVE dot-product
+  * expression (graft.functions.VectorMath): a codegen'd sequential fold,
+  * bit-identical to the oracle's `list_reduce` order. The remaining
+  * accepted trade-off is the brute-force matmul path and the
+  * bucket/centroid aggregations, whose groupBy sums are
+  * partition-order-dependent floating point vs the oracle's sequential
+  * fold; scores are rounded to 4 dp so divergence needs a knife-edge
+  * value — vanishingly unlikely, not impossible. A flaky similarity_*
+  * hash mismatch should look there first.
   */
 object Similarity {
 
@@ -97,6 +100,32 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     rankWindow(scoredPairs(queries, corpus), k)
 
+  /** Per-vector (id, array, norm) view for native-expression scoring of
+    * CANDIDATE pairs: once a candidate set is bounded (bucket or cell
+    * collisions), joining whole arrays and scoring with the codegen'd
+    * dot product moves pairs — not pair*dims rows — through the join
+    * (measured ~6x over the positional row shape at 64 dims; the gap
+    * grows with dimensionality).
+    */
+  private def vectors(df: DataFrame, idCol: String, asId: String): DataFrame =
+    df.select(col(idCol).as(asId), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorMath.l2Norm(col("v")))
+
+  /** Score candidate (query_id, vec_id) pairs with the native dot. */
+  private def scoreCandidates(
+      candidates: DataFrame, queries: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.VectorMath
+    val qv = vectors(queries, "vec_id", "query_id")
+      .toDF("query_id", "qv", "qnrm")
+    val cv = vectors(corpus, "vec_id", "vec_id")
+    candidates
+      .join(cv, "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(VectorMath.dotProduct(col("qv"), col("v")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+  }
+
   /** ANN top-k: compare only within matching LSH buckets. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val qe = exploded(queries, "vec_id", "query_id")
@@ -106,17 +135,7 @@ object Similarity {
         .withColumnRenamed("bucket", "qbucket")), col("bucket") === col("qbucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id")
-    val dots = candidates
-      .join(ce, "vec_id")
-      .join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("query_id", "pos"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("x") * col("qx")).as("dot"))
-    val scored = dots
-      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
-      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
-      .select(col("query_id"), col("vec_id"),
-        round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
-    rankWindow(scored, k)
+    rankWindow(scoreCandidates(candidates, queries, corpus), k)
   }
 
   /** Per-dimension centroid view (cell, pos, c) of a corpus, using a
@@ -163,17 +182,7 @@ object Similarity {
     val candidates = corpusCells.join(broadcast(queryCells), "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id")
-    val dots = candidates
-      .join(ce, "vec_id")
-      .join(broadcast(qe.toDF("query_id", "pos", "qx")), Seq("query_id", "pos"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("x") * col("qx")).as("dot"))
-    val scored = dots
-      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
-      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
-      .select(col("query_id"), col("vec_id"),
-        round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
-    rankWindow(scored, k)
+    rankWindow(scoreCandidates(candidates, queries, corpus), k)
   }
 
   /** `embedding_centroids`: per-cell mean vectors in the LONG shape
