@@ -18,6 +18,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // session warmup OUTSIDE any query's timer: executor spin-up, first
+    // codegen, datasource/noop-writer init — otherwise whichever query
+    // happens to run first absorbs ~3-5 s of one-time cost
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
     def r4(v: Double): Double = math.round(v * 10000.0) / 10000.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -28,7 +36,7 @@ object Bench {
       catch { case _: Throwable => () }
       name -> r4((System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = r4(if (results.nonEmpty) results.values.sum else 0.0)
     val line =

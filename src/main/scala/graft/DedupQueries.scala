@@ -58,8 +58,16 @@ object DedupQueries {
           .withColumn("_rn", row_number().over(
             Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
           .filter(col("_rn") === 1).drop("_rn")
+        // shingles are per-document, so the kept corpus's postings are
+        // the FULL corpus's postings semi-joined to kept ids — reusing
+        // the shared cache the other dedup operators already built
+        // instead of re-running tokenize+window+distinct on kept. The
+        // maxDf rarity cap is applied by jaccardPairs AFTER this
+        // restriction, i.e. counted over kept docs, matching the oracle.
+        val keptPostings = Dedup.sharedPostings(docs, "text", 3)
+          .join(kept.select("doc_id"), "doc_id")
         val nearDupLosers = Dedup.jaccardPairs(
-            Dedup.sharedPostings(kept, "text", 3), minJaccard = 0.6, maxDf = 10)
+            keptPostings, minJaccard = 0.6, maxDf = 10)
           .select(col("doc_b").as("doc_id")).distinct()
         kept.join(nearDupLosers, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "source", "n_chars")
