@@ -1,8 +1,10 @@
 package graft.props
 
 import com.google.common.hash.Hashing
-import graft.functions.{IcebergBucketHash, TopKAggregator}
+import graft.functions.{DotProduct, IcebergBucketHash, SumSquares, TopKAggregator}
 import graft.types.IcebergTypes
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
@@ -51,6 +53,33 @@ object EngineProps extends Properties("graft") {
       val split = agg.finish(agg.merge(
         l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
       split == whole
+    }
+
+  // ----------------------------------------------------------- vector math
+
+  private def lit(a: Array[Double]) = Literal.create(a, ArrayType(DoubleType))
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+  private def ss(a: Array[Double]): Double =
+    SumSquares(lit(a)).eval(null).asInstanceOf[Double]
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.listOf(Gen.chooseNum(-1e6, 1e6)).map(_.toArray)
+
+  property("dot(a, a) is bit-identical to sumSquares(a) (same fold order)") =
+    forAll(vecGen) { a => dot(a, a) == ss(a) }
+
+  property("dot product is bit-identical under argument swap") =
+    forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val n = math.min(a.length, b.length)
+      dot(a.take(n), b.take(n)) == dot(b.take(n), a.take(n))
+    }
+
+  property("dot matches the sequential left-to-right reference fold") =
+    forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val n = math.min(a.length, b.length)
+      val ref = (0 until n).foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      dot(a, b) == ref
     }
 
   // ------------------------------------------------------------------ types
