@@ -103,6 +103,25 @@ object ExtQueries {
       Some("""SELECT event_id, ts, user_id, event_type FROM events""".stripMargin),
       doc = "streaming-shaped exact dedup guard on the event id (batch-shared plan)"),
 
+    "stream_interval_join" -> QueryDef(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+        Streaming.intervalJoin(clicks, purchases)
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  p.user_id AS user_id
+             |FROM events p JOIN events c
+             |  ON p.user_id = c.user_id
+             | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin),
+      doc = "stream-stream interval join (purchase attribution), batch-shared plan"),
+
     "stream_lakehouse_ingest" -> QueryDef(
       (s, dir) => {
         // REAL streaming end-to-end: file-source readStream over the

@@ -48,18 +48,24 @@ object Dedup {
     */
   val CacheSlots = 4
   private final class KeyedCache {
-    private val m = new java.util.LinkedHashMap[(Int, String, Int), DataFrame]()
+    private val m = new java.util.LinkedHashMap[
+      (Int, String, Int),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
     def getOrBuild(df: DataFrame, col: String, param: Int)(build: => DataFrame): DataFrame =
       m.synchronized {
-        val key = (df.queryExecution.logical.canonicalized.semanticHash(), col, param)
-        Option(m.get(key)).getOrElse {
+        val plan = df.queryExecution.logical.canonicalized
+        val key = (plan.semanticHash(), col, param)
+        // semanticHash is 32-bit: on a hit, confirm the plans really are
+        // equivalent (sameResult) — a silent collision would feed one
+        // dataset's cached index to another dataset's operator
+        Option(m.get(key)).filter(_._1.sameResult(plan)).map(_._2).getOrElse {
           val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          m.put(key, built)
+          Option(m.put(key, (plan, built))).foreach(_._2.unpersist(blocking = false))
           if (m.size > CacheSlots) {
             val it = m.entrySet().iterator()
             val oldest = it.next()
             it.remove()
-            oldest.getValue.unpersist(blocking = false)
+            oldest.getValue._2.unpersist(blocking = false)
           }
           built
         }

@@ -68,6 +68,26 @@ object Streaming {
       case None => events.dropDuplicates(idCol)
     }
 
+  /** Stream-stream INTERVAL join (click -> purchase attribution): each
+    * purchase matched to the same user's clicks in the preceding hour.
+    * With watermarks on BOTH sides plus the event-time bound in the
+    * condition, Structured Streaming can expire join state — the
+    * bounded-state form of a streaming join. Inputs are pre-shaped
+    * (c_user, click_ts, click_id) / (p_user, purchase_ts, purchase_id)
+    * so the same plan serves batch and stream.
+    */
+  def intervalJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: Option[String] = None): DataFrame = {
+    val c = watermarkDelay.fold(clicks)(d => clicks.withWatermark("click_ts", d))
+    val p = watermarkDelay.fold(purchases)(d => purchases.withWatermark("purchase_ts", d))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Streaming ingest INTO the lakehouse: each microbatch goes through
     * the full governed sink (schema check, partition derivation,
     * declared sort, audit, O(delta) append commit) via foreachBatch —

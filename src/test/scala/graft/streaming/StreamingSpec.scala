@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches within the hour, expires beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("c_user", "click_ts", "click_id"),
+      purchases.toDF().toDF("p_user", "purchase_ts", "purchase_id"),
+      watermarkDelay = Some("30 minutes"))
+    val query = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((7L, t(10, 0), 100L), (7L, t(8, 0), 101L), (9L, t(10, 10), 102L))
+      purchases.addData((7L, t(10, 30), 200L)) // within 1h of click 100 only
+      query.processAllAvailable()
+      val rows = spark.table("attrib")
+        .as[(Long, Long, Long)].collect().toSet
+      // click 101 is 2.5h before the purchase (outside the interval),
+      // click 102 belongs to another user
+      assert(rows == Set((200L, 100L, 7L)))
+    } finally query.stop()
+  }
+
   test("foreachBatch lakehouse ingest commits governed appends per microbatch") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
