@@ -154,35 +154,9 @@ object PatternQueries {
     // ------------------------------------------------------------------
     "scd2_merge" -> QueryDef(
       (s, dir) => mergedScd(s, dir),
-      Some(s"""WITH dim AS ($DimSql), feed AS ($FeedSql),
-              |matched AS (
-              |  SELECT d.*, f.natural_key AS f_key, f.name AS f_name,
-              |         f.segment AS f_segment, f.acctbal AS f_acctbal,
-              |         (d.name IS DISTINCT FROM f.name
-              |          OR d.segment IS DISTINCT FROM f.segment
-              |          OR d.acctbal IS DISTINCT FROM f.acctbal) AS changed
-              |  FROM dim d JOIN feed f ON d.natural_key = f.natural_key)
-              |SELECT natural_key, name, segment, acctbal,
-              |       effective_from, $MergeAtSql AS effective_to, false AS is_current
-              |FROM matched WHERE changed
-              |UNION ALL
-              |SELECT natural_key, name, segment, acctbal,
-              |       effective_from, effective_to, is_current
-              |FROM matched WHERE NOT changed
-              |UNION ALL
-              |SELECT d.natural_key, d.name, d.segment, d.acctbal,
-              |       d.effective_from, d.effective_to, d.is_current
-              |FROM dim d WHERE NOT EXISTS
-              |  (SELECT 1 FROM feed f WHERE f.natural_key = d.natural_key)
-              |UNION ALL
-              |SELECT f_key, f_name, f_segment, f_acctbal,
-              |       $MergeAtSql, CAST(NULL AS TIMESTAMP), true
-              |FROM matched WHERE changed
-              |UNION ALL
-              |SELECT f.natural_key, f.name, f.segment, f.acctbal,
-              |       $MergeAtSql, CAST(NULL AS TIMESTAMP), true
-              |FROM feed f WHERE NOT EXISTS
-              |  (SELECT 1 FROM dim d WHERE d.natural_key = f.natural_key)""".stripMargin),
+      // single source of truth: the same CTE chain the quality-suite
+      // oracles consume — an SCD semantics change edits one string
+      Some(s"WITH $MergedScdSql\nSELECT * FROM merged"),
       doc = "full SCD2 merge: close changed, pass unchanged/absent, open new"),
 
     "scd2_key_join" -> QueryDef(

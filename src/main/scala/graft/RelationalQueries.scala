@@ -459,7 +459,9 @@ object RelationalQueries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
              |  true AS approx_within_10pct
              |FROM events GROUP BY event_type""".stripMargin),
-      doc = "HLL++ sketch distinct; constant memory per group; oracle checks the error bound"),
+      // (the exact count_distinct here exists FOR the oracle check — the
+      // production operator is the sketch alone, constant memory/group)
+      doc = "HLL++ sketch distinct, verified against the exact count's 10% error bound"),
 
     // ------------------------------------------------------------------
     // §2.8 scalar derivations

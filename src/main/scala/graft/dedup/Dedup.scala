@@ -55,24 +55,47 @@ object Dedup {
       m.synchronized {
         val plan = df.queryExecution.logical.canonicalized
         val key = (plan.semanticHash(), col, param)
-        // semanticHash is 32-bit: on a hit, confirm the plans really are
-        // equivalent (sameResult) — a silent collision would feed one
-        // dataset's cached index to another dataset's operator
-        Option(m.get(key)).filter(_._1.sameResult(plan)).map(_._2).getOrElse {
+        // Hit conditions: (a) the plans really are equivalent
+        // (sameResult — semanticHash is 32-bit and a silent collision
+        // would feed one dataset's index to another operator), and
+        // (b) the cached DataFrame's SparkContext is still alive (a
+        // stopped-and-recreated session in the same JVM must rebuild,
+        // not resurrect dead blocks). Staleness caveat: plans key on
+        // PATHS — a run that rewrites a cached input in place should
+        // call [[clearCaches]] first.
+        Option(m.get(key))
+          .filter { case (p, cached) =>
+            p.sameResult(plan) && !cached.sparkSession.sparkContext.isStopped
+          }
+          .map(_._2).getOrElse {
           val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          Option(m.put(key, (plan, built))).foreach(_._2.unpersist(blocking = false))
+          Option(m.put(key, (plan, built))).foreach(e => safeUnpersist(e._2))
           if (m.size > CacheSlots) {
             val it = m.entrySet().iterator()
             val oldest = it.next()
             it.remove()
-            oldest.getValue._2.unpersist(blocking = false)
+            safeUnpersist(oldest.getValue._2)
           }
           built
         }
       }
+    def clear(): Unit = m.synchronized {
+      m.values.forEach(e => safeUnpersist(e._2))
+      m.clear()
+    }
+    // evicted entries may belong to an already-stopped SparkContext
+    private def safeUnpersist(df: DataFrame): Unit =
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
   }
   private val postingsCache = new KeyedCache
   private val simhashCache = new KeyedCache
+
+  /** Drop every cached derived index (postings, signatures). Call when
+    * the underlying source files of a cached dataset are rewritten
+    * in place within one driver run.
+    */
+  def clearCaches(): Unit = { postingsCache.clear(); simhashCache.clear() }
 
   /** [[shinglePostings]] through the keyed cache (`dedup_ngram_jaccard`,
     * `dedup_minhash`, `corpus_clean` share one postings build per

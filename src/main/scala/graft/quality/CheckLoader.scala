@@ -130,7 +130,9 @@ object CheckLoader {
           parseSuite(sm, path, asOfFor(table))
         }
       case None =>
-        Seq(parseSuite(m, path, asOfFor(m("table").toString)))
+        val table = m.getOrElse("table",
+          throw new IllegalArgumentException(s"Check file $path missing 'table'")).toString
+        Seq(parseSuite(m, path, asOfFor(table)))
     }
   }
 }

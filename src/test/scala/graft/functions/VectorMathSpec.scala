@@ -43,6 +43,21 @@ class VectorMathSpec extends SparkSpec {
     assert(n.collect().head.isNullAt(0))
   }
 
+  test("degenerate inputs null the result instead of silently truncating") {
+    // length mismatch: a ragged embedding must NOT produce a
+    // plausible-looking partial dot product
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("a", "b").select(VectorMath.dotProduct(col("a"), col("b")))
+    assert(ragged.collect().head.isNullAt(0))
+    // null ELEMENT inside an array nulls dot and sumSquares
+    val withNullElem = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    assert(withNullElem.select(VectorMath.dotProduct(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    assert(withNullElem.select(VectorMath.sumSquares(col("a")))
+      .collect().head.isNullAt(0))
+  }
+
   test("non-double-array inputs are rejected at analysis time") {
     val bad = Seq((1L, Seq("x"))).toDF("id", "a")
     intercept[org.apache.spark.sql.AnalysisException] {

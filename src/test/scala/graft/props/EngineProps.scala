@@ -76,10 +76,17 @@ object EngineProps extends Properties("graft") {
     }
 
   property("dot matches the sequential left-to-right reference fold") =
-    forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
-      val n = math.min(a.length, b.length)
+    forAll(Gen.zip(vecGen, vecGen)) { case (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
       val ref = (0 until n).foldLeft(0.0)((s, i) => s + a(i) * b(i))
       dot(a, b) == ref
+    }
+
+  property("length-mismatched arrays dot to NULL, never a truncated value") =
+    forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      (a.length == b.length) ||
+        DotProduct(lit(a), lit(b)).eval(null) == null
     }
 
   // ------------------------------------------------------------------ types
