@@ -148,6 +148,75 @@ object TextQueries {
              |FROM documents""".stripMargin),
       doc = "deterministic hash-based train/val/test split (no random())"),
 
+    "text_pack_sequences" -> QueryDef(
+      (s, dir) => {
+        // concat-and-chunk: assign documents to fixed token-budget bins
+        // (the training-example packing stage). SHARDED from the start:
+        // packing is inherently sequential, so a global cumsum would
+        // serialize the whole corpus through one partition at 100 TB —
+        // instead docs hash into 16 independent shards and pack within
+        // each (shard, bin) in deterministic doc_id order. More shards
+        // = more parallelism at a bounded fragmentation cost.
+        import org.apache.spark.sql.expressions.Window
+        val budget = 2048
+        val docs = tbl(s, dir, "documents").select(
+          col("doc_id"),
+          size(TextAnalysis.wordTokens(col("text"))).as("n_tokens"),
+          pmod(TextAnalysis.hash60(concat(lit("shard:"), col("doc_id"))), lit(16L)).as("shard"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        docs.withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("n_tokens"), col("shard"),
+            floor((col("cum") - col("n_tokens")) / budget).cast("long").as("bin"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
+             |    CAST(CONCAT('0x', substr(md5('shard:' || doc_id), 1, 15)) AS BIGINT) % 16 AS shard
+             |  FROM documents)
+             |SELECT doc_id, n_tokens, shard,
+             |  CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)
+             |    // 2048 AS BIGINT) AS bin
+             |FROM d""".stripMargin),
+      doc = "sharded concat-and-chunk packing into fixed token-budget bins"),
+
+    "sample_interleave" -> QueryDef(
+      (s, dir) => {
+        // deterministic source interleaving: each source's docs get a
+        // stable pseudo-random order (hash-ranked) and global read
+        // position rank*S + source_idx — a round-robin mix of sources,
+        // reproducible under any partitioning. Ranking windows partition
+        // by source (parallel across sources); at real scale sub-shard
+        // the rank like text_pack_sequences.
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, dir, "documents")
+        val sources = docs.select(col("source")).distinct()
+          .withColumn("source_idx",
+            (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+          .withColumn("n_sources", count(lit(1)).over())
+        val ranked = docs.select(col("doc_id"), col("source"))
+          .withColumn("rk",
+            (row_number().over(Window.partitionBy(col("source"))
+              .orderBy(TextAnalysis.hash60(concat(lit("interleave:"), col("doc_id"))),
+                col("doc_id"))) - 1).cast("long"))
+        ranked.join(broadcast(sources), "source")
+          .select(col("doc_id"), col("source"),
+            (col("rk") * col("n_sources") + col("source_idx")).cast("long").as("pos"))
+      },
+      Some("""WITH s AS (
+             |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS source_idx,
+             |    count(*) OVER () AS n_sources
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |r AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY CAST(CONCAT('0x', substr(md5('interleave:' || doc_id), 1, 15)) AS BIGINT),
+             |        doc_id) - 1 AS rk
+             |  FROM documents)
+             |SELECT doc_id, r.source,
+             |  CAST(rk * n_sources + source_idx AS BIGINT) AS pos
+             |FROM r JOIN s USING (source)""".stripMargin),
+      doc = "deterministic round-robin source interleaving (training-mix ordering)"),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text", k = 8),
       Some("""SELECT doc_id, md5(text) AS content_md5,
