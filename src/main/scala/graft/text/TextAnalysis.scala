@@ -46,8 +46,7 @@ object TextAnalysis {
     val toks = tokens(text)
     val nChars = length(text)
     val nTok = size(toks)
-    val stop = array(StopwordsEn.map(lit): _*)
-    val stopHits = size(filter(toks, t => array_contains(stop, t)))
+    val stopHits = graft.functions.CountIn.countIn(toks, StopwordsEn)
     val punct = nChars - length(regexp_replace(text, "[\\p{Punct}]", ""))
     def r6(c: Column) = round(c.cast("double"), 6)
     val stopRatio = r6(stopHits.cast("double") / nTok)
@@ -68,8 +67,7 @@ object TextAnalysis {
     val words = wordTokens(col(textCol))
     val nChars = length(col(textCol))
     val nTok = size(toks)
-    val stop = array(StopwordsEn.map(lit): _*)
-    val stopHits = size(filter(toks, t => array_contains(stop, t)))
+    val stopHits = graft.functions.CountIn.countIn(toks, StopwordsEn)
     val punct = nChars - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))
     def r6(c: Column) = round(c.cast("double"), 6)
     val stopRatio = r6(stopHits.cast("double") / nTok)
@@ -103,12 +101,11 @@ object TextAnalysis {
   def predictedLangCol(text: Column): Column = {
     val toks = tokens(lower(text))
     val bestStruct = Markers.zipWithIndex.map { case ((lang, words), i) =>
-      val markers = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(markers, t))).as("s"),
+      struct(graft.functions.CountIn.countIn(toks, words).as("s"),
         lit(Markers.size - i).as("r"), lit(lang).as("l"))
     }
-    when(greatest(bestStruct: _*).getField("s") === 0, lit("und"))
-      .otherwise(greatest(bestStruct: _*).getField("l"))
+    val g = greatest(bestStruct: _*)
+    when(g.getField("s") === 0, lit("und")).otherwise(g.getField("l"))
   }
 
   /** `text_language_id`: score = marker hits per language over lowercase
@@ -119,8 +116,7 @@ object TextAnalysis {
     val toks = tokens(lower(col(textCol)))
     val scored = Markers.foldLeft(df.select(col("doc_id"), toks.as("_toks"))) {
       case (d, (lang, words)) =>
-        val markers = array(words.map(lit): _*)
-        d.withColumn(s"score_$lang", size(filter(col("_toks"), t => array_contains(markers, t))))
+        d.withColumn(s"score_$lang", graft.functions.CountIn.countIn(col("_toks"), words))
     }
     val best = Markers.map { case (lang, _) => struct(col(s"score_$lang").as("s"), lit(lang).as("l")) }
     // greatest() on structs orders by score then language desc; we want
