@@ -165,8 +165,11 @@ object TextQueries {
           pmod(TextAnalysis.hash60(concat(lit("shard:"), col("doc_id"))), lit(16L)).as("shard"))
         val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         docs.withColumn("cum", sum(col("n_tokens")).over(w))
+          // integral `div`, mirroring the oracle's `//`: double division
+          // loses mantissa bits once a shard's cumulative tokens pass
+          // 2^53 — exactly the scale this formulation exists for
           .select(col("doc_id"), col("n_tokens"), col("shard"),
-            floor((col("cum") - col("n_tokens")) / budget).cast("long").as("bin"))
+            expr(s"(cum - n_tokens) div $budget").as("bin"))
       },
       Some("""WITH d AS (
              |  SELECT doc_id,
@@ -189,32 +192,37 @@ object TextQueries {
         // the rank like text_pack_sequences.
         import org.apache.spark.sql.expressions.Window
         val docs = tbl(s, dir, "documents")
-        val sources = docs.select(col("source")).distinct()
+        // NULL sources group under a sentinel key instead of silently
+        // falling out of the inner join (dropping training docs) or
+        // diverging on NULL sort order (Spark nulls-first vs DuckDB
+        // nulls-last); the original source value is preserved in output
+        val srcKey = coalesce(col("source"), lit("<none>"))
+        val sources = docs.select(srcKey.as("_src")).distinct()
           .withColumn("source_idx",
-            (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+            (row_number().over(Window.orderBy(col("_src"))) - 1).cast("long"))
           .withColumn("n_sources", count(lit(1)).over())
-        val ranked = docs.select(col("doc_id"), col("source"))
+        val ranked = docs.select(col("doc_id"), col("source"), srcKey.as("_src"))
           .withColumn("rk",
-            (row_number().over(Window.partitionBy(col("source"))
+            (row_number().over(Window.partitionBy(col("_src"))
               .orderBy(TextAnalysis.hash60(concat(lit("interleave:"), col("doc_id"))),
                 col("doc_id"))) - 1).cast("long"))
-        ranked.join(broadcast(sources), "source")
+        ranked.join(broadcast(sources), "_src")
           .select(col("doc_id"), col("source"),
             (col("rk") * col("n_sources") + col("source_idx")).cast("long").as("pos"))
       },
       Some("""WITH s AS (
-             |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS source_idx,
+             |  SELECT src, row_number() OVER (ORDER BY src) - 1 AS source_idx,
              |    count(*) OVER () AS n_sources
-             |  FROM (SELECT DISTINCT source FROM documents)),
+             |  FROM (SELECT DISTINCT coalesce(source, '<none>') AS src FROM documents)),
              |r AS (
-             |  SELECT doc_id, source,
-             |    row_number() OVER (PARTITION BY source
+             |  SELECT doc_id, source, coalesce(source, '<none>') AS src,
+             |    row_number() OVER (PARTITION BY coalesce(source, '<none>')
              |      ORDER BY CAST(CONCAT('0x', substr(md5('interleave:' || doc_id), 1, 15)) AS BIGINT),
              |        doc_id) - 1 AS rk
              |  FROM documents)
              |SELECT doc_id, r.source,
              |  CAST(rk * n_sources + source_idx AS BIGINT) AS pos
-             |FROM r JOIN s USING (source)""".stripMargin),
+             |FROM r JOIN s USING (src)""".stripMargin),
       doc = "deterministic round-robin source interleaving (training-mix ordering)"),
 
     "text_fingerprint" -> QueryDef(
