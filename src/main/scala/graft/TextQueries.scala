@@ -225,6 +225,56 @@ object TextQueries {
              |FROM r JOIN s USING (src)""".stripMargin),
       doc = "deterministic round-robin source interleaving (training-mix ordering)"),
 
+    "corpus_stats" -> QueryDef(
+      (s, dir) => {
+        // training-mix composition report: docs / tokens / quality mass
+        // per (source, predicted language) — ONE scan, narrow derivations,
+        // one aggregation. Quality mass goes through DECIMAL so the sum
+        // is exact (a double sum is partition-order-dependent and would
+        // flake against the oracle's sequential fold).
+        val docs = tbl(s, dir, "documents")
+        docs.select(
+            col("source"),
+            TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"),
+            size(TextAnalysis.wordTokens(col("text"))).as("n_tokens"),
+            TextAnalysis.qualityScoreCol(col("text")).cast("decimal(9,6)").as("q"))
+          .groupBy(col("source"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("q")).cast("double").as("total_quality"))
+      },
+      Some("""WITH lt AS (
+             |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             |    regexp_split_to_array(trim(text), '\s+') AS rtoks,
+             |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             |    length(text) AS n_chars,
+             |    length(text) - length(regexp_replace(text, '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g')) AS punct
+             |  FROM documents),
+             |ls AS (SELECT source, n_tokens,
+             |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+             |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un'], x))) AS s_es,
+             |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu'], x))) AS s_de,
+             |  len(list_filter(toks, x -> list_contains(['le','la','de','et','un','est','que'], x))) AS s_fr,
+             |  len(list_filter(toks, x -> list_contains(['de','shi','le','zai','you','wo','ta'], x))) AS s_zh,
+             |  round(CAST(
+             |    (CASE WHEN len(rtoks) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+             |    (CASE WHEN round(CAST(len(list_filter(rtoks, x -> list_contains(['the','a','an','of','and','or','to','in','on','is','are'], x))) AS DOUBLE) / len(rtoks), 6) > 0.05 THEN 0.3 ELSE 0.0 END) +
+             |    (CASE WHEN round(CAST(punct AS DOUBLE) / n_chars, 6) < 0.2 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6) AS q
+             |  FROM lt),
+             |p AS (SELECT source, n_tokens, CAST(q AS DECIMAL(9,6)) AS q,
+             |  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+             |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             |       WHEN s_fr >= s_zh THEN 'fr'
+             |       ELSE 'zh' END AS predicted_lang
+             |  FROM ls)
+             |SELECT source, predicted_lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(sum(q) AS DOUBLE) AS total_quality
+             |FROM p GROUP BY source, predicted_lang""".stripMargin),
+      doc = "per-(source, language) corpus composition: docs, tokens, exact quality mass"),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text", k = 8),
       Some("""SELECT doc_id, md5(text) AS content_md5,
