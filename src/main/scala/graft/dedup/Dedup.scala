@@ -347,14 +347,41 @@ object Dedup {
     *  - array join + native expression: ~0.5 s, and the win GROWS with
     *    dimensionality since pairs, not pair*dims, cross the join.
     */
-  def embeddingPairs(emb: DataFrame, blockCol: String, minCos: Double): DataFrame = {
+  /** @param subBlocks skew guard: with `k > 1` each block splits into k
+    *   deterministic sub-blocks and the pair space becomes a join on
+    *   (block, sub-pair) — a pathological hot block spreads over ~k²/2
+    *   join keys instead of one, at the cost of replicating one side
+    *   ~(k+1)/2 times. Every pair is still compared EXACTLY once
+    *   (sub-pairs (sa, sb) with sa<sb cross; sa==sb pairs by id order),
+    *   so the output is identical for any k. Default 1 (off): balanced
+    *   corpora shouldn't pay the replication.
+    */
+  def embeddingPairs(
+      emb: DataFrame, blockCol: String, minCos: Double,
+      subBlocks: Int = 1): DataFrame = {
     import graft.functions.VectorMath
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", VectorMath.l2Norm(col("v")))
-    e.as("a").join(e.as("b"),
-        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+    val joined =
+      if (subBlocks <= 1)
+        e.as("a").join(e.as("b"),
+          col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      else {
+        val sub = e.withColumn("s", pmod(col("vec_id"), lit(subBlocks)))
+        // side A carries every target sub-block >= its own: sub-pair
+        // (sa, sb) is produced exactly once, keyed (block, sb)
+        val a = sub.withColumn("tgt", explode(sequence(col("s"), lit(subBlocks - 1)))).as("a")
+        a.join(sub.as("b"),
+          col("a.block") === col("b.block") && col("a.tgt") === col("b.s") &&
+            (col("a.s") < col("b.s") ||
+              (col("a.s") === col("b.s") && col("a.vec_id") < col("b.vec_id"))))
+      }
+    // canonical orientation vec_a < vec_b: a cross-sub-block pair can
+    // arrive with the higher id on the a side (cos is symmetric)
+    joined
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         col("a.block").as("block"),
         round(VectorMath.dotProduct(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm")), 4).as("cos"))

@@ -68,4 +68,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("sub-blocked embedding pairing is exhaustive and duplicate-free for any k") {
+    import org.apache.spark.sql.functions.rand
+    // 30 vectors in ONE block: every pair must appear exactly once
+    // whether or not the skew guard splits the block
+    val emb = (1L to 30L).map(i =>
+      (i, 0, Seq((i % 7).toFloat + 1f, (i % 5).toFloat - 2f, (i % 3).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    def pairs(k: Int) = Dedup.embeddingPairs(emb, "label", minCos = -1.0, subBlocks = k)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq
+    val base = pairs(1)
+    assert(base.size == 30 * 29 / 2 && base.distinct.size == base.size)
+    for (k <- Seq(2, 4, 7)) {
+      val p = pairs(k)
+      assert(p.distinct.size == p.size, s"k=$k produced duplicate pairs")
+      assert(p.toSet == base.toSet, s"k=$k changed the pair set")
+    }
+  }
 }
