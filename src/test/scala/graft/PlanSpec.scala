@@ -86,6 +86,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing parallelizes by shard (no single-partition window barrier)") {
+    val p = planOf("text_pack_sequences")
+    assert(p.contains("Window"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing cumsum serialized through one partition")
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = planOf("sort_limit_topk")
     assert(p.contains("TakeOrderedAndProject"))
