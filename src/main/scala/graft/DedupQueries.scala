@@ -52,20 +52,39 @@ object DedupQueries {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
         val docs = tbl(s, dir, "documents")
-        val kept = docs
-          .filter(graft.text.TextAnalysis.qualityScoreCol(col("text")) >= 0.7 &&
-            graft.text.TextAnalysis.predictedLangCol(col("text")) === "en")
-          .withColumn("_rn", row_number().over(
-            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
-          .filter(col("_rn") === 1).drop("_rn")
-        // shingles are per-document, so the kept corpus's postings are
-        // the FULL corpus's postings semi-joined to kept ids — reusing
-        // the shared cache the other dedup operators already built
-        // instead of re-running tokenize+window+distinct on kept. The
-        // maxDf rarity cap is applied by jaccardPairs AFTER this
+        // `kept` feeds several consumers (the postings restriction AND
+        // the final anti-join), and the near-dup stage consumes the
+        // restricted postings ~4x (rare-shingle counts, both sides of
+        // the candidate self-join, set sizes) — both intermediates go
+        // through the bounded plan-keyed cache so the expensive subtree
+        // (full-corpus tokenize + quality + language + dedup window)
+        // runs ONCE per dataset instead of once per consumer. Profiled
+        // at sf0.1: the unpersisted form re-evaluated `kept` 4x inside
+        // jaccardPairs (~1.2 s each).
+        val kept = Dedup.sharedDerived(docs, "corpus_clean:kept") {
+          docs
+            .filter(graft.text.TextAnalysis.qualityScoreCol(col("text")) >= 0.7 &&
+              graft.text.TextAnalysis.predictedLangCol(col("text")) === "en")
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+            .filter(col("_rn") === 1).drop("_rn")
+        }
+        // Shingles are per-document, so kept-corpus postings can be
+        // derived two ways with identical results; pick by what exists:
+        //  - full-corpus postings already cached (another dedup operator
+        //    built them this run) -> cheap semi-join to kept ids;
+        //  - nothing cached -> shingle the KEPT docs directly. Building
+        //    the full index just to filter it would tokenize documents
+        //    the quality gate already discarded — at 100 TB with an
+        //    aggressive filter that is most of the corpus.
+        // The maxDf rarity cap is applied by jaccardPairs AFTER this
         // restriction, i.e. counted over kept docs, matching the oracle.
-        val keptPostings = Dedup.sharedPostings(docs, "text", 3)
-          .join(kept.select("doc_id"), "doc_id")
+        val keptPostings = Dedup.sharedDerived(docs, "corpus_clean:postings") {
+          Dedup.peekPostings(docs, "text", 3) match {
+            case Some(full) => full.join(kept.select("doc_id"), "doc_id")
+            case None       => Dedup.shinglePostings(kept, "text", 3)
+          }
+        }
         val nearDupLosers = Dedup.jaccardPairs(
             keptPostings, minJaccard = 0.6, maxDf = 10)
           .select(col("doc_b").as("doc_id")).distinct()

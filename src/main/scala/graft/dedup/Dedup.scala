@@ -79,6 +79,19 @@ object Dedup {
           built
         }
       }
+    /** Cache lookup WITHOUT building (same hit conditions as
+      * [[getOrBuild]]): lets a composed pipeline choose a cheaper build
+      * when the shared index is absent instead of forcing it into being.
+      */
+    def peek(df: DataFrame, col: String, param: Int): Option[DataFrame] =
+      m.synchronized {
+        val plan = df.queryExecution.logical.canonicalized
+        Option(m.get((plan.semanticHash(), col, param)))
+          .filter { case (p, cached) =>
+            p.sameResult(plan) && !cached.sparkSession.sparkContext.isStopped
+          }
+          .map(_._2)
+      }
     def clear(): Unit = m.synchronized {
       m.values.forEach(e => safeUnpersist(e._2))
       m.clear()
@@ -90,12 +103,30 @@ object Dedup {
   }
   private val postingsCache = new KeyedCache
   private val simhashCache = new KeyedCache
+  private val derivedCache = new KeyedCache
 
   /** Drop every cached derived index (postings, signatures). Call when
     * the underlying source files of a cached dataset are rewritten
     * in place within one driver run.
     */
-  def clearCaches(): Unit = { postingsCache.clear(); simhashCache.clear() }
+  def clearCaches(): Unit = {
+    postingsCache.clear(); simhashCache.clear(); derivedCache.clear()
+  }
+
+  /** Generic derived-DataFrame cache: persist `build` once per
+    * (source dataset, tag). For composed pipelines (corpus_clean) whose
+    * intermediate results feed several downstream consumers in one plan
+    * tree — without persistence Spark re-executes the shared subtree per
+    * consumer (a DataFrame is a plan, not a materialized value).
+    */
+  def sharedDerived(src: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    derivedCache.getOrBuild(src, tag, 0)(build)
+
+  /** Cached full-corpus postings if some operator already built them
+    * this run; never triggers a build.
+    */
+  def peekPostings(df: DataFrame, textCol: String, n: Int = 3): Option[DataFrame] =
+    postingsCache.peek(df, textCol, n)
 
   /** [[shinglePostings]] through the keyed cache (`dedup_ngram_jaccard`,
     * `dedup_minhash`, `corpus_clean` share one postings build per
