@@ -93,6 +93,39 @@ class PlanSpec extends SparkSpec {
       "packing cumsum serialized through one partition")
   }
 
+  test("window_ntile ranks distributed: no window partitioned only by the 5-value key") {
+    // AQE wraps the tree in AdaptiveSparkPlanExec, hiding nodes from
+    // collect until execution — disable it for a static plan shape check
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val plan = Queries.all("window_ntile").fn(spark, dir).queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.nonEmpty)
+    for (w <- windows) {
+      val spec = w match {
+        case we: org.apache.spark.sql.execution.window.WindowExec => we.partitionSpec
+        case _ => Nil
+      }
+      // the only single-key windows allowed are over the tiny per-(pid,
+      // key) count aggregate — anything running over the raw orders rows
+      // must partition by (pid, key) so no task ever holds O(table/5)
+      val overAggregate = w.exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _ => false
+      }
+      assert(spec.size >= 2 || overAggregate,
+        s"window over raw rows partitioned by the low-cardinality key alone:\n$w")
+    }
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = planOf("sort_limit_topk")
     assert(p.contains("TakeOrderedAndProject"))
