@@ -49,6 +49,18 @@ object Quality {
         s"Quality gate failed for $table: " +
           failed.map(r => s"${r.check}(${r.column})=${r.value}").mkString("; "))
 
+  /** A scan exceeded its wall-clock budget — the structured Failure the
+    * reference raises when a Soda subprocess trips its 300 s timeout
+    * (`quality/runner.py:49-54`). The running Spark job is cancelled
+    * before this is thrown; a hung scan must never wedge the pipeline.
+    */
+  final case class QualityTimeout(table: String, timeoutSeconds: Long)
+      extends RuntimeException(
+        s"Quality scan timed out after ${timeoutSeconds}s for $table")
+
+  /** Reference scan budget (`quality/runner.py:49`: `timeout=300`). */
+  val DefaultTimeoutSeconds: Long = 300L
+
   def rowCount(): Check =
     Check("row_count", "*", _ => count(lit(1)), _ > 0)
 
@@ -72,11 +84,23 @@ object Quality {
       _ => lit(asOfEpochMs) - unix_millis(max(col(column))),
       age => age >= 0 && age < maxAgeMs)
 
-  /** Evaluate a suite in one aggregate pass; returns per-check results. */
-  def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+  /** Evaluate a suite in one aggregate pass; returns per-check results.
+    * The pass is bounded by `timeoutSeconds` wall-clock (reference:
+    * every Soda scan runs under a 300 s subprocess timeout,
+    * `quality/runner.py:49-54`): the aggregate runs in its own thread
+    * under a Spark job group, and on expiry the job group is CANCELLED
+    * (freeing its executors) before the structured [[QualityTimeout]]
+    * is raised.
+    */
+  def evaluate(
+      df: DataFrame, checks: Seq[Check],
+      table: String = "<unnamed>",
+      timeoutSeconds: Long = DefaultTimeoutSeconds): Seq[CheckResult] = {
     require(checks.nonEmpty, "empty check suite")
+    require(timeoutSeconds > 0, "timeoutSeconds must be positive")
     val aggs = checks.zipWithIndex.map { case (c, i) => c.expr(df).cast("long").as(s"c$i") }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val row = headBounded(agg, table, timeoutSeconds)
     checks.zipWithIndex.map { case (c, i) =>
       val v = if (row.isNullAt(i)) 0L else row.getLong(i)
       CheckResult(c.name, c.column, v, c.pass(v),
@@ -84,13 +108,45 @@ object Quality {
     }
   }
 
+  /** Run `df.head()` with a wall-clock bound, cancelling the underlying
+    * Spark jobs on expiry.
+    */
+  private def headBounded(
+      df: DataFrame, table: String, timeoutSeconds: Long): org.apache.spark.sql.Row = {
+    import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+    val sc = df.sparkSession.sparkContext
+    val group = s"graft-quality-$table-${System.nanoTime()}"
+    val task = new FutureTask(() => {
+      // job-group tags are thread-local: set inside the worker thread so
+      // cancellation targets exactly this scan's jobs
+      sc.setJobGroup(group, s"quality scan: $table", interruptOnCancel = true)
+      try df.head()
+      finally sc.clearJobGroup()
+    })
+    val t = new Thread(task, group)
+    t.setDaemon(true)
+    t.start()
+    try task.get(timeoutSeconds, TimeUnit.SECONDS)
+    catch {
+      case _: TimeoutException =>
+        sc.cancelJobGroup(group)
+        task.cancel(true)
+        throw QualityTimeout(table, timeoutSeconds)
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+    }
+  }
+
   /** `quality_gate`: evaluate and throw a structured failure if any
     * fail-severity check fails (warn-severity failures are reported but do
     * not gate), mirroring the reference runner's raise-on-failure with
-    * structured metadata (`quality/runner.py:56-79`).
+    * structured metadata (`quality/runner.py:56-79`), under the same
+    * 300 s scan budget.
     */
-  def gate(df: DataFrame, table: String, checks: Seq[Check]): Seq[CheckResult] = {
-    val results = evaluate(df, checks)
+  def gate(
+      df: DataFrame, table: String, checks: Seq[Check],
+      timeoutSeconds: Long = DefaultTimeoutSeconds): Seq[CheckResult] = {
+    val results = evaluate(df, checks, table, timeoutSeconds)
     val hardFailures = results.filter(r => !r.passed && r.severity == "fail")
     if (hardFailures.nonEmpty) throw QualityFailure(table, hardFailures)
     results

@@ -38,6 +38,21 @@ final case class Snapshot(
     format: String = "parquet" // parquet | orc (per _schema.json:100-103)
 )
 
+/** A concurrent writer advanced the table between this commit's base
+  * read and its metadata swap (the optimistic-commit conflict case).
+  */
+final case class CommitConflictException(
+    table: String, expectedParent: Option[Long], actualParent: Option[Long])
+  extends RuntimeException(
+    s"Concurrent commit on $table: expected parent snapshot " +
+      s"${expectedParent.getOrElse("<none>")}, found ${actualParent.getOrElse("<none>")}")
+
+/** Optimistic commit gave up after exhausting `commit_num_retries`. */
+final case class CommitFailedException(table: String, attempts: Int, last: CommitConflictException)
+  extends RuntimeException(
+    s"Commit to $table failed after $attempts attempts (commit_num_retries exhausted): " +
+      last.getMessage, last)
+
 final class SnapshotTable(val root: String, val fullName: String) {
 
   private def metadataPath = Paths.get(root, "metadata.json")
@@ -68,12 +83,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
   }
 
   /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
-  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet"): Snapshot =
-    commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format)
+  def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format, numRetries)
 
   /** Append: new snapshot = previous data dirs + newly written dir. */
-  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet"): Snapshot =
-    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format)
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries)
 
   /** Drop snapshots older than `olderThanMs` (never the current one) and
     * delete data directories no surviving snapshot references.
@@ -104,30 +119,33 @@ final class SnapshotTable(val root: String, val fullName: String) {
         "Create it first (Pipeline.ensureTable / DDL) before reading or writing - " +
         "the equivalent of the reference's 'run terraform apply' remediation."))
 
+  /** Optimistic commit protocol, mirroring Iceberg's (reference:
+    * per-table `commit_num_retries`, `table-templates/_schema.json:109-111`;
+    * bounded exponential backoff as in the catalog-connect retry,
+    * `dagster/lakehouse/resources/iceberg.py:46`):
+    *
+    *  1. read the table's current snapshot id (the commit BASE) — no lock;
+    *  2. write the data directory ONCE, to a unique immutable path — the
+    *     expensive O(delta) step runs unserialized, so concurrent writers
+    *     overlap on the cluster instead of queueing;
+    *  3. swap the metadata pointer under the per-table lock IF the base
+    *     is still current; a concurrent commit in the window makes the
+    *     swap fail, and only the O(1) swap is retried against the
+    *     refreshed base — never the data write;
+    *  4. after `numRetries` conflicts, raise CommitFailedException.
+    *
+    * Readers always see a consistent table (the pointer swap is atomic).
+    * Cross-PROCESS writers would additionally need the compare-and-swap
+    * to live in a real catalog; parquet-mode scopes it to the JVM.
+    */
   private def commit(
       df: DataFrame,
       op: String,
       carryPrevious: Boolean,
       partitionCols: Seq[String],
       sortCols: Seq[org.apache.spark.sql.Column],
-      format: String): Snapshot =
-    // Commit protocol: readers always see a consistent table (the
-    // metadata pointer swap below is atomic), and concurrent writers in
-    // THIS JVM are serialized per table root so no commit is lost — the
-    // previous-state read happens inside the lock. Cross-process writers
-    // would need a real catalog's compare-and-swap (Iceberg's optimistic
-    // commit); parquet-mode makes no such claim.
-    SnapshotTable.commitLock(root).synchronized {
-      commitLocked(df, op, carryPrevious, partitionCols, sortCols, format)
-    }
-
-  private def commitLocked(
-      df: DataFrame,
-      op: String,
-      carryPrevious: Boolean,
-      partitionCols: Seq[String],
-      sortCols: Seq[org.apache.spark.sql.Column],
-      format: String): Snapshot = {
+      format: String,
+      numRetries: Int): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -140,16 +158,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
     require(SnapshotTable.SupportedFormats.contains(format),
       s"Unknown write_format '$format' for $fullName " +
         s"(supported: ${SnapshotTable.SupportedFormats.mkString(", ")})")
-    val prev = snapshots
-    prev.lastOption.filter(_.dataDirs.nonEmpty).foreach { last =>
-      if (carryPrevious)
-        require(last.format == format,
-          s"Append format '$format' differs from table format '${last.format}' for " +
-            s"$fullName; carried snapshot dirs must stay one format")
-    }
-    val carryForward = if (carryPrevious) prev.lastOption.map(_.dataDirs).getOrElse(Nil) else Nil
-    val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
-    val dataDir = Paths.get(root, f"snap-$id%05d").toString
+    val base = currentSnapshot.map(_.id)
+    // unique dir per attempt: the final snapshot id is unknown until the
+    // swap wins, and two optimistic writers must never share a path
+    val dataDir = Paths.get(root,
+      s"snap-${java.util.UUID.randomUUID().toString.take(8)}").toString
     // cluster rows by partition value before a partitioned write: without
     // this every task writes a file into every partition directory
     // (tasks x partitions small files — the classic small-file explosion);
@@ -162,11 +175,64 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val writer = sorted.write.mode("overwrite").format(format)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .save(dataDir)
-    val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir, format)
-    writeMetadata(prev :+ snap)
-    Audit.log("table_write", fullName, Map("operation" -> op, "snapshot_id" -> id.toString))
-    snap
+
+    var expectedParent = base
+    var attempt = 0
+    while (true) {
+      SnapshotTable.beforeSwapHook(this, attempt)
+      trySwap(expectedParent, dataDir, op, carryPrevious, format) match {
+        case Right(snap) =>
+          Audit.log("table_write", fullName, Map(
+            "operation" -> op, "snapshot_id" -> snap.id.toString,
+            "attempts" -> (attempt + 1).toString))
+          return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries)
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          // tenacity wait_exponential(multiplier=1, max=10) shape,
+          // scaled by a test-tunable base
+          Thread.sleep(math.min(
+            SnapshotTable.backoffBaseMs << attempt,
+            SnapshotTable.backoffBaseMs * 10))
+          expectedParent = conflict.actualParent
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** One compare-and-swap attempt: inside the per-table lock, verify the
+    * base snapshot is still current, then append the new snapshot to the
+    * metadata. Append carry-forward and format compatibility are resolved
+    * against the CURRENT state (a retried append carries the concurrent
+    * writer's data forward — Iceberg's fast-append semantics).
+    */
+  private def trySwap(
+      expectedParent: Option[Long],
+      dataDir: String,
+      op: String,
+      carryPrevious: Boolean,
+      format: String): Either[CommitConflictException, Snapshot] =
+    SnapshotTable.commitLock(root).synchronized {
+      val prev = snapshots
+      val actualParent = prev.lastOption.map(_.id)
+      if (actualParent != expectedParent)
+        Left(CommitConflictException(fullName, expectedParent, actualParent))
+      else {
+        prev.lastOption.filter(_.dataDirs.nonEmpty).foreach { last =>
+          if (carryPrevious)
+            require(last.format == format,
+              s"Append format '$format' differs from table format '${last.format}' for " +
+                s"$fullName; carried snapshot dirs must stay one format")
+        }
+        val carryForward =
+          if (carryPrevious) prev.lastOption.map(_.dataDirs).getOrElse(Nil) else Nil
+        val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+        val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir, format)
+        writeMetadata(prev :+ snap)
+        Right(snap)
+      }
+    }
 
   private def writeMetadata(snaps: Seq[Snapshot]): Unit = {
     Files.createDirectories(Paths.get(root))
@@ -208,6 +274,24 @@ object SnapshotTable {
     * template vocabulary but needs the external spark-avro module).
     */
   val SupportedFormats: Set[String] = Set("parquet", "orc")
+
+  /** Default `commit_num_retries` when the template declares none
+    * (Iceberg's own `commit.retry.num-retries` default).
+    */
+  val DefaultCommitRetries: Int = 4
+
+  /** Exponential-backoff base between conflicting swap attempts
+    * (wait = min(base << attempt, base*10), the tenacity
+    * `wait_exponential(multiplier=1, max=10)` shape at base = 1 s).
+    * Test-tunable so conflict specs don't sleep for real seconds.
+    */
+  @volatile private[sink] var backoffBaseMs: Long = 1000L
+
+  /** Test seam: invoked at the start of every swap attempt (table,
+    * attempt index) so specs can inject a concurrent commit into the
+    * conflict window deterministically. No-op in production.
+    */
+  @volatile private[sink] var beforeSwapHook: (SnapshotTable, Int) => Unit = (_, _) => ()
 
   private val commitLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 

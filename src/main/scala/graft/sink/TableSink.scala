@@ -86,7 +86,7 @@ object TableSink {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
     table.overwrite(withParts, partCols, template.sortOrder.map(sortColumn),
-      template.writeFormat)
+      template.writeFormat, template.commitNumRetries)
   }
 
   /** `event_append`: append-only commit (never updates existing rows). */
@@ -94,7 +94,7 @@ object TableSink {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
     table.append(withParts, partCols, template.sortOrder.map(sortColumn),
-      template.writeFormat)
+      template.writeFormat, template.commitNumRetries)
   }
 
   /** Governed read of a snapshot table: audits `table_read` (row count is

@@ -82,4 +82,11 @@ final case class TableTemplate(
     properties.get("history_expire_max_snapshot_age_ms").map(_.toLong)
 
   def writeFormat: String = properties.getOrElse("write_format", "parquet")
+
+  /** Optimistic-commit retry budget (`commit_num_retries`,
+    * `_schema.json:109-111`); Iceberg's default when undeclared.
+    */
+  def commitNumRetries: Int =
+    properties.get("commit_num_retries").map(_.toInt)
+      .getOrElse(graft.sink.SnapshotTable.DefaultCommitRetries)
 }

@@ -64,4 +64,26 @@ class QualitySpec extends SparkSpec {
       Seq(Quality.freshness("ts", asOfEpochMs = 100000L, maxAgeMs = 2000L)))
     assert(!res.head.passed)
   }
+
+  test("a scan exceeding its wall-clock budget raises a structured timeout, not a hang") {
+    // a deliberately slow check (10 s of per-row sleep; UDF is test-only)
+    val sleepy = udf((x: Long) => { Thread.sleep(10000L); x })
+    val slow = Quality.Check("slow", "event_id", d => max(sleepy(col("event_id"))), _ => true)
+    val t0 = System.nanoTime()
+    val e = intercept[Quality.QualityTimeout] {
+      Quality.gate(df, "ns.t", Seq(slow), timeoutSeconds = 1L)
+    }
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(e.table == "ns.t" && e.timeoutSeconds == 1L)
+    assert(e.getMessage.contains("timed out after 1s"))
+    // raised promptly (scan cancelled), nowhere near the 10 s sleep
+    assert(elapsedSec < 8.0, f"timeout not enforced: took $elapsedSec%.1f s")
+  }
+
+  test("the default scan budget matches the reference runner's 300 s") {
+    assert(Quality.DefaultTimeoutSeconds == 300L)
+    // a normal fast suite under the default budget is unaffected
+    val res = Quality.gate(df, "ns.t", Seq(Quality.rowCount()))
+    assert(res.head.passed)
+  }
 }

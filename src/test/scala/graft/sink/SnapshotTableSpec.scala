@@ -95,4 +95,64 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("Missing columns"))
     assert(!t.exists) // nothing was committed
   }
+
+  /** Run `body` with the swap hook injecting a competing append on the
+    * first `conflicts` attempts (the optimistic-commit conflict window),
+    * fast backoff, and guaranteed hook restore.
+    */
+  private def withInjectedConflicts[A](t: SnapshotTable, conflicts: Int)(body: => A): A = {
+    val injecting = new java.lang.ThreadLocal[Boolean] {
+      override def initialValue(): Boolean = false
+    }
+    SnapshotTable.backoffBaseMs = 1L
+    SnapshotTable.beforeSwapHook = (table, attempt) =>
+      // guard: the injected append must not re-trigger injection
+      if ((table eq t) && attempt < conflicts && !injecting.get()) {
+        injecting.set(true)
+        try t.append(Seq(-1).toDF("v"), numRetries = 0)
+        finally injecting.set(false)
+      }
+    try body
+    finally {
+      SnapshotTable.beforeSwapHook = (_, _) => ()
+      SnapshotTable.backoffBaseMs = 1000L
+    }
+  }
+
+  test("optimistic commit retries the metadata swap on conflict and carries the rival's data") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2).toDF("v"))
+    // two rivals land between our base read and our swap; budget of 4
+    // (event_stream's declared commit_num_retries) absorbs them
+    val snap = withInjectedConflicts(t, conflicts = 2) {
+      t.append(Seq(3).toDF("v"), numRetries = 4)
+    }
+    // our append carried forward the CURRENT state incl. both rival
+    // appends (fast-append semantics): 2 rivals + base + ours
+    assert(t.snapshots.size == 4)
+    assert(snap.id == 4L)
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(-1, -1, 1, 2, 3))
+  }
+
+  test("commit fails with a structured error once commit_num_retries is exhausted") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    val e = intercept[CommitFailedException] {
+      withInjectedConflicts(t, conflicts = 3) {
+        t.append(Seq(2).toDF("v"), numRetries = 2)
+      }
+    }
+    assert(e.attempts == 3)
+    assert(e.getMessage.contains("commit_num_retries exhausted"))
+    assert(e.last.isInstanceOf[CommitConflictException])
+    // the failed writer's data never became visible
+    assert(!t.read(spark).as[Int].collect().contains(2))
+  }
+
+  test("commit_num_retries is read from the table template") {
+    val tpl = TemplateLoader.get("/root/repo/templates", "event_stream")
+    assert(tpl.commitNumRetries == 4) // declared in the template yaml
+    val undeclared = TemplateLoader.get("/root/repo/templates", "events")
+    assert(undeclared.commitNumRetries == SnapshotTable.DefaultCommitRetries)
+  }
 }
