@@ -252,44 +252,27 @@ object RelationalQueries {
 
     "window_ntile" -> QueryDef(
       (s, dir) => {
-        // Two-pass DISTRIBUTED ranking. o_orderpriority has 5 distinct
-        // values, so `ntile(4) OVER (PARTITION BY o_orderpriority ...)`
-        // would hold ~20% of the table on ONE task (windows require the
-        // whole partition in a single task) — fine at sf0.1, a straggler
-        // at 100x, OOM at the 100 TB target. Instead:
-        //  1. range-partition by (key, price, orderkey): the global sort
-        //    order is spread over N tasks, pids ascend with the order;
-        //  2. local row_number within (pid, key) — every window group
-        //    is bounded by one range partition, never by key cardinality;
-        //  3. a TINY per-(pid, key) count table (N x 5 rows) yields each
-        //    group's global offset + key total via a cumulative sum;
-        //  4. global rank = local rank + offset, broadcast-joined back;
-        //    ntile/percent_rank are closed forms of (rank, n). The
-        //    tie-break is total (orderkey unique), so ranks — and thus
-        //    the output — are identical for ANY partition boundaries.
+        // Two-pass DISTRIBUTED ranking (graft.plans.DistributedRank).
+        // o_orderpriority has 5 distinct values, so `ntile(4) OVER
+        // (PARTITION BY o_orderpriority ...)` would hold ~20% of the
+        // table on ONE task (windows require the whole partition in a
+        // single task) — fine at sf0.1, a straggler at 100x, OOM at the
+        // 100 TB target. The global rank is reconstructed from bounded
+        // per-range-partition ranks; ntile/percent_rank are closed forms
+        // of (rank, n). The tie-break is total (orderkey unique), so the
+        // output is identical for ANY partition count/boundaries.
         val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val arranged = tbl(s, dir, "orders")
-          .select("o_orderkey", "o_orderpriority", "o_totalprice")
-          .repartitionByRange(nParts,
-            col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-          .withColumn("_pid", spark_partition_id())
-        val local = arranged.withColumn("_lrk",
-          row_number().over(Window.partitionBy(col("_pid"), col("o_orderpriority"))
-            .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
-        val offsets = local.groupBy(col("_pid"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("_cnt"))
-          .withColumn("_off", sum(col("_cnt")).over(
-            Window.partitionBy(col("o_orderpriority")).orderBy(col("_pid"))) - col("_cnt"))
-          .withColumn("_n", sum(col("_cnt")).over(
-            Window.partitionBy(col("o_orderpriority"))))
-          .select(col("_pid"), col("o_orderpriority"), col("_off"), col("_n"))
         // ntile(b): first (n mod b) tiles hold ceil(n/b) rows, the rest
         // floor(n/b); for q = n div b, rem = n mod b and 1-based rank r:
         //   r <= rem*(q+1)  ->  tile = ceil(r / (q+1))
         //   otherwise       ->  tile = rem + ceil((r - rem*(q+1)) / q)
         // (q = 0, i.e. n < b, always lands in the first branch: tile = r)
-        local.join(broadcast(offsets), Seq("_pid", "o_orderpriority"))
-          .withColumn("_rk", col("_lrk") + col("_off"))
+        graft.plans.DistributedRank.withGlobalRank(
+            tbl(s, dir, "orders")
+              .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            keyCols = Seq("o_orderpriority"),
+            order = Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+            nParts = nParts)
           .withColumn("quartile", expr(
             """CAST(CASE
               |  WHEN _rk <= (_n % 4) * ((_n div 4) + 1)

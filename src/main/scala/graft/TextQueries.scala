@@ -149,28 +149,14 @@ object TextQueries {
       doc = "deterministic hash-based train/val/test split (no random())"),
 
     "text_pack_sequences" -> QueryDef(
-      (s, dir) => {
-        // concat-and-chunk: assign documents to fixed token-budget bins
-        // (the training-example packing stage). SHARDED from the start:
-        // packing is inherently sequential, so a global cumsum would
-        // serialize the whole corpus through one partition at 100 TB —
-        // instead docs hash into 16 independent shards and pack within
-        // each (shard, bin) in deterministic doc_id order. More shards
-        // = more parallelism at a bounded fragmentation cost.
-        import org.apache.spark.sql.expressions.Window
-        val budget = 2048
-        val docs = tbl(s, dir, "documents").select(
-          col("doc_id"),
-          size(TextAnalysis.wordTokens(col("text"))).as("n_tokens"),
-          pmod(TextAnalysis.hash60(concat(lit("shard:"), col("doc_id"))), lit(16L)).as("shard"))
-        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        docs.withColumn("cum", sum(col("n_tokens")).over(w))
-          // integral `div`, mirroring the oracle's `//`: double division
-          // loses mantissa bits once a shard's cumulative tokens pass
-          // 2^53 — exactly the scale this formulation exists for
-          .select(col("doc_id"), col("n_tokens"), col("shard"),
-            expr(s"(cum - n_tokens) div $budget").as("bin"))
-      },
+      (s, dir) =>
+        // graft.text.TrainingMix.packSequences: sharded concat-and-chunk
+        // (a global cumsum would serialize the corpus through one
+        // partition). Shard count is a parameter with a size-based
+        // default; 16 is PINNED here because bin ids depend on it and
+        // the oracle packs with 16.
+        graft.text.TrainingMix.packSequences(
+          tbl(s, dir, "documents"), "text", budget = 2048, shards = 16),
       Some("""WITH d AS (
              |  SELECT doc_id,
              |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
@@ -183,33 +169,14 @@ object TextQueries {
       doc = "sharded concat-and-chunk packing into fixed token-budget bins"),
 
     "sample_interleave" -> QueryDef(
-      (s, dir) => {
-        // deterministic source interleaving: each source's docs get a
-        // stable pseudo-random order (hash-ranked) and global read
-        // position rank*S + source_idx — a round-robin mix of sources,
-        // reproducible under any partitioning. Ranking windows partition
-        // by source (parallel across sources); at real scale sub-shard
-        // the rank like text_pack_sequences.
-        import org.apache.spark.sql.expressions.Window
-        val docs = tbl(s, dir, "documents")
-        // NULL sources group under a sentinel key instead of silently
-        // falling out of the inner join (dropping training docs) or
-        // diverging on NULL sort order (Spark nulls-first vs DuckDB
-        // nulls-last); the original source value is preserved in output
-        val srcKey = coalesce(col("source"), lit("<none>"))
-        val sources = docs.select(srcKey.as("_src")).distinct()
-          .withColumn("source_idx",
-            (row_number().over(Window.orderBy(col("_src"))) - 1).cast("long"))
-          .withColumn("n_sources", count(lit(1)).over())
-        val ranked = docs.select(col("doc_id"), col("source"), srcKey.as("_src"))
-          .withColumn("rk",
-            (row_number().over(Window.partitionBy(col("_src"))
-              .orderBy(TextAnalysis.hash60(concat(lit("interleave:"), col("doc_id"))),
-                col("doc_id"))) - 1).cast("long"))
-        ranked.join(broadcast(sources), "_src")
-          .select(col("doc_id"), col("source"),
-            (col("rk") * col("n_sources") + col("source_idx")).cast("long").as("pos"))
-      },
+      (s, dir) =>
+        // graft.text.TrainingMix.interleave: per-source ranks go through
+        // the two-pass DistributedRank (a plain per-source window pulls
+        // corpus/S onto one task). The partition count is parallelism
+        // only — output is identical for any value.
+        graft.text.TrainingMix.interleave(
+          tbl(s, dir, "documents"), "source",
+          nParts = graft.text.TrainingMix.defaultShards(s)),
       Some("""WITH s AS (
              |  SELECT src, row_number() OVER (ORDER BY src) - 1 AS source_idx,
              |    count(*) OVER () AS n_sources

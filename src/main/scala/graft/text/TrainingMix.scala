@@ -1,0 +1,88 @@
+package graft.text
+
+import graft.plans.DistributedRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix assembly operators: sequence packing and deterministic
+  * source interleaving (north-star LLM-pipeline surface; the reference
+  * has no analogue — cited design rationale in SURVEY.md §6).
+  */
+object TrainingMix {
+
+  /** Default shard/partition count for the sharded operators: the
+    * session's shuffle parallelism. The right value at real scale is
+    * CORPUS-sized, not cluster-sized — for packing, aim for
+    * `total_tokens / (budget * shards)` around 10^4..10^5 bins per
+    * shard (thousands of shards at 100 TB), so one task's window
+    * stays comfortably in memory while fragmentation (bounded below)
+    * stays negligible.
+    */
+  def defaultShards(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Concat-and-chunk packing: assign documents to fixed token-budget
+    * bins. Packing is inherently sequential (each bin's content depends
+    * on every earlier document), so a single global cumulative sum would
+    * serialize the whole corpus through one partition — instead docs
+    * hash into `shards` independent shards and pack within each
+    * (shard, bin) in deterministic doc_id order.
+    *
+    * Shards-vs-fragmentation tradeoff: each shard packs independently,
+    * so only its LAST bin can be under-filled — wasted capacity is
+    * bounded by `shards * (budget - 1)` tokens across the whole corpus,
+    * i.e. a fraction `shards * budget / total_tokens`. More shards =
+    * more parallelism at that (tiny) bounded cost; the output bin ids
+    * themselves depend on the shard count, so pipelines must pin it for
+    * reproducibility (the registry pins 16 to match the oracle).
+    */
+  def packSequences(docs: DataFrame, textCol: String, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val d = docs.select(
+      col("doc_id"),
+      size(TextAnalysis.wordTokens(col(textCol))).as("n_tokens"),
+      pmod(TextAnalysis.hash60(concat(lit("shard:"), col("doc_id"))), lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      // integral `div`, mirroring the oracle's `//`: double division
+      // loses mantissa bits once a shard's cumulative tokens pass
+      // 2^53 — exactly the scale this formulation exists for
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        expr(s"(cum - n_tokens) div $budget").as("bin"))
+  }
+
+  /** Deterministic source interleaving: each source's docs get a stable
+    * pseudo-random order (hash-ranked) and global read position
+    * `rank * S + source_idx` — a round-robin mix of sources,
+    * reproducible under any partitioning.
+    *
+    * The per-source rank runs through [[DistributedRank]]: a handful of
+    * sources means a plain per-source window would pull `corpus / S`
+    * onto single tasks. `nParts` is a parallelism knob only — the ranks,
+    * and therefore the output, are IDENTICAL for any value (the order is
+    * total: hash, then doc_id).
+    */
+  def interleave(docs: DataFrame, sourceCol: String, nParts: Int): DataFrame = {
+    require(nParts > 0, "nParts must be positive")
+    // NULL sources group under a sentinel key instead of silently
+    // falling out of the inner join (dropping training docs) or
+    // diverging on NULL sort order (Spark nulls-first vs DuckDB
+    // nulls-last); the original source value is preserved in output
+    val srcKey = coalesce(col(sourceCol), lit("<none>"))
+    val sources = docs.select(srcKey.as("_src")).distinct()
+      .withColumn("source_idx",
+        (row_number().over(Window.orderBy(col("_src"))) - 1).cast("long"))
+      .withColumn("n_sources", count(lit(1)).over())
+    val ranked = DistributedRank.withGlobalRank(
+        docs.select(col("doc_id"), col(sourceCol).as("source"), srcKey.as("_src"),
+          TextAnalysis.hash60(concat(lit("interleave:"), col("doc_id"))).as("_h")),
+        keyCols = Seq("_src"),
+        order = Seq(col("_h").asc, col("doc_id").asc),
+        nParts = nParts)
+      .withColumn("rk", (col("_rk") - 1).cast("long"))
+    ranked.join(broadcast(sources), "_src")
+      .select(col("doc_id"), col("source"),
+        (col("rk") * col("n_sources") + col("source_idx")).cast("long").as("pos"))
+  }
+}

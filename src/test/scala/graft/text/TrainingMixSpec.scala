@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.{Queries, SparkSpec}
+
+class TrainingMixSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  def docs = Queries.tbl(spark, dir, "documents")
+
+  test("packSequences: shard count is a parameter; packing invariants hold at any count") {
+    for (shards <- Seq(4, 16)) {
+      val rows = TrainingMix.packSequences(docs, "text", budget = 2048, shards = shards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      assert(rows.length == docs.count())
+      assert(rows.map(_._3).forall(s => s >= 0 && s < shards))
+      // within each shard, replay the cumulative packing in doc_id order
+      // and check every bin assignment: bin = floor((cum - n) / budget)
+      for ((_, inShard) <- rows.groupBy(_._3)) {
+        var cum = 0L
+        for ((_, n, _, bin) <- inShard.sortBy(_._1)) {
+          assert(bin == cum / 2048, s"bin mismatch at cum=$cum n=$n")
+          cum += n
+        }
+      }
+    }
+    // token counts per doc are shard-count independent
+    val a = TrainingMix.packSequences(docs, "text", 2048, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = TrainingMix.packSequences(docs, "text", 2048, 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("interleave: output is identical for any partition count (parallelism knob only)") {
+    val at3 = TrainingMix.interleave(docs, "source", nParts = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val at32 = TrainingMix.interleave(docs, "source", nParts = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(at3 == at32)
+    // read positions are collision-free
+    assert(at3.values.toSet.size == at3.size)
+  }
+}
