@@ -36,6 +36,39 @@ object DedupQueries {
        |FROM hs)""".stripMargin
   }
 
+  /** DuckDB CTE chain ending in `hp(doc_a, doc_b, hamming)`: the SimHash
+    * banded candidate pairs with exact Hamming filter (shared by
+    * `dedup_simhash_pairs` and `dedup_clusters`).
+    */
+  private val SimhashPairsCte =
+    """w AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+      |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 60), b -> CASE
+      |      WHEN list_sum(list_transform(th, h -> CASE
+      |        WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM w),
+      |banded AS (
+      |  SELECT doc_id, t.b AS band,
+      |    (simhash >> CAST(15 * t.b AS INT)) & 32767 AS bv
+      |  FROM sh, range(0, 4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |hp AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+      |  FROM cand
+      |  JOIN sh sa ON doc_a = sa.doc_id
+      |  JOIN sh sb ON doc_b = sb.doc_id
+      |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     "corpus_clean" -> QueryDef(
@@ -218,33 +251,37 @@ object DedupQueries {
 
     "dedup_simhash_pairs" -> QueryDef(
       (s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), "text", maxHamming = 2),
-      Some("""WITH w AS (
-             |  SELECT doc_id,
-             |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
-             |      t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS th
-             |  FROM documents),
-             |sh AS (
-             |  SELECT doc_id,
-             |    CAST(list_sum(list_transform(range(0, 60), b -> CASE
-             |      WHEN list_sum(list_transform(th, h -> CASE
-             |        WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-             |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-             |  FROM w),
-             |banded AS (
-             |  SELECT doc_id, t.b AS band,
-             |    (simhash >> CAST(15 * t.b AS INT)) & 32767 AS bv
-             |  FROM sh, range(0, 4) t(b)),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM banded a JOIN banded b
-             |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-             |SELECT doc_a, doc_b,
-             |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
-             |FROM cand
-             |JOIN sh sa ON doc_a = sa.doc_id
-             |JOIN sh sb ON doc_b = sb.doc_id
-             |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2""".stripMargin),
+      Some(s"""WITH $SimhashPairsCte
+              |SELECT doc_a, doc_b, hamming FROM hp""".stripMargin),
       doc = "SimHash 4x15-bit band-bucket candidates + exact Hamming filter (pigeonhole-complete for d<=3)"),
+
+    "dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        // pairwise matches -> dedup GROUPS: connected components over
+        // the near-dup pair graph (keep min doc_id per cluster, drop
+        // the rest). Routed through the bounded derived cache: the
+        // result is eagerly materialized by the iterative fixpoint, and
+        // the cache owns (and eventually releases) the persisted copy.
+        val docs = tbl(s, dir, "documents")
+        Dedup.sharedDerived(docs, "dedup_clusters") {
+          Dedup.connectedComponents(
+            Dedup.simhashPairs(docs, "text", maxHamming = 2))
+        }
+      },
+      // oracle: transitive closure by recursive CTE, then per-node
+      // component min + size — the same fixpoint min-label converges to
+      Some(s"""WITH RECURSIVE $SimhashPairsCte,
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM hp
+              |      UNION SELECT doc_b, doc_a FROM hp),
+              |n AS (SELECT DISTINCT a AS doc FROM e),
+              |reach(a, b) AS (
+              |  SELECT doc, doc FROM n
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+              |SELECT a AS doc_id, min(b) AS cluster_id,
+              |  CAST(count(DISTINCT b) AS BIGINT) AS cluster_size
+              |FROM reach GROUP BY a""".stripMargin),
+      doc = "near-dup pair graph -> dedup groups: distributed min-label connected components"),
 
     "dedup_embedding" -> QueryDef(
       (s, dir) => Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "label", minCos = 0.3),

@@ -168,6 +168,21 @@ object TextQueries {
              |FROM d""".stripMargin),
       doc = "sharded concat-and-chunk packing into fixed token-budget bins"),
 
+    "sample_weighted" -> QueryDef(
+      (s, dir) =>
+        // domain reweighting: drop src0, thin src1/src2, keep src3
+        // whole, 0.75 for the long tail — deterministic hash draws, so
+        // the sample is identical under any partitioning or re-run
+        graft.text.TrainingMix.sampleByRate(
+          tbl(s, dir, "documents"), "source",
+          rates = Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5, "src3" -> 1.0),
+          defaultRate = 0.75),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE CAST(CONCAT('0x', substr(md5('sample:' || doc_id), 1, 15)) AS BIGINT) % 1000000
+             |  < (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 250000
+             |     WHEN 'src2' THEN 500000 WHEN 'src3' THEN 1000000 ELSE 750000 END)""".stripMargin),
+      doc = "deterministic per-source rate sampling (training-mix domain reweighting)"),
+
     "sample_interleave" -> QueryDef(
       (s, dir) =>
         // graft.text.TrainingMix.interleave: per-source ranks go through

@@ -342,6 +342,68 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** `dedup_clusters`: connected components of the near-dup pair graph —
+    * the step that turns pairwise matches into dedup GROUPS (keep one
+    * representative per cluster, drop the rest). Iterative MIN-LABEL
+    * PROPAGATION: driver-coordinated rounds, each fully distributed —
+    * one equi-join (neighbor labels onto edge endpoints) plus one
+    * groupBy-min, both shuffling on doc_id. No step ever holds a whole
+    * component on one task, so component size never bounds a task.
+    *
+    * Converges in O(component diameter) rounds; near-dup components are
+    * shallow (duplicate groups are clique-like), and `maxIter` bounds
+    * the adversarial case. At extreme scale the two-phase
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") halves diameter per round —
+    * same join shape, more state; min-label is chosen for its simple,
+    * oracle-reproducible fixpoint (both converge to the component min).
+    *
+    * EAGER: the loop's convergence test is an action per round, and the
+    * returned frame is materialized + persisted with intermediates
+    * released (callers should route it through [[sharedDerived]] so the
+    * bounded cache owns the persisted copy).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist(lvl)
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist(lvl)
+    try {
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
+          .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nmin"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .persist(lvl)
+        // monotone: labels only ever decrease, so "no row decreased" is
+        // exactly the fixpoint test (one tiny count action per round)
+        val changed = next
+          .join(labels.select(col("doc_id"), col("label").as("prev")), "doc_id")
+          .filter(col("label") < col("prev")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        done = changed == 0
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      val result = labels.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+        .persist(lvl)
+      result.count(): Unit // materialize before releasing the lineage's blocks
+      result
+    } finally {
+      labels.unpersist(blocking = false)
+      edges.unpersist(blocking = false): Unit
+    }
+  }
+
   /** Cosine similarity of two double arrays via the native codegen
     * expressions (graft.functions.VectorMath): sequential left-to-right
     * fold, bit-identical to the oracle's `list_reduce` order. The

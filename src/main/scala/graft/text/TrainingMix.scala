@@ -52,6 +52,33 @@ object TrainingMix {
         expr(s"(cum - n_tokens) div $budget").as("bin"))
   }
 
+  /** Deterministic per-source rate sampling — domain REWEIGHTING for a
+    * training mix (down-sample over-represented sources, keep rare ones
+    * whole). A doc survives iff
+    * `hash("sample:" ++ doc_id) mod 1e6 < rate(source) * 1e6`:
+    * stable under any partitioning, re-run, or reshuffle (no random()),
+    * and independent draws across docs. Rates are fractions in [0, 1];
+    * sources missing from `rates` use `defaultRate`.
+    *
+    * Scale: a pure narrow filter over one scan — no shuffle, no join
+    * (the rate table rides along as a literal CASE expression; for
+    * thousands of sources switch to a broadcast-joined rate dimension).
+    */
+  def sampleByRate(
+      docs: DataFrame, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "sampling rates must be in [0, 1]")
+    val M = 1000000L
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+      lit(math.round(defaultRate * M)): org.apache.spark.sql.Column) {
+      case ((s, r), acc) => when(col(sourceCol) === s, lit(math.round(r * M))).otherwise(acc)
+    }
+    docs.filter(
+      pmod(TextAnalysis.hash60(concat(lit("sample:"), col("doc_id"))), lit(M)) < threshold)
+      .select(col("doc_id"), col(sourceCol))
+  }
+
   /** Deterministic source interleaving: each source's docs get a stable
     * pseudo-random order (hash-ranked) and global read position
     * `rank * S + source_idx` — a round-robin mix of sources,

@@ -86,4 +86,27 @@ class DedupSpec extends SparkSpec {
       assert(p.toSet == base.toSet, s"k=$k changed the pair set")
     }
   }
+
+  test("connected components: min-label fixpoint over chains, cliques and pairs") {
+    // components: chain 1-2-3-4 (diameter 3, exercises multiple rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+  }
+
+  test("connected components: empty pair set yields an empty, well-typed frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(empty)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+    assert(out.count() == 0)
+  }
 }

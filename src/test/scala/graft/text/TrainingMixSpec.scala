@@ -31,6 +31,30 @@ class TrainingMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sampleByRate: rate 0 drops all, rate 1 keeps all, draws are deterministic") {
+    val rates = Map("src0" -> 0.0, "src3" -> 1.0)
+    val out = TrainingMix.sampleByRate(docs, "source", rates, defaultRate = 0.5)
+    val bySource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySource.contains("src0"))
+    assert(bySource("src3") == totals("src3"))
+    // default-rate sources keep a strict, nonzero subset
+    val tail = (totals.keySet -- rates.keySet).toSeq
+    assert(tail.exists(s => bySource.getOrElse(s, 0L) > 0))
+    assert(tail.map(s => bySource.getOrElse(s, 0L)).sum <
+      tail.map(totals).sum)
+    // deterministic: a second run selects the identical doc set
+    val again = TrainingMix.sampleByRate(docs, "source", rates, defaultRate = 0.5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val bad = intercept[IllegalArgumentException] {
+      TrainingMix.sampleByRate(docs, "source", Map("x" -> 1.5), 0.5)
+    }
+    assert(bad.getMessage.contains("[0, 1]"))
+  }
+
   test("interleave: output is identical for any partition count (parallelism knob only)") {
     val at3 = TrainingMix.interleave(docs, "source", nParts = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
