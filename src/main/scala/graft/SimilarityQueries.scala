@@ -30,6 +30,44 @@ object SimilarityQueries {
          |  (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString("(", " +\n ", ")")
 
+  /** DuckDB CTE chain for the IVF pipeline, ending in
+    * `ivf_ranked(query_id, vec_id, cos, rank)` (queries = vec_id < 10,
+    * nprobe=1). Shared by `similarity_ivf` and `similarity_recall`.
+    */
+  private lazy val IvfRankedCte: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, label, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
+       |  FROM e, unnest(range(0, 64)) AS u(i)),
+       |cents AS (SELECT label AS cell, pos, avg(x) AS c FROM ex GROUP BY 1, 2),
+       |cn2 AS (SELECT cell, sum(c * c) AS cn2 FROM cents GROUP BY 1),
+       |vn2 AS (SELECT vec_id, sum(x * x) AS vn2 FROM ex GROUP BY 1),
+       |dots AS (
+       |  SELECT ex.vec_id, cents.cell, sum(ex.x * cents.c) AS vc
+       |  FROM ex JOIN cents USING (pos) GROUP BY 1, 2),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
+       |    FROM dots d JOIN cn2 c USING (cell) JOIN vn2 v USING (vec_id))
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id
+       |  FROM (SELECT * FROM assign WHERE vec_id < 10) q
+       |  JOIN assign c USING (cell)
+       |  WHERE q.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cosSql("qe.v", "ce.v")} AS cos
+       |  FROM cand
+       |  JOIN e qe ON cand.query_id = qe.vec_id
+       |  JOIN e ce ON cand.vec_id = ce.vec_id),
+       |ivf_ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     "similarity_topk" -> QueryDef(
@@ -74,40 +112,42 @@ object SimilarityQueries {
         val emb = tbl(s, dir, "embeddings")
         Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "label", k = 5)
       },
-      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-              |ex AS (SELECT vec_id, label, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
-              |  FROM e, unnest(range(0, 64)) AS u(i)),
-              |cents AS (SELECT label AS cell, pos, avg(x) AS c FROM ex GROUP BY 1, 2),
-              |cn2 AS (SELECT cell, sum(c * c) AS cn2 FROM cents GROUP BY 1),
-              |vn2 AS (SELECT vec_id, sum(x * x) AS vn2 FROM ex GROUP BY 1),
-              |dots AS (
-              |  SELECT ex.vec_id, cents.cell, sum(ex.x * cents.c) AS vc
-              |  FROM ex JOIN cents USING (pos) GROUP BY 1, 2),
-              |assign AS (
-              |  SELECT vec_id, cell FROM (
-              |    SELECT d.vec_id, d.cell,
-              |      row_number() OVER (PARTITION BY d.vec_id
-              |        ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
-              |    FROM dots d JOIN cn2 c USING (cell) JOIN vn2 v USING (vec_id))
-              |  WHERE rn = 1),
-              |cand AS (
-              |  SELECT q.vec_id AS query_id, c.vec_id
-              |  FROM (SELECT * FROM assign WHERE vec_id < 10) q
-              |  JOIN assign c USING (cell)
-              |  WHERE q.vec_id <> c.vec_id),
-              |scored AS (
-              |  SELECT cand.query_id, cand.vec_id,
-              |    ${cosSql("qe.v", "ce.v")} AS cos
-              |  FROM cand
-              |  JOIN e qe ON cand.query_id = qe.vec_id
-              |  JOIN e ce ON cand.vec_id = ce.vec_id)
-              |SELECT query_id, vec_id, cos, rank FROM (
-              |  SELECT query_id, vec_id, cos,
-              |    CAST(row_number() OVER (PARTITION BY query_id
-              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-              |  FROM scored)
+      Some(s"""WITH $IvfRankedCte
+              |SELECT query_id, vec_id, cos, rank FROM ivf_ranked
               |WHERE rank <= 5""".stripMargin),
       doc = "IVF-style ANN: learned centroid cells, nprobe=1, candidates N/cells"),
+
+    "similarity_recall" -> QueryDef(
+      (s, dir) => {
+        // the ANN evaluation loop: recall@5 of the IVF index against the
+        // brute-force truth for the same query set — what you measure
+        // before trusting an index (and after every re-train)
+        val emb = tbl(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          Similarity.ivfTopK(queries, emb, "label", k = 5),
+          Similarity.bruteForceTopK(queries, emb, k = 5))
+      },
+      Some(s"""WITH $IvfRankedCte,
+              |ivf AS (SELECT query_id, vec_id FROM ivf_ranked WHERE rank <= 5),
+              |allscored AS (
+              |  SELECT q.vec_id AS query_id, ce.vec_id, ${cosSql("q.v", "ce.v")} AS cos
+              |  FROM e q JOIN e ce ON q.vec_id < 10 AND q.vec_id <> ce.vec_id),
+              |truth AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |      row_number() OVER (PARTITION BY query_id
+              |        ORDER BY cos DESC, vec_id ASC) AS rnk
+              |    FROM allscored)
+              |  WHERE rnk <= 5)
+              |SELECT t.query_id,
+              |  CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+              |  CAST(count(*) AS BIGINT) AS truth_k,
+              |  round(CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / count(*), 6) AS recall
+              |FROM truth t LEFT JOIN ivf i USING (query_id, vec_id)
+              |GROUP BY 1""".stripMargin),
+      doc = "ANN evaluation: per-query recall@5 of IVF candidates vs brute-force truth"),
 
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's

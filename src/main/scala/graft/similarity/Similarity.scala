@@ -207,6 +207,23 @@ object Similarity {
         .getField("m").as("centroid"),
         count(lit(1)).as("dims"))
 
+  /** `similarity_recall`: per-query recall@k of an approximate (ANN)
+    * top-k against the exact top-k — the evaluation loop every ANN
+    * deployment needs before trusting an index (tune nprobe / planes /
+    * cells against measured recall, not hope). Pure small-data math:
+    * both inputs carry <= k rows per query, so the join and aggregate
+    * shuffle O(|Q| * k) rows no matter the corpus size.
+    */
+  def recallAtK(approxTopK: DataFrame, exactTopK: DataFrame): DataFrame =
+    exactTopK.select(col("query_id"), col("vec_id"))
+      .join(approxTopK.select(col("query_id"), col("vec_id"), lit(1L).as("_hit")),
+        Seq("query_id", "vec_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("truth_k"))
+      .select(col("query_id"), col("hits"), col("truth_k"),
+        round(col("hits").cast("double") / col("truth_k"), 6).as("recall"))
+
   /** Bucket signature surface for tests/inspection: (vec_id, bucket). */
   def bucketSignatures(corpus: DataFrame): DataFrame =
     buckets(exploded(corpus, "vec_id", "vec_id"), "vec_id")
