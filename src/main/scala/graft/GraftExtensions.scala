@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{CountIn, DotProduct, IcebergBucketHash, SumSquares}
+import graft.plans.NativeVectorMathRule
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers the engine's native
+  * expressions as SQL functions and installs the HOF-to-native rewrite
+  * rule. Activate per session with either
+  * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
+  * or `spark.sql.extensions=graft.GraftExtensions` in config — the
+  * standard integration shape for a Spark-native library (same
+  * mechanism Iceberg's Spark runtime uses for its extensions).
+  *
+  * Registered SQL surface:
+  *  - `dot_product(array<double>, array<double>)` — codegen'd
+  *    sequential-fold dot product (VectorMath.scala);
+  *  - `sum_squares(array<double>)` — codegen'd sum of squares;
+  *  - `iceberg_bucket_hash(col)` — Iceberg-spec murmur3 bucket hash
+  *    (IcebergBucket.scala; NOT Spark's hash(): different seed/layout);
+  *  - `count_in(array<string>, 'v1', 'v2', ...)` — codegen'd
+  *    set-membership counter (CountIn.scala).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b) takes two array<double> arguments")
+        DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sum_squares"),
+      new ExpressionInfo(classOf[SumSquares].getCanonicalName, "sum_squares"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "sum_squares(v) takes one array<double> argument")
+        SumSquares(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("iceberg_bucket_hash"),
+      new ExpressionInfo(classOf[IcebergBucketHash].getCanonicalName, "iceberg_bucket_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "iceberg_bucket_hash(col) takes one argument")
+        IcebergBucketHash(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountIn].getCanonicalName, "count_in"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          "count_in(tokens, 'v1', ...) takes an array column plus string literals")
+        val values = args.tail.map { e =>
+          require(e.foldable && e.dataType == org.apache.spark.sql.types.StringType,
+            s"count_in membership values must be string literals, got $e")
+          e.eval().toString
+        }
+        CountIn(args.head, values)
+      }))
+    ext.injectOptimizerRule(_ => NativeVectorMathRule)
+  }
+}
