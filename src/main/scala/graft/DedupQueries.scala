@@ -204,6 +204,38 @@ object DedupQueries {
               |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.4""".stripMargin),
       doc = "n-gram Jaccard near-dup via inverted-index join + frequent-shingle cap"),
 
+    "dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        // the "new batch" is docs with doc_id % 10 == 7 (an arbitrary,
+        // sf-independent 10% delta); pairs among the other 90% are
+        // excluded — the steady-state ingestion check
+        import org.apache.spark.sql.functions.{col, pmod, lit}
+        val docs = tbl(s, dir, "documents")
+        Dedup.incrementalJaccardPairs(
+          Dedup.sharedPostings(docs, "text", 3),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 7).select("doc_id"),
+          minJaccard = 0.4)
+      },
+      Some(s"""WITH $ShinglesSql,
+              |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+              |rare AS (SELECT sh FROM p GROUP BY sh HAVING count(*) <= 10),
+              |pr AS (SELECT p.doc_id, p.sh FROM p JOIN rare USING (sh)),
+              |prn AS (SELECT * FROM pr WHERE doc_id % 10 = 7),
+              |pairs AS (
+              |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+              |    greatest(a.doc_id, b.doc_id) AS doc_b, count(*) AS common
+              |  FROM pr a JOIN prn b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              |    AND (a.doc_id % 10 <> 7 OR a.doc_id < b.doc_id)
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+              |SELECT doc_a, doc_b, common,
+              |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+              |FROM pairs
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.4""".stripMargin),
+      doc = "batch-vs-corpus near-dup check (ingestion shape): cost scales with the delta, not corpus^2"),
+
     "dedup_minhash" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(
         tbl(s, dir, "documents"), "text", n = 3, rowsPerBand = 2, minJaccard = 0.4),

@@ -208,6 +208,40 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
+  /** `dedup_incremental`: near-dup pairs between an arriving BATCH and
+    * the full corpus — the production ingestion shape. A steady-state
+    * pipeline must not re-pair the whole corpus on every delta: pairs
+    * among existing docs are excluded, so the candidate join costs
+    * O(batch postings x colliding corpus postings), not corpus². Every
+    * pair with >= 1 new endpoint is emitted exactly once: (old, new)
+    * pairs form with the old doc on the corpus side, and new-new pairs
+    * are kept only in their `a.doc < b.doc` orientation. The df cap and
+    * set sizes are counted over the FULL corpus postings (same rarity
+    * statistics a full re-dedup would use, so scores match it exactly).
+    */
+  def incrementalJaccardPairs(
+      postings: DataFrame, newIds: DataFrame,
+      minJaccard: Double, maxDf: Int = 10): DataFrame = {
+    val flagged = rarePostings(postings, maxDf)
+      .join(newIds.select(col("doc_id")).distinct().withColumn("_new", lit(1)),
+        Seq("doc_id"), "left_outer")
+    val rareNew = flagged.filter(col("_new") === 1)
+    val cand = flagged.as("a").join(rareNew.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          (col("a._new").isNull || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "common", "jaccard")
+  }
+
   /** K-wide minhash signature, one column per permutation: a single
     * hash-aggregate over the postings (map-side partial mins, fixed-width
     * state — K longs per doc).

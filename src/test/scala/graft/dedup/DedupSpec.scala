@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental pairs: only pairs touching the new batch, each exactly once") {
+    // 1~2 both OLD (excluded), 3 NEW ~ 4 OLD (kept, new id < old id),
+    // 5 OLD ~ 6 NEW (kept), 7~8 both NEW (kept exactly once)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "red orange yellow green blue indigo"),
+      (6L, "red orange yellow green blue indigo"),
+      (7L, "north south east west up down around"),
+      (8L, "north south east west up down around"))
+      .toDF("doc_id", "text")
+    val newIds = Seq(3L, 6L, 7L, 8L).toDF("doc_id")
+    val got = Dedup.incrementalJaccardPairs(
+        Dedup.shinglePostings(corpus, "text"), newIds, minJaccard = 0.9)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "a pair was emitted twice")
+    assert(got.toSet == Set((3L, 4L), (5L, 6L), (7L, 8L)))
+  }
+
   test("connected components: min-label fixpoint over chains, cliques and pairs") {
     // components: chain 1-2-3-4 (diameter 3, exercises multiple rounds),
     // triangle 10-11-12, isolated pair 20-21
