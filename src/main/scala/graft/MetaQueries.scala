@@ -268,6 +268,30 @@ object MetaQueries {
              |FROM events WHERE event_id % 7 = 0""".stripMargin),
       doc = "orc write-format dispatch: template-declared format, snapshot-recorded, read back"),
 
+    "drift_stats" -> QueryDef(
+      (s, dir) => {
+        // distribution drift per event_type: week 1 vs weeks 2-4 of the
+        // events table (schema drift alone misses a shifting mean)
+        val events = tbl(s, dir, "events")
+        val cut = lit("2024-01-08 00:00:00").cast("timestamp")
+        graft.drift.DataDrift.compare(
+          events.filter(col("ts") < cut), events.filter(col("ts") >= cut),
+          groupCol = "event_type", valueCol = "value", relThreshold = 0.05)
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS base_n,
+             |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS base_mean
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
+             |c AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS cur_n,
+             |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS cur_mean
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1)
+             |SELECT event_type, base_n, base_mean, cur_n, cur_mean,
+             |  round(abs(cur_mean - base_mean) / abs(base_mean), 6) AS rel_delta,
+             |  round(abs(cur_mean - base_mean) / abs(base_mean), 6) > 0.05 AS drifted
+             |FROM b JOIN c USING (event_type)""".stripMargin),
+      doc = "per-group distribution drift (exact DECIMAL means, relative threshold flag)"),
+
     "time_travel_snapshots" -> QueryDef(
       (s, dir) => {
         import s.implicits._
