@@ -150,6 +150,11 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("sample_weighted reads only the two columns it outputs (pruned narrow filter)") {
+    val p = planOf("sample_weighted")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p.take(600))
+  }
+
   test("no query in the registry plans a cartesian product or nested-loop join") {
     for ((k, d) <- Queries.all) {
       val p = d.fn(spark, dir).queryExecution.executedPlan.toString
