@@ -149,6 +149,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!t.read(spark).as[Int].collect().contains(2))
   }
 
+  test("six genuinely concurrent appenders all land; no commit is lost") {
+    val t = freshTable()
+    t.overwrite(Seq(0).toDF("v"))
+    SnapshotTable.backoffBaseMs = 1L
+    try {
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 6).map { i =>
+        new Thread(() => {
+          try t.append(Seq(i).toDF("v"), numRetries = 10): Unit
+          catch { case e: Throwable => errors.add(e): Unit }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errors.isEmpty, s"concurrent append failed: ${errors.peek()}")
+      // every commit landed: base overwrite + 6 appends, monotone ids,
+      // and the table contains every appended row exactly once
+      assert(t.snapshots.size == 7)
+      assert(t.snapshots.map(_.id) == (1L to 7L))
+      assert(t.read(spark).as[Int].collect().sorted.toSeq == (0 to 6))
+    } finally SnapshotTable.backoffBaseMs = 1000L
+  }
+
   test("commit_num_retries is read from the table template") {
     val tpl = TemplateLoader.get("/root/repo/templates", "event_stream")
     assert(tpl.commitNumRetries == 4) // declared in the template yaml
