@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked child's stdout through RAW instead of re-logging it
+// with an "[info] " prefix: the bench driver tail-parses stdout lines
+// as JSON, and sbt's default LoggedOutput prefix defeats json.loads
+// (BENCH_r01..r03 all recorded parsed=null because of it).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -430,6 +430,15 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    // a non-converged label table is WRONG (components still split), and
+    // consuming it as dedup groups would silently under-merge — fail loudly
+    // instead; diameter > maxIter is the pathological-chain case, so the
+    // remedy is a higher maxIter, not a partial answer
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); labels would be split and wrong - " +
+          "raise maxIter for deeper graphs")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

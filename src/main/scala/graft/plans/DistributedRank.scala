@@ -48,9 +48,22 @@ object DistributedRank {
       totalCol: String = "_n"): DataFrame = {
     require(nParts > 0, "nParts must be positive")
     val keys = keyCols.map(col)
+    // localCheckpoint (eager) PINS the sampled pid assignment: the
+    // local-rank branch and the offsets branch below both consume
+    // `arranged`, and range boundaries are sampled per physical exchange —
+    // without the cut, column pruning differentiates the two branches
+    // (offsets never reads payload columns), each plans its OWN range
+    // exchange with independently sampled boundaries, and the joined
+    // offsets no longer describe the pids the local ranks were computed
+    // in (verified: the un-cut plan really does duplicate the exchange —
+    // DistributedRankSpec pins zero range exchanges in the final plan).
+    // Cost: one materialization of the table, same order of magnitude as
+    // the range shuffle itself; blocks are unreplicated executor storage,
+    // the standard trade for an intra-operator temp.
     val arranged = df
       .repartitionByRange(nParts, keys ++ order: _*)
       .withColumn("_drk_pid", spark_partition_id())
+      .localCheckpoint()
     val local = arranged.withColumn("_drk_lrk",
       row_number().over(
         Window.partitionBy(col("_drk_pid") +: keys: _*).orderBy(order: _*)))

@@ -113,13 +113,18 @@ object Quality {
     */
   private def headBounded(
       df: DataFrame, table: String, timeoutSeconds: Long): org.apache.spark.sql.Row = {
-    import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
+    import java.util.concurrent.{CountDownLatch, FutureTask, TimeUnit, TimeoutException}
     val sc = df.sparkSession.sparkContext
     val group = s"graft-quality-$table-${System.nanoTime()}"
+    // closes the startup race: if the timeout fired before the worker had
+    // called setJobGroup, cancelJobGroup would target an unset group and
+    // the scan's Spark jobs would keep holding executors past the budget
+    val groupArmed = new CountDownLatch(1)
     val task = new FutureTask(() => {
       // job-group tags are thread-local: set inside the worker thread so
       // cancellation targets exactly this scan's jobs
       sc.setJobGroup(group, s"quality scan: $table", interruptOnCancel = true)
+      groupArmed.countDown()
       try df.head()
       finally sc.clearJobGroup()
     })
@@ -129,6 +134,9 @@ object Quality {
     try task.get(timeoutSeconds, TimeUnit.SECONDS)
     catch {
       case _: TimeoutException =>
+        // wait (briefly) for the group tag before cancelling; if the worker
+        // died before tagging there are no jobs to cancel anyway
+        groupArmed.await(5, TimeUnit.SECONDS)
         sc.cancelJobGroup(group)
         task.cancel(true)
         throw QualityTimeout(table, timeoutSeconds)

@@ -104,13 +104,31 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val current = all.last
     val (expired, kept0) = all.init.partition(_.committedAtMs < olderThanMs)
     val kept = kept0 :+ current
-    if (expired.isEmpty) return Nil
     val liveDirs = kept.flatMap(_.dataDirs).toSet
-    writeMetadata(kept)
-    expired.flatMap(_.dataDirs).distinct.filterNot(liveDirs.contains).foreach { d =>
-      deleteRecursively(new File(d))
+    if (expired.nonEmpty) {
+      writeMetadata(kept)
+      expired.flatMap(_.dataDirs).distinct.filterNot(liveDirs.contains).foreach { d =>
+        deleteRecursively(new File(d))
+      }
     }
+    sweepOrphans(liveDirs, olderThanMs)
     expired.map(_.id)
+  }
+
+  /** Delete snap-* dirs no snapshot references — the residue of a commit
+    * whose process died between data write and swap (the in-process
+    * retry-exhaustion path already cleans up after itself). Only dirs last
+    * modified before the expiry cutoff are swept: an in-flight commit's
+    * dir is written OUTSIDE the commit lock, so recency is the only signal
+    * distinguishing "being committed right now" from "abandoned".
+    */
+  private def sweepOrphans(liveDirs: Set[String], olderThanMs: Long): Unit = {
+    val rootFile = new File(root)
+    Option(rootFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .filterNot(f => liveDirs.contains(f.getPath) || liveDirs.contains(f.getAbsolutePath))
+      .filter(_.lastModified() < olderThanMs)
+      .foreach(deleteRecursively)
   }
 
   private def requireCurrent: Snapshot = currentSnapshot.getOrElse(
@@ -187,13 +205,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
             "attempts" -> (attempt + 1).toString))
           return snap
         case Left(conflict) =>
-          if (attempt >= numRetries)
+          if (attempt >= numRetries) {
+            // the data dir was written but will never be referenced by any
+            // snapshot — delete it now, or every exhausted commit would
+            // permanently orphan a snapshot-sized directory on disk
+            deleteRecursively(new File(dataDir))
             throw CommitFailedException(fullName, attempt + 1, conflict)
-          // tenacity wait_exponential(multiplier=1, max=10) shape,
-          // scaled by a test-tunable base
-          Thread.sleep(math.min(
-            SnapshotTable.backoffBaseMs << attempt,
-            SnapshotTable.backoffBaseMs * 10))
+          }
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
           expectedParent = conflict.actualParent
           attempt += 1
       }
@@ -286,6 +305,16 @@ object SnapshotTable {
     * Test-tunable so conflict specs don't sleep for real seconds.
     */
   @volatile private[sink] var backoffBaseMs: Long = 1000L
+
+  /** Wait before swap attempt `attempt+1` — tenacity
+    * wait_exponential(multiplier=1, max=10) shape, scaled by the
+    * test-tunable base. The shift is clamped: `commit_num_retries` is
+    * template-controlled and unbounded, and `base << 53+` overflows Long
+    * into a negative Thread.sleep argument; min(base<<4, base*10) =
+    * base*10, so the clamp never changes an in-range wait.
+    */
+  private[sink] def backoffMs(attempt: Int): Long =
+    math.min(backoffBaseMs << math.min(attempt, 4), backoffBaseMs * 10)
 
   /** Test seam: invoked at the start of every swap attempt (table,
     * attempt index) so specs can inject a concurrent commit into the

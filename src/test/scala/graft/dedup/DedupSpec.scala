@@ -125,6 +125,21 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 2L), (21L, 20L, 2L)))
   }
 
+  test("connected components: non-convergence within maxIter fails loudly") {
+    // chain 1-2-3-...-8 has diameter 7; min-label propagation moves the
+    // min one hop per round, so maxIter=2 cannot converge — consuming the
+    // split labels as dedup groups would silently under-merge
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph converges fine with an adequate budget
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ok == (1L to 8L).map(i => (i, 1L, 8L)).toSet)
+  }
+
   test("connected components: empty pair set yields an empty, well-typed frame") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(empty)

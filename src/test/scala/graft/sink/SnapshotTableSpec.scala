@@ -147,6 +147,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.last.isInstanceOf[CommitConflictException])
     // the failed writer's data never became visible
     assert(!t.read(spark).as[Int].collect().contains(2))
+    // ...and its already-written data dir was deleted, not orphaned: every
+    // snap-* dir on disk is referenced by a surviving snapshot
+    val referenced = t.snapshots.flatMap(_.dataDirs)
+      .map(d => new java.io.File(d).getName).toSet
+    val onDisk = new java.io.File(t.root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-")).map(_.getName).toSet
+    assert(onDisk == referenced, s"orphaned dirs: ${onDisk -- referenced}")
+  }
+
+  test("expireSnapshots sweeps aged orphan dirs but spares fresh (in-flight) ones") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    // an abandoned commit's residue (process died between write and swap)
+    val aged = new java.io.File(t.root, "snap-deadbeef")
+    assert(aged.mkdir() && new java.io.File(aged, "part-0.parquet").createNewFile())
+    assert(aged.setLastModified(System.currentTimeMillis() - 120000))
+    // a commit in flight RIGHT NOW: dir written (outside the lock), swap pending
+    val fresh = new java.io.File(t.root, "snap-cafebabe")
+    assert(fresh.mkdir())
+    val cutoff = System.currentTimeMillis() - 60000
+    t.expireSnapshots(olderThanMs = cutoff): Unit
+    assert(!aged.exists(), "aged orphan should be swept")
+    assert(fresh.exists(), "fresh dir may belong to an in-flight commit - must survive")
+    assert(t.read(spark).as[Int].collect().toSeq == Seq(1)) // live data untouched
+  }
+
+  test("backoff wait is clamped: huge attempt counts never go negative") {
+    assert(SnapshotTable.backoffMs(0) == SnapshotTable.backoffBaseMs)
+    assert(SnapshotTable.backoffMs(3) == SnapshotTable.backoffBaseMs * 8)
+    // pre-clamp, base << 60 overflowed Long and Thread.sleep threw
+    for (attempt <- Seq(4, 10, 53, 60, Int.MaxValue)) {
+      val w = SnapshotTable.backoffMs(attempt)
+      assert(w == SnapshotTable.backoffBaseMs * 10, s"attempt=$attempt gave $w")
+    }
   }
 
   test("six genuinely concurrent appenders all land; no commit is lost") {
