@@ -44,7 +44,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for isolated profiling runs
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=sink_overwrite,retention_expire)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full materialization of every output column

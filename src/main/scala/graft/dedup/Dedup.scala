@@ -489,22 +489,52 @@ object Dedup {
     *   so the output is identical for any k. Default 1 (off): balanced
     *   corpora shouldn't pay the replication.
     */
+  /** Pairs-per-join-cell budget driving the automatic sub-block count:
+    * ~4M dot products is a few seconds of one task's work at 64 dims —
+    * bounded, but large enough that auto-k never engages on data where
+    * the plain blocked join is already fine. Test seam.
+    */
+  @volatile private[dedup] var maxPairsPerCell: Long = 4L << 20
+
+  /** Data-driven skew guard: the hottest block of n rows pushes ~n^2/2
+    * candidate pairs through ONE join cell (a straggler no cluster size
+    * fixes — more executors don't split a key). One cheap column-pruned
+    * groupBy-count observes n_max and picks the smallest k whose largest
+    * sub-cell stays inside [[maxPairsPerCell]]: k = ceil(n_max^2 / P),
+    * clamped to [1, 64] (side A's row duplication grows ~k/2, so
+    * unbounded k would trade a straggler for volume).
+    */
+  private[dedup] def autoSubBlocks(emb: DataFrame, blockCol: String): Int = {
+    val nMax = emb.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val k = math.ceil(nMax.toDouble * nMax.toDouble / maxPairsPerCell).toLong
+    math.min(math.max(k, 1L), 64L).toInt
+  }
+
+  /** @param subBlocks 0 (default) derives the skew-guard split from the
+    *                  observed max block size ([[autoSubBlocks]]); 1
+    *                  disables splitting; k>1 forces a split.
+    */
   def embeddingPairs(
       emb: DataFrame, blockCol: String, minCos: Double,
-      subBlocks: Int = 1): DataFrame = {
+      subBlocks: Int = 0): DataFrame = {
     import graft.functions.VectorMath
+    val k = if (subBlocks == 0) autoSubBlocks(emb, blockCol) else subBlocks
     val e = emb.select(col("vec_id"), col(blockCol).as("block"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", VectorMath.l2Norm(col("v")))
     val joined =
-      if (subBlocks <= 1)
+      if (k <= 1)
         e.as("a").join(e.as("b"),
           col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
       else {
-        val sub = e.withColumn("s", pmod(col("vec_id"), lit(subBlocks)))
+        val sub = e.withColumn("s", pmod(col("vec_id"), lit(k)))
         // side A carries every target sub-block >= its own: sub-pair
         // (sa, sb) is produced exactly once, keyed (block, sb)
-        val a = sub.withColumn("tgt", explode(sequence(col("s"), lit(subBlocks - 1)))).as("a")
+        val a = sub.withColumn("tgt", explode(sequence(col("s"), lit(k - 1)))).as("a")
         a.join(sub.as("b"),
           col("a.block") === col("b.block") && col("a.tgt") === col("b.s") &&
             (col("a.s") < col("b.s") ||

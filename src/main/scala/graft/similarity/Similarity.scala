@@ -147,11 +147,13 @@ object Similarity {
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("cx")).as("c"))
 
-  /** Nearest-cell assignment by squared L2 distance: argmin over cells of
-    * ||v||^2 - 2 v.c + ||c||^2, computed as one join + aggregation with a
-    * deterministic (distance, cell) tie-break. Returns (id, cell).
+  /** Nearest-cell assignment by squared L2 distance: the `nProbe`
+    * closest cells of ||v||^2 - 2 v.c + ||c||^2, computed as one join +
+    * aggregation with a deterministic (distance, cell) tie-break.
+    * Returns (id, cell), `nProbe` rows per id.
     */
-  private def assignCells(e: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+  private def assignCells(
+      e: DataFrame, idCol: String, cents: DataFrame, nProbe: Int = 1): DataFrame = {
     val cnorm2 = cents.groupBy(col("cell")).agg(sum(col("c") * col("c")).as("cn2"))
     val vnorm2 = e.groupBy(col(idCol)).agg(sum(col("x") * col("x")).as("vn2"))
     val dots = e.join(broadcast(cents), Seq("pos"))
@@ -161,24 +163,34 @@ object Similarity {
       .withColumn("d2", round(col("vn2") - lit(2.0) * col("vc") + col("cn2"), 6))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cell").asc)))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= nProbe)
       .select(col(idCol), col("cell"))
   }
 
   /** `similarity_ivf`: IVF-style ANN — a coarse quantizer (here the
     * per-label centroids) partitions the corpus into cells; each query
-    * probes only its nearest cell (nprobe=1). Candidate volume drops
-    * from N to N/cells; the cell assignment is itself one scan + one
+    * probes its `nprobe` nearest cells. Candidate volume is
+    * ~nprobe * N/cells; the cell assignment is itself one scan + one
     * broadcast join (centroids are tiny). The LSH variant buckets by
     * random projections; IVF buckets by learned structure — both exist
     * because real pipelines need both.
+    *
+    * `nprobe` is THE recall/cost dial of an IVF index: corpus vectors
+    * live in exactly one cell, so a query probing p distinct cells meets
+    * each corpus vector at most once (no dedup needed), recall is
+    * monotonically non-decreasing in p (candidate sets are nested), and
+    * at p = |cells| the candidates are the full corpus — exact
+    * brute-force recall. Tune it against [[recallAtK]] measurements.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
     val cents = centroidRows(corpus, cellCol)
     val qe = exploded(queries, "vec_id", "query_id")
     val ce = exploded(corpus, "vec_id", "vec_id")
     val corpusCells = assignCells(ce, "vec_id", cents)
-    val queryCells = assignCells(qe, "query_id", cents)
+    val queryCells = assignCells(qe, "query_id", cents, nprobe)
     val candidates = corpusCells.join(broadcast(queryCells), "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id")

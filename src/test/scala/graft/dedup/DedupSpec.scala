@@ -87,6 +87,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("auto sub-block k engages on a hot block and leaves the pair set identical") {
+    // skewed fixture: one hot label (24 vectors) + small labels; a pair
+    // budget of 50 makes the hot block's 24^2 = 576 candidate pairs
+    // overflow one join cell, so the guard must split (k = ceil(576/50))
+    val emb = ((1L to 24L).map(i => (i, 0)) ++ Seq((30L, 1), (31L, 1), (40L, 2)))
+      .map { case (i, lbl) =>
+        (i, lbl, Seq((i % 7).toFloat + 1f, (i % 5).toFloat - 2f, (i % 3).toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val prevBudget = Dedup.maxPairsPerCell
+    Dedup.maxPairsPerCell = 50L
+    try {
+      assert(Dedup.autoSubBlocks(emb, "label") == 12) // ceil(576/50)
+      val auto = Dedup.embeddingPairs(emb, "label", minCos = -1.0) // default: auto
+        .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq
+      val unsplit = Dedup.embeddingPairs(emb, "label", minCos = -1.0, subBlocks = 1)
+        .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq
+      assert(auto.distinct.size == auto.size, "auto-k produced duplicate pairs")
+      assert(auto.toSet == unsplit.toSet, "auto-k changed the pair set")
+    } finally Dedup.maxPairsPerCell = prevBudget
+    // production budget: small blocks never trigger a split
+    assert(Dedup.autoSubBlocks(emb, "label") == 1)
+    // empty corpus is well-defined
+    assert(Dedup.autoSubBlocks(emb.filter($"vec_id" < 0), "label") == 1)
+  }
+
   test("incremental pairs: only pairs touching the new batch, each exactly once") {
     // 1~2 both OLD (excluded), 3 NEW ~ 4 OLD (kept, new id < old id),
     // 5 OLD ~ 6 NEW (kept), 7~8 both NEW (kept exactly once)

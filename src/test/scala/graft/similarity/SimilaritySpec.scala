@@ -41,6 +41,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!lsh.exists(_._1 == 3L))
   }
 
+  test("IVF recall is monotonically non-decreasing in nprobe; full probe is exact") {
+    // 3 coarse cells, 36 vectors clustered around 3 directions with seeded
+    // jitter — tight enough that nprobe=1 misses some cross-cell neighbors
+    val rnd = new scala.util.Random(13)
+    // heavily OVERLAPPING clusters: jitter comparable to the axis spread,
+    // so a vector's true nearest neighbors routinely live in other cells
+    val axes = Seq(
+      Seq(1.0, 0.4, 0.0, 0.0), Seq(0.4, 1.0, 0.0, 0.0), Seq(0.2, 0.6, 0.8, 0.2))
+    val rows = (0 until 36).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, (i % 3).toLong,
+        a.map(x => (x + rnd.nextGaussian() * 0.8).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val queries = corpus.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+    def meanRecall(nprobe: Int): Double =
+      Similarity.recallAtK(
+          Similarity.ivfTopK(queries, corpus, "label", k = 5, nprobe = nprobe), exact)
+        .agg(avg($"recall")).head().getDouble(0)
+    val recalls = Seq(1, 2, 3).map(meanRecall)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in nprobe: $recalls")
+    // probing every cell makes the candidate set the full corpus: exact
+    assert(recalls.last == 1.0, s"full-probe recall should be 1.0: $recalls")
+    // and the dial matters on this fixture: single-probe is genuinely lossy
+    assert(recalls.head < 1.0, s"fixture too easy - nprobe=1 already exact: $recalls")
+  }
+
   test("bucket signatures are stable and pack into 8 bits") {
     val b = Similarity.bucketSignatures(corpus)
       .as[(Long, Long)].collect().toMap

@@ -63,6 +63,69 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late rows across batches: within-horizon updates, behind-horizon drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Raw]
+    val query = Streaming.windowedCounts(mem.toDF(), Some("1 hour"))
+      .writeStream.format("memory").queryName("win_late")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: event at 12:30 -> after the batch, watermark = 11:30
+      mem.addData(Raw(t(12, 30), "view", 1.0))
+      query.processAllAvailable()
+
+      // batch 2, a LATE row at 11:45 — behind max event time but AHEAD of
+      // the 11:30 watermark: must be accepted and update the 11:00 window
+      mem.addData(Raw(t(11, 45), "click", 2.0))
+      query.processAllAvailable()
+      val afterWithin = spark.table("win_late")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(afterWithin.contains((t(11), "click", 1L, 2.0)),
+        s"within-horizon late row was not merged: $afterWithin")
+
+      // batch 3, a TOO-LATE row at 10:20 — behind the watermark: dropped,
+      // no 10:00 window may ever appear (update mode re-emits on change,
+      // so absence of ANY 10:00 row proves the drop)
+      mem.addData(Raw(t(10, 20), "click", 9.0))
+      query.processAllAvailable()
+      val after = spark.table("win_late")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(!after.exists(_._1 == t(10)), s"behind-watermark row leaked: $after")
+      assert(after == afterWithin, "too-late row changed emitted state")
+    } finally query.stop()
+  }
+
+  test("streaming dedup: in-horizon duplicates collapse; state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val query = Streaming.dedupEvents(
+        mem.toDF().toDF("event_id", "ts"), "event_id", "ts", Some("1 hour"))
+      .writeStream.format("memory").queryName("dedup_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // id 1 delivered twice in-batch, once again a batch later (re-delivery)
+      mem.addData((1L, t(10, 0)), (1L, t(10, 5)), (2L, t(10, 10)))
+      query.processAllAvailable()
+      mem.addData((1L, t(10, 20)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_late").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"duplicate within the horizon leaked: $ids")
+
+      // advance the watermark far past id 1's horizon, then re-deliver it:
+      // its dedup state was evicted, so the row is admitted AGAIN — the
+      // documented bounded-state trade of within-watermark dedup (state
+      // cannot exceed the horizon; re-delivery slower than the watermark
+      // delay is the upstream's contract to prevent)
+      mem.addData((99L, t(14, 0)))
+      query.processAllAvailable()
+      mem.addData((1L, t(13, 30)))
+      query.processAllAvailable()
+      val again = spark.table("dedup_late").select("event_id").as[Long].collect().toSeq
+      assert(again.count(_ == 1L) == 2,
+        s"expected evicted-state re-admission of id 1: $again")
+    } finally query.stop()
+  }
+
   test("file-source ingest end to end: readStream -> watermark -> parquet sink") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
