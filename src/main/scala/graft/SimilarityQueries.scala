@@ -31,10 +31,12 @@ object SimilarityQueries {
     }.mkString("(", " +\n ", ")")
 
   /** DuckDB CTE chain for the IVF pipeline, ending in
-    * `ivf_ranked(query_id, vec_id, cos, rank)` (queries = vec_id < 10,
-    * nprobe=1). Shared by `similarity_ivf` and `similarity_recall`.
+    * `ivf_ranked(query_id, vec_id, cos, rank)` (queries = vec_id < 10;
+    * corpus vectors live in their single nearest cell, queries probe
+    * their `nprobe` nearest). Shared by `similarity_ivf`,
+    * `similarity_ivf_probe2` and `similarity_recall`.
     */
-  private lazy val IvfRankedCte: String =
+  private def ivfRankedCte(nprobe: Int): String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT vec_id, label, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
        |  FROM e, unnest(range(0, 64)) AS u(i)),
@@ -44,16 +46,16 @@ object SimilarityQueries {
        |dots AS (
        |  SELECT ex.vec_id, cents.cell, sum(ex.x * cents.c) AS vc
        |  FROM ex JOIN cents USING (pos) GROUP BY 1, 2),
-       |assign AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT d.vec_id, d.cell,
-       |      row_number() OVER (PARTITION BY d.vec_id
-       |        ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
-       |    FROM dots d JOIN cn2 c USING (cell) JOIN vn2 v USING (vec_id))
-       |  WHERE rn = 1),
+       |ranked_cells AS (
+       |  SELECT d.vec_id, d.cell,
+       |    row_number() OVER (PARTITION BY d.vec_id
+       |      ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
+       |  FROM dots d JOIN cn2 c USING (cell) JOIN vn2 v USING (vec_id)),
+       |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
        |cand AS (
        |  SELECT q.vec_id AS query_id, c.vec_id
-       |  FROM (SELECT * FROM assign WHERE vec_id < 10) q
+       |  FROM (SELECT vec_id, cell FROM ranked_cells
+       |        WHERE rn <= $nprobe AND vec_id < 10) q
        |  JOIN assign c USING (cell)
        |  WHERE q.vec_id <> c.vec_id),
        |scored AS (
@@ -112,10 +114,23 @@ object SimilarityQueries {
         val emb = tbl(s, dir, "embeddings")
         Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "label", k = 5)
       },
-      Some(s"""WITH $IvfRankedCte
+      Some(s"""WITH ${ivfRankedCte(1)}
               |SELECT query_id, vec_id, cos, rank FROM ivf_ranked
               |WHERE rank <= 5""".stripMargin),
       doc = "IVF-style ANN: learned centroid cells, nprobe=1, candidates N/cells"),
+
+    "similarity_ivf_probe2" -> QueryDef(
+      (s, dir) => {
+        // the recall/cost dial one notch up: each query probes its TWO
+        // nearest cells; candidates stay ~2N/cells and the recall gain is
+        // what similarity_recall measures before a production rollout
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "label", k = 5, nprobe = 2)
+      },
+      Some(s"""WITH ${ivfRankedCte(2)}
+              |SELECT query_id, vec_id, cos, rank FROM ivf_ranked
+              |WHERE rank <= 5""".stripMargin),
+      doc = "IVF ANN at nprobe=2: queries probe their two nearest cells"),
 
     "similarity_recall" -> QueryDef(
       (s, dir) => {
@@ -128,7 +143,7 @@ object SimilarityQueries {
           Similarity.ivfTopK(queries, emb, "label", k = 5),
           Similarity.bruteForceTopK(queries, emb, k = 5))
       },
-      Some(s"""WITH $IvfRankedCte,
+      Some(s"""WITH ${ivfRankedCte(1)},
               |ivf AS (SELECT query_id, vec_id FROM ivf_ranked WHERE rank <= 5),
               |allscored AS (
               |  SELECT q.vec_id AS query_id, ce.vec_id, ${cosSql("q.v", "ce.v")} AS cos
