@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** Deduplication operators over the `documents` / `embeddings` tables
   * (north-star LLM-pipeline surface). Oracles rebuild the identical
@@ -203,6 +204,26 @@ object DedupQueries {
               |JOIN sizes sb ON doc_b = sb.doc_id
               |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.4""".stripMargin),
       doc = "n-gram Jaccard near-dup via inverted-index join + frequent-shingle cap"),
+
+    "dedup_decontaminate" -> QueryDef(
+      (s, dir) => Dedup.contaminationPairs(
+        // the "benchmark" is docs with doc_id % 50 == 0 (an arbitrary,
+        // sf-independent 2% eval set); reuses the shared postings index
+        Dedup.sharedPostings(tbl(s, dir, "documents"), "text", 3),
+        benchPred = pmod(col("doc_id"), lit(50)) === 0,
+        minCommon = 3, maxDf = 20),
+      Some(s"""WITH $ShinglesSql,
+              |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+              |rare AS (SELECT sh FROM p GROUP BY sh HAVING count(*) <= 20),
+              |pr AS (SELECT p.doc_id, p.sh FROM p JOIN rare USING (sh)),
+              |bench AS (SELECT doc_id AS bench_id, sh FROM pr WHERE doc_id % 50 = 0),
+              |corpus AS (SELECT doc_id, sh FROM pr WHERE doc_id % 50 <> 0)
+              |SELECT c.doc_id, b.bench_id, count(*) AS common
+              |FROM corpus c JOIN bench b USING (sh)
+              |GROUP BY 1, 2
+              |HAVING count(*) >= 3""".stripMargin),
+      doc = "benchmark decontamination: corpus docs sharing >=3 rare n-grams " +
+        "with an eval doc (broadcast bench postings, df-capped fan-out)"),
 
     "dedup_incremental" -> QueryDef(
       (s, dir) => {

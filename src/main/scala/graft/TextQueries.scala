@@ -183,6 +183,34 @@ object TextQueries {
              |     WHEN 'src2' THEN 500000 WHEN 'src3' THEN 1000000 ELSE 750000 END)""".stripMargin),
       doc = "deterministic per-source rate sampling (training-mix domain reweighting)"),
 
+    "sample_target_mix" -> QueryDef(
+      (s, dir) =>
+        // target-composition form: 50/30/15/5 across four sources under
+        // a 4000-token budget (src0's share exceeds its supply at
+        // sf0.01, exercising the rate cap); other sources excluded
+        graft.text.TrainingMix.sampleToTargetMix(
+          tbl(s, dir, "documents"), "source", "text",
+          targetWeights = Map(
+            "src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15, "src3" -> 0.05),
+          budgetTokens = 4000L),
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS t
+             |  FROM documents GROUP BY 1),
+             |thr AS (
+             |  SELECT source,
+             |    LEAST(1000000, (4000::BIGINT * (CASE source
+             |      WHEN 'src0' THEN 5000 WHEN 'src1' THEN 3000
+             |      WHEN 'src2' THEN 1500 WHEN 'src3' THEN 500 END) * 1000000::BIGINT)
+             |      // (10000::BIGINT * t)) AS thr
+             |  FROM toks
+             |  WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+             |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+             |WHERE CAST(CONCAT('0x', substr(md5('sample:' || d.doc_id), 1, 15)) AS BIGINT)
+             |  % 1000000 < thr.thr""".stripMargin),
+      doc = "domain reweighting to a TARGET token budget: rate = min(1, budget*w/tokens), " +
+        "exact integer thresholds, nested samples across budgets"),
+
     "sample_interleave" -> QueryDef(
       (s, dir) =>
         // graft.text.TrainingMix.interleave: per-source ranks go through

@@ -151,6 +151,37 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("copies"))
 
+  /** `dedup_decontaminate`: benchmark decontamination — training docs
+    * sharing >= `minCommon` n-gram shingles with any doc of an
+    * eval/benchmark subset (the contamination check every LLM training
+    * pipeline runs so eval answers don't leak into training data).
+    *
+    * Shape: the SAME inverted-index equi-join as the Jaccard family,
+    * made asymmetric — the benchmark side of the postings is BROADCAST
+    * (an eval set is bounded by construction: thousands of docs, not a
+    * corpus), so the training corpus streams once with no shuffle of
+    * text. High-document-frequency shingles are capped out first
+    * (df computed over the FULL postings): a common phrase shared with
+    * a benchmark doc is not leakage evidence, and the cap is also what
+    * bounds the join fan-out (skew guard — without it one stopword
+    * 3-gram pairs the whole corpus).
+    *
+    * @param benchPred predicate over postings rows (doc_id) selecting
+    *                  the benchmark subset; remaining docs are corpus
+    */
+  def contaminationPairs(
+      postings: DataFrame, benchPred: Column,
+      minCommon: Long, maxDf: Int = 20): DataFrame = {
+    val rare = rarePostings(postings, maxDf)
+    val bench = rare.filter(benchPred).select(col("doc_id").as("bench_id"), col("sh"))
+    rare.filter(!benchPred)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .select("doc_id", "bench_id", "common")
+  }
+
   /** Distinct (doc_id, sh) word-n-gram postings — the inverted-index
     * representation every near-dup op consumes. Row-shaped: posexplode
     * tokenizes once, window-lead assembles each n-gram once, `distinct`

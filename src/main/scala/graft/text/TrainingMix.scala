@@ -79,6 +79,53 @@ object TrainingMix {
       .select(col("doc_id"), col(sourceCol))
   }
 
+  /** `sample_target_mix`: domain reweighting toward a TARGET token
+    * budget — the production form of mix sampling where the input is
+    * "40% web, 30% code, ..." plus a total token budget, not hand-tuned
+    * per-source rates. Per-source rate = min(1, budget·w_s / tokens_s),
+    * realized through the same deterministic hash-threshold draw as
+    * [[sampleByRate]] (sample invariant under partitioning/re-runs, and
+    * NESTED across budgets: a bigger budget's sample contains a smaller
+    * one's, so curriculum re-cuts don't reshuffle what's already in).
+    *
+    * Weights are taken in basis points (w rounded to 1/10000) and the
+    * threshold is computed in exact integer arithmetic, so any engine
+    * reproduces the cut bit-for-bit — no floating-point knife edges.
+    * Sources without a weight are excluded (rate 0).
+    *
+    * Scale: one column-pruned scan aggregates per-source token totals
+    * (|sources| rows collected — bounded by source cardinality, the
+    * same bounded-dimension assumption the interleave offsets make),
+    * then one narrow filter over the corpus. No join, no shuffle of
+    * documents.
+    */
+  def sampleToTargetMix(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      targetWeights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    require(targetWeights.values.forall(w => w >= 0.0 && w <= 1.0),
+      "target weights must be in [0, 1]")
+    val M = 1000000L
+    val tokensPerSource = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = targetWeights.map { case (s, w) =>
+      val bp = math.round(w * 10000) // basis points
+      val t = tokensPerSource.getOrElse(s, 0L)
+      // exact integer math, same operation order as the SQL oracle:
+      // min(M, budget * bp * M / (10000 * tokens)); budget*bp*M <= ~1e15
+      val thr = if (t == 0L) M else math.min(M, budgetTokens * bp * M / (10000L * t))
+      s -> thr
+    }
+    val thrExpr = thresholds.toSeq.sortBy(_._1).foldRight(lit(0L): org.apache.spark.sql.Column) {
+      case ((s, thr), acc) => when(col(sourceCol) === s, lit(thr)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(TextAnalysis.hash60(concat(lit("sample:"), col("doc_id"))), lit(M)) < thrExpr)
+      .select(col("doc_id"), col(sourceCol))
+  }
+
   /** Deterministic source interleaving: each source's docs get a stable
     * pseudo-random order (hash-ranked) and global read position
     * `rank * S + source_idx` — a round-robin mix of sources,

@@ -134,6 +134,30 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == Set((3L, 4L), (5L, 6L), (7L, 8L)))
   }
 
+  test("decontamination flags shared rare n-grams; df cap mutes common phrases") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"), // benchmark
+      (1L, "he saw the quick brown fox jumps over a fence"), // 4 shared 3-grams
+      (2L, "completely unrelated text about spark physical plans"), // clean
+      (3L, "the lazy dog sat still"), // 1 shared 3-gram < minCommon
+      // 4 shares ONLY the phrase every doc below carries (df > cap)
+      (4L, "alpha beta gamma delta lazy dog tonight"),
+      (5L, "alpha beta gamma unrelated one"),
+      (6L, "alpha beta gamma unrelated two"))
+      .toDF("doc_id", "text")
+    // make "alpha beta gamma" frequent ALSO relative to bench: add it there
+    val withPhrase = docs.union(
+      Seq((101L, "alpha beta gamma benchmark prompt please answer")).toDF("doc_id", "text"))
+    val out = Dedup.contaminationPairs(
+        Dedup.shinglePostings(withPhrase, "text"),
+        benchPred = col("doc_id") >= lit(100L), minCommon = 3, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 100L)),
+      s"expected exactly the contaminated pair: ${out.toSeq}")
+    assert(out.head._3 >= 3)
+  }
+
   test("connected components: min-label fixpoint over chains, cliques and pairs") {
     // components: chain 1-2-3-4 (diameter 3, exercises multiple rounds),
     // triangle 10-11-12, isolated pair 20-21

@@ -55,6 +55,37 @@ class TrainingMixSpec extends SparkSpec {
     assert(bad.getMessage.contains("[0, 1]"))
   }
 
+  test("sampleToTargetMix: rate caps at supply, zero-weight excluded, nested budgets") {
+    import org.apache.spark.sql.functions.col
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 weighted far above its supply -> rate caps at 1 (ALL docs kept);
+    // src1 gets a fractional rate; everything else is excluded
+    val out = TrainingMix.sampleToTargetMix(
+        docs, "source", "text",
+        targetWeights = Map("src0" -> 0.9, "src1" -> 0.1), budgetTokens = 100000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(bySource("src0") == totals("src0"), "over-budgeted source must cap at keep-all")
+    assert(bySource.keySet == Set("src0", "src1"), s"unweighted sources leaked: $bySource")
+
+    // nested: a larger budget's sample contains the smaller one's
+    // (hash thresholds grow monotonically with budget)
+    def ids(budget: Long) = TrainingMix.sampleToTargetMix(
+        docs, "source", "text", Map("src1" -> 0.5), budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = ids(500); val big = ids(2000)
+    assert(small.nonEmpty && small.size < totals("src1"), "fixture should sample strictly")
+    assert(small.subsetOf(big), "budgets must nest")
+
+    // invariant under partitioning
+    val repart = TrainingMix.sampleToTargetMix(
+        docs.repartition(7, col("doc_id")), "source", "text",
+        Map("src0" -> 0.9, "src1" -> 0.1), 100000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(repart.toSet == out.toSet)
+  }
+
   test("interleave: output is identical for any partition count (parallelism knob only)") {
     val at3 = TrainingMix.interleave(docs, "source", nParts = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
