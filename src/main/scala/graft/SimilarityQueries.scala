@@ -20,6 +20,35 @@ object SimilarityQueries {
        |  (sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)) *
        |   sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y))), 4)""".stripMargin
 
+  /** DuckDB: unrolled Lloyd iterations mirroring Similarity.kmeans —
+    * init a0 = vec_id % k, then per round an avg M-step and an argmin
+    * E-step with the same round(d2, 6) + cell-asc tie-break as
+    * assignCells. Generated per iteration count, ending in CTE
+    * `a$iters` (final assignment).
+    */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    val header =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (SELECT vec_id, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
+         |  FROM e, unnest(range(0, 64)) AS u(i)),
+         |vn2 AS (SELECT vec_id, sum(x * x) AS vn2 FROM ex GROUP BY 1),
+         |a0 AS (SELECT vec_id, vec_id % $k AS cell FROM e)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT a.cell, ex.pos, avg(ex.x) AS c
+         |  FROM ex JOIN a${i - 1} a USING (vec_id) GROUP BY 1, 2),
+         |cn2_$i AS (SELECT cell, sum(c * c) AS cn2 FROM c$i GROUP BY 1),
+         |dots_$i AS (SELECT ex.vec_id, c.cell, sum(ex.x * c.c) AS vc
+         |  FROM ex JOIN c$i c USING (pos) GROUP BY 1, 2),
+         |a$i AS (SELECT vec_id, cell FROM (
+         |  SELECT d.vec_id, d.cell,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
+         |  FROM dots_$i d JOIN cn2_$i c USING (cell) JOIN vn2 v USING (vec_id))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (header +: rounds).mkString(",\n")
+  }
+
   /** DuckDB: LSH bucket of double array v — J sign bits of integer-grid
     * hyperplane projections (mirrors Similarity.bucket exactly).
     */
@@ -163,6 +192,15 @@ object SimilarityQueries {
               |FROM truth t LEFT JOIN ivf i USING (query_id, vec_id)
               |GROUP BY 1""".stripMargin),
       doc = "ANN evaluation: per-query recall@5 of IVF candidates vs brute-force truth"),
+
+    "embedding_kmeans" -> QueryDef(
+      (s, dir) => Similarity.kmeans(tbl(s, dir, "embeddings"), k = 8, iters = 2),
+      Some(s"""WITH ${kmeansCte(8, 2)}
+              |SELECT a.cell, ex.pos, round(avg(ex.x), 6) AS c
+              |FROM ex JOIN a2 a USING (vec_id)
+              |GROUP BY 1, 2""".stripMargin),
+      doc = "distributed Lloyd k-means (k=8, 2 rounds): trains the IVF coarse " +
+        "quantizer; M-step is a partial-agg groupBy, E-step a broadcast argmin"),
 
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's

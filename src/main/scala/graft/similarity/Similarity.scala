@@ -197,6 +197,37 @@ object Similarity {
     rankWindow(scoreCandidates(candidates, queries, corpus), k)
   }
 
+  /** `embedding_kmeans`: distributed Lloyd iterations — TRAINING for
+    * the IVF coarse quantizer (ivfTopK consumes label cells today; this
+    * learns cells from the data instead). Deterministic init: cell =
+    * vec_id mod k (hash-free, oracle-reproducible); each iteration is
+    * M-step (per-(cell, pos) mean over the row-shaped view — map-side
+    * partial aggregation, the shuffle carries k·dims partials per
+    * partition, never vectors) then E-step (argmin reassignment via
+    * [[assignCells]]: centroids are a k·dims broadcast, corpus streams).
+    * Returns the final M-step's centroids in the LONG (cell, pos, c)
+    * shape, rounded like [[centroids]].
+    *
+    * Per-round `localCheckpoint` on the (vec_id, cell) assignment cuts
+    * the growing plan (same discipline as connectedComponents) and pins
+    * each round's result before the next builds on it. SSE is
+    * non-increasing per Lloyd's guarantee — spec-checked.
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val e = exploded(corpus, "vec_id", "vec_id")
+    var assign = corpus
+      .select(col("vec_id"), pmod(col("vec_id"), lit(k.toLong)).as("cell"))
+    for (_ <- 1 to iters) {
+      val cents = e.join(assign, "vec_id")
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+      assign = assignCells(e, "vec_id", cents).localCheckpoint()
+    }
+    e.join(assign, "vec_id")
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+      .select(col("cell"), col("pos"), round(col("c"), 6).as("c"))
+  }
+
   /** `embedding_centroids`: per-cell mean vectors in the LONG shape
     * (cell, pos, m) — the k-means E-step / mean-pooling building block.
     * Row-shaped: explode to (cell, pos, x), one (cell, pos) average;

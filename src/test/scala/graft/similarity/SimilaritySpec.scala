@@ -70,6 +70,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.head < 1.0, s"fixture too easy - nprobe=1 already exact: $recalls")
   }
 
+  test("kmeans: SSE non-increasing per Lloyd round; output partition-invariant") {
+    val rnd = new scala.util.Random(29)
+    val axes = Seq(Seq(2.0, 0.0, 0.0, 0.0), Seq(0.0, 2.0, 0.0, 0.0), Seq(0.0, 0.0, 2.0, 0.0))
+    // clusters in contiguous id blocks, so the vec_id-mod-k init starts
+    // maximally WRONG (each init cell mixes all three true clusters)
+    val rows = (0 until 45).map { i =>
+      val a = axes(i / 15)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    // SSE of an assignment implied by centroids at `iters`: rebuild the
+    // E-step distance to each point's NEAREST returned centroid
+    def sse(iters: Int): Double = {
+      val cents = Similarity.kmeans(corpus, k = 3, iters = iters)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      rows.map { case (_, v) =>
+        cents.values.map(c => c.zip(v).map { case (ci, xi) =>
+          (xi - ci) * (xi - ci) }.sum).min
+      }.sum
+    }
+    val sses = Seq(0, 1, 2, 3).map(sse)
+    assert(sses.zip(sses.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"SSE increased across Lloyd rounds: $sses")
+    assert(sses.last < sses.head, "fixture should actually improve from the mod-k init")
+    // partitioning is a parallelism knob only
+    val a = Similarity.kmeans(corpus.repartition(13), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val b = Similarity.kmeans(corpus.coalesce(1), 3, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("bucket signatures are stable and pack into 8 bits") {
     val b = Similarity.bucketSignatures(corpus)
       .as[(Long, Long)].collect().toMap
