@@ -202,6 +202,38 @@ object SimilarityQueries {
       doc = "distributed Lloyd k-means (k=8, 2 rounds): trains the IVF coarse " +
         "quantizer; M-step is a partial-agg groupBy, E-step a broadcast argmin"),
 
+    "similarity_ivf_trained" -> QueryDef(
+      (s, dir) => {
+        // the full production chain: TRAIN the coarse quantizer (Lloyd,
+        // 2 rounds), INDEX the corpus with the learned cells, QUERY
+        // through the same IVF search as similarity_ivf. ivfTopK
+        // re-derives centroids from the attached cells (one more M-step,
+        // = the kmeans output centroids) and assigns both sides to them.
+        val emb = tbl(s, dir, "embeddings")
+        val indexed = emb.join(Similarity.kmeansAssign(emb, k = 8, iters = 2), "vec_id")
+        Similarity.ivfTopK(indexed.filter(col("vec_id") < 10), indexed, "cell", k = 5)
+      },
+      Some(s"""WITH ${kmeansCte(8, 3)},
+              |cand AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id
+              |  FROM (SELECT vec_id, cell FROM a3 WHERE vec_id < 10) q
+              |  JOIN a3 c USING (cell)
+              |  WHERE q.vec_id <> c.vec_id),
+              |scored AS (
+              |  SELECT cand.query_id, cand.vec_id,
+              |    ${cosSql("qe.v", "ce.v")} AS cos
+              |  FROM cand
+              |  JOIN e qe ON cand.query_id = qe.vec_id
+              |  JOIN e ce ON cand.vec_id = ce.vec_id)
+              |SELECT query_id, vec_id, cos, rank FROM (
+              |  SELECT query_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5""".stripMargin),
+      doc = "train (k-means) -> index (learned cells) -> query (IVF): the " +
+        "quantizer's 3rd M/E round in the oracle equals ivfTopK over trained cells"),
+
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's
       // pandas comparator can sort/hash it (an array-typed centroid column

@@ -30,6 +30,20 @@ object TextQueries {
              |FROM documents""".stripMargin),
       doc = "whitespace + word-regex token counts; no shuffle, codegen only"),
 
+    "text_unigram_logprob" -> QueryDef(
+      (s, dir) => TextAnalysis.unigramLogprob(tbl(s, dir, "documents"), "text"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM f)
+             |SELECT doc_id, round(-avg(ln(f.c / tot.n)), 4) AS nll,
+             |  count(*) AS n_tokens
+             |FROM t JOIN f USING (tok) CROSS JOIN tot
+             |GROUP BY 1""".stripMargin),
+      doc = "per-doc mean NLL under the corpus's own unigram LM - the " +
+        "perplexity-filter quality signal, fully reproducible"),
+
     "text_quality_score" -> QueryDef(
       (s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"), "text"),
       Some(s"""WITH t AS (

@@ -214,8 +214,21 @@ object Similarity {
     * non-increasing per Lloyd's guarantee — spec-checked.
     */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val e = exploded(corpus, "vec_id", "vec_id")
+    e.join(lloyd(corpus, e, k, iters), "vec_id")
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+      .select(col("cell"), col("pos"), round(col("c"), 6).as("c"))
+  }
+
+  /** Final (vec_id, cell) assignment of [[kmeans]] — what you attach to
+    * the corpus to INDEX it with the trained quantizer (see
+    * `similarity_ivf_trained`).
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    lloyd(corpus, exploded(corpus, "vec_id", "vec_id"), k, iters)
+
+  private def lloyd(corpus: DataFrame, e: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     var assign = corpus
       .select(col("vec_id"), pmod(col("vec_id"), lit(k.toLong)).as("cell"))
     for (_ <- 1 to iters) {
@@ -223,9 +236,7 @@ object Similarity {
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
       assign = assignCells(e, "vec_id", cents).localCheckpoint()
     }
-    e.join(assign, "vec_id")
-      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
-      .select(col("cell"), col("pos"), round(col("c"), 6).as("c"))
+    assign
   }
 
   /** `embedding_centroids`: per-cell mean vectors in the LONG shape

@@ -141,6 +141,33 @@ object TextAnalysis {
     * the interpreted expression path and was the registry's slowest
     * narrow op; only (doc_id, hash) pairs reach the shuffle.
     */
+  /** `text_unigram_logprob`: per-document mean negative log-likelihood
+    * under the corpus's own unigram language model — the
+    * perplexity-filter quality signal (a production pipeline scores
+    * against a pretrained LM, e.g. KenLM; self-trained unigram is the
+    * engine-native, fully-reproducible form). High nll = tokens rare in
+    * this corpus = boilerplate/garbage/outlier candidates; pairs with
+    * [[qualityScore]]'s surface heuristics.
+    *
+    * Shape: tokenize once, count tokens (one shuffle with map-side
+    * combine), join docs' tokens back to the frequency table (shuffle
+    * on token), aggregate per doc. The frequency table is corpus-wide
+    * vocabulary — at 100 TB you'd cap it to a top-V broadcast with an
+    * OOV floor; the exact join form is kept here because it is the
+    * oracle-verifiable contract and the join key (token) is
+    * high-cardinality, well-distributed.
+    */
+  def unigramLogprob(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("n"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(-avg(log(col("c") / col("n"))), 4).as("nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val n = greatest(length(col(textCol)) - (k - 1), lit(1))
     val minh = df
