@@ -302,6 +302,76 @@ object PatternQueries {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))""".stripMargin),
       doc = "30-min-gap sessionization: lag marker + running sum, one shuffle"),
 
+    "event_funnel" -> QueryDef(
+      (s, dir) => {
+        // ordered conversion funnel signup -> view -> purchase: each step
+        // counts only events STRICTLY after the previous step's first
+        // completion. Three conditional min-aggregations, all keyed on
+        // user_id — after the first shuffle every join/agg is
+        // co-partitioned, so the funnel costs one real exchange.
+        val events = tbl(s, dir, "events")
+        def firstAfter(df: DataFrame, typ: String, prev: DataFrame, prevTs: String, out: String) =
+          df.filter(col("event_type") === typ)
+            .join(prev, "user_id")
+            .filter(col("ts") > col(prevTs))
+            .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+        val s1 = events.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = firstAfter(events, "view", s1, "t1", "t2")
+        val s3 = firstAfter(events, "purchase", s2, "t2", "t3")
+        events.select(col("user_id")).distinct()
+          .join(s1, Seq("user_id"), "left_outer")
+          .join(s2, Seq("user_id"), "left_outer")
+          .join(s3, Seq("user_id"), "left_outer")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+              .when(col("t1").isNotNull, 1L).otherwise(0L).as("steps_completed"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM events)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed
+             |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             |LEFT JOIN s3 USING (user_id)""".stripMargin),
+      doc = "ordered signup->view->purchase funnel via conditional min-aggs, " +
+        "co-partitioned on user_id after one exchange"),
+
+    "event_retention" -> QueryDef(
+      (s, dir) => {
+        // cohort retention: users bucketed by first-activity week; for
+        // each (cohort, offset) count users active that many weeks later.
+        // Distinct (user, week) first — the count-distinct then shuffles
+        // survivor pairs, not raw events.
+        val events = tbl(s, dir, "events")
+        val wk = events.select(col("user_id"),
+            (datediff(to_date(col("ts")), lit("2024-01-01")).cast("long") / 7L)
+              .cast("long").as("week"))
+          .distinct()
+        val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+        wk.join(cohort, "user_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("users"))
+      },
+      Some("""WITH wk AS (
+             |  SELECT DISTINCT user_id,
+             |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+             |  FROM events),
+             |cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+             |SELECT c.cohort_week, wk.week - c.cohort_week AS week_offset,
+             |  count(*) AS users
+             |FROM wk JOIN cohort c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+      doc = "weekly cohort retention: distinct (user, week) pairs shuffle, " +
+        "never raw events; cohort = min week per user"),
+
     "event_append" -> QueryDef(
       (s, dir) => {
         // batch = events in the last day of the dataset; table = the rest.
