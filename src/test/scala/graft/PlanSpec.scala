@@ -155,6 +155,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p.take(600))
   }
 
+  test("target-mix sampling is a narrow pruned filter (no shuffle of documents)") {
+    // the aggregate that derives rates is a separate bounded job; the
+    // RETURNED plan must be scan -> filter -> project with no exchange
+    // and only the two output columns read
+    val p = planOf("sample_target_mix")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p.take(600))
+    assert(!p.contains("Exchange"), s"target-mix sample should not shuffle:\n${p.take(800)}")
+  }
+
+  test("decontamination broadcasts only the benchmark side") {
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Queries.all("dedup_decontaminate").fn(spark, dir).queryExecution.executedPlan
+      val builds = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.toString
+      }
+      // the hinted broadcast is the bench-filtered postings (its subtree
+      // carries the pmod bench predicate); the corpus side streams. The
+      // planner may ALSO size-broadcast the small rare-shingle set at
+      // test scale - that one is size-based, not hinted, so it reverts
+      // to a shuffle join at real scale and is not pinned here.
+      assert(builds.exists(_.contains("pmod")),
+        s"no broadcast carries the bench predicate:\n${builds.map(_.take(300)).mkString("\n")}")
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no query in the registry plans a cartesian product or nested-loop join") {
     for ((k, d) <- Queries.all) {
       val p = d.fn(spark, dir).queryExecution.executedPlan.toString
