@@ -336,6 +336,26 @@ object DedupQueries {
               |FROM reach GROUP BY a""".stripMargin),
       doc = "near-dup pair graph -> dedup groups: distributed min-label connected components"),
 
+    "dedup_semantic" -> QueryDef(
+      (s, dir) => Dedup.semanticDedup(tbl(s, dir, "embeddings"), k = 8, iters = 2, minCos = 0.35),
+      // Oracle: the unrolled Lloyd CTE (same as embedding_kmeans) gives
+      // the trained cells; within-cell smaller-id near-dups drop.
+      Some(s"""WITH ${SimilarityQueries.kmeansCte(8, 2)},
+             |ind AS (SELECT e.vec_id, a.cell, e.v FROM e JOIN a2 a USING (vec_id)),
+             |p AS (
+             |  SELECT b.vec_id AS vec_b,
+             |    round(
+             |      list_reduce(list_transform(range(1, 65),
+             |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), (x, y) -> x + y) /
+             |      (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y)) *
+             |       sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 4) AS cos
+             |  FROM ind a JOIN ind b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+             |d AS (SELECT DISTINCT vec_b FROM p WHERE cos >= 0.35)
+             |SELECT i.vec_id, i.cell, (d.vec_b IS NULL) AS kept
+             |FROM ind i LEFT JOIN d ON i.vec_id = d.vec_b""".stripMargin),
+      doc = "SemDeDup: k-means cells as blocking, drop smaller-id cosine near-dups " +
+        "within each trained cell (train -> index -> prune chain)"),
+
     "dedup_embedding" -> QueryDef(
       (s, dir) => Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "label", minCos = 0.3),
       Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

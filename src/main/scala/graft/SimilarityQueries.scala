@@ -26,7 +26,7 @@ object SimilarityQueries {
     * assignCells. Generated per iteration count, ending in CTE
     * `a$iters` (final assignment).
     */
-  private def kmeansCte(k: Int, iters: Int): String = {
+  private[graft] def kmeansCte(k: Int, iters: Int): String = {
     val header =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |ex AS (SELECT vec_id, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x

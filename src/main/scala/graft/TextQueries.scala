@@ -44,6 +44,29 @@ object TextQueries {
       doc = "per-doc mean NLL under the corpus's own unigram LM - the " +
         "perplexity-filter quality signal, fully reproducible"),
 
+    "text_repetition_stats" -> QueryDef(
+      (s, dir) => TextAnalysis.repetitionStats(tbl(s, dir, "documents"), "text"),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+             |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+             |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             |  count(*) AS n_distinct, sum(c * ln(c)) AS clnc FROM wc GROUP BY 1),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |  i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bg FROM t),
+             |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+             |top AS (SELECT doc_id, max(c) AS max_bg, CAST(sum(c) AS BIGINT) AS n_bg
+             |  FROM bgc GROUP BY 1)
+             |SELECT n.doc_id, n.n_words,
+             |  round(1 - n.n_distinct / CAST(n.n_words AS DOUBLE), 4) AS dup_word_frac,
+             |  round(coalesce(top.max_bg / CAST(top.n_bg AS DOUBLE), 0), 4) AS top2gram_frac,
+             |  round(ln(n.n_words) - n.clnc / n.n_words, 4) AS word_entropy,
+             |  (round(coalesce(top.max_bg / CAST(top.n_bg AS DOUBLE), 0), 4) >= 0.08
+             |   OR round(1 - n.n_distinct / CAST(n.n_words AS DOUBLE), 4) >= 0.6) AS repetitive
+             |FROM n LEFT JOIN top USING (doc_id)""".stripMargin),
+      doc = "Gopher-family repetition filters: dup-word fraction, top-2gram share, " +
+        "word entropy, composite repetitive gate"),
+
     "text_quality_score" -> QueryDef(
       (s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"), "text"),
       Some(s"""WITH t AS (
@@ -63,6 +86,30 @@ object TextQueries {
               |    (CASE WHEN round(CAST(punct AS DOUBLE) / n_chars, 6) < 0.2 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6) AS quality_score
               |FROM t""".stripMargin),
       doc = "length/punct/stopword quality signals + composite score"),
+
+    "quality_model_score" -> QueryDef(
+      (s, dir) => TextAnalysis.modelScore(tbl(s, dir, "documents"), "text"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+              |    regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+              |    length(text) AS n_chars,
+              |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS punct
+              |  FROM documents),
+              |f AS (SELECT doc_id,
+              |  CAST(len(toks) AS INT) AS n_tokens,
+              |  round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+              |  round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+              |  round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len
+              |FROM t),
+              |z AS (SELECT doc_id,
+              |  -0.8 + 6.0 * stop_ratio - 4.0 * punct_ratio + 0.2 * mean_word_len - 0.004 * n_tokens AS z
+              |FROM f)
+              |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS model_score,
+              |  (round(1.0 / (1.0 + exp(-z)), 4) >= 0.5) AS keep
+              |FROM z""".stripMargin),
+      doc = "logistic quality-classifier inference over the surface features " +
+        "(the fasttext-filter stage as pure column math; map-only, no shuffle)"),
 
     "text_language_id" -> QueryDef(
       (s, dir) => TextAnalysis.languageId(tbl(s, dir, "documents"), "text"),
@@ -248,6 +295,37 @@ object TextQueries {
              |  CAST(rk * n_sources + source_idx AS BIGINT) AS pos
              |FROM r JOIN s USING (src)""".stripMargin),
       doc = "deterministic round-robin source interleaving (training-mix ordering)"),
+
+    "corpus_length_hist" -> QueryDef(
+      (s, dir) => {
+        // per-source token-length histogram on log2 buckets — the
+        // sequence-length distribution a packing/batching stage is tuned
+        // against. Bucket = floor(log2(n_tokens)) computed as
+        // length(bin(n)) - 1: pure integer/string math, so there is no
+        // floating log2 to knife-edge on exact powers of two in either
+        // engine. Two tiny aggregations; the share join is on the
+        // ~|sources| row totals table.
+        val docs = tbl(s, dir, "documents")
+        val h = docs.select(col("source"),
+            (length(bin(size(TextAnalysis.tokens(col("text"))))) - 1)
+              .cast("int").as("bucket"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = h.groupBy(col("source")).agg(sum(col("n_docs")).as("_t"))
+        h.join(broadcast(totals), "source")
+          .select(col("source"), col("bucket"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("_t"), 4).as("share"))
+      },
+      Some("""WITH d AS (SELECT source,
+             |  CAST(length(bin(len(regexp_split_to_array(trim(text), '\s+')))) - 1 AS INT) AS bucket
+             |  FROM documents),
+             |h AS (SELECT source, bucket, count(*) AS n_docs FROM d GROUP BY 1, 2),
+             |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS total FROM h GROUP BY 1)
+             |SELECT h.source, h.bucket, h.n_docs,
+             |  round(h.n_docs / CAST(t.total AS DOUBLE), 4) AS share
+             |FROM h JOIN t USING (source)""".stripMargin),
+      doc = "per-source log2 token-length histogram (integer bit-length buckets, " +
+        "no float log2) — the packing/batching tuning signal"),
 
     "corpus_stats" -> QueryDef(
       (s, dir) => {

@@ -581,4 +581,41 @@ object Dedup {
           (col("a.nrm") * col("b.nrm")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): train a k-means coarse quantizer on the
+    * embeddings (reference has no analogue — this is the
+    * embedding-space stage a 100 TB training corpus needs), assign every
+    * vector to its cell, and drop any vector that has a SMALLER-id
+    * near-duplicate (cosine >= `minCos`) in the same cell. The smallest
+    * id in every near-dup neighborhood survives as the representative.
+    *
+    * Semantics note: the keep rule is "no smaller-id neighbor", applied
+    * over the ORIGINAL corpus — a dropped vector's witness may itself be
+    * dropped by an even smaller neighbor (chains collapse toward the
+    * minimum). That matches SemDeDup's one-shot pruning, and it is
+    * deterministic and order-free, which is what the oracle contract
+    * needs; it is NOT a transitive-closure clustering (that is
+    * [[clusterAssignments]]' job).
+    *
+    * Scale shape: clustering IS the blocking — pair volume is
+    * sum(cell_i^2)/2, ~N^2/k for balanced cells, and k grows with the
+    * corpus (a 100 TB run trains k ~ sqrt(N) cells so cells stay
+    * bounded); the [[embeddingPairs]] auto sub-block guard catches a
+    * runaway hot cell on top. Training cost is [[graft.similarity.Similarity.kmeans]]'s
+    * bounded per-round shuffle (k*dims partials, never vectors).
+    *
+    * @return (vec_id, cell, kept) — one row per input vector.
+    */
+  def semanticDedup(
+      emb: DataFrame, k: Int, iters: Int, minCos: Double): DataFrame = {
+    val indexed = emb.join(
+      graft.similarity.Similarity.kmeansAssign(emb, k, iters), "vec_id")
+    val drops = embeddingPairs(indexed, "cell", minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    indexed.join(drops, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        not(coalesce(col("_dropped"), lit(false))).as("kept"))
+  }
 }

@@ -81,6 +81,33 @@ object TextAnalysis {
       qualityScoreCol(col(textCol)).as("quality_score"))
   }
 
+  /** `quality_model_score`: logistic-model quality inference — the
+    * classifier-filter stage of a training-data pipeline (production
+    * runs a trained fasttext/linear model; the engine-native contract is
+    * the INFERENCE plumbing: fixed published-style weights over the
+    * [[qualityScore]] feature vector, scored entirely in column
+    * expressions). score = sigmoid(w·x + b) on the 6-dp-rounded
+    * features, rounded to 4 dp; `keep` gates on the rounded score so
+    * the oracle's knife-edge behavior is identical.
+    *
+    * Shape: pure narrow projection over one scan — no shuffle, no UDF,
+    * whole-stage codegen; at 100 TB this is a map-only pass, exactly
+    * what classifier scoring must be.
+    */
+  def modelScore(df: DataFrame, textCol: String): DataFrame = {
+    val f = qualityScore(df, textCol)
+    // weights: favor stopword density, penalize punctuation noise and
+    // extreme length; intercept centers mid-corpus docs near 0.5
+    val z = lit(-0.8) +
+      lit(6.0) * col("stop_ratio") -
+      lit(4.0) * col("punct_ratio") +
+      lit(0.2) * col("mean_word_len") -
+      lit(0.004) * col("n_tokens").cast("double")
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    f.select(col("doc_id"), score.as("model_score"),
+      (score >= 0.5).as("keep"))
+  }
+
   /** Tiny per-language function-word marker lists for the n-gram/stopword
     * language-ID heuristic. Whole-token matches only.
     */
@@ -166,6 +193,58 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(round(-avg(log(col("c") / col("n"))), 4).as("nll"),
         count(lit(1)).as("n_tokens"))
+  }
+
+  /** `text_repetition_stats`: per-document repetition quality signals in
+    * the Gopher-rules family (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    * the reference has no analogue; these are the filters a training
+    * corpus is actually cleaned with):
+    *   - `dup_word_frac`  — 1 - distinct/total words (repeated-token mass),
+    *   - `top2gram_frac`  — share of word-2-grams taken by the most
+    *     frequent one (loops/boilerplate pump this),
+    *   - `word_entropy`   — Shannon entropy of the word distribution in
+    *     nats, via H = ln(n) - sum(c·ln c)/n (degenerate docs → 0),
+    *   - `repetitive`     — the gate: top2gram_frac >= `maxTop2` OR
+    *     dup_word_frac >= `maxDupWord`, both compared on the ROUNDED
+    *     values so the oracle's knife-edge behavior is identical.
+    *
+    * Shape: tokenize once; 2-grams are built array-side (one O(n)
+    * per-doc transform, no window sort — a lead() window would shuffle
+    * AND sort every token row by (doc_id, pos) for what a local
+    * adjacency zip gives for free); both count aggregations are
+    * doc-keyed groupBys with map-side partial combine, so the shuffle
+    * carries per-partition distinct (doc, gram) partials, bounded by doc
+    * length. Nothing is corpus-global — scales linearly at 100 TB.
+    */
+  def repetitionStats(
+      df: DataFrame, textCol: String,
+      maxTop2: Double = 0.08, maxDupWord: Double = 0.6): DataFrame = {
+    val base = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+    val bigrams = base
+      .select(col("doc_id"),
+        explode(zip_with(slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))
+    val dupWordFrac =
+      round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+    val top2Frac = round(
+      coalesce(col("max_bg").cast("double") / col("n_bg"), lit(0.0)), 4)
+    words.join(bigrams, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_words"),
+        dupWordFrac.as("dup_word_frac"),
+        top2Frac.as("top2gram_frac"),
+        round(log(col("n_words").cast("double")) -
+          col("clnc") / col("n_words"), 4).as("word_entropy"),
+        (top2Frac >= maxTop2 || dupWordFrac >= maxDupWord).as("repetitive"))
   }
 
   def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
