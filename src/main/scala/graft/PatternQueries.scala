@@ -351,8 +351,11 @@ object PatternQueries {
         // Distinct (user, week) first — the count-distinct then shuffles
         // survivor pairs, not raw events.
         val events = tbl(s, dir, "events")
+        // floor(days/7), not a truncating cast: Divide yields a double
+        // and cast truncates toward zero, which disagrees with the
+        // oracle's `//` (floor) for any event before the anchor date
         val wk = events.select(col("user_id"),
-            (datediff(to_date(col("ts")), lit("2024-01-01")).cast("long") / 7L)
+            floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
               .cast("long").as("week"))
           .distinct()
         val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))

@@ -24,25 +24,31 @@ object RelationalQueries {
   import Queries.tbl
 
   /** One-time-per-(session, dir) setup of the bucketed join tables;
-    * returns the dir tag the table names carry. ConcurrentHashMap
-    * compute gives per-key mutual exclusion, so concurrent first calls
-    * build once.
+    * returns the tag the table names carry. ConcurrentHashMap compute
+    * gives per-key mutual exclusion, so concurrent first calls build
+    * once. Both the cache key and the warehouse path are
+    * (session, dir)-unique: a shared path would let a second dir's
+    * build wipe the first's table files while the cache still reports
+    * them ready, and a dir-only key would outlive a SparkSession
+    * restart with the tables registered in a dead catalog.
     */
   private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def bucketedTablesFor(s: SparkSession, dir: String): String =
-    bucketedReady.computeIfAbsent(dir, { d =>
-      val tag = java.lang.Integer.toHexString(d.hashCode)
-      val wh = MetaQueries.freshWarehouse("join_bucketed")
+  private def bucketedTablesFor(s: SparkSession, dir: String): String = {
+    val tag = java.lang.Integer.toHexString(System.identityHashCode(s)) + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    bucketedReady.computeIfAbsent(tag, { _ =>
+      val wh = MetaQueries.freshWarehouse(s"join_bucketed_$tag")
       s.sql(s"DROP TABLE IF EXISTS graft_bucketed_orders_$tag")
       s.sql(s"DROP TABLE IF EXISTS graft_bucketed_lineitem_$tag")
-      tbl(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
         .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/orders").saveAsTable(s"graft_bucketed_orders_$tag")
-      tbl(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
         .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/lineitem").saveAsTable(s"graft_bucketed_lineitem_$tag")
       tag
     })
+  }
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 

@@ -38,79 +38,22 @@ object Dedup {
   val A: Seq[Long] = Seq(1299721L, 1750357L, 2750159L, 3407807L, 4256233L, 5800079L, 6700417L, 7368787L)
   val B: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
 
-  /** Derived-index cache, keyed by (canonicalized source plan, column,
-    * param): within one driver run an expensive derived table (shingle
-    * postings, SimHash signatures) is built ONCE per dataset and every
-    * consumer feeds on the same persisted copy instead of rebuilding it
-    * per operator. Bounded; oldest entry evicted with a LAZY unpersist
-    * (in-flight jobs finish on the old blocks). A library must not leak
-    * a cache entry per invocation — the plan-keyed bound guarantees that.
+  /** Plan-keyed derived-index caches (see [[graft.util.KeyedCache]]):
+    * shingle postings, SimHash signatures, and composed-pipeline
+    * intermediates are each built ONCE per dataset per driver run.
     */
-  val CacheSlots = 4
-  private final class KeyedCache {
-    private val m = new java.util.LinkedHashMap[
-      (Int, String, Int),
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]()
-    def getOrBuild(df: DataFrame, col: String, param: Int)(build: => DataFrame): DataFrame =
-      m.synchronized {
-        val plan = df.queryExecution.logical.canonicalized
-        val key = (plan.semanticHash(), col, param)
-        // Hit conditions: (a) the plans really are equivalent
-        // (sameResult — semanticHash is 32-bit and a silent collision
-        // would feed one dataset's index to another operator), and
-        // (b) the cached DataFrame's SparkContext is still alive (a
-        // stopped-and-recreated session in the same JVM must rebuild,
-        // not resurrect dead blocks). Staleness caveat: plans key on
-        // PATHS — a run that rewrites a cached input in place should
-        // call [[clearCaches]] first.
-        Option(m.get(key))
-          .filter { case (p, cached) =>
-            p.sameResult(plan) && !cached.sparkSession.sparkContext.isStopped
-          }
-          .map(_._2).getOrElse {
-          val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          Option(m.put(key, (plan, built))).foreach(e => safeUnpersist(e._2))
-          if (m.size > CacheSlots) {
-            val it = m.entrySet().iterator()
-            val oldest = it.next()
-            it.remove()
-            safeUnpersist(oldest.getValue._2)
-          }
-          built
-        }
-      }
-    /** Cache lookup WITHOUT building (same hit conditions as
-      * [[getOrBuild]]): lets a composed pipeline choose a cheaper build
-      * when the shared index is absent instead of forcing it into being.
-      */
-    def peek(df: DataFrame, col: String, param: Int): Option[DataFrame] =
-      m.synchronized {
-        val plan = df.queryExecution.logical.canonicalized
-        Option(m.get((plan.semanticHash(), col, param)))
-          .filter { case (p, cached) =>
-            p.sameResult(plan) && !cached.sparkSession.sparkContext.isStopped
-          }
-          .map(_._2)
-      }
-    def clear(): Unit = m.synchronized {
-      m.values.forEach(e => safeUnpersist(e._2))
-      m.clear()
-    }
-    // evicted entries may belong to an already-stopped SparkContext
-    private def safeUnpersist(df: DataFrame): Unit =
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-  }
-  private val postingsCache = new KeyedCache
-  private val simhashCache = new KeyedCache
-  private val derivedCache = new KeyedCache
+  val CacheSlots = graft.util.KeyedCache.CacheSlots
+  private val postingsCache = new graft.util.KeyedCache
+  private val simhashCache = new graft.util.KeyedCache
+  private val derivedCache = new graft.util.KeyedCache
 
-  /** Drop every cached derived index (postings, signatures). Call when
-    * the underlying source files of a cached dataset are rewritten
-    * in place within one driver run.
+  /** Drop every cached derived index (postings, signatures, trained
+    * quantizer assignments). Call when the underlying source files of a
+    * cached dataset are rewritten in place within one driver run.
     */
   def clearCaches(): Unit = {
     postingsCache.clear(); simhashCache.clear(); derivedCache.clear()
+    graft.similarity.Similarity.clearCaches()
   }
 
   /** Generic derived-DataFrame cache: persist `build` once per

@@ -215,7 +215,7 @@ object Similarity {
     */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = exploded(corpus, "vec_id", "vec_id")
-    e.join(lloyd(corpus, e, k, iters), "vec_id")
+    e.join(kmeansAssign(corpus, k, iters), "vec_id")
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
       .select(col("cell"), col("pos"), round(col("c"), 6).as("c"))
   }
@@ -223,9 +223,30 @@ object Similarity {
   /** Final (vec_id, cell) assignment of [[kmeans]] — what you attach to
     * the corpus to INDEX it with the trained quantizer (see
     * `similarity_ivf_trained`).
+    *
+    * Routed through a plan-keyed cache ([[graft.util.KeyedCache]]): the
+    * quantizer is trained ONCE per (corpus, k, iters) per driver run and
+    * every consumer — `embedding_kmeans`'s centroids,
+    * `similarity_ivf_trained`'s index, semantic dedup's blocking cells —
+    * reads the same persisted (vec_id, cell) table. Train-once /
+    * consume-many is the production shape; without the cache each
+    * operator would re-run all Lloyd iterations over the full corpus.
     */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
-    lloyd(corpus, exploded(corpus, "vec_id", "vec_id"), k, iters)
+    assignCache.getOrBuild(corpus, s"kmeans_assign:$iters", k) {
+      lloydRuns.incrementAndGet(): Unit
+      lloyd(corpus, exploded(corpus, "vec_id", "vec_id"), k, iters)
+    }
+
+  private val assignCache = new graft.util.KeyedCache
+
+  /** Count of actual Lloyd training runs (cache misses) — test
+    * observability for the train-once/consume-many contract.
+    */
+  private[graft] val lloydRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop cached trained assignments (see [[graft.dedup.Dedup.clearCaches]]). */
+  def clearCaches(): Unit = assignCache.clear()
 
   private def lloyd(corpus: DataFrame, e: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")

@@ -117,17 +117,26 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   /** Delete snap-* dirs no snapshot references — the residue of a commit
     * whose process died between data write and swap (the in-process
-    * retry-exhaustion path already cleans up after itself). Only dirs last
-    * modified before the expiry cutoff are swept: an in-flight commit's
-    * dir is written OUTSIDE the commit lock, so recency is the only signal
-    * distinguishing "being committed right now" from "abandoned".
+    * retry-exhaustion path already cleans up after itself). An in-flight
+    * commit's dir is written OUTSIDE the commit lock, so recency is the
+    * only signal distinguishing "being committed right now" from
+    * "abandoned" — and the sweep cutoff is therefore clamped to the
+    * fixed [[SnapshotTable.orphanSafetyAgeMs]], independent of the
+    * snapshot-expiry cutoff: expireSnapshots(now) is a legal
+    * retain-only-current call, and sweeping at that cutoff would delete
+    * a concurrent commit's freshly written dir in its write-to-swap
+    * window (the commit then succeeds referencing deleted data). Table
+    * formats decouple orphan-file age from snapshot expiry for exactly
+    * this reason.
     */
   private def sweepOrphans(liveDirs: Set[String], olderThanMs: Long): Unit = {
+    val cutoff = math.min(
+      olderThanMs, System.currentTimeMillis() - SnapshotTable.orphanSafetyAgeMs)
     val rootFile = new File(root)
     Option(rootFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
       .filterNot(f => liveDirs.contains(f.getPath) || liveDirs.contains(f.getAbsolutePath))
-      .filter(_.lastModified() < olderThanMs)
+      .filter(_.lastModified() < cutoff)
       .foreach(deleteRecursively)
   }
 
@@ -315,6 +324,13 @@ object SnapshotTable {
     */
   private[sink] def backoffMs(attempt: Int): Long =
     math.min(backoffBaseMs << math.min(attempt, 4), backoffBaseMs * 10)
+
+  /** Minimum age an unreferenced snap-* dir must reach before the
+    * orphan sweep may delete it, independent of the snapshot-expiry
+    * cutoff (Iceberg's remove-orphan-files action defaults to 3 days
+    * for the same reason). Conservative default; test-tunable.
+    */
+  @volatile private[sink] var orphanSafetyAgeMs: Long = 24L * 3600 * 1000
 
   /** Test seam: invoked at the start of every swap attempt (table,
     * attempt index) so specs can inject a concurrent commit into the

@@ -114,8 +114,14 @@ object TrainingMix {
       val bp = math.round(w * 10000) // basis points
       val t = tokensPerSource.getOrElse(s, 0L)
       // exact integer math, same operation order as the SQL oracle:
-      // min(M, budget * bp * M / (10000 * tokens)); budget*bp*M <= ~1e15
-      val thr = if (t == 0L) M else math.min(M, budgetTokens * bp * M / (10000L * t))
+      // min(M, budget * bp * M / (10000 * tokens)). BigInt because the
+      // production inputs are multi-trillion-token budgets, where
+      // budget*bp*M overflows Long (negative threshold = source silently
+      // sampled at rate 0); driver-side, |sources| iterations.
+      val thr =
+        if (t == 0L) M
+        else (BigInt(budgetTokens) * BigInt(bp) * BigInt(M) /
+          (BigInt(10000L) * BigInt(t))).min(BigInt(M)).toLong
       s -> thr
     }
     val thrExpr = thresholds.toSeq.sortBy(_._1).foldRight(lit(0L): org.apache.spark.sql.Column) {

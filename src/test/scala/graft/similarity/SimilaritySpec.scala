@@ -103,6 +103,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("quantizer trains once across kmeans / assign / index consumers") {
+    Similarity.clearCaches()
+    val emb = corpus.select($"vec_id", $"embedding")
+    val before = Similarity.lloydRuns.get()
+    // the three production consumers of one trained quantizer:
+    // centroids (embedding_kmeans), corpus indexing (similarity_ivf_trained),
+    // and blocking cells (dedup_semantic) — all on the SAME corpus plan
+    Similarity.kmeans(emb, k = 3, iters = 2).collect(): Unit
+    Similarity.kmeansAssign(emb, k = 3, iters = 2).collect(): Unit
+    emb.join(Similarity.kmeansAssign(emb, 3, 2), "vec_id").collect(): Unit
+    assert(Similarity.lloydRuns.get() == before + 1,
+      "same (corpus, k, iters) must reuse one Lloyd training run")
+    // different hyperparameters are a different quantizer - retrain
+    Similarity.kmeansAssign(emb, k = 2, iters = 2).collect(): Unit
+    assert(Similarity.lloydRuns.get() == before + 2)
+    Similarity.clearCaches()
+  }
+
   test("bucket signatures are stable and pack into 8 bits") {
     val b = Similarity.bucketSignatures(corpus)
       .as[(Long, Long)].collect().toMap

@@ -166,11 +166,27 @@ class SnapshotTableSpec extends SparkSpec {
     // a commit in flight RIGHT NOW: dir written (outside the lock), swap pending
     val fresh = new java.io.File(t.root, "snap-cafebabe")
     assert(fresh.mkdir())
-    val cutoff = System.currentTimeMillis() - 60000
-    t.expireSnapshots(olderThanMs = cutoff): Unit
+    val saved = SnapshotTable.orphanSafetyAgeMs
+    SnapshotTable.orphanSafetyAgeMs = 90000L
+    try t.expireSnapshots(olderThanMs = System.currentTimeMillis() - 60000): Unit
+    finally SnapshotTable.orphanSafetyAgeMs = saved
     assert(!aged.exists(), "aged orphan should be swept")
     assert(fresh.exists(), "fresh dir may belong to an in-flight commit - must survive")
     assert(t.read(spark).as[Int].collect().toSeq == Seq(1)) // live data untouched
+  }
+
+  test("orphan sweep is clamped by the safety age, not the expiry cutoff") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    // a concurrent commit mid-flight: data dir written 2 minutes ago,
+    // metadata swap pending. retain-only-current is a LEGAL call whose
+    // cutoff (now) postdates the dir - only the safety clamp saves it.
+    val inflight = new java.io.File(t.root, "snap-11111111")
+    assert(inflight.mkdir() && new java.io.File(inflight, "part-0.parquet").createNewFile())
+    assert(inflight.setLastModified(System.currentTimeMillis() - 120000))
+    t.expireSnapshots(olderThanMs = System.currentTimeMillis()): Unit
+    assert(inflight.exists(),
+      "dir younger than the safety age must survive expireSnapshots(now)")
   }
 
   test("backoff wait is clamped: huge attempt counts never go negative") {
