@@ -12,15 +12,25 @@ object DedupQueries {
 
   import Queries.tbl
 
+  /** DuckDB CTE: distinct word n-gram shingles per document —
+    * parameterized so span-length variants (13-token decontamination
+    * spans) share the same oracle shape as the 3-gram index.
+    */
+  private[graft] def shinglesSql(n: Int): String = {
+    val gram = (1 until n)
+      .map(o => s"toks[CAST(i AS INT) + $o]")
+      .foldLeft("toks[CAST(i AS INT)]")((acc, t) => s"$acc || ' ' || $t")
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(toks) >= $n THEN
+       |    list_transform(range(1, len(toks) - ${n - 2}),
+       |      i -> $gram)
+       |    ELSE [] END) AS shingles
+       |FROM t)""".stripMargin
+  }
+
   /** DuckDB CTE: distinct word 3-gram shingles per document. */
-  private val ShinglesSql =
-    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-      |sh AS (SELECT doc_id,
-      |  list_distinct(CASE WHEN len(toks) >= 3 THEN
-      |    list_transform(range(1, len(toks) - 1),
-      |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])
-      |    ELSE [] END) AS shingles
-      |FROM t)""".stripMargin
+  private val ShinglesSql = shinglesSql(3)
 
   /** DuckDB minhash signature CTE (over `sh`): 8 permutations of the
     * md5-derived 60-bit shingle hash mod P.
@@ -206,12 +216,14 @@ object DedupQueries {
       doc = "n-gram Jaccard near-dup via inverted-index join + frequent-shingle cap"),
 
     "dedup_decontaminate" -> QueryDef(
-      (s, dir) => Dedup.contaminationPairs(
+      (s, dir) => Dedup.decontaminate(
         // the "benchmark" is docs with doc_id % 50 == 0 (an arbitrary,
-        // sf-independent 2% eval set); reuses the shared postings index
-        Dedup.sharedPostings(tbl(s, dir, "documents"), "text", 3),
+        // sf-independent 2% eval set); reuses the shared postings index.
+        // spanTokens = 3 here so the fixture's short docs produce spans;
+        // production default is the GPT-3-style 13-token span
+        tbl(s, dir, "documents"), "text",
         benchPred = pmod(col("doc_id"), lit(50)) === 0,
-        minCommon = 3, maxDf = 20),
+        spanTokens = 3, minCommon = 3, maxDf = 20),
       Some(s"""WITH $ShinglesSql,
               |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
               |rare AS (SELECT sh FROM p GROUP BY sh HAVING count(*) <= 20),

@@ -36,6 +36,35 @@ object ExtQueries {
       |  CAST(n_chars // 40 AS INT) AS n_frames
       |FROM documents)""".stripMargin
 
+  // Genuine container-header byte layouts (hex), dimensions spliced in:
+  // PNG:  signature + IHDR length (13) + "IHDR" | w(4) h(4) | bit depth 8,
+  //       color type 6, compression/filter/interlace 0, CRC (unvalidated)
+  // JPEG: SOI + APP0/JFIF (length 0x0010) + SOF0 marker, length 0x0011,
+  //       precision 8 | h(2) w(2) | 3 components + EOI
+  private val PngPrefixHex = "89504E470D0A1A0A0000000D49484452"
+  private val PngSuffixHex = "0806000000DEADBEEF"
+  private val JpegPrefixHex = "FFD8FFE000104A46494600010100000100010000FFC0001108"
+  private val JpegSuffixHex = "03011100021101031101FFD9"
+
+  /** documents -> media rows whose payloads are REAL container headers:
+    * PNG / JPEG header bytes carrying the meta dimensions (media_id
+    * mod 3 = 0 / 1), or a non-image blob (mod 3 = 2) for the detection
+    * path. The header parser then reads the dimensions back out of the
+    * BYTES — no metadata shortcut.
+    */
+  private def imageMedia(s: SparkSession, dir: String): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val hx = when(pmod(col("media_id"), lit(3)) === 0,
+        concat(lit(PngPrefixHex),
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit(PngSuffixHex)))
+      .when(pmod(col("media_id"), lit(3)) === 1,
+        concat(lit(JpegPrefixHex),
+          lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit(JpegSuffixHex)))
+      .otherwise(concat(lit("00"), hex(col("payload"))))
+    media(s, dir).select(col("media_id"), unhex(hx).as("payload"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     "stream_window_agg" -> QueryDef(
@@ -174,6 +203,47 @@ object ExtQueries {
              |  round(CAST(list_sum(bytes) AS DOUBLE) / 16, 6) AS mean_byte
              |FROM b""".stripMargin),
       doc = "batched binary decode (stub kernel): payload -> fixed-width features"),
+
+    "mm_image_header" -> QueryDef(
+      (s, dir) => Multimodal.imageHeaders(imageMedia(s, dir), batchSize = 128),
+      Some(s"""WITH $MetaSql,
+              |p AS (
+              |  SELECT m.media_id,
+              |    CASE m.media_id % 3
+              |      WHEN 0 THEN CONCAT('$PngPrefixHex',
+              |        lpad(to_hex(m.width), 8, '0'), lpad(to_hex(m.height), 8, '0'),
+              |        '$PngSuffixHex')
+              |      WHEN 1 THEN CONCAT('$JpegPrefixHex',
+              |        lpad(to_hex(m.height), 4, '0'), lpad(to_hex(m.width), 4, '0'),
+              |        '$JpegSuffixHex')
+              |      ELSE CONCAT('00', upper(md5(d.text)))
+              |    END AS hx
+              |  FROM m JOIN documents d ON m.media_id = d.doc_id),
+              |f AS (
+              |  SELECT media_id, hx,
+              |    CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+              |         WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+              |         ELSE 'unknown' END AS format,
+              |    -- jpeg: the first segment after SOI starts at byte 2; its
+              |    -- OWN big-endian length field (bytes 4-5) gives the next
+              |    -- segment's byte offset: 2 + 2 + len (the SOF here)
+              |    4 + CAST(CONCAT('0x', substr(hx, 9, 4)) AS INT) AS sof
+              |  FROM p)
+              |SELECT media_id, format,
+              |  CAST(len(hx) // 2 AS INT) AS n_bytes,
+              |  CASE format
+              |    WHEN 'png' THEN CAST(CONCAT('0x', substr(hx, 33, 8)) AS INT)
+              |    WHEN 'jpeg' THEN CAST(CONCAT('0x', substr(hx, 2 * (sof + 7) + 1, 4)) AS INT)
+              |  END AS width,
+              |  CASE format
+              |    WHEN 'png' THEN CAST(CONCAT('0x', substr(hx, 41, 8)) AS INT)
+              |    WHEN 'jpeg' THEN CAST(CONCAT('0x', substr(hx, 2 * (sof + 5) + 1, 4)) AS INT)
+              |  END AS height
+              |FROM f""".stripMargin),
+      doc = "REAL container-header decode: PNG IHDR / JPEG SOF dimensions " +
+        "parsed from the payload bytes by the batched kernel; oracle " +
+        "re-parses the same bytes in hex form, following the actual " +
+        "segment-length fields"),
 
     "mm_resize_meta" -> QueryDef(
       (s, dir) => Multimodal.resizePlan(media(s, dir), maxSide = 224),

@@ -112,6 +112,24 @@ object Dedup {
     * @param benchPred predicate over postings rows (doc_id) selecting
     *                  the benchmark subset; remaining docs are corpus
     */
+  /** [[contaminationPairs]] at real-benchmark shape: decontamination in
+    * published training pipelines matches on LONG n-gram spans, not
+    * 3-grams — GPT-3 removed examples sharing a 13-gram with an eval set
+    * (Brown et al. 2020, arXiv:2005.14165, Appendix C) and the
+    * Llama-family filters use 8–13-token spans. A 13-token span is
+    * specific enough that ONE shared occurrence is leakage evidence
+    * (`minCommon = 1`), where the 3-gram form needs several. Longer
+    * spans also shrink the postings index (fewer distinct spans repeat
+    * across documents), so the broadcast-bench / streaming-corpus join
+    * shape is unchanged at 100 TB. The span postings run through the
+    * shared plan-keyed cache like every other shingle index.
+    */
+  def decontaminate(
+      docs: DataFrame, textCol: String, benchPred: Column,
+      spanTokens: Int = 13, minCommon: Long = 1, maxDf: Int = 20): DataFrame =
+    contaminationPairs(
+      sharedPostings(docs, textCol, spanTokens), benchPred, minCommon, maxDf)
+
   def contaminationPairs(
       postings: DataFrame, benchPred: Column,
       minCommon: Long, maxDf: Int = 20): DataFrame = {

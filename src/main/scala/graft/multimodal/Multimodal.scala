@@ -10,14 +10,17 @@ import org.apache.spark.sql.functions._
   * whole Arrow-sized batch of payloads crosses into the decode kernel at
   * once, never one JVM call per row.
   *
-  * The actual codec is STUBBED (this container ships no image/audio
+  * The PIXEL codec is STUBBED (this container ships no image/audio
   * libraries): `decodeBatch` is a deterministic fake that "decodes" a
-  * payload into its byte histogram. Everything around it — the media
-  * schema, the binary column, the batch loop shape, the partitioning —
-  * is real and is what matters at scale: payload bytes never shuffle
-  * (feature extraction is a narrow map), and metadata-only operations
-  * (resize planning, frame sampling) touch only the struct column, so
-  * Parquet column pruning skips the heavy binary column entirely.
+  * payload into its byte histogram. Header decoding is REAL:
+  * [[parseImageHeader]] reads PNG/JPEG container structure (magic,
+  * chunk/segment walking, big-endian dimension fields) with pure byte
+  * math. Everything around the kernels — the media schema, the binary
+  * column, the batch loop shape, the partitioning — is what matters at
+  * scale: payload bytes never shuffle (feature extraction is a narrow
+  * map), and metadata-only operations (resize planning, frame sampling)
+  * touch only the struct column, so Parquet column pruning skips the
+  * heavy binary column entirely.
   */
 object Multimodal {
 
@@ -56,6 +59,76 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
+      .toDF()
+  }
+
+  /** A parsed image header: container format detected from magic bytes,
+    * dimensions decoded from the format's own header structure (None
+    * when the payload is not a recognized image or is truncated).
+    */
+  final case class ImageHeader(
+      media_id: Long, format: String, n_bytes: Int,
+      width: Option[Int], height: Option[Int])
+
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** REAL header decode — pure byte math, no codec library:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is required first
+    *    (PNG spec §5.6): 4-byte length, 4-byte type, then width and
+    *    height as big-endian u32 at byte offsets 16 and 20.
+    *  - JPEG: SOI marker `FF D8`, then marker segments are walked by
+    *    their OWN 2-byte big-endian length fields (arbitrary APPn/COM
+    *    segments before the frame header) until a start-of-frame marker
+    *    (C0–CF excluding C4/C8/CC); SOF payload is precision(1),
+    *    height(2), width(2).
+    *  - anything else: format "unknown", no dimensions.
+    *
+    * Truncated or structurally corrupt payloads yield the detected
+    * format with None dimensions — never an exception (a 100 TB scrape
+    * WILL contain malformed files, and one bad byte must not kill a
+    * partition).
+    */
+  def parseImageHeader(bytes: Array[Byte]): (String, Option[Int], Option[Int]) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)).toInt
+    if (bytes.length >= 8 && PngMagic.indices.forall(i => u8(i) == PngMagic(i))) {
+      // IHDR data starts at 16 (8 magic + 4 length + 4 "IHDR")
+      if (bytes.length >= 24 &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+        ("png", Some(be32(16)), Some(be32(20)))
+      else ("png", None, None)
+    } else if (bytes.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < bytes.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return if (i + 8 < bytes.length) ("jpeg", Some(be16(i + 7)), Some(be16(i + 5)))
+          else ("jpeg", None, None)
+        }
+        i += 2 + be16(i + 2) // next segment per THIS segment's length field
+      }
+      ("jpeg", None, None)
+    } else ("unknown", None, None)
+  }
+
+  /** `mm_image_header`: batched header decode over the binary payload
+    * column — the same mapPartitions kernel shape as [[decodeFeatures]]
+    * but with a REAL parser inside: [[parseImageHeader]] reads actual
+    * PNG/JPEG structure out of the bytes. Narrow map; payloads never
+    * shuffle.
+    */
+  def imageHeaders(media: DataFrame, batchSize: Int = 128): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val (fmt, w, h) = parseImageHeader(bytes)
+        ImageHeader(id, fmt, bytes.length, w, h)
+      }))
       .toDF()
   }
 

@@ -158,6 +158,27 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 >= 3)
   }
 
+  test("decontamination at 13-token spans: one shared span flags, shorter overlap doesn't") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a 13-token eval answer span
+    val span = "a b c d e f g h i j k l m"
+    val docs = Seq(
+      (100L, s"eval question prompt $span"), // benchmark doc
+      // training doc that memorized the full eval span -> contaminated
+      (1L, s"some unrelated preamble $span and a trailing remark"),
+      // shares only a 5-token prefix of the span -> no 13-token span match
+      (2L, "other text a b c d e continues differently here now with more words"),
+      (3L, "completely clean training document about engines"))
+      .toDF("doc_id", "text")
+    Dedup.clearCaches() // span postings key on the same plan as other specs' docs
+    val out = Dedup.decontaminate(docs, "text",
+        benchPred = col("doc_id") >= lit(100L)) // defaults: 13-token span, minCommon 1
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 100L)),
+      s"only the full-span copy is contamination: ${out.toSeq}")
+    Dedup.clearCaches()
+  }
+
   test("connected components: min-label fixpoint over chains, cliques and pairs") {
     // components: chain 1-2-3-4 (diameter 3, exercises multiple rounds),
     // triangle 10-11-12, isolated pair 20-21

@@ -52,4 +52,47 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.resizePlan(media, 224).queryExecution.optimizedPlan.toString()
     assert(!plan.contains("payload"))
   }
+
+  private def hexBytes(hx: String): Array[Byte] =
+    hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("parseImageHeader reads PNG IHDR dimensions from the bytes") {
+    // 800x600, standard signature + IHDR-first layout
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000320" + "00000258" + "0806000000" + "DEADBEEF")
+    assert(Multimodal.parseImageHeader(png) == ("png", Some(800), Some(600)))
+    // signature intact but truncated before IHDR -> detected, no dims
+    assert(Multimodal.parseImageHeader(png.take(10)) == ("png", None, None))
+  }
+
+  test("parseImageHeader walks JPEG segments by their length fields to the SOF") {
+    def seg(marker: String, payloadHex: String): String = {
+      val len = payloadHex.length / 2 + 2
+      f"$marker$len%04X$payloadHex"
+    }
+    // TWO APP segments of different lengths before SOF0 - the walk must
+    // follow each segment's own length field, not assume a fixed layout
+    val jpeg = hexBytes("FFD8" +
+      seg("FFE0", "4A4649460001010000010001" + "0000") +
+      seg("FFE1", "45786966000049492A00") + // Exif APP1
+      seg("FFC0", "08" + "01A4" + "0230" + "03011100021101031101") + // h=420 w=560
+      "FFD9")
+    assert(Multimodal.parseImageHeader(jpeg) == ("jpeg", Some(560), Some(420)))
+    // progressive (SOF2) parses the same frame-header shape
+    val prog = hexBytes("FFD8" + seg("FFC2", "08" + "0010" + "0020" + "03011100021101031101"))
+    assert(Multimodal.parseImageHeader(prog) == ("jpeg", Some(32), Some(16)))
+    // SOI but garbage after -> detected jpeg, no dims, NO exception
+    assert(Multimodal.parseImageHeader(hexBytes("FFD8" + "0102")) == ("jpeg", None, None))
+    // truncated mid-segment
+    assert(Multimodal.parseImageHeader(jpeg.take(8)) == ("jpeg", None, None))
+  }
+
+  test("parseImageHeader: non-image payloads are unknown, never throw") {
+    assert(Multimodal.parseImageHeader(Array.empty[Byte]) == ("unknown", None, None))
+    assert(Multimodal.parseImageHeader(Array[Byte](0, 1, 2)) == ("unknown", None, None))
+    val out = Multimodal.imageHeaders(
+        media.select($"media_id", $"payload"), batchSize = 2)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
+    assert(out == Map(1L -> "unknown", 2L -> "unknown", 3L -> "unknown"))
+  }
 }
