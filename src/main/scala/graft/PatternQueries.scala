@@ -303,30 +303,12 @@ object PatternQueries {
       doc = "30-min-gap sessionization: lag marker + running sum, one shuffle"),
 
     "event_funnel" -> QueryDef(
-      (s, dir) => {
-        // ordered conversion funnel signup -> view -> purchase: each step
-        // counts only events STRICTLY after the previous step's first
-        // completion. Three conditional min-aggregations, all keyed on
-        // user_id — after the first shuffle every join/agg is
-        // co-partitioned, so the funnel costs one real exchange.
-        val events = tbl(s, dir, "events")
-        def firstAfter(df: DataFrame, typ: String, prev: DataFrame, prevTs: String, out: String) =
-          df.filter(col("event_type") === typ)
-            .join(prev, "user_id")
-            .filter(col("ts") > col(prevTs))
-            .groupBy(col("user_id")).agg(min(col("ts")).as(out))
-        val s1 = events.filter(col("event_type") === "signup")
-          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-        val s2 = firstAfter(events, "view", s1, "t1", "t2")
-        val s3 = firstAfter(events, "purchase", s2, "t2", "t3")
-        events.select(col("user_id")).distinct()
-          .join(s1, Seq("user_id"), "left_outer")
-          .join(s2, Seq("user_id"), "left_outer")
-          .join(s3, Seq("user_id"), "left_outer")
-          .select(col("user_id"),
-            when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
-              .when(col("t1").isNotNull, 1L).otherwise(0L).as("steps_completed"))
-      },
+      (s, dir) =>
+        // ordered conversion funnel via patterns.Funnel: generalized to
+        // any N-step sequence (fold of conditional min-aggs); the
+        // registry pins the reference 3-step instance and its oracle
+        graft.patterns.Funnel.stepsCompleted(
+          tbl(s, dir, "events"), Seq("signup", "view", "purchase")),
       Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
              |  WHERE event_type = 'signup' GROUP BY 1),
              |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e

@@ -85,6 +85,57 @@ class Scd2Spec extends SparkSpec {
     assert(opened.getAs[java.sql.Timestamp]("effective_to") == null)
   }
 
+  test("ScalaCheck: invariants hold under random CDC update streams") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small key space so streams revisit keys (repeat updates, revert-to-
+    // old-value cases); each batch has unique keys (a CDC delta)
+    val attrGen = for {
+      s <- Gen.oneOf("a", "b", "c")
+      b <- Gen.choose(0, 4)
+    } yield (s, b.toDouble)
+    val batchGen: Gen[Map[Long, (String, Double)]] =
+      Gen.mapOf(Gen.zip(Gen.choose(1L, 8L), attrGen)).map(_.take(6))
+    val streamGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, batchGen))
+
+    val prop = Prop.forAll(streamGen) { batches =>
+      val seed = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      var dim = mkDim(seed)
+      var t = MergeAt
+      batches.foreach { b =>
+        val feed = b.toSeq.map { case (k, (s, bal)) => (k, s, bal) }
+          .toDF("natural_key", "segment", "acctbal")
+        // localCheckpoint: cut the growing full_outer-join plan per round
+        dim = Scd2.merge(dim, feed, Seq("segment", "acctbal"),
+          timestamp_millis(lit(t))).localCheckpoint()
+        t += 3600000L
+      }
+      val rows = dim.collect().map { r =>
+        (r.getAs[Long]("natural_key"),
+          r.getAs[java.sql.Timestamp]("effective_from").getTime,
+          Option(r.getAs[java.sql.Timestamp]("effective_to")).map(_.getTime),
+          r.getAs[Boolean]("is_current"))
+      }
+      val everSeen = (seed.map(_._1) ++ batches.flatMap(_.keys)).toSet
+      val byKey = rows.groupBy(_._1)
+      val keysOk = byKey.keySet == everSeen
+      val invariantsOk = byKey.values.forall { vs =>
+        val sorted = vs.sortBy(_._2)
+        val oneCurrent = vs.count(_._4) == 1
+        // non-overlapping, chained ranges: every non-last version closed,
+        // close instant <= the next version's open instant; exactly the
+        // open-ended row is the current one
+        val chained = sorted.init.forall(_._3.isDefined) &&
+          sorted.zip(sorted.tail).forall { case (a, b) => a._3.exists(_ <= b._2) } &&
+          sorted.last._3.isEmpty && sorted.last._4
+        oneCurrent && chained
+      }
+      keysOk && invariantsOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(res.passed, s"SCD2 stream invariants failed: ${res.status}")
+  }
+
   test("windowClose derives non-overlapping ranges with one current row") {
     val versions = Seq(
       (1L, 1000L), (1L, 2000L), (1L, 3000L), (2L, 1500L))
