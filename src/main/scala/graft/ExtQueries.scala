@@ -46,6 +46,40 @@ object ExtQueries {
   private val JpegPrefixHex = "FFD8FFE000104A46494600010100000100010000FFC0001108"
   private val JpegSuffixHex = "03011100021101031101FFD9"
 
+  /** Little-endian hex of an integer column at a fixed byte width —
+    * RIFF/WAV fields are LE (vs PNG/JPEG's BE): byte pairs reversed.
+    */
+  private def leHex(x: org.apache.spark.sql.Column, bytes: Int): org.apache.spark.sql.Column = {
+    val h = lpad(hex(x), bytes * 2, "0")
+    concat((0 until bytes).reverse.map(b => substring(h, 2 * b + 1, 2)): _*)
+  }
+
+  /** documents -> media rows whose payloads are REAL RIFF/WAVE headers
+    * (fmt + data chunk declarations, no sample bytes — the header-only
+    * shape of a ranged read): media_id mod 3 = 0 plain, = 1 with a
+    * LIST/INFO chunk before fmt (exercises the chunk walk), = 2 a
+    * non-RIFF blob for the detection path.
+    */
+  private def audioMedia(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val mod3 = pmod(col("doc_id"), lit(3))
+    val c = (lit(1) + pmod(col("doc_id"), lit(2))).cast("int")
+    val rate = (lit(8000) + pmod(col("n_chars"), lit(5)) * 1600).cast("int")
+    val block = (c * 2).cast("int")
+    val nFrames = (lit(50) + pmod(col("n_chars"), lit(100))).cast("int")
+    val dataSize = (nFrames * block).cast("int")
+    val byteRate = (rate * block).cast("int")
+    val riffSize = (lit(4) + when(mod3 === 1, 12).otherwise(0) + lit(24 + 8) + dataSize).cast("int")
+    val hx = when(mod3 === 2, concat(lit("00"), md5(col("text"))))
+      .otherwise(concat(
+        lit("52494646"), leHex(riffSize, 4), lit("57415645"), // RIFF size WAVE
+        when(mod3 === 1, lit("4C49535404000000494E464F")).otherwise(lit("")), // LIST(4) INFO
+        lit("666D742010000000" + "0100"), // "fmt " size=16, PCM
+        leHex(c, 2), leHex(rate, 4), leHex(byteRate, 4), leHex(block, 2), lit("1000"), // bits=16
+        lit("64617461"), leHex(dataSize, 4))) // "data" + declared size
+    d.select(col("doc_id").as("media_id"), unhex(hx).as("payload"))
+  }
+
   /** documents -> media rows whose payloads are REAL container headers:
     * PNG / JPEG header bytes carrying the meta dimensions (media_id
     * mod 3 = 0 / 1), or a non-image blob (mod 3 = 2) for the detection
@@ -244,6 +278,74 @@ object ExtQueries {
         "parsed from the payload bytes by the batched kernel; oracle " +
         "re-parses the same bytes in hex form, following the actual " +
         "segment-length fields"),
+
+    "mm_audio_meta" -> QueryDef(
+      (s, dir) => Multimodal.audioMeta(audioMedia(s, dir), batchSize = 128),
+      Some("""WITH params AS (
+             |  SELECT doc_id AS media_id, text,
+             |    CAST(1 + doc_id % 2 AS INT) AS c,
+             |    CAST(8000 + (n_chars % 5) * 1600 AS INT) AS rate,
+             |    CAST(2 * (1 + doc_id % 2) AS INT) AS block,
+             |    CAST(50 + n_chars % 100 AS INT) AS nframes
+             |  FROM documents),
+             |h8 AS (
+             |  SELECT *, CAST(nframes * block AS INT) AS datasize,
+             |    CAST(rate * block AS INT) AS byterate,
+             |    CAST(4 + CASE WHEN media_id % 3 = 1 THEN 12 ELSE 0 END + 32
+             |      + nframes * block AS INT) AS riffsize
+             |  FROM params),
+             |hx2 AS (
+             |  SELECT *, lpad(to_hex(riffsize), 8, '0') AS rs_h,
+             |    lpad(to_hex(rate), 8, '0') AS rate_h,
+             |    lpad(to_hex(byterate), 8, '0') AS br_h,
+             |    lpad(to_hex(datasize), 8, '0') AS ds_h,
+             |    lpad(to_hex(c), 4, '0') AS c_h,
+             |    lpad(to_hex(block), 4, '0') AS bl_h
+             |  FROM h8),
+             |b AS (
+             |  SELECT media_id, CASE WHEN media_id % 3 = 2
+             |    THEN CONCAT('00', md5(text))
+             |    ELSE CONCAT('52494646',
+             |      substr(rs_h,7,2) || substr(rs_h,5,2) || substr(rs_h,3,2) || substr(rs_h,1,2),
+             |      '57415645',
+             |      CASE WHEN media_id % 3 = 1 THEN '4C49535404000000494E464F' ELSE '' END,
+             |      '666D7420100000000100',
+             |      substr(c_h,3,2) || substr(c_h,1,2),
+             |      substr(rate_h,7,2) || substr(rate_h,5,2) || substr(rate_h,3,2) || substr(rate_h,1,2),
+             |      substr(br_h,7,2) || substr(br_h,5,2) || substr(br_h,3,2) || substr(br_h,1,2),
+             |      substr(bl_h,3,2) || substr(bl_h,1,2), '1000',
+             |      '64617461',
+             |      substr(ds_h,7,2) || substr(ds_h,5,2) || substr(ds_h,3,2) || substr(ds_h,1,2))
+             |    END AS hx
+             |  FROM hx2),
+             |-- parse back FROM THE BYTES: detect RIFF/WAVE, hop over chunk 1
+             |-- by its own little-endian size field to find the fmt payload
+             |f AS (
+             |  SELECT media_id, hx,
+             |    CASE WHEN substr(hx,1,8) = '52494646' AND substr(hx,17,8) = '57415645'
+             |      THEN 'wav' ELSE 'unknown' END AS format,
+             |    CASE WHEN substr(hx,25,8) = '666D7420' THEN 20
+             |      ELSE 20 + CAST(CONCAT('0x', substr(hx,39,2), substr(hx,37,2),
+             |        substr(hx,35,2), substr(hx,33,2)) AS INT) + 8 END AS fp
+             |  FROM b)
+             |SELECT media_id, format,
+             |  CAST(len(hx) // 2 AS INT) AS n_bytes,
+             |  CASE WHEN format = 'wav' THEN CAST(CONCAT('0x',
+             |    substr(hx, 2*(fp+2)+3, 2), substr(hx, 2*(fp+2)+1, 2)) AS INT) END AS channels,
+             |  CASE WHEN format = 'wav' THEN CAST(CONCAT('0x',
+             |    substr(hx, 2*(fp+4)+7, 2), substr(hx, 2*(fp+4)+5, 2),
+             |    substr(hx, 2*(fp+4)+3, 2), substr(hx, 2*(fp+4)+1, 2)) AS INT) END AS sample_rate,
+             |  CASE WHEN format = 'wav' THEN CAST(CONCAT('0x',
+             |    substr(hx, 2*(fp+14)+3, 2), substr(hx, 2*(fp+14)+1, 2)) AS INT) END AS bits_per_sample,
+             |  CASE WHEN format = 'wav' THEN CAST(CAST(CONCAT('0x',
+             |    substr(hx, 2*(fp+20)+7, 2), substr(hx, 2*(fp+20)+5, 2),
+             |    substr(hx, 2*(fp+20)+3, 2), substr(hx, 2*(fp+20)+1, 2)) AS BIGINT)
+             |    // CAST(CONCAT('0x', substr(hx, 2*(fp+12)+3, 2), substr(hx, 2*(fp+12)+1, 2)) AS BIGINT)
+             |    AS BIGINT) END AS n_frames
+             |FROM f""".stripMargin),
+      doc = "REAL RIFF/WAVE header decode (little-endian): chunk walk over an " +
+        "optional LIST chunk to fmt + data declarations; header-only payloads " +
+        "(no sample bytes) parse fine - the ranged-read production shape"),
 
     "mm_resize_meta" -> QueryDef(
       (s, dir) => Multimodal.resizePlan(media(s, dir), maxSide = 224),

@@ -43,6 +43,7 @@ object MetaQueries {
   }
 
   private val EventsCut = "2024-01-30 00:00:00"
+  private val EventsMidCut = "2024-01-25 00:00:00"
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -331,6 +332,28 @@ object MetaQueries {
       Some(s"""SELECT event_id, ts, user_id, event_type
               |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
       doc = "time travel: read table state as of an earlier snapshot id"),
+
+    "time_travel_incremental" -> QueryDef(
+      (s, dir) => {
+        // three-snapshot append lineage; the incremental read from the
+        // FIRST snapshot to the head returns exactly the two appended
+        // deltas and never rescans the base data (dir-set difference)
+        val wh = freshWarehouse("time_travel_incremental")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut1 = lit(EventsMidCut).cast("timestamp")
+        val cut2 = lit(EventsCut).cast("timestamp")
+        TableSink.overwrite(events.filter(col("ts") < cut1), t, table)
+        TableSink.append(events.filter(col("ts") >= cut1 && col("ts") < cut2), t, table)
+        TableSink.append(events.filter(col("ts") >= cut2), t, table)
+        table.readIncremental(s, fromId = 1L, toId = 3L)
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type
+              |FROM events WHERE ts >= TIMESTAMP '$EventsMidCut'""".stripMargin),
+      doc = "incremental snapshot read (changelog consumption): only the dirs " +
+        "added after the base snapshot are scanned - O(delta) I/O"),
 
     "quality_checkfile" -> QueryDef(
       (s, dir) => {

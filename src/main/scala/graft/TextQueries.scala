@@ -67,6 +67,32 @@ object TextQueries {
       doc = "Gopher-family repetition filters: dup-word fraction, top-2gram share, " +
         "word entropy, composite repetitive gate"),
 
+    "corpus_boilerplate" -> QueryDef(
+      (s, dir) => TextAnalysis.boilerplateCoverage(
+        tbl(s, dir, "documents"), "text", n = 3, minDf = 10),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |ws AS (SELECT doc_id,
+             |  unnest(list_transform(range(1, len(toks) - 1),
+             |    i -> {'s': i, 'sh': toks[CAST(i AS INT)] || ' ' ||
+             |      toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]})) AS u
+             |  FROM t),
+             |w AS (SELECT doc_id, u.s AS s, u.sh AS sh FROM ws),
+             |freq AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM w)
+             |  GROUP BY sh HAVING count(*) >= 10),
+             |cov AS (SELECT DISTINCT doc_id, s + o.o AS p
+             |  FROM w JOIN freq USING (sh), unnest([0, 1, 2]) AS o(o)),
+             |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens
+             |  FROM cov GROUP BY 1)
+             |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             |  coalesce(cnt.covered_tokens, 0) AS covered_tokens,
+             |  round(coalesce(cnt.covered_tokens, 0) /
+             |    CAST(greatest(len(t.toks), 1) AS DOUBLE), 6) AS covered_frac
+             |FROM t LEFT JOIN cnt USING (doc_id)""".stripMargin),
+      doc = "cross-document boilerplate coverage: tokens covered by word " +
+        "3-grams occurring in >= 10 docs (the C4/CCNet strip-repeated-spans " +
+        "signal); overlapping spans count positions once"),
+
     "text_quality_score" -> QueryDef(
       (s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"), "text"),
       Some(s"""WITH t AS (

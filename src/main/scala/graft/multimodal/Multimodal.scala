@@ -132,6 +132,78 @@ object Multimodal {
       .toDF()
   }
 
+  /** A parsed WAV header: fmt-chunk audio parameters plus the frame
+    * count declared by the data chunk (None fields when the payload is
+    * not RIFF/WAVE or is truncated before the relevant chunk).
+    */
+  final case class AudioMeta(
+      media_id: Long, format: String, n_bytes: Int,
+      channels: Option[Int], sample_rate: Option[Int],
+      bits_per_sample: Option[Int], n_frames: Option[Long])
+
+  /** REAL WAV (RIFF) header decode — little-endian byte math, the
+    * counterpart of [[parseImageHeader]]'s big-endian formats:
+    *
+    *  - "RIFF" magic, u32le riff size, "WAVE" form type;
+    *  - chunks walked by their OWN u32le size fields (odd sizes padded
+    *    to even per RIFF), so LIST/INFO or other metadata chunks before
+    *    "fmt " are skipped correctly;
+    *  - "fmt ": channels u16le @+2, sample rate u32le @+4,
+    *    bits/sample u16le @+14;
+    *  - "data": its declared size gives the frame count
+    *    (size / block align) WITHOUT the sample bytes needing to be
+    *    present — header-only payloads (the first KB of a ranged read,
+    *    the production pattern for scraping audio metadata at 100 TB)
+    *    parse fine.
+    *
+    * Non-RIFF payloads → format "unknown"; truncation → detected format
+    * with None fields, never an exception.
+    */
+  def parseWavHeader(bytes: Array[Byte]): (String, Option[Int], Option[Int], Option[Int], Option[Long]) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(bytes.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    val none = (None, None, None, None)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return ("unknown", None, None, None, None)
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, block, bits
+    var frames: Option[Long] = None
+    var done = false
+    while (!done && i + 8 <= bytes.length) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= bytes.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 20), le16(i + 22)))
+      if (id == "data") {
+        // declared size is authoritative; the sample bytes need not follow
+        frames = fmt.collect { case (_, _, block, _) if block > 0 => size / block }
+        done = true
+      } else
+        i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks to even
+    }
+    fmt match {
+      case Some((ch, rate, _, bits)) => ("wav", Some(ch), Some(rate), Some(bits), frames)
+      case None                      => ("wav", None, None, None, None)
+    }
+  }
+
+  /** `mm_audio_meta`: batched WAV header decode over the payload column
+    * — same narrow-map kernel shape as [[imageHeaders]].
+    */
+  def audioMeta(media: DataFrame, batchSize: Int = 128): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val (fmt, ch, rate, bits, frames) = parseWavHeader(bytes)
+        AudioMeta(id, fmt, bytes.length, ch, rate, bits, frames)
+      }))
+      .toDF()
+  }
+
   /** `mm_resize_meta`: metadata-only resize planning — compute target
     * dimensions that fit a bound while preserving aspect ratio. Touches
     * only the metadata struct: the binary column is pruned at scan.

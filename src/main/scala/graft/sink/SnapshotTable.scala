@@ -82,6 +82,31 @@ final class SnapshotTable(val root: String, val fullName: String) {
       snap.dataDirs.map(spark.read.format(snap.format).load(_)).reduce(_ unionByName _)
   }
 
+  /** Incremental read: the rows ADDED between snapshot `fromId`
+    * (exclusive) and snapshot `toId` (inclusive) — the changelog
+    * consumption path that lets a downstream job (feature refresh,
+    * training-corpus delta ingest) process only what is new instead of
+    * re-scanning the table. Implemented as set difference over the two
+    * snapshots' data-directory lists, so the scan I/O is O(delta)
+    * regardless of table size — append commits reference the previous
+    * dirs plus one new dir, and only the new dirs are read (Iceberg's
+    * incremental append scan has the same contract). Only meaningful
+    * along an append lineage: an intervening overwrite drops the old
+    * dirs, so the "delta" is that snapshot's full rewritten state.
+    */
+  def readIncremental(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    val all = snapshots
+    def snap(id: Long): Snapshot = all.find(_.id == id).getOrElse(
+      throw new NoSuchElementException(
+        s"Table $fullName has no snapshot $id (available: ${all.map(_.id).mkString(", ")})"))
+    require(fromId <= toId, s"fromId $fromId must be <= toId $toId")
+    val from = snap(fromId).dataDirs.toSet
+    val to = snap(toId)
+    val delta = to.dataDirs.filterNot(from)
+    if (delta.isEmpty) spark.emptyDataFrame
+    else delta.map(spark.read.format(to.format).load(_)).reduce(_ unionByName _)
+  }
+
   /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format, numRetries)

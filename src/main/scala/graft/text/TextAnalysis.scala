@@ -247,6 +247,56 @@ object TextAnalysis {
         (top2Frac >= maxTop2 || dupWordFrac >= maxDupWord).as("repetitive"))
   }
 
+  /** `corpus_boilerplate`: per-document boilerplate coverage — the
+    * fraction of a doc's tokens covered by any word n-gram that occurs
+    * in at least `minDf` documents (headers, footers, cookie banners,
+    * license blurbs: the spans C4/CCNet-style pipelines strip because
+    * they repeat across the corpus rather than within a doc — the
+    * CROSS-document counterpart of [[repetitionStats]]' within-doc
+    * signals).
+    *
+    * Shape: positional n-grams are built array-side (one O(n) per-doc
+    * transform — no per-token window sort); document frequency is a
+    * count over distinct (doc, gram), the same inverted-index
+    * aggregation as the dedup family; frequent grams join back to the
+    * positional windows (Catalyst picks broadcast when the frequent set
+    * is small, shuffle join otherwise — not forced) and covered token
+    * positions are de-duplicated per doc before counting, so
+    * overlapping frequent spans never double-count. Everything is
+    * doc-keyed or gram-keyed — linear at 100 TB.
+    */
+  def boilerplateCoverage(
+      df: DataFrame, textCol: String, n: Int, minDf: Long): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(minDf >= 1, "minDf must be positive")
+    val emptyWs = array().cast(s"array<struct<s:int,sh:string>>")
+    val base = df.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
+      .withColumn("_ws",
+        when(size(col("_toks")) >= n,
+          transform(sequence(lit(0), size(col("_toks")) - n), i =>
+            struct(i.cast("int").as("s"),
+              concat_ws(" ",
+                (0 until n).map(o => element_at(col("_toks"), i + o + 1)): _*).as("sh"))))
+          .otherwise(emptyWs))
+    val windows = base.select(col("doc_id"), explode(col("_ws")).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), col("w.sh").as("sh"))
+    val frequent = windows.select(col("doc_id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf).select("sh")
+    val covered = windows.join(frequent, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_tokens"))
+    base.select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("covered_frac",
+        round(col("covered_tokens").cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6))
+  }
+
   def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val n = greatest(length(col(textCol)) - (k - 1), lit(1))
     val minh = df

@@ -87,6 +87,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(jpeg.take(8)) == ("jpeg", None, None))
   }
 
+  private def le16(x: Int) = f"${x & 0xff}%02X${(x >> 8) & 0xff}%02X"
+  private def le32(x: Int) =
+    f"${x & 0xff}%02X${(x >> 8) & 0xff}%02X${(x >> 16) & 0xff}%02X${(x >> 24) & 0xff}%02X"
+
+  test("parseWavHeader reads fmt/data chunks little-endian, walking other chunks") {
+    def fmt(ch: Int, rate: Int, bits: Int) = {
+      val block = ch * bits / 8
+      "666D7420" + le32(16) + le16(1) + le16(ch) + le32(rate) +
+        le32(rate * block) + le16(block) + le16(bits)
+    }
+    // plain: RIFF/WAVE, fmt, data declaring 400 bytes (stereo 16-bit ->
+    // block 4 -> 100 frames); sample bytes ABSENT (header-only payload)
+    val plain = hexBytes("52494646" + le32(4 + 24 + 8 + 400) + "57415645" +
+      fmt(2, 44100, 16) + "64617461" + le32(400))
+    assert(Multimodal.parseWavHeader(plain) ==
+      ("wav", Some(2), Some(44100), Some(16), Some(100L)))
+    // an ODD-sized LIST chunk before fmt: the walk must pad to even
+    val listed = hexBytes("52494646" + le32(4 + 8 + 5 + 1 + 24 + 8 + 6) + "57415645" +
+      "4C495354" + le32(5) + "494E464F00" + "00" + // 5-byte payload + pad
+      fmt(1, 8000, 8) + "64617461" + le32(6))
+    assert(Multimodal.parseWavHeader(listed) ==
+      ("wav", Some(1), Some(8000), Some(8), Some(6L)))
+    // RIFF but truncated before fmt completes -> detected, no fields
+    assert(Multimodal.parseWavHeader(plain.take(20)) == ("wav", None, None, None, None))
+    // not RIFF at all
+    assert(Multimodal.parseWavHeader("RIFX1234WAVE".getBytes) ==
+      ("unknown", None, None, None, None))
+    assert(Multimodal.parseWavHeader(Array.empty[Byte]) ==
+      ("unknown", None, None, None, None))
+  }
+
   test("parseImageHeader: non-image payloads are unknown, never throw") {
     assert(Multimodal.parseImageHeader(Array.empty[Byte]) == ("unknown", None, None))
     assert(Multimodal.parseImageHeader(Array[Byte](0, 1, 2)) == ("unknown", None, None))

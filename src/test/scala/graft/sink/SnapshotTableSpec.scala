@@ -189,6 +189,23 @@ class SnapshotTableSpec extends SparkSpec {
       "dir younger than the safety age must survive expireSnapshots(now)")
   }
 
+  test("incremental read returns only appended deltas; overwrite resets lineage") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2).toDF("v"))
+    t.append(Seq(3).toDF("v"))
+    t.append(Seq(4, 5).toDF("v"))
+    // delta from the base snapshot = both appends, never the base rows
+    assert(t.readIncremental(spark, 1L, 3L).as[Int].collect().sorted.toSeq == Seq(3, 4, 5))
+    assert(t.readIncremental(spark, 2L, 3L).as[Int].collect().sorted.toSeq == Seq(4, 5))
+    // from == to: nothing new
+    assert(t.readIncremental(spark, 3L, 3L).isEmpty)
+    // an overwrite drops prior dirs: the "delta" is the full new state
+    t.overwrite(Seq(9).toDF("v"))
+    assert(t.readIncremental(spark, 3L, 4L).as[Int].collect().toSeq == Seq(9))
+    intercept[NoSuchElementException] { t.readIncremental(spark, 1L, 99L) }
+    intercept[IllegalArgumentException] { t.readIncremental(spark, 3L, 1L) }
+  }
+
   test("backoff wait is clamped: huge attempt counts never go negative") {
     assert(SnapshotTable.backoffMs(0) == SnapshotTable.backoffBaseMs)
     assert(SnapshotTable.backoffMs(3) == SnapshotTable.backoffBaseMs * 8)
