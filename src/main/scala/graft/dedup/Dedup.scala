@@ -54,6 +54,7 @@ object Dedup {
   def clearCaches(): Unit = {
     postingsCache.clear(); simhashCache.clear(); derivedCache.clear()
     graft.similarity.Similarity.clearCaches()
+    graft.text.TextAnalysis.clearCaches()
   }
 
   /** Generic derived-DataFrame cache: persist `build` once per

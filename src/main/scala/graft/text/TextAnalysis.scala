@@ -255,31 +255,41 @@ object TextAnalysis {
     * CROSS-document counterpart of [[repetitionStats]]' within-doc
     * signals).
     *
-    * Shape: positional n-grams are built array-side (one O(n) per-doc
-    * transform — no per-token window sort); document frequency is a
-    * count over distinct (doc, gram), the same inverted-index
-    * aggregation as the dedup family; frequent grams join back to the
-    * positional windows (Catalyst picks broadcast when the frequent set
-    * is small, shuffle join otherwise — not forced) and covered token
-    * positions are de-duplicated per doc before counting, so
-    * overlapping frequent spans never double-count. Everything is
-    * doc-keyed or gram-keyed — linear at 100 TB.
+    * Shape: positional n-grams are built array-side as a zip of
+    * shifted slices (the [[repetitionStats]] discipline — no per-token
+    * window sort, and crucially no per-element lambda over an index
+    * sequence: a `transform(sequence(...), i -> struct(..))` variant
+    * measured ~60 µs/element interpreted, 15 s at sf0.1, vs sub-second
+    * for the slice zip); `posexplode` yields the window start for free.
+    * Document frequency is a count over distinct (doc, gram), the same
+    * inverted-index aggregation as the dedup family; frequent grams
+    * join back to the positional windows (Catalyst picks broadcast when
+    * the frequent set is small, shuffle join otherwise — not forced)
+    * and covered token positions are de-duplicated per doc before
+    * counting, so overlapping frequent spans never double-count.
+    * Everything is doc-keyed or gram-keyed — linear at 100 TB.
     */
   def boilerplateCoverage(
       df: DataFrame, textCol: String, n: Int, minDf: Long): DataFrame = {
     require(n >= 1, "n must be positive")
     require(minDf >= 1, "minDf must be positive")
-    val emptyWs = array().cast(s"array<struct<s:int,sh:string>>")
+    val toks = col("_toks")
+    val nWindows = size(toks) - (n - 1)
+    val grams = (0 until n)
+      .map(o => slice(toks, lit(o + 1), nWindows))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
     val base = df.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
-      .withColumn("_ws",
-        when(size(col("_toks")) >= n,
-          transform(sequence(lit(0), size(col("_toks")) - n), i =>
-            struct(i.cast("int").as("s"),
-              concat_ws(" ",
-                (0 until n).map(o => element_at(col("_toks"), i + o + 1)): _*).as("sh"))))
-          .otherwise(emptyWs))
-    val windows = base.select(col("doc_id"), explode(col("_ws")).as("w"))
-      .select(col("doc_id"), col("w.s").as("s"), col("w.sh").as("sh"))
+      // the when() guards slice's negative-length error on docs shorter
+      // than n (CASE branches evaluate lazily)
+      .withColumn("_grams",
+        when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+    // three consumers read the positional windows (df count, join probe,
+    // coverage) — persist once through the plan-keyed cache instead of
+    // re-tokenizing the corpus per consumer
+    val windows = gramCache.getOrBuild(df, s"boilerplate:$textCol", n) {
+      base.select(col("doc_id"), posexplode(col("_grams")))
+        .toDF("doc_id", "s", "sh")
+    }
     val frequent = windows.select(col("doc_id"), col("sh")).distinct()
       .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf).select("sh")
@@ -296,6 +306,14 @@ object TextAnalysis {
         round(col("covered_tokens").cast("double") /
           greatest(col("n_tokens"), lit(1L)), 6))
   }
+
+  /** Plan-keyed cache for [[boilerplateCoverage]]'s positional window
+    * index (same pattern as the dedup postings caches).
+    */
+  private val gramCache = new graft.util.KeyedCache
+
+  /** Drop cached window indexes (see [[graft.dedup.Dedup.clearCaches]]). */
+  def clearCaches(): Unit = gramCache.clear()
 
   def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val n = greatest(length(col(textCol)) - (k - 1), lit(1))
