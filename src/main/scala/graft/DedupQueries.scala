@@ -237,6 +237,28 @@ object DedupQueries {
       doc = "benchmark decontamination: corpus docs sharing >=3 rare n-grams " +
         "with an eval doc (broadcast bench postings, df-capped fan-out)"),
 
+    "dedup_containment" -> QueryDef(
+      (s, dir) => Dedup.containmentPairs(
+        Dedup.sharedPostings(tbl(s, dir, "documents"), "text", 3),
+        minContainment = 0.5, maxDf = 10),
+      Some(s"""WITH $ShinglesSql,
+              |p AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+              |rare AS (SELECT sh FROM p GROUP BY sh HAVING count(*) <= 10),
+              |pr AS (SELECT p.doc_id, p.sh FROM p JOIN rare USING (sh)),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+              |SELECT doc_a, doc_b, common,
+              |  round(CAST(common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+              |FROM pairs
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE round(CAST(common AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.5""".stripMargin),
+      doc = "containment-scored near-dups (Broder): common / min(|A|,|B|) - " +
+        "catches a short doc quoted inside a long one that Jaccard misses"),
+
     "dedup_incremental" -> QueryDef(
       (s, dir) => {
         // the "new batch" is docs with doc_id % 10 == 7 (an arbitrary,

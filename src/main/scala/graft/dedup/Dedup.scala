@@ -201,6 +201,28 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
+  /** `dedup_containment`: containment-scored near-dup pairs — Broder's
+    * asymmetric resemblance measure, containment(A in B) =
+    * |S(A) ∩ S(B)| / |S(A)| (Broder 1997, "On the resemblance and
+    * containment of documents"). Reported per pair as the MAX of the
+    * two directions, common / min(|A|, |B|): a short document quoted
+    * wholesale inside a long one scores 1.0 here while its Jaccard
+    * (union-normalized) can be arbitrarily small — the quote/excerpt
+    * duplication Jaccard structurally misses. Same inverted-index join,
+    * df cap, and full-corpus size statistics as [[jaccardPairs]].
+    */
+  def containmentPairs(
+      postings: DataFrame, minContainment: Double, maxDf: Int = 10): DataFrame = {
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    commonCounts(rarePostings(postings, maxDf))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("containment",
+        round(col("common").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "common", "containment")
+  }
+
   /** `dedup_incremental`: near-dup pairs between an arriving BATCH and
     * the full corpus — the production ingestion shape. A steady-state
     * pipeline must not re-pair the whole corpus on every delta: pairs

@@ -158,6 +158,23 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 >= 3)
   }
 
+  test("containment catches a short doc embedded in a long one; jaccard misses it") {
+    val quote = "the five boxing wizards jump quickly"
+    val docs = Seq(
+      (1L, quote), // 6 tokens -> 4 trigrams, all inside doc 2
+      (2L, s"a long article that quotes $quote and then continues with many " +
+        "further original sentences about completely different material"),
+      (3L, "unrelated document about engines"))
+      .toDF("doc_id", "text")
+    val postings = Dedup.shinglePostings(docs, "text", 3)
+    val cont = Dedup.containmentPairs(postings, minContainment = 0.9, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), s"full embedding scores 1.0: ${cont.toSeq}")
+    // the same pair under jaccard: 4 common / (4 + 22 - 4) trigrams ~ 0.18
+    val jac = Dedup.jaccardPairs(postings, minJaccard = 0.5, maxDf = 10).collect()
+    assert(jac.isEmpty, "union-normalized jaccard misses the embedded quote")
+  }
+
   test("decontamination at 13-token spans: one shared span flags, shorter overlap doesn't") {
     import org.apache.spark.sql.functions.{col, lit}
     // a 13-token eval answer span
