@@ -512,6 +512,29 @@ object RelationalQueries {
       // production operator is the sketch alone, constant memory/group)
       doc = "HLL++ sketch distinct, verified against the exact count's 10% error bound"),
 
+    "agg_approx_percentile" -> QueryDef(
+      (s, dir) =>
+        // the sketch value is engine-specific, so the oracle-verifiable
+        // contract is a RANK bound: the approximate median must land
+        // between the exact 45th and 55th exact percentiles (the
+        // approx_count_distinct pattern; sketch = constant memory/group
+        // vs percentile()'s full value buffer)
+        tbl(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("_ap50"),
+            expr("percentile(o_totalprice, 0.45)").as("_lo"),
+            expr("percentile(o_totalprice, 0.55)").as("_hi"),
+            count(lit(1)).as("n_orders"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            (col("_ap50") >= col("_lo") && col("_ap50") <= col("_hi"))
+              .as("approx_within_rank_bound")),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  true AS approx_within_rank_bound
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      doc = "approximate-percentile sketch (constant memory/group), verified " +
+        "against an exact-percentile rank window"),
+
     // ------------------------------------------------------------------
     // §2.8 scalar derivations
     // ------------------------------------------------------------------
