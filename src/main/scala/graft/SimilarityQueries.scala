@@ -59,6 +59,75 @@ object SimilarityQueries {
          |  (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString("(", " +\n ", ")")
 
+  /** DuckDB CTE chain replicating the full PQ pipeline
+    * (Similarity.pqTopK) exactly: per-subspace unrolled Lloyd chains
+    * (the kmeansCte shape over re-based subspace positions), rounded
+    * codebooks over the final assignments, the query ADC lookup table,
+    * approximate dots, exact-norm cosine and ranking. Ends in
+    * `pq_ranked(query_id, vec_id, cos, rank)`.
+    */
+  private def pqCte(m: Int, k: Int, iters: Int, nQueries: Int): String = {
+    val subDim = 64 / m
+    val base =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex0 AS (SELECT vec_id, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
+        |  FROM e, unnest(range(0, 64)) AS u(i))""".stripMargin
+    val subspaces = (0 until m).map { s =>
+      val lo = s * subDim
+      val P = s"_s$s"
+      val header =
+        s"""ex$P AS (SELECT vec_id, pos - $lo AS pos, x FROM ex0
+           |  WHERE pos >= $lo AND pos < ${lo + subDim}),
+           |vn2$P AS (SELECT vec_id, sum(x * x) AS vn2 FROM ex$P GROUP BY 1),
+           |a0$P AS (SELECT vec_id, vec_id % $k AS cell FROM e)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""c$i$P AS (SELECT a.cell, ex.pos, avg(ex.x) AS c
+           |  FROM ex$P ex JOIN a${i - 1}$P a USING (vec_id) GROUP BY 1, 2),
+           |cn2_$i$P AS (SELECT cell, sum(c * c) AS cn2 FROM c$i$P GROUP BY 1),
+           |dots_$i$P AS (SELECT ex.vec_id, c.cell, sum(ex.x * c.c) AS vc
+           |  FROM ex$P ex JOIN c$i$P c USING (pos) GROUP BY 1, 2),
+           |a$i$P AS (SELECT vec_id, cell FROM (
+           |  SELECT d.vec_id, d.cell,
+           |    row_number() OVER (PARTITION BY d.vec_id
+           |      ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
+           |  FROM dots_$i$P d JOIN cn2_$i$P c USING (cell) JOIN vn2$P v USING (vec_id))
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val tail =
+        s"""cb$P AS (SELECT $s AS sub, a.cell AS code, ex.pos AS spos,
+           |    round(avg(ex.x), 6) AS c
+           |  FROM ex$P ex JOIN a$iters$P a USING (vec_id) GROUP BY 1, 2, 3),
+           |codes$P AS (SELECT vec_id, $s AS sub, cell AS code FROM a$iters$P)""".stripMargin
+      (header +: rounds :+ tail).mkString(",\n")
+    }
+    val cball = (0 until m).map(s => s"SELECT * FROM cb_s$s").mkString(" UNION ALL ")
+    val codesall = (0 until m).map(s => s"SELECT * FROM codes_s$s").mkString(" UNION ALL ")
+    val search =
+      s"""cball AS ($cball),
+         |codesall AS ($codesall),
+         |pq_lut AS (
+         |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         |    round(sum(q.x * cb.c), 6) AS pdot
+         |  FROM (SELECT vec_id, pos, x FROM ex0 WHERE vec_id < $nQueries) q
+         |  JOIN cball cb ON cb.sub = q.pos // $subDim AND cb.spos = q.pos % $subDim
+         |  GROUP BY 1, 2, 3),
+         |pq_adot AS (
+         |  SELECT l.query_id, c.vec_id, round(sum(l.pdot), 6) AS adot
+         |  FROM codesall c JOIN pq_lut l ON c.sub = l.sub AND c.code = l.code
+         |  WHERE l.query_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex0 GROUP BY 1),
+         |pq_ranked AS (
+         |  SELECT pq_adot.query_id, pq_adot.vec_id,
+         |    round(adot / (qn.nrm * cn.nrm), 4) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY pq_adot.query_id
+         |      ORDER BY round(adot / (qn.nrm * cn.nrm), 4) DESC, pq_adot.vec_id ASC) AS INT) AS rank
+         |  FROM pq_adot
+         |  JOIN nrm qn ON pq_adot.query_id = qn.vec_id
+         |  JOIN nrm cn ON pq_adot.vec_id = cn.vec_id)""".stripMargin
+    (base +: subspaces :+ search).mkString(",\n")
+  }
+
   /** DuckDB CTE chain for the IVF pipeline, ending in
     * `ivf_ranked(query_id, vec_id, cos, rank)` (queries = vec_id < 10;
     * corpus vectors live in their single nearest cell, queries probe
@@ -233,6 +302,20 @@ object SimilarityQueries {
               |WHERE rank <= 5""".stripMargin),
       doc = "train (k-means) -> index (learned cells) -> query (IVF): the " +
         "quantizer's 3rd M/E round in the oracle equals ivfTopK over trained cells"),
+
+    "similarity_pq" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+          k = 10, m = 4, codes = 8, iters = 2, dims = 64)
+      },
+      Some(s"""WITH ${pqCte(m = 4, k = 8, iters = 2, nQueries = 5)}
+              |SELECT query_id, vec_id, cos, rank FROM pq_ranked
+              |WHERE rank <= 10""".stripMargin),
+      doc = "product-quantized ANN (Jegou 2011): 4 subspace codebooks of 8 " +
+        "codes (trained Lloyd, cached), byte codes per vector, ADC lookup-table " +
+        "scoring - the 32x memory-compression tier; oracle replicates the " +
+        "trained codebooks and ADC exactly"),
 
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's

@@ -248,6 +248,73 @@ object Similarity {
   /** Drop cached trained assignments (see [[graft.dedup.Dedup.clearCaches]]). */
   def clearCaches(): Unit = assignCache.clear()
 
+  /** `similarity_pq`: product-quantized ANN (Jégou, Douze, Schmid 2011,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+    * 33(1)) — the memory-compression tier of an ANN stack: each vector
+    * is stored as `m` small codes (one byte each at `codes` ≤ 256)
+    * instead of `dims` floats, a 32×+ compression that is what makes a
+    * 10^11-vector index fit a cluster's RAM at all.
+    *
+    *  1. TRAIN: the vector space is split into `m` subspaces of
+    *     `dims / m` dimensions; each subspace gets its own tiny Lloyd
+    *     codebook (`codes` centroids) via the cached [[kmeansAssign]]
+    *     path — one training per (corpus, subspace) per driver run.
+    *  2. ENCODE: every corpus vector → (sub, code) per subspace: the
+    *     PQ code table, m integers per vector. O(N) rows, never
+    *     vectors, through the shuffle.
+    *  3. SEARCH (ADC — asymmetric distance computation): per query,
+    *     a lookup table of partial dots against every (sub, code)
+    *     centroid — |Q|·m·codes rows, broadcast — then each corpus
+    *     vector's approximate dot is the sum of its m table entries:
+    *     the scoring join moves only code rows, no vector math per
+    *     pair. Scores are normalized by the EXACT stored norms (one
+    *     scan, kept once per vector in production) and ranked like
+    *     every other similarity operator.
+    *
+    * Partial dots and their sums are rounded (6 dp) before the final
+    * 4 dp cosine so the DuckDB oracle — which replicates the per-
+    * subspace Lloyd chains, codebooks, LUT and ADC exactly — hash-
+    * matches across engines.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int, codes: Int, iters: Int, dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    val sub = dims / m
+    def subspace(df: DataFrame, s: Int): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+    // (vec_id, sub, code): the PQ code table — m trainings, all cached
+    val corpusCodes = (0 until m).map { s =>
+      kmeansAssign(subspace(corpus, s), codes, iters)
+        .select(col("vec_id"), lit(s).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+    // (sub, code, spos, c): the rounded trained codebooks
+    val codebook = (0 until m).map { s =>
+      kmeans(subspace(corpus, s), codes, iters)
+        .select(lit(s).as("sub"), col("cell").as("code"),
+          col("pos").as("spos"), col("c"))
+    }.reduce(_ unionByName _)
+    val qe = exploded(queries, "vec_id", "query_id")
+    val qsub = qe
+      .withColumn("sub", (col("pos") / lit(sub)).cast("int"))
+      .withColumn("spos", col("pos") % lit(sub))
+    val lut = qsub.join(broadcast(codebook), Seq("sub", "spos"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(round(sum(col("x") * col("c")), 6).as("pdot"))
+    val adots = corpusCodes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pdot")), 6).as("adot"))
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val scored = adots
+      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))),
+        "query_id")
+      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("adot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+    rankWindow(scored, k)
+  }
+
   private def lloyd(corpus: DataFrame, e: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     var assign = corpus

@@ -103,6 +103,51 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("PQ at full codebook resolution degenerates to exact ranking") {
+    // codes >= |corpus|: init cell = vec_id, every vector is its own
+    // centroid, so ADC partial dots are exact (up to the 6dp rounding)
+    // and the PQ ranking must equal brute force - the exactness limit
+    // that pins the whole train/encode/LUT/ADC chain end to end
+    val rnd = new scala.util.Random(13)
+    val axes = Seq(
+      Seq(1.0, 0.4, 0.0, 0.0), Seq(0.4, 1.0, 0.0, 0.0), Seq(0.2, 0.6, 0.8, 0.2))
+    val rows = (0 until 36).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.8).toFloat))
+    }
+    val corpus36 = rows.toDF("vec_id", "embedding")
+    val queries = corpus36.filter($"vec_id" < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("vec_id"))
+      .toMap
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus36, k = 5))
+    val pq = pairs(Similarity.pqTopK(queries, corpus36, k = 5,
+      m = 2, codes = 64, iters = 1, dims = 4))
+    assert(pq == exact, "full-resolution PQ must reproduce the exact top-k")
+  }
+
+  test("PQ codebooks train once per subspace and are cache-served after") {
+    Similarity.clearCaches()
+    val before = Similarity.lloydRuns.get()
+    val out1 = Similarity.pqTopK(corpus.filter($"vec_id" === 0), corpus,
+        k = 6, m = 2, codes = 2, iters = 2, dims = 4)
+      .orderBy($"rank").collect()
+    assert(Similarity.lloydRuns.get() == before + 2, "one Lloyd run per subspace")
+    // the identical vector shares every code with the query, so the two
+    // get IDENTICAL approximate scores against every codebook entry -
+    // vec 5 must appear, and at the same cos as any other code-sharer
+    // (note: it need NOT rank first - ADC scores vectors by their CELL
+    // centroid, and another cell's centroid can align better with the
+    // query than the query's own cell mean)
+    assert(out1.exists(_.getAs[Long]("vec_id") == 5L))
+    val out2 = Similarity.pqTopK(corpus.filter($"vec_id" === 0), corpus,
+        k = 6, m = 2, codes = 2, iters = 2, dims = 4)
+      .orderBy($"rank").collect()
+    assert(Similarity.lloydRuns.get() == before + 2, "second call is cache-served")
+    assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq, "deterministic output")
+    Similarity.clearCaches()
+  }
+
   test("quantizer trains once across kmeans / assign / index consumers") {
     Similarity.clearCaches()
     val emb = corpus.select($"vec_id", $"embedding")
