@@ -80,6 +80,32 @@ object ExtQueries {
     d.select(col("doc_id").as("media_id"), unhex(hx).as("payload"))
   }
 
+  /** documents -> media rows whose payloads are REAL MP4 (ISO-BMFF)
+    * headers: `ftyp` (major brand isom / mp42 by media_id mod 3 = 0/1,
+    * the latter with a `free` box before `moov` and an `iods` child
+    * before `mvhd` to exercise both walks), then `moov` containing a
+    * version-0 `mvhd` with real timescale/duration; mod 3 = 2 is a
+    * non-MP4 blob. All box sizes are self-consistent big-endian u32.
+    */
+  private def videoMedia(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val mod3 = pmod(col("doc_id"), lit(3))
+    val ts = (lit(600) + pmod(col("n_chars"), lit(5)) * 300).cast("int")
+    val dur = (col("n_chars") * 3).cast("int")
+    val mvhdHex = concat(lit("0000001C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      lpad(hex(ts), 8, "0"), lpad(hex(dur), 8, "0"))
+    val moovPlain = concat(lit("00000024" + "6D6F6F76"), mvhdHex) // 8 + 28
+    val moovIods = concat(lit("00000030" + "6D6F6F76" + "0000000C" + "696F6473" + "00000000"),
+      mvhdHex) // 8 + 12 + 28
+    val ftyp = (brand: String) =>
+      lit("00000010" + "66747970" + brand + "00000200")
+    val hx = when(mod3 === 2, concat(lit("00"), md5(col("text"))))
+      .when(mod3 === 0, concat(ftyp("69736F6D"), moovPlain)) // isom
+      .otherwise(concat(ftyp("6D703432"), // mp42 + free box detour
+        lit("0000000C" + "66726565" + "00000000"), moovIods))
+    d.select(col("doc_id").as("media_id"), unhex(hx).as("payload"))
+  }
+
   /** documents -> media rows whose payloads are REAL container headers:
     * PNG / JPEG header bytes carrying the meta dimensions (media_id
     * mod 3 = 0 / 1), or a non-image blob (mod 3 = 2) for the detection
@@ -346,6 +372,63 @@ object ExtQueries {
       doc = "REAL RIFF/WAVE header decode (little-endian): chunk walk over an " +
         "optional LIST chunk to fmt + data declarations; header-only payloads " +
         "(no sample bytes) parse fine - the ranged-read production shape"),
+
+    "mm_video_meta" -> QueryDef(
+      (s, dir) => Multimodal.videoMeta(videoMedia(s, dir), batchSize = 128),
+      Some("""WITH p AS (
+             |  SELECT doc_id AS media_id,
+             |    CAST(600 + (n_chars % 5) * 300 AS INT) AS ts,
+             |    CAST(n_chars * 3 AS INT) AS dur, text
+             |  FROM documents),
+             |b AS (
+             |  SELECT media_id, CASE media_id % 3
+             |    WHEN 2 THEN CONCAT('00', md5(text))
+             |    WHEN 0 THEN CONCAT('000000106674797069736F6D00000200',
+             |      '000000246D6F6F76',
+             |      '0000001C6D766864000000000000000000000000',
+             |      lpad(to_hex(ts), 8, '0'), lpad(to_hex(dur), 8, '0'))
+             |    ELSE CONCAT('00000010667479706D70343200000200',
+             |      '0000000C6672656500000000',
+             |      '000000306D6F6F760000000C696F647300000000',
+             |      '0000001C6D766864000000000000000000000000',
+             |      lpad(to_hex(ts), 8, '0'), lpad(to_hex(dur), 8, '0'))
+             |    END AS hx
+             |  FROM p),
+             |-- parse from the bytes: ftyp magic, brand ASCII, then hop boxes
+             |-- by their OWN big-endian sizes to moov, then its children to mvhd
+             |f AS (
+             |  SELECT media_id, hx,
+             |    CASE WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4' ELSE 'unknown' END AS format,
+             |    TRY_CAST(CONCAT('0x', substr(hx, 1, 8)) AS INT) AS s1
+             |  FROM b),
+             |g AS (
+             |  SELECT *, CASE WHEN substr(hx, 2 * (s1 + 4) + 1, 8) = '66726565'
+             |    THEN s1 + TRY_CAST(CONCAT('0x', substr(hx, 2 * s1 + 1, 8)) AS INT)
+             |    ELSE s1 END AS moov
+             |  FROM f),
+             |h AS (
+             |  SELECT *, CASE WHEN substr(hx, 2 * (moov + 12) + 1, 8) = '6D766864'
+             |    THEN moov + 8
+             |    ELSE moov + 8 + TRY_CAST(CONCAT('0x', substr(hx, 2 * (moov + 8) + 1, 8)) AS INT)
+             |    END AS mvhd
+             |  FROM g)
+             |SELECT media_id, format,
+             |  CAST(len(hx) // 2 AS INT) AS n_bytes,
+             |  CASE WHEN format = 'mp4' THEN
+             |    chr(CAST(CONCAT('0x', substr(hx, 17, 2)) AS INT)) ||
+             |    chr(CAST(CONCAT('0x', substr(hx, 19, 2)) AS INT)) ||
+             |    chr(CAST(CONCAT('0x', substr(hx, 21, 2)) AS INT)) ||
+             |    chr(CAST(CONCAT('0x', substr(hx, 23, 2)) AS INT)) END AS brand,
+             |  CASE WHEN format = 'mp4'
+             |    THEN CAST(CONCAT('0x', substr(hx, 2 * (mvhd + 20) + 1, 8)) AS INT) END AS timescale,
+             |  CASE WHEN format = 'mp4'
+             |    THEN CAST(CONCAT('0x', substr(hx, 2 * (mvhd + 24) + 1, 8)) AS BIGINT) * 1000
+             |      // CAST(CONCAT('0x', substr(hx, 2 * (mvhd + 20) + 1, 8)) AS BIGINT)
+             |    END AS duration_ms
+             |FROM h""".stripMargin),
+      doc = "REAL MP4/ISO-BMFF header decode: ftyp brand + box walk to " +
+        "moov -> mvhd timescale/duration, hopping boxes by their own " +
+        "big-endian size fields; completes the image/audio/video triad"),
 
     "mm_resize_meta" -> QueryDef(
       (s, dir) => Multimodal.resizePlan(media(s, dir), maxSide = 224),

@@ -204,6 +204,76 @@ object Multimodal {
       .toDF()
   }
 
+  /** A parsed MP4/ISO-BMFF header: major brand from `ftyp`, movie
+    * timescale/duration from `moov`→`mvhd` (None when absent or
+    * truncated).
+    */
+  final case class VideoMeta(
+      media_id: Long, format: String, n_bytes: Int,
+      brand: Option[String], timescale: Option[Int], duration_ms: Option[Long])
+
+  /** REAL MP4 (ISO base media file format) header decode — big-endian
+    * box walk, completing the image (BE chunk) / audio (LE chunk) /
+    * video triad:
+    *
+    *  - top-level boxes are `size(u32 BE) + type(4 ASCII)`; the first
+    *    must be `ftyp`, whose payload starts with the major brand;
+    *  - the walk follows box sizes to `moov` (a pure container), then
+    *    walks moov's CHILDREN to `mvhd`, whose version-0 payload holds
+    *    timescale (u32 BE @+12) and duration (u32 BE @+16);
+    *    duration_ms = duration * 1000 / timescale;
+    *  - box size 0 means "to end of file" (spec) — treated as
+    *    terminal; anything non-ftyp-leading is "unknown"; truncation
+    *    yields the detected format with None fields, never a throw.
+    */
+  def parseMp4Header(bytes: Array[Byte]): (String, Option[String], Option[Int], Option[Long]) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int) = u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)
+    def tag(i: Int) = new String(bytes.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 8 || tag(4) != "ftyp")
+      return ("unknown", None, None, None)
+    val brand = if (bytes.length >= 12) Some(tag(8)) else None
+    var i = 0
+    var mvhd: Option[(Int, Long)] = None
+    var done = false
+    while (!done && i + 8 <= bytes.length) {
+      val size = be32(i)
+      val box = tag(i + 4)
+      if (box == "moov") {
+        // walk the container's children for mvhd
+        var j = i + 8
+        val end = math.min(i + size, bytes.length.toLong).toInt
+        while (mvhd.isEmpty && j + 8 <= end) {
+          val csize = be32(j)
+          if (tag(j + 4) == "mvhd" && j + 8 + 20 <= bytes.length && u8(j + 8) == 0) {
+            val ts = be32(j + 20).toInt
+            val dur = be32(j + 24)
+            if (ts > 0) mvhd = Some((ts, dur * 1000L / ts))
+          }
+          if (csize <= 0) j = end else j += csize.toInt
+        }
+        done = true
+      } else if (size <= 0) done = true
+      else i += size.toInt
+    }
+    ("mp4", brand, mvhd.map(_._1), mvhd.map(_._2))
+  }
+
+  /** `mm_video_meta`: batched MP4 header decode — same narrow-map
+    * kernel shape as [[imageHeaders]]/[[audioMeta]].
+    */
+  def videoMeta(media: DataFrame, batchSize: Int = 128): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val (fmt, brand, ts, dur) = parseMp4Header(bytes)
+        VideoMeta(id, fmt, bytes.length, brand, ts, dur)
+      }))
+      .toDF()
+  }
+
   /** `mm_resize_meta`: metadata-only resize planning — compute target
     * dimensions that fit a bound while preserving aspect ratio. Touches
     * only the metadata struct: the binary column is pruned at scan.

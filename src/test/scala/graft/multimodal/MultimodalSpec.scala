@@ -118,6 +118,32 @@ class MultimodalSpec extends SparkSpec {
       ("unknown", None, None, None, None))
   }
 
+  private def be32(x: Int) = f"$x%08X"
+
+  test("parseMp4Header walks boxes to moov/mvhd, skipping free and iods") {
+    def mvhd(ts: Int, dur: Int, version: Int = 0) =
+      be32(28) + "6D766864" + f"$version%02X" + "000000" +
+        "00000000" + "00000000" + be32(ts) + be32(dur)
+    val ftyp = be32(16) + "66747970" + "69736F6D" + "00000200"
+    // plain: ftyp + moov(mvhd): 600 units/s, 1800 units -> 3000 ms
+    val plain = hexBytes(ftyp + be32(36) + "6D6F6F76" + mvhd(600, 1800))
+    assert(Multimodal.parseMp4Header(plain) ==
+      ("mp4", Some("isom"), Some(600), Some(3000L)))
+    // free box before moov, iods child before mvhd - both walks exercised
+    val detour = hexBytes(ftyp +
+      be32(12) + "66726565" + "00000000" +
+      be32(48) + "6D6F6F76" + be32(12) + "696F6473" + "00000000" + mvhd(1000, 2500))
+    assert(Multimodal.parseMp4Header(detour) ==
+      ("mp4", Some("isom"), Some(1000), Some(2500L)))
+    // version-1 mvhd (64-bit times) is detected mp4 but yields no fields
+    val v1 = hexBytes(ftyp + be32(36) + "6D6F6F76" + mvhd(600, 1800, version = 1))
+    assert(Multimodal.parseMp4Header(v1) == ("mp4", Some("isom"), None, None))
+    // truncated mid-moov; and a non-mp4 blob
+    assert(Multimodal.parseMp4Header(plain.take(20)) == ("mp4", Some("isom"), None, None))
+    assert(Multimodal.parseMp4Header("not an mp4 file!".getBytes) ==
+      ("unknown", None, None, None))
+  }
+
   test("parseImageHeader: non-image payloads are unknown, never throw") {
     assert(Multimodal.parseImageHeader(Array.empty[Byte]) == ("unknown", None, None))
     assert(Multimodal.parseImageHeader(Array[Byte](0, 1, 2)) == ("unknown", None, None))
