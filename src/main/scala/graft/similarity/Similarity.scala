@@ -232,13 +232,24 @@ object Similarity {
     * consume-many is the production shape; without the cache each
     * operator would re-run all Lloyd iterations over the full corpus.
     */
-  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame =
-    assignCache.getOrBuild(corpus, s"kmeans_assign:$iters", k) {
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cached = assignCache.getOrBuild(corpus, s"kmeans_assign:$iters", k) {
       lloydRuns.incrementAndGet(): Unit
       lloyd(corpus, exploded(corpus, "vec_id", "vec_id"), k, iters)
     }
+    // fresh output attributes per consumer: the cached plan ends in a
+    // checkpointed LogicalRDD whose attribute ids are shared with the
+    // corpus plan it derived from, and joining it back against that
+    // plan without re-aliasing can trip the analyzer's
+    // conflicting-reference INTERNAL_ERROR (LogicalRDD self-conflicts
+    // aren't always deduplicated)
+    cached.select(col("vec_id").as("vec_id"), col("cell").as("cell"))
+  }
 
-  private val assignCache = new graft.util.KeyedCache
+  // persistEntries = false: lloyd's result already ends in a
+  // localCheckpoint (materialized), so persisting would only add the
+  // plan-fragment rebinding hazard documented on KeyedCache
+  private val assignCache = new graft.util.KeyedCache(persistEntries = false)
 
   /** Count of actual Lloyd training runs (cache misses) — test
     * observability for the train-once/consume-many contract.
@@ -322,7 +333,13 @@ object Similarity {
     for (_ <- 1 to iters) {
       val cents = e.join(assign, "vec_id")
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+      // re-alias after the checkpoint: the LogicalRDD's output attributes
+      // are pass-throughs of e's own ids, and the next round's
+      // e.join(assign) with shared ids on a checkpointed frame can trip
+      // the analyzer's conflicting-reference INTERNAL_ERROR on some
+      // resolution paths; fresh aliases make every round's join clean
       assign = assignCells(e, "vec_id", cents).localCheckpoint()
+        .select(col("vec_id").as("vec_id"), col("cell").as("cell"))
     }
     assign
   }

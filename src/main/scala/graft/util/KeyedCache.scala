@@ -15,7 +15,15 @@ import org.apache.spark.sql.DataFrame
   * [[graft.similarity.Similarity]] (trained quantizer assignments) so
   * the train-once/consume-many production shape holds across modules.
   */
-private[graft] final class KeyedCache {
+/** @param persistEntries wrap built entries in `.persist(MEMORY_AND_DISK)`
+  *   (the postings/signature shape). Pass false when the built result is
+  *   ALREADY materialized (e.g. ends in a `localCheckpoint`): persisting
+  *   such a frame buys nothing and exposes the cache manager's
+  *   plan-fragment rebinding (`InMemoryRelation.withOutput`) to
+  *   attribute-mismatch errors when many re-aliased copies of the
+  *   fragment appear in one consumer plan.
+  */
+private[graft] final class KeyedCache(persistEntries: Boolean = true) {
   import KeyedCache.CacheSlots
 
   private val m = new java.util.LinkedHashMap[
@@ -39,7 +47,10 @@ private[graft] final class KeyedCache {
           p.sameResult(plan) && !cached.sparkSession.sparkContext.isStopped
         }
         .map(_._2).getOrElse {
-        val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val built =
+          if (persistEntries)
+            build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else build
         Option(m.put(key, (plan, built))).foreach(e => safeUnpersist(e._2))
         if (m.size > CacheSlots) {
           val it = m.entrySet().iterator()

@@ -183,6 +183,42 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("boilerplate coverage reads its window index from the shared cache") {
+    graft.text.TextAnalysis.clearCaches()
+    try {
+      val p = planOf("corpus_boilerplate")
+      // both window-index consumers (df count and the coverage probe)
+      // must feed on the persisted index, not re-tokenize the corpus per
+      // consumer (the n_tokens branch is a cheap narrow projection of
+      // the raw scan by design)
+      val scans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(scans >= 2, s"expected >=2 cached-index scans, got $scans:\n${p.take(600)}")
+    } finally graft.text.TextAnalysis.clearCaches()
+  }
+
+  test("PQ scoring broadcasts only the bounded lookup table; codes stream") {
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      graft.dedup.Dedup.clearCaches() // also clears the quantizer cache
+      val plan = Queries.all("similarity_pq").fn(spark, dir).queryExecution.executedPlan
+      val builds = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.toString
+      }
+      // the hinted broadcasts are the ADC lookup table and query norms -
+      // both derive from the query side and carry its vec_id < 5 bound;
+      // corpus codes must stream (an unbounded-side broadcast OOMs at
+      // the 10^11-vector target)
+      assert(builds.nonEmpty, "PQ should broadcast its lookup table")
+      assert(builds.exists(_.contains(" < 5")),
+        s"no broadcast carries the bounded query predicate:\n${builds.map(_.take(300)).mkString("\n")}")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.dedup.Dedup.clearCaches()
+    }
+  }
+
   test("no query in the registry plans a cartesian product or nested-loop join") {
     for ((k, d) <- Queries.all) {
       val p = d.fn(spark, dir).queryExecution.executedPlan.toString
