@@ -355,6 +355,43 @@ object MetaQueries {
       doc = "incremental snapshot read (changelog consumption): only the dirs " +
         "added after the base snapshot are scanned - O(delta) I/O"),
 
+    "feature_refresh_incremental" -> QueryDef(
+      (s, dir) => {
+        // the production refresh chain: commit an append lineage, read
+        // ONLY the delta since the base snapshot (dir-set difference),
+        // and materialize features from that delta - the steady-state
+        // feature-store update whose cost is O(new events), never a
+        // rescan of the table
+        val wh = freshWarehouse("feature_refresh_incremental")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut1 = lit(EventsMidCut).cast("timestamp")
+        val cut2 = lit(EventsCut).cast("timestamp")
+        TableSink.overwrite(events.filter(col("ts") < cut1), t, table)
+        TableSink.append(events.filter(col("ts") >= cut1 && col("ts") < cut2), t, table)
+        TableSink.append(events.filter(col("ts") >= cut2), t, table)
+        graft.patterns.FeatureStore.materialize(
+          table.readIncremental(s, fromId = 1L, toId = 3L),
+          entityCol = "user_id", tsCol = "ts",
+          featureSet = "user_activity", modelVersion = "v1",
+          computedAt = timestamp_millis(lit(PatternQueries.MergeAtMs)),
+          aggs = Map(
+            "event_count" -> count(lit(1)),
+            "purchase_count" -> sum(when(col("event_type") === "purchase", 1).otherwise(0)),
+            "total_value" -> sum(col("value").cast("decimal(18,6)")).cast("double")))
+      },
+      Some(s"""SELECT user_id AS entity_id, max(ts) AS feature_timestamp,
+              |  count(*) AS event_count,
+              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+              |  'user_activity' AS feature_set, 'v1' AS model_version,
+              |  ${PatternQueries.MergeAtSql} AS computed_at
+              |FROM events WHERE ts >= TIMESTAMP '$EventsMidCut'
+              |GROUP BY user_id""".stripMargin),
+      doc = "incremental feature refresh: snapshot-delta read feeds the " +
+        "feature materialization - O(new events) steady-state update"),
+
     "quality_checkfile" -> QueryDef(
       (s, dir) => {
         import s.implicits._
