@@ -265,7 +265,7 @@ object ExtQueries {
       doc = "batched binary decode (stub kernel): payload -> fixed-width features"),
 
     "mm_image_header" -> QueryDef(
-      (s, dir) => Multimodal.imageHeaders(imageMedia(s, dir), batchSize = 128),
+      (s, dir) => Multimodal.imageHeaders(imageMedia(s, dir)),
       Some(s"""WITH $MetaSql,
               |p AS (
               |  SELECT m.media_id,
@@ -306,7 +306,7 @@ object ExtQueries {
         "segment-length fields"),
 
     "mm_audio_meta" -> QueryDef(
-      (s, dir) => Multimodal.audioMeta(audioMedia(s, dir), batchSize = 128),
+      (s, dir) => Multimodal.audioMeta(audioMedia(s, dir)),
       Some("""WITH params AS (
              |  SELECT doc_id AS media_id, text,
              |    CAST(1 + doc_id % 2 AS INT) AS c,
@@ -374,7 +374,7 @@ object ExtQueries {
         "(no sample bytes) parse fine - the ranged-read production shape"),
 
     "mm_video_meta" -> QueryDef(
-      (s, dir) => Multimodal.videoMeta(videoMedia(s, dir), batchSize = 128),
+      (s, dir) => Multimodal.videoMeta(videoMedia(s, dir)),
       Some("""WITH p AS (
              |  SELECT doc_id AS media_id,
              |    CAST(600 + (n_chars % 5) * 300 AS INT) AS ts,

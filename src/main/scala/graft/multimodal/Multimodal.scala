@@ -101,34 +101,45 @@ object Multimodal {
       else ("png", None, None)
     } else if (bytes.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
       var i = 2
-      while (i + 3 < bytes.length && u8(i) == 0xff) {
-        val marker = u8(i + 1)
+      while (i < bytes.length && u8(i) == 0xff) {
+        // spec-legal 0xFF fill bytes may pad the gap before the marker id
+        var m = i + 1
+        while (m < bytes.length && u8(m) == 0xff) m += 1
+        if (m >= bytes.length) return ("jpeg", None, None)
+        val marker = u8(m)
         if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          return if (i + 8 < bytes.length) ("jpeg", Some(be16(i + 7)), Some(be16(i + 5)))
+          // SOF payload after its 2-byte length: precision(1), height(2), width(2)
+          return if (m + 8 <= bytes.length) ("jpeg", Some(be16(m + 6)), Some(be16(m + 4)))
           else ("jpeg", None, None)
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+          i = m + 1 // TEM/RSTn/SOI/EOI are standalone: no length field follows
+        } else {
+          if (m + 3 > bytes.length) return ("jpeg", None, None)
+          val len = be16(m + 1)
+          if (len < 2) return ("jpeg", None, None) // corrupt: length includes itself
+          i = m + 1 + len
         }
-        i += 2 + be16(i + 2) // next segment per THIS segment's length field
       }
       ("jpeg", None, None)
     } else ("unknown", None, None)
   }
 
-  /** `mm_image_header`: batched header decode over the binary payload
-    * column — the same mapPartitions kernel shape as [[decodeFeatures]]
-    * but with a REAL parser inside: [[parseImageHeader]] reads actual
-    * PNG/JPEG structure out of the bytes. Narrow map; payloads never
-    * shuffle.
+  /** `mm_image_header`: header decode over the binary payload column —
+    * a REAL parser per row: [[parseImageHeader]] reads actual PNG/JPEG
+    * structure out of the bytes. A plain narrow map (no batching: the
+    * parser is pure byte math with no per-call setup to amortize, unlike
+    * [[decodeFeatures]]'s kernel); payloads never shuffle.
     */
-  def imageHeaders(media: DataFrame, batchSize: Int = 128): DataFrame = {
+  def imageHeaders(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+      .mapPartitions(_.map { case (id, bytes) =>
         val (fmt, w, h) = parseImageHeader(bytes)
         ImageHeader(id, fmt, bytes.length, w, h)
-      }))
+      })
       .toDF()
   }
 
@@ -167,21 +178,28 @@ object Multimodal {
     val none = (None, None, None, None)
     if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
       return ("unknown", None, None, None, None)
-    var i = 12
+    // the cursor stays in Long arithmetic: a chunk size is u32 and a
+    // corrupt value >= 2^31 truncated through Int would stall or drive
+    // the cursor negative — on corrupt bytes the walk must TERMINATE
+    // (yielding None fields), never loop or throw
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, block, bits
     var frames: Option[Long] = None
     var done = false
     while (!done && i + 8 <= bytes.length) {
-      val id = tag(i)
-      val size = le32(i + 4)
+      val at = i.toInt // i + 8 <= length, so the window indexes fit in Int
+      val id = tag(at)
+      val size = le32(at + 4)
       if (id == "fmt " && i + 8 + 16 <= bytes.length)
-        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 20), le16(i + 22)))
+        fmt = Some((le16(at + 10), le32(at + 12).toInt, le16(at + 20), le16(at + 22)))
       if (id == "data") {
         // declared size is authoritative; the sample bytes need not follow
         frames = fmt.collect { case (_, _, block, _) if block > 0 => size / block }
         done = true
-      } else
-        i += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd chunks to even
+      } else {
+        val next = i + 8 + size + (size & 1) // RIFF pads odd chunks to even
+        if (next <= i) done = true else i = next
+      }
     }
     fmt match {
       case Some((ch, rate, _, bits)) => ("wav", Some(ch), Some(rate), Some(bits), frames)
@@ -189,18 +207,18 @@ object Multimodal {
     }
   }
 
-  /** `mm_audio_meta`: batched WAV header decode over the payload column
-    * — same narrow-map kernel shape as [[imageHeaders]].
+  /** `mm_audio_meta`: WAV header decode over the payload column — same
+    * narrow-map shape as [[imageHeaders]].
     */
-  def audioMeta(media: DataFrame, batchSize: Int = 128): DataFrame = {
+  def audioMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+      .mapPartitions(_.map { case (id, bytes) =>
         val (fmt, ch, rate, bits, frames) = parseWavHeader(bytes)
         AudioMeta(id, fmt, bytes.length, ch, rate, bits, frames)
-      }))
+      })
       .toDF()
   }
 
@@ -233,44 +251,52 @@ object Multimodal {
     if (bytes.length < 8 || tag(4) != "ftyp")
       return ("unknown", None, None, None)
     val brand = if (bytes.length >= 12) Some(tag(8)) else None
-    var i = 0
+    // cursors stay in Long arithmetic: box sizes are u32, and a corrupt
+    // size in (2^31, 2^32) truncated through Int would move the cursor
+    // BACKWARD into a negative index — any size that is not the
+    // documented 0 terminal and does not strictly advance past the
+    // current box header (i.e. < 8) is treated as terminal truncation
+    var i = 0L
     var mvhd: Option[(Int, Long)] = None
     var done = false
     while (!done && i + 8 <= bytes.length) {
-      val size = be32(i)
-      val box = tag(i + 4)
+      val at = i.toInt // loop guard keeps the header window in Int range
+      val size = be32(at)
+      val box = tag(at + 4)
       if (box == "moov") {
-        // walk the container's children for mvhd
+        // walk the container's children for mvhd; size 0 = to end of file
         var j = i + 8
-        val end = math.min(i + size, bytes.length.toLong).toInt
+        val end = if (size == 0L) bytes.length.toLong
+                  else math.min(i + size, bytes.length.toLong)
         while (mvhd.isEmpty && j + 8 <= end) {
-          val csize = be32(j)
-          if (tag(j + 4) == "mvhd" && j + 8 + 20 <= bytes.length && u8(j + 8) == 0) {
-            val ts = be32(j + 20).toInt
-            val dur = be32(j + 24)
+          val cat = j.toInt
+          val csize = be32(cat)
+          if (tag(cat + 4) == "mvhd" && j + 8 + 20 <= bytes.length && u8(cat + 8) == 0) {
+            val ts = be32(cat + 20).toInt
+            val dur = be32(cat + 24)
             if (ts > 0) mvhd = Some((ts, dur * 1000L / ts))
           }
-          if (csize <= 0) j = end else j += csize.toInt
+          if (csize < 8) j = end else j += csize
         }
         done = true
-      } else if (size <= 0) done = true
-      else i += size.toInt
+      } else if (size < 8) done = true // 0 = to-EOF terminal; 1-7 corrupt
+      else i += size
     }
     ("mp4", brand, mvhd.map(_._1), mvhd.map(_._2))
   }
 
-  /** `mm_video_meta`: batched MP4 header decode — same narrow-map
-    * kernel shape as [[imageHeaders]]/[[audioMeta]].
+  /** `mm_video_meta`: MP4 header decode — same narrow-map shape as
+    * [[imageHeaders]]/[[audioMeta]].
     */
-  def videoMeta(media: DataFrame, batchSize: Int = 128): DataFrame = {
+  def videoMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+      .mapPartitions(_.map { case (id, bytes) =>
         val (fmt, brand, ts, dur) = parseMp4Header(bytes)
         VideoMeta(id, fmt, bytes.length, brand, ts, dur)
-      }))
+      })
       .toDF()
   }
 

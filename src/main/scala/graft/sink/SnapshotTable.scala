@@ -103,7 +103,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val from = snap(fromId).dataDirs.toSet
     val to = snap(toId)
     val delta = to.dataDirs.filterNot(from)
-    if (delta.isEmpty) spark.emptyDataFrame
+    if (delta.isEmpty)
+      // the steady-state "no new data" case must still carry the TABLE
+      // schema — a schema-less empty frame would crash downstream
+      // consumers (select on named columns) instead of processing 0 rows
+      to.dataDirs.headOption match {
+        case Some(d) => spark.read.format(to.format).load(d).limit(0)
+        case None    => spark.emptyDataFrame // table has never held data
+      }
     else delta.map(spark.read.format(to.format).load(_)).reduce(_ unionByName _)
   }
 

@@ -83,8 +83,20 @@ private[graft] final class KeyedCache(persistEntries: Boolean = true) {
 
   // evicted entries may belong to an already-stopped SparkContext
   private def safeUnpersist(df: DataFrame): Unit =
-    try df.unpersist(blocking = false)
-    catch { case _: Throwable => () }
+    try {
+      df.unpersist(blocking = false)
+      // non-persisted entries are localCheckpoint-backed: their data IS
+      // the checkpoint RDD's block-manager blocks, which df.unpersist
+      // (a no-op on a never-persisted frame) does not touch — release
+      // them explicitly or a long-lived driver training many quantizers
+      // accumulates storage memory until the entries are GC'd
+      if (!persistEntries)
+        df.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+    } catch { case _: Throwable => () }
 }
 
 private[graft] object KeyedCache {

@@ -147,9 +147,51 @@ class MultimodalSpec extends SparkSpec {
   test("parseImageHeader: non-image payloads are unknown, never throw") {
     assert(Multimodal.parseImageHeader(Array.empty[Byte]) == ("unknown", None, None))
     assert(Multimodal.parseImageHeader(Array[Byte](0, 1, 2)) == ("unknown", None, None))
-    val out = Multimodal.imageHeaders(
-        media.select($"media_id", $"payload"), batchSize = 2)
+    val out = Multimodal.imageHeaders(media.select($"media_id", $"payload"))
       .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
     assert(out == Map(1L -> "unknown", 2L -> "unknown", 3L -> "unknown"))
+  }
+
+  test("parseWavHeader terminates on corrupt u32 chunk sizes (no hang, no throw)") {
+    def fmt16 = "666D7420" + le32(16) + le16(1) + le16(2) + le32(44100) +
+      le32(44100 * 4) + le16(4) + le16(16)
+    // a junk chunk whose u32 size 0xFFFFFFF8 truncated to Int is -8:
+    // the old walk advanced 8 + (-8) + 0 = 0 forever; must now terminate
+    val stall = hexBytes("52494646" + le32(100) + "57415645" +
+      "4A554E4B" + "F8FFFFFF" + "00000000")
+    assert(Multimodal.parseWavHeader(stall) == ("wav", None, None, None, None))
+    // size 0x80000004 drove the Int cursor negative -> AIOOBE; must terminate
+    val neg = hexBytes("52494646" + le32(100) + "57415645" +
+      fmt16 + "4A554E4B" + "04000080" + "00000000")
+    assert(Multimodal.parseWavHeader(neg) ==
+      ("wav", Some(2), Some(44100), Some(16), None))
+  }
+
+  test("parseMp4Header terminates on corrupt u32 box sizes in both walks") {
+    val ftyp = be32(16) + "66747970" + "69736F6D" + "00000200"
+    // top-level box size 2^31+16: old walk added size.toInt (negative)
+    val top = hexBytes(ftyp + "80000010" + "6A756E6B" + "00000000")
+    assert(Multimodal.parseMp4Header(top) == ("mp4", Some("isom"), None, None))
+    // moov child with the same corrupt size: child walk must bail, not loop
+    val child = hexBytes(ftyp + be32(20) + "6D6F6F76" + "FFFFFFF0" + "6A756E6B" + "00000000")
+    assert(Multimodal.parseMp4Header(child) == ("mp4", Some("isom"), None, None))
+    // sizes 1-7 (not the 0 to-EOF terminal) are structurally impossible -> terminal
+    val tiny = hexBytes(ftyp + be32(4) + "6A756E6B")
+    assert(Multimodal.parseMp4Header(tiny) == ("mp4", Some("isom"), None, None))
+  }
+
+  test("parseImageHeader skips JPEG fill bytes and standalone markers before SOF") {
+    // spec-legal 0xFF padding between segments: FF D8 (SOI), a fill FF,
+    // then SOF0 - the old walk misread the fill as a marker+length
+    val padded = hexBytes("FFD8" + "FF" + "FFC0" + "000B" + "08" + "0010" + "0020" + "030111")
+    assert(Multimodal.parseImageHeader(padded) == ("jpeg", Some(32), Some(16)))
+    // a length-less standalone marker (RST0) before the frame header
+    val rst = hexBytes("FFD8" + "FFD0" + "FFC0" + "000B" + "08" + "0040" + "0080" + "030111")
+    assert(Multimodal.parseImageHeader(rst) == ("jpeg", Some(128), Some(64)))
+    // EOI with no SOF: detected jpeg, no dims, no throw
+    assert(Multimodal.parseImageHeader(hexBytes("FFD8" + "FFD9")) == ("jpeg", None, None))
+    // corrupt zero length field must not loop
+    assert(Multimodal.parseImageHeader(hexBytes("FFD8" + "FFE0" + "0000" + "AA")) ==
+      ("jpeg", None, None))
   }
 }

@@ -206,6 +206,17 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readIncremental(spark, 3L, 1L) }
   }
 
+  test("empty incremental delta still carries the table schema") {
+    val t = freshTable()
+    t.overwrite(Seq((1, "a")).toDF("id", "name"))
+    // steady-state no-new-data read: 0 rows, but downstream consumers
+    // must be able to select the table's columns without crashing
+    val empty = t.readIncremental(spark, 1L, 1L)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq == Seq("id", "name"))
+    assert(empty.select("id", "name").count() == 0) // named select works
+  }
+
   test("backoff wait is clamped: huge attempt counts never go negative") {
     assert(SnapshotTable.backoffMs(0) == SnapshotTable.backoffBaseMs)
     assert(SnapshotTable.backoffMs(3) == SnapshotTable.backoffBaseMs * 8)
