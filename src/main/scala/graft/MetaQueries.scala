@@ -304,9 +304,13 @@ object MetaQueries {
         TableSink.overwrite(events.filter(col("ts") < cut), t, table)
         TableSink.append(events.filter(col("ts") >= cut), t, table)
         // snapshot history, newest first, limit 10 (committed_at is wall
-        // clock, so the oracle-checked projection is id/op/row_count)
+        // clock, so the oracle-checked projection is id/op/row_count).
+        // A PURE metadata read: row counts were recorded at commit time,
+        // so listing history never rescans table data (Iceberg's
+        // $snapshots has the same contract) — at 100 TB this is the
+        // difference between a catalog lookup and 10 full table scans
         table.snapshots.sortBy(-_.id).take(10)
-          .map(sn => (sn.id, sn.operation, table.readSnapshot(s, sn.id).count()))
+          .map(sn => (sn.id, sn.operation, sn.rowCount))
           .toDF("snapshot_id", "operation", "row_count")
       },
       Some(s"""SELECT * FROM (
@@ -315,6 +319,26 @@ object MetaQueries {
               |  UNION ALL
               |  SELECT 2, 'append', (SELECT count(*) FROM events))""".stripMargin),
       doc = "snapshot history listing; append = prior dirs + delta (O(delta) commit)"),
+
+    "snapshot_partition_prune" -> QueryDef(
+      (s, dir) => {
+        // hidden-partitioning proof (docs/deep-dive.md:72,
+        // table-template-reference.md:157-168): the template declares
+        // day(ts), the write derives ts_day directories, and a date
+        // filter on the read path scans ONLY the matching directories —
+        // PlanSpec pins the pruned file count, this query pins the values
+        val wh = freshWarehouse("snapshot_partition_prune")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        table.read(s)
+          .filter(col("ts_day") >= lit("2024-01-05") && col("ts_day") <= lit("2024-01-06"))
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-06'""".stripMargin),
+      doc = "partition-pruned read of a day-partitioned snapshot table " +
+        "(hidden partitioning: predicate on the derived dir column)"),
 
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {

@@ -35,7 +35,11 @@ final case class Snapshot(
     committedAtMs: Long,
     operation: String, // overwrite | append
     dataDirs: Seq[String],
-    format: String = "parquet" // parquet | orc (per _schema.json:100-103)
+    format: String = "parquet", // parquet | orc (per _schema.json:100-103)
+    // total rows at this snapshot, recorded at commit time (Iceberg keeps
+    // the same in the snapshot summary's total-records) so history
+    // listings are pure metadata reads; -1 = unknown (pre-field metadata)
+    rowCount: Long = -1L
 )
 
 /** A concurrent writer advanced the table between this commit's base
@@ -234,12 +238,18 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val writer = sorted.write.mode("overwrite").format(format)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .save(dataDir)
+    // row count of the NEW dir, recorded into snapshot metadata so
+    // history listings never rescan data. count() over a freshly written
+    // parquet/orc dir resolves from file footers (no data pages read) —
+    // O(files), not O(rows). Computed once, outside the swap loop: the
+    // dir is immutable across retries.
+    val newRows = df.sparkSession.read.format(format).load(dataDir).count()
 
     var expectedParent = base
     var attempt = 0
     while (true) {
       SnapshotTable.beforeSwapHook(this, attempt)
-      trySwap(expectedParent, dataDir, op, carryPrevious, format) match {
+      trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format) match {
         case Right(snap) =>
           Audit.log("table_write", fullName, Map(
             "operation" -> op, "snapshot_id" -> snap.id.toString,
@@ -270,6 +280,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
   private def trySwap(
       expectedParent: Option[Long],
       dataDir: String,
+      newRows: Long,
       op: String,
       carryPrevious: Boolean,
       format: String): Either[CommitConflictException, Snapshot] =
@@ -287,8 +298,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
         }
         val carryForward =
           if (carryPrevious) prev.lastOption.map(_.dataDirs).getOrElse(Nil) else Nil
+        // carried total resolves against the CURRENT state (a retried
+        // append counts the rival's rows too); an unknown (-1) carried
+        // count stays unknown rather than inventing a number
+        val carriedRows =
+          if (carryPrevious) prev.lastOption.map(_.rowCount).getOrElse(0L) else 0L
+        val total = if (carriedRows < 0) -1L else carriedRows + newRows
         val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
-        val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir, format)
+        val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir, format, total)
         writeMetadata(prev :+ snap)
         Right(snap)
       }
@@ -299,7 +316,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val json = snaps.map { s =>
       val dirs = s.dataDirs.map(d => "\"" + d.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString("[", ",", "]")
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","data_dirs":$dirs}"""
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},"data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -309,16 +326,17 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   // Minimal JSON parse for our own fixed-shape metadata (no deps).
   private def parse(json: String): Seq[Snapshot] = {
-    // "format" is optional on read: metadata written before the field
-    // existed defaults to parquet (the only format back then)
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?"data_dirs":\[(.*?)\]\}""".r
+    // "format" and "row_count" are optional on read: metadata written
+    // before each field existed defaults to parquet / unknown (-1)
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?"data_dirs":\[(.*?)\]\}""".r
     snapRe.findAllMatchIn(json).map { m =>
       val dirs =
-        if (m.group(5).isEmpty) Nil
-        else m.group(5).split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")
+        if (m.group(6).isEmpty) Nil
+        else m.group(6).split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")
           .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
       Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), dirs,
-        Option(m.group(4)).getOrElse("parquet"))
+        Option(m.group(4)).getOrElse("parquet"),
+        Option(m.group(5)).map(_.toLong).getOrElse(-1L))
     }.toSeq
   }
 

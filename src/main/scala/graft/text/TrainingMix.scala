@@ -150,6 +150,11 @@ object TrainingMix {
     // diverging on NULL sort order (Spark nulls-first vs DuckDB
     // nulls-last); the original source value is preserved in output
     val srcKey = coalesce(col(sourceCol), lit("<none>"))
+    // the global (unpartitioned) window below runs over the DISTINCT
+    // source names only — |sources| rows, bounded by source cardinality
+    // (the same assumption sampleToTargetMix's driver-side map makes),
+    // never the corpus. Spark's "No Partition Defined" warning for it
+    // is expected and harmless at any scale.
     val sources = docs.select(srcKey.as("_src")).distinct()
       .withColumn("source_idx",
         (row_number().over(Window.orderBy(col("_src"))) - 1).cast("long"))

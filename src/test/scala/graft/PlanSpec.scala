@@ -148,6 +148,26 @@ class PlanSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(ts_day"), scan.take(500))
     assert(pruned.count() > 0)
+    // the pruned scan touches strictly fewer files than the full read:
+    // directory-level skipping, not a post-scan filter
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val prunedFiles = scannedFiles(pruned)
+    val totalFiles = scannedFiles(table.read(spark))
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"expected pruned < total, got $prunedFiles vs $totalFiles")
+  }
+
+  test("snapshot history listing is a pure metadata read (no data file scan)") {
+    // row counts come from snapshot metadata recorded at commit time —
+    // the listing never rescans table data (Iceberg $snapshots contract)
+    val plan = Queries.all("time_travel_snapshots").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"snapshot listing scans data files:\n${plan.take(400)}")
   }
 
   test("sample_weighted reads only the two columns it outputs (pruned narrow filter)") {

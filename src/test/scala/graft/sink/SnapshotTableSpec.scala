@@ -206,6 +206,33 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readIncremental(spark, 3L, 1L) }
   }
 
+  test("row counts are recorded in snapshot metadata at commit time") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2, 3).toDF("v"))
+    t.append(Seq(4, 5).toDF("v"))
+    t.overwrite(Seq(9).toDF("v"))
+    // totals accumulate along the append lineage and reset on overwrite —
+    // and LISTING them touches no data files (pure metadata read)
+    assert(t.snapshots.map(_.rowCount) == Seq(3L, 5L, 1L))
+    // survives the metadata JSON round-trip (fresh handle re-parses)
+    val reloaded = new SnapshotTable(t.root, t.fullName)
+    assert(reloaded.snapshots.map(_.rowCount) == Seq(3L, 5L, 1L))
+  }
+
+  test("pre-rowCount metadata reads as unknown (-1) and appends stay unknown") {
+    val t = freshTable()
+    // metadata written by an older engine version: no row_count field
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t.root))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t.root, "metadata.json"),
+      """[{"id":1,"committed_at_ms":123,"operation":"overwrite","format":"parquet","data_dirs":[]}]"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(t.snapshots.map(_.rowCount) == Seq(-1L))
+    // an append onto an unknown total must stay unknown, not invent a number
+    t.append(Seq(7).toDF("v"))
+    assert(t.snapshots.map(_.rowCount) == Seq(-1L, -1L))
+  }
+
   test("empty incremental delta still carries the table schema") {
     val t = freshTable()
     t.overwrite(Seq((1, "a")).toDF("id", "name"))
