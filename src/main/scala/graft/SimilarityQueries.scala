@@ -317,6 +317,24 @@ object SimilarityQueries {
         "scoring - the 32x memory-compression tier; oracle replicates the " +
         "trained codebooks and ADC exactly"),
 
+    "similarity_pq_persisted" -> QueryDef(
+      (s, dir) => {
+        // the production serving shape: the index is BUILT once (trained
+        // codebooks + byte codes + norms persisted as snapshot tables)
+        // and every search LOADS it — the read path runs zero Lloyd
+        // iterations (spec-pinned). Same oracle as similarity_pq: the
+        // artifacts are doubles/longs, parquet round-trips them exactly.
+        val emb = tbl(s, dir, "embeddings")
+        val wh = MetaQueries.freshWarehouse("similarity_pq_persisted")
+        Similarity.pqIndexPersist(emb, wh, m = 4, codes = 8, iters = 2, dims = 64)
+        Similarity.pqTopKPersisted(emb.filter(col("vec_id") < 5), wh, k = 10, m = 4, dims = 64)
+      },
+      Some(s"""WITH ${pqCte(m = 4, k = 8, iters = 2, nQueries = 5)}
+              |SELECT query_id, vec_id, cos, rank FROM pq_ranked
+              |WHERE rank <= 10""".stripMargin),
+      doc = "PQ index persisted as snapshot tables (codes/codebook/norms) and " +
+        "served from storage: search loads the artifacts, never retrains"),
+
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's
       // pandas comparator can sort/hash it (an array-typed centroid column

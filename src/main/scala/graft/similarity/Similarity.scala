@@ -290,6 +290,21 @@ object Similarity {
   def pqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int, codes: Int, iters: Int, dims: Int): DataFrame = {
+    val (corpusCodes, codebook, cnorms) = pqArtifacts(corpus, m, codes, iters, dims)
+    pqSearch(queries, corpusCodes, codebook, cnorms, k, dims / m)
+  }
+
+  /** The three artifacts a PQ index consists of, as frames:
+    *  - code table (vec_id, sub, code) — m small ints per vector,
+    *  - rounded trained codebooks (sub, code, spos, c) — m·codes·subdim
+    *    rows, tiny,
+    *  - exact corpus norms (vec_id, cnrm) — one double per vector.
+    * Together they are everything ADC search needs; the raw vectors are
+    * NOT among them (that is the whole point of PQ).
+    */
+  private def pqArtifacts(
+      corpus: DataFrame, m: Int, codes: Int, iters: Int, dims: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(m > 0 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
     val sub = dims / m
     def subspace(df: DataFrame, s: Int): DataFrame =
@@ -305,10 +320,22 @@ object Similarity {
         .select(lit(s).as("sub"), col("cell").as("code"),
           col("pos").as("spos"), col("c"))
     }.reduce(_ unionByName _)
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val cnorms = norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm"))
+    (corpusCodes, codebook, cnorms)
+  }
+
+  /** ADC search against PQ artifacts (built inline or loaded from a
+    * persisted index): query LUT against the codebooks, approximate
+    * dots by summing each code row's LUT entry, exact-norm cosine, rank.
+    */
+  private def pqSearch(
+      queries: DataFrame, corpusCodes: DataFrame, codebook: DataFrame,
+      cnorms: DataFrame, k: Int, subDim: Int): DataFrame = {
     val qe = exploded(queries, "vec_id", "query_id")
     val qsub = qe
-      .withColumn("sub", (col("pos") / lit(sub)).cast("int"))
-      .withColumn("spos", col("pos") % lit(sub))
+      .withColumn("sub", (col("pos") / lit(subDim)).cast("int"))
+      .withColumn("spos", col("pos") % lit(subDim))
     val lut = qsub.join(broadcast(codebook), Seq("sub", "spos"))
       .groupBy(col("query_id"), col("sub"), col("code"))
       .agg(round(sum(col("x") * col("c")), 6).as("pdot"))
@@ -316,14 +343,53 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("pdot")), 6).as("adot"))
-    val ce = exploded(corpus, "vec_id", "vec_id")
     val scored = adots
       .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))),
         "query_id")
-      .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
+      .join(cnorms, "vec_id")
       .select(col("query_id"), col("vec_id"),
         round(col("adot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
     rankWindow(scored, k)
+  }
+
+  /** Names of the three snapshot tables a persisted PQ index occupies
+    * under its warehouse (namespace `ann`).
+    */
+  private val PqTables = Seq("pq_codes", "pq_codebook", "pq_norms")
+
+  /** Build a PQ index ONCE and persist its artifacts as snapshot tables
+    * (`ann.pq_codes`, `ann.pq_codebook`, `ann.pq_norms`) — the
+    * production shape: a 10^11-vector index is trained by a build job
+    * and SERVED from storage for months; searches must never retrain.
+    * The code table is sorted by (sub, code) within partitions so ADC's
+    * (sub, code) join probes skip row groups via min/max stats.
+    */
+  def pqIndexPersist(
+      corpus: DataFrame, warehouse: String,
+      m: Int, codes: Int, iters: Int, dims: Int): Unit = {
+    val (corpusCodes, codebook, cnorms) = pqArtifacts(corpus, m, codes, iters, dims)
+    import graft.sink.SnapshotTable
+    SnapshotTable(warehouse, "ann", "pq_codes")
+      .overwrite(corpusCodes, sortCols = Seq(col("sub").asc, col("code").asc))
+    SnapshotTable(warehouse, "ann", "pq_codebook").overwrite(codebook)
+    SnapshotTable(warehouse, "ann", "pq_norms").overwrite(cnorms)
+  }
+
+  /** `similarity_pq_persisted`: ADC search served ENTIRELY from a
+    * persisted index — loads the three artifact tables and runs the same
+    * [[pqSearch]] as [[pqTopK]]; zero Lloyd training on the read path
+    * (spec-pinned via [[lloydRuns]]). Results are bit-identical to the
+    * inline build: the artifacts are doubles/longs, which parquet
+    * round-trips exactly.
+    */
+  def pqTopKPersisted(
+      queries: DataFrame, warehouse: String, k: Int, m: Int, dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    import graft.sink.SnapshotTable
+    val spark = queries.sparkSession
+    val Seq(corpusCodes, codebook, cnorms) =
+      PqTables.map(t => SnapshotTable(warehouse, "ann", t).read(spark))
+    pqSearch(queries, corpusCodes, codebook, cnorms, k, dims / m)
   }
 
   private def lloyd(corpus: DataFrame, e: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -148,6 +148,35 @@ class SimilaritySpec extends SparkSpec {
     Similarity.clearCaches()
   }
 
+  test("persisted PQ index serves searches with ZERO training runs") {
+    val rnd = new scala.util.Random(13)
+    val axes = Seq(
+      Seq(1.0, 0.4, 0.0, 0.0), Seq(0.4, 1.0, 0.0, 0.0), Seq(0.2, 0.6, 0.8, 0.2))
+    val rows = (0 until 36).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.8).toFloat))
+    }
+    val corpus36 = rows.toDF("vec_id", "embedding")
+    val queries = corpus36.filter($"vec_id" < 3)
+    val wh = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    // BUILD once (trains, persists the three artifact tables) ...
+    Similarity.pqIndexPersist(corpus36, wh, m = 2, codes = 4, iters = 2, dims = 4)
+    // ... then the READ path: drop the in-memory caches so any retrain
+    // would be visible, and search from the persisted artifacts alone
+    Similarity.clearCaches()
+    val before = Similarity.lloydRuns.get()
+    val served = Similarity.pqTopKPersisted(queries, wh, k = 5, m = 2, dims = 4)
+      .collect().map(_.toSeq).toSet
+    assert(Similarity.lloydRuns.get() == before,
+      "search against a persisted index must not run Lloyd training")
+    // bit-identical to the inline build-and-search (parquet round-trips
+    // the double/long artifacts exactly)
+    val inline = Similarity.pqTopK(queries, corpus36, k = 5,
+      m = 2, codes = 4, iters = 2, dims = 4).collect().map(_.toSeq).toSet
+    assert(served == inline, "persisted-index results must equal the inline build")
+    Similarity.clearCaches()
+  }
+
   test("quantizer trains once across kmeans / assign / index consumers") {
     Similarity.clearCaches()
     val emb = corpus.select($"vec_id", $"embedding")
