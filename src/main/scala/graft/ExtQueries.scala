@@ -248,6 +248,47 @@ object ExtQueries {
              |FROM events""".stripMargin),
       doc = "streaming ingest into the lakehouse: readStream -> foreachBatch governed append"),
 
+    "stream_scd2_merge" -> QueryDef(
+      (s, dir) => {
+        // REAL incremental streaming dimension maintenance: the dim is
+        // seeded, then TWO CDC microbatches flow through foreachBatch ->
+        // Scd2.merge -> snapshot overwrite-commit, each at its own
+        // deterministic effective instant; batch 2 re-changes a subset
+        // of batch 1's keys, so keys accrue a 3-version lineage only a
+        // genuinely incremental merge produces. Oracle replays
+        // merge(merge(dim, feed)@T1, feed2)@T2.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val wh = MetaQueries.freshWarehouse("stream_scd2_merge")
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "dim_customer_scd")
+        table.overwrite(PatternQueries.dim(s, dir))
+        // the MemoryStream source is the harness stand-in for Kafka; its
+        // staged contents are dimension-feed sized (bounded), never
+        // fact-stream sized
+        val b1 = PatternQueries.feed(s, dir)
+          .as[(Long, String, String, Double)].collect().toSeq
+        val b2 = PatternQueries.feed2(s, dir)
+          .as[(Long, String, String, Double)].collect().toSeq
+        val mem = MemoryStream[(Long, String, String, Double)]
+        val q = Streaming.startScd2Merge(
+          mem.toDF().toDF("natural_key", "name", "segment", "acctbal"),
+          table, trackedCols = Seq("name", "segment", "acctbal"),
+          effectiveAt = id => timestamp_millis(lit(
+            if (id == 0L) PatternQueries.MergeAtMs else PatternQueries.MergeAt2Ms)),
+          checkpoint = s"$wh/_checkpoint")
+        try {
+          mem.addData(b1)
+          q.processAllAvailable()
+          mem.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+        table.read(s)
+      },
+      Some(s"WITH ${PatternQueries.Merged2ScdSql}\nSELECT * FROM merged2"),
+      doc = "streaming SCD2 merge: CDC microbatches through foreachBatch into " +
+        "the dimension snapshot table; invariants hold after every batch"),
+
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(media(s, dir), batchSize = 128),
       Some("""WITH b AS (

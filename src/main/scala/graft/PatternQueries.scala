@@ -30,7 +30,7 @@ object PatternQueries {
   /** The existing dimension: every customer, one current version born at
     * epoch0. (SCD2 shape per `table-templates/scd_type2.yaml:31-48`.)
     */
-  private def dim(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dim(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer").select(
       col("c_custkey").as("natural_key"),
       col("c_name").as("name"),
@@ -52,7 +52,7 @@ object PatternQueries {
     * (+100) — a changed version; custkey % 7 = 0 among them also changes
     * segment. Keys 900000+ are brand new.
     */
-  private def feed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def feed(s: SparkSession, dir: String): DataFrame = {
     val changed = tbl(s, dir, "customer")
       .filter(col("c_custkey") % 3 === 0)
       .select(
@@ -78,6 +78,75 @@ object PatternQueries {
       |UNION ALL
       |SELECT c_custkey + 900000, 'NewCo#' || c_custkey, 'STARTUP', 0.0
       |FROM customer WHERE c_custkey % 11 = 0""".stripMargin
+
+  /** Second merge instant (2024-04-01T00:00:00Z) — the `stream_scd2_merge`
+    * query's batch-2 effectiveAt.
+    */
+  private[graft] val MergeAt2Ms = 1711929600000L
+  private[graft] val MergeAt2Sql = "TIMESTAMP '2024-04-01 00:00:00'"
+
+  /** A SECOND change feed (stream batch 2): customers with custkey % 6 = 0
+    * — a subset of feed 1's % 3 keys — change balance again (+300 from the
+    * original, vs feed 1's +100), opening a THIRD version per key: the
+    * multi-batch lineage that makes the streaming merge more than a
+    * re-run of the batch one.
+    */
+  private[graft] def feed2(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .filter(col("c_custkey") % 6 === 0)
+      .select(
+        col("c_custkey").as("natural_key"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 7 === 0, lit("MACHINERY")).otherwise(col("c_mktsegment")).as("segment"),
+        (col("c_acctbal").cast("decimal(18,2)") + 300).cast("double").as("acctbal"))
+
+  private[graft] val Feed2Sql =
+    """SELECT c_custkey AS natural_key, c_name AS name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS segment,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 300 AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 6 = 0""".stripMargin
+
+  /** DuckDB rebuild of merge(merge(dim, feed)@T1, feed2)@T2 — the
+    * two-microbatch streaming SCD2 lineage, ending in CTE `merged2`.
+    * (lazy: MergedScdSql is declared further down this object)
+    */
+  private[graft] lazy val Merged2ScdSql =
+    s"""$MergedScdSql,
+       |feed2 AS ($Feed2Sql),
+       |cur2 AS (SELECT * FROM merged WHERE is_current),
+       |hist2 AS (SELECT * FROM merged WHERE NOT is_current),
+       |matched2 AS (
+       |  SELECT c.*, f.natural_key AS f_key, f.name AS f_name,
+       |         f.segment AS f_segment, f.acctbal AS f_acctbal,
+       |         (c.name IS DISTINCT FROM f.name
+       |          OR c.segment IS DISTINCT FROM f.segment
+       |          OR c.acctbal IS DISTINCT FROM f.acctbal) AS changed
+       |  FROM cur2 c JOIN feed2 f ON c.natural_key = f.natural_key),
+       |merged2 AS (
+       |  SELECT natural_key, name, segment, acctbal,
+       |         effective_from, effective_to, is_current FROM hist2
+       |  UNION ALL
+       |  SELECT natural_key, name, segment, acctbal,
+       |         effective_from, $MergeAt2Sql AS effective_to, false AS is_current
+       |  FROM matched2 WHERE changed
+       |  UNION ALL
+       |  SELECT natural_key, name, segment, acctbal,
+       |         effective_from, effective_to, is_current
+       |  FROM matched2 WHERE NOT changed
+       |  UNION ALL
+       |  SELECT c.natural_key, c.name, c.segment, c.acctbal,
+       |         c.effective_from, c.effective_to, c.is_current
+       |  FROM cur2 c WHERE NOT EXISTS
+       |    (SELECT 1 FROM feed2 f WHERE f.natural_key = c.natural_key)
+       |  UNION ALL
+       |  SELECT f_key, f_name, f_segment, f_acctbal,
+       |         $MergeAt2Sql, CAST(NULL AS TIMESTAMP), true
+       |  FROM matched2 WHERE changed
+       |  UNION ALL
+       |  SELECT f.natural_key, f.name, f.segment, f.acctbal,
+       |         $MergeAt2Sql, CAST(NULL AS TIMESTAMP), true
+       |  FROM feed2 f WHERE NOT EXISTS
+       |    (SELECT 1 FROM cur2 c WHERE c.natural_key = f.natural_key))""".stripMargin
 
   /** The post-merge SCD2 dimension (shared with the declarative quality
     * suites, which check this exact table).

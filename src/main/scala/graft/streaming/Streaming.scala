@@ -109,6 +109,35 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming SCD2 dimension maintenance (`stream_scd2_merge`): each
+    * CDC microbatch is merged into the dimension snapshot table with the
+    * SAME [[graft.patterns.Scd2.merge]] as the batch path — read current
+    * state, merge the batch, overwrite-commit. `effectiveAt` maps the
+    * batch id to a deterministic merge instant (production would use the
+    * batch's commit time; determinism here is what makes the result
+    * oracle-checkable). Dimensions are small relative to fact streams,
+    * so the per-batch dimension rewrite is the reference's own batch
+    * dimension-asset cost profile (`assets/dimensions.py:19-33`), run
+    * per microbatch; the SCD2 invariants (≤1 current row per key,
+    * non-overlapping effective ranges) hold after EVERY batch, not just
+    * at stream end (spec-checked).
+    */
+  def startScd2Merge(
+      changes: DataFrame,
+      table: graft.sink.SnapshotTable,
+      trackedCols: Seq[String],
+      effectiveAt: Long => org.apache.spark.sql.Column,
+      checkpoint: String) =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dim = table.read(batch.sparkSession)
+        table.overwrite(
+          graft.patterns.Scd2.merge(dim, batch.toDF(), trackedCols, effectiveAt(batchId)))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   final case class Event(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, events: Long, purchases: Long, total_value: Double)
 

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{lit, timestamp_millis}
 import org.apache.spark.sql.streaming.OutputMode
 
 final case class Raw(ts: Timestamp, event_type: String, value: Double)
@@ -226,6 +227,58 @@ class StreamingSpec extends SparkSpec {
     assert(table.read(spark).count() == 2)
     // partition derivation happened inside the governed sink
     assert(table.read(spark).columns.contains("ts_day"))
+  }
+
+  test("streaming SCD2 merge holds the CDC invariants after EVERY microbatch") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_scd_stream").toString
+    val table = graft.sink.SnapshotTable(wh, "lakehouse", "dim_scd")
+    table.overwrite(Seq((1L, "S1", 10.0), (2L, "S1", 20.0))
+      .toDF("natural_key", "segment", "acctbal")
+      .withColumn("effective_from", timestamp_millis(lit(1704067200000L))) // 2024-01-01Z
+      .withColumn("effective_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true)))
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Streaming.startScd2Merge(
+      mem.toDF().toDF("natural_key", "segment", "acctbal"),
+      table, trackedCols = Seq("segment", "acctbal"),
+      effectiveAt = id => timestamp_millis(lit(1706745600000L + id * 3600000L)), // 2024-02-01 + batch h
+      checkpoint = s"$wh/_cp")
+
+    // the invariants a dimension CONSUMER relies on, mid-stream, not
+    // just at shutdown: one current row per key, chained ranges
+    def checkInvariants(): Map[Long, Int] = {
+      val rows = table.read(spark).collect().map { r =>
+        (r.getAs[Long]("natural_key"),
+          r.getAs[java.sql.Timestamp]("effective_from").getTime,
+          Option(r.getAs[java.sql.Timestamp]("effective_to")).map(_.getTime),
+          r.getAs[Boolean]("is_current"))
+      }
+      val byKey = rows.groupBy(_._1)
+      byKey.values.foreach { vs =>
+        val sorted = vs.sortBy(_._2)
+        assert(vs.count(_._4) == 1, s"multiple current rows: $vs")
+        assert(sorted.init.forall(_._3.isDefined) &&
+          sorted.zip(sorted.tail).forall { case (a, b) => a._3.exists(_ <= b._2) } &&
+          sorted.last._3.isEmpty && sorted.last._4, s"ranges not chained: $sorted")
+      }
+      byKey.map { case (k, vs) => k -> vs.length }
+    }
+
+    try {
+      mem.addData((1L, "S1", 15.0)) // key 1 changes
+      q.processAllAvailable()
+      assert(checkInvariants() == Map(1L -> 2, 2L -> 1))
+      mem.addData((1L, "S2", 25.0), (3L, "S3", 5.0)) // key 1 again + new key
+      q.processAllAvailable()
+      assert(checkInvariants() == Map(1L -> 3, 2L -> 1, 3L -> 1))
+      // key 1's three versions carry the batch-indexed effective instants
+      val k1 = table.read(spark).filter($"natural_key" === 1L)
+        .orderBy($"effective_from").collect()
+        .map(_.getAs[java.sql.Timestamp]("effective_from").getTime)
+      assert(k1.toSeq == Seq(1704067200000L, 1706745600000L, 1706745600000L + 3600000L))
+    } finally q.stop()
   }
 
   test("mapGroupsWithState keeps running per-user stats across batches") {
