@@ -8,7 +8,7 @@ import graft.pipeline.Pipeline
 import graft.quality.Quality
 import graft.sink.{SnapshotTable, TableSink}
 import graft.source.SourceReader
-import graft.template.TemplateLoader
+import graft.template.{ColumnDef, PartitionField, TableTemplate, TemplateLoader}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -268,6 +268,48 @@ object MetaQueries {
       Some("""SELECT event_id, ts, user_id, event_type, value, props
              |FROM events WHERE event_id % 7 = 0""".stripMargin),
       doc = "orc write-format dispatch: template-declared format, snapshot-recorded, read back"),
+
+    "decimal_roundtrip" -> QueryDef(
+      (s, dir) => {
+        // decimal(p,s) end to end through the DECLARED-schema path: the
+        // reference documents decimal in `_schema.json:34` yet silently
+        // string-demotes it (`utils/table_loader.py:68`); this engine maps
+        // it to a true DecimalType (types/IcebergTypes). Conform source
+        // doubles -> decimal(18,2), write a month-partitioned snapshot,
+        // read back, aggregate in exact decimal arithmetic. Sums render as
+        // canonical scale-2 strings so the hash compare proves bit-exact
+        // decimal math, not a double approximation.
+        val wh = freshWarehouse("decimal_roundtrip")
+        val t = TableTemplate(
+          name = "order_ledger", namespace = "lakehouse",
+          columns = Seq(
+            ColumnDef("o_orderkey", "long", required = true),
+            ColumnDef("o_orderdate", "date", required = true),
+            ColumnDef("o_orderpriority", "string"),
+            ColumnDef("o_totalprice", "decimal(18,2)", required = true)),
+          partitionSpec = Seq(PartitionField("o_orderdate", "month")))
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val src = tbl(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+        TableSink.overwrite(SourceReader.conform(src, t.schema), t, table)
+        val back = table.read(s)
+        // the on-disk parquet type must be the declared decimal — the proof
+        // the mapping survives the physical write, not just the plan
+        val priceType = back.schema("o_totalprice").dataType
+        require(priceType == org.apache.spark.sql.types.DecimalType(18, 2),
+          s"expected decimal(18,2) on disk, got $priceType")
+        back.groupBy(col("o_orderpriority").as("priority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice")).cast("string").as("total_price"),
+            max(col("o_totalprice")).cast("string").as("max_price"))
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+             |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price
+             |FROM orders GROUP BY 1""".stripMargin),
+      doc = "decimal(18,2) end-to-end: declared-schema conform -> partitioned snapshot " +
+        "write -> decimal read-back -> exact decimal aggregate (string-rendered for parity)"),
 
     "drift_stats" -> QueryDef(
       (s, dir) => {

@@ -283,4 +283,29 @@ class SnapshotTableSpec extends SparkSpec {
     val undeclared = TemplateLoader.get("/root/repo/templates", "events")
     assert(undeclared.commitNumRetries == SnapshotTable.DefaultCommitRetries)
   }
+
+  test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
+    import graft.source.SourceReader
+    import graft.template.{ColumnDef, TableTemplate}
+    import org.apache.spark.sql.types.DecimalType
+    val tpl = TableTemplate(
+      name = "ledger", namespace = "ns",
+      columns = Seq(
+        ColumnDef("id", "long", required = true),
+        ColumnDef("amount", "decimal(9,2)", required = true)),
+      partitionSpec = Nil)
+    val t = SnapshotTable(
+      Files.createTempDirectory("graft_dec").toString, tpl.namespace, tpl.name)
+    // doubles that are exact 2-dp values conform without ambiguity; the
+    // write must store true decimal physical type, not double or string
+    val src = Seq((1L, 10.01), (2L, -0.10), (3L, 1234567.89)).toDF("id", "amount")
+    TableSink.overwrite(SourceReader.conform(src, tpl.schema), tpl, t)
+    val back = t.read(spark)
+    assert(back.schema("amount").dataType == DecimalType(9, 2))
+    val vals = back.select($"amount".cast("string"))
+      .as[String].collect().sorted.toSeq
+    // scale-2 canonical rendering proves exact decimal storage ("-0.10",
+    // not "-0.1" or a float approximation)
+    assert(vals == Seq("-0.10", "10.01", "1234567.89"))
+  }
 }
