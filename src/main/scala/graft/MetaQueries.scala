@@ -311,6 +311,65 @@ object MetaQueries {
       doc = "decimal(18,2) end-to-end: declared-schema conform -> partitioned snapshot " +
         "write -> decimal read-back -> exact decimal aggregate (string-rendered for parity)"),
 
+    "maintenance_compact" -> QueryDef(
+      (s, dir) => {
+        // small-file compaction (Iceberg rewrite_data_files bin-pack): 8
+        // append commits fragment the table into 8 dirs x 4 files; compact
+        // rewrites the current snapshot into ~target-size files as a
+        // `replace` commit. Rows must be IDENTICAL after the rewrite (the
+        // oracle checks the full row set), the file count must shrink, and
+        // history must survive (pre-compaction snapshots stay readable).
+        val wh = freshWarehouse("maintenance_compact")
+        val table = SnapshotTable(wh, "lakehouse", "events_compacted")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        (0 until 8).foreach { i =>
+          table.append(ev.filter(col("event_id") % 8 === i).repartition(4)): Unit
+        }
+        val before = table.dataFileCount
+        val snap = table.compact(s)
+        require(snap.operation == "replace",
+          s"compaction must commit a replace snapshot, got ${snap.operation}")
+        val after = table.dataFileCount
+        require(after < before, s"compaction must shrink the file count ($before -> $after)")
+        require(table.snapshots.size == 9, "compaction must preserve history")
+        require(table.readSnapshot(s, 4L).columns.contains("event_id"),
+          "pre-compaction snapshots must stay time-travelable")
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events"),
+      doc = "small-file compaction: bin-pack rewrite as a replace snapshot — same rows, " +
+        "fewer files, history preserved"),
+
+    "table_partitions" -> QueryDef(
+      (s, dir) => {
+        // the Iceberg `$partitions` metadata table: per-partition file +
+        // row counts, served from commit-time stats sidecars — a pure
+        // metadata read (the listing plans NO file source; the require
+        // below pins it). Two commits (overwrite + append) prove stats
+        // merge across snapshot dirs.
+        val wh = freshWarehouse("table_partitions")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val ev = tbl(s, dir, "events")
+        TableSink.overwrite(ev.filter(col("event_id") % 2 === 0), t, table)
+        TableSink.append(ev.filter(col("event_id") % 2 === 1), t, table)
+        val stats = table.partitionStats(s)
+        require(!stats.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+          "partition stats must be a pure metadata read (no file scan planned)")
+        val bad = stats.filter(col("row_count") < 0 || col("file_count") < 1).count()
+        require(bad == 0, s"$bad partitions with unknown rows / zero files")
+        // file_count is physical-layout-specific (not oracle-derivable);
+        // the oracle checks the partition->rows map exactly
+        stats.select(col("partition_path"), col("row_count"))
+      },
+      Some("""SELECT 'ts_day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_path,
+             |  count(*) AS row_count
+             |FROM events GROUP BY 1""".stripMargin),
+      doc = "Iceberg $partitions parity: per-partition stats from commit-time sidecars, " +
+        "merged across dirs, zero data files opened"),
+
     "drift_stats" -> QueryDef(
       (s, dir) => {
         // distribution drift per event_type: week 1 vs weeks 2-4 of the

@@ -33,7 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Snapshot(
     id: Long,
     committedAtMs: Long,
-    operation: String, // overwrite | append
+    operation: String, // overwrite | append | replace (compaction rewrite)
     dataDirs: Seq[String],
     format: String = "parquet", // parquet | orc (per _schema.json:100-103)
     // total rows at this snapshot, recorded at commit time (Iceberg keeps
@@ -125,6 +125,83 @@ final class SnapshotTable(val root: String, val fullName: String) {
   /** Append: new snapshot = previous data dirs + newly written dir. */
   def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries)
+
+  /** Small-file compaction — the Iceberg `rewrite_data_files` bin-pack
+    * action. Appends accumulate one directory (with its own small files)
+    * per commit; at 100 TB that degrades scans (per-file open/footer cost,
+    * tiny row groups defeat the vectorized reader). Compaction rewrites
+    * the CURRENT snapshot's rows into ~`targetFileBytes` output files and
+    * commits the result as a new `replace` snapshot: same rows, fresh
+    * physical layout. It goes through the same optimistic CAS as any
+    * commit, so a concurrent append conflicts rather than being silently
+    * dropped; history is preserved (pre-compaction snapshots stay
+    * time-travelable until expiry, and expiry then reclaims the
+    * small-file dirs).
+    *
+    * Scale notes: for unpartitioned tables the rewrite is SHUFFLE-FREE —
+    * `coalesce(n)` packs existing input splits into n writer tasks
+    * (bin-packing concatenates; it never needs a cluster-wide exchange).
+    * For partitioned tables the commit path's existing
+    * repartition-by-partition-value clustering applies, which is the
+    * exchange that guarantees O(1) files per partition directory.
+    */
+  def compact(
+      spark: SparkSession,
+      targetFileBytes: Long = SnapshotTable.DefaultTargetFileBytes,
+      partitionCols: Seq[String] = Nil,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val snap = requireCurrent
+    val nOut = math.max(1L, (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = read(spark)
+    val packed = if (partitionCols.nonEmpty) df else df.coalesce(nOut)
+    commit(packed, "replace", carryPrevious = false, partitionCols, Nil, snap.format, numRetries)
+  }
+
+  /** Data files referenced by the current snapshot (hidden/marker files
+    * excluded) — the signal compaction exists to shrink.
+    */
+  def dataFileCount: Long =
+    currentSnapshot.map(_.dataDirs.map(d => listDataFiles(new File(d)).size.toLong).sum)
+      .getOrElse(0L)
+
+  /** Total bytes of data files referenced by the current snapshot (pure
+    * filesystem metadata — no data read).
+    */
+  def dataBytes: Long =
+    currentSnapshot.map(_.dataDirs.map(d => listDataFiles(new File(d)).map(_.length).sum).sum)
+      .getOrElse(0L)
+
+  private def listDataFiles(dir: File): Seq[File] = {
+    val children = Option(dir.listFiles()).getOrElse(Array.empty[File]).toSeq
+    children.filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .flatMap(f => if (f.isDirectory) listDataFiles(f) else Seq(f))
+  }
+
+  /** Per-partition stats of the CURRENT snapshot — the Iceberg
+    * `$partitions` metadata table (file count + row count per partition,
+    * reference surfaces the same via Athena metadata queries,
+    * `aws/modules/athena/main.tf:56-67`). A PURE metadata read: each
+    * commit wrote a stats sidecar beside its (immutable) data dir, so the
+    * listing merges O(dirs × partitions) tiny JSON files and never opens
+    * a data file — the result is a driver-local frame, same bound as
+    * Iceberg materializing $partitions from manifests. `row_count` is -1
+    * when any contributing dir predates the sidecar (unknown stays
+    * unknown rather than inventing a number).
+    */
+  def partitionStats(spark: SparkSession): DataFrame = {
+    val snap = requireCurrent
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    snap.dataDirs.foreach { d =>
+      readPartitionSidecar(d).foreach { case (p, f, r) =>
+        val (f0, r0) = merged.getOrElse(p, (0L, 0L))
+        merged(p) = (f0 + f, if (r0 < 0 || r < 0) -1L else r0 + r)
+      }
+    }
+    import spark.implicits._
+    merged.toSeq.sortBy(_._1).map { case (p, (f, r)) => (p, f, r) }
+      .toDF("partition_path", "file_count", "row_count")
+  }
 
   /** Drop snapshots older than `olderThanMs` (never the current one) and
     * delete data directories no surviving snapshot references.
@@ -244,6 +321,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // O(files), not O(rows). Computed once, outside the swap loop: the
     // dir is immutable across retries.
     val newRows = df.sparkSession.read.format(format).load(dataDir).count()
+    // per-partition stats sidecar, written once beside the immutable dir
+    // (the manifest-stats role): file counts from a directory walk, row
+    // counts from one partition-columns-only job over the NEW dir —
+    // O(delta) like the write itself, never O(table)
+    writePartitionSidecar(df.sparkSession, dataDir, partitionCols, format, newRows)
 
     var expectedParent = base
     var attempt = 0
@@ -311,6 +393,73 @@ final class SnapshotTable(val root: String, val fullName: String) {
       }
     }
 
+  private def sidecarPath(dataDir: String) =
+    Paths.get(dataDir, ".graft-partitions.json")
+
+  private def writePartitionSidecar(
+      spark: SparkSession,
+      dataDir: String,
+      partitionCols: Seq[String],
+      format: String,
+      totalRows: Long): Unit = {
+    val base = new File(dataDir)
+    val filesByPart: Map[String, Long] = listDataFiles(base).groupBy { f =>
+      unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
+    }.map { case (k, v) => k -> v.size.toLong }
+    val stats: Seq[(String, Long, Long)] =
+      if (partitionCols.isEmpty)
+        Seq(("", filesByPart.getOrElse("", 0L), totalRows))
+      else {
+        import org.apache.spark.sql.functions.col
+        val rowsByPart = spark.read.format(format).load(dataDir)
+          .groupBy(partitionCols.map(col): _*).count()
+          .collect().map { r =>
+            val path = partitionCols.indices.map { i =>
+              val v = r.get(i)
+              s"${partitionCols(i)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
+            }.mkString("/")
+            path -> r.getLong(partitionCols.size)
+          }.toMap
+        (filesByPart.keySet ++ rowsByPart.keySet).toSeq.sorted.map { p =>
+          (p, filesByPart.getOrElse(p, 0L), rowsByPart.getOrElse(p, -1L))
+        }
+      }
+    val json = stats.map { case (p, f, r) =>
+      s"""{"partition":"${jsonEscape(p)}","files":$f,"rows":$r}"""
+    }.mkString("[", ",", "]")
+    Files.write(sidecarPath(dataDir), json.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Sidecar entries for one data dir; a dir written before the sidecar
+    * existed falls back to walked file counts with unknown (-1) rows.
+    */
+  private def readPartitionSidecar(dataDir: String): Seq[(String, Long, Long)] = {
+    val p = sidecarPath(dataDir)
+    if (Files.exists(p)) {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val re = """\{"partition":"(.*?)(?<!\\)","files":(\d+),"rows":(-?\d+)\}""".r
+      re.findAllMatchIn(json).map { m =>
+        (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
+          m.group(2).toLong, m.group(3).toLong)
+      }.toSeq
+    } else {
+      val base = new File(dataDir)
+      listDataFiles(base).groupBy { f =>
+        unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
+      }.map { case (k, v) => (k, v.size.toLong, -1L) }.toSeq
+    }
+  }
+
+  /** Reverse Hive-style %XX partition-dir escaping (dates, months, hours
+    * and buckets never need it; string partition values with spaces or
+    * slashes do).
+    */
+  private def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def writeMetadata(snaps: Seq[Snapshot]): Unit = {
     Files.createDirectories(Paths.get(root))
     val json = snaps.map { s =>
@@ -357,6 +506,11 @@ object SnapshotTable {
     * (Iceberg's own `commit.retry.num-retries` default).
     */
   val DefaultCommitRetries: Int = 4
+
+  /** Default compaction target file size — Iceberg's
+    * `write.target-file-size-bytes` default (512 MB).
+    */
+  val DefaultTargetFileBytes: Long = 512L * 1024 * 1024
 
   /** Exponential-backoff base between conflicting swap attempts
     * (wait = min(base << attempt, base*10), the tenacity

@@ -284,6 +284,85 @@ class SnapshotTableSpec extends SparkSpec {
     assert(undeclared.commitNumRetries == SnapshotTable.DefaultCommitRetries)
   }
 
+  test("compact bin-packs small files into a replace snapshot, preserving rows + history") {
+    val t = freshTable()
+    // 5 appends x 4 files each = fragmented layout
+    (0 until 5).foreach { i =>
+      t.append(spark.range(i * 100, (i + 1) * 100).toDF("v").repartition(4)): Unit
+    }
+    val before = t.dataFileCount
+    assert(before >= 20)
+    val snap = t.compact(spark)
+    assert(snap.operation == "replace")
+    assert(snap.rowCount == 500)
+    assert(t.dataFileCount < before)
+    assert(t.read(spark).as[Long].collect().sorted.toSeq == (0L until 500L))
+    // history preserved: the pre-compaction snapshot is still readable...
+    assert(t.snapshots.size == 6)
+    assert(t.readSnapshot(spark, 5L).count() == 500)
+    // ...until expiry reclaims the small-file dirs the replace dropped
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 1)
+    assert(expired == (1L to 5L))
+    assert(t.read(spark).count() == 500)
+    // the small-file dirs are physically reclaimed: only the replace
+    // snapshot's dirs remain on disk
+    val liveDirs = t.currentSnapshot.get.dataDirs.toSet
+    val onDisk = Option(new java.io.File(t.root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-")).map(_.getPath).toSet
+    assert(onDisk == liveDirs)
+  }
+
+  test("compact conflicts with a concurrent append instead of dropping its rows") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2, 3).toDF("v").repartition(3))
+    SnapshotTable.backoffBaseMs = 1L
+    try {
+      // inject a rival append into compaction's write-to-swap window; the
+      // CAS must fail, refresh, and the retried swap then conflicts again
+      // on content: compaction re-reads nothing, so it must EXHAUST rather
+      // than commit a snapshot that silently drops the rival's rows
+      var injected = false
+      SnapshotTable.beforeSwapHook = (table, _) =>
+        if (!injected && table.root == t.root) { injected = true; t.append(Seq(4).toDF("v")): Unit }
+      val e = intercept[CommitFailedException](t.compact(spark, numRetries = 0))
+      assert(e.attempts == 1)
+      // the table still holds every row, including the rival append's
+      assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    } finally {
+      SnapshotTable.beforeSwapHook = (_, _) => ()
+      SnapshotTable.backoffBaseMs = 1000L
+    }
+  }
+
+  test("partitionStats merges commit-time sidecars across dirs without scanning data") {
+    val t = freshTable()
+    val df1 = Seq((1, "a"), (2, "a"), (3, "b")).toDF("v", "k")
+    val df2 = Seq((4, "b"), (5, "c")).toDF("v", "k")
+    t.overwrite(df1, partitionCols = Seq("k"))
+    t.append(df2, partitionCols = Seq("k"))
+    val stats = t.partitionStats(spark)
+      .select("partition_path", "file_count", "row_count")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(stats.map(s => (s._1, s._3)) == Seq(("k=a", 2L), ("k=b", 2L), ("k=c", 1L)))
+    assert(stats.forall(_._2 >= 1)) // at least one file per partition dir
+    // unpartitioned tables report a single root partition
+    val u = freshTable()
+    u.overwrite(Seq(1, 2, 3).toDF("v"))
+    val uStats = u.partitionStats(spark)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(uStats.map(s => (s._1, s._3)) == Seq(("", 3L)))
+  }
+
+  test("partitionStats falls back to unknown rows for dirs predating the sidecar") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2).toDF("v"))
+    val side = java.nio.file.Paths.get(t.currentSnapshot.get.dataDirs.head, ".graft-partitions.json")
+    java.nio.file.Files.delete(side)
+    val stats = t.partitionStats(spark).as[(String, Long, Long)].collect().toSeq
+    assert(stats.map(_._3) == Seq(-1L)) // unknown stays unknown
+    assert(stats.map(_._2).forall(_ >= 1)) // file counts still walkable
+  }
+
   test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
     import graft.source.SourceReader
     import graft.template.{ColumnDef, TableTemplate}
