@@ -1,6 +1,6 @@
 package graft
 
-import graft.patterns.{FeatureStore, Scd2}
+import graft.patterns.{FeatureStore, Scd1, Scd2}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -227,6 +227,50 @@ object PatternQueries {
       // oracles consume — an SCD semantics change edits one string
       Some(s"WITH $MergedScdSql\nSELECT * FROM merged"),
       doc = "full SCD2 merge: close changed, pass unchanged/absent, open new"),
+
+    "scd1_upsert" -> QueryDef(
+      (s, dir) => {
+        // SCD Type 1 latest-wins upsert, one batch carrying BOTH change
+        // feeds: %6 keys appear twice (T1 +100 and T2 +300) and the T2
+        // version must win via the in-batch collapse; %3-not-%6 keys take
+        // the T1 version; 9xxxxx keys insert; untouched keys pass through
+        // with a NULL applied-at.
+        val d = tbl(s, dir, "customer").select(
+          col("c_custkey").as("natural_key"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+          lit(null).cast("timestamp").as("updated_at"))
+        val batch = feed(s, dir)
+          .withColumn("updated_at", timestamp_millis(lit(MergeAtMs)))
+          .unionByName(feed2(s, dir)
+            .withColumn("updated_at", timestamp_millis(lit(MergeAt2Ms))))
+        Scd1.upsert(d, batch, "natural_key", Seq(col("updated_at")))
+      },
+      Some(s"""WITH batch AS (
+              |  SELECT f.*, $MergeAtSql AS updated_at FROM ($FeedSql) f
+              |  UNION ALL
+              |  SELECT f2.*, $MergeAt2Sql AS updated_at FROM ($Feed2Sql) f2
+              |),
+              |latest AS (
+              |  SELECT natural_key, name, segment, acctbal, updated_at FROM (
+              |    SELECT b.*, row_number() OVER (
+              |      PARTITION BY natural_key ORDER BY updated_at DESC) AS rn
+              |    FROM batch b)
+              |  WHERE rn = 1
+              |),
+              |dim AS (
+              |  SELECT c_custkey AS natural_key, c_name AS name,
+              |    c_mktsegment AS segment, c_acctbal AS acctbal,
+              |    CAST(NULL AS TIMESTAMP) AS updated_at
+              |  FROM customer
+              |)
+              |SELECT coalesce(d.natural_key, l.natural_key) AS natural_key,
+              |  CASE WHEN l.natural_key IS NOT NULL THEN l.name ELSE d.name END AS name,
+              |  CASE WHEN l.natural_key IS NOT NULL THEN l.segment ELSE d.segment END AS segment,
+              |  CASE WHEN l.natural_key IS NOT NULL THEN l.acctbal ELSE d.acctbal END AS acctbal,
+              |  CASE WHEN l.natural_key IS NOT NULL THEN l.updated_at ELSE d.updated_at END AS updated_at
+              |FROM dim d FULL JOIN latest l ON d.natural_key = l.natural_key""".stripMargin),
+      doc = "SCD1 latest-wins upsert: collapse batch to newest per key, overwrite matched, " +
+        "insert new, pass untouched"),
 
     "scd2_key_join" -> QueryDef(
       (s, dir) => {
