@@ -270,6 +270,27 @@ object TextQueries {
              |     WHEN 'src2' THEN 500000 WHEN 'src3' THEN 1000000 ELSE 750000 END)""".stripMargin),
       doc = "deterministic per-source rate sampling (training-mix domain reweighting)"),
 
+    "sample_stratified" -> QueryDef(
+      (s, dir) =>
+        // exact per-stratum counts (not Bernoulli): src0's 40 exceeds its
+        // 25-doc supply (take all), src1 cuts to 10, src2 drops to 0, the
+        // long tail cuts to 15 — all chosen by deterministic hash order,
+        // ranked via the two-pass DistributedRank (no per-stratum
+        // single-task window)
+        graft.text.TrainingMix.sampleStratified(
+          tbl(s, dir, "documents"), "source",
+          counts = Map("src0" -> 40L, "src1" -> 10L, "src2" -> 0L),
+          defaultCount = 15L, nParts = 16),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             |    ORDER BY CAST(CONCAT('0x', substr(md5('strat:' || doc_id), 1, 15)) AS BIGINT),
+             |      doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 10
+             |  WHEN 'src2' THEN 0 ELSE 15 END""".stripMargin),
+      doc = "exact stratified sampling: deterministic hash-ordered rank per stratum, " +
+        "precise per-stratum counts"),
+
     "sample_target_mix" -> QueryDef(
       (s, dir) =>
         // target-composition form: 50/30/15/5 across four sources under

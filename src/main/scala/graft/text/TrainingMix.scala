@@ -99,6 +99,42 @@ object TrainingMix {
     * then one narrow filter over the corpus. No join, no shuffle of
     * documents.
     */
+  /** `sample_stratified`: EXACT per-stratum sample sizes — the eval-set /
+    * ablation-corpus cut where "about 10%" (Bernoulli `sampleBy`) is not
+    * acceptable: exactly `counts(stratum)` docs per stratum (all of them
+    * when a stratum is smaller), chosen by deterministic hash order so
+    * the draw is uniform, stable under any partitioning or re-run, and
+    * NESTED (a larger count's sample contains a smaller one's — same
+    * curriculum-re-cut property as the budget sampler).
+    *
+    * Scale: ranking within strata goes through [[DistributedRank]]'s
+    * two-pass range-partitioned rank — a plain
+    * `Window.partitionBy(stratum)` would funnel each stratum through ONE
+    * task (a 20%-of-corpus stratum on one executor at 100 TB); here no
+    * task ever holds more than ~1/nParts of the data regardless of
+    * stratum skew. The filter then keeps rank <= count via a literal
+    * CASE (broadcast a count dimension instead beyond thousands of
+    * strata).
+    */
+  def sampleStratified(
+      docs: DataFrame, stratumCol: String,
+      counts: Map[String, Long], defaultCount: Long, nParts: Int): DataFrame = {
+    require((counts.values ++ Seq(defaultCount)).forall(_ >= 0), "counts must be >= 0")
+    require(nParts > 0, "nParts must be positive")
+    val limit = counts.toSeq.sortBy(_._1).foldRight(
+      lit(defaultCount): org.apache.spark.sql.Column) {
+      case ((s, n), acc) => when(col(stratumCol) === s, lit(n)).otherwise(acc)
+    }
+    val keyed = docs.select(
+      col("doc_id"), col(stratumCol),
+      TextAnalysis.hash60(concat(lit("strat:"), col("doc_id"))).as("_h"))
+    DistributedRank.withGlobalRank(
+        keyed, keyCols = Seq(stratumCol),
+        order = Seq(col("_h").asc, col("doc_id").asc), nParts = nParts)
+      .filter(col("_rk") <= limit)
+      .select(col("doc_id"), col(stratumCol))
+  }
+
   def sampleToTargetMix(
       docs: DataFrame, sourceCol: String, textCol: String,
       targetWeights: Map[String, Double], budgetTokens: Long): DataFrame = {

@@ -86,6 +86,38 @@ class TrainingMixSpec extends SparkSpec {
     assert(repart.toSet == out.toSet)
   }
 
+  test("sampleStratified: exact counts, supply cap, nesting, partition invariance") {
+    import org.apache.spark.sql.functions.col
+    val out = TrainingMix.sampleStratified(
+      docs, "source", Map("src0" -> 1000L, "src1" -> 3L, "src2" -> 0L),
+      defaultCount = 5L, nParts = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val supply = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == supply("src0"), "count above supply takes the whole stratum")
+    assert(bySource("src1") == 3L)
+    assert(!bySource.contains("src2"), "zero-count stratum drops entirely")
+    assert((bySource.keySet - "src0" - "src1").forall(bySource(_) == 5L))
+
+    // nested: raising a stratum's count extends its sample, keeps the rest
+    val smaller = TrainingMix.sampleStratified(
+      docs, "source", Map("src1" -> 2L), defaultCount = 5L, nParts = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val larger = TrainingMix.sampleStratified(
+      docs, "source", Map("src1" -> 3L), defaultCount = 5L, nParts = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(smaller.subsetOf(larger))
+
+    // deterministic under any input partitioning and rank parallelism
+    val repart = TrainingMix.sampleStratified(
+      docs.repartition(7, col("doc_id")), "source",
+      Map("src0" -> 1000L, "src1" -> 3L, "src2" -> 0L),
+      defaultCount = 5L, nParts = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(repart.toSet == out.toSet)
+  }
+
   test("interleave: output is identical for any partition count (parallelism knob only)") {
     val at3 = TrainingMix.interleave(docs, "source", nParts = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
