@@ -66,17 +66,20 @@ object SimilarityQueries {
     * approximate dots, exact-norm cosine and ranking. Ends in
     * `pq_ranked(query_id, vec_id, cos, rank)`.
     */
-  private def pqCte(m: Int, k: Int, iters: Int, nQueries: Int): String = {
+  /** DuckDB: the PQ TRAINING chain over any (vec_id, pos, x) relation
+    * `base` — per-subspace unrolled Lloyd (the kmeansCte shape over
+    * re-based subspace positions) and rounded codebooks over the final
+    * assignments. Ends in `cball(sub, code, spos, c)` and
+    * `codesall(vec_id, sub, code)`. Parameterizing `base` is what lets
+    * IVF-PQ train the same chain over RESIDUALS.
+    */
+  private def pqTrainCte(m: Int, k: Int, iters: Int, base: String): String = {
     val subDim = 64 / m
-    val base =
-      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |ex0 AS (SELECT vec_id, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
-        |  FROM e, unnest(range(0, 64)) AS u(i))""".stripMargin
     val subspaces = (0 until m).map { s =>
       val lo = s * subDim
       val P = s"_s$s"
       val header =
-        s"""ex$P AS (SELECT vec_id, pos - $lo AS pos, x FROM ex0
+        s"""ex$P AS (SELECT vec_id, pos - $lo AS pos, x FROM $base
            |  WHERE pos >= $lo AND pos < ${lo + subDim}),
            |vn2$P AS (SELECT vec_id, sum(x * x) AS vn2 FROM ex$P GROUP BY 1),
            |a0$P AS (SELECT vec_id, vec_id % $k AS cell FROM e)""".stripMargin
@@ -102,10 +105,17 @@ object SimilarityQueries {
     }
     val cball = (0 until m).map(s => s"SELECT * FROM cb_s$s").mkString(" UNION ALL ")
     val codesall = (0 until m).map(s => s"SELECT * FROM codes_s$s").mkString(" UNION ALL ")
+    (subspaces :+ s"cball AS ($cball),\ncodesall AS ($codesall)").mkString(",\n")
+  }
+
+  private def pqCte(m: Int, k: Int, iters: Int, nQueries: Int): String = {
+    val subDim = 64 / m
+    val base =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex0 AS (SELECT vec_id, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
+        |  FROM e, unnest(range(0, 64)) AS u(i))""".stripMargin
     val search =
-      s"""cball AS ($cball),
-         |codesall AS ($codesall),
-         |pq_lut AS (
+      s"""pq_lut AS (
          |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
          |    round(sum(q.x * cb.c), 6) AS pdot
          |  FROM (SELECT vec_id, pos, x FROM ex0 WHERE vec_id < $nQueries) q
@@ -125,7 +135,68 @@ object SimilarityQueries {
          |  FROM pq_adot
          |  JOIN nrm qn ON pq_adot.query_id = qn.vec_id
          |  JOIN nrm cn ON pq_adot.vec_id = cn.vec_id)""".stripMargin
-    (base +: subspaces :+ search).mkString(",\n")
+    Seq(base, pqTrainCte(m, k, iters, base = "ex0"), search).mkString(",\n")
+  }
+
+  /** DuckDB CTE chain replicating the IVF-PQ (IVFADC) pipeline
+    * (Similarity.ivfPqTopK) exactly: the coarse Lloyd chain (kmeansCte),
+    * the rounded coarse codebook over its final assignment, per-vector
+    * residuals, the PQ training chain over residuals (pqTrainCte on the
+    * `resid` relation), nprobe coarse-cell probing that carries the
+    * query-cell dot, and ADC scoring `cdot + Σ pdot` over exact norms.
+    * Ends in `ivfpq_ranked(query_id, vec_id, cos, rank)`.
+    */
+  private def ivfPqCte(
+      nCells: Int, m: Int, codes: Int, iters: Int,
+      nQueries: Int, nprobe: Int): String = {
+    val subDim = 64 / m
+    val residual =
+      s"""ccb AS (SELECT a.cell, ex.pos, round(avg(ex.x), 6) AS c
+         |  FROM ex JOIN a$iters a USING (vec_id) GROUP BY 1, 2),
+         |resid AS (SELECT ex.vec_id, ex.pos, ex.x - cb.c AS x
+         |  FROM ex JOIN a$iters a USING (vec_id)
+         |  JOIN ccb cb ON cb.cell = a.cell AND cb.pos = ex.pos)""".stripMargin
+    val search =
+      s"""ccn2 AS (SELECT cell, sum(c * c) AS cn2 FROM ccb GROUP BY 1),
+         |qcdots AS (
+         |  SELECT ex.vec_id AS query_id, cb.cell, sum(ex.x * cb.c) AS vc
+         |  FROM ex JOIN ccb cb USING (pos)
+         |  WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+         |probe AS (SELECT query_id, cell, round(vc, 6) AS cdot FROM (
+         |  SELECT q.query_id, q.cell, q.vc,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(v.vn2 - 2 * q.vc + c.cn2, 6) ASC, q.cell ASC) AS rn
+         |  FROM qcdots q JOIN ccn2 c USING (cell)
+         |  JOIN vn2 v ON v.vec_id = q.query_id)
+         |  WHERE rn <= $nprobe),
+         |ivfpq_lut AS (
+         |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         |    round(sum(q.x * cb.c), 6) AS pdot
+         |  FROM (SELECT vec_id, pos, x FROM ex WHERE vec_id < $nQueries) q
+         |  JOIN cball cb ON cb.sub = q.pos // $subDim AND cb.spos = q.pos % $subDim
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id, p.cdot
+         |  FROM probe p JOIN a$iters a USING (cell)
+         |  WHERE p.query_id <> a.vec_id),
+         |ivfpq_adot AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    round(any_value(cand.cdot) + sum(l.pdot), 6) AS adot
+         |  FROM cand JOIN codesall c ON c.vec_id = cand.vec_id
+         |  JOIN ivfpq_lut l ON l.query_id = cand.query_id
+         |    AND l.sub = c.sub AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
+         |ivfpq_ranked AS (
+         |  SELECT ivfpq_adot.query_id, ivfpq_adot.vec_id,
+         |    round(adot / (qn.nrm * cn.nrm), 4) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY ivfpq_adot.query_id
+         |      ORDER BY round(adot / (qn.nrm * cn.nrm), 4) DESC, ivfpq_adot.vec_id ASC) AS INT) AS rank
+         |  FROM ivfpq_adot
+         |  JOIN nrm qn ON ivfpq_adot.query_id = qn.vec_id
+         |  JOIN nrm cn ON ivfpq_adot.vec_id = cn.vec_id)""".stripMargin
+    Seq(kmeansCte(nCells, iters), residual,
+      pqTrainCte(m, codes, iters, base = "resid"), search).mkString(",\n")
   }
 
   /** DuckDB CTE chain for the IVF pipeline, ending in
@@ -334,6 +405,23 @@ object SimilarityQueries {
               |WHERE rank <= 10""".stripMargin),
       doc = "PQ index persisted as snapshot tables (codes/codebook/norms) and " +
         "served from storage: search loads the artifacts, never retrains"),
+
+    "similarity_ivfpq" -> QueryDef(
+      (s, dir) => {
+        // IVFADC (Jegou 2011 §IV, FAISS IndexIVFPQ): coarse cells bound
+        // WHICH vectors a query meets (nprobe=2 of 8 cells), residual PQ
+        // codes bound WHAT moves per candidate (4 byte codes); scoring is
+        // the exact decomposition q·c_cell + ADC over residual codebooks.
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+          k = 10, nCells = 8, nprobe = 2, m = 4, codes = 8, iters = 2, dims = 64)
+      },
+      Some(s"""WITH ${ivfPqCte(nCells = 8, m = 4, codes = 8, iters = 2, nQueries = 5, nprobe = 2)}
+              |SELECT query_id, vec_id, cos, rank FROM ivfpq_ranked
+              |WHERE rank <= 10""".stripMargin),
+      doc = "IVF-PQ (IVFADC): coarse quantizer cells + product-quantized residuals, " +
+        "ADC search = coarse dot + residual LUT sums — the structure serving " +
+        "10^11-vector indexes; oracle replicates both quantizer tiers exactly"),
 
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's

@@ -306,6 +306,12 @@ object Similarity {
       corpus: DataFrame, m: Int, codes: Int, iters: Int, dims: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(m > 0 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    // the m subspace trainings must fit the keyed cache simultaneously:
+    // an eviction mid-build would release checkpoint blocks the final
+    // search plan still references (executes lazily, after training)
+    require(m < graft.util.KeyedCache.CacheSlots,
+      s"m=$m subspace trainings exceed the KeyedCache working-set bound " +
+        s"(${graft.util.KeyedCache.CacheSlots} slots)")
     val sub = dims / m
     def subspace(df: DataFrame, s: Int): DataFrame =
       df.select(col("vec_id"), slice(col("embedding"), s * sub + 1, sub).as("embedding"))
@@ -350,6 +356,106 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(col("adot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
     rankWindow(scored, k)
+  }
+
+  /** `similarity_ivfpq`: IVF-PQ — the IVFADC structure of Jégou 2011 §IV
+    * (what FAISS ships as `IndexIVFPQ`), composing the two index tiers
+    * this engine already has: the coarse IVF quantizer bounds WHICH
+    * vectors a query meets (~nprobe·N/cells candidates), and per-subspace
+    * PQ codebooks over the RESIDUALS (vector minus its cell centroid)
+    * bound WHAT moves per candidate (m byte codes, never vectors).
+    * Residual encoding is why the combination beats flat PQ: within a
+    * cell the residuals span a much smaller region than the raw space,
+    * so the same 8-bit codebooks quantize far more precisely.
+    *
+    * Search decomposes the inner product exactly:
+    * `q·v = q·c_cell + q·r_v ≈ q·c_cell + Σ_sub LUT[sub, code_v(sub)]`
+    * — the coarse term comes free from the probing pass's cell dot, and
+    * the LUT is the raw query against the residual codebooks (no
+    * per-probed-cell query residuals needed for inner-product ADC).
+    * Scoring joins move (candidate, sub) code rows + a broadcast LUT;
+    * norms are the exact stored ones, so scores are comparable across
+    * cells. All trainings (coarse + m subspace codebooks) go through the
+    * cached [[kmeansAssign]] path — train once, serve many.
+    *
+    * Build cost note: the one-off residual materialization uses an
+    * interpreted `zip_with` per vector (build path, one pass, O(N·dims))
+    * — the search path stays code rows + broadcast joins only.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int, nprobe: Int, m: Int, codes: Int, iters: Int, dims: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    // working set = 1 coarse + m subspace trainings, all referenced by
+    // the (lazy) search plan — see the KeyedCache.CacheSlots contract
+    require(m + 1 < graft.util.KeyedCache.CacheSlots,
+      s"IVF-PQ needs ${m + 1} simultaneous cached trainings; raise " +
+        s"KeyedCache.CacheSlots (${graft.util.KeyedCache.CacheSlots})")
+    val coarseAssign = kmeansAssign(corpus, nCells, iters)
+    val coarseCents = kmeans(corpus, nCells, iters) // (cell, pos, c), rounded
+    val resid = residualCorpus(corpus, coarseAssign, coarseCents)
+    val (residCodes, residCodebook, _) = pqArtifacts(resid, m, codes, iters, dims)
+
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val cnorms = norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm"))
+    val qe = exploded(queries, "vec_id", "query_id")
+    val subDim = dims / m
+    val qsub = qe
+      .withColumn("sub", (col("pos") / lit(subDim)).cast("int"))
+      .withColumn("spos", col("pos") % lit(subDim))
+    val lut = qsub.join(broadcast(residCodebook), Seq("sub", "spos"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(round(sum(col("x") * col("c")), 6).as("pdot"))
+
+    val probes = probeCells(qe, coarseCents, nprobe)
+    // a corpus vector lives in exactly ONE cell, so (query, vec) pairs are
+    // unique here: candidate volume ~nprobe·N/cells, nested in nprobe
+    val cand = coarseAssign.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cdot"))
+    val adots = cand.join(residCodes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(first(col("cdot")) + sum(col("pdot")), 6).as("adot"))
+    val scored = adots
+      .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))),
+        "query_id")
+      .join(cnorms, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("adot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+    rankWindow(scored, k)
+  }
+
+  /** `nprobe` nearest coarse cells per query (same rounded-d2 metric and
+    * tie-break as [[assignCells]]), keeping the query-cell dot — search
+    * reuses it as the coarse term of the ADC decomposition.
+    */
+  private def probeCells(qe: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val cnorm2 = cents.groupBy(col("cell")).agg(sum(col("c") * col("c")).as("cn2"))
+    val vnorm2 = qe.groupBy(col("query_id")).agg(sum(col("x") * col("x")).as("vn2"))
+    val dots = qe.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(sum(col("x") * col("c")).as("vc"))
+    dots.join(broadcast(cnorm2), "cell").join(vnorm2, "query_id")
+      .withColumn("d2", round(col("vn2") - lit(2.0) * col("vc") + col("cn2"), 6))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("cell"), round(col("vc"), 6).as("cdot"))
+  }
+
+  /** (vec_id, embedding) residuals: each vector minus its coarse-cell
+    * centroid. Centroid arrays are reassembled from the long shape (tiny,
+    * broadcast); the subtraction is one narrow pass over the corpus.
+    */
+  private def residualCorpus(
+      corpus: DataFrame, assign: DataFrame, cents: DataFrame): DataFrame = {
+    val cvecs = cents.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), expr("transform(pc, p -> p.c)").as("cvec"))
+    corpus.join(assign, "vec_id").join(broadcast(cvecs), "cell")
+      .select(col("vec_id"),
+        zip_with(asDouble(col("embedding")), col("cvec"), (x, c) => x - c).as("embedding"))
   }
 
   /** Names of the three snapshot tables a persisted PQ index occupies

@@ -100,5 +100,18 @@ private[graft] final class KeyedCache(persistEntries: Boolean = true) {
 }
 
 private[graft] object KeyedCache {
-  val CacheSlots = 4
+
+  /** Entry bound. Must EXCEED the largest working set one composed
+    * operator builds before executing its final plan: evicting a
+    * non-persisted (localCheckpoint-backed) entry releases its block-
+    * manager blocks immediately, and a still-lazy plan referencing the
+    * evicted frame then fails at execution with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (checkpoint lineage is truncated;
+    * the blocks are the only copy). Largest current working set: IVF-PQ's
+    * 1 coarse + m subspace trainings (m=4 in the registry) + dedup's
+    * shared postings alongside. Operators with a cache-resident working
+    * set guard their fit with a require (see Similarity.pqArtifacts /
+    * ivfPqTopK).
+    */
+  val CacheSlots = 16
 }

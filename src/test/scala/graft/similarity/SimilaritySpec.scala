@@ -126,6 +126,63 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == exact, "full-resolution PQ must reproduce the exact top-k")
   }
 
+  test("IVF-PQ at full probe + full codebook resolution degenerates to exact ranking") {
+    // both tiers at their exactness limits: probing every coarse cell
+    // makes the candidate set the full corpus, and codes >= |corpus|
+    // makes every residual its own centroid — so the ADC decomposition
+    // q·c_cell + q·r must reproduce brute force exactly (up to the same
+    // roundings), pinning coarse train, residuals, residual codebooks,
+    // probing and the score decomposition end to end
+    val rnd = new scala.util.Random(13)
+    val axes = Seq(
+      Seq(1.0, 0.4, 0.0, 0.0), Seq(0.4, 1.0, 0.0, 0.0), Seq(0.2, 0.6, 0.8, 0.2))
+    val rows = (0 until 36).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.8).toFloat))
+    }
+    val corpus36 = rows.toDF("vec_id", "embedding")
+    val queries = corpus36.filter($"vec_id" < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("vec_id"))
+      .toMap
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus36, k = 5))
+    val ivfpq = pairs(Similarity.ivfPqTopK(queries, corpus36, k = 5,
+      nCells = 3, nprobe = 3, m = 2, codes = 64, iters = 1, dims = 4))
+    assert(ivfpq == exact, "full-resolution full-probe IVF-PQ must reproduce brute force")
+  }
+
+  test("IVF-PQ recall is monotone in nprobe; trainings are cache-served") {
+    val rnd = new scala.util.Random(13)
+    val axes = Seq(
+      Seq(1.0, 0.4, 0.0, 0.0), Seq(0.4, 1.0, 0.0, 0.0), Seq(0.2, 0.6, 0.8, 0.2))
+    val rows = (0 until 36).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.8).toFloat))
+    }
+    val corpus36 = rows.toDF("vec_id", "embedding")
+    val queries = corpus36.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, corpus36, k = 5)
+    Similarity.clearCaches()
+    val before = Similarity.lloydRuns.get()
+    def meanRecall(nprobe: Int): Double =
+      Similarity.recallAtK(
+          Similarity.ivfPqTopK(queries, corpus36, k = 5,
+            nCells = 3, nprobe = nprobe, m = 2, codes = 8, iters = 2, dims = 4),
+          exact)
+        .agg(avg($"recall")).head().getDouble(0)
+    val recalls = Seq(1, 2, 3).map(meanRecall)
+    // scores per (query, vec) pair don't depend on the probe set, and
+    // candidate sets nest — recall can only grow with nprobe
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.head < recalls.last, s"fixture too easy for the nprobe dial: $recalls")
+    // one coarse training + one per residual subspace, all cache-served
+    // across the three searches
+    assert(Similarity.lloydRuns.get() == before + 3,
+      s"expected 3 trainings (coarse + 2 subspaces), got ${Similarity.lloydRuns.get() - before}")
+    Similarity.clearCaches()
+  }
+
   test("PQ codebooks train once per subspace and are cache-served after") {
     Similarity.clearCaches()
     val before = Similarity.lloydRuns.get()
