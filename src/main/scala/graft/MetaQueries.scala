@@ -313,8 +313,8 @@ object MetaQueries {
 
     "maintenance_compact" -> QueryDef(
       (s, dir) => {
-        // small-file compaction (Iceberg rewrite_data_files bin-pack): 8
-        // append commits fragment the table into 8 dirs x 4 files; compact
+        // small-file compaction (Iceberg rewrite_data_files bin-pack): 4
+        // append commits fragment the table into 4 dirs x 4 files; compact
         // rewrites the current snapshot into ~target-size files as a
         // `replace` commit. Rows must be IDENTICAL after the rewrite (the
         // oracle checks the full row set), the file count must shrink, and
@@ -323,8 +323,8 @@ object MetaQueries {
         val table = SnapshotTable(wh, "lakehouse", "events_compacted")
         val ev = tbl(s, dir, "events")
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        (0 until 8).foreach { i =>
-          table.append(ev.filter(col("event_id") % 8 === i).repartition(4)): Unit
+        (0 until 4).foreach { i =>
+          table.append(ev.filter(col("event_id") % 4 === i).repartition(4)): Unit
         }
         val before = table.dataFileCount
         val snap = table.compact(s)
@@ -332,8 +332,8 @@ object MetaQueries {
           s"compaction must commit a replace snapshot, got ${snap.operation}")
         val after = table.dataFileCount
         require(after < before, s"compaction must shrink the file count ($before -> $after)")
-        require(table.snapshots.size == 9, "compaction must preserve history")
-        require(table.readSnapshot(s, 4L).columns.contains("event_id"),
+        require(table.snapshots.size == 5, "compaction must preserve history")
+        require(table.readSnapshot(s, 2L).columns.contains("event_id"),
           "pre-compaction snapshots must stay time-travelable")
         table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
       },
