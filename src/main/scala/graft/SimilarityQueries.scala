@@ -423,6 +423,25 @@ object SimilarityQueries {
         "ADC search = coarse dot + residual LUT sums — the structure serving " +
         "10^11-vector indexes; oracle replicates both quantizer tiers exactly"),
 
+    "similarity_ivfpq_persisted" -> QueryDef(
+      (s, dir) => {
+        // build-once/serve-many for the composed index: all five
+        // artifacts (coarse centroids, assignment, residual codes,
+        // codebooks, norms) persisted as snapshot tables; the search
+        // loads them and runs zero Lloyd iterations (spec-pinned).
+        val emb = tbl(s, dir, "embeddings")
+        val wh = MetaQueries.freshWarehouse("similarity_ivfpq_persisted")
+        Similarity.ivfPqIndexPersist(emb, wh,
+          nCells = 8, m = 4, codes = 8, iters = 2, dims = 64)
+        Similarity.ivfPqTopKPersisted(emb.filter(col("vec_id") < 5), wh,
+          k = 10, nprobe = 2, m = 4, dims = 64)
+      },
+      Some(s"""WITH ${ivfPqCte(nCells = 8, m = 4, codes = 8, iters = 2, nQueries = 5, nprobe = 2)}
+              |SELECT query_id, vec_id, cos, rank FROM ivfpq_ranked
+              |WHERE rank <= 10""".stripMargin),
+      doc = "IVF-PQ index persisted as snapshot tables (coarse/assign/codes/" +
+        "codebook/norms) and served from storage: search loads artifacts, never retrains"),
+
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's
       // pandas comparator can sort/hash it (an array-typed centroid column

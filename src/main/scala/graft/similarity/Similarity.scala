@@ -385,7 +385,20 @@ object Similarity {
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int, nprobe: Int, m: Int, codes: Int, iters: Int, dims: Int): DataFrame = {
-    require(nprobe > 0, "nprobe must be positive")
+    val (coarseCents, coarseAssign, residCodes, residCodebook, cnorms) =
+      ivfPqArtifacts(corpus, nCells, m, codes, iters, dims)
+    ivfPqSearch(queries, coarseCents, coarseAssign, residCodes, residCodebook,
+      cnorms, k, nprobe, dims / m)
+  }
+
+  /** The five artifacts an IVF-PQ index consists of: rounded coarse
+    * centroids (long shape, tiny), the corpus→cell assignment, residual
+    * code table, residual codebooks, exact norms. Together they serve
+    * searches without the raw vectors.
+    */
+  private def ivfPqArtifacts(
+      corpus: DataFrame, nCells: Int, m: Int, codes: Int, iters: Int, dims: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     // working set = 1 coarse + m subspace trainings, all referenced by
     // the (lazy) search plan — see the KeyedCache.CacheSlots contract
     require(m + 1 < graft.util.KeyedCache.CacheSlots,
@@ -395,11 +408,20 @@ object Similarity {
     val coarseCents = kmeans(corpus, nCells, iters) // (cell, pos, c), rounded
     val resid = residualCorpus(corpus, coarseAssign, coarseCents)
     val (residCodes, residCodebook, _) = pqArtifacts(resid, m, codes, iters, dims)
-
     val ce = exploded(corpus, "vec_id", "vec_id")
     val cnorms = norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm"))
+    (coarseCents, coarseAssign, residCodes, residCodebook, cnorms)
+  }
+
+  /** ADC search against IVF-PQ artifacts (built inline or loaded from a
+    * persisted index).
+    */
+  private def ivfPqSearch(
+      queries: DataFrame, coarseCents: DataFrame, coarseAssign: DataFrame,
+      residCodes: DataFrame, residCodebook: DataFrame, cnorms: DataFrame,
+      k: Int, nprobe: Int, subDim: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
     val qe = exploded(queries, "vec_id", "query_id")
-    val subDim = dims / m
     val qsub = qe
       .withColumn("sub", (col("pos") / lit(subDim)).cast("int"))
       .withColumn("spos", col("pos") % lit(subDim))
@@ -424,6 +446,50 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(col("adot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
     rankWindow(scored, k)
+  }
+
+  /** Names of the five snapshot tables a persisted IVF-PQ index occupies
+    * under its warehouse (namespace `ann`).
+    */
+  private val IvfPqTables =
+    Seq("ivfpq_coarse", "ivfpq_assign", "ivfpq_codes", "ivfpq_codebook", "ivfpq_norms")
+
+  /** Build an IVF-PQ index once and persist its five artifacts as
+    * snapshot tables — same production contract as [[pqIndexPersist]]:
+    * the index is trained by a build job and SERVED for months; searches
+    * must never retrain. Codes and assignment are sorted within
+    * partitions on their join keys for row-group stat skipping.
+    */
+  def ivfPqIndexPersist(
+      corpus: DataFrame, warehouse: String,
+      nCells: Int, m: Int, codes: Int, iters: Int, dims: Int): Unit = {
+    val (coarseCents, coarseAssign, residCodes, residCodebook, cnorms) =
+      ivfPqArtifacts(corpus, nCells, m, codes, iters, dims)
+    import graft.sink.SnapshotTable
+    SnapshotTable(warehouse, "ann", "ivfpq_coarse").overwrite(coarseCents)
+    SnapshotTable(warehouse, "ann", "ivfpq_assign")
+      .overwrite(coarseAssign, sortCols = Seq(col("cell").asc))
+    SnapshotTable(warehouse, "ann", "ivfpq_codes")
+      .overwrite(residCodes, sortCols = Seq(col("sub").asc, col("code").asc))
+    SnapshotTable(warehouse, "ann", "ivfpq_codebook").overwrite(residCodebook)
+    SnapshotTable(warehouse, "ann", "ivfpq_norms").overwrite(cnorms)
+  }
+
+  /** `similarity_ivfpq_persisted`: IVF-PQ search served entirely from a
+    * persisted index — zero Lloyd training on the read path (spec-pinned
+    * via [[lloydRuns]]); bit-identical to the inline build (the
+    * artifacts are doubles/longs, parquet round-trips them exactly).
+    */
+  def ivfPqTopKPersisted(
+      queries: DataFrame, warehouse: String, k: Int, nprobe: Int, m: Int,
+      dims: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    import graft.sink.SnapshotTable
+    val spark = queries.sparkSession
+    val Seq(coarseCents, coarseAssign, residCodes, residCodebook, cnorms) =
+      IvfPqTables.map(t => SnapshotTable(warehouse, "ann", t).read(spark))
+    ivfPqSearch(queries, coarseCents, coarseAssign, residCodes, residCodebook,
+      cnorms, k, nprobe, dims / m)
   }
 
   /** `nprobe` nearest coarse cells per query (same rounded-d2 metric and

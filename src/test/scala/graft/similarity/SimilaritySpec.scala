@@ -183,6 +183,31 @@ class SimilaritySpec extends SparkSpec {
     Similarity.clearCaches()
   }
 
+  test("persisted IVF-PQ index serves searches with ZERO training runs") {
+    val rnd = new scala.util.Random(13)
+    val axes = Seq(
+      Seq(1.0, 0.4, 0.0, 0.0), Seq(0.4, 1.0, 0.0, 0.0), Seq(0.2, 0.6, 0.8, 0.2))
+    val rows = (0 until 36).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.8).toFloat))
+    }
+    val corpus36 = rows.toDF("vec_id", "embedding")
+    val queries = corpus36.filter($"vec_id" < 3)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val inline = Similarity.ivfPqTopK(queries, corpus36, k = 5,
+      nCells = 3, nprobe = 2, m = 2, codes = 8, iters = 2, dims = 4)
+      .collect().map(_.toSeq).toSet
+    Similarity.ivfPqIndexPersist(corpus36, wh,
+      nCells = 3, m = 2, codes = 8, iters = 2, dims = 4)
+    Similarity.clearCaches() // drop trained state: serving must not rebuild it
+    val before = Similarity.lloydRuns.get()
+    val served = Similarity.ivfPqTopKPersisted(queries, wh,
+      k = 5, nprobe = 2, m = 2, dims = 4)
+      .collect().map(_.toSeq).toSet
+    assert(Similarity.lloydRuns.get() == before, "read path must not train")
+    assert(served == inline, "served results must equal the inline build")
+  }
+
   test("PQ codebooks train once per subspace and are cache-served after") {
     Similarity.clearCaches()
     val before = Similarity.lloydRuns.get()
