@@ -341,6 +341,42 @@ object MetaQueries {
       doc = "small-file compaction: bin-pack rewrite as a replace snapshot — same rows, " +
         "fewer files, history preserved"),
 
+    "sink_dynamic_overwrite" -> QueryDef(
+      (s, dir) => {
+        // dynamic partition overwrite (restatement): days 10-12 of the
+        // events table are re-delivered with corrected values; the batch
+        // replaces EXACTLY those day-partitions and costs O(batch) — the
+        // base data is never rewritten, its replaced partitions are
+        // masked and pruned at read planning. The oracle rebuilds the
+        // expected post-restatement table from the source.
+        val wh = freshWarehouse("sink_dynamic_overwrite")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        TableSink.overwrite(events, t, table)
+        val totalBefore = table.currentSnapshot.get.rowCount
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-13 00:00:00").cast("timestamp")
+        val restated = events.filter(col("ts") >= lo && col("ts") < hi)
+          .withColumn("value", col("value") * 2)
+        val snap = TableSink.overwritePartitions(restated, t, table)
+        require(snap.operation == "overwrite_partitions", snap.operation)
+        // metadata stays consistent without a data pass: same days out,
+        // same days in, so the recorded row count is unchanged
+        require(snap.rowCount == totalBefore,
+          s"restated row count ${snap.rowCount} != $totalBefore")
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+             |UNION ALL
+             |SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events
+             |WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'""".stripMargin),
+      doc = "dynamic partition overwrite: replace exactly the batch's partitions via " +
+        "metadata masks (O(batch) write, pruned reads, no rewrite of existing data)"),
+
     "table_partitions" -> QueryDef(
       (s, dir) => {
         // the Iceberg `$partitions` metadata table: per-partition file +

@@ -33,13 +33,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Snapshot(
     id: Long,
     committedAtMs: Long,
-    operation: String, // overwrite | append | replace (compaction rewrite)
+    // overwrite | append | replace (compaction) | overwrite_partitions
+    operation: String,
     dataDirs: Seq[String],
     format: String = "parquet", // parquet | orc (per _schema.json:100-103)
     // total rows at this snapshot, recorded at commit time (Iceberg keeps
     // the same in the snapshot summary's total-records) so history
     // listings are pure metadata reads; -1 = unknown (pre-field metadata)
-    rowCount: Long = -1L
+    rowCount: Long = -1L,
+    // per-dir partition masks: partition rel-paths (e.g. "ts_day=2024-01-10")
+    // a dynamic partition overwrite logically REMOVED from a carried dir.
+    // Reads filter them out via a partition-column predicate, which Spark
+    // prunes at planning — masked directories are never opened. Stored
+    // per snapshot (self-contained), so expiring the replacing snapshot
+    // can never resurrect replaced data.
+    maskedDirs: Map[String, Seq[String]] = Map.empty
 )
 
 /** A concurrent writer advanced the table between this commit's base
@@ -82,8 +90,32 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // one read per committed dir, unioned — multi-root partition
       // discovery would reject sibling partitioned directories
       // (CONFLICTING_DIRECTORY_STRUCTURES), and per-dir reads keep each
-      // commit's partition layout independently prunable.
-      snap.dataDirs.map(spark.read.format(snap.format).load(_)).reduce(_ unionByName _)
+      // commit's partition layout independently prunable. Dirs with a
+      // partition mask get a NOT-masked predicate on the partition
+      // columns, which partition pruning resolves at planning — the
+      // masked directories are skipped, not scanned-and-filtered.
+      snap.dataDirs.map { d =>
+        val base = spark.read.format(snap.format).load(d)
+        snap.maskedDirs.get(d).filter(_.nonEmpty)
+          .map(mask => base.filter(maskFilter(mask)))
+          .getOrElse(base)
+      }.reduce(_ unionByName _)
+  }
+
+  /** Predicate keeping rows OUTSIDE every masked partition rel-path.
+    * References only partition columns, so Catalyst evaluates it against
+    * the partition spec at planning (directory-level skip).
+    */
+  private def maskFilter(masked: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val hits = masked.map { path =>
+      path.split("/").toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        if (v == "__HIVE_DEFAULT_PARTITION__") col(k).isNull
+        else col(k).cast("string") === lit(v)
+      }.reduce(_ && _)
+    }
+    not(hits.reduce(_ || _))
   }
 
   /** Incremental read: the rows ADDED between snapshot `fromId`
@@ -97,6 +129,9 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * incremental append scan has the same contract). Only meaningful
     * along an append lineage: an intervening overwrite drops the old
     * dirs, so the "delta" is that snapshot's full rewritten state.
+    * A dynamic partition overwrite's delta is its new dir (the rows it
+    * ADDED); the rows it masked out of carried dirs are deletions, which
+    * an additive changelog does not carry.
     */
   def readIncremental(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
     val all = snapshots
@@ -125,6 +160,32 @@ final class SnapshotTable(val root: String, val fullName: String) {
   /** Append: new snapshot = previous data dirs + newly written dir. */
   def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries)
+
+  /** Dynamic partition overwrite — Iceberg's `overwrite` with
+    * partition-level replacement (Spark's
+    * `partitionOverwriteMode=dynamic` semantics): exactly the partitions
+    * PRESENT in `df` are replaced; everything else is untouched. The
+    * batch is written as one new dir (O(delta), like an append) and the
+    * replaced partitions are recorded as masks on every carried dir —
+    * a pure metadata operation, no rewrite of existing data. Reads prune
+    * the masked directories at planning; [[compact]] physically drops
+    * them (it rewrites the masked view), and that is the mask GC.
+    *
+    * This is the restatement primitive a 100 TB pipeline needs: "day X
+    * was re-delivered, swap it" must cost O(day), never O(table).
+    */
+  def overwritePartitions(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      sortCols: Seq[org.apache.spark.sql.Column] = Nil,
+      format: String = "parquet",
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    require(partitionCols.nonEmpty,
+      "dynamic partition overwrite requires declared partition columns " +
+        "(an unpartitioned table has no partitions to replace — use overwrite)")
+    commit(df, "overwrite_partitions", carryPrevious = true, partitionCols,
+      sortCols, format, numRetries, dynamicReplace = true)
+  }
 
   /** Small-file compaction — the Iceberg `rewrite_data_files` bin-pack
     * action. Appends accumulate one directory (with its own small files)
@@ -193,9 +254,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val snap = requireCurrent
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     snap.dataDirs.foreach { d =>
-      readPartitionSidecar(d).foreach { case (p, f, r) =>
-        val (f0, r0) = merged.getOrElse(p, (0L, 0L))
-        merged(p) = (f0 + f, if (r0 < 0 || r < 0) -1L else r0 + r)
+      val masked = snap.maskedDirs.getOrElse(d, Nil).toSet
+      // a dynamic overwrite's masked partitions are logically absent
+      // from this dir — their stats must not count
+      readPartitionSidecar(d).filterNot(e => masked.contains(e._1)).foreach {
+        case (p, f, r) =>
+          val (f0, r0) = merged.getOrElse(p, (0L, 0L))
+          merged(p) = (f0 + f, if (r0 < 0 || r < 0) -1L else r0 + r)
       }
     }
     import spark.implicits._
@@ -285,7 +350,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       partitionCols: Seq[String],
       sortCols: Seq[org.apache.spark.sql.Column],
       format: String,
-      numRetries: Int): Snapshot = {
+      numRetries: Int,
+      dynamicReplace: Boolean = false): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -326,12 +392,17 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // counts from one partition-columns-only job over the NEW dir —
     // O(delta) like the write itself, never O(table)
     writePartitionSidecar(df.sparkSession, dataDir, partitionCols, format, newRows)
+    // partitions the batch REPLACES = the partitions it wrote (dynamic
+    // overwrite semantics); read once from the just-written sidecar
+    val replaced: Seq[String] =
+      if (dynamicReplace) readPartitionSidecar(dataDir).map(_._1).filter(_.nonEmpty)
+      else Nil
 
     var expectedParent = base
     var attempt = 0
     while (true) {
       SnapshotTable.beforeSwapHook(this, attempt)
-      trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format) match {
+      trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format, replaced) match {
         case Right(snap) =>
           Audit.log("table_write", fullName, Map(
             "operation" -> op, "snapshot_id" -> snap.id.toString,
@@ -365,7 +436,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       newRows: Long,
       op: String,
       carryPrevious: Boolean,
-      format: String): Either[CommitConflictException, Snapshot] =
+      format: String,
+      replaced: Seq[String]): Either[CommitConflictException, Snapshot] =
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
       val actualParent = prev.lastOption.map(_.id)
@@ -380,14 +452,45 @@ final class SnapshotTable(val root: String, val fullName: String) {
         }
         val carryForward =
           if (carryPrevious) prev.lastOption.map(_.dataDirs).getOrElse(Nil) else Nil
+        val prevMasks =
+          if (carryPrevious) prev.lastOption.map(_.maskedDirs).getOrElse(Map.empty)
+          else Map.empty[String, Seq[String]]
+        // a plain append carries masks forward untouched; a dynamic
+        // overwrite additionally masks the replaced partitions on every
+        // carried dir (resolved against the CURRENT state, like the dirs)
+        val masks =
+          if (replaced.isEmpty) prevMasks
+          else carryForward.map { d =>
+            d -> (prevMasks.getOrElse(d, Nil) ++ replaced).distinct
+          }.toMap
         // carried total resolves against the CURRENT state (a retried
         // append counts the rival's rows too); an unknown (-1) carried
-        // count stays unknown rather than inventing a number
+        // count stays unknown rather than inventing a number. A dynamic
+        // overwrite subtracts the newly masked rows, resolved from the
+        // carried dirs' stats sidecars (pure metadata).
         val carriedRows =
           if (carryPrevious) prev.lastOption.map(_.rowCount).getOrElse(0L) else 0L
-        val total = if (carriedRows < 0) -1L else carriedRows + newRows
+        val removedRows: Long =
+          if (replaced.isEmpty || carriedRows < 0) 0L
+          else {
+            val perDir = carryForward.map { d =>
+              val already = prevMasks.getOrElse(d, Nil).toSet
+              val newMask = replaced.filterNot(already)
+              if (newMask.isEmpty) 0L
+              else {
+                val byPart = readPartitionSidecar(d).map(e => e._1 -> e._3).toMap
+                val rows = newMask.map(p => byPart.getOrElse(p, 0L))
+                if (rows.exists(_ < 0)) -1L else rows.sum
+              }
+            }
+            if (perDir.exists(_ < 0)) -1L else perDir.sum
+          }
+        val total =
+          if (carriedRows < 0 || removedRows < 0) -1L
+          else carriedRows - removedRows + newRows
         val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
-        val snap = Snapshot(id, System.currentTimeMillis(), op, carryForward :+ dataDir, format, total)
+        val snap = Snapshot(id, System.currentTimeMillis(), op,
+          carryForward :+ dataDir, format, total, masks)
         writeMetadata(prev :+ snap)
         Right(snap)
       }
@@ -463,9 +566,19 @@ final class SnapshotTable(val root: String, val fullName: String) {
   private def writeMetadata(snaps: Seq[Snapshot]): Unit = {
     Files.createDirectories(Paths.get(root))
     val json = snaps.map { s =>
-      val dirs = s.dataDirs.map(d => "\"" + d.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      val dirs = s.dataDirs.map(d => "\"" + jsonEscape(d) + "\"")
         .mkString("[", ",", "]")
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},"data_dirs":$dirs}"""
+      val masked =
+        if (s.maskedDirs.forall(_._2.isEmpty)) ""
+        else {
+          val entries = s.maskedDirs.toSeq.sortBy(_._1).collect {
+            case (d, ps) if ps.nonEmpty =>
+              "\"" + jsonEscape(d) + "\":" +
+                ps.map(p => "\"" + jsonEscape(p) + "\"").mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+          s""""masked_dirs":$entries,"""
+        }
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$masked"data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -475,19 +588,30 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   // Minimal JSON parse for our own fixed-shape metadata (no deps).
   private def parse(json: String): Seq[Snapshot] = {
-    // "format" and "row_count" are optional on read: metadata written
-    // before each field existed defaults to parquet / unknown (-1)
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?"data_dirs":\[(.*?)\]\}""".r
+    // "format", "row_count" and "masked_dirs" are optional on read:
+    // metadata written before each field existed defaults to parquet /
+    // unknown (-1) / no masks
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"masked_dirs":\{(.*?)\},)?"data_dirs":\[(.*?)\]\}""".r
+    def strs(arr: String): Seq[String] =
+      if (arr.isEmpty) Nil
+      else arr.split("\",\"").map(s => jsonUnescape(
+        s.stripPrefix("\"").stripSuffix("\""))).toSeq
     snapRe.findAllMatchIn(json).map { m =>
-      val dirs =
-        if (m.group(6).isEmpty) Nil
-        else m.group(6).split("\",\"").map(_.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), dirs,
+      val masked = Option(m.group(6)).map { content =>
+        val entryRe = """"((?:[^"\\]|\\.)*)":\[(.*?)\]""".r
+        entryRe.findAllMatchIn(content).map { em =>
+          jsonUnescape(em.group(1)) -> strs(em.group(2))
+        }.toMap
+      }.getOrElse(Map.empty[String, Seq[String]])
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(7)),
         Option(m.group(4)).getOrElse("parquet"),
-        Option(m.group(5)).map(_.toLong).getOrElse(-1L))
+        Option(m.group(5)).map(_.toLong).getOrElse(-1L),
+        masked)
     }.toSeq
   }
+
+  private def jsonUnescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -97,6 +97,22 @@ object TableSink {
       template.writeFormat, template.commitNumRetries)
   }
 
+  /** `sink_dynamic_overwrite`: replace exactly the (template-derived)
+    * partitions present in `df`, leaving the rest of the table untouched
+    * — the restatement write mode (Iceberg dynamic overwrite). O(batch)
+    * write + metadata masks; no existing data is rewritten.
+    */
+  def overwritePartitions(
+      df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
+    require(template.partitionSpec.nonEmpty,
+      s"Template ${template.name} declares no partition_spec; dynamic partition " +
+        "overwrite needs one (use overwrite for full refresh)")
+    checkSchema(df, template.schema, table.fullName)
+    val (withParts, partCols) = withPartitionColumns(df, template)
+    table.overwritePartitions(withParts, partCols, template.sortOrder.map(sortColumn),
+      template.writeFormat, template.commitNumRetries)
+  }
+
   /** Governed read of a snapshot table: audits `table_read` (row count is
     * NOT computed eagerly at scale; we audit the snapshot id instead — the
     * reference audits rows because its tables are small,

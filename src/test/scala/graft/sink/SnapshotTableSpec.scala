@@ -363,6 +363,68 @@ class SnapshotTableSpec extends SparkSpec {
     assert(stats.map(_._2).forall(_ >= 1)) // file counts still walkable
   }
 
+  test("dynamic partition overwrite replaces exactly the batch's partitions") {
+    val t = freshTable()
+    val base = Seq((1, "a", "v1"), (2, "a", "v1"), (3, "b", "v1"), (4, "c", "v1"))
+      .toDF("id", "k", "payload")
+    t.overwrite(base, partitionCols = Seq("k"))
+    // restate partition a only; b and c untouched
+    val batch = Seq((10, "a", "v2")).toDF("id", "k", "payload")
+    val snap = t.overwritePartitions(batch, partitionCols = Seq("k"))
+    assert(snap.operation == "overwrite_partitions")
+    val rows = t.read(spark).select("id", "k", "payload")
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(rows == Seq((3, "b", "v1"), (4, "c", "v1"), (10, "a", "v2")))
+    // row count restated from metadata alone: 4 - 2 masked + 1 new
+    assert(snap.rowCount == 3)
+    // time travel still sees the pre-restatement state
+    assert(t.readSnapshot(spark, 1L).count() == 4)
+    // partition stats exclude the masked rows and include the new dir's
+    val stats = t.partitionStats(spark)
+      .select("partition_path", "row_count").as[(String, Long)].collect().toMap
+    assert(stats == Map("k=a" -> 1L, "k=b" -> 1L, "k=c" -> 1L))
+
+    // a second restatement of the SAME partition accrues masks correctly
+    val snap3 = t.overwritePartitions(Seq((20, "a", "v3")).toDF("id", "k", "payload"),
+      partitionCols = Seq("k"))
+    assert(snap3.rowCount == 3)
+    val v3 = t.read(spark).filter($"k" === "a")
+      .select("payload").as[String].collect().toSeq
+    assert(v3 == Seq("v3"))
+  }
+
+  test("masked partitions are pruned at planning, not scanned-and-filtered") {
+    val t = freshTable()
+    t.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "k"),
+      partitionCols = Seq("k"))
+    val full = t.read(spark)
+    t.overwritePartitions(Seq((9, "a")).toDF("id", "k"), partitionCols = Seq("k"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    assert(scannedFiles(full) == 3) // one file per partition dir
+    val masked = t.read(spark)
+    // base dir drops k=a at planning (-1), the new dir adds one file (+1)
+    assert(scannedFiles(masked) == 3)
+    val plan = masked.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    // the sharpest pin: reading only the restated partition touches ONE
+    // file — the new dir's; the base dir's k=a file is mask-pruned, and
+    // without pruning this would be 2 (scan-then-filter)
+    assert(scannedFiles(masked.filter($"k" === "a")) == 1)
+    assert(masked.count() == 3)
+  }
+
+  test("dynamic overwrite on an unpartitioned table is rejected") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    val e = intercept[IllegalArgumentException](
+      t.overwritePartitions(Seq(2).toDF("v"), partitionCols = Nil))
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
     import graft.source.SourceReader
     import graft.template.{ColumnDef, TableTemplate}
