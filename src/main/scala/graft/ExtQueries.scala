@@ -289,6 +289,61 @@ object ExtQueries {
       doc = "streaming SCD2 merge: CDC microbatches through foreachBatch into " +
         "the dimension snapshot table; invariants hold after every batch"),
 
+    "stream_quality_gate" -> QueryDef(
+      (s, dir) => {
+        // streaming dead-letter quality enforcement: batch 1 (even ids)
+        // is clean and lands in the main table; batch 2 (odd ids) has
+        // user_id nulls, fails the missing_count gate, and is quarantined
+        // WHOLE — the stream survives the poisoned delivery. Output tags
+        // each row with the sink it reached.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.quality.Quality
+        val wh = MetaQueries.freshWarehouse("stream_quality_gate")
+        val t = graft.template.TemplateLoader.get(MetaQueries.TemplatesDir, "events")
+        val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
+        val quarantine = graft.sink.SnapshotTable(wh, t.namespace, "events_quarantine")
+        val events = Queries.tbl(s, dir, "events")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        val b1 = events.filter(col("event_id") % 2 === 0)
+          .select(cols.map(col): _*)
+          .as[(Long, java.sql.Timestamp, Option[Long], String, Double, String)]
+          .collect().toSeq
+        val b2 = events.filter(col("event_id") % 2 === 1)
+          .withColumn("user_id",
+            when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+          .select(cols.map(col): _*)
+          .as[(Long, java.sql.Timestamp, Option[Long], String, Double, String)]
+          .collect().toSeq
+        val mem = MemoryStream[(Long, java.sql.Timestamp, Option[Long], String, Double, String)]
+        val q = Streaming.startGatedIngest(
+          mem.toDF().toDF(cols: _*), t, table, quarantine,
+          checks = Seq(
+            Quality.rowCount(),
+            Quality.missingCount("user_id"),
+            Quality.duplicateCount("event_id")),
+          checkpoint = s"$wh/_checkpoint")
+        try {
+          mem.addData(b1)
+          q.processAllAvailable()
+          mem.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+        table.read(s).select(cols.map(col): _*).withColumn("sink", lit("events"))
+          .unionByName(
+            quarantine.read(s).select(cols.map(col): _*).withColumn("sink", lit("quarantine")))
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props, 'events' AS sink
+             |FROM events WHERE event_id % 2 = 0
+             |UNION ALL
+             |SELECT event_id, ts,
+             |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+             |  event_type, value, props, 'quarantine' AS sink
+             |FROM events WHERE event_id % 2 = 1""".stripMargin),
+      doc = "streaming quality gate with dead-letter quarantine: each microbatch is " +
+        "gated before landing; failing batches quarantine whole, the stream survives"),
+
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(media(s, dir), batchSize = 128),
       Some("""WITH b AS (

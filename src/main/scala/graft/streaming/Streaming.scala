@@ -138,6 +138,39 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming quality enforcement (`stream_quality_gate`): every
+    * microbatch is gated BEFORE it can land — a passing batch appends to
+    * the main table, a failing one is quarantined WHOLE (the streaming
+    * dead-letter pattern: one poisoned delivery must neither kill the
+    * pipe nor pollute the table; operators replay the quarantine after
+    * fixing the producer). The gate is the same check machinery the
+    * batch path uses (`quality/runner.py:56-79` semantics), evaluated as
+    * one aggregation job over the DELTA-sized batch; both sinks are
+    * governed snapshot appends. A QualityTimeout still kills the stream
+    * — a hung scan is an operational failure, not bad data.
+    */
+  def startGatedIngest(
+      stream: DataFrame,
+      template: graft.template.TableTemplate,
+      table: graft.sink.SnapshotTable,
+      quarantine: graft.sink.SnapshotTable,
+      checks: Seq[graft.quality.Quality.Check],
+      checkpoint: String) =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val df = batch.toDF()
+        try {
+          graft.quality.Quality.gate(df, table.fullName, checks): Unit
+          graft.sink.TableSink.append(df, template, table): Unit
+        } catch {
+          case _: graft.quality.Quality.QualityFailure =>
+            graft.sink.TableSink.append(df, template, quarantine): Unit
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   final case class Event(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, events: Long, purchases: Long, total_value: Double)
 

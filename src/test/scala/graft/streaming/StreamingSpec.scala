@@ -229,6 +229,41 @@ class StreamingSpec extends SparkSpec {
     assert(table.read(spark).columns.contains("ts_day"))
   }
 
+  test("gated ingest quarantines failing batches whole and the stream stays live") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = Files.createTempDirectory("graft_gate_wh").toString
+    val tpl = graft.template.TemplateLoader.get("/root/repo/templates", "events")
+    val table = graft.sink.SnapshotTable(wh, tpl.namespace, tpl.name)
+    val quarantine = graft.sink.SnapshotTable(wh, tpl.namespace, "events_quarantine")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Option[Long], String, Double, String)]
+    val q = Streaming.startGatedIngest(
+      mem.toDF().toDF(cols: _*), tpl, table, quarantine,
+      checks = Seq(Quality.rowCount(), Quality.missingCount("user_id")),
+      checkpoint = Files.createTempDirectory("graft_gate_ckpt").toString)
+    try {
+      mem.addData(Seq((1L, t(10, 5), Some(7L), "click", 1.0, "{}")))
+      q.processAllAvailable()
+      // poisoned batch: a null user_id fails missing_count -> quarantine
+      mem.addData(Seq(
+        (2L, t(10, 10), None, "view", 2.0, "{}"),
+        (3L, t(10, 15), Some(8L), "view", 3.0, "{}")))
+      q.processAllAvailable()
+      // the stream SURVIVES the poisoned delivery: a later clean batch lands
+      mem.addData(Seq((4L, t(10, 20), Some(9L), "click", 4.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(table.read(spark).select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 4L))
+    // the failing batch is quarantined WHOLE (both rows, not just the bad one)
+    assert(quarantine.read(spark).select("event_id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L))
+  }
+
   test("streaming SCD2 merge holds the CDC invariants after EVERY microbatch") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
