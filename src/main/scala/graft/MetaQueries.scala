@@ -377,6 +377,44 @@ object MetaQueries {
       doc = "dynamic partition overwrite: replace exactly the batch's partitions via " +
         "metadata masks (O(batch) write, pruned reads, no rewrite of existing data)"),
 
+    "maintenance_zorder" -> QueryDef(
+      (s, dir) => {
+        // z-order clustered rewrite (Iceberg rewrite sort strategy with
+        // zorder; Delta OPTIMIZE ZORDER BY): recluster events on
+        // (user_id, value) so every output file is a compact region in
+        // BOTH dimensions — file-level stat skipping then serves
+        // predicates on either. Rows are untouched (the oracle checks
+        // the full set); the in-query require pins that per-file ranges
+        // genuinely tightened on both dimensions vs the global range.
+        val wh = freshWarehouse("maintenance_zorder")
+        val table = SnapshotTable(wh, "lakehouse", "events_zordered")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        table.overwrite(ev.repartition(8))
+        val z = graft.functions.ZOrder.zValue(
+          table.read(s), Seq("user_id", "value"), bits = 8)
+        val snap = table.compact(s,
+          targetFileBytes = math.max(1L, table.dataBytes / 8), clusterBy = Seq(z))
+        require(snap.operation == "replace", snap.operation)
+        val back = table.read(s)
+        val ranges = back
+          .groupBy(input_file_name().as("f"))
+          .agg((max("user_id") - min("user_id")).as("ur"),
+            (max("value") - min("value")).as("vr"))
+          .agg(avg("ur").as("ur"), avg("vr").as("vr"), count(lit(1)).as("nf")).head()
+        val global = back.agg(
+          (max("user_id") - min("user_id")).cast("double"),
+          (max("value") - min("value"))).head()
+        require(ranges.getLong(2) > 1, "z-order rewrite must produce multiple files")
+        require(ranges.getDouble(0) < 0.9 * global.getDouble(0) &&
+          ranges.getDouble(1) < 0.9 * global.getDouble(1),
+          s"per-file ranges did not tighten on both dims: $ranges vs $global")
+        back.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events"),
+      doc = "z-order clustered rewrite: files become compact regions in every " +
+        "clustered dimension (multi-dim stat skipping), rows unchanged"),
+
     "table_partitions" -> QueryDef(
       (s, dir) => {
         // the Iceberg `$partitions` metadata table: per-partition file +

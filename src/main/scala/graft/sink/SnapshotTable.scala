@@ -210,13 +210,25 @@ final class SnapshotTable(val root: String, val fullName: String) {
       spark: SparkSession,
       targetFileBytes: Long = SnapshotTable.DefaultTargetFileBytes,
       partitionCols: Seq[String] = Nil,
-      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+      numRetries: Int = SnapshotTable.DefaultCommitRetries,
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Snapshot = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val snap = requireCurrent
     val nOut = math.max(1L, (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(spark)
-    val packed = if (partitionCols.nonEmpty) df else df.coalesce(nOut)
-    commit(packed, "replace", carryPrevious = false, partitionCols, Nil, snap.format, numRetries)
+    // clustered rewrite (Iceberg sort/zorder strategy): range-partition on
+    // the cluster key so each output file covers a contiguous key range —
+    // with a z-value key (functions.ZOrder) that is a compact region in
+    // EVERY clustered dimension, the layout that makes file/row-group
+    // stat skipping work for predicates on any of them. One range
+    // exchange, the price of re-clustering; plain bin-packing stays
+    // shuffle-free via coalesce.
+    val packed =
+      if (clusterBy.nonEmpty) df.repartitionByRange(nOut, clusterBy: _*)
+      else if (partitionCols.nonEmpty) df
+      else df.coalesce(nOut)
+    commit(packed, "replace", carryPrevious = false, partitionCols,
+      clusterBy, snap.format, numRetries)
   }
 
   /** Data files referenced by the current snapshot (hidden/marker files
