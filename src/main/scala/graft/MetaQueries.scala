@@ -377,6 +377,47 @@ object MetaQueries {
       doc = "dynamic partition overwrite: replace exactly the batch's partitions via " +
         "metadata masks (O(batch) write, pruned reads, no rewrite of existing data)"),
 
+    "wap_publish" -> QueryDef(
+      (s, dir) => {
+        // write-audit-publish (the Iceberg WAP workflow; the quality gate
+        // is the reference's own runner semantics): a batch is committed
+        // STAGED — fully written, snapshot-referenced, invisible to
+        // reads — audited against the candidate table state, and only
+        // then published (O(1) metadata flip). The poisoned delivery is
+        // audited, rejected and discarded; the table never exposed it.
+        val wh = freshWarehouse("wap_publish")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+        val baseRows = table.currentSnapshot.get.rowCount
+
+        // failed-audit path: nulls in a required column
+        val bad = events.filter(col("ts") >= cut).withColumn("user_id",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+        val sBad = TableSink.stageAppend(bad, t, table)
+        require(table.currentSnapshot.get.rowCount == baseRows,
+          "staged data leaked into the published table")
+        val auditBad = Quality.evaluate(
+          table.readSnapshot(s, sBad.id), Seq(Quality.missingCount("user_id")), t.fullName)
+        require(auditBad.exists(!_.passed), "audit should reject the poisoned batch")
+        table.discardStaged(sBad.id)
+
+        // passed-audit path: stage, audit green, publish
+        val sGood = TableSink.stageAppend(events.filter(col("ts") >= cut), t, table)
+        val audit = Quality.evaluate(
+          table.readSnapshot(s, sGood.id),
+          Seq(Quality.rowCount(), Quality.missingCount("user_id"),
+            Quality.duplicateCount("event_id")), t.fullName)
+        require(audit.forall(_.passed), s"audit failed on clean data: $audit")
+        table.publish(sGood.id): Unit
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events"),
+      doc = "write-audit-publish: staged commits audited against the candidate state; " +
+        "publish is an O(1) metadata flip, failed audits discard without exposure"),
+
     "maintenance_zorder" -> QueryDef(
       (s, dir) => {
         // z-order clustered rewrite (Iceberg rewrite sort strategy with

@@ -47,7 +47,11 @@ final case class Snapshot(
     // prunes at planning — masked directories are never opened. Stored
     // per snapshot (self-contained), so expiring the replacing snapshot
     // can never resurrect replaced data.
-    maskedDirs: Map[String, Seq[String]] = Map.empty
+    maskedDirs: Map[String, Seq[String]] = Map.empty,
+    // write-audit-publish: a staged snapshot is fully committed data that
+    // is NOT yet the table — reads skip it until publish() flips the flag
+    // (Iceberg's WAP / branch staging workflow)
+    staged: Boolean = false
 )
 
 /** A concurrent writer advanced the table between this commit's base
@@ -65,6 +69,14 @@ final case class CommitFailedException(table: String, attempts: Int, last: Commi
     s"Commit to $table failed after $attempts attempts (commit_num_retries exhausted): " +
       last.getMessage, last)
 
+/** The published head moved between stage and publish: publishing would
+  * silently drop the rival commit's rows — restage on top of the new head.
+  */
+final case class PublishConflictException(table: String, snapshotId: Long)
+  extends RuntimeException(
+    s"Cannot publish staged snapshot $snapshotId of $table: the published head " +
+      "advanced since it was staged; discard and restage on the current head")
+
 final class SnapshotTable(val root: String, val fullName: String) {
 
   private def metadataPath = Paths.get(root, "metadata.json")
@@ -75,7 +87,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
     if (!exists) Nil
     else parse(new String(Files.readAllBytes(metadataPath), StandardCharsets.UTF_8))
 
-  def currentSnapshot: Option[Snapshot] = snapshots.lastOption
+  /** The table's published state: staged (write-audit-publish) snapshots
+    * are invisible until published.
+    */
+  def currentSnapshot: Option[Snapshot] = snapshots.filterNot(_.staged).lastOption
 
   /** Read the table at its current snapshot. */
   def read(spark: SparkSession): DataFrame = readSnapshot(spark, requireCurrent.id)
@@ -160,6 +175,59 @@ final class SnapshotTable(val root: String, val fullName: String) {
   /** Append: new snapshot = previous data dirs + newly written dir. */
   def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries)
+
+  /** Write-audit-publish, step 1 (Iceberg WAP): commit the batch as a
+    * STAGED append — the data is fully written and snapshot-referenced,
+    * but reads of the table do not see it. Audit the candidate state via
+    * `readSnapshot(staged.id)` (e.g. with the Quality gate), then
+    * [[publish]] to make it the table or [[discardStaged]] to drop it.
+    * Bad data never transits through a published state.
+    */
+  def stageAppend(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format,
+      numRetries, stageOnly = true)
+
+  /** Write-audit-publish, step 3: make an audited staged snapshot the
+    * table. O(1) metadata flip under the commit lock; conflicts (the
+    * published head moved since staging) fail with
+    * [[PublishConflictException]] instead of silently dropping the
+    * rival's rows.
+    */
+  def publish(snapshotId: Long): Snapshot =
+    SnapshotTable.commitLock(root).synchronized {
+      val all = snapshots
+      val snap = all.find(_.id == snapshotId).getOrElse(
+        throw new NoSuchElementException(
+          s"Table $fullName has no snapshot $snapshotId (available: ${all.map(_.id).mkString(", ")})"))
+      require(snap.staged, s"snapshot $snapshotId of $fullName is already published")
+      val headDirs = all.filterNot(_.staged).lastOption.map(_.dataDirs).getOrElse(Nil)
+      if (snap.dataDirs.dropRight(1) != headDirs)
+        throw PublishConflictException(fullName, snapshotId)
+      val flipped = snap.copy(staged = false)
+      writeMetadata((all.filterNot(_.id == snapshotId) :+ flipped).sortBy(_.id))
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "publish", "snapshot_id" -> snapshotId.toString))
+      flipped
+    }
+
+  /** Write-audit-publish, failed-audit path: drop a staged snapshot and
+    * physically delete the data no surviving snapshot references.
+    */
+  def discardStaged(snapshotId: Long): Unit =
+    SnapshotTable.commitLock(root).synchronized {
+      val all = snapshots
+      val snap = all.find(_.id == snapshotId).getOrElse(
+        throw new NoSuchElementException(
+          s"Table $fullName has no snapshot $snapshotId (available: ${all.map(_.id).mkString(", ")})"))
+      require(snap.staged,
+        s"snapshot $snapshotId of $fullName is published; use expireSnapshots for history")
+      val kept = all.filterNot(_.id == snapshotId)
+      writeMetadata(kept)
+      val liveDirs = kept.flatMap(_.dataDirs).toSet
+      snap.dataDirs.filterNot(liveDirs.contains).foreach(d => deleteRecursively(new File(d)))
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "stage_discard", "snapshot_id" -> snapshotId.toString))
+    }
 
   /** Dynamic partition overwrite — Iceberg's `overwrite` with
     * partition-level replacement (Spark's
@@ -291,9 +359,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
   private def expireLocked(olderThanMs: Long): Seq[Long] = {
     val all = snapshots
     if (all.isEmpty) return Nil
-    val current = all.last
-    val (expired, kept0) = all.init.partition(_.committedAtMs < olderThanMs)
-    val kept = kept0 :+ current
+    // never expire the published head; aged STAGED snapshots do expire
+    // (an audit abandoned past the retention window is dead weight)
+    val currentOpt = all.filterNot(_.staged).lastOption
+    val (expired, kept0) =
+      all.filterNot(currentOpt.contains).partition(_.committedAtMs < olderThanMs)
+    val kept = (kept0 ++ currentOpt).sortBy(_.id)
     val liveDirs = kept.flatMap(_.dataDirs).toSet
     if (expired.nonEmpty) {
       writeMetadata(kept)
@@ -363,7 +434,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       sortCols: Seq[org.apache.spark.sql.Column],
       format: String,
       numRetries: Int,
-      dynamicReplace: Boolean = false): Snapshot = {
+      dynamicReplace: Boolean = false,
+      stageOnly: Boolean = false): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -414,7 +486,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
     var attempt = 0
     while (true) {
       SnapshotTable.beforeSwapHook(this, attempt)
-      trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format, replaced) match {
+      trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format, replaced,
+        stageOnly) match {
         case Right(snap) =>
           Audit.log("table_write", fullName, Map(
             "operation" -> op, "snapshot_id" -> snap.id.toString,
@@ -449,23 +522,27 @@ final class SnapshotTable(val root: String, val fullName: String) {
       op: String,
       carryPrevious: Boolean,
       format: String,
-      replaced: Seq[String]): Either[CommitConflictException, Snapshot] =
+      replaced: Seq[String],
+      stageOnly: Boolean): Either[CommitConflictException, Snapshot] =
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
-      val actualParent = prev.lastOption.map(_.id)
+      // commits CAS against (and carry from) the PUBLISHED head: staged
+      // snapshots are invisible to the table and must not parent rivals
+      val head = prev.filterNot(_.staged).lastOption
+      val actualParent = head.map(_.id)
       if (actualParent != expectedParent)
         Left(CommitConflictException(fullName, expectedParent, actualParent))
       else {
-        prev.lastOption.filter(_.dataDirs.nonEmpty).foreach { last =>
+        head.filter(_.dataDirs.nonEmpty).foreach { last =>
           if (carryPrevious)
             require(last.format == format,
               s"Append format '$format' differs from table format '${last.format}' for " +
                 s"$fullName; carried snapshot dirs must stay one format")
         }
         val carryForward =
-          if (carryPrevious) prev.lastOption.map(_.dataDirs).getOrElse(Nil) else Nil
+          if (carryPrevious) head.map(_.dataDirs).getOrElse(Nil) else Nil
         val prevMasks =
-          if (carryPrevious) prev.lastOption.map(_.maskedDirs).getOrElse(Map.empty)
+          if (carryPrevious) head.map(_.maskedDirs).getOrElse(Map.empty)
           else Map.empty[String, Seq[String]]
         // a plain append carries masks forward untouched; a dynamic
         // overwrite additionally masks the replaced partitions on every
@@ -481,7 +558,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
         // overwrite subtracts the newly masked rows, resolved from the
         // carried dirs' stats sidecars (pure metadata).
         val carriedRows =
-          if (carryPrevious) prev.lastOption.map(_.rowCount).getOrElse(0L) else 0L
+          if (carryPrevious) head.map(_.rowCount).getOrElse(0L) else 0L
         val removedRows: Long =
           if (replaced.isEmpty || carriedRows < 0) 0L
           else {
@@ -502,7 +579,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           else carriedRows - removedRows + newRows
         val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
         val snap = Snapshot(id, System.currentTimeMillis(), op,
-          carryForward :+ dataDir, format, total, masks)
+          carryForward :+ dataDir, format, total, masks, staged = stageOnly)
         writeMetadata(prev :+ snap)
         Right(snap)
       }
@@ -590,7 +667,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
           }.mkString("{", ",", "}")
           s""""masked_dirs":$entries,"""
         }
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$masked"data_dirs":$dirs}"""
+      val staged = if (s.staged) """"staged":true,""" else ""
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$staged$masked"data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -603,22 +681,23 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // "format", "row_count" and "masked_dirs" are optional on read:
     // metadata written before each field existed defaults to parquet /
     // unknown (-1) / no masks
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"masked_dirs":\{(.*?)\},)?"data_dirs":\[(.*?)\]\}""".r
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?"data_dirs":\[(.*?)\]\}""".r
     def strs(arr: String): Seq[String] =
       if (arr.isEmpty) Nil
       else arr.split("\",\"").map(s => jsonUnescape(
         s.stripPrefix("\"").stripSuffix("\""))).toSeq
     snapRe.findAllMatchIn(json).map { m =>
-      val masked = Option(m.group(6)).map { content =>
+      val masked = Option(m.group(7)).map { content =>
         val entryRe = """"((?:[^"\\]|\\.)*)":\[(.*?)\]""".r
         entryRe.findAllMatchIn(content).map { em =>
           jsonUnescape(em.group(1)) -> strs(em.group(2))
         }.toMap
       }.getOrElse(Map.empty[String, Seq[String]])
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(7)),
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(8)),
         Option(m.group(4)).getOrElse("parquet"),
         Option(m.group(5)).map(_.toLong).getOrElse(-1L),
-        masked)
+        masked,
+        staged = m.group(6) != null)
     }.toSeq
   }
 

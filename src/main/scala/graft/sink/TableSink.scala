@@ -97,6 +97,18 @@ object TableSink {
       template.writeFormat, template.commitNumRetries)
   }
 
+  /** `wap_publish`, step 1: stage a governed append for audit (schema
+    * check + partition derivation as usual; the snapshot is invisible
+    * until published).
+    */
+  def stageAppend(
+      df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
+    checkSchema(df, template.schema, table.fullName)
+    val (withParts, partCols) = withPartitionColumns(df, template)
+    table.stageAppend(withParts, partCols, template.sortOrder.map(sortColumn),
+      template.writeFormat, template.commitNumRetries)
+  }
+
   /** `sink_dynamic_overwrite`: replace exactly the (template-derived)
     * partitions present in `df`, leaving the rest of the table untouched
     * — the restatement write mode (Iceberg dynamic overwrite). O(batch)

@@ -425,6 +425,56 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("write-audit-publish: staged snapshots are invisible until published") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2, 3).toDF("v"))
+    val staged = t.stageAppend(Seq(4, 5).toDF("v"))
+    assert(staged.staged)
+    // the table does not see staged data; the audit path does
+    assert(t.read(spark).count() == 3)
+    assert(t.currentSnapshot.get.id == 1L)
+    assert(t.readSnapshot(spark, staged.id).count() == 5)
+    // metadata round-trips the staged flag (fresh parse from disk)
+    assert(t.snapshots.find(_.id == staged.id).get.staged)
+    val published = t.publish(staged.id)
+    assert(!published.staged && published.rowCount == 5)
+    assert(t.read(spark).count() == 5)
+    assert(t.currentSnapshot.get.id == staged.id)
+    // double publish is rejected
+    intercept[IllegalArgumentException](t.publish(staged.id))
+  }
+
+  test("publish conflicts when the published head advanced since staging") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    val staged = t.stageAppend(Seq(2).toDF("v"))
+    // a rival append lands AFTER staging: it CASes against the published
+    // head (not the staged snapshot) and wins
+    t.append(Seq(3).toDF("v"))
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 3))
+    val e = intercept[PublishConflictException](t.publish(staged.id))
+    assert(e.snapshotId == staged.id)
+    // the rival's rows were never dropped; the staged snapshot restages
+    t.discardStaged(staged.id)
+    val again = t.stageAppend(Seq(2).toDF("v"))
+    t.publish(again.id): Unit
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("discarding a failed-audit stage deletes its data dir") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    val staged = t.stageAppend(Seq(99).toDF("v"))
+    val stagedDir = staged.dataDirs.last
+    assert(new java.io.File(stagedDir).exists)
+    t.discardStaged(staged.id)
+    assert(!new java.io.File(stagedDir).exists, "discard must reclaim the staged dir")
+    assert(t.snapshots.map(_.id) == Seq(1L))
+    assert(t.read(spark).count() == 1)
+    // published snapshots cannot be discarded through the staging path
+    intercept[IllegalArgumentException](t.discardStaged(1L))
+  }
+
   test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
     import graft.source.SourceReader
     import graft.template.{ColumnDef, TableTemplate}
