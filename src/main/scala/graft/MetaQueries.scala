@@ -377,6 +377,40 @@ object MetaQueries {
       doc = "dynamic partition overwrite: replace exactly the batch's partitions via " +
         "metadata masks (O(batch) write, pruned reads, no rewrite of existing data)"),
 
+    "sink_row_delete" -> QueryDef(
+      (s, dir) => {
+        // equality deletes (Iceberg v2 merge-on-read) as GDPR erasure:
+        // every event of the requesting users disappears in O(|keys|)
+        // write cost with zero data files rewritten; rows APPENDED after
+        // the delete with the same user survive (re-registration after
+        // erasure — dir-scoped deletes, Iceberg's sequence-number rule).
+        val wh = freshWarehouse("sink_row_delete")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        TableSink.overwrite(events, t, table)
+        val filesBefore = table.dataFileCount
+        val erasure = events.filter(col("user_id") % 97 === 0)
+          .select("user_id").distinct()
+        val snap = table.deleteWhere(erasure, Seq("user_id"))
+        require(snap.operation == "delete", snap.operation)
+        require(table.dataFileCount == filesBefore,
+          "merge-on-read must not rewrite data files")
+        // post-erasure re-registration: the same users' NEW activity lands
+        val resurrect = events
+          .filter(col("user_id") % 97 === 0 && col("event_id") % 5 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L)
+        TableSink.append(resurrect, t, table)
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE user_id % 97 <> 0
+             |UNION ALL
+             |SELECT event_id + 10000000, ts, user_id, event_type, value, props
+             |FROM events WHERE user_id % 97 = 0 AND event_id % 5 = 0""".stripMargin),
+      doc = "equality deletes (merge-on-read GDPR erasure): O(keys) delete files " +
+        "anti-joined at read, scoped to pre-delete dirs so later appends survive"),
+
     "wap_publish" -> QueryDef(
       (s, dir) => {
         // write-audit-publish (the Iceberg WAP workflow; the quality gate

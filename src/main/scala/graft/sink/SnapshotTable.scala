@@ -51,8 +51,20 @@ final case class Snapshot(
     // write-audit-publish: a staged snapshot is fully committed data that
     // is NOT yet the table — reads skip it until publish() flips the flag
     // (Iceberg's WAP / branch staging workflow)
-    staged: Boolean = false
+    staged: Boolean = false,
+    // equality deletes (Iceberg v2 merge-on-read): each delete file masks
+    // rows whose key columns match, in exactly the data dirs that existed
+    // when the delete committed (`applies`) — data appended later is
+    // untouched, the Iceberg sequence-number scoping realized at dir
+    // granularity. Compaction applies deletes physically and drops them.
+    deletes: Seq[EqualityDelete] = Nil
 )
+
+/** One equality-delete file: `dir` holds the distinct key tuples,
+  * `keys` names the equality columns, `applies` scopes it to the data
+  * dirs present at delete time.
+  */
+final case class EqualityDelete(dir: String, keys: Seq[String], applies: Seq[String])
 
 /** A concurrent writer advanced the table between this commit's base
   * read and its metadata swap (the optimistic-commit conflict case).
@@ -111,10 +123,92 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // masked directories are skipped, not scanned-and-filtered.
       snap.dataDirs.map { d =>
         val base = spark.read.format(snap.format).load(d)
-        snap.maskedDirs.get(d).filter(_.nonEmpty)
+        val masked = snap.maskedDirs.get(d).filter(_.nonEmpty)
           .map(mask => base.filter(maskFilter(mask)))
           .getOrElse(base)
+        // merge-on-read: anti-join each equality-delete file scoped to
+        // this dir (delete files are key tuples — tiny, broadcast); data
+        // appended after the delete is out of scope by construction
+        snap.deletes.filter(_.applies.contains(d)).foldLeft(masked) { (df, del) =>
+          import org.apache.spark.sql.functions.broadcast
+          df.join(broadcast(spark.read.format(snap.format).load(del.dir)),
+            del.keys, "left_anti")
+        }
       }.reduce(_ unionByName _)
+  }
+
+  /** Equality delete (Iceberg v2 merge-on-read) — the GDPR / right-to-be-
+    * forgotten primitive a training-data lake needs: erase every row whose
+    * key columns match `keys`, in O(|keys|) write cost, without rewriting
+    * a single data file. The distinct key tuples are written as a delete
+    * file; reads anti-join it (broadcast — delete files are small) against
+    * exactly the data dirs that existed at delete time, so rows APPENDED
+    * after the delete with the same key survive (re-registration after
+    * erasure). [[compact]] applies deletes physically and drops them —
+    * the merge-on-read debt is paid once, at maintenance time.
+    *
+    * The recorded row count is restated with one column-pruned semi-join
+    * count over the applicable dirs (the only data touched; Iceberg
+    * reports estimates here — we afford exactness because the count job
+    * reads key columns only).
+    */
+  def deleteWhere(
+      keys: DataFrame, keyCols: Seq[String],
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    require(keyCols.forall(keys.columns.contains),
+      s"delete keys frame must carry ${keyCols.mkString(", ")} (has: ${keys.columns.mkString(", ")})")
+    val spark = keys.sparkSession
+    val base = requireCurrent
+    val delDir = Paths.get(root,
+      s"snap-del-${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val keyRows = keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    keyRows.write.mode("overwrite").format(base.format).save(delDir)
+
+    var expectedParent = Some(base.id): Option[Long]
+    var attempt = 0
+    while (true) {
+      SnapshotTable.beforeSwapHook(this, attempt)
+      val res = SnapshotTable.commitLock(root).synchronized {
+        val prev = snapshots
+        val head = prev.filterNot(_.staged).lastOption
+        if (head.map(_.id) != expectedParent)
+          Left(CommitConflictException(fullName, expectedParent, head.map(_.id)))
+        else {
+          val cur = head.get
+          // restate the count: matching rows in the applicable dirs, one
+          // key-columns-only job over the CURRENT merged view
+          val removed =
+            if (cur.rowCount < 0) -1L
+            else readSnapshot(spark, cur.id)
+              .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+              .join(org.apache.spark.sql.functions.broadcast(
+                spark.read.format(cur.format).load(delDir)), keyCols, "left_semi")
+              .count()
+          val total = if (cur.rowCount < 0 || removed < 0) -1L else cur.rowCount - removed
+          val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+          val snap = Snapshot(id, System.currentTimeMillis(), "delete",
+            cur.dataDirs, cur.format, total, cur.maskedDirs, staged = false,
+            cur.deletes :+ EqualityDelete(delDir, keyCols, cur.dataDirs))
+          writeMetadata(prev :+ snap)
+          Audit.log("table_write", fullName, Map(
+            "operation" -> "equality_delete", "snapshot_id" -> id.toString))
+          Right(snap)
+        }
+      }
+      res match {
+        case Right(snap) => return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries) {
+            deleteRecursively(new File(delDir))
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          }
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          expectedParent = conflict.actualParent
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Predicate keeping rows OUTSIDE every masked partition rel-path.
@@ -365,12 +459,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val (expired, kept0) =
       all.filterNot(currentOpt.contains).partition(_.committedAtMs < olderThanMs)
     val kept = (kept0 ++ currentOpt).sortBy(_.id)
-    val liveDirs = kept.flatMap(_.dataDirs).toSet
+    val liveDirs = kept.flatMap(s => s.dataDirs ++ s.deletes.map(_.dir)).toSet
     if (expired.nonEmpty) {
       writeMetadata(kept)
-      expired.flatMap(_.dataDirs).distinct.filterNot(liveDirs.contains).foreach { d =>
-        deleteRecursively(new File(d))
-      }
+      expired.flatMap(s => s.dataDirs ++ s.deletes.map(_.dir))
+        .distinct.filterNot(liveDirs.contains).foreach { d =>
+          deleteRecursively(new File(d))
+        }
     }
     sweepOrphans(liveDirs, olderThanMs)
     expired.map(_.id)
@@ -578,8 +673,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
           if (carriedRows < 0 || removedRows < 0) -1L
           else carriedRows - removedRows + newRows
         val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+        // deletes carry forward with their dirs: dropping one on append
+        // would resurrect erased rows. The new dir is NOT in any delete's
+        // applies set — appended data is out of the deletes' scope.
+        val carriedDeletes =
+          if (carryPrevious) head.map(_.deletes).getOrElse(Nil) else Nil
         val snap = Snapshot(id, System.currentTimeMillis(), op,
-          carryForward :+ dataDir, format, total, masks, staged = stageOnly)
+          carryForward :+ dataDir, format, total, masks, staged = stageOnly,
+          deletes = carriedDeletes)
         writeMetadata(prev :+ snap)
         Right(snap)
       }
@@ -668,7 +769,17 @@ final class SnapshotTable(val root: String, val fullName: String) {
           s""""masked_dirs":$entries,"""
         }
       val staged = if (s.staged) """"staged":true,""" else ""
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$staged$masked"data_dirs":$dirs}"""
+      val dels =
+        if (s.deletes.isEmpty) ""
+        else {
+          val entries = s.deletes.map { d =>
+            val ks = d.keys.map(k => "\"" + jsonEscape(k) + "\"").mkString("[", ",", "]")
+            val as = d.applies.map(a => "\"" + jsonEscape(a) + "\"").mkString("[", ",", "]")
+            s"""{"dir":"${jsonEscape(d.dir)}","keys":$ks,"applies":$as}"""
+          }.mkString("[", ",", "]")
+          s""""deletes":$entries,"""
+        }
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$staged$masked$dels"data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -681,7 +792,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // "format", "row_count" and "masked_dirs" are optional on read:
     // metadata written before each field existed defaults to parquet /
     // unknown (-1) / no masks
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?"data_dirs":\[(.*?)\]\}""".r
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
     def strs(arr: String): Seq[String] =
       if (arr.isEmpty) Nil
       else arr.split("\",\"").map(s => jsonUnescape(
@@ -693,11 +804,18 @@ final class SnapshotTable(val root: String, val fullName: String) {
           jsonUnescape(em.group(1)) -> strs(em.group(2))
         }.toMap
       }.getOrElse(Map.empty[String, Seq[String]])
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(8)),
+      val deletes = Option(m.group(8)).map { content =>
+        val delRe = """\{"dir":"((?:[^"\\]|\\.)*)","keys":\[(.*?)\],"applies":\[(.*?)\]\}""".r
+        delRe.findAllMatchIn(content).map { dm =>
+          EqualityDelete(jsonUnescape(dm.group(1)), strs(dm.group(2)), strs(dm.group(3)))
+        }.toSeq
+      }.getOrElse(Nil)
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(9)),
         Option(m.group(4)).getOrElse("parquet"),
         Option(m.group(5)).map(_.toLong).getOrElse(-1L),
         masked,
-        staged = m.group(6) != null)
+        staged = m.group(6) != null,
+        deletes = deletes)
     }.toSeq
   }
 

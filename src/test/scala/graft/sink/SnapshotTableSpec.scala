@@ -475,6 +475,53 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.discardStaged(1L))
   }
 
+  test("equality deletes erase matching rows without rewriting data files") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("id", "u"))
+    val filesBefore = t.dataFileCount
+    val snap = t.deleteWhere(Seq("a").toDF("u"), Seq("u"))
+    assert(snap.operation == "delete")
+    assert(t.dataFileCount == filesBefore) // merge-on-read: layout untouched
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // row count restated exactly from the key-columns-only job
+    assert(snap.rowCount == 2)
+    // time travel still sees the pre-delete state
+    assert(t.readSnapshot(spark, 1L).count() == 4)
+  }
+
+  test("rows appended after a delete survive it; compaction pays the debt") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "u"))
+    t.deleteWhere(Seq("a").toDF("u"), Seq("u"))
+    // re-registration after erasure: same key, NEW data — out of the
+    // delete's dir scope, must survive
+    t.append(Seq((9L, "a")).toDF("id", "u"))
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 9L))
+    assert(t.currentSnapshot.get.rowCount == 2)
+    assert(t.currentSnapshot.get.deletes.size == 1) // carried by the append
+    // compaction applies the delete physically and drops it
+    val compacted = t.compact(spark)
+    assert(compacted.deletes.isEmpty)
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 9L))
+    // after expiry the delete file itself is reclaimed
+    val delDir = t.snapshots.flatMap(_.deletes).map(_.dir).head
+    assert(new java.io.File(delDir).exists)
+    t.expireSnapshots(System.currentTimeMillis() + 1)
+    assert(!new java.io.File(delDir).exists, "expired delete file must be reclaimed")
+    assert(t.read(spark).count() == 2)
+  }
+
+  test("deletes round-trip metadata and second deletes compose") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "u", "v"))
+    t.deleteWhere(Seq("a").toDF("u"), Seq("u"))
+    t.deleteWhere(Seq(20).toDF("v"), Seq("v")) // different key column
+    val parsed = t.currentSnapshot.get
+    assert(parsed.deletes.map(_.keys) == Seq(Seq("u"), Seq("v")))
+    assert(parsed.rowCount == 1)
+    assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
     import graft.source.SourceReader
     import graft.template.{ColumnDef, TableTemplate}
