@@ -730,10 +730,9 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val p = sidecarPath(dataDir)
     if (Files.exists(p)) {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val re = """\{"partition":"(.*?)(?<!\\)","files":(\d+),"rows":(-?\d+)\}""".r
+      val re = """\{"partition":"((?:[^"\\]|\\.)*)","files":(\d+),"rows":(-?\d+)\}""".r
       re.findAllMatchIn(json).map { m =>
-        (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"),
-          m.group(2).toLong, m.group(3).toLong)
+        (jsonUnescape(m.group(1)), m.group(2).toLong, m.group(3).toLong)
       }.toSeq
     } else {
       val base = new File(dataDir)
@@ -750,10 +749,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
   private def unescapePath(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
-  private def jsonEscape(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** JSON string escape. Structural characters ([]{}）are emitted as
+    * \uXXXX escapes — legal JSON, and it keeps the regex parser's
+    * non-greedy array/object anchors exact even when a partition VALUE
+    * (which can be any string a column holds) contains brackets.
+    */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"'  => "\\\""
+    case c @ ('[' | ']' | '{' | '}') => f"\\u${c.toInt}%04x"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
-  private def writeMetadata(snaps: Seq[Snapshot]): Unit = {
+  private[sink] def writeMetadata(snaps: Seq[Snapshot]): Unit = {
     Files.createDirectories(Paths.get(root))
     val json = snaps.map { s =>
       val dirs = s.dataDirs.map(d => "\"" + jsonEscape(d) + "\"")
@@ -788,15 +797,18 @@ final class SnapshotTable(val root: String, val fullName: String) {
   }
 
   // Minimal JSON parse for our own fixed-shape metadata (no deps).
-  private def parse(json: String): Seq[Snapshot] = {
+  private[sink] def parse(json: String): Seq[Snapshot] = {
     // "format", "row_count" and "masked_dirs" are optional on read:
     // metadata written before each field existed defaults to parquet /
     // unknown (-1) / no masks
     val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
+    // tokenize JSON string elements properly: a naive split on "," eats
+    // the escaped quote of an element ENDING in \" (caught by
+    // MetadataRoundTripProps) — match balanced escaped strings instead
+    val strRe = """"((?:[^"\\]|\\.)*)"""".r
     def strs(arr: String): Seq[String] =
       if (arr.isEmpty) Nil
-      else arr.split("\",\"").map(s => jsonUnescape(
-        s.stripPrefix("\"").stripSuffix("\""))).toSeq
+      else strRe.findAllMatchIn(arr).map(sm => jsonUnescape(sm.group(1))).toSeq
     snapRe.findAllMatchIn(json).map { m =>
       val masked = Option(m.group(7)).map { content =>
         val entryRe = """"((?:[^"\\]|\\.)*)":\[(.*?)\]""".r
@@ -819,8 +831,25 @@ final class SnapshotTable(val root: String, val fullName: String) {
     }.toSeq
   }
 
-  private def jsonUnescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** Sequential-scan unescape (chained .replace would corrupt adjacent
+    * escapes); inverse of [[jsonEscape]] including \uXXXX.
+    */
+  private def jsonUnescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o => b.append(o); i += 2 // \\ and \"
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -1,0 +1,55 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The snapshot metadata format is a hand-rolled fixed-shape JSON with
+  * three optional fields (staged, masked_dirs, deletes) parsed by anchored
+  * regexes — exactly the kind of code a round-trip property should guard:
+  * any writable snapshot list must parse back IDENTICALLY, including
+  * paths/partitions containing quotes, backslashes and unicode.
+  */
+object MetadataRoundTripProps extends Properties("SnapshotMetadata") {
+
+  // path-ish strings incl. the characters the escaper must handle
+  private val trickyStr: Gen[String] = for {
+    base <- Gen.listOfN(6, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(
+        '/', '_', '-', '=', '.', '"', '\\', ' ', 'é',
+        '[', ']', '{', '}', '\n', '\t')))
+  } yield base.mkString
+
+  private val genDelete: Gen[EqualityDelete] = for {
+    dir <- trickyStr
+    keys <- Gen.nonEmptyListOf(Gen.identifier.map(_.take(8))).map(_.take(3))
+    applies <- Gen.listOf(trickyStr).map(_.take(3))
+  } yield EqualityDelete(dir, keys, applies)
+
+  private val genSnapshot: Gen[Snapshot] = for {
+    id <- Gen.choose(1L, 1000L)
+    ts <- Gen.choose(0L, 4102444800000L)
+    op <- Gen.oneOf("overwrite", "append", "replace", "overwrite_partitions", "delete")
+    dirs <- Gen.nonEmptyListOf(trickyStr).map(_.take(4))
+    format <- Gen.oneOf("parquet", "orc")
+    rows <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 1000000L))
+    staged <- Gen.oneOf(true, false)
+    masked <- Gen.mapOf(Gen.zip(
+      Gen.oneOf(dirs), Gen.nonEmptyListOf(trickyStr).map(_.take(2)))).map(_.take(2))
+    dels <- Gen.listOf(genDelete).map(_.take(2))
+  } yield Snapshot(id, ts, op, dirs, format, rows, masked, staged, dels)
+
+  property("write -> parse round-trips every field bit-exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(genSnapshot).map(_.take(5))) { snaps0 =>
+      // ids must be unique and ordered (the table invariant the writer
+      // always holds); empty masks are normalized away by the writer
+      val snaps = snaps0.zipWithIndex.map { case (s, i) =>
+        s.copy(id = i + 1L, maskedDirs = s.maskedDirs.filter(_._2.nonEmpty))
+      }
+      val root = Files.createTempDirectory("graft_meta_prop").toString
+      val t = new SnapshotTable(root, "ns.prop")
+      t.writeMetadata(snaps)
+      val back = t.snapshots
+      Prop(back == snaps) :| s"expected:\n$snaps\ngot:\n$back"
+    }
+}
