@@ -270,6 +270,40 @@ object TextQueries {
              |     WHEN 'src2' THEN 500000 WHEN 'src3' THEN 1000000 ELSE 750000 END)""".stripMargin),
       doc = "deterministic per-source rate sampling (training-mix domain reweighting)"),
 
+    "sample_temperature" -> QueryDef(
+      (s, dir) => {
+        // T5-style temperature reweighting (weights ∝ tokens^(1/2)):
+        // three sources merge into one 'big' domain (~3x the tokens of
+        // each small one) and the flattened weights sample it at ~1/√3
+        // of proportional — low-resource sources are upsampled. Integer
+        // sqrt + BigInt thresholds keep the cut bit-exact cross-engine.
+        val docs = tbl(s, dir, "documents").withColumn("src_group",
+          when(col("source").isin("src0", "src1", "src2"), lit("big"))
+            .otherwise(col("source")))
+        graft.text.TrainingMix.sampleTemperature(docs, "src_group", "text", 3000L)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN source IN ('src0','src1','src2') THEN 'big'
+             |         ELSE source END AS src_group
+             |  FROM documents),
+             |toks AS (
+             |  SELECT src_group,
+             |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS t
+             |  FROM d GROUP BY 1),
+             |w AS (SELECT src_group, t, CAST(floor(sqrt(t)) AS BIGINT) AS iw FROM toks),
+             |tot AS (SELECT sum(iw) AS tw FROM w),
+             |thr AS (
+             |  SELECT src_group,
+             |    LEAST(1000000, (3000 * iw * 1000000) // (tw * t)) AS thr
+             |  FROM w, tot)
+             |SELECT d.doc_id, d.src_group
+             |FROM d JOIN thr USING (src_group)
+             |WHERE CAST(CONCAT('0x', substr(md5('tsample:' || d.doc_id), 1, 15)) AS BIGINT)
+             |  % 1000000 < thr""".stripMargin),
+      doc = "temperature-scaled mix sampling (weights ~ tokens^0.5, T5/mT5): " +
+        "low-resource sources upsampled, integer-exact thresholds"),
+
     "sample_stratified" -> QueryDef(
       (s, dir) =>
         // exact per-stratum counts (not Bernoulli): src0's 40 exceeds its

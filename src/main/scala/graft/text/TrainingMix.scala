@@ -168,6 +168,51 @@ object TrainingMix {
       .select(col("doc_id"), col(sourceCol))
   }
 
+  /** `sample_temperature`: temperature-scaled mix reweighting (the
+    * T5/mT5 α-multinomial, Raffel et al. 2020 §3.4.2 / Xue et al. 2021
+    * §3.1): source weights ∝ tokens^α with α < 1 FLATTEN the natural
+    * distribution, upsampling low-resource sources relative to their
+    * share — the standard fix for high-resource domination in a
+    * multi-source training mix. α = 1/2 here (the T5 report's value),
+    * realized EXACTLY across engines: the weight is the integer sqrt of
+    * the source's token count (IEEE sqrt of an exactly-representable
+    * long is correctly rounded, so floor(sqrt(t)) agrees everywhere),
+    * feeding the same BigInt threshold arithmetic and deterministic
+    * hash draw as [[sampleToTargetMix]] (independently salted). Rates
+    * keep the relative ordering r_small/r_big = (iw_small/t_small) /
+    * (iw_big/t_big) ≈ sqrt(t_big/t_small) — the flattening, exact.
+    *
+    * Scale: one column-pruned stats agg (|sources| rows collected) +
+    * one narrow filter; no shuffle of documents.
+    */
+  def sampleTemperature(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val M = 1000000L
+    val tokensPerSource = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val iw = tokensPerSource.map { case (s, t) =>
+      s -> BigInt(math.sqrt(t.toDouble).toLong) // floor; exact cross-engine
+    }
+    val totalW = iw.values.sum
+    val thresholds = tokensPerSource.map { case (s, t) =>
+      val thr =
+        if (t == 0L || totalW == 0) BigInt(0)
+        else (BigInt(budgetTokens) * iw(s) * BigInt(M) /
+          (totalW * BigInt(t))).min(BigInt(M))
+      s -> thr.toLong
+    }
+    val thrExpr = thresholds.toSeq.sortBy(_._1).foldRight(lit(0L): org.apache.spark.sql.Column) {
+      case ((s, thr), acc) => when(col(sourceCol) === s, lit(thr)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(TextAnalysis.hash60(concat(lit("tsample:"), col("doc_id"))), lit(M)) < thrExpr)
+      .select(col("doc_id"), col(sourceCol))
+  }
+
   /** Deterministic source interleaving: each source's docs get a stable
     * pseudo-random order (hash-ranked) and global read position
     * `rank * S + source_idx` — a round-robin mix of sources,

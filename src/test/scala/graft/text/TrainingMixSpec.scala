@@ -4,6 +4,8 @@ import graft.{Queries, SparkSpec}
 
 class TrainingMixSpec extends SparkSpec {
 
+  import spark.implicits._
+
   val dir = "/root/testdata/sf0.001"
   def docs = Queries.tbl(spark, dir, "documents")
 
@@ -84,6 +86,28 @@ class TrainingMixSpec extends SparkSpec {
         Map("src0" -> 0.9, "src1" -> 0.1), 100000L)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(repart.toSet == out.toSet)
+  }
+
+  test("sampleTemperature: low-resource sources sample at a higher rate (flattening)") {
+    import org.apache.spark.sql.functions._
+    // big: ~9x the tokens of small -> temperature rates differ by ~sqrt(9)=3
+    val rows = ((0 until 900).map(i => (i.toLong, "big", "w " * 10)) ++
+      (0 until 100).map(i => (1000L + i, "small", "w " * 10))).toList
+    val docs = rows.toDF("doc_id", "source", "text")
+    val out = TrainingMix.sampleTemperature(docs, "source", "text", budgetTokens = 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val by = out.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val rateBig = by.getOrElse("big", 0.0) / 900
+    val rateSmall = by.getOrElse("small", 0.0) / 100
+    assert(rateSmall > rateBig * 1.8,
+      s"temperature should upsample the small source: big=$rateBig small=$rateSmall")
+
+    // nested in budget and invariant under partitioning
+    def ids(budget: Long, parts: Int) = TrainingMix.sampleTemperature(
+        docs.repartition(parts, col("doc_id")), "source", "text", budget)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(1000L, 3).subsetOf(ids(2000L, 7)))
+    assert(ids(2000L, 3) == ids(2000L, 7))
   }
 
   test("sampleStratified: exact counts, supply cap, nesting, partition invariance") {
