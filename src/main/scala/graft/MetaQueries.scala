@@ -411,6 +411,32 @@ object MetaQueries {
       doc = "equality deletes (merge-on-read GDPR erasure): O(keys) delete files " +
         "anti-joined at read, scoped to pre-delete dirs so later appends survive"),
 
+    "maintenance_rollback" -> QueryDef(
+      (s, dir) => {
+        // the bad-load undo (Iceberg rollback_to_snapshot): a corrupted
+        // full refresh lands; rollback commits a NEW snapshot referencing
+        // the last-good state — zero data I/O, the bad snapshot stays
+        // time-travelable until expiry, and the rollback is itself
+        // auditable history.
+        val wh = freshWarehouse("maintenance_rollback")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val good = TableSink.overwrite(events.filter(col("event_id") % 3 === 0), t, table)
+        // the bad load: corrupted values over the full table
+        TableSink.overwrite(events.withColumn("value", col("value") * 100), t, table)
+        val snap = table.rollback(good.id)
+        require(snap.operation == "rollback", snap.operation)
+        require(snap.rowCount == good.rowCount, "rollback must restore the row count")
+        require(snap.dataDirs == good.dataDirs, "rollback is metadata-only")
+        require(table.snapshots.size == 3, "rollback is itself history")
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id % 3 = 0""".stripMargin),
+      doc = "snapshot rollback: commit a new snapshot referencing the last-good state " +
+        "(zero data I/O); the bad load stays time-travelable until expiry"),
+
     "wap_publish" -> QueryDef(
       (s, dir) => {
         // write-audit-publish (the Iceberg WAP workflow; the quality gate

@@ -442,6 +442,32 @@ final class SnapshotTable(val root: String, val fullName: String) {
       .toDF("partition_path", "file_count", "row_count")
   }
 
+  /** Roll the table back to an earlier snapshot's state (Iceberg
+    * `rollback_to_snapshot`) — the bad-load undo: a NEW snapshot is
+    * committed that references the target's exact state (dirs, masks,
+    * deletes, row count), so the rollback is itself history (auditable,
+    * time-travelable, re-rollbackable) and costs zero data I/O. The bad
+    * snapshots stay readable by id until expiry reclaims them.
+    */
+  def rollback(snapshotId: Long): Snapshot =
+    SnapshotTable.commitLock(root).synchronized {
+      val all = snapshots
+      val target = all.find(_.id == snapshotId).getOrElse(
+        throw new NoSuchElementException(
+          s"Table $fullName has no snapshot $snapshotId (available: ${all.map(_.id).mkString(", ")})"))
+      require(!target.staged,
+        s"snapshot $snapshotId of $fullName is staged; publish or discard it instead")
+      val id = all.map(_.id).maxOption.getOrElse(0L) + 1
+      val snap = target.copy(
+        id = id, committedAtMs = System.currentTimeMillis(),
+        operation = "rollback")
+      writeMetadata(all :+ snap)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "rollback", "snapshot_id" -> id.toString,
+        "target_snapshot_id" -> snapshotId.toString))
+      snap
+    }
+
   /** Drop snapshots older than `olderThanMs` (never the current one) and
     * delete data directories no surviving snapshot references.
     */

@@ -522,6 +522,24 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("rollback restores an earlier state as new auditable history") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2, 3).toDF("v"))
+    t.append(Seq(4).toDF("v"))
+    t.overwrite(Seq(99).toDF("v")) // the bad load
+    val snap = t.rollback(2L)
+    assert(snap.operation == "rollback" && snap.id == 4L)
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    // the bad load stays time-travelable; expiry then reclaims it
+    assert(t.readSnapshot(spark, 3L).as[Int].collect().toSeq == Seq(99))
+    t.expireSnapshots(System.currentTimeMillis() + 1)
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    intercept[NoSuchElementException](t.readSnapshot(spark, 3L))
+    // a staged snapshot cannot be rolled back to
+    val staged = t.stageAppend(Seq(7).toDF("v"))
+    intercept[IllegalArgumentException](t.rollback(staged.id))
+  }
+
   test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
     import graft.source.SourceReader
     import graft.template.{ColumnDef, TableTemplate}
