@@ -411,6 +411,48 @@ object MetaQueries {
       doc = "equality deletes (merge-on-read GDPR erasure): O(keys) delete files " +
         "anti-joined at read, scoped to pre-delete dirs so later appends survive"),
 
+    "volume_sensor" -> QueryDef(
+      (s, dir) => {
+        // volume anomaly detection from snapshot metadata ALONE: three
+        // healthy commits establish the trailing baseline, then an
+        // upstream half-delivery (a tiny batch) lands — the sensor flags
+        // it without reading one data file (commit-time row counts, the
+        // Iceberg total-records contract). Schema drift and distribution
+        // drift both miss this failure class.
+        val wh = freshWarehouse("volume_sensor")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        TableSink.overwrite(events.filter(col("event_id") % 4 === 0), t, table)
+        TableSink.append(events.filter(col("event_id") % 4 === 1), t, table)
+        TableSink.append(events.filter(col("event_id") % 4 === 2), t, table)
+        TableSink.append(events.filter(col("event_id") % 887 === 0), t, table)
+        val report = graft.drift.VolumeSensor.check(s, table)
+        require(!report.queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
+          "volume sensor must be a pure metadata read (no file scan planned)")
+        report
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(1 AS BIGINT) AS snapshot_id,
+             |    CAST(count(*) FILTER (event_id % 4 = 0) AS BIGINT) AS rows_added FROM events
+             |  UNION ALL SELECT 2, count(*) FILTER (event_id % 4 = 1) FROM events
+             |  UNION ALL SELECT 3, count(*) FILTER (event_id % 4 = 2) FROM events
+             |  UNION ALL SELECT 4, count(*) FILTER (event_id % 887 = 0) FROM events),
+             |m AS (
+             |  SELECT snapshot_id, rows_added,
+             |    round(avg(rows_added) OVER w, 6) AS mean_raw,
+             |    count(*) OVER w AS n_prev
+             |  FROM c
+             |  WINDOW w AS (ORDER BY snapshot_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+             |SELECT snapshot_id, rows_added,
+             |  CASE WHEN n_prev >= 3 THEN mean_raw END AS trailing_mean,
+             |  CASE WHEN n_prev >= 3 THEN abs(rows_added - mean_raw) > 0.5 * abs(mean_raw)
+             |       ELSE false END AS anomalous
+             |FROM m""".stripMargin),
+      doc = "volume anomaly sensor: per-commit row deltas vs trailing mean, from " +
+        "snapshot metadata only — zero data I/O, runs after every commit"),
+
     "maintenance_rollback" -> QueryDef(
       (s, dir) => {
         // the bad-load undo (Iceberg rollback_to_snapshot): a corrupted
