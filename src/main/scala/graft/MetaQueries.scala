@@ -420,13 +420,14 @@ object MetaQueries {
         // Iceberg total-records contract). Schema drift and distribution
         // drift both miss this failure class.
         val wh = freshWarehouse("volume_sensor")
-        val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        TableSink.overwrite(events.filter(col("event_id") % 4 === 0), t, table)
-        TableSink.append(events.filter(col("event_id") % 4 === 1), t, table)
-        TableSink.append(events.filter(col("event_id") % 4 === 2), t, table)
-        TableSink.append(events.filter(col("event_id") % 887 === 0), t, table)
+        val table = SnapshotTable(wh, "testdata", "events_volume")
+        // the sensor consumes COUNTS, not content: narrow unpartitioned
+        // commits keep the fixture cheap while the deltas match the oracle
+        val events = tbl(s, dir, "events").select("event_id")
+        table.overwrite(events.filter(col("event_id") % 4 === 0)): Unit
+        table.append(events.filter(col("event_id") % 4 === 1)): Unit
+        table.append(events.filter(col("event_id") % 4 === 2)): Unit
+        table.append(events.filter(col("event_id") % 887 === 0)): Unit
         val report = graft.drift.VolumeSensor.check(s, table)
         require(!report.queryExecution.optimizedPlan.exists(
           _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
