@@ -417,6 +417,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(masked.count() == 3)
   }
 
+  test("masks prune DATE-typed partition dirs too (the hidden-partitioning case)") {
+    import java.sql.Date
+    val t = freshTable()
+    val d = (s: String) => Date.valueOf(s)
+    t.overwrite(Seq((1, d("2024-01-01")), (2, d("2024-01-02")), (3, d("2024-01-03")))
+      .toDF("id", "day"), partitionCols = Seq("day"))
+    t.overwritePartitions(Seq((9, d("2024-01-02"))).toDF("id", "day"),
+      partitionCols = Seq("day"))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    // the mask predicate casts the DateType partition column to string;
+    // planning must still resolve it against the partition spec: reading
+    // the restated day touches ONLY the new dir's file
+    assert(scannedFiles(t.read(spark).filter($"day" === d("2024-01-02"))) == 1)
+    val rows = t.read(spark).select("id").as[Int].collect().sorted.toSeq
+    assert(rows == Seq(1, 3, 9))
+  }
+
   test("dynamic overwrite on an unpartitioned table is rejected") {
     val t = freshTable()
     t.overwrite(Seq(1).toDF("v"))
