@@ -34,8 +34,11 @@ object ZOrder {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = (1L << bits) - 1
     val quantized = cols.zipWithIndex.map { case (c, i) =>
-      val lo = row.getDouble(2 * i)
-      val hi = row.getDouble(2 * i + 1)
+      // an empty frame or an all-null column aggregates to null min/max;
+      // treat it like the hi==lo degenerate case (bucket 0) instead of
+      // letting getDouble NPE (compact(clusterBy=…) on an empty table)
+      val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val hi = if (row.isNullAt(2 * i + 1)) lo else row.getDouble(2 * i + 1)
       val q =
         if (hi == lo) lit(0L)
         else least(lit(buckets), greatest(lit(0L),

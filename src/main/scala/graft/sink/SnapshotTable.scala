@@ -57,7 +57,15 @@ final case class Snapshot(
     // when the delete committed (`applies`) — data appended later is
     // untouched, the Iceberg sequence-number scoping realized at dir
     // granularity. Compaction applies deletes physically and drops them.
-    deletes: Seq[EqualityDelete] = Nil
+    deletes: Seq[EqualityDelete] = Nil,
+    // published head this snapshot was committed against (0 = committed
+    // onto an empty table; None = legacy metadata predating the field).
+    // publish() compares THIS against the current head id — a dataDirs
+    // comparison alone misses dir-preserving head moves (an equality
+    // delete, a rollback to a same-dirs state), and flipping a staged
+    // snapshot across one would silently restate the pre-delete counts
+    // and drop the delete (GDPR-erased rows resurrected).
+    parentId: Option[Long] = None
 )
 
 /** One equality-delete file: `dir` holds the distinct key tuples,
@@ -107,6 +115,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
   /** Read the table at its current snapshot. */
   def read(spark: SparkSession): DataFrame = readSnapshot(spark, requireCurrent.id)
 
+  /** Time travel by timestamp (Iceberg/Athena `FOR SYSTEM_TIME AS OF`):
+    * read the newest PUBLISHED snapshot committed at or before `tsMs`.
+    * Commit times come from [[SnapshotTable.clockMs]] (wall clock in
+    * production, injectable in tests for determinism).
+    */
+  def readAsOf(spark: SparkSession, tsMs: Long): DataFrame = {
+    val eligible = snapshots.filterNot(_.staged).filter(_.committedAtMs <= tsMs)
+    val snap = eligible.sortBy(s => (s.committedAtMs, s.id)).lastOption.getOrElse(
+      throw new NoSuchElementException(
+        s"Table $fullName has no snapshot committed at or before $tsMs " +
+          s"(earliest: ${snapshots.map(_.committedAtMs).minOption.getOrElse("<none>")})"))
+    readSnapshot(spark, snap.id)
+  }
+
   /** Time travel: read the table as of a snapshot id. */
   def readSnapshot(spark: SparkSession, snapshotId: Long): DataFrame = {
     val snap = snapshots.find(_.id == snapshotId).getOrElse(
@@ -150,7 +172,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * The recorded row count is restated with one column-pruned semi-join
     * count over the applicable dirs (the only data touched; Iceberg
     * reports estimates here — we afford exactness because the count job
-    * reads key columns only).
+    * reads key columns only). The count runs OUTSIDE the commit lock,
+    * against the optimistically-read base head: data dirs are immutable,
+    * so the count is stable for a given parent, and only the O(1)
+    * metadata swap is serialized — concurrent appends never queue behind
+    * an erasure's table scan. A conflict refreshes the base and
+    * recomputes (the same pattern [[commit]] uses for the data write).
     */
   def deleteWhere(
       keys: DataFrame, keyCols: Seq[String],
@@ -165,31 +192,31 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val keyRows = keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
     keyRows.write.mode("overwrite").format(base.format).save(delDir)
 
-    var expectedParent = Some(base.id): Option[Long]
+    var cur = base
     var attempt = 0
     while (true) {
+      // restate the count unserialized: matching rows in the base head's
+      // dirs, one key-columns-only job over that (immutable) merged view
+      val removed =
+        if (cur.rowCount < 0) -1L
+        else readSnapshot(spark, cur.id)
+          .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          .join(org.apache.spark.sql.functions.broadcast(
+            spark.read.format(cur.format).load(delDir)), keyCols, "left_semi")
+          .count()
+      val total = if (cur.rowCount < 0 || removed < 0) -1L else cur.rowCount - removed
       SnapshotTable.beforeSwapHook(this, attempt)
       val res = SnapshotTable.commitLock(root).synchronized {
         val prev = snapshots
         val head = prev.filterNot(_.staged).lastOption
-        if (head.map(_.id) != expectedParent)
-          Left(CommitConflictException(fullName, expectedParent, head.map(_.id)))
+        if (head.map(_.id) != Some(cur.id))
+          Left(CommitConflictException(fullName, Some(cur.id), head.map(_.id)))
         else {
-          val cur = head.get
-          // restate the count: matching rows in the applicable dirs, one
-          // key-columns-only job over the CURRENT merged view
-          val removed =
-            if (cur.rowCount < 0) -1L
-            else readSnapshot(spark, cur.id)
-              .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-              .join(org.apache.spark.sql.functions.broadcast(
-                spark.read.format(cur.format).load(delDir)), keyCols, "left_semi")
-              .count()
-          val total = if (cur.rowCount < 0 || removed < 0) -1L else cur.rowCount - removed
           val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
-          val snap = Snapshot(id, System.currentTimeMillis(), "delete",
+          val snap = Snapshot(id, SnapshotTable.clockMs(), "delete",
             cur.dataDirs, cur.format, total, cur.maskedDirs, staged = false,
-            cur.deletes :+ EqualityDelete(delDir, keyCols, cur.dataDirs))
+            cur.deletes :+ EqualityDelete(delDir, keyCols, cur.dataDirs),
+            parentId = Some(cur.id))
           writeMetadata(prev :+ snap)
           Audit.log("table_write", fullName, Map(
             "operation" -> "equality_delete", "snapshot_id" -> id.toString))
@@ -204,7 +231,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
             throw CommitFailedException(fullName, attempt + 1, conflict)
           }
           Thread.sleep(SnapshotTable.backoffMs(attempt))
-          expectedParent = conflict.actualParent
+          // refresh the base: the next loop iteration recomputes the
+          // restated count against the rival's head (its dirs enter the
+          // delete's scope — the delete commits after the rival)
+          cur = conflict.actualParent.flatMap(id => snapshots.find(_.id == id))
+            .getOrElse(requireCurrent)
           attempt += 1
       }
     }
@@ -294,8 +325,17 @@ final class SnapshotTable(val root: String, val fullName: String) {
         throw new NoSuchElementException(
           s"Table $fullName has no snapshot $snapshotId (available: ${all.map(_.id).mkString(", ")})"))
       require(snap.staged, s"snapshot $snapshotId of $fullName is already published")
-      val headDirs = all.filterNot(_.staged).lastOption.map(_.dataDirs).getOrElse(Nil)
-      if (snap.dataDirs.dropRight(1) != headDirs)
+      val head = all.filterNot(_.staged).lastOption
+      // compare head IDS, not dirs: an equality delete or a rollback to a
+      // same-dirs state advances the head WITHOUT changing dataDirs, and
+      // flipping a snapshot staged before it would restate the stage-time
+      // deletes/rowCount — silently undoing the delete. Legacy staged
+      // metadata (no parent_id recorded) falls back to the dirs check.
+      val conflicted = snap.parentId match {
+        case Some(p) => head.map(_.id).getOrElse(0L) != p
+        case None    => snap.dataDirs.dropRight(1) != head.map(_.dataDirs).getOrElse(Nil)
+      }
+      if (conflicted)
         throw PublishConflictException(fullName, snapshotId)
       val flipped = snap.copy(staged = false)
       writeMetadata((all.filterNot(_.id == snapshotId) :+ flipped).sortBy(_.id))
@@ -376,6 +416,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
       clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Snapshot = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val snap = requireCurrent
+    // derive the partition layout from the table itself when the caller
+    // does not re-declare it: compacting a partitioned table must not
+    // silently rewrite it as one unpartitioned dir (rows would survive
+    // but partition pruning — the layout's whole point — would be lost)
+    val pCols = if (partitionCols.nonEmpty) partitionCols else partitionColumns
     val nOut = math.max(1L, (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = read(spark)
     // clustered rewrite (Iceberg sort/zorder strategy): range-partition on
@@ -387,11 +432,22 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // shuffle-free via coalesce.
     val packed =
       if (clusterBy.nonEmpty) df.repartitionByRange(nOut, clusterBy: _*)
-      else if (partitionCols.nonEmpty) df
+      else if (pCols.nonEmpty) df
       else df.coalesce(nOut)
-    commit(packed, "replace", carryPrevious = false, partitionCols,
+    commit(packed, "replace", carryPrevious = false, pCols,
       clusterBy, snap.format, numRetries)
   }
+
+  /** Partition columns of the current snapshot's physical layout, read
+    * from the NEWEST dir's stats sidecar (a pure metadata lookup — the
+    * latest write defines the live layout). Nil for unpartitioned tables.
+    */
+  def partitionColumns: Seq[String] =
+    currentSnapshot.flatMap(_.dataDirs.lastOption).toSeq
+      .flatMap(d => readPartitionSidecar(d).map(_._1).find(_.nonEmpty))
+      .headOption
+      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .getOrElse(Nil)
 
   /** Data files referenced by the current snapshot (hidden/marker files
     * excluded) — the signal compaction exists to shrink.
@@ -459,8 +515,9 @@ final class SnapshotTable(val root: String, val fullName: String) {
         s"snapshot $snapshotId of $fullName is staged; publish or discard it instead")
       val id = all.map(_.id).maxOption.getOrElse(0L) + 1
       val snap = target.copy(
-        id = id, committedAtMs = System.currentTimeMillis(),
-        operation = "rollback")
+        id = id, committedAtMs = SnapshotTable.clockMs(),
+        operation = "rollback",
+        parentId = Some(all.filterNot(_.staged).lastOption.map(_.id).getOrElse(0L)))
       writeMetadata(all :+ snap)
       Audit.log("table_write", fullName, Map(
         "operation" -> "rollback", "snapshot_id" -> id.toString,
@@ -680,6 +737,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
         // carried dirs' stats sidecars (pure metadata).
         val carriedRows =
           if (carryPrevious) head.map(_.rowCount).getOrElse(0L) else 0L
+        val carriedDeletes0 =
+          if (carryPrevious) head.map(_.deletes).getOrElse(Nil) else Nil
         val removedRows: Long =
           if (replaced.isEmpty || carriedRows < 0) 0L
           else {
@@ -687,6 +746,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
               val already = prevMasks.getOrElse(d, Nil).toSet
               val newMask = replaced.filterNot(already)
               if (newMask.isEmpty) 0L
+              // sidecar counts are commit-time PHYSICAL counts; rows an
+              // equality delete later removed are still in them, and the
+              // carried total was already restated after the delete —
+              // subtracting the raw sidecar count would double-count
+              // those rows. Unknown beats understated (the $snapshots
+              // listing and volume sensor consume this number).
+              else if (carriedDeletes0.exists(_.applies.contains(d))) -1L
               else {
                 val byPart = readPartitionSidecar(d).map(e => e._1 -> e._3).toMap
                 val rows = newMask.map(p => byPart.getOrElse(p, 0L))
@@ -702,11 +768,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
         // deletes carry forward with their dirs: dropping one on append
         // would resurrect erased rows. The new dir is NOT in any delete's
         // applies set — appended data is out of the deletes' scope.
-        val carriedDeletes =
-          if (carryPrevious) head.map(_.deletes).getOrElse(Nil) else Nil
-        val snap = Snapshot(id, System.currentTimeMillis(), op,
+        val snap = Snapshot(id, SnapshotTable.clockMs(), op,
           carryForward :+ dataDir, format, total, masks, staged = stageOnly,
-          deletes = carriedDeletes)
+          deletes = carriedDeletes0,
+          parentId = Some(actualParent.getOrElse(0L)))
         writeMetadata(prev :+ snap)
         Right(snap)
       }
@@ -730,12 +795,17 @@ final class SnapshotTable(val root: String, val fullName: String) {
         Seq(("", filesByPart.getOrElse("", 0L), totalRows))
       else {
         import org.apache.spark.sql.functions.col
+        // render partition values the way Spark renders the DIRECTORY
+        // names — a Catalyst string cast — so sidecar keys line up with
+        // the walked (unescaped) paths. JVM toString diverges for e.g.
+        // timestamps ('…00:00:00.0' vs the dir's '…00:00:00'), which
+        // would split entries into files-only/rows-only halves.
         val rowsByPart = spark.read.format(format).load(dataDir)
-          .groupBy(partitionCols.map(col): _*).count()
+          .groupBy(partitionCols.map(c => col(c).cast("string").as(c)): _*).count()
           .collect().map { r =>
             val path = partitionCols.indices.map { i =>
-              val v = r.get(i)
-              s"${partitionCols(i)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v.toString}"
+              val v = if (r.isNullAt(i)) null else r.getString(i)
+              s"${partitionCols(i)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}"
             }.mkString("/")
             path -> r.getLong(partitionCols.size)
           }.toMap
@@ -803,6 +873,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           }.mkString("{", ",", "}")
           s""""masked_dirs":$entries,"""
         }
+      val parent = s.parentId.map(p => s""""parent_id":$p,""").getOrElse("")
       val staged = if (s.staged) """"staged":true,""" else ""
       val dels =
         if (s.deletes.isEmpty) ""
@@ -814,7 +885,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           }.mkString("[", ",", "]")
           s""""deletes":$entries,"""
         }
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$staged$masked$dels"data_dirs":$dirs}"""
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$parent$staged$masked$dels"data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -827,7 +898,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // "format", "row_count" and "masked_dirs" are optional on read:
     // metadata written before each field existed defaults to parquet /
     // unknown (-1) / no masks
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"parent_id":(-?\d+),)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
     // tokenize JSON string elements properly: a naive split on "," eats
     // the escaped quote of an element ENDING in \" (caught by
     // MetadataRoundTripProps) — match balanced escaped strings instead
@@ -836,24 +907,25 @@ final class SnapshotTable(val root: String, val fullName: String) {
       if (arr.isEmpty) Nil
       else strRe.findAllMatchIn(arr).map(sm => jsonUnescape(sm.group(1))).toSeq
     snapRe.findAllMatchIn(json).map { m =>
-      val masked = Option(m.group(7)).map { content =>
+      val masked = Option(m.group(8)).map { content =>
         val entryRe = """"((?:[^"\\]|\\.)*)":\[(.*?)\]""".r
         entryRe.findAllMatchIn(content).map { em =>
           jsonUnescape(em.group(1)) -> strs(em.group(2))
         }.toMap
       }.getOrElse(Map.empty[String, Seq[String]])
-      val deletes = Option(m.group(8)).map { content =>
+      val deletes = Option(m.group(9)).map { content =>
         val delRe = """\{"dir":"((?:[^"\\]|\\.)*)","keys":\[(.*?)\],"applies":\[(.*?)\]\}""".r
         delRe.findAllMatchIn(content).map { dm =>
           EqualityDelete(jsonUnescape(dm.group(1)), strs(dm.group(2)), strs(dm.group(3)))
         }.toSeq
       }.getOrElse(Nil)
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(9)),
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(10)),
         Option(m.group(4)).getOrElse("parquet"),
         Option(m.group(5)).map(_.toLong).getOrElse(-1L),
         masked,
-        staged = m.group(6) != null,
-        deletes = deletes)
+        staged = m.group(7) != null,
+        deletes = deletes,
+        parentId = Option(m.group(6)).map(_.toLong))
     }.toSeq
   }
 
@@ -899,6 +971,12 @@ object SnapshotTable {
     * `write.target-file-size-bytes` default (512 MB).
     */
   val DefaultTargetFileBytes: Long = 512L * 1024 * 1024
+
+  /** Commit-time clock — wall clock in production, injectable in tests
+    * and fixtures so `committedAtMs` (and thus [[SnapshotTable.readAsOf]]
+    * time travel) is deterministic.
+    */
+  @volatile private[graft] var clockMs: () => Long = () => System.currentTimeMillis()
 
   /** Exponential-backoff base between conflicting swap attempts
     * (wait = min(base << attempt, base*10), the tenacity

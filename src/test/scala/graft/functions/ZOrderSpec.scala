@@ -59,6 +59,19 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException](ZOrder.zValue(df, Seq("a", "b"), bits = 40))
   }
 
+  test("null min/max (empty frame, all-null column) buckets to 0 instead of NPE") {
+    // empty frame: min/max aggregate to null — must not getDouble-NPE
+    val empty = Seq.empty[(Int, Int)].toDF("a", "b")
+    val zEmpty = empty.withColumn("z", ZOrder.zValue(empty, Seq("a", "b"), bits = 4))
+    assert(zEmpty.count() == 0)
+    // all-null column: its plane contributes bucket 0 for every row
+    val allNull = Seq((null.asInstanceOf[Integer], 1), (null.asInstanceOf[Integer], 2))
+      .toDF("a", "b")
+    val zs = allNull.withColumn("z", ZOrder.zValue(allNull, Seq("a", "b"), bits = 4))
+      .select("z").as[Long].collect().toSeq
+    assert(zs.forall(_ >= 0))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }

@@ -37,7 +37,8 @@ object MetadataRoundTripProps extends Properties("SnapshotMetadata") {
     masked <- Gen.mapOf(Gen.zip(
       Gen.oneOf(dirs), Gen.nonEmptyListOf(trickyStr).map(_.take(2)))).map(_.take(2))
     dels <- Gen.listOf(genDelete).map(_.take(2))
-  } yield Snapshot(id, ts, op, dirs, format, rows, masked, staged, dels)
+    parent <- Gen.oneOf(Gen.const(None), Gen.choose(0L, 1000L).map(Some(_)))
+  } yield Snapshot(id, ts, op, dirs, format, rows, masked, staged, dels, parent)
 
   property("write -> parse round-trips every field bit-exactly") =
     Prop.forAll(Gen.nonEmptyListOf(genSnapshot).map(_.take(5))) { snaps0 =>

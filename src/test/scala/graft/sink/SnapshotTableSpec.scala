@@ -561,6 +561,178 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.rollback(staged.id))
   }
 
+  test("publish conflicts on a dir-preserving head move (equality delete between stage and publish)") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "u"))
+    val staged = t.stageAppend(Seq((4L, "c")).toDF("id", "u"))
+    // an equality delete advances the published head WITHOUT changing its
+    // dataDirs — a dirs-equality conflict check cannot see it, and the
+    // flipped snapshot would carry the stage-time (pre-delete) deletes
+    // list and rowCount: GDPR-erased rows resurrected as published state
+    t.deleteWhere(Seq("a").toDF("u"), Seq("u"))
+    assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(2L))
+    val e = intercept[PublishConflictException](t.publish(staged.id))
+    assert(e.snapshotId == staged.id)
+    // erased rows stay erased; restaging on the new head then publishes
+    t.discardStaged(staged.id)
+    val again = t.stageAppend(Seq((4L, "c")).toDF("id", "u"))
+    t.publish(again.id): Unit
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    assert(t.currentSnapshot.get.deletes.size == 1)
+  }
+
+  test("publish conflicts on a rollback to a same-dirs state between stage and publish") {
+    val t = freshTable()
+    t.overwrite(Seq(1, 2).toDF("v"))
+    t.append(Seq(3).toDF("v"))
+    val staged = t.stageAppend(Seq(4).toDF("v"))
+    t.rollback(1L) // head moves; dirs of the head are a prefix — stage-time
+    // parent (id 2) is gone from the published line
+    intercept[PublishConflictException](t.publish(staged.id))
+  }
+
+  test("parent id round-trips metadata; legacy metadata parses with none") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    t.append(Seq(2).toDF("v"))
+    val reloaded = new SnapshotTable(t.root, t.fullName)
+    assert(reloaded.snapshots.map(_.parentId) == Seq(Some(0L), Some(1L)))
+    // legacy metadata predating parent_id still parses (None)
+    val legacy = freshTable()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(legacy.root))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacy.root, "metadata.json"),
+      """[{"id":1,"committed_at_ms":123,"operation":"overwrite","format":"parquet","row_count":0,"data_dirs":[]}]"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(legacy.snapshots.map(_.parentId) == Seq(None))
+  }
+
+  test("deleteWhere counts outside the lock; a conflicting append is recounted, not lost") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "u"))
+    SnapshotTable.backoffBaseMs = 1L
+    // the hook fires AFTER the unserialized count job, BEFORE the swap:
+    // inject a rival append (with a matching key!) into exactly that
+    // window — the CAS must fail, the count must be recomputed against
+    // the new head (whose dirs enter the delete's scope), and the final
+    // restated count must reflect both the rival's row and its deletion
+    var injected = false
+    SnapshotTable.beforeSwapHook = (table, _) =>
+      if (!injected && (table eq t)) {
+        injected = true
+        t.append(Seq((9L, "a"), (10L, "c")).toDF("id", "u")): Unit
+      }
+    try {
+      val snap = t.deleteWhere(Seq("a").toDF("u"), Seq("u"), numRetries = 2)
+      // base had 3 rows +2 appended = 5; keys 'a' remove ids 1, 3 AND the
+      // rival's 9 (the delete committed after the append, so the rival's
+      // dir is in scope — Iceberg sequence ordering)
+      assert(snap.rowCount == 2)
+      assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 10L))
+    } finally {
+      SnapshotTable.beforeSwapHook = (_, _) => ()
+      SnapshotTable.backoffBaseMs = 1000L
+    }
+  }
+
+  test("dynamic overwrite over delete-restated dirs records unknown, not understated, counts") {
+    val t = freshTable()
+    t.overwrite(Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k"), partitionCols = Seq("k"))
+    // the delete restates the total (3 -> 2: id=1 erased)
+    t.deleteWhere(Seq(1).toDF("id"), Seq("id"))
+    assert(t.currentSnapshot.get.rowCount == 2)
+    // a dynamic overwrite of partition a masks it on the carried dir; the
+    // sidecar says k=a holds 2 PHYSICAL rows, but one was already removed
+    // from the carried total by the delete — subtracting the sidecar
+    // count would record 2 - 2 + 1 = 1 (understating: k=b's row + the new
+    // row = 2). Unknown (-1) is the honest answer.
+    val snap = t.overwritePartitions(Seq((9, "a")).toDF("id", "k"), partitionCols = Seq("k"))
+    assert(snap.rowCount == -1L, s"expected unknown rowCount, got ${snap.rowCount}")
+    // the DATA stays correct regardless
+    assert(t.read(spark).select("id").as[Int].collect().sorted.toSeq == Seq(3, 9))
+  }
+
+  test("timestamp-partitioned sidecars key by Spark's dir rendering (no split entries)") {
+    import java.sql.Timestamp
+    val t = freshTable()
+    val ts = (s: String) => Timestamp.valueOf(s)
+    // java.sql.Timestamp.toString renders '…00:00:00.0'; the partition
+    // DIRECTORY is '…00%3A00%3A00' (no fractional part) — keys must use
+    // Spark's own rendering or stats split into files-only/rows-only rows
+    t.overwrite(Seq((1L, ts("2024-01-10 00:00:00")), (2L, ts("2024-01-10 00:00:00")),
+      (3L, ts("2024-01-11 12:30:00"))).toDF("id", "h"), partitionCols = Seq("h"))
+    val stats = t.partitionStats(spark)
+      .select("partition_path", "file_count", "row_count")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(stats.size == 2, s"split sidecar entries: $stats")
+    assert(stats.map(_._3) == Seq(2L, 1L), s"unknown row counts: $stats")
+    assert(stats.forall(_._2 >= 1), s"file-less entries: $stats")
+    assert(stats.map(_._1) == Seq("h=2024-01-10 00:00:00", "h=2024-01-11 12:30:00"))
+  }
+
+  test("compact derives the partition layout when the caller omits it") {
+    val t = freshTable()
+    (0 until 3).foreach { i =>
+      t.append(Seq((i * 2, "a"), (i * 2 + 1, "b")).toDF("id", "k"),
+        partitionCols = Seq("k")): Unit
+    }
+    assert(t.partitionColumns == Seq("k"))
+    val before = t.dataFileCount
+    t.compact(spark) // no partitionCols passed — must not flatten the layout
+    assert(t.dataFileCount < before)
+    // layout survives: partition stats still key by k, and a partition
+    // filter prunes to that partition's files only
+    val stats = t.partitionStats(spark)
+      .select("partition_path", "row_count").as[(String, Long)].collect().toMap
+    assert(stats == Map("k=a" -> 3L, "k=b" -> 3L))
+    val scanned = t.read(spark).filter($"k" === "a").queryExecution.executedPlan
+      .collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    assert(scanned == t.dataFileCount / 2,
+      s"partition filter should prune to half the files, scanned $scanned")
+    // unpartitioned tables still bin-pack via coalesce
+    val u = freshTable()
+    u.overwrite(Seq(1, 2, 3).toDF("v").repartition(3))
+    assert(u.partitionColumns.isEmpty)
+    u.compact(spark)
+    assert(u.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("readAsOf resolves the newest published snapshot at or before the timestamp") {
+    val t = freshTable()
+    val saved = SnapshotTable.clockMs
+    try {
+      SnapshotTable.clockMs = () => 1000L
+      t.overwrite(Seq(1).toDF("v"))
+      SnapshotTable.clockMs = () => 2000L
+      t.append(Seq(2).toDF("v"))
+      SnapshotTable.clockMs = () => 3000L
+      t.stageAppend(Seq(99).toDF("v")): Unit // staged: invisible to time travel
+      assert(t.readAsOf(spark, 1000L).as[Int].collect().toSeq == Seq(1))
+      assert(t.readAsOf(spark, 1500L).as[Int].collect().toSeq == Seq(1))
+      assert(t.readAsOf(spark, 2000L).as[Int].collect().sorted.toSeq == Seq(1, 2))
+      assert(t.readAsOf(spark, 9999L).as[Int].collect().sorted.toSeq == Seq(1, 2))
+      val e = intercept[NoSuchElementException](t.readAsOf(spark, 999L))
+      assert(e.getMessage.contains("at or before 999"))
+    } finally SnapshotTable.clockMs = saved
+  }
+
+  test("equality deletes survive a format-preserving compaction and format is per-table") {
+    // delete files are written and read with the table's format
+    // (SnapshotTable reads them via snap.format): pin that an orc table's
+    // deletes apply correctly and that compaction — which materializes
+    // the merged view — pays the delete debt in the same format
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "u"), format = "orc")
+    t.deleteWhere(Seq("a").toDF("u"), Seq("u"))
+    assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(2L))
+    val snap = t.compact(spark)
+    assert(snap.format == "orc" && snap.deletes.isEmpty)
+    assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
     import graft.source.SourceReader
     import graft.template.{ColumnDef, TableTemplate}
