@@ -659,6 +659,72 @@ object MetaQueries {
       doc = "partition-pruned read of a day-partitioned snapshot table " +
         "(hidden partitioning: predicate on the derived dir column)"),
 
+    "schema_evolution" -> QueryDef(
+      (s, dir) => {
+        // Iceberg schema evolution (docs/deep-dive.md:49-72 lists it as a
+        // metadata-layer pillar; sensors/schema_drift.py exists because
+        // live schemas change): a late batch arrives with a NEW column.
+        // The append evolves the table schema via stable field ids —
+        // metadata only, no rewrite of existing dirs; old rows read back
+        // null in the new column; the pre-evolution snapshot time-travels
+        // with the OLD schema; a metadata-only rename then re-labels the
+        // column with zero data I/O (the id, not the name, binds dirs).
+        val wh = freshWarehouse("schema_evolution")
+        val table = SnapshotTable(wh, "testdata", "events_evolving")
+        val events = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val cut = lit(EventsCut).cast("timestamp")
+        table.overwrite(events.filter(col("ts") < cut))
+        val batch = events.filter(col("ts") >= cut)
+          .withColumn("ingest_src",
+            concat(lit("src-"), (col("event_id") % 3).cast("string")))
+        val evolved = table.append(batch)
+        // the evolution was O(metadata): the base dir was not rewritten
+        require(evolved.dataDirs.head == table.snapshots.head.dataDirs.head,
+          "append-with-new-column must not rewrite existing dirs")
+        // pre-evolution snapshot keeps the old schema (time travel)
+        require(!table.readSnapshot(s, 1L).columns.contains("ingest_src"),
+          "pre-evolution snapshot must expose the old schema")
+        // metadata-only rename: same field id, new name, dirs untouched
+        val renamed = table.renameColumn(s, "ingest_src", "source")
+        require(renamed.operation == "schema" && renamed.dataDirs == evolved.dataDirs,
+          "rename must be a metadata-only commit")
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "source")
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type, value,
+              |  CASE WHEN ts >= TIMESTAMP '$EventsCut'
+              |       THEN 'src-' || CAST(event_id % 3 AS VARCHAR) END AS source
+              |FROM events""".stripMargin),
+      doc = "schema evolution: append-with-new-column evolves via stable field ids " +
+        "(metadata-only), old rows backfill null, time travel keeps old schemas, " +
+        "rename is a zero-I/O id relabel"),
+
+    "time_travel_timestamp" -> QueryDef(
+      (s, dir) => {
+        // FOR SYSTEM_TIME AS OF (Iceberg/Athena timestamp travel): resolve
+        // the newest snapshot committed at or before t. Commit times are
+        // injected through the clock seam so the query is deterministic.
+        val wh = freshWarehouse("time_travel_timestamp")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        val saved = SnapshotTable.clockMs
+        try {
+          SnapshotTable.clockMs = () => 1000L
+          TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+          SnapshotTable.clockMs = () => 2000L
+          TableSink.append(events.filter(col("ts") >= cut), t, table)
+        } finally SnapshotTable.clockMs = saved
+        // as-of t=1500: the append (committed at 2000) must not appear
+        table.readAsOf(s, 1500L)
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type
+              |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
+      doc = "time travel by timestamp (FOR SYSTEM_TIME AS OF): newest published " +
+        "snapshot committed at or before t, deterministic via the commit-clock seam"),
+
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {
         val wh = freshWarehouse("time_travel_as_of")

@@ -26,9 +26,10 @@ object SimilarityQueries {
     * assignCells. Generated per iteration count, ending in CTE
     * `a$iters` (final assignment).
     */
-  private[graft] def kmeansCte(k: Int, iters: Int): String = {
+  private[graft] def kmeansCte(k: Int, iters: Int, where: String = ""): String = {
+    val pred = if (where.isEmpty) "" else s" WHERE $where"
     val header =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$pred),
          |ex AS (SELECT vec_id, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
          |  FROM e, unnest(range(0, 64)) AS u(i)),
          |vn2 AS (SELECT vec_id, sum(x * x) AS vn2 FROM ex GROUP BY 1),
@@ -197,6 +198,114 @@ object SimilarityQueries {
          |  JOIN nrm cn ON ivfpq_adot.vec_id = cn.vec_id)""".stripMargin
     Seq(kmeansCte(nCells, iters), residual,
       pqTrainCte(m, codes, iters, base = "resid"), search).mkString(",\n")
+  }
+
+  /** DuckDB CTE chain replicating INCREMENTAL IVF-PQ maintenance
+    * (Similarity.ivfPqIndexPersist on the train split +
+    * Similarity.ivfPqIndexAppend of the batch split + persisted search):
+    * the full training chain runs over TRAIN ONLY; the batch is then
+    * coarse-assigned and residual-encoded against the trained (rounded)
+    * artifacts — the same pure-assignment math the append path runs —
+    * and search spans the combined index. Ends in
+    * `inc_ranked(query_id, vec_id, cos, rank)`.
+    */
+  private def ivfPqIncCte(
+      nCells: Int, m: Int, codes: Int, iters: Int,
+      nQueries: Int, nprobe: Int, batchPred: String): String = {
+    val subDim = 64 / m
+    val residual =
+      s"""ccb AS (SELECT a.cell, ex.pos, round(avg(ex.x), 6) AS c
+         |  FROM ex JOIN a$iters a USING (vec_id) GROUP BY 1, 2),
+         |resid AS (SELECT ex.vec_id, ex.pos, ex.x - cb.c AS x
+         |  FROM ex JOIN a$iters a USING (vec_id)
+         |  JOIN ccb cb ON cb.cell = a.cell AND cb.pos = ex.pos)""".stripMargin
+    val full =
+      s"""eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |exall AS (SELECT vec_id, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
+         |  FROM eall, unnest(range(0, 64)) AS u(i)),
+         |vn2all AS (SELECT vec_id, sum(x * x) AS vn2 FROM exall GROUP BY 1)""".stripMargin
+    // the batch's coarse assignment + residuals, against TRAINED rounded
+    // centroids (identical argmin/tie-break to Similarity.assignCells)
+    val batch =
+      s"""bex AS (SELECT vec_id, pos, x FROM exall WHERE $batchPred),
+         |bvn2 AS (SELECT vec_id, sum(x * x) AS vn2 FROM bex GROUP BY 1),
+         |ccn2 AS (SELECT cell, sum(c * c) AS cn2 FROM ccb GROUP BY 1),
+         |bdots AS (SELECT bex.vec_id, cb.cell, sum(bex.x * cb.c) AS vc
+         |  FROM bex JOIN ccb cb USING (pos) GROUP BY 1, 2),
+         |abatch AS (SELECT vec_id, cell FROM (
+         |  SELECT d.vec_id, d.cell,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.cell ASC) AS rn
+         |  FROM bdots d JOIN ccn2 c USING (cell) JOIN bvn2 v USING (vec_id))
+         |  WHERE rn = 1),
+         |bresid AS (SELECT bex.vec_id, bex.pos, bex.x - cb.c AS x
+         |  FROM bex JOIN abatch a USING (vec_id)
+         |  JOIN ccb cb ON cb.cell = a.cell AND cb.pos = bex.pos)""".stripMargin
+    // PQ-encode batch residuals against the TRAINED codebooks, one
+    // assignment per subspace (code plays the cell role)
+    val bsubs = (0 until m).map { s =>
+      val lo = s * subDim
+      s"""bex_b$s AS (SELECT vec_id, pos - $lo AS pos, x FROM bresid
+         |  WHERE pos >= $lo AND pos < ${lo + subDim}),
+         |bvn2_b$s AS (SELECT vec_id, sum(x * x) AS vn2 FROM bex_b$s GROUP BY 1),
+         |cbn2_b$s AS (SELECT code, sum(c * c) AS cn2 FROM cball WHERE sub = $s GROUP BY 1),
+         |bdots_b$s AS (SELECT bx.vec_id, cb.code, sum(bx.x * cb.c) AS vc
+         |  FROM bex_b$s bx
+         |  JOIN (SELECT code, spos, c FROM cball WHERE sub = $s) cb ON cb.spos = bx.pos
+         |  GROUP BY 1, 2),
+         |bcode_b$s AS (SELECT vec_id, $s AS sub, code FROM (
+         |  SELECT d.vec_id, d.code,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |      ORDER BY round(v.vn2 - 2 * d.vc + c.cn2, 6) ASC, d.code ASC) AS rn
+         |  FROM bdots_b$s d JOIN cbn2_b$s c USING (code) JOIN bvn2_b$s v USING (vec_id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val combined =
+      s"""bcodesall AS (${(0 until m).map(s => s"SELECT * FROM bcode_b$s").mkString(" UNION ALL ")}),
+         |aall AS (SELECT vec_id, cell FROM a$iters
+         |  UNION ALL SELECT vec_id, cell FROM abatch),
+         |codesall2 AS (SELECT * FROM codesall UNION ALL SELECT * FROM bcodesall)""".stripMargin
+    val search =
+      s"""qcdots AS (
+         |  SELECT ex.vec_id AS query_id, cb.cell, sum(ex.x * cb.c) AS vc
+         |  FROM exall ex JOIN ccb cb USING (pos)
+         |  WHERE ex.vec_id < $nQueries GROUP BY 1, 2),
+         |probe AS (SELECT query_id, cell, round(vc, 6) AS cdot FROM (
+         |  SELECT q.query_id, q.cell, q.vc,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(v.vn2 - 2 * q.vc + c.cn2, 6) ASC, q.cell ASC) AS rn
+         |  FROM qcdots q JOIN ccn2 c USING (cell)
+         |  JOIN vn2all v ON v.vec_id = q.query_id)
+         |  WHERE rn <= $nprobe),
+         |inc_lut AS (
+         |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         |    round(sum(q.x * cb.c), 6) AS pdot
+         |  FROM (SELECT vec_id, pos, x FROM exall WHERE vec_id < $nQueries) q
+         |  JOIN cball cb ON cb.sub = q.pos // $subDim AND cb.spos = q.pos % $subDim
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id, p.cdot
+         |  FROM probe p JOIN aall a USING (cell)
+         |  WHERE p.query_id <> a.vec_id),
+         |inc_adot AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    round(any_value(cand.cdot) + sum(l.pdot), 6) AS adot
+         |  FROM cand JOIN codesall2 c ON c.vec_id = cand.vec_id
+         |  JOIN inc_lut l ON l.query_id = cand.query_id
+         |    AND l.sub = c.sub AND l.code = c.code
+         |  GROUP BY 1, 2),
+         |nrmall AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exall GROUP BY 1),
+         |inc_ranked AS (
+         |  SELECT inc_adot.query_id, inc_adot.vec_id,
+         |    round(adot / (qn.nrm * cn.nrm), 4) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY inc_adot.query_id
+         |      ORDER BY round(adot / (qn.nrm * cn.nrm), 4) DESC, inc_adot.vec_id ASC) AS INT) AS rank
+         |  FROM inc_adot
+         |  JOIN nrmall qn ON inc_adot.query_id = qn.vec_id
+         |  JOIN nrmall cn ON inc_adot.vec_id = cn.vec_id)""".stripMargin
+    Seq(kmeansCte(nCells, iters, where = s"NOT ($batchPred)"), residual,
+      pqTrainCte(m, codes, iters, base = "resid"),
+      full, batch, bsubs, combined, search).mkString(",\n")
   }
 
   /** DuckDB CTE chain for the IVF pipeline, ending in
@@ -441,6 +550,33 @@ object SimilarityQueries {
               |WHERE rank <= 10""".stripMargin),
       doc = "IVF-PQ index persisted as snapshot tables (coarse/assign/codes/" +
         "codebook/norms) and served from storage: search loads artifacts, never retrains"),
+
+    "similarity_ivfpq_incremental" -> QueryDef(
+      (s, dir) => {
+        // production index maintenance: the index is TRAINED once on the
+        // existing corpus and daily deltas are folded in with ZERO
+        // retraining (FAISS add-to-trained-index). Train split = corpus
+        // minus the batch; the batch is coarse-assigned + residual-
+        // encoded against the trained artifacts and appended as three
+        // O(batch) commits; search spans the combined index. The oracle
+        // replicates train-only training plus the batch's assignment
+        // math exactly; a spec pins zero Lloyd runs on the append path.
+        val emb = tbl(s, dir, "embeddings")
+        val batchPred = col("vec_id") % 83 === 7
+        val wh = MetaQueries.freshWarehouse("similarity_ivfpq_incremental")
+        Similarity.ivfPqIndexPersist(emb.filter(!batchPred), wh,
+          nCells = 8, m = 4, codes = 8, iters = 2, dims = 64)
+        Similarity.ivfPqIndexAppend(emb.filter(batchPred), wh, m = 4, dims = 64)
+        Similarity.ivfPqTopKPersisted(emb.filter(col("vec_id") < 5), wh,
+          k = 10, nprobe = 2, m = 4, dims = 64)
+      },
+      Some(s"""WITH ${ivfPqIncCte(nCells = 8, m = 4, codes = 8, iters = 2,
+               nQueries = 5, nprobe = 2, batchPred = "vec_id % 83 = 7")}
+              |SELECT query_id, vec_id, cos, rank FROM inc_ranked
+              |WHERE rank <= 10""".stripMargin),
+      doc = "incremental IVF-PQ maintenance: delta batch coarse-assigned + " +
+        "residual-encoded against the EXISTING trained artifacts (zero Lloyd " +
+        "runs), appended as O(batch) commits; search spans the combined index"),
 
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's

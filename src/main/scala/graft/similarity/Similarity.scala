@@ -475,6 +475,56 @@ object Similarity {
     SnapshotTable(warehouse, "ann", "ivfpq_norms").overwrite(cnorms)
   }
 
+  /** Incremental index maintenance (`similarity_ivfpq_incremental`):
+    * fold a delta batch into a persisted IVF-PQ index with ZERO
+    * training — the production steady state (FAISS `add` on a trained
+    * `IndexIVFPQ`): indexes are trained rarely and ingest deltas daily.
+    * The batch is coarse-assigned against the EXISTING rounded
+    * centroids, residual-encoded against the EXISTING codebooks (both
+    * pure assignment passes: one broadcast argmin each, O(batch) rows
+    * moved), and the three per-vector artifact tables grow by one
+    * O(batch) append commit each — the centroid/codebook tables are
+    * untouched, and [[lloydRuns]] stays flat (spec-pinned).
+    *
+    * Assignment semantics match a full rebuild's SEARCH-time behavior
+    * (nearest rounded centroid, round(d2, 6) + index-asc tie-break);
+    * training-time assignments may differ at cell boundaries — the
+    * usual ANN contract (recall, not bit-identity, is the metric), and
+    * the registry oracle replicates THIS path exactly.
+    */
+  def ivfPqIndexAppend(
+      newVectors: DataFrame, warehouse: String, m: Int, dims: Int): Unit = {
+    require(m > 0 && dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    import graft.sink.SnapshotTable
+    val spark = newVectors.sparkSession
+    val subDim = dims / m
+    val coarseCents = SnapshotTable(warehouse, "ann", "ivfpq_coarse").read(spark)
+    val residCodebook = SnapshotTable(warehouse, "ann", "ivfpq_codebook").read(spark)
+    val be = exploded(newVectors, "vec_id", "vec_id")
+    // nearest EXISTING cell per batch vector — no training
+    val batchAssign = assignCells(be, "vec_id", coarseCents)
+    // residuals vs the assigned (stored, rounded) centroids
+    val resid = residualCorpus(newVectors, batchAssign, coarseCents)
+    // PQ-encode residuals against the EXISTING per-subspace codebooks:
+    // each codebook re-shaped to the (cell, pos, c) centroid form is an
+    // assignment target like any other
+    val batchCodes = (0 until m).map { s =>
+      val subCents = residCodebook.filter(col("sub") === s)
+        .select(col("code").as("cell"), col("spos").as("pos"), col("c"))
+      val se = resid.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      assignCells(exploded(se, "vec_id", "vec_id"), "vec_id", subCents)
+        .select(col("vec_id"), lit(s).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+    val bnorms = norms(be, "vec_id").select(col("vec_id"), col("nrm").as("cnrm"))
+    // three O(batch) append commits; coarse + codebook tables untouched
+    SnapshotTable(warehouse, "ann", "ivfpq_assign")
+      .append(batchAssign, sortCols = Seq(col("cell").asc)): Unit
+    SnapshotTable(warehouse, "ann", "ivfpq_codes")
+      .append(batchCodes, sortCols = Seq(col("sub").asc, col("code").asc)): Unit
+    SnapshotTable(warehouse, "ann", "ivfpq_norms").append(bnorms): Unit
+  }
+
   /** `similarity_ivfpq_persisted`: IVF-PQ search served entirely from a
     * persisted index — zero Lloyd training on the read path (spec-pinned
     * via [[lloydRuns]]); bit-identical to the inline build (the

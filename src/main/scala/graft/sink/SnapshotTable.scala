@@ -65,8 +65,25 @@ final case class Snapshot(
     // delete, a rollback to a same-dirs state), and flipping a staged
     // snapshot across one would silently restate the pre-delete counts
     // and drop the delete (GDPR-erased rows resurrected).
-    parentId: Option[Long] = None
+    parentId: Option[Long] = None,
+    // table schema AT THIS SNAPSHOT: stable field ids + current names +
+    // Spark DDL types (Iceberg's schema-per-snapshot). Reads project
+    // every data dir to this schema — columns a dir predates backfill as
+    // null, dropped columns disappear, renames resolve via the id. Nil =
+    // legacy metadata predating schema tracking (reads fall back to the
+    // strict by-name union).
+    cols: Seq[TableColumn] = Nil,
+    // Iceberg's last-column-id high-watermark, carried monotonically:
+    // field ids are NEVER reused, so dropping a column and re-adding its
+    // name yields a FRESH id and old dirs' data cannot resurrect — even
+    // after history expiry erases every snapshot that knew the old id.
+    lastColumnId: Int = 0
 )
+
+/** One table column at a snapshot: a stable field id (never reused over
+  * the table's lifetime), its current name, and its Spark DDL type.
+  */
+final case class TableColumn(id: Int, name: String, dataType: String)
 
 /** One equality-delete file: `dir` holds the distinct key tuples,
   * `keys` names the equality columns, `applies` scopes it to the data
@@ -134,7 +151,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val snap = snapshots.find(_.id == snapshotId).getOrElse(
       throw new NoSuchElementException(
         s"Table $fullName has no snapshot $snapshotId (available: ${snapshots.map(_.id).mkString(", ")})"))
-    if (snap.dataDirs.isEmpty) spark.emptyDataFrame
+    if (snap.dataDirs.isEmpty) emptyWithSchema(spark, snap)
     else
       // one read per committed dir, unioned — multi-root partition
       // discovery would reject sibling partitioned directories
@@ -143,21 +160,65 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // partition mask get a NOT-masked predicate on the partition
       // columns, which partition pruning resolves at planning — the
       // masked directories are skipped, not scanned-and-filtered.
-      snap.dataDirs.map { d =>
-        val base = spark.read.format(snap.format).load(d)
-        val masked = snap.maskedDirs.get(d).filter(_.nonEmpty)
-          .map(mask => base.filter(maskFilter(mask)))
-          .getOrElse(base)
-        // merge-on-read: anti-join each equality-delete file scoped to
-        // this dir (delete files are key tuples — tiny, broadcast); data
-        // appended after the delete is out of scope by construction
-        snap.deletes.filter(_.applies.contains(d)).foldLeft(masked) { (df, del) =>
-          import org.apache.spark.sql.functions.broadcast
-          df.join(broadcast(spark.read.format(snap.format).load(del.dir)),
-            del.keys, "left_anti")
-        }
-      }.reduce(_ unionByName _)
+      snap.dataDirs.map(readDir(spark, snap, _)).reduce(_ unionByName _)
   }
+
+  /** One dir of `snap`, masked, projected to the snapshot schema, with
+    * the dir-scoped equality deletes applied.
+    */
+  private def readDir(spark: SparkSession, snap: Snapshot, d: String): DataFrame = {
+    val base = spark.read.format(snap.format).load(d)
+    val masked = snap.maskedDirs.get(d).filter(_.nonEmpty)
+      .map(mask => base.filter(maskFilter(mask)))
+      .getOrElse(base)
+    // schema evolution: project the dir's PHYSICAL columns (resolved by
+    // field id via the dir's schema sidecar) to the snapshot schema —
+    // columns the dir predates backfill as null, dropped columns vanish,
+    // renames alias. Same-type projections are cast-free, so pushdown
+    // and partition pruning are unaffected; the mask filter above runs
+    // on physical names (partition dirs never rename — enforced).
+    val projected = projectTo(masked, snap.cols, dirColumnMapping(d, snap.cols))
+    // merge-on-read: anti-join each equality-delete file scoped to
+    // this dir (delete files are key tuples — tiny, broadcast); data
+    // appended after the delete is out of scope by construction.
+    // Delete keys are delete-time column names; renaming an active
+    // delete's key column is rejected, so they match current names.
+    snap.deletes.filter(_.applies.contains(d)).foldLeft(projected) { (df, del) =>
+      import org.apache.spark.sql.functions.broadcast
+      df.join(broadcast(spark.read.format(snap.format).load(del.dir)),
+        del.keys, "left_anti")
+    }
+  }
+
+  private def emptyWithSchema(spark: SparkSession, snap: Snapshot): DataFrame =
+    if (snap.cols.isEmpty) spark.emptyDataFrame
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(snap.cols.map(c =>
+        org.apache.spark.sql.types.StructField(
+          c.name, org.apache.spark.sql.types.DataType.fromDDL(c.dataType)))))
+
+  /** Project `df` to the snapshot schema `cols`, resolving each field id
+    * to its physical column via `mapping`. No-op for legacy snapshots
+    * (empty cols). Same-type references skip the cast entirely so the
+    * projection never blocks filter pushdown or partition pruning.
+    */
+  private def projectTo(
+      df: DataFrame, cols: Seq[TableColumn], mapping: Map[Int, String]): DataFrame =
+    if (cols.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val present = df.columns.toSet
+      df.select(cols.map { c =>
+        val t = org.apache.spark.sql.types.DataType.fromDDL(c.dataType)
+        mapping.get(c.id).filter(present.contains) match {
+          case Some(phys) =>
+            val base = col(phys)
+            (if (df.schema(phys).dataType == t) base else base.cast(t)).as(c.name)
+          case None => lit(null).cast(t).as(c.name)
+        }
+      }: _*)
+    }
 
   /** Equality delete (Iceberg v2 merge-on-read) — the GDPR / right-to-be-
     * forgotten primitive a training-data lake needs: erase every row whose
@@ -213,9 +274,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
           Left(CommitConflictException(fullName, Some(cur.id), head.map(_.id)))
         else {
           val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
-          val snap = Snapshot(id, SnapshotTable.clockMs(), "delete",
-            cur.dataDirs, cur.format, total, cur.maskedDirs, staged = false,
-            cur.deletes :+ EqualityDelete(delDir, keyCols, cur.dataDirs),
+          // cur.copy: dirs, format, masks, SCHEMA and watermark all carry
+          val snap = cur.copy(id = id, committedAtMs = SnapshotTable.clockMs(),
+            operation = "delete", rowCount = total, staged = false,
+            deletes = cur.deletes :+ EqualityDelete(delDir, keyCols, cur.dataDirs),
             parentId = Some(cur.id))
           writeMetadata(prev :+ snap)
           Audit.log("table_write", fullName, Map(
@@ -287,10 +349,16 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // schema — a schema-less empty frame would crash downstream
       // consumers (select on named columns) instead of processing 0 rows
       to.dataDirs.headOption match {
-        case Some(d) => spark.read.format(to.format).load(d).limit(0)
-        case None    => spark.emptyDataFrame // table has never held data
+        case Some(d) =>
+          projectTo(spark.read.format(to.format).load(d),
+            to.cols, dirColumnMapping(d, to.cols)).limit(0)
+        case None => emptyWithSchema(spark, to) // table has never held data
       }
-    else delta.map(spark.read.format(to.format).load(_)).reduce(_ unionByName _)
+    else
+      // each delta dir projected to the TO snapshot's schema, so the
+      // changelog consumer sees one stable shape across evolution
+      delta.map(d => projectTo(spark.read.format(to.format).load(d),
+        to.cols, dirColumnMapping(d, to.cols))).reduce(_ unionByName _)
   }
 
   /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
@@ -660,12 +728,17 @@ final class SnapshotTable(val root: String, val fullName: String) {
       if (dynamicReplace) readPartitionSidecar(dataDir).map(_._1).filter(_.nonEmpty)
       else Nil
 
+    // the written schema (name -> DDL type), the input to field-id
+    // resolution at swap time (the head may change across retries)
+    val writeSchema: Seq[(String, String)] =
+      df.schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+
     var expectedParent = base
     var attempt = 0
     while (true) {
       SnapshotTable.beforeSwapHook(this, attempt)
       trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format, replaced,
-        stageOnly) match {
+        stageOnly, writeSchema) match {
         case Right(snap) =>
           Audit.log("table_write", fullName, Map(
             "operation" -> op, "snapshot_id" -> snap.id.toString,
@@ -701,7 +774,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       carryPrevious: Boolean,
       format: String,
       replaced: Seq[String],
-      stageOnly: Boolean): Either[CommitConflictException, Snapshot] =
+      stageOnly: Boolean,
+      writeSchema: Seq[(String, String)]): Either[CommitConflictException, Snapshot] =
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
       // commits CAS against (and carry from) the PUBLISHED head: staged
@@ -765,17 +839,159 @@ final class SnapshotTable(val root: String, val fullName: String) {
           if (carriedRows < 0 || removedRows < 0) -1L
           else carriedRows - removedRows + newRows
         val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+        // schema continuity (Iceberg field ids): columns resolve ids by
+        // NAME against the head; genuinely new columns draw fresh ids
+        // from the never-reused watermark. An append MERGES the head
+        // schema with the batch's (new columns evolve in, columns the
+        // batch omits stay — old dirs backfill null either way); an
+        // overwrite/replace adopts the batch's schema outright, ids kept
+        // stable for surviving names.
+        val headCols = head.map(_.cols).getOrElse(Nil)
+        val watermark0 = (Seq(head.map(_.lastColumnId).getOrElse(0)) ++
+          prev.flatMap(_.cols.map(_.id))).max
+        var nextId = watermark0
+        val byName = headCols.map(c => c.name -> c).toMap
+        val dfCols: Seq[TableColumn] = writeSchema.map { case (n, t) =>
+          byName.get(n) match {
+            case Some(c) => TableColumn(c.id, n, c.dataType)
+            case None    => nextId += 1; TableColumn(nextId, n, t)
+          }
+        }
+        val cols =
+          if (!carryPrevious || headCols.isEmpty) dfCols
+          else headCols ++ dfCols.filterNot(c => byName.contains(c.name))
+        // the dir's name mapping records what was PHYSICALLY written:
+        // the batch's columns under the ids just resolved
+        writeColumnsSidecar(dataDir, dfCols)
         // deletes carry forward with their dirs: dropping one on append
         // would resurrect erased rows. The new dir is NOT in any delete's
         // applies set — appended data is out of the deletes' scope.
         val snap = Snapshot(id, SnapshotTable.clockMs(), op,
           carryForward :+ dataDir, format, total, masks, staged = stageOnly,
           deletes = carriedDeletes0,
-          parentId = Some(actualParent.getOrElse(0L)))
+          parentId = Some(actualParent.getOrElse(0L)),
+          cols = cols,
+          lastColumnId = math.max(watermark0, nextId))
         writeMetadata(prev :+ snap)
         Right(snap)
       }
     }
+
+  // ------------------------------------------------------------------
+  // schema evolution (Iceberg metadata-only add / rename / drop)
+  // ------------------------------------------------------------------
+
+  /** Table schema at the published head (field id, name, DDL type).
+    * Nil for a legacy table that predates schema tracking.
+    */
+  def schema: Seq[TableColumn] = requireCurrent.cols
+
+  /** Add a column as a METADATA-ONLY commit: no data file is touched,
+    * existing rows read back null in the new column (Iceberg
+    * `ALTER TABLE ADD COLUMN` semantics). The id is fresh — never
+    * recycled — per the last-column-id watermark.
+    */
+  def addColumn(spark: SparkSession, name: String, dataTypeDdl: String): Snapshot = {
+    org.apache.spark.sql.types.DataType.fromDDL(dataTypeDdl) // validate early
+    schemaCommit(spark) { (cols, nextId) =>
+      require(!cols.exists(_.name == name),
+        s"column $name already exists on $fullName")
+      cols :+ TableColumn(nextId, name, dataTypeDdl)
+    }
+  }
+
+  /** Rename a column, metadata-only: the field id is stable, so every
+    * existing dir keeps serving its physical column under the new name.
+    * Rejected for physical partition columns (their directory paths and
+    * masks carry the name) and for key columns of active equality
+    * deletes (delete files store key NAMES; compact first).
+    */
+  def renameColumn(spark: SparkSession, from: String, to: String): Snapshot =
+    schemaCommit(spark) { (cols, _) =>
+      require(cols.exists(_.name == from), s"no column $from on $fullName")
+      require(!cols.exists(_.name == to),
+        s"column $to already exists on $fullName")
+      require(!partitionColumns.contains(from),
+        s"cannot rename partition column $from of $fullName: partition " +
+          "directory paths and masks are keyed by name")
+      require(!currentSnapshot.exists(_.deletes.exists(_.keys.contains(from))),
+        s"column $from keys an active equality delete on $fullName; " +
+          "compact (which applies deletes physically) before renaming")
+      cols.map(c => if (c.name == from) c.copy(name = to) else c)
+    }
+
+  /** Drop a column, metadata-only: data files keep the bytes, reads stop
+    * projecting them. Re-adding the same NAME later yields a fresh field
+    * id, so the old bytes can never resurrect under the new column.
+    */
+  def dropColumn(spark: SparkSession, name: String): Snapshot =
+    schemaCommit(spark) { (cols, _) =>
+      require(cols.exists(_.name == name), s"no column $name on $fullName")
+      require(cols.size > 1, s"cannot drop the last column of $fullName")
+      require(!partitionColumns.contains(name),
+        s"cannot drop partition column $name of $fullName: the physical " +
+          "layout is keyed by it (rewrite via compact with a new layout)")
+      cols.filterNot(_.name == name)
+    }
+
+  /** One metadata-only schema commit under the table lock: resolve the
+    * head's columns (deriving ids once for a legacy table), apply `f`,
+    * append an `operation = "schema"` snapshot carrying the head's data
+    * unchanged. Zero data I/O.
+    */
+  private def schemaCommit(spark: SparkSession)(
+      f: (Seq[TableColumn], Int) => Seq[TableColumn]): Snapshot =
+    SnapshotTable.commitLock(root).synchronized {
+      val all = snapshots
+      val cur = all.filterNot(_.staged).lastOption.getOrElse(requireCurrent)
+      val base =
+        if (cur.cols.nonEmpty) cur.cols
+        else
+          // legacy table: derive ids 1..n from the current merged schema
+          // (one driver-side footer read); old dirs have no sidecar and
+          // resolve by name, which is exactly their legacy behavior
+          readSnapshot(spark, cur.id).schema.fields.zipWithIndex.map {
+            case (fld, i) => TableColumn(i + 1, fld.name, fld.dataType.sql)
+          }.toSeq
+      val watermark = (Seq(cur.lastColumnId) ++ base.map(_.id) ++
+        all.flatMap(_.cols.map(_.id))).max
+      val updated = f(base, watermark + 1)
+      val id = all.map(_.id).maxOption.getOrElse(0L) + 1
+      val snap = cur.copy(
+        id = id, committedAtMs = SnapshotTable.clockMs(), operation = "schema",
+        staged = false, parentId = Some(cur.id), cols = updated,
+        lastColumnId = (watermark +: updated.map(_.id)).max)
+      writeMetadata(all :+ snap)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "schema", "snapshot_id" -> id.toString))
+      snap
+    }
+
+  private def columnsSidecarPath(dataDir: String) =
+    Paths.get(dataDir, ".graft-columns.json")
+
+  /** Record the field-id -> physical-name mapping of a freshly written
+    * dir (the Iceberg name-mapping role), beside the immutable data.
+    */
+  private def writeColumnsSidecar(dataDir: String, cols: Seq[TableColumn]): Unit = {
+    val json = cols.map(c => s"""{"id":${c.id},"name":"${jsonEscape(c.name)}"}""")
+      .mkString("[", ",", "]")
+    Files.write(columnsSidecarPath(dataDir), json.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Field-id -> physical-column-name mapping recorded when `dataDir`
+    * was written; a dir predating the sidecar resolves every id by its
+    * CURRENT name (legacy by-name semantics).
+    */
+  private def dirColumnMapping(dataDir: String, cols: Seq[TableColumn]): Map[Int, String] = {
+    if (cols.isEmpty) return Map.empty
+    val p = columnsSidecarPath(dataDir)
+    if (Files.exists(p)) {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val re = """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)"\}""".r
+      re.findAllMatchIn(json).map(m => m.group(1).toInt -> jsonUnescape(m.group(2))).toMap
+    } else cols.map(c => c.id -> c.name).toMap
+  }
 
   private def sidecarPath(dataDir: String) =
     Paths.get(dataDir, ".graft-partitions.json")
@@ -874,6 +1090,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
           s""""masked_dirs":$entries,"""
         }
       val parent = s.parentId.map(p => s""""parent_id":$p,""").getOrElse("")
+      val lastCol =
+        if (s.lastColumnId > 0) s""""last_column_id":${s.lastColumnId},""" else ""
+      val colsJson =
+        if (s.cols.isEmpty) ""
+        else s.cols.map(c =>
+          s"""{"id":${c.id},"name":"${jsonEscape(c.name)}","type":"${jsonEscape(c.dataType)}"}""")
+          .mkString(""""cols":[""", ",", "],")
       val staged = if (s.staged) """"staged":true,""" else ""
       val dels =
         if (s.deletes.isEmpty) ""
@@ -885,7 +1108,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           }.mkString("[", ",", "]")
           s""""deletes":$entries,"""
         }
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$parent$staged$masked$dels"data_dirs":$dirs}"""
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$parent$lastCol$colsJson$staged$masked$dels"data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -898,7 +1121,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // "format", "row_count" and "masked_dirs" are optional on read:
     // metadata written before each field existed defaults to parquet /
     // unknown (-1) / no masks
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"parent_id":(-?\d+),)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"parent_id":(-?\d+),)?(?:"last_column_id":(\d+),)?(?:"cols":\[(.*?)\],)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
     // tokenize JSON string elements properly: a naive split on "," eats
     // the escaped quote of an element ENDING in \" (caught by
     // MetadataRoundTripProps) — match balanced escaped strings instead
@@ -907,25 +1130,33 @@ final class SnapshotTable(val root: String, val fullName: String) {
       if (arr.isEmpty) Nil
       else strRe.findAllMatchIn(arr).map(sm => jsonUnescape(sm.group(1))).toSeq
     snapRe.findAllMatchIn(json).map { m =>
-      val masked = Option(m.group(8)).map { content =>
+      val cols = Option(m.group(8)).map { content =>
+        val colRe = """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)","type":"((?:[^"\\]|\\.)*)"\}""".r
+        colRe.findAllMatchIn(content).map { cm =>
+          TableColumn(cm.group(1).toInt, jsonUnescape(cm.group(2)), jsonUnescape(cm.group(3)))
+        }.toSeq
+      }.getOrElse(Nil)
+      val masked = Option(m.group(10)).map { content =>
         val entryRe = """"((?:[^"\\]|\\.)*)":\[(.*?)\]""".r
         entryRe.findAllMatchIn(content).map { em =>
           jsonUnescape(em.group(1)) -> strs(em.group(2))
         }.toMap
       }.getOrElse(Map.empty[String, Seq[String]])
-      val deletes = Option(m.group(9)).map { content =>
+      val deletes = Option(m.group(11)).map { content =>
         val delRe = """\{"dir":"((?:[^"\\]|\\.)*)","keys":\[(.*?)\],"applies":\[(.*?)\]\}""".r
         delRe.findAllMatchIn(content).map { dm =>
           EqualityDelete(jsonUnescape(dm.group(1)), strs(dm.group(2)), strs(dm.group(3)))
         }.toSeq
       }.getOrElse(Nil)
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(10)),
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(12)),
         Option(m.group(4)).getOrElse("parquet"),
         Option(m.group(5)).map(_.toLong).getOrElse(-1L),
         masked,
-        staged = m.group(7) != null,
+        staged = m.group(9) != null,
         deletes = deletes,
-        parentId = Option(m.group(6)).map(_.toLong))
+        parentId = Option(m.group(6)).map(_.toLong),
+        cols = cols,
+        lastColumnId = Option(m.group(7)).map(_.toInt).getOrElse(0))
     }.toSeq
   }
 

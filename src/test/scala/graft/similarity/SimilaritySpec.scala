@@ -208,6 +208,58 @@ class SimilaritySpec extends SparkSpec {
     assert(served == inline, "served results must equal the inline build")
   }
 
+  test("incremental IVF-PQ append folds a batch in with ZERO training runs") {
+    val rnd = new scala.util.Random(13)
+    val axes = Seq(
+      Seq(1.0, 0.4, 0.0, 0.0), Seq(0.4, 1.0, 0.0, 0.0), Seq(0.2, 0.6, 0.8, 0.2))
+    val rows = (0 until 40).map { i =>
+      val a = axes(i % 3)
+      (i.toLong, a.map(x => (x + rnd.nextGaussian() * 0.8).toFloat))
+    }
+    // vec 36 (in the delta) is a near-copy of query 0: after the append
+    // it must surface in query 0's top-k — the "new duplicate arrives"
+    // scenario an incremental dedup/search pipeline exists to catch
+    val nearDup = rows.map {
+      case (36L, _) => (36L, rows.head._2.map(x => x + 0.001f))
+      case r => r
+    }
+    val corpus = nearDup.toDF("vec_id", "embedding")
+    val batch = corpus.filter($"vec_id" >= 36) // the daily delta
+    val train = corpus.filter($"vec_id" < 36)
+    val queries = corpus.filter($"vec_id" < 3)
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    Similarity.ivfPqIndexPersist(train, wh,
+      nCells = 3, m = 2, codes = 8, iters = 2, dims = 4)
+    Similarity.clearCaches() // append must use the STORED artifacts
+    val before = Similarity.lloydRuns.get()
+    Similarity.ivfPqIndexAppend(batch, wh, m = 2, dims = 4)
+    assert(Similarity.lloydRuns.get() == before,
+      "append path must never train — that is its entire point")
+    // the per-vector tables grew by O(batch); the trained artifacts
+    // (centroids, codebooks) were not even re-committed
+    import graft.sink.SnapshotTable
+    def snaps(t: String) = SnapshotTable(wh, "ann", t).snapshots.size
+    assert(snaps("ivfpq_assign") == 2 && snaps("ivfpq_codes") == 2 &&
+      snaps("ivfpq_norms") == 2, "per-vector tables take one append commit each")
+    assert(snaps("ivfpq_coarse") == 1 && snaps("ivfpq_codebook") == 1,
+      "trained artifacts must stay untouched")
+    assert(SnapshotTable(wh, "ann", "ivfpq_assign").read(spark).count() == 40)
+    assert(SnapshotTable(wh, "ann", "ivfpq_codes").read(spark).count() == 80) // m=2 per vec
+    // the appended vectors are now searchable: every query gets full
+    // result lists over the COMBINED corpus, and the near-duplicate
+    // scores well despite m=2/8-code quantization (ADC approximates —
+    // top-10, not necessarily rank 1: the quantizer's granularity caps
+    // how far a near-dup separates from same-cell train vectors)
+    val served = Similarity.ivfPqTopKPersisted(queries, wh,
+      k = 10, nprobe = 3, m = 2, dims = 4).collect()
+    assert(Similarity.lloydRuns.get() == before, "search must not train either")
+    val perQuery = served.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 10), s"short result lists: ${perQuery.toMap}")
+    val q0 = served.filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("vec_id"))
+    assert(q0.contains(36L),
+      s"query 0's near-duplicate (appended vec 36) must surface in its top-10, got ${q0.toSeq}")
+  }
+
   test("PQ codebooks train once per subspace and are cache-served after") {
     Similarity.clearCaches()
     val before = Similarity.lloydRuns.get()

@@ -38,7 +38,13 @@ object MetadataRoundTripProps extends Properties("SnapshotMetadata") {
       Gen.oneOf(dirs), Gen.nonEmptyListOf(trickyStr).map(_.take(2)))).map(_.take(2))
     dels <- Gen.listOf(genDelete).map(_.take(2))
     parent <- Gen.oneOf(Gen.const(None), Gen.choose(0L, 1000L).map(Some(_)))
-  } yield Snapshot(id, ts, op, dirs, format, rows, masked, staged, dels, parent)
+    cols <- Gen.listOf(for {
+      cid <- Gen.choose(1, 50)
+      name <- trickyStr
+      tpe <- Gen.oneOf("BIGINT", "STRING", "DOUBLE", "DECIMAL(18,2)", "ARRAY<FLOAT>")
+    } yield TableColumn(cid, name, tpe)).map(_.take(4))
+  } yield Snapshot(id, ts, op, dirs, format, rows, masked, staged, dels, parent,
+    cols, lastColumnId = cols.map(_.id).maxOption.getOrElse(0))
 
   property("write -> parse round-trips every field bit-exactly") =
     Prop.forAll(Gen.nonEmptyListOf(genSnapshot).map(_.take(5))) { snaps0 =>
