@@ -565,13 +565,16 @@ object MetaQueries {
         // row counts, served from commit-time stats sidecars — a pure
         // metadata read (the listing plans NO file source; the require
         // below pins it). Two commits (overwrite + append) prove stats
-        // merge across snapshot dirs.
+        // merge across snapshot dirs. The SUBJECT is the metadata
+        // listing, not the write: the fixture commits a narrow
+        // two-column projection so the bench measures the operator, not
+        // a wide partitioned rewrite of the fact table.
         val wh = freshWarehouse("table_partitions")
-        val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
+        val table = SnapshotTable(wh, "testdata", "events_partstats")
         val ev = tbl(s, dir, "events")
-        TableSink.overwrite(ev.filter(col("event_id") % 2 === 0), t, table)
-        TableSink.append(ev.filter(col("event_id") % 2 === 1), t, table)
+          .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+        table.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+        table.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
         val stats = table.partitionStats(s)
         require(!stats.queryExecution.optimizedPlan.exists(
           _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
