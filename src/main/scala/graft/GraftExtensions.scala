@@ -61,5 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CountIn(args.head, values)
       }))
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
+    // SQL front door: inline resolved graft-catalog relations into the
+    // native SnapshotTable scan plan (see GraftSqlInlineRule) so
+    // `SELECT ... FROM graft.ns.t [VERSION|TIMESTAMP AS OF ...]` plans
+    // identically to the Scala API read
+    ext.injectResolutionRule(session => new graft.catalog.GraftSqlInlineRule(session))
   }
 }

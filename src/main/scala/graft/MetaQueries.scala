@@ -702,6 +702,36 @@ object MetaQueries {
         "(metadata-only), old rows backfill null, time travel keeps old schemas, " +
         "rename is a zero-I/O id relabel"),
 
+    "schema_promote" -> QueryDef(
+      (s, dir) => {
+        // Iceberg type promotion (the evolution pillar's widening rules):
+        // a column written as INT is widened to BIGINT with a METADATA-
+        // ONLY commit — existing dirs keep their physical int bytes and
+        // upcast losslessly at read; the next append then writes values
+        // beyond int range. Narrowing is rejected (spec-pinned).
+        val wh = freshWarehouse("schema_promote")
+        val table = SnapshotTable(wh, "testdata", "events_promote")
+        val events = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        val cut = lit(EventsCut).cast("timestamp")
+        table.overwrite(events.filter(col("ts") < cut)
+          .withColumn("amount", (col("event_id") % 1000).cast("int")))
+        val promoted = table.updateColumnType(s, "amount", "BIGINT")
+        require(promoted.operation == "schema" &&
+          promoted.dataDirs == table.snapshots.head.dataDirs,
+          "type promotion must be a metadata-only commit")
+        table.append(events.filter(col("ts") >= cut)
+          .withColumn("amount", col("event_id").cast("long") * 100000000000L))
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "amount")
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type,
+              |  CASE WHEN ts < TIMESTAMP '$EventsCut'
+              |       THEN CAST(event_id % 1000 AS BIGINT)
+              |       ELSE CAST(event_id AS BIGINT) * 100000000000 END AS amount
+              |FROM events""".stripMargin),
+      doc = "schema type promotion: int -> bigint widening as a metadata-only " +
+        "commit; old dirs upcast losslessly, post-promotion appends exceed int range"),
+
     "time_travel_timestamp" -> QueryDef(
       (s, dir) => {
         // FOR SYSTEM_TIME AS OF (Iceberg/Athena timestamp travel): resolve
@@ -727,6 +757,64 @@ object MetaQueries {
               |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
       doc = "time travel by timestamp (FOR SYSTEM_TIME AS OF): newest published " +
         "snapshot committed at or before t, deterministic via the commit-clock seam"),
+
+    "sql_table_read" -> QueryDef(
+      (s, dir) => {
+        // the reference's PRIMARY read entry point is SQL over the
+        // lakehouse catalog (docs/architecture.md:78,109): register the
+        // graft DSv2 catalog and read a snapshot table from plain SQL.
+        // The partition-column predicate prunes at planning exactly as
+        // in the Scala API (the extension rule inlines the native scan
+        // plan; PlanSpec pins the pruned file count through this path).
+        val wh = freshWarehouse("sql_table_read")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""SELECT event_id, ts, user_id, event_type
+                |FROM graft.testdata.events
+                |WHERE ts_day BETWEEN DATE '2024-01-05' AND DATE '2024-01-06'""".stripMargin)
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-06'""".stripMargin),
+      doc = "SQL catalog read (spark.sql over the graft DSv2 TableCatalog): " +
+        "SELECT ... FROM graft.ns.table with partition pruning intact"),
+
+    "sql_time_travel" -> QueryDef(
+      (s, dir) => {
+        // the reference pre-provisions SQL time-travel queries
+        // (aws/modules/athena/main.tf:48-67): both syntaxes resolve
+        // through the catalog's loadTable(ident, version|timestamp)
+        // hooks. Commit times are injected via the clock seam, so the
+        // TIMESTAMP AS OF literal is deterministic.
+        val wh = freshWarehouse("sql_time_travel")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        val saved = SnapshotTable.clockMs
+        try {
+          SnapshotTable.clockMs = () => 1000L
+          TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+          SnapshotTable.clockMs = () => 2000L
+          TableSink.append(events.filter(col("ts") >= cut), t, table)
+        } finally SnapshotTable.clockMs = saved
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""SELECT event_id, ts, user_id, event_type
+                |FROM graft.testdata.events VERSION AS OF 1
+                |UNION ALL
+                |SELECT event_id, ts, user_id, event_type
+                |FROM graft.testdata.events TIMESTAMP AS OF '1970-01-01 00:00:01.5'""".stripMargin)
+      },
+      Some(s"""SELECT event_id, ts, user_id, event_type
+              |FROM events WHERE ts < TIMESTAMP '$EventsCut'
+              |UNION ALL
+              |SELECT event_id, ts, user_id, event_type
+              |FROM events WHERE ts < TIMESTAMP '$EventsCut'""".stripMargin),
+      doc = "SQL time travel through the DSv2 catalog: VERSION AS OF <snapshot> " +
+        "and TIMESTAMP AS OF <ts> both resolve to the pre-append state"),
 
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,316 @@
+package graft.catalog
+
+import java.util
+
+import graft.sink.{SnapshotTable, TableColumn}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 `TableCatalog` over [[SnapshotTable]] — the SQL front
+  * door the reference exposes through its query console (SQL is its
+  * primary read entry point: `docs/architecture.md:78,109`, with
+  * pre-provisioned time-travel queries `aws/modules/athena/main.tf:48-67`).
+  * Registering
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * makes every snapshot table addressable from plain SQL:
+  * {{{
+  *   SELECT * FROM graft.testdata.events
+  *   SELECT * FROM graft.testdata.events VERSION AS OF 1
+  *   SELECT * FROM graft.testdata.events TIMESTAMP AS OF '1970-01-01 00:00:01.5'
+  *   INSERT INTO graft.testdata.events SELECT ...
+  *   ALTER TABLE graft.testdata.events ADD COLUMN src STRING
+  * }}}
+  * Time travel goes through Spark's own `loadTable(ident, version |
+  * timestamp)` catalog hooks, DDL through `createTable`/`alterTable`
+  * (mapped onto the metadata-only schema-evolution commits), writes
+  * through the V1 write fallback onto the optimistic snapshot-commit
+  * protocol.
+  *
+  * Execution path: with [[graft.GraftExtensions]] installed (the
+  * library's standard activation), an analyzer rule INLINES each
+  * resolved graft relation into the table's native scan plan — the same
+  * pruned, pushdown-friendly multi-scan `SnapshotTable.read` builds —
+  * so SQL reads plan identically to Scala-API reads (partition pruning
+  * and filter pushdown visible in the same physical plan; pinned by
+  * PlanSpec). Without the extensions the table still serves reads
+  * through a V1Scan fallback (column-pruned, filters applied by Spark
+  * post-scan) — correct, just less optimal. The catalog resolves its
+  * warehouse per query from session conf, so one catalog instance can
+  * serve a session whose warehouse moves (test fixtures do).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options
+  }
+
+  override def name(): String = catalogName
+
+  /** Warehouse root, resolved DYNAMICALLY from the session conf (the
+    * catalog instance is cached per session by CatalogManager with its
+    * init options frozen; fixtures repoint the warehouse between
+    * queries).
+    */
+  private def warehouse: String =
+    Option(SQLConf.get.getConfString(s"spark.sql.catalog.$catalogName.warehouse", null))
+      .orElse(Option(initOptions.get("warehouse")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalogName needs spark.sql.catalog.$catalogName.warehouse"))
+
+  private def tableOf(ident: Identifier): SnapshotTable = {
+    require(ident.namespace.length == 1,
+      s"graft tables are <namespace>.<name>; got ${ident.toString}")
+    SnapshotTable(warehouse, ident.namespace.head, ident.name)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tableOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    new GraftSparkTable(t, None, None)
+  }
+
+  /** Time travel: `VERSION AS OF <snapshot-id>`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tableOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    val id = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName.${ident.toString}: VERSION AS OF takes a snapshot id, got '$version'")
+    }
+    new GraftSparkTable(t, Some(id), None)
+  }
+
+  /** Time travel: `TIMESTAMP AS OF <ts>` (Spark passes MICROseconds). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = tableOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    new GraftSparkTable(t, None, Some(Math.floorDiv(timestampMicros, 1000L)))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && tableOf(ident).exists
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    val prefix = namespace.head + "."
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(f => Identifier.of(namespace, f.getName.stripPrefix(prefix)))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft CREATE TABLE declares schema only; partition layout is set by " +
+          "the first write (TableSink / SnapshotTable partitionCols)")
+    val t = tableOf(ident)
+    if (t.exists) throw new TableAlreadyExistsException(ident)
+    val fmt = Option(properties.get("format")).getOrElse("parquet")
+    t.create(schema.fields.toSeq.map(f => f.name -> f.dataType.sql), fmt)
+    new GraftSparkTable(t, None, None)
+  }
+
+  /** DDL schema evolution, mapped onto the metadata-only commits. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tableOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1, "nested ADD COLUMN is not supported")
+        t.addColumn(spark, c.fieldNames.head, c.dataType.sql)
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1, "nested RENAME COLUMN is not supported")
+        t.renameColumn(spark, c.fieldNames.head, c.newName)
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1, "nested DROP COLUMN is not supported")
+        t.dropColumn(spark, c.fieldNames.head)
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames.length == 1, "nested ALTER COLUMN is not supported")
+        t.updateColumnType(spark, c.fieldNames.head, c.newDataType.sql)
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+    new GraftSparkTable(t, None, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val t = tableOf(ident)
+    if (!t.exists) return false
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(t.root))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported: snapshot metadata records absolute dir paths")
+
+  // ---- namespaces: derived from the warehouse's <ns>.<table> layout ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("."))
+      .map(_.getName.split("\\.", 2)(0)).distinct.sorted
+      .map(Array(_))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    require(namespace.length == 1,
+      s"graft namespaces are single-level, got ${namespace.mkString(".")}")
+  // namespaces materialize with their first table; nothing to create
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "drop tables individually; graft namespaces carry no metadata")
+}
+
+/** One [[SnapshotTable]] (optionally pinned to a snapshot id or an
+  * as-of timestamp) exposed through the DSv2 `Table` interface.
+  *
+  * The PRIMARY read path is the [[graft.GraftExtensions]] analyzer rule
+  * that inlines [[dataFrame]]'s plan into the query; the V1Scan here is
+  * the extension-less fallback (column-pruned inner plan, Spark applies
+  * filters post-scan). Writes go through the V1 write fallback onto
+  * `append`/`overwrite`, preserving the table's partition layout.
+  */
+final class GraftSparkTable(
+    val snapTable: SnapshotTable,
+    val pinnedVersion: Option[Long],
+    val pinnedAsOfMs: Option[Long]) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  /** The table's native scan plan at the pinned state — exactly what
+    * the Scala API serves (coalesced multi-path scans, masks, deletes,
+    * schema projection).
+    */
+  def dataFrame(spark: SparkSession): DataFrame = pinnedVersion match {
+    case Some(v) => snapTable.readSnapshot(spark, v)
+    case None => pinnedAsOfMs match {
+      case Some(ts) => snapTable.readAsOf(spark, ts)
+      case None     => snapTable.read(spark)
+    }
+  }
+
+  override def name(): String = snapTable.fullName
+
+  override lazy val schema: StructType = dataFrame(SparkSession.active).schema
+
+  override def partitioning(): Array[Transform] =
+    snapTable.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("provider", "graft")
+    snapTable.currentSnapshot.foreach { s =>
+      m.put("format", s.format)
+      m.put("current-snapshot-id", s.id.toString)
+    }
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: Option[StructType] = None
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required.getOrElse(schema)
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftV1Relation(GraftSparkTable.this, required, context).asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty && pinnedAsOfMs.isEmpty,
+      s"cannot write to ${snapTable.fullName} at a pinned VERSION/TIMESTAMP")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ow: Boolean): Unit = {
+              // preserve the table's physical layout across SQL writes
+              val pCols = snapTable.partitionColumns
+              val fmt = snapTable.currentSnapshot.map(_.format).getOrElse("parquet")
+              if (overwrite || ow) snapTable.overwrite(data, pCols, format = fmt)
+              else snapTable.append(data, pCols, format = fmt): Unit
+            }
+          }
+      }
+    }
+  }
+}
+
+/** Extension-less fallback relation: executes the (column-pruned)
+  * native plan and hands Spark the rows; Spark re-applies every filter
+  * on top. Pruning/pushdown still happen INSIDE the inner plan's scans.
+  */
+private final class GraftV1Relation(
+    table: GraftSparkTable,
+    required: Option[StructType],
+    context: SQLContext) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required.getOrElse(table.schema)
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val df = table.dataFrame(context.sparkSession)
+    val pruned = required match {
+      case Some(s) if s.fieldNames.nonEmpty =>
+        df.select(s.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      case Some(_) => // COUNT(*)-style empty projection
+        df.select()
+      case None => df
+    }
+    pruned.rdd
+  }
+}

@@ -87,9 +87,17 @@ final case class TableColumn(id: Int, name: String, dataType: String)
 
 /** One equality-delete file: `dir` holds the distinct key tuples,
   * `keys` names the equality columns, `applies` scopes it to the data
-  * dirs present at delete time.
+  * dirs present at delete time. `format` is the format the delete FILE
+  * was written in — recorded per delete because the table's format can
+  * change after the delete commits (a conflicting overwrite the delete
+  * retried against, a future format-migrating rewrite) and the file
+  * must always be read back as what it physically is. None = legacy
+  * metadata predating the field (those files were written with their
+  * snapshot's then-current format, which has never migrated — read
+  * with `snap.format`).
   */
-final case class EqualityDelete(dir: String, keys: Seq[String], applies: Seq[String])
+final case class EqualityDelete(
+    dir: String, keys: Seq[String], applies: Seq[String], format: Option[String] = None)
 
 /** A concurrent writer advanced the table between this commit's base
   * read and its metadata swap (the optimistic-commit conflict case).
@@ -153,14 +161,56 @@ final class SnapshotTable(val root: String, val fullName: String) {
         s"Table $fullName has no snapshot $snapshotId (available: ${snapshots.map(_.id).mkString(", ")})"))
     if (snap.dataDirs.isEmpty) emptyWithSchema(spark, snap)
     else
-      // one read per committed dir, unioned — multi-root partition
-      // discovery would reject sibling partitioned directories
-      // (CONFLICTING_DIRECTORY_STRUCTURES), and per-dir reads keep each
-      // commit's partition layout independently prunable. Dirs with a
-      // partition mask get a NOT-masked predicate on the partition
+      // Plan growth is bounded to O(schema/layout epochs), not
+      // O(#commits): consecutive dirs that are unmasked, delete-free
+      // and physically identical (byte-identical TYPED column sidecars,
+      // same partition layout) collapse into ONE multi-path scan — at
+      // production commit cadence (hourly appends x a year ~ 9k dirs)
+      // a per-dir union would hold 9k relations and planning time /
+      // driver memory would grow per commit. Everything else (masked
+      // dirs, delete-scoped dirs, legacy dirs without typed sidecars,
+      // schema-epoch boundaries) keeps the per-dir read: each commit's
+      // partition layout stays independently prunable, and a dir with a
+      // partition mask gets a NOT-masked predicate on the partition
       // columns, which partition pruning resolves at planning — the
       // masked directories are skipped, not scanned-and-filtered.
-      snap.dataDirs.map(readDir(spark, snap, _)).reduce(_ unionByName _)
+      coalesceGroups(snap).map {
+        case Seq(d) => readDir(spark, snap, d)
+        case dirs =>
+          // same sidecar content => same physical (id, name, type)
+          // triples and same layout, so one mapping serves the group and
+          // multi-root partition discovery sees consistent structures
+          projectTo(spark.read.format(snap.format).load(dirs: _*),
+            snap.cols, dirColumnMapping(dirs.head, snap.cols))
+      }.reduce(_ unionByName _)
+  }
+
+  /** Partition [[Snapshot.dataDirs]] into maximal consecutive runs that
+    * can share one multi-path scan; singleton groups read per-dir. A dir
+    * is coalescible only when nothing dir-specific applies to it: no
+    * partition mask, no scoped equality delete, a TYPED columns sidecar
+    * (legacy dirs' physical types are unknowable without footer reads),
+    * the snapshot tracks a schema to project to, and the dir is
+    * UNPARTITIONED — Spark's multi-root partition discovery rejects
+    * sibling partitioned roots (CONFLICTING_DIRECTORY_STRUCTURES), so
+    * partitioned dirs keep per-dir reads with independent pruning (their
+    * plan growth is bounded by `compact`, which folds the commit history
+    * into one dir).
+    */
+  private def coalesceGroups(snap: Snapshot): Seq[Seq[String]] = {
+    def key(d: String): Option[String] =
+      if (snap.cols.isEmpty) None
+      else if (snap.maskedDirs.get(d).exists(_.nonEmpty)) None
+      else if (snap.deletes.exists(_.applies.contains(d))) None
+      else if (readPartitionSidecar(d).map(_._1).exists(_.nonEmpty)) None
+      else typedSidecarContent(d)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Option[String], scala.collection.mutable.ArrayBuffer[String])]
+    snap.dataDirs.foreach { d =>
+      val k = key(d)
+      if (k.isDefined && out.nonEmpty && out.last._1 == k) out.last._2 += d
+      else out += ((k, scala.collection.mutable.ArrayBuffer(d)))
+    }
+    out.map(_._2.toSeq).toSeq
   }
 
   /** One dir of `snap`, masked, projected to the snapshot schema, with
@@ -185,7 +235,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // delete's key column is rejected, so they match current names.
     snap.deletes.filter(_.applies.contains(d)).foldLeft(projected) { (df, del) =>
       import org.apache.spark.sql.functions.broadcast
-      df.join(broadcast(spark.read.format(snap.format).load(del.dir)),
+      df.join(broadcast(spark.read.format(del.format.getOrElse(snap.format)).load(del.dir)),
         del.keys, "left_anti")
     }
   }
@@ -262,8 +312,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
         if (cur.rowCount < 0) -1L
         else readSnapshot(spark, cur.id)
           .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          // the delete FILE was written once, with the original base
+          // head's format — a conflict can move `cur` to a head whose
+          // format differs (rival overwrite), but the file's bytes don't
           .join(org.apache.spark.sql.functions.broadcast(
-            spark.read.format(cur.format).load(delDir)), keyCols, "left_semi")
+            spark.read.format(base.format).load(delDir)), keyCols, "left_semi")
           .count()
       val total = if (cur.rowCount < 0 || removed < 0) -1L else cur.rowCount - removed
       SnapshotTable.beforeSwapHook(this, attempt)
@@ -277,7 +330,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
           // cur.copy: dirs, format, masks, SCHEMA and watermark all carry
           val snap = cur.copy(id = id, committedAtMs = SnapshotTable.clockMs(),
             operation = "delete", rowCount = total, staged = false,
-            deletes = cur.deletes :+ EqualityDelete(delDir, keyCols, cur.dataDirs),
+            deletes = cur.deletes :+
+              EqualityDelete(delDir, keyCols, cur.dataDirs, Some(base.format)),
             parentId = Some(cur.id))
           writeMetadata(prev :+ snap)
           Audit.log("table_write", fullName, Map(
@@ -405,7 +459,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
       }
       if (conflicted)
         throw PublishConflictException(fullName, snapshotId)
-      val flipped = snap.copy(staged = false)
+      // publish is the moment the data BECOMES the table: stamp a fresh
+      // commit time (Iceberg's cherry-pick does the same), so timestamp
+      // time travel for instants between stage and publish is stable —
+      // readAsOf(t) answers from what was published at t, and a later
+      // publish can never retroactively change a past answer
+      val flipped = snap.copy(staged = false, committedAtMs = SnapshotTable.clockMs())
       writeMetadata((all.filterNot(_.id == snapshotId) :+ flipped).sortBy(_.id))
       Audit.log("table_write", fullName, Map(
         "operation" -> "publish", "snapshot_id" -> snapshotId.toString))
@@ -506,16 +565,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
       clusterBy, snap.format, numRetries)
   }
 
-  /** Partition columns of the current snapshot's physical layout, read
-    * from the NEWEST dir's stats sidecar (a pure metadata lookup — the
-    * latest write defines the live layout). Nil for unpartitioned tables.
+  /** Partition columns of the current snapshot's physical layout,
+    * UNIONED across every referenced dir's stats sidecar (pure metadata
+    * — sidecars are tiny JSON). The union, not just the newest dir,
+    * matters: an append written without re-declaring partitionCols
+    * produces one flat dir, and deriving the layout from it alone would
+    * make compact silently flatten the table and let rename/drop bypass
+    * the partition-column guards while older dirs' paths and masks still
+    * key by the name. Nil for unpartitioned tables.
     */
   def partitionColumns: Seq[String] =
-    currentSnapshot.flatMap(_.dataDirs.lastOption).toSeq
+    currentSnapshot.toSeq.flatMap(_.dataDirs)
       .flatMap(d => readPartitionSidecar(d).map(_._1).find(_.nonEmpty))
-      .headOption
-      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
-      .getOrElse(Nil)
+      .flatMap(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .distinct
 
   /** Data files referenced by the current snapshot (hidden/marker files
     * excluded) — the signal compaction exists to shrink.
@@ -843,9 +906,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
         // NAME against the head; genuinely new columns draw fresh ids
         // from the never-reused watermark. An append MERGES the head
         // schema with the batch's (new columns evolve in, columns the
-        // batch omits stay — old dirs backfill null either way); an
-        // overwrite/replace adopts the batch's schema outright, ids kept
-        // stable for surviving names.
+        // batch omits stay — old dirs backfill null either way) and
+        // REQUIRES same-name batch columns to conform to the table type
+        // (equal, or an Iceberg-legal narrower type that upcasts
+        // losslessly on read — int into a promoted long column); a wider
+        // batch is rejected (promote the column first via
+        // updateColumnType, or the read path would silently truncate).
+        // An overwrite/replace adopts the batch's schema outright, ids
+        // kept stable for surviving names.
         val headCols = head.map(_.cols).getOrElse(Nil)
         val watermark0 = (Seq(head.map(_.lastColumnId).getOrElse(0)) ++
           prev.flatMap(_.cols.map(_.id))).max
@@ -853,16 +921,28 @@ final class SnapshotTable(val root: String, val fullName: String) {
         val byName = headCols.map(c => c.name -> c).toMap
         val dfCols: Seq[TableColumn] = writeSchema.map { case (n, t) =>
           byName.get(n) match {
-            case Some(c) => TableColumn(c.id, n, c.dataType)
-            case None    => nextId += 1; TableColumn(nextId, n, t)
+            case Some(c) if carryPrevious =>
+              val batchT = org.apache.spark.sql.types.DataType.fromDDL(t)
+              val colT = org.apache.spark.sql.types.DataType.fromDDL(c.dataType)
+              require(batchT == colT || SnapshotTable.isSafePromotion(batchT, colT),
+                s"append to $fullName: column $n is ${c.dataType} but the batch " +
+                  s"writes $t — a lossy read-time cast; widen the column first " +
+                  "(updateColumnType) or conform the batch")
+              TableColumn(c.id, n, c.dataType)
+            case Some(c) =>
+              // overwrite adopts the batch's type; the id survives by name
+              TableColumn(c.id, n, t)
+            case None => nextId += 1; TableColumn(nextId, n, t)
           }
         }
         val cols =
           if (!carryPrevious || headCols.isEmpty) dfCols
           else headCols ++ dfCols.filterNot(c => byName.contains(c.name))
-        // the dir's name mapping records what was PHYSICALLY written:
-        // the batch's columns under the ids just resolved
-        writeColumnsSidecar(dataDir, dfCols)
+        // the dir's sidecar records what was PHYSICALLY written: the
+        // batch's columns (and the batch's TYPES — which can lag the
+        // table type after a promotion) under the ids just resolved
+        writeColumnsSidecar(dataDir,
+          dfCols.zip(writeSchema).map { case (c, (_, t)) => TableColumn(c.id, c.name, t) })
         // deletes carry forward with their dirs: dropping one on append
         // would resurrect erased rows. The new dir is NOT in any delete's
         // applies set — appended data is out of the deletes' scope.
@@ -885,6 +965,29 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * Nil for a legacy table that predates schema tracking.
     */
   def schema: Seq[TableColumn] = requireCurrent.cols
+
+  /** Register an EMPTY table with a declared schema (the DDL
+    * `CREATE TABLE` primitive): one metadata-only snapshot with field
+    * ids 1..n and no data dirs. Reads return zero rows with the
+    * declared schema; the first write commits on top, resolving its
+    * column ids by name against this schema.
+    */
+  def create(colsDdl: Seq[(String, String)], format: String = "parquet"): Snapshot = {
+    require(colsDdl.nonEmpty, s"cannot create $fullName with no columns")
+    colsDdl.foreach { case (_, t) =>
+      org.apache.spark.sql.types.DataType.fromDDL(t): Unit // validate early
+    }
+    SnapshotTable.commitLock(root).synchronized {
+      require(snapshots.isEmpty, s"table $fullName already exists")
+      val cols = colsDdl.zipWithIndex.map { case ((n, t), i) => TableColumn(i + 1, n, t) }
+      val snap = Snapshot(1L, SnapshotTable.clockMs(), "create", Nil, format,
+        rowCount = 0L, parentId = Some(0L), cols = cols, lastColumnId = cols.size)
+      writeMetadata(Seq(snap))
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "create", "snapshot_id" -> "1"))
+      snap
+    }
+  }
 
   /** Add a column as a METADATA-ONLY commit: no data file is touched,
     * existing rows read back null in the new column (Iceberg
@@ -920,6 +1023,29 @@ final class SnapshotTable(val root: String, val fullName: String) {
       cols.map(c => if (c.name == from) c.copy(name = to) else c)
     }
 
+  /** Widen a column's type, metadata-only (Iceberg type promotion):
+    * `int -> long`, `float -> double`, or decimal precision growth at
+    * fixed scale. No data file is touched — existing dirs keep their
+    * physical (narrower) type, recorded in their sidecars, and the read
+    * path upcasts losslessly; subsequent appends may write either the
+    * promoted type or the legacy narrower one. Narrowing (and any other
+    * conversion) is rejected: it would corrupt existing data at read
+    * time.
+    */
+  def updateColumnType(spark: SparkSession, name: String, newTypeDdl: String): Snapshot = {
+    val to = org.apache.spark.sql.types.DataType.fromDDL(newTypeDdl)
+    schemaCommit(spark) { (cols, _) =>
+      val cur = cols.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name on $fullName"))
+      val from = org.apache.spark.sql.types.DataType.fromDDL(cur.dataType)
+      require(SnapshotTable.isSafePromotion(from, to),
+        s"cannot change column $name of $fullName from ${cur.dataType} to " +
+          s"$newTypeDdl: only widening promotions are allowed " +
+          "(int -> long, float -> double, decimal precision growth)")
+      cols.map(c => if (c.name == name) c.copy(dataType = newTypeDdl) else c)
+    }
+  }
+
   /** Drop a column, metadata-only: data files keep the bytes, reads stop
     * projecting them. Re-adding the same NAME later yields a fresh field
     * id, so the old bytes can never resurrect under the new column.
@@ -946,13 +1072,27 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val cur = all.filterNot(_.staged).lastOption.getOrElse(requireCurrent)
       val base =
         if (cur.cols.nonEmpty) cur.cols
-        else
+        else {
           // legacy table: derive ids 1..n from the current merged schema
-          // (one driver-side footer read); old dirs have no sidecar and
-          // resolve by name, which is exactly their legacy behavior
-          readSnapshot(spark, cur.id).schema.fields.zipWithIndex.map {
+          // (one driver-side footer read)
+          val derived = readSnapshot(spark, cur.id).schema.fields.zipWithIndex.map {
             case (fld, i) => TableColumn(i + 1, fld.name, fld.dataType.sql)
           }.toSeq
+          // pin the derived mapping onto every legacy dir AS A SIDECAR
+          // while the names are still pre-change: without it, a dir
+          // without a sidecar resolves ids by CURRENT name, so a later
+          // rename would silently stop matching the dir's physical
+          // column and read existing data back as null. Recorded per
+          // dir with the dir's own physical columns/types (one footer
+          // read each — a one-time upgrade cost, under the table lock).
+          val byName = derived.map(c => c.name -> c.id).toMap
+          cur.dataDirs.filterNot(d => Files.exists(columnsSidecarPath(d))).foreach { d =>
+            val phys = spark.read.format(cur.format).load(d).schema.fields.toSeq
+            writeColumnsSidecar(d, phys.flatMap(f =>
+              byName.get(f.name).map(id => TableColumn(id, f.name, f.dataType.sql))))
+          }
+          derived
+        }
       val watermark = (Seq(cur.lastColumnId) ++ base.map(_.id) ++
         all.flatMap(_.cols.map(_.id))).max
       val updated = f(base, watermark + 1)
@@ -970,27 +1110,46 @@ final class SnapshotTable(val root: String, val fullName: String) {
   private def columnsSidecarPath(dataDir: String) =
     Paths.get(dataDir, ".graft-columns.json")
 
-  /** Record the field-id -> physical-name mapping of a freshly written
-    * dir (the Iceberg name-mapping role), beside the immutable data.
+  /** Record the field-id -> physical-(name, type) mapping of a freshly
+    * written dir (the Iceberg name-mapping role), beside the immutable
+    * data. The TYPE is the physically-written one — after a column
+    * promotion it can be narrower than the table type, and the scan
+    * coalescer must never merge dirs whose physical types differ.
     */
   private def writeColumnsSidecar(dataDir: String, cols: Seq[TableColumn]): Unit = {
-    val json = cols.map(c => s"""{"id":${c.id},"name":"${jsonEscape(c.name)}"}""")
+    val json = cols.map(c =>
+      s"""{"id":${c.id},"name":"${jsonEscape(c.name)}","type":"${jsonEscape(c.dataType)}"}""")
       .mkString("[", ",", "]")
     Files.write(columnsSidecarPath(dataDir), json.getBytes(StandardCharsets.UTF_8)): Unit
   }
 
   /** Field-id -> physical-column-name mapping recorded when `dataDir`
     * was written; a dir predating the sidecar resolves every id by its
-    * CURRENT name (legacy by-name semantics).
+    * CURRENT name (legacy by-name semantics). Sidecars written before
+    * the type field parse fine (type optional).
     */
   private def dirColumnMapping(dataDir: String, cols: Seq[TableColumn]): Map[Int, String] = {
     if (cols.isEmpty) return Map.empty
     val p = columnsSidecarPath(dataDir)
     if (Files.exists(p)) {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val re = """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)"\}""".r
+      val re = """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)"(?:,"type":"(?:[^"\\]|\\.)*")?\}""".r
       re.findAllMatchIn(json).map(m => m.group(1).toInt -> jsonUnescape(m.group(2))).toMap
     } else cols.map(c => c.id -> c.name).toMap
+  }
+
+  /** Raw columns-sidecar content of a dir, used as the scan coalescer's
+    * schema-identity key: byte-identical TYPED sidecars imply the same
+    * physical (id, name, type) triples, so the dirs can share one
+    * multi-path scan. None = no sidecar, or a pre-type legacy sidecar
+    * (whose physical types are unknowable without a footer read) —
+    * such dirs always read per-dir.
+    */
+  private def typedSidecarContent(dataDir: String): Option[String] = {
+    val p = columnsSidecarPath(dataDir)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .filter(_.contains("\"type\""))
   }
 
   private def sidecarPath(dataDir: String) =
@@ -1104,7 +1263,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
           val entries = s.deletes.map { d =>
             val ks = d.keys.map(k => "\"" + jsonEscape(k) + "\"").mkString("[", ",", "]")
             val as = d.applies.map(a => "\"" + jsonEscape(a) + "\"").mkString("[", ",", "]")
-            s"""{"dir":"${jsonEscape(d.dir)}","keys":$ks,"applies":$as}"""
+            val fmt = d.format.map(f => s""","fmt":"${jsonEscape(f)}"""").getOrElse("")
+            s"""{"dir":"${jsonEscape(d.dir)}","keys":$ks,"applies":$as$fmt}"""
           }.mkString("[", ",", "]")
           s""""deletes":$entries,"""
         }
@@ -1143,9 +1303,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
         }.toMap
       }.getOrElse(Map.empty[String, Seq[String]])
       val deletes = Option(m.group(11)).map { content =>
-        val delRe = """\{"dir":"((?:[^"\\]|\\.)*)","keys":\[(.*?)\],"applies":\[(.*?)\]\}""".r
+        val delRe = """\{"dir":"((?:[^"\\]|\\.)*)","keys":\[(.*?)\],"applies":\[(.*?)\](?:,"fmt":"((?:[^"\\]|\\.)*)")?\}""".r
         delRe.findAllMatchIn(content).map { dm =>
-          EqualityDelete(jsonUnescape(dm.group(1)), strs(dm.group(2)), strs(dm.group(3)))
+          EqualityDelete(jsonUnescape(dm.group(1)), strs(dm.group(2)), strs(dm.group(3)),
+            Option(dm.group(4)).map(jsonUnescape))
         }.toSeq
       }.getOrElse(Nil)
       Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(12)),
@@ -1197,6 +1358,24 @@ object SnapshotTable {
     * (Iceberg's own `commit.retry.num-retries` default).
     */
   val DefaultCommitRetries: Int = 4
+
+  /** Iceberg-legal lossless type promotions (the evolution spec's
+    * widening set): int -> long, float -> double, decimal precision
+    * growth at fixed scale. Everything else — narrowing, scale change,
+    * cross-family casts — is lossy or value-changing and rejected.
+    */
+  def isSafePromotion(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        f.scale == t.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
 
   /** Default compaction target file size — Iceberg's
     * `write.target-file-size-bytes` default (512 MB).

@@ -161,6 +161,25 @@ class PlanSpec extends SparkSpec {
       s"expected pruned < total, got $prunedFiles vs $totalFiles")
   }
 
+  test("partition pruning fires through the SQL (DSv2 catalog) read path too") {
+    // the sql_table_read registry query goes spark.sql -> GraftCatalog ->
+    // inline rule -> the SAME native scan plan as the Scala API; the
+    // partition predicate must still prune at planning, not post-scan
+    val df = Queries.all("sql_table_read").fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(600))
+    assert(plan.contains("FileScan parquet"), "SQL read must plan a native file scan")
+    def files(d: org.apache.spark.sql.DataFrame): Long =
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val pruned = files(df)
+    val total = files(spark.sql("SELECT * FROM graft.testdata.events"))
+    assert(pruned > 0 && pruned < total,
+      s"expected directory-level pruning through SQL, got $pruned vs $total")
+  }
+
   test("snapshot history listing is a pure metadata read (no data file scan)") {
     // row counts come from snapshot metadata recorded at commit time —
     // the listing never rescans table data (Iceberg $snapshots contract)

@@ -16,6 +16,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same activation Verify/Bench use — the sql_* registry queries
+      // (exercised registry-wide by PlanSpec) resolve through the
+      // graft catalog's extension rule
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,134 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sink.SnapshotTable
+import org.apache.spark.sql.SparkSession
+
+/** The SQL front door: `spark.sql` over the graft DSv2 TableCatalog —
+  * reads, VERSION/TIMESTAMP AS OF time travel, INSERT (V1 write
+  * fallback), CREATE/ALTER/DROP TABLE DDL, and the extension-less
+  * V1Scan fallback path.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshCatalog(key: String): String = {
+    val wh = Files.createTempDirectory(s"graft_cat_$key").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    wh
+  }
+
+  test("SELECT over a snapshot table resolves through the catalog") {
+    val wh = freshCatalog("read")
+    val t = SnapshotTable(wh, "ns", "people")
+    t.overwrite(Seq((1L, "alice"), (2L, "bob")).toDF("id", "name"))
+    val rows = spark.sql("SELECT name FROM graft.ns.people WHERE id = 2")
+      .as[String].collect().toSeq
+    assert(rows == Seq("bob"))
+    // the inline rule makes SQL plan EXACTLY like the Scala API: a
+    // native file scan, no V1 row-conversion wrapper
+    val plan = spark.sql("SELECT name FROM graft.ns.people").queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"expected a native parquet scan:\n$plan")
+    assert(!plan.contains("Scan V1FallbackScan"), "must not fall back with extensions on")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve through loadTable hooks") {
+    val wh = freshCatalog("tt")
+    val t = SnapshotTable(wh, "ns", "ev")
+    val saved = SnapshotTable.clockMs
+    try {
+      SnapshotTable.clockMs = () => 1000L
+      t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+      SnapshotTable.clockMs = () => 2000L
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+    } finally SnapshotTable.clockMs = saved
+    assert(spark.sql("SELECT * FROM graft.ns.ev").count() == 2)
+    assert(spark.sql("SELECT * FROM graft.ns.ev VERSION AS OF 1").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM graft.ns.ev TIMESTAMP AS OF '1970-01-01 00:00:01.5'").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM graft.ns.ev TIMESTAMP AS OF '1970-01-01 00:00:02'").count() == 2)
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE go through the snapshot commit protocol") {
+    val wh = freshCatalog("ins")
+    val t = SnapshotTable(wh, "ns", "sink")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    spark.sql("INSERT INTO graft.ns.sink VALUES (2L, 'b')")
+    assert(spark.sql("SELECT id FROM graft.ns.sink").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(t.currentSnapshot.get.operation == "append")
+    spark.sql("INSERT OVERWRITE graft.ns.sink VALUES (9L, 'z')")
+    assert(spark.sql("SELECT id FROM graft.ns.sink").as[Long].collect().toSeq == Seq(9L))
+    assert(t.currentSnapshot.get.operation == "overwrite")
+    // history is intact: the pre-overwrite state still time-travels
+    assert(spark.sql("SELECT * FROM graft.ns.sink VERSION AS OF 2").count() == 2)
+  }
+
+  test("CREATE TABLE / ALTER TABLE / DROP TABLE map onto metadata-only commits") {
+    val wh = freshCatalog("ddl")
+    spark.sql("CREATE TABLE graft.ns.fresh (id BIGINT, name STRING)")
+    val t = SnapshotTable(wh, "ns", "fresh")
+    assert(t.exists && t.schema.map(_.name) == Seq("id", "name"))
+    assert(spark.sql("SELECT * FROM graft.ns.fresh").count() == 0)
+    spark.sql("INSERT INTO graft.ns.fresh VALUES (1L, 'a')")
+    spark.sql("ALTER TABLE graft.ns.fresh ADD COLUMN score DOUBLE")
+    spark.sql("ALTER TABLE graft.ns.fresh RENAME COLUMN name TO full_name")
+    assert(spark.sql("SELECT full_name, score FROM graft.ns.fresh").collect().length == 1)
+    // type promotion through SQL DDL (int column widened to bigint)
+    spark.sql("CREATE TABLE graft.ns.promo (v INT)")
+    spark.sql("INSERT INTO graft.ns.promo VALUES (1)")
+    spark.sql("ALTER TABLE graft.ns.promo ALTER COLUMN v TYPE BIGINT")
+    spark.sql("INSERT INTO graft.ns.promo VALUES (5000000000)")
+    assert(spark.sql("SELECT sum(v) FROM graft.ns.promo").as[Long].head() == 5000000001L)
+    assert(spark.sql("SHOW TABLES IN graft.ns").count() >= 2)
+    spark.sql("DROP TABLE graft.ns.fresh")
+    assert(!SnapshotTable(wh, "ns", "fresh").exists)
+  }
+
+  test("self-join of one catalog table keeps sides independent") {
+    val wh = freshCatalog("selfjoin")
+    SnapshotTable(wh, "ns", "e").overwrite(
+      Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "grp"))
+    val n = spark.sql(
+      """SELECT a.id, b.id FROM graft.ns.e a
+        |JOIN graft.ns.e b ON a.grp = b.grp AND a.id < b.id""".stripMargin).count()
+    assert(n == 1)
+  }
+
+  test("writes to a time-travel-pinned table are rejected") {
+    val wh = freshCatalog("pinned")
+    SnapshotTable(wh, "ns", "p").overwrite(Seq(Tuple1(1L)).toDF("id"))
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.ns.p VERSION AS OF 1 VALUES (2L)"))
+    assert(e != null)
+  }
+
+  test("extension-less sessions still read through the V1Scan fallback") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val bare = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val wh = Files.createTempDirectory("graft_cat_bare").toString
+      bare.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      bare.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      import bare.implicits._
+      SnapshotTable(wh, "ns", "fb").overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      val rows = bare.sql("SELECT v FROM graft.ns.fb WHERE id = 1").as[String].collect().toSeq
+      assert(rows == Seq("a"))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
