@@ -501,28 +501,42 @@ object Similarity {
     val coarseCents = SnapshotTable(warehouse, "ann", "ivfpq_coarse").read(spark)
     val residCodebook = SnapshotTable(warehouse, "ann", "ivfpq_codebook").read(spark)
     val be = exploded(newVectors, "vec_id", "vec_id")
-    // nearest EXISTING cell per batch vector — no training
-    val batchAssign = assignCells(be, "vec_id", coarseCents)
+    // nearest EXISTING cell per batch vector — no training. Both O(batch)
+    // intermediates are MATERIALIZED once (localCheckpoint): the m
+    // subspace encodings and the three append commits all feed on them,
+    // and recomputing the assignment chain per consumer would turn a
+    // tiny delta fold into ~3m redundant argmin jobs of fixed overhead.
+    val batchAssign = assignCells(be, "vec_id", coarseCents).localCheckpoint()
     // residuals vs the assigned (stored, rounded) centroids
-    val resid = residualCorpus(newVectors, batchAssign, coarseCents)
-    // PQ-encode residuals against the EXISTING per-subspace codebooks:
-    // each codebook re-shaped to the (cell, pos, c) centroid form is an
-    // assignment target like any other
-    val batchCodes = (0 until m).map { s =>
-      val subCents = residCodebook.filter(col("sub") === s)
-        .select(col("code").as("cell"), col("spos").as("pos"), col("c"))
-      val se = resid.select(col("vec_id"),
-        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-      assignCells(exploded(se, "vec_id", "vec_id"), "vec_id", subCents)
-        .select(col("vec_id"), lit(s).as("sub"), col("cell").as("code"))
-    }.reduce(_ unionByName _)
-    val bnorms = norms(be, "vec_id").select(col("vec_id"), col("nrm").as("cnrm"))
-    // three O(batch) append commits; coarse + codebook tables untouched
-    SnapshotTable(warehouse, "ann", "ivfpq_assign")
-      .append(batchAssign, sortCols = Seq(col("cell").asc)): Unit
-    SnapshotTable(warehouse, "ann", "ivfpq_codes")
-      .append(batchCodes, sortCols = Seq(col("sub").asc, col("code").asc)): Unit
-    SnapshotTable(warehouse, "ann", "ivfpq_norms").append(bnorms): Unit
+    val resid = residualCorpus(newVectors, batchAssign, coarseCents).localCheckpoint()
+    try {
+      // PQ-encode residuals against the EXISTING per-subspace codebooks:
+      // each codebook re-shaped to the (cell, pos, c) centroid form is an
+      // assignment target like any other
+      val batchCodes = (0 until m).map { s =>
+        val subCents = residCodebook.filter(col("sub") === s)
+          .select(col("code").as("cell"), col("spos").as("pos"), col("c"))
+        val se = resid.select(col("vec_id"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+        assignCells(exploded(se, "vec_id", "vec_id"), "vec_id", subCents)
+          .select(col("vec_id"), lit(s).as("sub"), col("cell").as("code"))
+      }.reduce(_ unionByName _)
+      val bnorms = norms(be, "vec_id").select(col("vec_id"), col("nrm").as("cnrm"))
+      // three O(batch) append commits; coarse + codebook tables untouched
+      SnapshotTable(warehouse, "ann", "ivfpq_assign")
+        .append(batchAssign, sortCols = Seq(col("cell").asc)): Unit
+      SnapshotTable(warehouse, "ann", "ivfpq_codes")
+        .append(batchCodes, sortCols = Seq(col("sub").asc, col("code").asc)): Unit
+      SnapshotTable(warehouse, "ann", "ivfpq_norms").append(bnorms): Unit
+    } finally {
+      // the checkpoint blocks are this invocation's working set — a
+      // library must release them, not leak O(batch) per delta fold
+      Seq(batchAssign, resid).foreach(_.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      })
+    }
   }
 
   /** `similarity_ivfpq_persisted`: IVF-PQ search served entirely from a
