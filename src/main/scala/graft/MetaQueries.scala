@@ -816,6 +816,66 @@ object MetaQueries {
       doc = "SQL time travel through the DSv2 catalog: VERSION AS OF <snapshot> " +
         "and TIMESTAMP AS OF <ts> both resolve to the pre-append state"),
 
+    "sql_insert" -> QueryDef(
+      (s, dir) => {
+        // the SQL WRITE path: CTAS creates the table through the
+        // catalog (createTable + first commit), INSERT INTO appends
+        // through the V1 write fallback onto the optimistic snapshot
+        // protocol; the read-back sees both commits.
+        val wh = freshWarehouse("sql_insert")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        val events = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        val cut = lit(EventsCut).cast("timestamp")
+        events.filter(col("ts") < cut).createOrReplaceTempView("sql_insert_pre")
+        events.filter(col("ts") >= cut).createOrReplaceTempView("sql_insert_post")
+        s.sql("CREATE TABLE graft.testdata.events_sql AS SELECT * FROM sql_insert_pre")
+        s.sql("INSERT INTO graft.testdata.events_sql SELECT * FROM sql_insert_post")
+        val t = SnapshotTable(wh, "testdata", "events_sql")
+        require(t.currentSnapshot.exists(_.operation == "append"),
+          "INSERT INTO must commit through the snapshot append protocol")
+        s.sql("SELECT event_id, ts, user_id, event_type FROM graft.testdata.events_sql")
+      },
+      Some("SELECT event_id, ts, user_id, event_type FROM events"),
+      doc = "SQL write path through the DSv2 catalog: CTAS creates the table, " +
+        "INSERT INTO appends via the V1 write fallback onto optimistic commits"),
+
+    "sql_metadata_tables" -> QueryDef(
+      (s, dir) => {
+        // Iceberg-style metadata tables through the catalog — the
+        // reference pre-provisions the same listings as named Athena
+        // queries (aws/modules/athena/main.tf:48-67). Both listings are
+        // PURE metadata reads (snapshot JSON + per-dir sidecars): at
+        // 100 TB, history and partition stats cost a catalog lookup,
+        // never a table scan.
+        val wh = freshWarehouse("sql_metadata_tables")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+        TableSink.append(events.filter(col("ts") >= cut), t, table)
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""SELECT 'snapshots' AS kind, CAST(snapshot_id AS STRING) AS k,
+                |       operation AS op, row_count
+                |FROM graft.testdata.events.snapshots
+                |UNION ALL
+                |SELECT 'partitions', partition_path, '', row_count
+                |FROM graft.testdata.events.partitions""".stripMargin)
+      },
+      Some(s"""SELECT 'snapshots' AS kind, '1' AS k, 'overwrite' AS op,
+              |  (SELECT count(*) FROM events WHERE ts < TIMESTAMP '$EventsCut') AS row_count
+              |UNION ALL
+              |SELECT 'snapshots', '2', 'append', (SELECT count(*) FROM events)
+              |UNION ALL
+              |SELECT 'partitions', 'ts_day=' || strftime(CAST(ts AS DATE), '%Y-%m-%d'), '',
+              |  count(*)
+              |FROM events GROUP BY 2""".stripMargin),
+      doc = "Iceberg-style metadata tables via SQL (graft.ns.t.snapshots / " +
+        ".partitions): pure metadata listings, zero data I/O"),
+
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {
         val wh = freshWarehouse("time_travel_as_of")

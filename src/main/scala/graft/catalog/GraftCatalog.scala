@@ -79,6 +79,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `graft.<ns>.<table>.snapshots` /
+    // `.partitions` / `.history` (the reference pre-provisions the same
+    // listings as named Athena queries, aws/modules/athena/main.tf:48-67)
+    if (ident.namespace.length == 2 && GraftCatalog.MetaTables.contains(ident.name)) {
+      val t = SnapshotTable(warehouse, ident.namespace()(0), ident.namespace()(1))
+      if (!t.exists) throw new NoSuchTableException(ident)
+      return new GraftSparkTable(t, None, None, Some(ident.name))
+    }
     val t = tableOf(ident)
     if (!t.exists) throw new NoSuchTableException(ident)
     new GraftSparkTable(t, None, None)
@@ -205,6 +213,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "drop tables individually; graft namespaces carry no metadata")
 }
 
+object GraftCatalog {
+  /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
+  val MetaTables: Set[String] = Set("snapshots", "history", "partitions")
+}
+
 /** One [[SnapshotTable]] (optionally pinned to a snapshot id or an
   * as-of timestamp) exposed through the DSv2 `Table` interface.
   *
@@ -217,27 +230,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 final class GraftSparkTable(
     val snapTable: SnapshotTable,
     val pinnedVersion: Option[Long],
-    val pinnedAsOfMs: Option[Long]) extends Table with SupportsRead
+    val pinnedAsOfMs: Option[Long],
+    val metaKind: Option[String] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   /** The table's native scan plan at the pinned state — exactly what
     * the Scala API serves (coalesced multi-path scans, masks, deletes,
-    * schema projection).
+    * schema projection). Metadata tables serve their listing instead:
+    * pure metadata reads (snapshot JSON + sidecars), zero data I/O —
+    * the Iceberg `$snapshots`/`$partitions` contract.
     */
-  def dataFrame(spark: SparkSession): DataFrame = pinnedVersion match {
-    case Some(v) => snapTable.readSnapshot(spark, v)
-    case None => pinnedAsOfMs match {
-      case Some(ts) => snapTable.readAsOf(spark, ts)
-      case None     => snapTable.read(spark)
+  def dataFrame(spark: SparkSession): DataFrame = metaKind match {
+    case Some("snapshots") =>
+      import spark.implicits._
+      snapTable.snapshots
+        .map(sn => (sn.id, sn.committedAtMs, sn.operation, sn.rowCount,
+          sn.staged, sn.parentId.getOrElse(-1L), sn.dataDirs.size))
+        .toDF("snapshot_id", "committed_at_ms", "operation", "row_count",
+          "staged", "parent_id", "data_dir_count")
+    case Some("history") =>
+      import spark.implicits._
+      snapTable.snapshots.filterNot(_.staged)
+        .map(sn => (sn.id, sn.committedAtMs, sn.operation, sn.parentId.getOrElse(-1L)))
+        .toDF("snapshot_id", "committed_at_ms", "operation", "parent_id")
+    case Some("partitions") => snapTable.partitionStats(spark)
+    case Some(other) => throw new IllegalArgumentException(
+      s"unknown metadata table '$other' (supported: ${GraftCatalog.MetaTables.mkString(", ")})")
+    case None => pinnedVersion match {
+      case Some(v) => snapTable.readSnapshot(spark, v)
+      case None => pinnedAsOfMs match {
+        case Some(ts) => snapTable.readAsOf(spark, ts)
+        case None     => snapTable.read(spark)
+      }
     }
   }
 
-  override def name(): String = snapTable.fullName
+  override def name(): String =
+    snapTable.fullName + metaKind.map("." + _).getOrElse("")
 
   override lazy val schema: StructType = dataFrame(SparkSession.active).schema
 
   override def partitioning(): Array[Transform] =
-    snapTable.partitionColumns.map(Expressions.identity).toArray
+    if (metaKind.isDefined) Array.empty
+    else snapTable.partitionColumns.map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -271,6 +306,8 @@ final class GraftSparkTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(metaKind.isEmpty,
+      s"metadata table ${name()} is read-only")
     require(pinnedVersion.isEmpty && pinnedAsOfMs.isEmpty,
       s"cannot write to ${snapTable.fullName} at a pinned VERSION/TIMESTAMP")
     new WriteBuilder with SupportsTruncate {

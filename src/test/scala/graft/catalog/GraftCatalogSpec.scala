@@ -108,6 +108,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("metadata tables serve snapshots/history/partitions with zero data I/O") {
+    val wh = freshCatalog("meta")
+    val t = SnapshotTable(wh, "ns", "m")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation, row_count FROM graft.ns.m.snapshots ORDER BY 1")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(snaps == Seq((1L, "overwrite", 1L), (2L, "append", 2L)))
+    assert(spark.sql("SELECT * FROM graft.ns.m.history").count() == 2)
+    val parts = spark.sql(
+      "SELECT partition_path, row_count FROM graft.ns.m.partitions")
+      .as[(String, Long)].collect().toSeq
+    assert(parts == Seq(("", 2L)))
+    // pure metadata: the listing never opens a data file
+    val plan = spark.sql("SELECT * FROM graft.ns.m.snapshots")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"metadata listing scans data files:\n${plan.take(300)}")
+    // read-only
+    intercept[Exception](spark.sql("INSERT INTO graft.ns.m.snapshots VALUES (3L)"))
+  }
+
   test("extension-less sessions still read through the V1Scan fallback") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
