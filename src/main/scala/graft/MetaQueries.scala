@@ -876,6 +876,33 @@ object MetaQueries {
       doc = "Iceberg-style metadata tables via SQL (graft.ns.t.snapshots / " +
         ".partitions): pure metadata listings, zero data I/O"),
 
+    "sql_delete" -> QueryDef(
+      (s, dir) => {
+        // GDPR erasure through SQL: DELETE FROM pushes its equality
+        // condition to the table's SupportsDelete, which records a
+        // merge-on-read equality delete — O(|keys|) write cost, no data
+        // file rewritten (the in-query requires pin both), rows gone
+        // from every subsequent read until compaction applies the
+        // delete physically.
+        val wh = freshWarehouse("sql_delete")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        val dirsBefore = table.currentSnapshot.get.dataDirs
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("DELETE FROM graft.testdata.events WHERE user_id IN (101, 202, 303)")
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "delete" && snap.dataDirs == dirsBefore &&
+          snap.deletes.nonEmpty,
+          "SQL DELETE must commit a merge-on-read equality delete, not a rewrite")
+        s.sql("SELECT event_id, ts, user_id, event_type FROM graft.testdata.events")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE user_id NOT IN (101, 202, 303)""".stripMargin),
+      doc = "SQL DELETE via the DSv2 catalog: equality condition pushed to " +
+        "SupportsDelete, recorded as a merge-on-read equality delete (no rewrite)"),
+
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {
         val wh = freshWarehouse("time_travel_as_of")

@@ -218,6 +218,34 @@ object GraftCatalog {
   val MetaTables: Set[String] = Set("snapshots", "history", "partitions")
 }
 
+object GraftSparkTable {
+
+  /** Translate a pushed DELETE condition (a conjunction array) into
+    * equality-delete key tuples: `(keyCols, rows)`. Accepted: any number
+    * of `EqualTo` on distinct columns plus at most one `In`, whose
+    * values fan the tuples out. None for anything else — the caller
+    * reports not-deletable instead of approximating.
+    */
+  private[catalog] def keyRows(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Option[(Seq[String], Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    if (filters.isEmpty) return None
+    val eqs = filters.collect { case EqualTo(a, v) => (a, v) }.toSeq
+    val ins = filters.collect { case i: In => i }.toSeq
+    if (eqs.size + ins.size != filters.length) return None // unsupported shape present
+    if (ins.size > 1) return None
+    val eqCols = eqs.map(_._1)
+    val allCols = eqCols ++ ins.map(_.attribute)
+    if (allCols.distinct.size != allCols.size) return None // repeated column => range-ish
+    ins.headOption match {
+      case None => Some((eqCols, Seq(eqs.map(_._2))))
+      case Some(in) =>
+        if (in.values.isEmpty) return None
+        Some((allCols, in.values.toSeq.map(v => eqs.map(_._2) :+ v)))
+    }
+  }
+}
+
 /** One [[SnapshotTable]] (optionally pinned to a snapshot id or an
   * as-of timestamp) exposed through the DSv2 `Table` interface.
   *
@@ -232,7 +260,8 @@ final class GraftSparkTable(
     val pinnedVersion: Option[Long],
     val pinnedAsOfMs: Option[Long],
     val metaKind: Option[String] = None) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** The table's native scan plan at the pinned state — exactly what
     * the Scala API serves (coalesced multi-path scans, masks, deletes,
@@ -304,6 +333,39 @@ final class GraftSparkTable(
           new GraftV1Relation(GraftSparkTable.this, required, context).asInstanceOf[T]
       }
     }
+
+  /** `DELETE FROM graft.ns.t WHERE <keys>` — mapped onto the
+    * merge-on-read EQUALITY DELETE (the GDPR erasure primitive): no
+    * data file is rewritten; the matching key tuples become a delete
+    * file anti-joined at read until compaction applies it physically.
+    * Supported shapes are exactly the equality-delete-expressible ones:
+    * a conjunction of `col = v` (one composite key tuple), optionally
+    * with one `col IN (...)` fanning out the tuples. Anything else
+    * (ranges, disjunctions over different columns) reports
+    * not-deletable rather than silently over- or under-deleting.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    metaKind.isEmpty && pinnedVersion.isEmpty && pinnedAsOfMs.isEmpty &&
+      GraftSparkTable.keyRows(filters).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (keyCols, rows) = GraftSparkTable.keyRows(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE on ${name()} supports equality predicates (col = v [AND ...], " +
+          s"one col IN (...)); got: ${filters.mkString(", ")}"))
+    val spark = SparkSession.active
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField}
+    // build the key tuples as strings, then cast to the TABLE's column
+    // types so the anti-join keys match regardless of literal widths
+    val sschema = StructType(keyCols.map(StructField(_, StringType)).toArray)
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach(r => jrows.add(org.apache.spark.sql.Row.fromSeq(
+      r.map(v => if (v == null) null else v.toString))))
+    val keys = spark.createDataFrame(jrows, sschema)
+      .select(keyCols.map(c => col(c).cast(schema(c).dataType).as(c)): _*)
+    snapTable.deleteWhere(keys, keyCols): Unit
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(metaKind.isEmpty,

@@ -23,8 +23,17 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 final class GraftSqlInlineRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // relations in WRITE/row-level-target position, collected from the
+    // target subtree (the target can still be alias-wrapped mid-resolution)
     val writeTargets: Set[LogicalPlan] =
-      plan.collect { case w: V2WriteCommand => w.table }.toSet
+      plan.collect {
+        case w: V2WriteCommand => w.table
+        // row-level commands keep their V2 target too: DELETE pushes its
+        // condition to the table's SupportsDelete, never through a scan
+        case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d.table
+        case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u.table
+        case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => m.targetTable
+      }.flatMap(_.collect { case r: DataSourceV2Relation => r }).toSet
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSparkTable] && !writeTargets.contains(r) =>

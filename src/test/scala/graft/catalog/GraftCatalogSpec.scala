@@ -131,6 +131,28 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("INSERT INTO graft.ns.m.snapshots VALUES (3L)"))
   }
 
+  test("DELETE FROM maps onto merge-on-read equality deletes (no rewrite)") {
+    val wh = freshCatalog("del")
+    val t = SnapshotTable(wh, "ns", "d")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c")).toDF("id", "v"))
+    val dirsBefore = t.currentSnapshot.get.dataDirs
+    spark.sql("DELETE FROM graft.ns.d WHERE id = 2")
+    assert(spark.sql("SELECT id FROM graft.ns.d").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // merge-on-read: the data dirs are untouched, a delete file was recorded
+    assert(t.currentSnapshot.get.dataDirs == dirsBefore)
+    assert(t.currentSnapshot.get.deletes.nonEmpty)
+    // IN fans out tuples; composite conjunction keys on both columns
+    spark.sql("DELETE FROM graft.ns.d WHERE id IN (3, 4)")
+    assert(spark.sql("SELECT id FROM graft.ns.d").as[Long].collect().toSeq == Seq(1L))
+    spark.sql("DELETE FROM graft.ns.d WHERE id = 1 AND v = 'zzz'")
+    assert(spark.sql("SELECT id FROM graft.ns.d").count() == 1, "non-matching composite key")
+    spark.sql("DELETE FROM graft.ns.d WHERE id = 1 AND v = 'a'")
+    assert(spark.sql("SELECT id FROM graft.ns.d").count() == 0)
+    // non-equality predicates are rejected, not approximated
+    intercept[Exception](spark.sql("DELETE FROM graft.ns.d WHERE id > 0"))
+  }
+
   test("extension-less sessions still read through the V1Scan fallback") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
