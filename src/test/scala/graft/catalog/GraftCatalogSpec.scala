@@ -153,6 +153,15 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("DELETE FROM graft.ns.d WHERE id > 0"))
   }
 
+  test("DataFrameWriterV2 / spark.table route through the catalog too") {
+    val wh = freshCatalog("wtv2")
+    SnapshotTable(wh, "ns", "w").overwrite(Seq((1L, "a")).toDF("id", "v"))
+    Seq((2L, "b")).toDF("id", "v").writeTo("graft.ns.w").append()
+    assert(spark.table("graft.ns.w").count() == 2)
+    Seq((9L, "z")).toDF("id", "v").writeTo("graft.ns.w").createOrReplace()
+    assert(spark.table("graft.ns.w").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
   test("extension-less sessions still read through the V1Scan fallback") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
