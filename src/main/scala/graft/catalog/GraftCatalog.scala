@@ -2,7 +2,7 @@ package graft.catalog
 
 import java.util
 
-import graft.sink.{SnapshotTable, TableColumn}
+import graft.sink.SnapshotTable
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
