@@ -248,6 +248,39 @@ object ExtQueries {
              |FROM events""".stripMargin),
       doc = "streaming ingest into the lakehouse: readStream -> foreachBatch governed append"),
 
+    "stream_lakehouse_tail" -> QueryDef(
+      (s, dir) => {
+        // REAL streaming CDC consumption OF the lakehouse (the other
+        // half of stream_lakehouse_ingest; Iceberg's streaming read has
+        // the same contract): a graft-stream source tails the snapshot
+        // table with snapshot ids as offsets — batch 0 is the seeded
+        // state, then each append commit arrives as its own O(delta)
+        // microbatch (readIncremental dir-set difference; scan I/O per
+        // trigger is the new dirs only, never the table).
+        val wh = MetaQueries.freshWarehouse("stream_lakehouse_tail")
+        val table = graft.sink.SnapshotTable(wh, "testdata", "events_tail")
+        val ev = Queries.tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        val cut1 = lit("2024-01-25 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-30 00:00:00").cast("timestamp")
+        table.overwrite(ev.filter(col("ts") < cut1))
+        val q = s.readStream.format("graft-stream")
+          .option("warehouse", wh).option("table", "testdata.events_tail").load()
+          .writeStream.format("memory").queryName("lakehouse_tail_sink")
+          .option("checkpointLocation", s"$wh/_ckpt").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 0: the table's seeded state
+          table.append(ev.filter(col("ts") >= cut1 && col("ts") < cut2))
+          q.processAllAvailable() // batch 1: first delta only
+          table.append(ev.filter(col("ts") >= cut2))
+          q.processAllAvailable() // batch 2: second delta only
+        } finally q.stop()
+        s.table("lakehouse_tail_sink")
+      },
+      Some("SELECT event_id, ts, user_id, event_type FROM events"),
+      doc = "streaming CDC tail of a snapshot table (graft-stream source): " +
+        "snapshot ids as offsets, appends arrive as O(delta) microbatches"),
+
     "stream_scd2_merge" -> QueryDef(
       (s, dir) => {
         // REAL incremental streaming dimension maintenance: the dim is

@@ -849,13 +849,19 @@ object MetaQueries {
         // PURE metadata reads (snapshot JSON + per-dir sidecars): at
         // 100 TB, history and partition stats cost a catalog lookup,
         // never a table scan.
+        // the SUBJECT is the metadata listings, not the write: commit a
+        // narrow two-column projection (same rows/partitions as the fact
+        // table) so the bench measures the listings, not a wide rewrite
         val wh = freshWarehouse("sql_metadata_tables")
-        val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
+        val table = SnapshotTable(wh, "testdata", "events")
+        val ev = tbl(s, dir, "events")
+          .select(col("event_id"), col("ts"),
+            date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
         val cut = lit(EventsCut).cast("timestamp")
-        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
-        TableSink.append(events.filter(col("ts") >= cut), t, table)
+        table.overwrite(ev.filter(col("ts") < cut).drop("ts"),
+          partitionCols = Seq("ts_day")): Unit
+        table.append(ev.filter(col("ts") >= cut).drop("ts"),
+          partitionCols = Seq("ts_day")): Unit
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         s.sql("""SELECT 'snapshots' AS kind, CAST(snapshot_id AS STRING) AS k,
