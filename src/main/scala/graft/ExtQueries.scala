@@ -222,14 +222,14 @@ object ExtQueries {
         val wh = MetaQueries.freshWarehouse("stream_lakehouse_ingest")
         val t = graft.template.TemplateLoader.get(MetaQueries.TemplatesDir, "events")
         val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
-        // physical parquet schema: ts is INT64 TIMESTAMP(NANOS) -> read
-        // as long (nanosAsLong, set by tbl()) and restore micros, exactly
-        // as the batch reader does
+        // the streaming file source needs an explicit schema: take the
+        // PHYSICAL one from a batch read of the same file (ts has shipped
+        // as both INT64 nanos and TIMESTAMP(MICROS) across testdata
+        // generations; tbl() sets nanosAsLong for the former), then apply
+        // the same ts normalization the batch reader does
         Queries.tbl(s, dir, "events") // ensures nanosAsLong conf is set
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
+        val physical = s.read.parquet(s"$dir/events.parquet").schema
+        val tsIsLong = physical("ts").dataType == LongType
         // the file source streams a DIRECTORY; testdata ships single
         // files, so stage a symlink under the scratch area (read-only
         // source data untouched)
@@ -238,8 +238,10 @@ object ExtQueries {
         java.nio.file.Files.createSymbolicLink(
           srcDir.resolve("events.parquet"),
           java.nio.file.Paths.get(dir, "events.parquet"))
-        val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = s.readStream.schema(physical).parquet(srcDir.toString)
+        val stream =
+          if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw.withColumn("ts", col("ts").cast(TimestampType))
         val q = Streaming.startLakehouseIngest(stream, t, table, s"$wh/_checkpoint")
         q.awaitTermination()
         table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")

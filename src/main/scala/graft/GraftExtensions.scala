@@ -61,10 +61,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CountIn(args.head, values)
       }))
     ext.injectOptimizerRule(_ => NativeVectorMathRule)
+    // Iceberg-manifest-style data skipping: prune snapshot data dirs
+    // whose commit-time range sidecars prove a pushed filter
+    // unsatisfiable (see plans/RangeStats.scala) — engaged identically
+    // on the Scala-API and SQL read paths
+    ext.injectOptimizerRule(_ => graft.plans.GraftStatsSkipRule)
     // SQL front door: inline resolved graft-catalog relations into the
     // native SnapshotTable scan plan (see GraftSqlInlineRule) so
     // `SELECT ... FROM graft.ns.t [VERSION|TIMESTAMP AS OF ...]` plans
     // identically to the Scala API read
     ext.injectResolutionRule(session => new graft.catalog.GraftSqlInlineRule(session))
+    // SQL row-level DML: lower resolved UPDATE / MERGE INTO on graft
+    // tables onto the copy-on-write engine path (see GraftDmlRule)
+    ext.injectResolutionRule(session => new graft.catalog.GraftDmlRule(session))
   }
 }

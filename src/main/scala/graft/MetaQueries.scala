@@ -559,6 +559,44 @@ object MetaQueries {
       doc = "z-order clustered rewrite: files become compact regions in every " +
         "clustered dimension (multi-dim stat skipping), rows unchanged"),
 
+    "stats_skip_scan" -> QueryDef(
+      (s, dir) => {
+        // Iceberg-manifest-style DATA SKIPPING: each commit records
+        // per-column min/max range sidecars; a filter over the table
+        // prunes non-overlapping dirs at OPTIMIZATION time (the require
+        // below pins it — of three disjoint-range appends, a point-range
+        // predicate plans exactly ONE scanned dir; at 100 TB this is a
+        // year of hourly appends reduced to the dirs a time-range query
+        // actually overlaps, before a single task is scheduled).
+        val wh = freshWarehouse("stats_skip_scan")
+        val table = SnapshotTable(wh, "testdata", "orders_ranged")
+        val o = tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // SF-independent split points: thirds of the key range, with a
+        // query window strictly inside the middle third (the oracle
+        // derives the same bounds with integer division)
+        val maxKey = o.agg(max(col("o_orderkey"))).head.getLong(0)
+        val (t1, t2) = (maxKey / 3, maxKey * 2 / 3)
+        table.overwrite(o.filter(col("o_orderkey") < t1)): Unit
+        table.append(o.filter(col("o_orderkey") >= t1 && col("o_orderkey") < t2)): Unit
+        table.append(o.filter(col("o_orderkey") >= t2)): Unit
+        val q = table.read(s)
+          .filter(col("o_orderkey") >= maxKey * 2 / 5 && col("o_orderkey") < maxKey / 2)
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.size
+        }.sum
+        require(scanned == 1,
+          s"range stats must prune the scan to the single overlapping dir, planned $scanned")
+        q.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey >= (SELECT max(o_orderkey) * 2 // 5 FROM orders)
+             |  AND o_orderkey <  (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin),
+      doc = "Iceberg manifest-pruning parity: commit-time min/max range sidecars " +
+        "skip non-overlapping snapshot dirs at planning (pinned to 1 of 3 dirs)"),
+
     "table_partitions" -> QueryDef(
       (s, dir) => {
         // the Iceberg `$partitions` metadata table: per-partition file +
@@ -908,6 +946,87 @@ object MetaQueries {
              |WHERE user_id NOT IN (101, 202, 303)""".stripMargin),
       doc = "SQL DELETE via the DSv2 catalog: equality condition pushed to " +
         "SupportsDelete, recorded as a merge-on-read equality delete (no rewrite)"),
+
+    "sql_update" -> QueryDef(
+      (s, dir) => {
+        // Row-level UPDATE through SQL, lowered onto copy-on-write at
+        // dir granularity (GraftDmlRule -> SnapshotTable.updateWhere):
+        // of the two commit dirs, only the one physically holding
+        // matching rows is rewritten — the other carries forward
+        // byte-identical (the require pins it). Iceberg's COW update,
+        // O(affected dirs) not O(table).
+        val wh = freshWarehouse("sql_update")
+        val table = SnapshotTable(wh, "testdata", "orders_cow")
+        val o = tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val half = o.agg(max(col("o_orderkey"))).head.getLong(0) / 2
+        table.overwrite(o.filter(col("o_orderkey") < half)): Unit
+        table.append(o.filter(col("o_orderkey") >= half)): Unit
+        val upperDir = table.currentSnapshot.get.dataDirs.last
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql(s"""UPDATE graft.testdata.orders_cow
+                 |SET o_orderstatus = 'X', o_totalprice = o_totalprice * 2
+                 |WHERE o_orderstatus = 'P' AND o_orderkey < $half""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "update" && snap.dataDirs.contains(upperDir),
+          "UPDATE must rewrite only the affected dir; the untouched dir carries forward")
+        s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.testdata.orders_cow")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < (SELECT max(o_orderkey) // 2 FROM orders)
+             |       THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < (SELECT max(o_orderkey) // 2 FROM orders)
+             |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+             |FROM orders""".stripMargin),
+      doc = "SQL UPDATE via the DSv2 catalog, lowered to dir-granular copy-on-write " +
+        "(only dirs holding matching rows rewrite; the rest carry forward)"),
+
+    "sql_merge" -> QueryDef(
+      (s, dir) => {
+        // MERGE INTO through SQL: equality-key upsert lowered onto the
+        // copy-on-write merge (SnapshotTable.mergeInto) — matched rows
+        // update from the source, unmatched source rows insert, the SQL
+        // cardinality rule enforced before any write. Row count moves
+        // by exactly the insert count (pinned).
+        val wh = freshWarehouse("sql_merge")
+        val table = SnapshotTable(wh, "testdata", "customer_cow")
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val halfC = c.agg(max(col("c_custkey"))).head.getLong(0) / 2
+        table.overwrite(c.filter(col("c_custkey") < halfC)): Unit
+        table.append(c.filter(col("c_custkey") >= halfC)): Unit
+        val before = table.currentSnapshot.get.rowCount
+        val updates = c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"))
+        val news = c.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+            lit(0.0).as("c_acctbal"))
+        val inserts = news.count()
+        updates.unionByName(news).createOrReplaceTempView("sql_merge_src")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""MERGE INTO graft.testdata.customer_cow t
+                |USING sql_merge_src s ON t.c_custkey = s.c_custkey
+                |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount == before + inserts,
+          s"MERGE must upsert: expected ${before + inserts} rows, recorded ${snap.rowCount}")
+        s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft.testdata.customer_cow")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey + 1000000 AS c_custkey,
+             |  'new_' || CAST(c_custkey AS VARCHAR) AS c_name, 0.0 AS c_acctbal
+             |FROM customer WHERE c_custkey % 10 = 3""".stripMargin),
+      doc = "SQL MERGE INTO via the DSv2 catalog: equality-key upsert on the " +
+        "copy-on-write engine path (update-from-source + insert-unmatched, " +
+        "cardinality rule enforced)"),
 
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {

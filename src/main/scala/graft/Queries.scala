@@ -19,15 +19,24 @@ final case class QueryDef(
 object Queries {
 
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
-    // reader rejects; read it as long nanos and restore a micros timestamp
-    // (same truncation DuckDB applies when fetching TIMESTAMP_NS).
+    // events.ts has shipped as INT64 TIMESTAMP(NANOS) (which Spark's
+    // parquet reader rejects — read as long nanos, truncate to micros the
+    // way DuckDB fetches TIMESTAMP_NS) and as plain TIMESTAMP(MICROS)
+    // (read natively as TIMESTAMP_NTZ). Normalize BOTH to the session-tz
+    // TimestampType every downstream query was built against: the cast is
+    // value-identical under the UTC session both Verify and the specs pin.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** The full registry, assembled per module. */

@@ -374,6 +374,293 @@ final class SnapshotTable(val root: String, val fullName: String) {
     not(hits.reduce(_ || _))
   }
 
+  // ------------------------------------------------------------------
+  // row-level UPDATE / MERGE (Iceberg copy-on-write at dir granularity)
+  // ------------------------------------------------------------------
+
+  /** Row-level UPDATE — Iceberg's copy-on-write strategy at dir
+    * granularity: ONLY the dirs that physically hold matching rows are
+    * rewritten (detected with one column-pruned scan, which the range
+    * sidecars additionally dir-skip); every other dir carries forward
+    * untouched, so the write cost is O(affected dirs), not O(table).
+    * The rewritten dir bakes in the affected dirs' masks and equality
+    * deletes (they are dropped from the new snapshot's scope for those
+    * dirs), row count is unchanged, and the commit is the same
+    * optimistic CAS every other write uses: detection + rewrite run
+    * unserialized against the base head, only the metadata swap locks,
+    * and a conflict re-detects against the rival head.
+    *
+    * `sets` values may reference any table column (by name) and are
+    * cast to the column's declared type (Iceberg assignment-cast
+    * semantics). Matching zero rows returns the current snapshot
+    * without committing — SQL UPDATE semantics, no empty snapshot spam.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      cond: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(sets.nonEmpty, s"UPDATE on $fullName needs at least one assignment")
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      val schemaCols = snapshotSchema(spark, cur)
+      val names = schemaCols.map(_._1)
+      sets.keys.foreach(k => require(names.contains(k),
+        s"UPDATE on $fullName assigns unknown column $k (columns: ${names.mkString(", ")})"))
+      val affected = affectedDirs(spark, cur, _.filter(cond))
+      if (affected.isEmpty) return cur
+      val view = readDirsView(spark, cur, affected)
+      val updated = view.select(schemaCols.map { case (n, t) =>
+        sets.get(n)
+          .map(v => when(cond, v.cast(t)).otherwise(col(n)).as(n))
+          .getOrElse(col(n))
+      }: _*)
+      rewriteDirs(spark, cur, affected, updated, "update",
+        newTotal = cur.rowCount, attempt = attempt) match {
+        case Right(snap) => return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries)
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** MERGE INTO (SQL MERGE / Iceberg copy-on-write merge): upsert
+    * `source` into the table on equality `keys` (pairs of target-key ->
+    * source-key column names). Matched target rows are updated (from
+    * the source row or explicit assignments) or deleted; unmatched
+    * source rows are inserted. The SQL cardinality rule is enforced —
+    * a source with duplicate keys is rejected before any write.
+    *
+    * Scale shape: affected dirs are detected with one key-columns-only
+    * semi-join (broadcastable source keys), only those dirs rewrite;
+    * the insert anti-join reads key columns of the table only. Cost is
+    * O(affected dirs + source), never O(table rewrite).
+    */
+  def mergeInto(
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matched: Merge.Matched,
+      notMatched: Merge.NotMatched,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val spark = source.sparkSession
+    require(keys.nonEmpty, s"MERGE into $fullName needs at least one key pair")
+    keys.foreach { case (_, sk) =>
+      require(source.columns.contains(sk),
+        s"MERGE source lacks key column $sk (has: ${source.columns.mkString(", ")})")
+    }
+    // SQL MERGE cardinality rule: at most one source row per target row
+    val srcKeyCols = keys.map { case (_, sk) => col(sk) }
+    val dup = source.groupBy(srcKeyCols: _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"MERGE into $fullName: multiple source rows share a key — the SQL " +
+        "cardinality rule forbids updating one target row twice (dedupe the source)")
+
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      val schemaCols = snapshotSchema(spark, cur)
+      keys.foreach { case (tk, _) =>
+        require(schemaCols.exists(_._1 == tk),
+          s"MERGE into $fullName keys on unknown column $tk")
+      }
+      // dirs holding matched target rows: key-pruned semi-join
+      val srcKeys = source.select(keys.map { case (tk, sk) => col(sk).as(tk) }: _*).distinct()
+      val affected = matched match {
+        case Merge.KeepMatched => Nil // matched rows stay byte-identical
+        case _ => affectedDirs(spark, cur, v =>
+          v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
+            keys.map(_._1), "left_semi"))
+      }
+      val view = if (affected.isEmpty) None else Some(readDirsView(spark, cur, affected))
+      val affectedRows = view.map(_.count()).getOrElse(0L)
+
+      val src = source.withColumn("__s_present", lit(true)).alias("__s")
+      val joinCond = keys.map { case (tk, sk) =>
+        col(s"__t.$tk") === col(s"__s.$sk")
+      }.reduce(_ && _)
+      val matchedCol = col("__s.__s_present").isNotNull
+
+      val rewritten: Option[DataFrame] = view.map { v =>
+        val joined = v.alias("__t").join(src, joinCond, "left_outer")
+        matched match {
+          case Merge.Delete => joined.filter(!matchedCol)
+            .select(schemaCols.map { case (n, _) => col(s"__t.$n").as(n) }: _*)
+          case Merge.UpdateAll =>
+            joined.select(schemaCols.map { case (n, t) =>
+              if (source.columns.contains(n))
+                when(matchedCol, col(s"__s.$n").cast(t))
+                  .otherwise(col(s"__t.$n")).as(n)
+              else col(s"__t.$n").as(n)
+            }: _*)
+          case Merge.Update(sets) =>
+            sets.keys.foreach(k => require(schemaCols.exists(_._1 == k),
+              s"MERGE into $fullName assigns unknown column $k"))
+            joined.select(schemaCols.map { case (n, t) =>
+              sets.get(n)
+                .map(v0 => when(matchedCol, v0.cast(t))
+                  .otherwise(col(s"__t.$n")).as(n))
+                .getOrElse(col(s"__t.$n").as(n))
+            }: _*)
+          case Merge.KeepMatched => v
+        }
+      }
+
+      val inserts: Option[DataFrame] = notMatched match {
+        case Merge.Ignore => None
+        case nm =>
+          // table-wide unmatched source rows: anti-join against the key
+          // columns only (column-pruned scan of the table)
+          val tableKeys = readSnapshot(spark, cur.id)
+            .select(keys.map { case (tk, _) => col(tk) }: _*).distinct()
+          val unmatched = source.alias("__s").join(
+            tableKeys.alias("__t"), joinCond, "left_anti")
+          Some(nm match {
+            case Merge.InsertAll =>
+              unmatched.select(schemaCols.map { case (n, t) =>
+                val fromKey = keys.find(_._1 == n).map(_._2)
+                val src0 = fromKey.orElse(Some(n).filter(source.columns.contains))
+                src0.map(sn => col(s"__s.$sn").cast(t).as(n))
+                  .getOrElse(lit(null).cast(t).as(n))
+              }: _*)
+            case Merge.Insert(sets) =>
+              unmatched.select(schemaCols.map { case (n, t) =>
+                sets.get(n).map(_.cast(t).as(n))
+                  .getOrElse(lit(null).cast(t).as(n))
+              }: _*)
+            case Merge.Ignore => throw new IllegalStateException("unreachable")
+          })
+      }
+
+      (rewritten, inserts) match {
+        case (None, None) => return cur
+        case _ =>
+          val newData = (rewritten.toSeq ++ inserts.toSeq).reduce(_ unionByName _)
+          val total = if (cur.rowCount < 0) -1L else -2L // -2: resolve from written rows below
+          rewriteDirs(spark, cur, affected, newData, "merge",
+            newTotal = total, attempt = attempt,
+            removedRows = if (cur.rowCount < 0) -1L else affectedRows) match {
+            case Right(snap) => return snap
+            case Left(conflict) =>
+              if (attempt >= numRetries)
+                throw CommitFailedException(fullName, attempt + 1, conflict)
+              Thread.sleep(SnapshotTable.backoffMs(attempt))
+              attempt += 1
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The table schema as (name, Spark DataType) at `snap` — from the
+    * tracked snapshot schema, or one footer read for legacy tables.
+    */
+  private def snapshotSchema(
+      spark: SparkSession, snap: Snapshot): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    if (snap.cols.nonEmpty)
+      snap.cols.map(c => c.name -> org.apache.spark.sql.types.DataType.fromDDL(c.dataType))
+    else readSnapshot(spark, snap.id).schema.fields.toSeq.map(f => f.name -> f.dataType)
+
+  /** Data dirs of `snap` that LOGICALLY hold rows surviving `shape` —
+    * ONE job over the union of per-dir views, each tagged with its dir
+    * path as a literal (input_file_name cannot be used: the equality-
+    * delete anti-join makes the plan multi-source). Each union branch
+    * keeps its own pushed-down filter, so the range-stats rule dir-skips
+    * non-overlapping branches before the job runs.
+    */
+  private def affectedDirs(
+      spark: SparkSession, snap: Snapshot,
+      shape: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    val tagged = snap.dataDirs
+      .map(d => readDir(spark, snap, d).withColumn("__graft_dir", lit(d)))
+      .reduce(_ unionByName _)
+    val dirs = shape(tagged).select("__graft_dir").distinct()
+      .collect().map(_.getString(0)).toSet
+    // keep snapshot order (stable dir layout in metadata)
+    snap.dataDirs.filter(dirs.contains)
+  }
+
+  /** Union of the LOGICAL per-dir views (masks, schema projection and
+    * equality deletes applied) for a subset of `snap`'s dirs.
+    */
+  private def readDirsView(
+      spark: SparkSession, snap: Snapshot, dirs: Seq[String]): DataFrame =
+    dirs.map(readDir(spark, snap, _)).reduce(_ unionByName _)
+
+  /** One copy-on-write commit attempt cycle: write `replacement` as a
+    * new dir, then CAS a snapshot that drops `removedDirs` (and their
+    * masks / delete scopes — the rewrite baked them in) and appends the
+    * new dir. `newTotal` -2 means "recompute as rowCount - removedRows
+    * + written rows". Returns Left(conflict) after cleaning up the
+    * orphan dir so the caller can re-detect against the new head.
+    */
+  private def rewriteDirs(
+      spark: SparkSession,
+      base: Snapshot,
+      removedDirs: Seq[String],
+      replacement: DataFrame,
+      op: String,
+      newTotal: Long,
+      attempt: Int,
+      removedRows: Long = 0L): Either[CommitConflictException, Snapshot] = {
+    val pCols = partitionColumns
+    val dataDir = Paths.get(root,
+      s"snap-${java.util.UUID.randomUUID().toString.take(8)}").toString
+    val clustered =
+      if (pCols.nonEmpty)
+        replacement.repartition(pCols.map(org.apache.spark.sql.functions.col): _*)
+      else replacement
+    clustered.write.mode("overwrite").format(base.format).save(dataDir)
+    val newRows = spark.read.format(base.format).load(dataDir).count()
+    writePartitionSidecar(spark, dataDir, pCols, base.format, newRows)
+    if (base.cols.nonEmpty)
+      writeColumnsSidecar(dataDir, base.cols.map(c =>
+        TableColumn(c.id, c.name, c.dataType)))
+    try graft.plans.RangeStats.writeSidecar(spark, dataDir, base.format, newRows)
+    catch { case scala.util.control.NonFatal(_) => () }
+    val total =
+      if (newTotal == -2L)
+        if (base.rowCount < 0 || removedRows < 0) -1L
+        else base.rowCount - removedRows + newRows
+      else newTotal
+    SnapshotTable.beforeSwapHook(this, attempt)
+    SnapshotTable.commitLock(root).synchronized {
+      val prev = snapshots
+      val head = prev.filterNot(_.staged).lastOption
+      if (head.map(_.id) != Some(base.id)) {
+        deleteRecursively(new File(dataDir))
+        Left(CommitConflictException(fullName, Some(base.id), head.map(_.id)))
+      } else {
+        val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+        val removed = removedDirs.toSet
+        val keptDeletes = base.deletes
+          .map(d => d.copy(applies = d.applies.filterNot(removed)))
+          .filter(_.applies.nonEmpty)
+        val snap = base.copy(
+          id = id, committedAtMs = SnapshotTable.clockMs(), operation = op,
+          dataDirs = base.dataDirs.filterNot(removed) :+ dataDir,
+          rowCount = total,
+          maskedDirs = base.maskedDirs -- removed,
+          staged = false,
+          deletes = keptDeletes,
+          parentId = Some(base.id))
+        writeMetadata(prev :+ snap)
+        Audit.log("table_write", fullName, Map(
+          "operation" -> op, "snapshot_id" -> id.toString,
+          "rewritten_dirs" -> removedDirs.size.toString))
+        Right(snap)
+      }
+    }
+  }
+
   /** Incremental read: the rows ADDED between snapshot `fromId`
     * (exclusive) and snapshot `toId` (inclusive) — the changelog
     * consumption path that lets a downstream job (feature refresh,
@@ -785,6 +1072,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // counts from one partition-columns-only job over the NEW dir —
     // O(delta) like the write itself, never O(table)
     writePartitionSidecar(df.sparkSession, dataDir, partitionCols, format, newRows)
+    // column range sidecar (the Iceberg manifest min/max role): one
+    // O(delta) aggregation over the new dir, consumed by the stats-skip
+    // optimizer rule to drop non-overlapping dirs at planning. Stats are
+    // an optimization, never a correctness input — a collection failure
+    // must not fail the commit (the dir simply stays unskippable).
+    try graft.plans.RangeStats.writeSidecar(df.sparkSession, dataDir, format, newRows)
+    catch { case scala.util.control.NonFatal(_) => () }
     // partitions the batch REPLACES = the partitions it wrote (dynamic
     // overwrite semantics); read once from the just-written sidecar
     val replaced: Seq[String] =

@@ -1,0 +1,172 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Row-level UPDATE / MERGE (dir-granular copy-on-write): affected-dir
+  * detection, carry-forward of untouched dirs, interplay with masks /
+  * equality deletes, merge action shapes, and the SQL cardinality rule.
+  */
+class RowLevelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): SnapshotTable =
+    SnapshotTable(Files.createTempDirectory("graft_rl").toString, "ns", "t")
+
+  test("updateWhere rewrites only the dirs holding matching rows") {
+    val t = freshTable()
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", lit("a")))
+    t.append((101L to 200L).toDF("id").withColumn("v", lit("a")))
+    val untouched = t.currentSnapshot.get.dataDirs.last
+    val snap = t.updateWhere(spark, col("id") <= 50L, Map("v" -> lit("b")))
+    assert(snap.operation == "update")
+    assert(snap.dataDirs.contains(untouched)) // second dir carried forward
+    assert(!snap.dataDirs.contains(t.snapshots.head.dataDirs.head))
+    assert(snap.rowCount == 200L)
+    val out = t.read(spark)
+    assert(out.filter(col("v") === "b").count() == 50L)
+    assert(out.filter(col("v") === "a").count() == 150L)
+  }
+
+  test("updateWhere matching nothing commits nothing") {
+    val t = freshTable()
+    t.overwrite((1L to 10L).toDF("id").withColumn("v", lit(1)))
+    val before = t.currentSnapshot.get.id
+    val snap = t.updateWhere(spark, col("id") > 999L, Map("v" -> lit(2)))
+    assert(snap.id == before)
+    assert(t.snapshots.size == 1)
+  }
+
+  test("updateWhere casts assignments to the column type and can self-reference") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    t.updateWhere(spark, col("id") === 2L, Map("v" -> (col("v") + 5)))
+    assert(t.read(spark).orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 25L)))
+    // unknown column rejected
+    val e = intercept[IllegalArgumentException](
+      t.updateWhere(spark, lit(true), Map("nope" -> lit(1))))
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("updateWhere bakes equality deletes of rewritten dirs into the data") {
+    val t = freshTable()
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", lit("x")))
+    t.deleteWhere(Seq(7L).toDF("id"), Seq("id"))
+    assert(t.currentSnapshot.get.deletes.nonEmpty)
+    t.updateWhere(spark, col("id") <= 100L, Map("v" -> lit("y")))
+    val snap = t.currentSnapshot.get
+    // the rewritten dir replaced the delete's entire scope -> delete gone
+    assert(snap.deletes.isEmpty)
+    assert(t.read(spark).count() == 99L)
+    assert(t.read(spark).filter(col("id") === 7L).count() == 0L)
+    assert(snap.rowCount == 99L)
+  }
+
+  test("mergeInto upserts: matched update + unmatched insert") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "bal"))
+    val src = Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "name", "bal")
+    val snap = t.mergeInto(src, Seq("id" -> "id"), Merge.UpdateAll, Merge.InsertAll)
+    assert(snap.operation == "merge")
+    assert(snap.rowCount == 3L)
+    assert(t.read(spark).orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+  }
+
+  test("mergeInto with explicit sets referencing both sides") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"))
+    val src = Seq((2L, 5.0)).toDF("id", "delta")
+    t.mergeInto(src, Seq("id" -> "id"),
+      Merge.Update(Map("bal" -> (Merge.t("bal") + Merge.s("delta")))),
+      Merge.Ignore)
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 25.0)))
+  }
+
+  test("mergeInto delete action removes matched rows; count restated") {
+    val t = freshTable()
+    t.overwrite((1L to 10L).toDF("id"))
+    val snap = t.mergeInto(Seq(3L, 4L).toDF("id"), Seq("id" -> "id"),
+      Merge.Delete, Merge.Ignore)
+    assert(snap.rowCount == 8L)
+    assert(t.read(spark).as[Long].collect().sorted.toSeq ==
+      (1L to 10L).filterNot(Set(3L, 4L)))
+  }
+
+  test("mergeInto insert-only (KeepMatched) rewrites no dir") {
+    val t = freshTable()
+    t.overwrite((1L to 5L).toDF("id"))
+    val dirsBefore = t.currentSnapshot.get.dataDirs
+    val snap = t.mergeInto(Seq(3L, 99L).toDF("id"), Seq("id" -> "id"),
+      Merge.KeepMatched, Merge.InsertAll)
+    assert(dirsBefore.forall(snap.dataDirs.contains)) // nothing rewritten
+    assert(snap.rowCount == 6L)
+    assert(t.read(spark).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 99L))
+  }
+
+  test("mergeInto rejects duplicate source keys (SQL cardinality rule)") {
+    val t = freshTable()
+    t.overwrite(Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException](
+      t.mergeInto(Seq(1L, 1L).toDF("id"), Seq("id" -> "id"),
+        Merge.Delete, Merge.Ignore))
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("mergeInto key columns can differ in name between sides") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val src = Seq((2L, "B")).toDF("key", "v")
+    t.mergeInto(src, Seq("id" -> "key"), Merge.UpdateAll, Merge.Ignore)
+    assert(t.read(spark).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("SQL UPDATE and MERGE lower through the catalog onto the same path") {
+    val wh = Files.createTempDirectory("graft_rl_sql").toString
+    val t = SnapshotTable(wh, "ns", "sqlt")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "bal"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("UPDATE graft.ns.sqlt SET bal = bal * 10 WHERE id >= 2")
+    assert(spark.sql("SELECT bal FROM graft.ns.sqlt WHERE id = 2").as[Double].head() == 20.0)
+    assert(t.currentSnapshot.get.operation == "update")
+
+    Seq((3L, "c9", 999.0), (4L, "d", 4.0)).toDF("id", "name", "bal")
+      .createOrReplaceTempView("rl_src")
+    spark.sql("""MERGE INTO graft.ns.sqlt t USING rl_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET bal = s.bal
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.currentSnapshot.get.operation == "merge")
+    assert(spark.sql("SELECT id, name, bal FROM graft.ns.sqlt ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "b", 20.0), (3L, "c", 999.0), (4L, "d", 4.0)))
+    // matched UPDATE SET only touches the assigned column: name kept "c"
+    assert(spark.sql("SELECT name FROM graft.ns.sqlt WHERE id = 3").as[String].head() == "c")
+
+    // unsupported shapes fail loudly, not wrongly
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graft.ns.sqlt t USING rl_src s ON t.id > s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("equality conjunction"))
+  }
+
+  test("SQL MERGE delete + partitioned copy-on-write keeps the layout") {
+    val t = freshTable()
+    val df = Seq((1L, "x", "d1"), (2L, "y", "d1"), (3L, "z", "d2"))
+      .toDF("id", "v", "day")
+    t.overwrite(df, partitionCols = Seq("day"))
+    t.mergeInto(Seq(2L).toDF("id"), Seq("id" -> "id"), Merge.Delete, Merge.Ignore)
+    assert(t.partitionColumns == Seq("day"))
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // partition pruning still fires on the rewritten layout
+    val pruned = t.read(spark).filter(col("day") === "d2")
+    assert(pruned.count() == 1L)
+  }
+}
