@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions.lit
   *  - `UPDATE t SET c = expr, ... [WHERE cond]` — arbitrary expressions
   *    over the target row;
   *  - `MERGE INTO t USING s ON` equality conjunctions of target and
-  *    source columns, one unconditional `WHEN MATCHED THEN
-  *    UPDATE SET ... | UPDATE SET * | DELETE`, one unconditional
-  *    `WHEN NOT MATCHED THEN INSERT ... | INSERT *`.
-  * Everything else (conditional clauses, NOT MATCHED BY SOURCE, non-
-  * equality ON) raises a clear unsupported error instead of a rewrite
-  * that silently diverges from SQL semantics.
+  *    source columns, with any number of ordered `WHEN MATCHED
+  *    [AND cond] THEN UPDATE SET ... | UPDATE SET * | DELETE` and
+  *    `WHEN NOT MATCHED [AND cond] THEN INSERT ... | INSERT *` clauses
+  *    (first-true-wins per row, SQL clause-order semantics).
+  * Everything else (NOT MATCHED BY SOURCE, non-equality ON, subqueries
+  * in conditions/assignments, schema-evolving MERGE) raises a clear
+  * unsupported error instead of a rewrite that silently diverges from
+  * SQL semantics.
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -65,8 +67,16 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Lift a resolved expression out of the command into a Column over
     * the engine's rewrite frames: target refs become `__t.<name>`
     * (plain `<name>` for single-table UPDATE), source refs `__s.<name>`.
+    * Subqueries cannot be lifted — their attributes stay bound to the
+    * original relations and would surface as a confusing "resolved
+    * attribute(s) missing" analysis error downstream — so they are
+    * rejected here with an explicit unsupported-feature message.
     */
-  private def xlate(e: Expression, tSet: AttributeSet, sSet: AttributeSet): Column =
+  private def xlate(e: Expression, tSet: AttributeSet, sSet: AttributeSet): Column = {
+    if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        s"subqueries in UPDATE/MERGE conditions or assignments are not supported ($e); " +
+          "materialize the subquery as a source table or temp view first")
     GraftSqlShim.column(e.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))
@@ -74,6 +84,7 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (sSet.isEmpty) UnresolvedAttribute(Seq(a.name))
         else UnresolvedAttribute(Seq("__t", a.name))
     })
+  }
 
   private def topLevelName(key: Expression, verb: String): String = key match {
     case a: AttributeReference => a.name
@@ -94,8 +105,6 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported; evolve the table first " +
         "(ALTER TABLE ADD COLUMN)")
-    require(m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1,
-      "one WHEN MATCHED and one WHEN NOT MATCHED clause are supported")
     val tSet = m.targetTable.outputSet
     val sSet = m.sourceTable.outputSet
 
@@ -108,41 +117,35 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"MERGE ON must be an equality conjunction of target and source columns; got $other")
     }
 
-    def unconditional(a: MergeAction): Unit = a match {
-      case ua: UpdateAction => require(ua.condition.isEmpty,
-        "conditional WHEN MATCHED AND ... is not supported")
-      case da: DeleteAction => require(da.condition.isEmpty,
-        "conditional WHEN MATCHED AND ... is not supported")
-      case ia: InsertAction => require(ia.condition.isEmpty,
-        "conditional WHEN NOT MATCHED AND ... is not supported")
-      case us: UpdateStarAction => require(us.condition.isEmpty,
-        "conditional WHEN MATCHED AND ... is not supported")
-      case is: InsertStarAction => require(is.condition.isEmpty,
-        "conditional WHEN NOT MATCHED AND ... is not supported")
-      case _ => ()
-    }
-    (m.matchedActions ++ m.notMatchedActions).foreach(unconditional)
-
-    val matched: Merge.Matched = m.matchedActions.headOption.map {
-      case _: UpdateStarAction => Merge.UpdateAll
-      case _: DeleteAction => Merge.Delete
+    // ordered clauses, conditions included — the engine applies them
+    // first-true-wins per row (SQL clause-order semantics)
+    val matchedClauses: Seq[Merge.WhenMatched] = m.matchedActions.map {
+      case us: UpdateStarAction =>
+        Merge.WhenMatched(Merge.UpdateAll, us.condition.map(xlate(_, tSet, sSet)))
+      case da: DeleteAction =>
+        Merge.WhenMatched(Merge.Delete, da.condition.map(xlate(_, tSet, sSet)))
       case ua: UpdateAction =>
-        Merge.Update(ua.assignments.map(a =>
-          topLevelName(a.key, "MERGE UPDATE") -> xlate(a.value, tSet, sSet)).toMap)
+        Merge.WhenMatched(
+          Merge.Update(ua.assignments.map(a =>
+            topLevelName(a.key, "MERGE UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
+          ua.condition.map(xlate(_, tSet, sSet)))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN MATCHED action: $other")
-    }.getOrElse(Merge.KeepMatched)
+    }
 
-    val notMatched: Merge.NotMatched = m.notMatchedActions.headOption.map {
-      case _: InsertStarAction => Merge.InsertAll
+    val notMatchedClauses: Seq[Merge.WhenNotMatched] = m.notMatchedActions.map {
+      case is: InsertStarAction =>
+        Merge.WhenNotMatched(Merge.InsertAll, is.condition.map(xlate(_, tSet, sSet)))
       case ia: InsertAction =>
-        Merge.Insert(ia.assignments.map(a =>
-          topLevelName(a.key, "MERGE INSERT") -> xlate(a.value, tSet, sSet)).toMap)
+        Merge.WhenNotMatched(
+          Merge.Insert(ia.assignments.map(a =>
+            topLevelName(a.key, "MERGE INSERT") -> xlate(a.value, tSet, sSet)).toMap),
+          ia.condition.map(xlate(_, tSet, sSet)))
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED action: $other")
-    }.getOrElse(Merge.Ignore)
+    }
 
-    GraftMergeCommand(t.snapTable, m.sourceTable, keys, matched, notMatched)
+    GraftMergeCommand(t.snapTable, m.sourceTable, keys, matchedClauses, notMatchedClauses)
   }
 }
 
@@ -165,10 +168,11 @@ final case class GraftMergeCommand(
     @transient table: SnapshotTable,
     @transient sourcePlan: LogicalPlan,
     keys: Seq[(String, String)],
-    matched: Merge.Matched,
-    notMatched: Merge.NotMatched) extends LeafRunnableCommand {
+    matchedClauses: Seq[Merge.WhenMatched],
+    notMatchedClauses: Seq[Merge.WhenNotMatched]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.mergeInto(GraftSqlShim.ofRows(spark, sourcePlan), keys, matched, notMatched)
+    table.mergeClauses(
+      GraftSqlShim.ofRows(spark, sourcePlan), keys, matchedClauses, notMatchedClauses)
     Nil
   }
 }

@@ -73,53 +73,70 @@ object RangeStats {
   // write side (called by SnapshotTable.commit, once per new data dir)
   // ------------------------------------------------------------------
 
-  /** Collect and persist the range sidecar for a freshly written dir.
-    * One aggregation job over the dir (min/max/nullcount per column);
-    * `rows` was already footer-counted by the caller.
+  /** Named aggregate Columns collecting this schema's range stats in ONE
+    * pass. Attachable either to the WRITE itself via `Dataset.observe`
+    * (zero re-read — the stats ride along with the write job) or to a
+    * read-back `agg`. Names are positional (`c{i}_min/max/len/nulls`) so
+    * [[entriesFromMetrics]] can rebuild per-column entries without any
+    * column-name escaping concerns in metric keys.
     */
-  def writeSidecar(spark: SparkSession, dataDir: String, format: String, rows: Long): Unit = {
-    import org.apache.spark.sql.functions.{col, count, length, max, min, substring, when}
-    val df = spark.read.format(format).load(dataDir)
-    val fields = df.schema.fields.toSeq
-    val entries: Seq[(String, ColRange)] =
-      if (fields.isEmpty || rows == 0L) fields.map(f => f.name -> ColRange(0L, None, None))
-      else {
-        val aggs = fields.flatMap { f =>
-          val c = col(s"`${f.name}`")
-          val nulls = count(when(c.isNull, 1))
-          f.dataType match {
-            case StringType =>
-              Seq(min(substring(c, 1, StringBoundChars)),
-                max(substring(c, 1, StringBoundChars)), max(length(c)), nulls)
-            case dt if boundSupported(dt) => Seq(min(c), max(c), nulls)
-            case _ => Seq(nulls)
+  def rangeAggs(fields: Seq[StructField]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, count, length, lit, max, min, substring, when}
+    fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val nulls = count(when(c.isNull, lit(1))).as(s"c${i}_nulls")
+      f.dataType match {
+        case StringType =>
+          Seq(min(substring(c, 1, StringBoundChars)).as(s"c${i}_min"),
+            max(substring(c, 1, StringBoundChars)).as(s"c${i}_max"),
+            max(length(c)).as(s"c${i}_len"), nulls)
+        case dt if boundSupported(dt) =>
+          Seq(min(c).as(s"c${i}_min"), max(c).as(s"c${i}_max"), nulls)
+        case _ => Seq(nulls)
+      }
+    }
+  }
+
+  /** Decode [[rangeAggs]] metric values (external/collected types, as an
+    * Observation or collected Row delivers them) back into per-column
+    * entries. `overrides` substitutes whole columns — used for partition
+    * columns, whose bounds must be encoded under the READ-BACK (inferred)
+    * type rather than the written DataFrame's type (see
+    * SnapshotTable.partitionJobStats).
+    */
+  def entriesFromMetrics(
+      fields: Seq[StructField],
+      m: Map[String, Any],
+      overrides: Map[String, ColRange] = Map.empty): Seq[(String, ColRange)] =
+    fields.zipWithIndex.map { case (f, i) =>
+      overrides.get(f.name) match {
+        case Some(r) => f.name -> r
+        case None =>
+          val nulls = m.get(s"c${i}_nulls") match {
+            case Some(l: Long) => l
+            case _ => 0L
           }
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        var i = 0
-        fields.map { f =>
           f.dataType match {
             case StringType =>
-              val mn = if (row.isNullAt(i)) None else Some(row.getString(i))
-              val mx = if (row.isNullAt(i + 1)) None else Some(row.getString(i + 1))
-              val maxLen = if (row.isNullAt(i + 2)) 0 else row.getInt(i + 2)
-              val nulls = row.getLong(i + 3)
-              i += 4
+              val mn = m.get(s"c${i}_min").collect { case s: String => s }
+              val mx = m.get(s"c${i}_max").collect { case s: String => s }
+              val maxLen = m.get(s"c${i}_len") match {
+                case Some(l: Int) => l
+                case _ => 0
+              }
               // a truncated upper bound would understate the max — drop it
               f.name -> ColRange(nulls, mn, if (maxLen > StringBoundChars) None else mx)
             case dt if boundSupported(dt) =>
-              val mn = store(dt, row.get(i))
-              val mx = store(dt, row.get(i + 1))
-              val nulls = row.getLong(i + 2)
-              i += 3
-              f.name -> ColRange(nulls, mn, mx)
-            case _ =>
-              val nulls = row.getLong(i)
-              i += 1
-              f.name -> ColRange(nulls, None, None)
+              f.name -> ColRange(nulls,
+                m.get(s"c${i}_min").flatMap(v => store(dt, v)),
+                m.get(s"c${i}_max").flatMap(v => store(dt, v)))
+            case _ => f.name -> ColRange(nulls, None, None)
           }
-        }
       }
+    }
+
+  /** Persist a dir's range sidecar from already-collected entries. */
+  def writeEntries(dataDir: String, rows: Long, entries: Seq[(String, ColRange)]): Unit = {
     val json = s"""{"rows":$rows,"cols":[""" + entries.map { case (n, c) =>
       val mn = c.min.map(v => s""","min":"${jsonEscape(v)}"""").getOrElse("")
       val mx = c.max.map(v => s""","max":"${jsonEscape(v)}"""").getOrElse("")
@@ -128,12 +145,31 @@ object RangeStats {
     Files.write(sidecarPath(dataDir), json.getBytes(StandardCharsets.UTF_8)): Unit
   }
 
+  /** Collect and persist the range sidecar for an existing dir with one
+    * read-back aggregation job. The fallback path — the commit hot path
+    * collects the same stats during the write via [[rangeAggs]] +
+    * `observe` and never re-reads.
+    */
+  def writeSidecar(spark: SparkSession, dataDir: String, format: String, rows: Long): Unit = {
+    val df = spark.read.format(format).load(dataDir)
+    val fields = df.schema.fields.toSeq
+    val entries: Seq[(String, ColRange)] =
+      if (fields.isEmpty || rows == 0L) fields.map(f => f.name -> ColRange(0L, None, None))
+      else {
+        val aggs = rangeAggs(fields)
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val m: Map[String, Any] = row.schema.fieldNames.zip(row.toSeq).toMap
+        entriesFromMetrics(fields, m)
+      }
+    writeEntries(dataDir, rows, entries)
+  }
+
   /** External (collected) agg value -> storage string, in a rendering
     * that round-trips exactly: integral/date/timestamp as decimal
     * micros/days, floats via JDK toString (exact round-trip), decimals
     * as plain strings, booleans as 0/1.
     */
-  private def store(dt: DataType, v: Any): Option[String] =
+  private[graft] def store(dt: DataType, v: Any): Option[String] =
     if (v == null) None
     else dt match {
       case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
@@ -304,9 +340,21 @@ object RangeStats {
             Some(java.lang.Long.compare(stored.toLong, if (b) 1L else 0L))
           case _ => None
         }
-      case FloatType | DoubleType =>
+      // FloatType compares in FLOAT space: the stored bound is
+      // Float.toString (shortest decimal round-tripping as Float), and
+      // widening both sides to double gives DIFFERENT values
+      // ("0.7".toDouble = 0.7d > 0.7f.toDouble = 0.69999998...), which
+      // can overstate a bound and falsely prove a dir empty.
+      case FloatType =>
         val l = lit match {
-          case f: Float => f.toDouble
+          case f: Float => f
+          case _ => return None
+        }
+        val st = stored.toFloat
+        if (l.isNaN || st.isNaN) None
+        else Some(java.lang.Float.compare(st, l))
+      case DoubleType =>
+        val l = lit match {
           case d: Double => d
           case _ => return None
         }
@@ -397,7 +445,17 @@ object GraftStatsSkipRule extends Rule[LogicalPlan] {
           }
           if (kept.size == roots.size) f
           else if (kept.isEmpty) LocalRelation(l.output, Nil)
-          else if (fsRel.partitionSchema.nonEmpty) f // partial prune only for flat multi-path scans
+          else if (fsRel.partitionSchema.nonEmpty) f
+          // ^ not a coverage gap: a partitioned multi-root relation with
+          //   sidecar'd roots cannot exist. Spark's partition discovery
+          //   rejects sibling partitioned roots outright (CONFLICTING_
+          //   DIRECTORY_STRUCTURES — each leaf infers its own base, even
+          //   under an explicit basePath), so snapshot reads keep
+          //   partitioned dirs on PER-DIR relations — single-root scans
+          //   that the kept.isEmpty arm above already prunes whole. The
+          //   only multi-root partitioned shape Spark accepts (explicit
+          //   partition LEAF dirs + basePath) roots below the sidecar
+          //   level, where stats resolve to None and the rule no-ops.
           else {
             val spark = fsRel.sparkSession
             val pruned = new InMemoryFileIndex(

@@ -34,6 +34,26 @@ object Merge {
   /** No not-matched clause: unmatched source rows are ignored. */
   case object Ignore extends NotMatched
 
+  /** One `WHEN MATCHED [AND cond] THEN <action>` clause. Clauses apply
+    * first-true-wins in declaration order (SQL semantics: a matched row
+    * takes the first clause whose condition is TRUE; a null/false
+    * condition falls through to the next clause; no applicable clause
+    * leaves the row untouched). `cond` may reference [[t]]/[[s]].
+    * [[KeepMatched]] is not a clause action — express "no change" by
+    * omitting the clause.
+    */
+  final case class WhenMatched(action: Matched, cond: Option[Column] = None) {
+    require(action != KeepMatched, "KeepMatched is the absence of a clause, not an action")
+  }
+
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT ...` clause —
+    * first-true-wins like [[WhenMatched]]; `cond` may reference [[s]]
+    * only (there is no target row).
+    */
+  final case class WhenNotMatched(action: NotMatched, cond: Option[Column] = None) {
+    require(action != Ignore, "Ignore is the absence of a clause, not an action")
+  }
+
   /** The target row's column, for use in [[Update]] assignments. */
   def t(name: String): Column = col(s"__t.$name")
 

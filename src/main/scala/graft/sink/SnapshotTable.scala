@@ -447,21 +447,51 @@ final class SnapshotTable(val root: String, val fullName: String) {
       keys: Seq[(String, String)],
       matched: Merge.Matched,
       notMatched: Merge.NotMatched,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    mergeClauses(source, keys,
+      matched match {
+        case Merge.KeepMatched => Nil
+        case m => Seq(Merge.WhenMatched(m))
+      },
+      notMatched match {
+        case Merge.Ignore => Nil
+        case nm => Seq(Merge.WhenNotMatched(nm))
+      },
+      numRetries)
+
+  /** Full multi-clause MERGE: ordered `WHEN MATCHED [AND cond]` /
+    * `WHEN NOT MATCHED [AND cond]` clauses, first-true-wins per row
+    * (SQL semantics). Dir detection stays a key-pruned semi-join —
+    * conservative under clause conditions: a dir whose matched rows all
+    * fail every condition is rewritten byte-identical rather than
+    * detected as untouched (detecting that would need the full source
+    * join per dir up front; the rewrite itself applies conditions
+    * exactly).
+    */
+  def mergeClauses(
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matchedClauses: Seq[Merge.WhenMatched],
+      notMatchedClauses: Seq[Merge.WhenNotMatched],
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val spark = source.sparkSession
     require(keys.nonEmpty, s"MERGE into $fullName needs at least one key pair")
     keys.foreach { case (_, sk) =>
       require(source.columns.contains(sk),
         s"MERGE source lacks key column $sk (has: ${source.columns.mkString(", ")})")
     }
-    // SQL MERGE cardinality rule: at most one source row per target row
+    // duplicated source keys — an error only if one of them MATCHES a
+    // target row (the SQL cardinality rule: no target row may be
+    // updated/deleted twice). Duplicate keys among not-matched rows are
+    // legal — they all insert. Checked per attempt against the current
+    // head; the common no-dups case costs one source-side job and never
+    // touches the table.
     val srcKeyCols = keys.map { case (_, sk) => col(sk) }
-    val dup = source.groupBy(srcKeyCols: _*).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dup == 0L,
-      s"MERGE into $fullName: multiple source rows share a key — the SQL " +
-        "cardinality rule forbids updating one target row twice (dedupe the source)")
+    val dupKeys = source.groupBy(srcKeyCols: _*).count()
+      .filter(col("count") > 1)
+      .select(keys.map { case (tk, sk) => col(sk).as(tk) }: _*)
+    val hasDupKeys = dupKeys.limit(1).count() > 0L
 
     var attempt = 0
     while (true) {
@@ -471,14 +501,25 @@ final class SnapshotTable(val root: String, val fullName: String) {
         require(schemaCols.exists(_._1 == tk),
           s"MERGE into $fullName keys on unknown column $tk")
       }
+      // the target's distinct key tuples: one column-pruned scan,
+      // reused by the cardinality check and the insert anti-join
+      lazy val tableKeys = readSnapshot(spark, cur.id)
+        .select(keys.map { case (tk, _) => col(tk) }: _*).distinct()
+      if (hasDupKeys) {
+        val dupMatched = dupKeys
+          .join(tableKeys, keys.map(_._1), "left_semi").limit(1).count()
+        require(dupMatched == 0L,
+          s"MERGE into $fullName: multiple source rows share a key that matches a " +
+            "target row — the SQL cardinality rule forbids updating one target row " +
+            "twice (dedupe the source)")
+      }
       // dirs holding matched target rows: key-pruned semi-join
       val srcKeys = source.select(keys.map { case (tk, sk) => col(sk).as(tk) }: _*).distinct()
-      val affected = matched match {
-        case Merge.KeepMatched => Nil // matched rows stay byte-identical
-        case _ => affectedDirs(spark, cur, v =>
+      val affected =
+        if (matchedClauses.isEmpty) Nil // matched rows stay byte-identical
+        else affectedDirs(spark, cur, v =>
           v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
             keys.map(_._1), "left_semi"))
-      }
       val view = if (affected.isEmpty) None else Some(readDirsView(spark, cur, affected))
       val affectedRows = view.map(_.count()).getOrElse(0L)
 
@@ -488,59 +529,84 @@ final class SnapshotTable(val root: String, val fullName: String) {
       }.reduce(_ && _)
       val matchedCol = col("__s.__s_present").isNotNull
 
-      val rewritten: Option[DataFrame] = view.map { v =>
-        val joined = v.alias("__t").join(src, joinCond, "left_outer")
-        matched match {
-          case Merge.Delete => joined.filter(!matchedCol)
-            .select(schemaCols.map { case (n, _) => col(s"__t.$n").as(n) }: _*)
-          case Merge.UpdateAll =>
-            joined.select(schemaCols.map { case (n, t) =>
-              if (source.columns.contains(n))
-                when(matchedCol, col(s"__s.$n").cast(t))
-                  .otherwise(col(s"__t.$n")).as(n)
-              else col(s"__t.$n").as(n)
-            }: _*)
-          case Merge.Update(sets) =>
-            sets.keys.foreach(k => require(schemaCols.exists(_._1 == k),
-              s"MERGE into $fullName assigns unknown column $k"))
-            joined.select(schemaCols.map { case (n, t) =>
-              sets.get(n)
-                .map(v0 => when(matchedCol, v0.cast(t))
-                  .otherwise(col(s"__t.$n")).as(n))
-                .getOrElse(col(s"__t.$n").as(n))
-            }: _*)
-          case Merge.KeepMatched => v
+      // first-true-wins clause predicates: pred_i = base && !c_0 && ...
+      // && !c_{i-1} && c_i, with a NULL condition treated as
+      // not-applied-but-keep-looking (coalesce to false)
+      def clausePreds[A](base: org.apache.spark.sql.Column, conds: Seq[Option[org.apache.spark.sql.Column]])
+        : Seq[org.apache.spark.sql.Column] = {
+        var remaining = base
+        conds.map { c =>
+          val cTrue = coalesce(c.getOrElse(lit(true)), lit(false))
+          val p = remaining && cTrue
+          remaining = remaining && !cTrue
+          p
         }
       }
 
-      val inserts: Option[DataFrame] = notMatched match {
-        case Merge.Ignore => None
-        case nm =>
+      val rewritten: Option[DataFrame] = view.map { v =>
+        val joined = v.alias("__t").join(src, joinCond, "left_outer")
+        val preds = clausePreds(matchedCol, matchedClauses.map(_.cond))
+        val withPred = preds.zip(matchedClauses.map(_.action))
+        withPred.foreach {
+          case (_, Merge.Update(sets)) =>
+            sets.keys.foreach(k => require(schemaCols.exists(_._1 == k),
+              s"MERGE into $fullName assigns unknown column $k"))
+          case _ => ()
+        }
+        val deletePred = withPred.collect { case (p, Merge.Delete) => p }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        joined.filter(!deletePred).select(schemaCols.map { case (n, t) =>
+          val keep = col(s"__t.$n")
+          val chain = withPred.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+            case (acc, (p, action)) =>
+              val value = action match {
+                case Merge.UpdateAll =>
+                  if (source.columns.contains(n)) Some(col(s"__s.$n").cast(t)) else None
+                case Merge.Update(sets) => sets.get(n).map(_.cast(t))
+                case _ => None // Delete rows are already filtered out
+              }
+              value.map(v0 => acc.map(_.when(p, v0)).getOrElse(when(p, v0))).orElse(acc)
+          }
+          chain.map(_.otherwise(keep).as(n)).getOrElse(keep.as(n))
+        }: _*)
+      }
+
+      val inserts: Option[DataFrame] =
+        if (notMatchedClauses.isEmpty) None
+        else {
           // table-wide unmatched source rows: anti-join against the key
           // columns only (column-pruned scan of the table)
-          val tableKeys = readSnapshot(spark, cur.id)
-            .select(keys.map { case (tk, _) => col(tk) }: _*).distinct()
           val unmatched = source.alias("__s").join(
             tableKeys.alias("__t"), joinCond, "left_anti")
-          Some(nm match {
-            case Merge.InsertAll =>
-              unmatched.select(schemaCols.map { case (n, t) =>
-                val fromKey = keys.find(_._1 == n).map(_._2)
-                val src0 = fromKey.orElse(Some(n).filter(source.columns.contains))
-                src0.map(sn => col(s"__s.$sn").cast(t).as(n))
-                  .getOrElse(lit(null).cast(t).as(n))
-              }: _*)
-            case Merge.Insert(sets) =>
-              unmatched.select(schemaCols.map { case (n, t) =>
-                sets.get(n).map(_.cast(t).as(n))
-                  .getOrElse(lit(null).cast(t).as(n))
-              }: _*)
-            case Merge.Ignore => throw new IllegalStateException("unreachable")
-          })
-      }
+          val preds = clausePreds(lit(true), notMatchedClauses.map(_.cond))
+          val withPred = preds.zip(notMatchedClauses.map(_.action))
+          val applicable = unmatched.filter(withPred.map(_._1).reduce(_ || _))
+          Some(applicable.select(schemaCols.map { case (n, t) =>
+            val chain = withPred.map { case (p, action) =>
+              val value = action match {
+                case Merge.InsertAll =>
+                  val fromKey = keys.find(_._1 == n).map(_._2)
+                  val src0 = fromKey.orElse(Some(n).filter(source.columns.contains))
+                  src0.map(sn => col(s"__s.$sn").cast(t)).getOrElse(lit(null).cast(t))
+                case Merge.Insert(sets) =>
+                  sets.get(n).map(_.cast(t)).getOrElse(lit(null).cast(t))
+              }
+              (p, value)
+            }.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+              case (acc, (p, v0)) => Some(acc.map(_.when(p, v0)).getOrElse(when(p, v0)))
+            }
+            // every surviving row satisfies some pred; the otherwise is
+            // unreachable but keeps the column total
+            chain.get.otherwise(lit(null).cast(t)).as(n)
+          }: _*))
+        }
 
       (rewritten, inserts) match {
         case (None, None) => return cur
+        // a merge that touches no dir and inserts no row is a NO-OP —
+        // committing would bloat history with an empty data dir (the
+        // probe is one limit-1 job over the unmatched keys)
+        case (None, Some(ins)) if ins.isEmpty => return cur
         case _ =>
           val newData = (rewritten.toSeq ++ inserts.toSeq).reduce(_ unionByName _)
           val total = if (cur.rowCount < 0) -1L else -2L // -2: resolve from written rows below
@@ -618,13 +684,33 @@ final class SnapshotTable(val root: String, val fullName: String) {
       if (pCols.nonEmpty)
         replacement.repartition(pCols.map(org.apache.spark.sql.functions.col): _*)
       else replacement
-    clustered.write.mode("overwrite").format(base.format).save(dataDir)
-    val newRows = spark.read.format(base.format).load(dataDir).count()
-    writePartitionSidecar(spark, dataDir, pCols, base.format, newRows)
+    // same single-pass stats collection as [[commit]]: row count +
+    // column ranges observed during the write, partition rows + bounds
+    // from one column-pruned job
+    val fields = clustered.schema.fields.toSeq
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-stats-${java.util.UUID.randomUUID().toString.take(8)}")
+    val statAggs = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("__rows") +:
+      graft.plans.RangeStats.rangeAggs(fields)
+    clustered.observe(obs, statAggs.head, statAggs.tail: _*)
+      .write.mode("overwrite").format(base.format).save(dataDir)
+    val metrics: Map[String, Any] =
+      try obs.get catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val newRows = metrics.get("__rows") match {
+      case Some(l: Long) => l
+      case _ => spark.read.format(base.format).load(dataDir).count()
+    }
+    val (rowsByPart, partBounds) = partitionJobStats(spark, dataDir, pCols, base.format)
+    writePartitionSidecar(dataDir, pCols, rowsByPart, newRows)
     if (base.cols.nonEmpty)
       writeColumnsSidecar(dataDir, base.cols.map(c =>
         TableColumn(c.id, c.name, c.dataType)))
-    try graft.plans.RangeStats.writeSidecar(spark, dataDir, base.format, newRows)
+    try
+      if (metrics.nonEmpty)
+        graft.plans.RangeStats.writeEntries(dataDir, newRows,
+          graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds))
+      else graft.plans.RangeStats.writeSidecar(spark, dataDir, base.format, newRows)
     catch { case scala.util.control.NonFatal(_) => () }
     val total =
       if (newTotal == -2L)
@@ -1058,26 +1144,51 @@ final class SnapshotTable(val root: String, val fullName: String) {
         df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       else df
     val sorted = if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
-    val writer = sorted.write.mode("overwrite").format(format)
+    // Row count + column range stats ride along with the WRITE itself
+    // (Dataset.observe → CollectMetrics inside the write job): min/max/
+    // null per column and the row count are aggregated by the write
+    // tasks, so neither a footer-count pass nor a stats re-read pass
+    // over the fresh dir exists. (Iceberg collects the same stats inside
+    // its writers; observe is the Spark-native equivalent.)
+    val fields = sorted.schema.fields.toSeq
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-stats-${java.util.UUID.randomUUID().toString.take(8)}")
+    val statAggs = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("__rows") +:
+      graft.plans.RangeStats.rangeAggs(fields)
+    val writer = sorted.observe(obs, statAggs.head, statAggs.tail: _*)
+      .write.mode("overwrite").format(format)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .save(dataDir)
+    val metrics: Map[String, Any] =
+      try obs.get catch { case scala.util.control.NonFatal(_) => Map.empty }
     // row count of the NEW dir, recorded into snapshot metadata so
-    // history listings never rescan data. count() over a freshly written
-    // parquet/orc dir resolves from file footers (no data pages read) —
-    // O(files), not O(rows). Computed once, outside the swap loop: the
-    // dir is immutable across retries.
-    val newRows = df.sparkSession.read.format(format).load(dataDir).count()
-    // per-partition stats sidecar, written once beside the immutable dir
-    // (the manifest-stats role): file counts from a directory walk, row
-    // counts from one partition-columns-only job over the NEW dir —
-    // O(delta) like the write itself, never O(table)
-    writePartitionSidecar(df.sparkSession, dataDir, partitionCols, format, newRows)
-    // column range sidecar (the Iceberg manifest min/max role): one
-    // O(delta) aggregation over the new dir, consumed by the stats-skip
-    // optimizer rule to drop non-overlapping dirs at planning. Stats are
-    // an optimization, never a correctness input — a collection failure
-    // must not fail the commit (the dir simply stays unskippable).
-    try graft.plans.RangeStats.writeSidecar(df.sparkSession, dataDir, format, newRows)
+    // history listings never rescan data. Normally free (observed during
+    // the write); the fallback footer count is O(files), not O(rows).
+    // Computed once, outside the swap loop: the dir is immutable across
+    // retries.
+    val newRows = metrics.get("__rows") match {
+      case Some(l: Long) => l
+      case _ => df.sparkSession.read.format(format).load(dataDir).count()
+    }
+    // per-partition stats sidecar (the manifest-stats role): file counts
+    // from a directory walk; for partitioned tables ONE column-pruned
+    // job yields both the per-partition row counts and the partition
+    // columns' bounds in read-back type space — O(delta) like the write
+    // itself, never O(table), and reading no data columns.
+    val (rowsByPart, partBounds) =
+      partitionJobStats(df.sparkSession, dataDir, partitionCols, format)
+    writePartitionSidecar(dataDir, partitionCols, rowsByPart, newRows)
+    // column range sidecar (the Iceberg manifest min/max role), consumed
+    // by the stats-skip optimizer rule to drop non-overlapping dirs at
+    // planning. Stats are an optimization, never a correctness input — a
+    // collection failure must not fail the commit (the dir simply stays
+    // unskippable).
+    try
+      if (metrics.nonEmpty)
+        graft.plans.RangeStats.writeEntries(dataDir, newRows,
+          graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds))
+      else graft.plans.RangeStats.writeSidecar(df.sparkSession, dataDir, format, newRows)
     catch { case scala.util.control.NonFatal(_) => () }
     // partitions the batch REPLACES = the partitions it wrote (dynamic
     // overwrite semantics); read once from the just-written sidecar
@@ -1449,11 +1560,86 @@ final class SnapshotTable(val root: String, val fullName: String) {
   private def sidecarPath(dataDir: String) =
     Paths.get(dataDir, ".graft-partitions.json")
 
-  private def writePartitionSidecar(
+  /** ONE column-pruned job over a freshly written PARTITIONED dir
+    * yielding both sidecar inputs at once: per-partition-directory row
+    * counts AND the partition columns' min/max/null stats. Bounds are
+    * collected in READ-BACK (inferred) type space: partition values are
+    * parsed back from directory names at scan time, so their scan
+    * attributes carry the INFERRED types — bounds recorded under the
+    * written DataFrame's types could disagree (e.g. a string column of
+    * numeric-looking values reads back as IntegerType, where
+    * lexicographic and numeric min differ) and unsoundly prune. The job
+    * reads no data columns: partition values come from paths and row
+    * counts from file metadata. No-op for unpartitioned dirs — their
+    * stats all come from the write-time observation.
+    */
+  private def partitionJobStats(
       spark: SparkSession,
       dataDir: String,
       partitionCols: Seq[String],
-      format: String,
+      format: String): (Map[String, Long], Map[String, graft.plans.RangeStats.ColRange]) =
+    if (partitionCols.isEmpty) (Map.empty, Map.empty)
+    else {
+      import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+      val df = spark.read.format(format).load(dataDir)
+      val inferred = partitionCols.map(c => df.schema(c).dataType)
+      val n = partitionCols.size
+      // string-cast keys render partition values the way Spark renders
+      // the DIRECTORY names — a Catalyst string cast — so sidecar keys
+      // line up with the walked (unescaped) paths. JVM toString diverges
+      // for e.g. timestamps ('…00:00:00.0' vs the dir's '…00:00:00'),
+      // which would split entries into files-only/rows-only halves.
+      // Keys are aliased __k{i} so the raw columns stay resolvable
+      // inside the aggregates.
+      val keys = partitionCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("string").as(s"__k$i")
+      }
+      val aggs = count(lit(1)).as("__rows") +:
+        partitionCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(c)).as(s"p${i}_min"), max(col(c)).as(s"p${i}_max"),
+            count(when(col(c).isNull, lit(1))).as(s"p${i}_nulls"))
+        }
+      val grouped = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).collect()
+      val rowsByPart = grouped.map { r =>
+        val path = partitionCols.indices.map { i =>
+          val v = if (r.isNullAt(i)) null else r.getString(i)
+          s"${partitionCols(i)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}"
+        }.mkString("/")
+        path -> r.getLong(n)
+      }.toMap
+      // fold the per-group (per-partition-value) extrema into dir-level
+      // bounds driver-side — O(#partitions) external Comparables
+      def fold(vs: Seq[Any], takeMin: Boolean): Option[Any] =
+        vs.reduceLeftOption { (a, b) =>
+          val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+          if ((c <= 0) == takeMin) a else b
+        }
+      val bounds = partitionCols.zipWithIndex.map { case (c, i) =>
+        val mins = grouped.toSeq.flatMap(r => Option(r.get(n + 1 + i * 3)))
+        val maxs = grouped.toSeq.flatMap(r => Option(r.get(n + 2 + i * 3)))
+        val nulls = grouped.map(_.getLong(n + 3 + i * 3)).sum
+        val range = inferred(i) match {
+          case org.apache.spark.sql.types.StringType =>
+            // same truncation contract as data-column string bounds
+            graft.plans.RangeStats.ColRange(nulls,
+              fold(mins, takeMin = true).map(_.asInstanceOf[String]
+                .take(graft.plans.RangeStats.StringBoundChars)),
+              fold(maxs, takeMin = false).map(_.asInstanceOf[String])
+                .filter(_.length <= graft.plans.RangeStats.StringBoundChars))
+          case dt =>
+            graft.plans.RangeStats.ColRange(nulls,
+              fold(mins, takeMin = true).flatMap(graft.plans.RangeStats.store(dt, _)),
+              fold(maxs, takeMin = false).flatMap(graft.plans.RangeStats.store(dt, _)))
+        }
+        c -> range
+      }.toMap
+      (rowsByPart, bounds)
+    }
+
+  private def writePartitionSidecar(
+      dataDir: String,
+      partitionCols: Seq[String],
+      rowsByPart: Map[String, Long],
       totalRows: Long): Unit = {
     val base = new File(dataDir)
     val filesByPart: Map[String, Long] = listDataFiles(base).groupBy { f =>
@@ -1462,26 +1648,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val stats: Seq[(String, Long, Long)] =
       if (partitionCols.isEmpty)
         Seq(("", filesByPart.getOrElse("", 0L), totalRows))
-      else {
-        import org.apache.spark.sql.functions.col
-        // render partition values the way Spark renders the DIRECTORY
-        // names — a Catalyst string cast — so sidecar keys line up with
-        // the walked (unescaped) paths. JVM toString diverges for e.g.
-        // timestamps ('…00:00:00.0' vs the dir's '…00:00:00'), which
-        // would split entries into files-only/rows-only halves.
-        val rowsByPart = spark.read.format(format).load(dataDir)
-          .groupBy(partitionCols.map(c => col(c).cast("string").as(c)): _*).count()
-          .collect().map { r =>
-            val path = partitionCols.indices.map { i =>
-              val v = if (r.isNullAt(i)) null else r.getString(i)
-              s"${partitionCols(i)}=${if (v == null) "__HIVE_DEFAULT_PARTITION__" else v}"
-            }.mkString("/")
-            path -> r.getLong(partitionCols.size)
-          }.toMap
+      else
         (filesByPart.keySet ++ rowsByPart.keySet).toSeq.sorted.map { p =>
           (p, filesByPart.getOrElse(p, 0L), rowsByPart.getOrElse(p, -1L))
         }
-      }
     val json = stats.map { case (p, f, r) =>
       s"""{"partition":"${jsonEscape(p)}","files":$f,"rows":$r}"""
     }.mkString("[", ",", "]")

@@ -118,6 +118,25 @@ class RangeStatsSpec extends SparkSpec {
     assert(eq.count() == 1L)
   }
 
+  test("float bounds compare in float space: boundary-equal filter is NOT pruned") {
+    val t = freshTable()
+    // min of this dir is exactly 0.7f; "0.7".toDouble (0.7d) > 0.7f
+    // widened to double, so a double-space comparison would wrongly
+    // prove `x <= 0.7f` empty here and silently drop the matching row
+    t.overwrite(Seq(0.7f, 0.9f).toDF("x"))
+    t.append(Seq(10.5f, 20.5f).toDF("x"))
+    val q = t.read(spark).filter(col("x") <= 0.7f)
+    assert(scannedDirs(q) == 1) // the second dir is out of range; the first must survive
+    assert(q.as[Float].collect().toSeq == Seq(0.7f))
+    val eq = t.read(spark).filter(col("x") === 0.7f)
+    assert(scannedDirs(eq) == 1)
+    assert(eq.count() == 1L)
+    // and pruning still fires where it should
+    val none = t.read(spark).filter(col("x") > 100.0f)
+    assert(scannedDirs(none) == 0)
+    assert(none.count() == 0L)
+  }
+
   test("double bounds prune; results stay exact") {
     val t = freshTable()
     t.overwrite(Seq(0.1, 0.5).toDF("x"))
@@ -145,6 +164,25 @@ class RangeStatsSpec extends SparkSpec {
       _.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
     assert(!dataDirs.exists(_.contains(t.snapshots.last.dataDirs.last)))
     assert(t.read(spark).filter(col("id") === 150L).count() == 0L)
+  }
+
+  test("partitioned dirs: data- and partition-column bounds dir-skip per-dir reads") {
+    val t = freshTable()
+    def batch(lo: Long, hi: Long, day: String) =
+      (lo to hi).toDF("id").withColumn("day", lit(day).cast("date"))
+        .withColumn("v", col("id") * 2)
+    t.overwrite(batch(1, 100, "2024-01-01"), partitionCols = Seq("day"))
+    t.append(batch(101, 200, "2024-01-02"), partitionCols = Seq("day"))
+    t.append(batch(201, 300, "2024-01-03"), partitionCols = Seq("day"))
+    // filter on the DATA column: only the overlapping commit dir survives
+    val q = t.read(spark).filter(col("id") === 150L)
+    assert(scannedDirs(q) == 1)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(150L))
+    // filter on the PARTITION column: sidecar bounds (read-back typed)
+    // drop non-overlapping commit dirs before partition listing
+    val p = t.read(spark).filter(col("day") === lit("2024-01-02").cast("date"))
+    assert(scannedDirs(p) == 1)
+    assert(p.count() == 100L)
   }
 
   test("external (sidecar-less) parquet is never touched by the rule") {

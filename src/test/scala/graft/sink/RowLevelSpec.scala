@@ -119,6 +119,68 @@ class RowLevelSpec extends SparkSpec {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("duplicate source keys among NOT-matched rows are legal: they all insert") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    // key 9 is duplicated but matches no target row — SQL says both
+    // rows insert; only a duplicate that MATCHES violates cardinality
+    val src = Seq((1L, "a2"), (9L, "x"), (9L, "y")).toDF("id", "v")
+    val snap = t.mergeInto(src, Seq("id" -> "id"), Merge.UpdateAll, Merge.InsertAll)
+    assert(snap.rowCount == 3L)
+    assert(t.read(spark).orderBy("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a2"), (9L, "x"), (9L, "y")))
+  }
+
+  test("no-op merge (nothing matched to rewrite, nothing to insert) commits nothing") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val before = t.currentSnapshot.get
+    val snapsBefore = t.snapshots.size
+    // KeepMatched + InsertAll where every source row matches: no dir to
+    // rewrite, zero inserts — must NOT write an empty dir + snapshot
+    val snap = t.mergeInto(Seq((1L, "a9")).toDF("id", "v"),
+      Seq("id" -> "id"), Merge.KeepMatched, Merge.InsertAll)
+    assert(snap.id == before.id)
+    assert(t.snapshots.size == snapsBefore)
+    assert(t.currentSnapshot.get.dataDirs == before.dataDirs)
+  }
+
+  test("conditional clauses apply first-true-wins (delete, then update fallback)") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 10.0), (2L, -5.0), (3L, 30.0), (4L, 40.0)).toDF("id", "bal"))
+    val src = Seq((1L, 100.0), (2L, 200.0), (3L, -1.0)).toDF("id", "newBal")
+    val snap = t.mergeClauses(src, Seq("id" -> "id"),
+      Seq(
+        // clause 1: delete matched rows whose SOURCE value is negative
+        Merge.WhenMatched(Merge.Delete, Some(Merge.s("newBal") < 0)),
+        // clause 2 (fallback): adopt the source value
+        Merge.WhenMatched(Merge.Update(Map("bal" -> Merge.s("newBal"))))),
+      Nil)
+    assert(snap.operation == "merge")
+    // id=3 deleted (clause 1), ids 1,2 updated (clause 2), id=4 untouched
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 100.0), (2L, 200.0), (4L, 40.0)))
+    assert(snap.rowCount == 3L)
+  }
+
+  test("conditional NOT MATCHED inserts: first-true-wins across insert clauses") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "old", 0.0)).toDF("id", "tag", "bal"))
+    val src = Seq((2L, 1500.0), (3L, 10.0), (4L, 2000.0)).toDF("id", "amount")
+    t.mergeClauses(src, Seq("id" -> "id"),
+      Nil,
+      Seq(
+        Merge.WhenNotMatched(
+          Merge.Insert(Map("id" -> Merge.s("id"), "tag" -> lit("vip"),
+            "bal" -> Merge.s("amount"))),
+          Some(Merge.s("amount") >= 1000.0)),
+        Merge.WhenNotMatched(
+          Merge.Insert(Map("id" -> Merge.s("id"), "tag" -> lit("std"),
+            "bal" -> Merge.s("amount"))))))
+    assert(t.read(spark).orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "old", 0.0), (2L, "vip", 1500.0), (3L, "std", 10.0), (4L, "vip", 2000.0)))
+  }
+
   test("mergeInto key columns can differ in name between sides") {
     val t = freshTable()
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
@@ -155,6 +217,42 @@ class RowLevelSpec extends SparkSpec {
       """MERGE INTO graft.ns.sqlt t USING rl_src s ON t.id > s.id
         |WHEN MATCHED THEN DELETE""".stripMargin))
     assert(e.getMessage.contains("equality conjunction"))
+  }
+
+  test("SQL MERGE with conditional + multiple clauses (first-true-wins)") {
+    val wh = Files.createTempDirectory("graft_rl_csql").toString
+    val t = SnapshotTable(wh, "ns", "csqlt")
+    t.overwrite(Seq((1L, "a", 10.0), (2L, "b", -99.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq((1L, "a2", -1.0), (2L, "b2", 5.0), (4L, "d", 2000.0), (5L, "e", 1.0))
+      .toDF("id", "name", "bal").createOrReplaceTempView("rl_cond_src")
+    spark.sql(
+      """MERGE INTO graft.ns.csqlt t USING rl_cond_src s ON t.id = s.id
+        |WHEN MATCHED AND s.bal < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal, name = s.name
+        |WHEN NOT MATCHED AND s.bal >= 1000.0 THEN INSERT *""".stripMargin)
+    // id=1 deleted (source bal<0); id=2 updated; id=3 untouched;
+    // id=4 inserted (bal>=1000); id=5 dropped (insert cond false)
+    assert(spark.sql("SELECT id, name, bal FROM graft.ns.csqlt ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "b2", 5.0), (3L, "c", 30.0), (4L, "d", 2000.0)))
+    assert(t.currentSnapshot.get.rowCount == 3L)
+  }
+
+  test("SQL DML with subqueries in conditions is rejected explicitly") {
+    val wh = Files.createTempDirectory("graft_rl_sub").toString
+    val t = SnapshotTable(wh, "ns", "subt")
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq(1L).toDF("id").createOrReplaceTempView("rl_sub_keys")
+    val e = intercept[Exception](spark.sql(
+      "UPDATE graft.ns.subt SET bal = 0 WHERE id IN (SELECT id FROM rl_sub_keys)"))
+    assert(e.getMessage.contains("subquer"))
+    // table unchanged
+    assert(t.read(spark).filter(col("bal") === 0.0).count() == 0L)
   }
 
   test("SQL MERGE delete + partitioned copy-on-write keeps the layout") {
