@@ -993,15 +993,19 @@ object MetaQueries {
         val table = SnapshotTable(wh, "testdata", "customer_cow")
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        val halfC = c.agg(max(col("c_custkey"))).head.getLong(0) / 2
+        val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
+        val halfC = maxKey / 2
         table.overwrite(c.filter(col("c_custkey") < halfC)): Unit
         table.append(c.filter(col("c_custkey") >= halfC)): Unit
         val before = table.currentSnapshot.get.rowCount
         val updates = c.filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), col("c_name"),
             (col("c_acctbal") + 100.0).as("c_acctbal"))
+        // synthetic insert keys offset by max(c_custkey) — a fixed
+        // offset would collide with real keys once the table outgrows
+        // it, silently turning inserts into updates at higher SF
         val news = c.filter(col("c_custkey") % 10 === 3)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          .select((col("c_custkey") + maxKey).as("c_custkey"),
             concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
             lit(0.0).as("c_acctbal"))
         val inserts = news.count()
@@ -1021,12 +1025,62 @@ object MetaQueries {
              |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
              |FROM customer
              |UNION ALL
-             |SELECT c_custkey + 1000000 AS c_custkey,
+             |SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
              |  'new_' || CAST(c_custkey AS VARCHAR) AS c_name, 0.0 AS c_acctbal
              |FROM customer WHERE c_custkey % 10 = 3""".stripMargin),
       doc = "SQL MERGE INTO via the DSv2 catalog: equality-key upsert on the " +
         "copy-on-write engine path (update-from-source + insert-unmatched, " +
         "cardinality rule enforced)"),
+
+    "sql_merge_conditional" -> QueryDef(
+      (s, dir) => {
+        // Multi-clause conditional MERGE — the SCD-upsert shape users
+        // write first: WHEN MATCHED AND <cond> THEN DELETE, a fallback
+        // unconditional UPDATE, and a conditional INSERT. Clauses apply
+        // first-true-wins in order (SQL semantics); the engine lowers
+        // all of it onto the same dir-granular copy-on-write rewrite.
+        // Row count moves by -deletes +inserts (pinned).
+        val wh = freshWarehouse("sql_merge_conditional")
+        val table = SnapshotTable(wh, "testdata", "customer_ccow")
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
+        table.overwrite(c.filter(col("c_custkey") < maxKey / 2)): Unit
+        table.append(c.filter(col("c_custkey") >= maxKey / 2)): Unit
+        val before = table.currentSnapshot.get.rowCount
+        val matchedSrc = c.filter(col("c_custkey") % 7 === 0)
+        val news = c.filter(col("c_custkey") % 7 === 3)
+          .select((col("c_custkey") + maxKey).as("c_custkey"),
+            concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+            col("c_acctbal"))
+        val deletes = matchedSrc.filter(col("c_acctbal") < 0).count()
+        val inserts = news.filter(col("c_acctbal") >= 1000.0).count()
+        matchedSrc.unionByName(news).createOrReplaceTempView("sql_mergec_src")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""MERGE INTO graft.testdata.customer_ccow t
+                |USING sql_mergec_src s ON t.c_custkey = s.c_custkey
+                |WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 10.0
+                |WHEN NOT MATCHED AND s.c_acctbal >= 1000.0 THEN INSERT *""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" &&
+          snap.rowCount == before - deletes + inserts,
+          s"conditional MERGE must apply clauses first-true-wins: expected " +
+            s"${before - deletes + inserts} rows, recorded ${snap.rowCount}")
+        s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft.testdata.customer_ccow")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |WHERE NOT (c_custkey % 7 = 0 AND c_acctbal < 0)
+             |UNION ALL
+             |SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
+             |  'new_' || CAST(c_custkey AS VARCHAR) AS c_name, c_acctbal
+             |FROM customer WHERE c_custkey % 7 = 3 AND c_acctbal >= 1000.0""".stripMargin),
+      doc = "Multi-clause conditional SQL MERGE (WHEN MATCHED AND cond THEN " +
+        "DELETE / unconditional UPDATE fallback / conditional INSERT), " +
+        "first-true-wins clause order, lowered onto dir-granular copy-on-write"),
 
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {
