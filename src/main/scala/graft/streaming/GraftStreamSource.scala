@@ -59,7 +59,16 @@ final class GraftStreamSourceProvider extends StreamSourceProvider with DataSour
       parameters: Map[String, String]): Source = {
     val table = tableOf(parameters)
     val resolved = schema.getOrElse(table.read(sqlContext.sparkSession).schema)
-    new GraftStreamSource(sqlContext, table, resolved)
+    val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val maxDirs = ci.get("maxdirspertrigger").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-stream option 'maxDirsPerTrigger' must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"graft-stream option 'maxDirsPerTrigger' must be positive, got $n")
+      n
+    }
+    new GraftStreamSource(sqlContext, table, resolved, metadataPath, maxDirs)
   }
 }
 
@@ -71,24 +80,95 @@ final case class GraftSnapshotOffset(snapshotId: Long) extends Offset {
 private final class GraftStreamSource(
     sqlContext: SQLContext,
     table: SnapshotTable,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    metadataPath: String,
+    maxDirsPerTrigger: Option[Int]) extends Source {
 
   private def idOf(o: Offset): Long = o match {
     case GraftSnapshotOffset(id) => id
     case other                   => other.json.trim.toLong // SerializedOffset after restart
   }
 
+  // The rate limiter's base: the last END offset this source offered or
+  // served. In-memory for the running query; mirrored to a tiny file
+  // under the stream's checkpoint dir so a RESTARTED query that was
+  // capped keeps arriving in bounded batches instead of one giant
+  // catch-up delta (the V1 Source API never tells a source its
+  // committed position before asking for the next offset — the same
+  // reason FileStreamSource keeps its own metadata log).
+  private var lastEnd: Option[Long] = readPersisted()
+
+  private def persistPath = java.nio.file.Paths.get(metadataPath, "graft-last-end")
+
+  private def readPersisted(): Option[Long] =
+    try {
+      if (java.nio.file.Files.exists(persistPath))
+        Some(new String(java.nio.file.Files.readAllBytes(persistPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def advance(id: Long): Unit =
+    if (!lastEnd.exists(_ >= id)) {
+      lastEnd = Some(id)
+      try {
+        java.nio.file.Files.createDirectories(persistPath.getParent)
+        java.nio.file.Files.write(persistPath,
+          id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   override def getOffset: Option[Offset] =
-    table.currentSnapshot.map(s => GraftSnapshotOffset(s.id))
+    table.currentSnapshot.map { head =>
+      val end = (maxDirsPerTrigger, lastEnd) match {
+        case (Some(cap), Some(base)) if head.id > base => cappedEnd(base, head.id, cap)
+        case _ => head.id
+      }
+      advance(end)
+      GraftSnapshotOffset(end)
+    }
+
+  /** Largest published id in (base, head] whose NEW-dir count vs base
+    * stays within `cap` — Iceberg's streaming `max-files-per-micro-batch`
+    * role. A single snapshot's delta can't be split, so the first id
+    * past base always qualifies even when it alone exceeds the cap.
+    */
+  private def cappedEnd(base: Long, head: Long, cap: Int): Long = {
+    val pubs = table.snapshots.filter(s => !s.staged && s.id > base && s.id <= head)
+    if (pubs.isEmpty) head
+    else {
+      val baseDirs = table.snapshots.find(_.id == base)
+        .map(_.dataDirs.toSet).getOrElse(Set.empty[String])
+      val within = pubs.filter(_.dataDirs.count(!baseDirs.contains(_)) <= cap)
+      if (within.isEmpty) pubs.head.id else within.last.id
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val spark = sqlContext.sparkSession
     val toId = idOf(end)
+    advance(toId)
+    // the checkpointed range must still exist in table history — both
+    // ends (batch-0 replay after restart reads `end` directly)
+    def requireLive(id: Long): Unit =
+      if (!table.snapshots.exists(_.id == id))
+        throw new IllegalStateException(
+          s"graft-stream checkpoint references snapshot $id of ${table.fullName}, " +
+            "which is no longer in table history (expired by retention_expire or " +
+            "rolled back). The stream cannot resume from an expired snapshot: " +
+            "restart with a fresh checkpoint location, or keep retention wider " +
+            "than the stream's maximum downtime (Iceberg documents the same " +
+            "constraint for its streaming reads)")
     val df = start match {
       // first batch: the table's full state at the starting offset
-      case None => table.readSnapshot(spark, toId)
+      case None =>
+        requireLive(toId)
+        table.readSnapshot(spark, toId)
       // steady state: exactly the dirs added in (from, to] — O(delta)
-      case Some(s) => table.readIncremental(spark, fromId = idOf(s), toId = toId)
+      case Some(s) =>
+        val fromId = idOf(s)
+        requireLive(fromId)
+        table.readIncremental(spark, fromId = fromId, toId = toId)
     }
     // pin the source schema across mid-stream evolution: columns added
     // after stream start are not surfaced (restart to pick them up)

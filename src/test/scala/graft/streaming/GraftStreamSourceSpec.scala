@@ -91,6 +91,62 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxDirsPerTrigger bounds catch-up batches, across a checkpoint restart") {
+    val (t, root) = fresh()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = spark.readStream.format("graft-stream")
+      .option("warehouse", root).option("table", "ns.t")
+      .option("maxDirsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", s"$root/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = b.count()
+        if (n > 0) batches.synchronized { batches += n }: Unit
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(batches.synchronized(batches.toSeq) == Seq(1L))
+    // FIVE commits land while the stream is down; with the cap each
+    // must arrive as its own 1-row microbatch after restart, not one
+    // 5-row catch-up delta
+    (2L to 6L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    batches.synchronized(batches.clear())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(batches.synchronized(batches.toSeq) == Seq(1L, 1L, 1L, 1L, 1L),
+        s"capped catch-up must arrive one dir per trigger, got ${batches.synchronized(batches.toSeq)}")
+    } finally q2.stop()
+  }
+
+  test("resuming from a retention-expired snapshot fails with a structured error") {
+    val (t, root) = fresh()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    def start() = spark.readStream.format("graft-stream")
+      .option("warehouse", root).option("table", "ns.t").load()
+      .writeStream.option("checkpointLocation", s"$root/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.count(): Unit
+      }.start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // while the stream is down, history moves on AND retention expires
+    // every snapshot the checkpoint could resume from
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.expireSnapshots(olderThanMs = Long.MaxValue): Unit // retain only the head
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    try {
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("no longer in table history"),
+        s"expected the structured expired-snapshot error, got: $msgs")
+    } finally q2.stop()
+  }
+
   test("missing options fail fast with actionable messages") {
     val e = intercept[Exception](
       spark.readStream.format("graft-stream").load().writeStream
