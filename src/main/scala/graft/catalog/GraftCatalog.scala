@@ -126,14 +126,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "graft CREATE TABLE declares schema only; partition layout is set by " +
-          "the first write (TableSink / SnapshotTable partitionCols)")
     val t = tableOf(ident)
     if (t.exists) throw new TableAlreadyExistsException(ident)
+    // `PARTITIONED BY (days(ts), bucket(16, id), region, ...)` — the
+    // Iceberg transform vocabulary, mapped onto the engine's template
+    // PartitionFields and persisted beside the table metadata; every
+    // catalog write derives the directory columns from it (hidden
+    // partitioning: the derived column materializes with the first
+    // write, exactly like template-declared `partition_spec`).
+    val spec = partitions.toSeq.map(GraftCatalog.toPartitionField)
+    spec.foreach(p => require(schema.fieldNames.contains(p.column),
+      s"PARTITIONED BY references unknown column ${p.column}"))
     val fmt = Option(properties.get("format")).getOrElse("parquet")
     t.create(schema.fields.toSeq.map(f => f.name -> f.dataType.sql), fmt)
+    if (spec.nonEmpty) GraftCatalog.writePartitionSpec(t.root, spec)
     new GraftSparkTable(t, None, None)
   }
 
@@ -216,6 +222,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
   val MetaTables: Set[String] = Set("snapshots", "history", "partitions")
+
+  /** DDL-declared partition spec sidecar (`CREATE TABLE ... PARTITIONED
+    * BY`), persisted beside the table metadata so every later writer
+    * session re-derives the same layout.
+    */
+  private val PartitionSpecFile = ".graft-partition-spec.json"
+
+  /** Spark connector Transform -> engine PartitionField. Names cover
+    * both the SQL forms (`days(ts)`) and the Expressions factories.
+    */
+  private[catalog] def toPartitionField(t: Transform): graft.template.PartitionField = {
+    def refName: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"partition transform must reference one top-level column, got $t")
+      refs(0).fieldNames()(0)
+    }
+    def intArg: Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform $t needs an integer argument"))
+    t.name() match {
+      case "identity"          => graft.template.PartitionField(refName, "identity")
+      case "years" | "year"    => graft.template.PartitionField(refName, "year")
+      case "months" | "month"  => graft.template.PartitionField(refName, "month")
+      case "days" | "day"      => graft.template.PartitionField(refName, "day")
+      case "hours" | "hour"    => graft.template.PartitionField(refName, "hour")
+      case "bucket"            => graft.template.PartitionField(refName, "bucket", intArg)
+      case "truncate"          => graft.template.PartitionField(refName, "truncate", intArg)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' (supported: identity, year(s), " +
+          "month(s), day(s), hour(s), bucket, truncate)")
+    }
+  }
+
+  private[catalog] def writePartitionSpec(
+      root: String, spec: Seq[graft.template.PartitionField]): Unit = {
+    val json = spec.map(p =>
+      s"""{"column":"${p.column}","transform":"${p.transform}","n":${p.n}}""")
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, PartitionSpecFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  private[catalog] def readPartitionSpec(root: String): Seq[graft.template.PartitionField] = {
+    val p = java.nio.file.Paths.get(root, PartitionSpecFile)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else {
+      val json = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """\{"column":"([^"]+)","transform":"([^"]+)","n":(\d+)\}""".r
+        .findAllMatchIn(json)
+        .map(m => graft.template.PartitionField(m.group(1), m.group(2), m.group(3).toInt))
+        .toSeq
+    }
+  }
 }
 
 object GraftSparkTable {
@@ -301,7 +366,25 @@ final class GraftSparkTable(
 
   override def partitioning(): Array[Transform] =
     if (metaKind.isDefined) Array.empty
-    else snapTable.partitionColumns.map(Expressions.identity).toArray
+    else {
+      // DDL-declared transforms report as declared (days(ts), ...);
+      // write-established layouts report identity of the dir columns
+      val declared = GraftCatalog.readPartitionSpec(snapTable.root)
+      if (declared.nonEmpty) declared.map { p =>
+        p.transform match {
+          case "identity" => Expressions.identity(p.column)
+          case "year"     => Expressions.years(p.column)
+          case "month"    => Expressions.months(p.column)
+          case "day"      => Expressions.days(p.column)
+          case "hour"     => Expressions.hours(p.column)
+          case "bucket"   => Expressions.bucket(p.n, p.column)
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(p.n), Expressions.column(p.column))
+          case other => throw new IllegalStateException(s"bad stored transform $other")
+        }
+      }.toArray
+      else snapTable.partitionColumns.map(Expressions.identity).toArray
+    }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -379,11 +462,23 @@ final class GraftSparkTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ow: Boolean): Unit = {
-              // preserve the table's physical layout across SQL writes
-              val pCols = snapTable.partitionColumns
               val fmt = snapTable.currentSnapshot.map(_.format).getOrElse("parquet")
-              if (overwrite || ow) snapTable.overwrite(data, pCols, format = fmt)
-              else snapTable.append(data, pCols, format = fmt): Unit
+              val declared = GraftCatalog.readPartitionSpec(snapTable.root)
+              val (toWrite, pCols) =
+                if (declared.nonEmpty) {
+                  // DDL-declared hidden partitioning: RE-derive every
+                  // directory column from its source column (a stale or
+                  // null value arriving in the derived slot — e.g. an
+                  // INSERT with a named column list — must not leak
+                  // into the layout)
+                  val derived = declared.map(graft.sink.TableSink.transformColumn)
+                  (derived.foldLeft(data) { case (d, (nm, c)) => d.withColumn(nm, c) },
+                    derived.map(_._1))
+                } else
+                  // preserve the write-established layout across SQL writes
+                  (data, snapTable.partitionColumns)
+              if (overwrite || ow) snapTable.overwrite(toWrite, pCols, format = fmt)
+              else snapTable.append(toWrite, pCols, format = fmt): Unit
             }
           }
       }

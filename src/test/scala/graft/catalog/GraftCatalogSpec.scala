@@ -90,6 +90,41 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!SnapshotTable(wh, "ns", "fresh").exists)
   }
 
+  test("CREATE TABLE PARTITIONED BY (days(ts)) round-trips into day-dirs and prunes") {
+    val wh = freshCatalog("pddl")
+    spark.sql(
+      "CREATE TABLE graft.ns.pt (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    spark.sql(
+      """INSERT INTO graft.ns.pt VALUES
+        |  (1, TIMESTAMP '2024-01-01 10:00:00'),
+        |  (2, TIMESTAMP '2024-01-02 11:00:00'),
+        |  (3, TIMESTAMP '2024-01-02 12:00:00')""".stripMargin)
+    // the declared transform became the physical layout: day directories
+    val t = SnapshotTable(wh, "ns", "pt")
+    assert(t.partitionColumns == Seq("ts_day"))
+    val dayDirs = new java.io.File(t.currentSnapshot.get.dataDirs.head)
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dayDirs == Set("ts_day=2024-01-01", "ts_day=2024-01-02"), dayDirs.toString)
+    // and the SQL read PRUNES on the derived column: one of two
+    // partition dirs selected at planning
+    val q = spark.sql("SELECT id FROM graft.ns.pt WHERE ts_day = DATE '2024-01-01'")
+    assert(q.as[Long].collect().toSeq == Seq(1L))
+    val parts = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(parts == 1, s"expected 1 selected partition dir, got $parts")
+    // later INSERTs RE-derive the dir column — a null arriving in the
+    // derived slot (full-width VALUES after the first write) never
+    // leaks into the layout
+    spark.sql("INSERT INTO graft.ns.pt VALUES (4, TIMESTAMP '2024-01-03 09:00:00', NULL)")
+    assert(spark.sql("SELECT id FROM graft.ns.pt WHERE ts_day = DATE '2024-01-03'")
+      .as[Long].collect().toSeq == Seq(4L))
+    // DESCRIBE-visible partitioning reports the declared transform
+    val ddl = spark.sql("DESCRIBE TABLE EXTENDED graft.ns.pt").collect().map(_.toString).mkString
+    assert(ddl.contains("days(ts)") || ddl.contains("ts_day"), ddl)
+  }
+
   test("self-join of one catalog table keeps sides independent") {
     val wh = freshCatalog("selfjoin")
     SnapshotTable(wh, "ns", "e").overwrite(
