@@ -98,22 +98,34 @@ private final class GraftStreamSource(
   // reason FileStreamSource keeps its own metadata log).
   private var lastEnd: Option[Long] = readPersisted()
 
-  private def persistPath = java.nio.file.Paths.get(metadataPath, "graft-last-end")
+  // metadataPath arrives as a URI string ("file:/ckpt/sources/0");
+  // treating it as a filesystem path would silently create a literal
+  // "file:" directory under the working dir. Non-file schemes get no
+  // mirror (the cap still works in-memory for the running query).
+  private val persistDir: Option[java.nio.file.Path] = {
+    val uri = try new java.net.URI(metadataPath) catch { case _: Exception => null }
+    if (uri == null) Some(java.nio.file.Paths.get(metadataPath))
+    else uri.getScheme match {
+      case null   => Some(java.nio.file.Paths.get(metadataPath))
+      case "file" => Some(java.nio.file.Paths.get(uri.getPath))
+      case _      => None
+    }
+  }
+
+  private def persistPath = persistDir.map(_.resolve("graft-last-end"))
 
   private def readPersisted(): Option[Long] =
-    try {
-      if (java.nio.file.Files.exists(persistPath))
-        Some(new String(java.nio.file.Files.readAllBytes(persistPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+    try persistPath.filter(java.nio.file.Files.exists(_)).map(p =>
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def advance(id: Long): Unit =
     if (!lastEnd.exists(_ >= id)) {
       lastEnd = Some(id)
-      try {
-        java.nio.file.Files.createDirectories(persistPath.getParent)
-        java.nio.file.Files.write(persistPath,
+      try persistPath.foreach { p =>
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
           id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
       } catch { case scala.util.control.NonFatal(_) => () }
     }
