@@ -66,6 +66,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // unsatisfiable (see plans/RangeStats.scala) — engaged identically
     // on the Scala-API and SQL read paths
     ext.injectOptimizerRule(_ => graft.plans.GraftStatsSkipRule)
+    // Hidden partitioning, read side: augment filters on a transform's
+    // SOURCE column (ts >= X) with the implied predicate on the derived
+    // directory column (ts_day >= date(X)) so partition pruning fires
+    // without naming the dir column (see plans/HiddenPartition.scala)
+    ext.injectOptimizerRule(_ => graft.plans.GraftHiddenPartitionRule)
     // SQL front door: inline resolved graft-catalog relations into the
     // native SnapshotTable scan plan (see GraftSqlInlineRule) so
     // `SELECT ... FROM graft.ns.t [VERSION|TIMESTAMP AS OF ...]` plans

@@ -700,6 +700,30 @@ object MetaQueries {
       doc = "partition-pruned read of a day-partitioned snapshot table " +
         "(hidden partitioning: predicate on the derived dir column)"),
 
+    "hidden_partition_prune" -> QueryDef(
+      (s, dir) => {
+        // Iceberg's hidden-partitioning READ contract: the template
+        // declares day(ts); this query filters RAW ts and never names
+        // ts_day — GraftHiddenPartitionRule derives the implied ts_day
+        // predicate at optimization, so partition pruning plans only
+        // the matching day dirs (plan pinned in HiddenPartitionSpec;
+        // this query pins the values against the oracle).
+        val wh = freshWarehouse("hidden_partition_prune")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        table.read(s)
+          .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-07 00:00:00'""".stripMargin),
+      doc = "hidden partitioning, read side: a RAW-ts predicate prunes the " +
+        "day dirs without naming the derived column (transform-aware " +
+        "predicate derivation at optimization time)"),
+
     "schema_evolution" -> QueryDef(
       (s, dir) => {
         // Iceberg schema evolution (docs/deep-dive.md:49-72 lists it as a

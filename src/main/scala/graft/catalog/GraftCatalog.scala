@@ -223,12 +223,6 @@ object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
   val MetaTables: Set[String] = Set("snapshots", "history", "partitions")
 
-  /** DDL-declared partition spec sidecar (`CREATE TABLE ... PARTITIONED
-    * BY`), persisted beside the table metadata so every later writer
-    * session re-derives the same layout.
-    */
-  private val PartitionSpecFile = ".graft-partition-spec.json"
-
   /** Spark connector Transform -> engine PartitionField. Names cover
     * both the SQL forms (`days(ts)`) and the Expressions factories.
     */
@@ -260,27 +254,11 @@ object GraftCatalog {
   }
 
   private[catalog] def writePartitionSpec(
-      root: String, spec: Seq[graft.template.PartitionField]): Unit = {
-    val json = spec.map(p =>
-      s"""{"column":"${p.column}","transform":"${p.transform}","n":${p.n}}""")
-      .mkString("[", ",", "]")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(root, PartitionSpecFile),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-  }
+      root: String, spec: Seq[graft.template.PartitionField]): Unit =
+    graft.sink.DeclaredPartitionSpec.write(root, spec)
 
-  private[catalog] def readPartitionSpec(root: String): Seq[graft.template.PartitionField] = {
-    val p = java.nio.file.Paths.get(root, PartitionSpecFile)
-    if (!java.nio.file.Files.exists(p)) Nil
-    else {
-      val json = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8)
-      """\{"column":"([^"]+)","transform":"([^"]+)","n":(\d+)\}""".r
-        .findAllMatchIn(json)
-        .map(m => graft.template.PartitionField(m.group(1), m.group(2), m.group(3).toInt))
-        .toSeq
-    }
-  }
+  private[catalog] def readPartitionSpec(root: String): Seq[graft.template.PartitionField] =
+    graft.sink.DeclaredPartitionSpec.read(root)
 }
 
 object GraftSparkTable {

@@ -78,6 +78,16 @@ object TableSink {
     (out, derived.map(_._1))
   }
 
+  /** Persist the template's transform spec beside the table metadata so
+    * the hidden-partitioning read rule can translate source-column
+    * predicates into dir-column predicates (idempotent; see
+    * [[DeclaredPartitionSpec]]).
+    */
+  private def declareSpec(template: TableTemplate, table: SnapshotTable): Unit =
+    if (template.partitionSpec.nonEmpty)
+      try DeclaredPartitionSpec.write(table.root, template.partitionSpec)
+      catch { case scala.util.control.NonFatal(_) => () }
+
   /** `sink_overwrite`: full-refresh atomic overwrite (the reference's only
     * write mode) with schema check, declared partitioning + sort order,
     * audit.
@@ -85,16 +95,20 @@ object TableSink {
   def overwrite(df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
-    table.overwrite(withParts, partCols, template.sortOrder.map(sortColumn),
+    val snap = table.overwrite(withParts, partCols, template.sortOrder.map(sortColumn),
       template.writeFormat, template.commitNumRetries)
+    declareSpec(template, table)
+    snap
   }
 
   /** `event_append`: append-only commit (never updates existing rows). */
   def append(df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
-    table.append(withParts, partCols, template.sortOrder.map(sortColumn),
+    val snap = table.append(withParts, partCols, template.sortOrder.map(sortColumn),
       template.writeFormat, template.commitNumRetries)
+    declareSpec(template, table)
+    snap
   }
 
   /** `wap_publish`, step 1: stage a governed append for audit (schema
@@ -105,8 +119,10 @@ object TableSink {
       df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
-    table.stageAppend(withParts, partCols, template.sortOrder.map(sortColumn),
+    val snap = table.stageAppend(withParts, partCols, template.sortOrder.map(sortColumn),
       template.writeFormat, template.commitNumRetries)
+    declareSpec(template, table)
+    snap
   }
 
   /** `sink_dynamic_overwrite`: replace exactly the (template-derived)
@@ -121,8 +137,10 @@ object TableSink {
         "overwrite needs one (use overwrite for full refresh)")
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
-    table.overwritePartitions(withParts, partCols, template.sortOrder.map(sortColumn),
-      template.writeFormat, template.commitNumRetries)
+    val snap = table.overwritePartitions(withParts, partCols,
+      template.sortOrder.map(sortColumn), template.writeFormat, template.commitNumRetries)
+    declareSpec(template, table)
+    snap
   }
 
   /** Governed read of a snapshot table: audits `table_read` (row count is
