@@ -788,6 +788,119 @@ final class SnapshotTable(val root: String, val fullName: String) {
         to.cols, dirColumnMapping(d, to.cols))).reduce(_ unionByName _)
   }
 
+  /** Batch CHANGELOG read (the Iceberg `table_changes` / Delta CDF
+    * role): every row-level change across the published snapshots in
+    * `(fromId, toId]`, as the table columns at the `to` schema plus
+    * `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`.
+    * Step-by-step dir diff, so scan I/O is O(changed dirs), never
+    * O(table):
+    *
+    *  - appended dirs -> 'insert' rows;
+    *  - dropped dirs -> 'delete' rows AT THE PRIOR SNAPSHOT'S
+    *    VISIBILITY (masks + equality deletes applied);
+    *  - a dynamic overwrite's newly masked partitions -> 'delete' rows
+    *    of exactly those partitions;
+    *  - a new equality delete -> 'delete' rows = its keys semi-joined
+    *    against the applicable dirs (the erased rows themselves, not
+    *    just the keys);
+    *  - copy-on-write rewrites (UPDATE/MERGE) surface as the rewritten
+    *    dirs' deletes + the replacement dir's inserts — file-level
+    *    granularity, exactly Iceberg's changelog contract for
+    *    overwrites;
+    *  - layout-only snapshots (compaction/z-order, operation
+    *    'replace') emit NOTHING: the logical content is identical, and
+    *    a changelog consumer must not see a full delete+reinsert of
+    *    the table (Iceberg's changelog skips REPLACE the same way).
+    */
+  def readChangelog(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit, not}
+    val all = snapshots
+    def snap(id: Long): Snapshot = all.find(_.id == id).getOrElse(
+      throw new NoSuchElementException(
+        s"Table $fullName has no snapshot $id (available: ${all.map(_.id).mkString(", ")})"))
+    require(fromId <= toId, s"fromId $fromId must be <= toId $toId")
+    snap(fromId): Unit
+    val to = snap(toId)
+    val chain = all.filterNot(_.staged)
+      .filter(s => s.id >= fromId && s.id <= toId).sortBy(_.id)
+
+    def stamp(df: DataFrame, src: Snapshot, tpe: String, commitId: Long): DataFrame =
+      alignToSchema(df, src.cols, to.cols)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_snapshot_id", lit(commitId))
+
+    val parts: Seq[DataFrame] = chain.sliding(2).flatMap {
+      case Seq(prev, cur) if cur.operation != "replace" =>
+        val prevDirs = prev.dataDirs.toSet
+        val curDirs = cur.dataDirs.toSet
+        val inserts = cur.dataDirs.filterNot(prevDirs).map(d =>
+          stamp(readDir(spark, cur, d), cur, "insert", cur.id))
+        val dirDeletes = prev.dataDirs.filterNot(curDirs).map(d =>
+          stamp(readDir(spark, prev, d), prev, "delete", cur.id))
+        // a dynamic overwrite masks partitions of carried dirs instead
+        // of dropping the dirs — the newly masked slices are deletes
+        val maskDeletes = cur.maskedDirs.toSeq.sortBy(_._1).flatMap { case (d, curMask) =>
+          if (!prevDirs.contains(d) || !curDirs.contains(d)) None
+          else {
+            val newly = curMask.filterNot(
+              prev.maskedDirs.getOrElse(d, Seq.empty).toSet)
+            if (newly.isEmpty) None
+            else Some(stamp(
+              readDir(spark, prev, d).filter(not(maskFilter(newly))), prev, "delete", cur.id))
+          }
+        }
+        // new equality deletes: the erased ROWS (keys semi-joined over
+        // the dirs the delete scopes to, at prior visibility)
+        val prevDeleteDirs = prev.deletes.map(_.dir).toSet
+        val keyDeletes = cur.deletes.filterNot(d => prevDeleteDirs.contains(d.dir))
+          .flatMap { del =>
+            val applicable = del.applies.filter(prevDirs.contains)
+            applicable.map(d => readDir(spark, prev, d)).reduceOption(_ unionByName _)
+              .map { rows =>
+                val keys = spark.read
+                  .format(del.format.getOrElse(prev.format)).load(del.dir)
+                stamp(rows.join(broadcast(keys), del.keys, "left_semi"),
+                  prev, "delete", cur.id)
+              }
+          }
+        inserts ++ dirDeletes ++ maskDeletes ++ keyDeletes
+      case _ => Nil
+    }.toSeq
+
+    parts.reduceOption(_ unionByName _).getOrElse {
+      import org.apache.spark.sql.functions.lit
+      emptyWithSchema(spark, to)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_snapshot_id", lit(null).cast("long"))
+        .limit(0)
+    }
+  }
+
+  /** Align a frame already projected to `fromCols`' names onto the
+    * TARGET snapshot schema, resolving renames by stable field id
+    * (projectTo's contract, source side keyed by the from-snapshot's
+    * names). Columns the target adds backfill null; dropped columns
+    * disappear.
+    */
+  private def alignToSchema(
+      df: DataFrame, fromCols: Seq[TableColumn], toCols: Seq[TableColumn]): DataFrame =
+    if (toCols.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val present = df.columns.toSet
+      df.select(toCols.map { tc =>
+        val t = org.apache.spark.sql.types.DataType.fromDDL(tc.dataType)
+        val srcName = fromCols.find(_.id == tc.id).map(_.name).filter(present.contains)
+          .orElse(Some(tc.name).filter(present.contains)) // legacy: no tracked schema
+        srcName match {
+          case Some(n) =>
+            val base = col(n)
+            (if (df.schema(n).dataType == t) base else base.cast(t)).as(tc.name)
+          case None => lit(null).cast(t).as(tc.name)
+        }
+      }: _*)
+    }
+
   /** Full-refresh overwrite: write `df` as a brand-new snapshot. */
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format, numRetries)
@@ -1000,6 +1113,36 @@ final class SnapshotTable(val root: String, val fullName: String) {
     import spark.implicits._
     merged.toSeq.sortBy(_._1).map { case (p, (f, r)) => (p, f, r) }
       .toDF("partition_path", "file_count", "row_count")
+  }
+
+  /** Per-FILE listing of the current snapshot (the Iceberg `$files`
+    * metadata-table role): path, owning data dir, partition rel-path,
+    * size in bytes, and the file's record count read from the parquet
+    * FOOTER — metadata pages only, no data I/O (-1 for non-parquet
+    * formats). Files of dynamically-masked partitions are excluded:
+    * they are physically present but logically replaced, exactly like
+    * Iceberg's dead files awaiting orphan cleanup. Driver-side
+    * O(#files) footer reads — the same cost class as a file listing.
+    */
+  def fileStats(spark: SparkSession): DataFrame = {
+    val snap = requireCurrent
+    val rows = snap.dataDirs.flatMap { d =>
+      val base = new File(d)
+      val masked = snap.maskedDirs.getOrElse(d, Nil).toSet
+      listDataFiles(base)
+        .map { f =>
+          val partition = unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
+          (f, partition)
+        }
+        .filterNot { case (_, p) => masked.contains(p) }
+        .map { case (f, partition) =>
+          val records =
+            if (snap.format == "parquet") SnapshotTable.parquetRecordCount(f) else -1L
+          (f.getAbsolutePath, d, partition, f.length(), records)
+        }
+    }
+    import spark.implicits._
+    rows.toDF("file_path", "data_dir", "partition_path", "size_bytes", "record_count")
   }
 
   /** Roll the table back to an earlier snapshot's state (Iceberg
@@ -1866,6 +2009,18 @@ object SnapshotTable {
     * into a negative Thread.sleep argument; min(base<<4, base*10) =
     * base*10, so the clamp never changes an in-range wait.
     */
+  /** A parquet file's record count from its FOOTER — metadata pages
+    * only, no data I/O (-1 when unreadable).
+    */
+  private[sink] def parquetRecordCount(f: File): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   private[sink] def backoffMs(attempt: Int): Long =
     math.min(backoffBaseMs << math.min(attempt, 4), backoffBaseMs * 10)
 
