@@ -221,7 +221,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
-  val MetaTables: Set[String] = Set("snapshots", "history", "partitions")
+  val MetaTables: Set[String] = Set("snapshots", "history", "partitions", "files")
 
   /** Spark connector Transform -> engine PartitionField. Names cover
     * both the SQL forms (`days(ts)`) and the Expressions factories.
@@ -326,6 +326,7 @@ final class GraftSparkTable(
         .map(sn => (sn.id, sn.committedAtMs, sn.operation, sn.parentId.getOrElse(-1L)))
         .toDF("snapshot_id", "committed_at_ms", "operation", "parent_id")
     case Some("partitions") => snapTable.partitionStats(spark)
+    case Some("files") => snapTable.fileStats(spark)
     case Some(other) => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (supported: ${GraftCatalog.MetaTables.mkString(", ")})")
     case None => pinnedVersion match {

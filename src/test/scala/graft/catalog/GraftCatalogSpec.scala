@@ -166,6 +166,21 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql("INSERT INTO graft.ns.m.snapshots VALUES (3L)"))
   }
 
+  test("the files metadata table lists per-file footer stats") {
+    val wh = freshCatalog("files")
+    val t = SnapshotTable(wh, "ns", "f")
+    t.overwrite((1L to 10L).toDF("id"))
+    t.append((11L to 20L).toDF("id"))
+    val counts = spark.sql("SELECT record_count FROM graft.ns.f.files")
+      .as[Long].collect().toSeq
+    assert(counts.forall(_ > 0L), counts.toString) // footer counts resolved
+    assert(counts.sum == 20L)
+    assert(spark.sql("SELECT count(DISTINCT data_dir) FROM graft.ns.f.files")
+      .as[Long].head() == 2L)
+    val sizes = spark.sql("SELECT size_bytes FROM graft.ns.f.files").as[Long].collect()
+    assert(sizes.forall(_ > 0L))
+  }
+
   test("DELETE FROM maps onto merge-on-read equality deletes (no rewrite)") {
     val wh = freshCatalog("del")
     val t = SnapshotTable(wh, "ns", "d")
