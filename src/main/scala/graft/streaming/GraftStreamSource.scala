@@ -20,6 +20,17 @@ import org.apache.spark.sql.types.StructType
   * bound the batch changelog consumer gets). Meaningful along an
   * append-only lineage, like Iceberg's streaming read: an intervening
   * overwrite surfaces its full rewritten state as that trigger's delta.
+  *
+  * Options beyond `warehouse`/`table`:
+  *  - `maxDirsPerTrigger` — cap the dirs consumed per trigger
+  *    (Iceberg's streaming `max-files-per-micro-batch` role): a
+  *    catch-up after downtime arrives as bounded batches, surviving
+  *    checkpoint restarts;
+  *  - `changelog` = true — CDC mode (Delta CDF role): batches carry
+  *    `_change_type` ('insert' | 'delete') + `_commit_snapshot_id`,
+  *    batch 0 is the initial state as inserts, and row-level DELETES
+  *    (equality deletes, dynamic-overwrite masks, copy-on-write
+  *    rewrites) stream too, via the batch `readChangelog` dir-diff.
   * Downstream, the engine's existing streaming surface (watermarked
   * windows, dedup, `foreachBatch` governed re-ingest) applies — this
   * source closes the loop: ingest -> table -> incremental consume.
@@ -43,13 +54,23 @@ final class GraftStreamSourceProvider extends StreamSourceProvider with DataSour
     SnapshotTable(wh, parts(0), parts(1))
   }
 
+  private def isChangelog(parameters: Map[String, String]): Boolean =
+    parameters.exists { case (k, v) =>
+      k.equalsIgnoreCase("changelog") && v.equalsIgnoreCase("true")
+    }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      tableOf(parameters).read(sqlContext.sparkSession).schema))
+    (shortName(), schema.getOrElse {
+      val base = tableOf(parameters).read(sqlContext.sparkSession).schema
+      if (isChangelog(parameters))
+        base.add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType)
+      else base
+    })
 
   override def createSource(
       sqlContext: SQLContext,
@@ -58,7 +79,10 @@ final class GraftStreamSourceProvider extends StreamSourceProvider with DataSour
       providerName: String,
       parameters: Map[String, String]): Source = {
     val table = tableOf(parameters)
-    val resolved = schema.getOrElse(table.read(sqlContext.sparkSession).schema)
+    // must resolve to the SAME schema sourceSchema() reported (incl.
+    // the changelog columns) — the engine validates batches against it
+    val resolved = schema.getOrElse(
+      sourceSchema(sqlContext, None, providerName, parameters)._2)
     val ci = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val maxDirs = ci.get("maxdirspertrigger").map { v =>
       val n = try v.toInt catch {
@@ -68,7 +92,8 @@ final class GraftStreamSourceProvider extends StreamSourceProvider with DataSour
       require(n > 0, s"graft-stream option 'maxDirsPerTrigger' must be positive, got $n")
       n
     }
-    new GraftStreamSource(sqlContext, table, resolved, metadataPath, maxDirs)
+    new GraftStreamSource(sqlContext, table, resolved, metadataPath, maxDirs,
+      isChangelog(parameters))
   }
 }
 
@@ -82,7 +107,8 @@ private final class GraftStreamSource(
     table: SnapshotTable,
     override val schema: StructType,
     metadataPath: String,
-    maxDirsPerTrigger: Option[Int]) extends Source {
+    maxDirsPerTrigger: Option[Int],
+    changelog: Boolean) extends Source {
 
   private def idOf(o: Offset): Long = o match {
     case GraftSnapshotOffset(id) => id
@@ -173,14 +199,24 @@ private final class GraftStreamSource(
             "constraint for its streaming reads)")
     val df = start match {
       // first batch: the table's full state at the starting offset
+      // (changelog mode stamps it as inserts — Delta CDF's
+      // startingVersion contract)
       case None =>
         requireLive(toId)
-        table.readSnapshot(spark, toId)
-      // steady state: exactly the dirs added in (from, to] — O(delta)
+        val base = table.readSnapshot(spark, toId)
+        if (changelog)
+          base.withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+            .withColumn("_commit_snapshot_id", org.apache.spark.sql.functions.lit(toId))
+        else base
+      // steady state: exactly the dirs added in (from, to] — O(delta);
+      // changelog mode surfaces row-level deletes too (equality
+      // deletes, dynamic-overwrite masks, COW rewrites) via the same
+      // dir-diff walk the batch changelog uses
       case Some(s) =>
         val fromId = idOf(s)
         requireLive(fromId)
-        table.readIncremental(spark, fromId = fromId, toId = toId)
+        if (changelog) table.readChangelog(spark, fromId = fromId, toId = toId)
+        else table.readIncremental(spark, fromId = fromId, toId = toId)
     }
     // pin the source schema across mid-stream evolution: columns added
     // after stream start are not surfaced (restart to pick them up)

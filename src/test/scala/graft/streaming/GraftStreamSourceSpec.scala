@@ -147,6 +147,36 @@ class GraftStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("changelog mode streams row-level deletes too (CDC tail)") {
+    val (t, root) = fresh()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = spark.readStream.format("graft-stream")
+      .option("warehouse", root).option("table", "ns.t")
+      .option("changelog", "true").load()
+      .writeStream.option("checkpointLocation", s"$root/_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("id", "v", "_change_type")
+          .as[(Long, String, String)].collect()
+        got.synchronized { got ++= rows }: Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      // batch 0 = the initial state, stamped as inserts
+      assert(got.synchronized(got.sorted.toSeq) ==
+        Seq((1L, "a", "insert"), (2L, "b", "insert")))
+      got.synchronized(got.clear())
+      // a GDPR erasure mid-stream arrives as a DELETE row (full row)
+      t.deleteWhere(Seq(1L).toDF("id"), Seq("id"))
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSeq) == Seq((1L, "a", "delete")))
+      got.synchronized(got.clear())
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSeq) == Seq((3L, "c", "insert")))
+    } finally q.stop()
+  }
+
   test("missing options fail fast with actionable messages") {
     val e = intercept[Exception](
       spark.readStream.format("graft-stream").load().writeStream
