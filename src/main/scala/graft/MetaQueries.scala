@@ -629,6 +629,34 @@ object MetaQueries {
       doc = "Iceberg $partitions parity: per-partition stats from commit-time sidecars, " +
         "merged across dirs, zero data files opened"),
 
+    "table_files" -> QueryDef(
+      (s, dir) => {
+        // the Iceberg `$files` metadata table: per-FILE path / size /
+        // record-count stats, record counts read from parquet FOOTERS
+        // (metadata pages only — no data I/O). The oracle cross-checks
+        // the footer chain against ground truth: per-partition sums of
+        // per-file record counts must equal the true per-day row
+        // counts — a different evidence path than `$partitions`
+        // (which serves commit-time sidecars), same answer.
+        val wh = freshWarehouse("table_files")
+        val table = SnapshotTable(wh, "testdata", "events_filestats")
+        val ev = tbl(s, dir, "events")
+          .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+        table.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+        table.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
+        val files = table.fileStats(s)
+        val bad = files.filter(col("record_count") < 0 || col("size_bytes") <= 0).count()
+        require(bad == 0, s"$bad files with unreadable footers / empty sizes")
+        files.groupBy(col("partition_path"))
+          .agg(sum(col("record_count")).as("row_count"))
+      },
+      Some("""SELECT 'ts_day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_path,
+             |  count(*) AS row_count
+             |FROM events GROUP BY 1""".stripMargin),
+      doc = "Iceberg $files parity: per-file size + record stats from parquet " +
+        "footers (no data I/O); per-partition footer sums cross-check the " +
+        "sidecar evidence chain"),
+
     "drift_stats" -> QueryDef(
       (s, dir) => {
         // distribution drift per event_type: week 1 vs weeks 2-4 of the
@@ -723,6 +751,38 @@ object MetaQueries {
       doc = "hidden partitioning, read side: a RAW-ts predicate prunes the " +
         "day dirs without naming the derived column (transform-aware " +
         "predicate derivation at optimization time)"),
+
+    "time_travel_changelog" -> QueryDef(
+      (s, dir) => {
+        // Batch CDC read (Iceberg table_changes / Delta CDF role):
+        // row-level insert/delete visibility across snapshots, walked
+        // as a per-step dir diff (O(changed dirs), never O(table)).
+        // Fixture: overwrite lower half (snap 1), append upper half
+        // (snap 2), GDPR-erase every 10th key (snap 3). The changelog
+        // over (1, 3] = the appended rows as inserts @2 plus the
+        // ERASED ROWS (full rows, not just keys) as deletes @3.
+        val wh = freshWarehouse("time_travel_changelog")
+        val table = SnapshotTable(wh, "testdata", "customer_cdc")
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val halfC = c.agg(max(col("c_custkey"))).head.getLong(0) / 2
+        table.overwrite(c.filter(col("c_custkey") < halfC)): Unit
+        table.append(c.filter(col("c_custkey") >= halfC)): Unit
+        table.deleteWhere(
+          c.filter(col("c_custkey") % 10 === 0).select("c_custkey"),
+          Seq("c_custkey")): Unit
+        table.readChangelog(s, 1L, 3L)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |  'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot_id
+             |FROM customer WHERE c_custkey >= (SELECT max(c_custkey) // 2 FROM customer)
+             |UNION ALL
+             |SELECT c_custkey, c_name, c_acctbal,
+             |  'delete', CAST(3 AS BIGINT)
+             |FROM customer WHERE c_custkey % 10 = 0""".stripMargin),
+      doc = "batch changelog read (Iceberg table_changes / Delta CDF): " +
+        "per-snapshot insert/delete rows from a dir-diff walk - appends as " +
+        "inserts, equality-deleted ROWS as deletes, O(changed dirs) scan cost"),
 
     "schema_evolution" -> QueryDef(
       (s, dir) => {
