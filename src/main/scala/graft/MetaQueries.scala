@@ -6,7 +6,7 @@ import graft.drift.SchemaDrift
 import graft.governance.{AccessControl, Alerting, Audit}
 import graft.pipeline.Pipeline
 import graft.quality.Quality
-import graft.sink.{SnapshotTable, TableSink}
+import graft.sink.{PublishConflictException, SnapshotTable, TableSink}
 import graft.source.SourceReader
 import graft.template.{ColumnDef, PartitionField, TableTemplate, TemplateLoader}
 import org.apache.spark.sql.functions._
@@ -1346,6 +1346,246 @@ object MetaQueries {
       Some("""SELECT 1 AS expired, 1 AS remaining, CAST(2 AS BIGINT) AS current_id,
              |  (SELECT count(*) FROM events) AS current_rows""".stripMargin),
       doc = "snapshot expiration: history GC'd, current snapshot immortal"),
+
+    // ------------------------------------------------------------------
+    // named refs: branches + tags (Iceberg table refs)
+    // ------------------------------------------------------------------
+    "table_refs" -> QueryDef(
+      (s, dir) => {
+        // Iceberg table refs: a tag pins snapshot 1, a branch created at
+        // the head advances with a branch append while the published
+        // table stays put. The $refs metadata table lists them (with the
+        // implicit `main`), and VERSION AS OF resolves ref NAMES — each
+        // ref's row count proves the ref-addressed read serves the right
+        // snapshot. All listings are pure metadata; the per-ref counts
+        // read only that ref's dirs.
+        val wh = freshWarehouse("table_refs")
+        val table = SnapshotTable(wh, "testdata", "customer")
+        val customer = tbl(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        table.overwrite(customer.filter(col("c_custkey") % 2 === 0)): Unit // snap 1
+        table.createTag("v1"): Unit
+        table.append(customer.filter(col("c_custkey") % 2 === 1)): Unit // snap 2
+        table.createBranch("audit"): Unit // at snap 2
+        // branch append: snapshot 3, staged, invisible to published reads
+        table.appendToBranch("audit",
+          customer.filter(col("c_custkey") % 2 === 1)): Unit
+        require(table.currentSnapshot.exists(_.id == 2L),
+          "a branch append must not advance the published head")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""SELECT r.name, r.type, r.snapshot_id,
+                |  CASE r.name
+                |    WHEN 'main' THEN (SELECT count(*) FROM graft.testdata.customer)
+                |    WHEN 'audit' THEN
+                |      (SELECT count(*) FROM graft.testdata.customer VERSION AS OF 'audit')
+                |    WHEN 'v1' THEN
+                |      (SELECT count(*) FROM graft.testdata.customer VERSION AS OF 'v1')
+                |  END AS row_count
+                |FROM graft.testdata.customer.refs r""".stripMargin)
+      },
+      Some("""SELECT 'main' AS name, 'branch' AS type, CAST(2 AS BIGINT) AS snapshot_id,
+             |  (SELECT count(*) FROM customer) AS row_count
+             |UNION ALL
+             |SELECT 'v1', 'tag', 1,
+             |  (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+             |UNION ALL
+             |SELECT 'audit', 'branch', 3,
+             |  (SELECT count(*) FROM customer)
+             |    + (SELECT count(*) FROM customer WHERE c_custkey % 2 = 1)""".stripMargin),
+      doc = "named refs: $refs metadata listing + VERSION AS OF 'ref-name' reads; " +
+        "branch appends stay invisible to the published table"),
+
+    "branch_fast_forward" -> QueryDef(
+      (s, dir) => {
+        // branch workflow end-to-end (Iceberg fast_forward): stack two
+        // appends on a branch — the published head never moves — then
+        // publish the whole branch as one O(branch-length) metadata
+        // flip. Zero data is rewritten at publish time; at 100 TB a
+        // multi-batch backfill lands atomically.
+        val wh = freshWarehouse("branch_fast_forward")
+        val table = SnapshotTable(wh, "testdata", "orders")
+        val orders = tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        table.overwrite(orders.filter(col("o_orderkey") % 3 === 0)): Unit
+        table.createBranch("backfill"): Unit
+        table.appendToBranch("backfill", orders.filter(col("o_orderkey") % 3 === 1)): Unit
+        table.appendToBranch("backfill", orders.filter(col("o_orderkey") % 3 === 2)): Unit
+        require(table.currentSnapshot.exists(_.id == 1L),
+          "branch appends must not advance the published head")
+        table.fastForward("backfill"): Unit
+        require(table.currentSnapshot.exists(_.id == 3L),
+          "fast-forward should publish the branch head")
+        table.read(s)
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders"),
+      doc = "branch writes + fast-forward publish: multi-batch backfill lands " +
+        "atomically as an O(branch-length) metadata flip"),
+
+    "tag_retention_protect" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // Iceberg ref retention: expiry drops unprotected history but a
+        // TAG pins its snapshot — and that snapshot's data dirs — until
+        // the tag is dropped. Snapshot 2 (untagged, not current) expires;
+        // tagged snapshot 1 still reads back in full afterwards, proving
+        // its dirs survived the GC sweep.
+        val wh = freshWarehouse("tag_retention_protect")
+        val table = SnapshotTable(wh, "testdata", "events")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        val mid = lit(EventsMidCut).cast("timestamp")
+        table.overwrite(ev.filter(col("ts") < mid)): Unit // snap 1
+        table.createTag("baseline"): Unit
+        table.overwrite(ev.filter(col("ts") >= mid)): Unit // snap 2 — expires
+        table.overwrite(ev): Unit // snap 3 — current
+        val expired = table.expireSnapshots(System.currentTimeMillis() + 3600000L)
+        require(expired == Seq(2L),
+          s"expected only the untagged snapshot 2 to expire, got $expired")
+        val tagged = table.readRef(s, "baseline")
+        tagged.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+              |FROM events WHERE ts < TIMESTAMP '$EventsMidCut'
+              |GROUP BY event_type""".stripMargin),
+      doc = "tag-protected retention: expiry GCs untagged history, the tagged " +
+        "snapshot and its data survive and stay readable"),
+
+    "wap_cherry_pick" -> QueryDef(
+      (s, dir) => {
+        // the WAP resolution publish() refuses: the head advanced after
+        // staging, so the O(1) flip would drop the rival's rows — but
+        // the staged snapshot's DELTA is still appendable. cherry_pick
+        // transplants exactly the staged dirs onto the current head
+        // (Iceberg cherrypick_snapshot): metadata-only, no data rewrite.
+        val wh = freshWarehouse("wap_cherry_pick")
+        val table = SnapshotTable(wh, "testdata", "events")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        table.overwrite(ev.filter(col("event_id") % 3 === 0)): Unit // snap 1
+        val staged = table.stageAppend(ev.filter(col("event_id") % 3 === 1)) // snap 2
+        table.append(ev.filter(col("event_id") % 3 === 2)): Unit // snap 3: head moved
+        val refused =
+          try { table.publish(staged.id); false }
+          catch { case _: PublishConflictException => true }
+        require(refused, "publish must refuse a stale-parented staged snapshot")
+        table.cherryPick(staged.id): Unit
+        table.read(s)
+      },
+      Some("SELECT event_id, ts, user_id, event_type FROM events"),
+      doc = "cherry-pick: transplant a staged append's delta onto the advanced " +
+        "head when publish refuses — metadata-only conflict resolution"),
+
+    "partition_evolution" -> QueryDef(
+      (s, dir) => {
+        // Iceberg partition-spec evolution (`updateSpec`): the table
+        // starts day-partitioned, evolves to month partitioning, and
+        // ONLY future writes adopt the new layout — zero rewrite of the
+        // day-epoch dirs (at 100 TB an eager re-partition would be a
+        // full-table rewrite). Reads spanning both epochs stay correct,
+        // and the hidden-partitioning rule prunes EACH epoch with its
+        // own transform (the superseded spec is archived, per-dir
+        // applicability scopes it) — pinned in HiddenPartitionSpec;
+        // this query pins the mixed layout and the values.
+        val wh = freshWarehouse("partition_evolution")
+        val t = TemplateLoader.get(TemplatesDir, "events") // declares day(ts)
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val ev = tbl(s, dir, "events")
+        val mid = lit(EventsMidCut).cast("timestamp")
+        TableSink.overwrite(ev.filter(col("ts") < mid), t, table) // ts_day dirs
+        val tMonth = t.copy(partitionSpec = Seq(PartitionField("ts", "month", 0)))
+        TableSink.append(ev.filter(col("ts") >= mid), tMonth, table) // ts_month dirs
+        val layouts = table.currentSnapshot.get.dataDirs.flatMap(d =>
+          Option(new File(d).list()).getOrElse(Array.empty[String])
+            .filter(_.contains("=")).map(_.split("=")(0))).distinct.sorted
+        require(layouts == Seq("ts_day", "ts_month"),
+          s"expected one day-epoch and one month-epoch dir layout, got $layouts")
+        table.read(s)
+          .filter(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-28 00:00:00").cast("timestamp"))
+          .select("event_id", "ts", "user_id", "event_type")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+             |  AND ts < TIMESTAMP '2024-01-28 00:00:00'""".stripMargin),
+      doc = "partition-spec evolution: day-epoch dirs keep their layout, new " +
+        "writes land month-partitioned, cross-epoch reads prune per epoch"),
+
+    "maintenance_orphan_cleanup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // Iceberg remove_orphan_files: a commit whose process died
+        // between data write and metadata swap leaves an unreferenced
+        // dir. The standalone sweep removes aged orphans (recency-
+        // clamped: anything younger than the safety age could be an
+        // in-flight commit's dir and is never touched) and leaves every
+        // referenced dir alone. O(#dirs) filesystem metadata.
+        val wh = freshWarehouse("maintenance_orphan_cleanup")
+        val table = SnapshotTable(wh, "testdata", "events")
+        val ev = tbl(s, dir, "events").select("event_id", "ts", "user_id")
+        table.overwrite(ev.filter(col("event_id") % 2 === 0)): Unit
+        table.append(ev.filter(col("event_id") % 2 === 1)): Unit
+        // fabricate the residue of a died commit: an unreferenced
+        // snap-* dir, aged past the safety window
+        val orphan = new File(table.root, "snap-deadc0de")
+        orphan.mkdirs(): Unit
+        java.nio.file.Files.write(orphan.toPath.resolve("part-0.parquet"),
+          Array[Byte](1, 2, 3)): Unit
+        val aged = System.currentTimeMillis() - 25L * 3600 * 1000
+        orphan.setLastModified(aged): Unit
+        // a FRESH unreferenced dir must survive (could be in-flight)
+        val fresh = new File(table.root, "snap-feedf00d")
+        fresh.mkdirs(): Unit
+        val removed = table.removeOrphanFiles()
+        require(removed.map(new File(_).getName) == Seq("snap-deadc0de"),
+          s"expected exactly the aged orphan removed, got $removed")
+        require(fresh.exists, "recency clamp must protect a fresh dir")
+        require(!orphan.exists, "aged orphan must be deleted")
+        Seq((removed.size, table.snapshots.size, table.read(s).count()))
+          .toDF("removed_orphans", "snapshots", "row_count")
+      },
+      Some("""SELECT 1 AS removed_orphans, 2 AS snapshots,
+             |  (SELECT count(*) FROM events) AS row_count""".stripMargin),
+      doc = "orphan-file cleanup: aged unreferenced dirs swept, fresh dirs " +
+        "recency-protected, referenced data untouched"),
+
+    "maintenance_rewrite_deletes" -> QueryDef(
+      (s, dir) => {
+        // merge-on-read debt paydown, SCOPED (the Iceberg
+        // rewrite_position_deletes role): only the dirs some equality
+        // delete applies to are rewritten (deletes baked in, entries
+        // dropped); a dir outside every delete's scope is carried
+        // byte-identical. On a 100 TB table a few GDPR erasures rewrite
+        // the handful of dirs their keys landed in — compact would
+        // rewrite everything.
+        val wh = freshWarehouse("maintenance_rewrite_deletes")
+        val table = SnapshotTable(wh, "testdata", "customer")
+        val c = tbl(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        table.overwrite(c.filter(col("c_custkey") % 3 === 0)): Unit
+        table.append(c.filter(col("c_custkey") % 3 === 1)): Unit
+        // erase every 5th key — scoped to the two dirs above
+        table.deleteWhere(
+          c.filter(col("c_custkey") % 3 =!= 2 && col("c_custkey") % 5 === 0)
+            .select("c_custkey"), Seq("c_custkey")): Unit
+        // this append is OUTSIDE the delete's scope (sequence-scoped)
+        table.append(c.filter(col("c_custkey") % 3 === 2)): Unit
+        val outOfScope = table.currentSnapshot.get.dataDirs.last
+        val snap = table.rewriteDeletes(s)
+        require(snap.deletes.isEmpty, "rewrite must drop the applied delete entries")
+        require(snap.dataDirs.contains(outOfScope),
+          "a dir outside the delete scope must carry forward untouched")
+        require(snap.dataDirs.size == 2,
+          s"two scoped dirs collapse to one rewrite + one carried, got ${snap.dataDirs.size}")
+        // idempotent: nothing left to pay down
+        require(table.rewriteDeletes(s).id == snap.id, "no-op must not commit")
+        table.read(s)
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+             |WHERE NOT (c_custkey % 3 <> 2 AND c_custkey % 5 = 0)""".stripMargin),
+      doc = "scoped equality-delete rewrite: only delete-scoped dirs rewrite, " +
+        "delete entries drop, out-of-scope dirs carry byte-identical"),
 
     "sink_schema_check" -> QueryDef(
       (s, dir) => {

@@ -92,13 +92,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(t, None, None)
   }
 
-  /** Time travel: `VERSION AS OF <snapshot-id>`. */
+  /** Time travel: `VERSION AS OF <snapshot-id | 'ref-name'>` — a
+    * non-numeric version resolves as a named ref (branch head or tag
+    * target), Iceberg's ref-addressable read.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = tableOf(ident)
     if (!t.exists) throw new NoSuchTableException(ident)
     val id = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$catalogName.${ident.toString}: VERSION AS OF takes a snapshot id, got '$version'")
+      case _: NumberFormatException =>
+        t.refs.find(_.name == version).map(_.snapshotId).getOrElse(
+          throw new IllegalArgumentException(
+            s"$catalogName.${ident.toString}: VERSION AS OF takes a snapshot id " +
+              s"or a ref name, got '$version' " +
+              s"(refs: ${t.refs.map(_.name).mkString(", ")})"))
     }
     new GraftSparkTable(t, Some(id), None)
   }
@@ -221,7 +228,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
-  val MetaTables: Set[String] = Set("snapshots", "history", "partitions", "files")
+  val MetaTables: Set[String] = Set("snapshots", "history", "partitions", "files", "refs")
 
   /** Spark connector Transform -> engine PartitionField. Names cover
     * both the SQL forms (`days(ts)`) and the Expressions factories.
@@ -322,11 +329,36 @@ final class GraftSparkTable(
           "staged", "parent_id", "data_dir_count")
     case Some("history") =>
       import spark.implicits._
-      snapTable.snapshots.filterNot(_.staged)
-        .map(sn => (sn.id, sn.committedAtMs, sn.operation, sn.parentId.getOrElse(-1L)))
-        .toDF("snapshot_id", "committed_at_ms", "operation", "parent_id")
+      // is_current_ancestor (Iceberg $history): whether the snapshot is
+      // on the parent chain of the current head — false marks lineage a
+      // rollback abandoned (reads of those commits' ids still work;
+      // they are just not ancestors of today's table)
+      val published = snapTable.snapshots.filterNot(_.staged)
+      val ancestors = {
+        val byId = published.map(s => s.id -> s).toMap
+        val b = scala.collection.mutable.Set.empty[Long]
+        var cur = snapTable.currentSnapshot.map(_.id)
+        while (cur.isDefined && !b.contains(cur.get)) {
+          b += cur.get
+          cur = byId.get(cur.get).flatMap(_.parentId).filter(_ != 0L)
+        }
+        b.toSet
+      }
+      published
+        .map(sn => (sn.id, sn.committedAtMs, sn.operation, sn.parentId.getOrElse(-1L),
+          ancestors.contains(sn.id)))
+        .toDF("snapshot_id", "committed_at_ms", "operation", "parent_id",
+          "is_current_ancestor")
     case Some("partitions") => snapTable.partitionStats(spark)
     case Some("files") => snapTable.fileStats(spark)
+    case Some("refs") =>
+      import spark.implicits._
+      // the published head surfaces as the implicit `main` branch,
+      // Iceberg's $refs shape
+      val main = snapTable.currentSnapshot
+        .map(sn => ("main", "branch", sn.id)).toSeq
+      (main ++ snapTable.refs.map(r => (r.name, r.kind, r.snapshotId)))
+        .toDF("name", "type", "snapshot_id")
     case Some(other) => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (supported: ${GraftCatalog.MetaTables.mkString(", ")})")
     case None => pinnedVersion match {
@@ -456,8 +488,24 @@ final class GraftSparkTable(
                 } else
                   // preserve the write-established layout across SQL writes
                   (data, snapTable.partitionColumns)
-              if (overwrite || ow) snapTable.overwrite(toWrite, pCols, format = fmt)
-              else snapTable.append(toWrite, pCols, format = fmt): Unit
+              // branch-routed SQL writes (Iceberg's `spark.wap.branch`
+              // session conf): INSERT INTO lands on the named branch —
+              // invisible to published reads until fastForward — so a
+              // whole SQL pipeline can stage-audit-publish without its
+              // statements naming the branch anywhere
+              val branch = Option(org.apache.spark.sql.internal.SQLConf.get
+                .getConfString("spark.graft.write.branch", null)).filter(_.nonEmpty)
+              branch match {
+                case Some(b) =>
+                  require(!(overwrite || ow),
+                    s"INSERT OVERWRITE cannot target branch '$b': branch " +
+                      "writes are append-only (overwrite the branch via " +
+                      "fastForward after auditing, or drop and re-branch)")
+                  snapTable.appendToBranch(b, toWrite, pCols, format = fmt): Unit
+                case None =>
+                  if (overwrite || ow) snapTable.overwrite(toWrite, pCols, format = fmt)
+                  else snapTable.append(toWrite, pCols, format = fmt): Unit
+              }
             }
           }
       }

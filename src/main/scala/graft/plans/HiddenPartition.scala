@@ -87,7 +87,11 @@ object GraftHiddenPartitionRule extends Rule[LogicalPlan] {
       else Some(parent.toUri.getPath)
     }.distinct
     parents match {
-      case Seq(one) => DeclaredPartitionSpec.read(one)
+      // current spec + superseded specs (partition evolution): the
+      // per-relation applicability check above scopes each transform to
+      // the dirs whose layout actually carries its derived column, so a
+      // mixed-epoch table prunes every epoch with its own transform
+      case Seq(one) => DeclaredPartitionSpec.readAll(one)
       case _ => Nil
     }
   }

@@ -24,6 +24,13 @@ object DeclaredPartitionSpec {
 
   val FileName = ".graft-partition-spec.json"
 
+  /** Superseded specs, appended on [[evolve]] — Iceberg keeps every
+    * historical partition spec by id for the same reason: data written
+    * under an old layout keeps its dirs, and the read side must still
+    * recognize (and prune on) the old transforms.
+    */
+  val HistoryFileName = ".graft-partition-spec-history.json"
+
   /** The derived directory-column name of one transform — must match
     * [[TableSink.transformColumn]]'s naming exactly.
     */
@@ -38,23 +45,58 @@ object DeclaredPartitionSpec {
     case other      => throw new IllegalArgumentException(s"Unknown partition transform: $other")
   }
 
+  /** Declare the table's spec. Idempotent for the common case (template
+    * writes re-declare the same spec every commit); a CHANGED
+    * declaration is evolution — the superseded spec is archived so the
+    * read side keeps pruning old-layout dirs (see [[evolve]]).
+    */
   def write(tableRoot: String, spec: Seq[PartitionField]): Unit = {
-    val json = spec.map(p =>
-      s"""{"column":"${p.column}","transform":"${p.transform}","n":${p.n}}""")
-      .mkString("[", ",", "]")
     val path = Paths.get(tableRoot, FileName)
-    // idempotent: template writes re-declare the same spec every commit
-    val current =
-      if (Files.exists(path)) new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-      else ""
-    if (current != json) {
+    if (!Files.exists(path)) {
+      spec.foreach(p => derivedName(p): Unit) // validate transforms early
       Files.createDirectories(path.getParent)
-      Files.write(path, json.getBytes(StandardCharsets.UTF_8)): Unit
-    }
+      Files.write(path,
+        spec.map(fieldJson).mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)): Unit
+    } else evolve(tableRoot, spec)
   }
 
-  def read(tableRoot: String): Seq[PartitionField] = {
-    val p = Paths.get(tableRoot, FileName)
+  def read(tableRoot: String): Seq[PartitionField] = parseFile(tableRoot, FileName)
+
+  /** Partition-spec EVOLUTION (Iceberg `updateSpec`): replace the
+    * CURRENT spec — which only governs FUTURE writes — and append the
+    * superseded one to the spec history. Metadata-only: no existing dir
+    * is rewritten; dirs written under the old layout keep it, and reads
+    * prune each dir with whichever transforms its layout carries
+    * ([[graft.plans.GraftHiddenPartitionRule]] checks per-relation
+    * applicability, so an old-spec predicate never touches a new-spec
+    * dir). Rewriting old data into the new layout is [[SnapshotTable.compact]]'s
+    * job, on the owner's schedule — exactly Iceberg's contract.
+    */
+  def evolve(tableRoot: String, newSpec: Seq[PartitionField]): Unit = {
+    val current = read(tableRoot)
+    if (current == newSpec) return
+    newSpec.foreach(p => derivedName(p): Unit) // validate transforms early
+    val history = (parseFile(tableRoot, HistoryFileName) ++ current).distinct
+    val json = history.map(fieldJson).mkString("[", ",", "]")
+    Files.createDirectories(Paths.get(tableRoot))
+    Files.write(Paths.get(tableRoot, HistoryFileName),
+      json.getBytes(StandardCharsets.UTF_8)): Unit
+    Files.write(Paths.get(tableRoot, FileName),
+      newSpec.map(fieldJson).mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Current spec + every superseded spec's fields (deduplicated) — the
+    * READ side's view: a predicate may prune old-layout dirs via an old
+    * transform and new-layout dirs via the current one in the same scan.
+    */
+  def readAll(tableRoot: String): Seq[PartitionField] =
+    (read(tableRoot) ++ parseFile(tableRoot, HistoryFileName)).distinct
+
+  private def fieldJson(p: PartitionField): String =
+    s"""{"column":"${p.column}","transform":"${p.transform}","n":${p.n}}"""
+
+  private def parseFile(tableRoot: String, name: String): Seq[PartitionField] = {
+    val p = Paths.get(tableRoot, name)
     if (!Files.exists(p)) Nil
     else {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)

@@ -99,6 +99,20 @@ final case class TableColumn(id: Int, name: String, dataType: String)
 final case class EqualityDelete(
     dir: String, keys: Seq[String], applies: Seq[String], format: Option[String] = None)
 
+/** A named reference into the snapshot history (Iceberg table refs,
+  * spec §4 "Refs"): a `branch` is a movable head that branch writes
+  * advance; a `tag` is an immutable bookmark. Both protect their target
+  * snapshot (and its data dirs) from retention expiry — Iceberg's
+  * ref-retention contract, which is what makes a tag a durable audit
+  * pin rather than a name that silently dangles after
+  * `expireSnapshots`. Snapshots here are self-contained (each lists
+  * every data dir it is composed of), so protecting the TARGET alone is
+  * sufficient — no ancestor chain needs to survive for reads.
+  */
+final case class TableRef(name: String, kind: String, snapshotId: Long) {
+  require(kind == "branch" || kind == "tag", s"ref kind must be branch|tag, got '$kind'")
+}
+
 /** A concurrent writer advanced the table between this commit's base
   * read and its metadata swap (the optimistic-commit conflict case).
   */
@@ -976,6 +990,211 @@ final class SnapshotTable(val root: String, val fullName: String) {
         "operation" -> "stage_discard", "snapshot_id" -> snapshotId.toString))
     }
 
+  // ------------------------------------------------------------------
+  // named refs: branches + tags (Iceberg table refs)
+  // ------------------------------------------------------------------
+
+  private def refsPath = Paths.get(root, "refs.json")
+
+  /** All named refs. Absent file = no refs (tables predate the feature
+    * or never branched); the published head is always implicitly "main"
+    * and is never stored.
+    */
+  def refs: Seq[TableRef] =
+    if (!Files.exists(refsPath)) Nil
+    else {
+      val json = new String(Files.readAllBytes(refsPath), StandardCharsets.UTF_8)
+      val re = """\{"name":"((?:[^"\\]|\\.)*)","type":"(branch|tag)","snapshot_id":(\d+)\}""".r
+      re.findAllMatchIn(json).map(m =>
+        TableRef(jsonUnescape(m.group(1)), m.group(2), m.group(3).toLong)).toSeq
+    }
+
+  private def writeRefs(rs: Seq[TableRef]): Unit = {
+    val json = rs.map(r =>
+      s"""{"name":"${jsonEscape(r.name)}","type":"${r.kind}","snapshot_id":${r.snapshotId}}""")
+      .mkString("[", ",", "]")
+    val tmp = Paths.get(root, s".refs.json.tmp-${System.nanoTime()}")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, refsPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def requireRef(name: String, kind: String): TableRef =
+    refs.find(r => r.name == name && r.kind == kind).getOrElse(
+      throw new NoSuchElementException(
+        s"Table $fullName has no $kind '$name' " +
+          s"(refs: ${refs.map(r => s"${r.name}[${r.kind}]").mkString(", ")})"))
+
+  private def createRef(name: String, kind: String, at: Option[Long]): TableRef =
+    SnapshotTable.commitLock(root).synchronized {
+      require(name.nonEmpty && name != "main",
+        s"ref name '$name' is reserved ('main' is the published head)")
+      require(!refs.exists(_.name == name),
+        s"Table $fullName already has a ref named '$name'; refs are " +
+          "create-once — dropRef first to repoint")
+      val all = snapshots
+      val target = at match {
+        case Some(id) => all.find(_.id == id).getOrElse(
+          throw new NoSuchElementException(
+            s"Table $fullName has no snapshot $id (available: ${all.map(_.id).mkString(", ")})"))
+        case None => all.filterNot(_.staged).lastOption.getOrElse(
+          throw new IllegalStateException(
+            s"Table $fullName has no published snapshot to ref; write first"))
+      }
+      val r = TableRef(name, kind, target.id)
+      writeRefs(refs :+ r)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> s"create_$kind", "ref" -> name,
+        "snapshot_id" -> target.id.toString))
+      r
+    }
+
+  /** Create a branch at `at` (default: the published head). Branch
+    * appends ([[appendToBranch]]) advance it without touching the
+    * published table; [[fastForward]] publishes it.
+    */
+  def createBranch(name: String, at: Option[Long] = None): TableRef =
+    createRef(name, "branch", at)
+
+  /** Create an immutable tag at `at` (default: the published head).
+    * The tagged snapshot — and its data — survives retention expiry
+    * until the tag is dropped.
+    */
+  def createTag(name: String, at: Option[Long] = None): TableRef =
+    createRef(name, "tag", at)
+
+  /** Drop a branch or tag. Branch-only snapshots it pointed to stay in
+    * metadata (staged, invisible) until retention expires them — same
+    * lifecycle as an abandoned WAP stage.
+    */
+  def dropRef(name: String): Unit =
+    SnapshotTable.commitLock(root).synchronized {
+      require(refs.exists(_.name == name),
+        s"Table $fullName has no ref '$name' " +
+          s"(refs: ${refs.map(_.name).mkString(", ")})")
+      writeRefs(refs.filterNot(_.name == name))
+      Audit.log("table_write", fullName, Map("operation" -> "drop_ref", "ref" -> name))
+    }
+
+  /** Read the table as of a named ref (branch head or tag target) —
+    * the `VERSION AS OF 'ref-name'` read path.
+    */
+  def readRef(spark: SparkSession, name: String): DataFrame = {
+    val r = refs.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(
+        s"Table $fullName has no ref '$name' " +
+          s"(refs: ${refs.map(_.name).mkString(", ")})"))
+    readSnapshot(spark, r.snapshotId)
+  }
+
+  /** Append onto a BRANCH head: same optimistic-commit cycle as
+    * [[append]], but the CAS base is the branch ref's target, the
+    * committed snapshot stays invisible to published reads (staged,
+    * like a WAP candidate), and the ref advances atomically with the
+    * metadata swap. Concurrent branch writers conflict-and-retry
+    * against the ref exactly as published writers do against the head.
+    */
+  def appendToBranch(branch: String, df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format,
+      numRetries, branch = Some(branch))
+
+  /** Publish a branch: if the published head is an ancestor of the
+    * branch head (the branch holds ONLY commits made on top of the
+    * current table), flip the branch-only snapshots to published —
+    * O(branch-length) metadata, zero data movement (Iceberg's
+    * `fast_forward`). A head that advanced past the branch base means
+    * divergence: fail, so the rival's rows are never silently dropped;
+    * re-branch from the new head (or cherry-pick) to resolve.
+    */
+  def fastForward(branch: String): Snapshot =
+    SnapshotTable.commitLock(root).synchronized {
+      val r = requireRef(branch, "branch")
+      val all = snapshots
+      val mainHeadId = all.filterNot(_.staged).lastOption.map(_.id).getOrElse(0L)
+      if (r.snapshotId == mainHeadId)
+        return all.find(_.id == mainHeadId).getOrElse(
+          throw new IllegalStateException(s"Table $fullName has no published snapshot"))
+      var chain = List.empty[Snapshot]
+      var curId = r.snapshotId
+      while (curId != mainHeadId) {
+        val s = all.find(_.id == curId).getOrElse(
+          throw new IllegalStateException(
+            s"branch '$branch' of $fullName references missing snapshot $curId"))
+        if (!s.staged)
+          // walked onto a published snapshot that is NOT the head: the
+          // head moved past the branch base — divergent, not fast-forwardable
+          throw PublishConflictException(fullName, r.snapshotId)
+        chain ::= s
+        curId = s.parentId.getOrElse(0L)
+        if (curId == 0L && mainHeadId != 0L)
+          throw PublishConflictException(fullName, r.snapshotId)
+      }
+      // same restamp rule as publish(): this is the moment the branch
+      // data BECOMES the table, so timestamp time travel stays stable
+      val now = SnapshotTable.clockMs()
+      val flipped = chain.map(_.id).toSet
+      writeMetadata(all.map(s =>
+        if (flipped(s.id)) s.copy(staged = false, committedAtMs = now) else s))
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "fast_forward", "ref" -> branch,
+        "snapshot_id" -> r.snapshotId.toString,
+        "published_count" -> chain.size.toString))
+      snapshots.find(_.id == r.snapshotId).get
+    }
+
+  /** Cherry-pick: apply ONE append-shaped snapshot's delta onto the
+    * published head as a new commit (Iceberg's `cherrypick_snapshot`).
+    * This is the WAP resolution path [[publish]] refuses: when the head
+    * advanced after staging, the staged snapshot's parent is stale, but
+    * its DELTA (the dirs it added over its parent) is still appendable.
+    * Only structurally append-shaped snapshots qualify — the target
+    * must carry its parent's dirs unchanged (no masks added, no deletes
+    * added, no dirs dropped); anything else (overwrite, delete, dynamic
+    * overwrite) has semantics relative to its parent's state that do
+    * not transplant.
+    */
+  def cherryPick(snapshotId: Long): Snapshot =
+    SnapshotTable.commitLock(root).synchronized {
+      val all = snapshots
+      val snap = all.find(_.id == snapshotId).getOrElse(
+        throw new NoSuchElementException(
+          s"Table $fullName has no snapshot $snapshotId (available: ${all.map(_.id).mkString(", ")})"))
+      val parent = snap.parentId.flatMap(p => all.find(_.id == p)).getOrElse(
+        throw new IllegalStateException(
+          s"cherry-pick of $snapshotId: parent snapshot " +
+            s"${snap.parentId.getOrElse("<none>")} not found (expired?)"))
+      val parentDirs = parent.dataDirs.toSet
+      val deltaDirs = snap.dataDirs.filterNot(parentDirs)
+      require(parent.dataDirs.forall(snap.dataDirs.contains) &&
+        snap.deletes == parent.deletes && snap.maskedDirs == parent.maskedDirs,
+        s"cherry-pick of $snapshotId (${snap.operation}): only append-shaped " +
+          "snapshots transplant — the target must carry its parent's dirs, " +
+          "masks and deletes unchanged")
+      val head = all.filterNot(_.staged).lastOption.getOrElse(
+        throw new IllegalStateException(s"Table $fullName has no published snapshot"))
+      require(head.format == snap.format || deltaDirs.isEmpty,
+        s"cherry-pick of $snapshotId: delta format '${snap.format}' differs " +
+          s"from table format '${head.format}'")
+      val deltaRows =
+        if (snap.rowCount < 0 || parent.rowCount < 0) -1L
+        else snap.rowCount - parent.rowCount
+      val total =
+        if (head.rowCount < 0 || deltaRows < 0) -1L else head.rowCount + deltaRows
+      val id = all.map(_.id).max + 1
+      val picked = head.copy(
+        id = id, committedAtMs = SnapshotTable.clockMs(),
+        operation = "cherry_pick",
+        dataDirs = head.dataDirs ++ deltaDirs,
+        rowCount = total,
+        staged = false,
+        parentId = Some(head.id))
+      writeMetadata(all :+ picked)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "cherry_pick", "snapshot_id" -> id.toString,
+        "source_snapshot_id" -> snapshotId.toString,
+        "delta_dirs" -> deltaDirs.size.toString))
+      picked
+    }
+
   /** Dynamic partition overwrite — Iceberg's `overwrite` with
     * partition-level replacement (Spark's
     * `partitionOverwriteMode=dynamic` semantics): exactly the partitions
@@ -1049,6 +1268,40 @@ final class SnapshotTable(val root: String, val fullName: String) {
       else df.coalesce(nOut)
     commit(packed, "replace", carryPrevious = false, pCols,
       clusterBy, snap.format, numRetries)
+  }
+
+  /** Pay down merge-on-read debt WITHOUT a full compaction — the
+    * Iceberg `rewrite_position_deletes`-shaped maintenance action for
+    * this engine's equality deletes: rewrite ONLY the dirs some delete
+    * file applies to (deletes and masks baked in), drop the delete
+    * entries, and carry every untouched dir forward as-is. Reads then
+    * stop paying the per-scan anti-join on those dirs. Cost is
+    * O(delete-scoped dirs), never O(table) — on a 100 TB table with a
+    * few GDPR deletes this rewrites the handful of old dirs the keys
+    * landed in, where [[compact]] would rewrite everything.
+    */
+  def rewriteDeletes(
+      spark: SparkSession,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      val affected = cur.deletes.flatMap(_.applies).distinct
+        .filter(cur.dataDirs.contains)
+      if (affected.isEmpty) return cur // no-op: nothing to pay down
+      // the logical view of exactly those dirs (deletes + masks applied)
+      val view = readDirsView(spark, cur, affected)
+      rewriteDirs(spark, cur, affected, view, "rewrite_deletes",
+        newTotal = cur.rowCount, attempt = attempt) match {
+        case Right(snap) => return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries)
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Partition columns of the current snapshot's physical layout,
@@ -1175,19 +1428,31 @@ final class SnapshotTable(val root: String, val fullName: String) {
   /** Drop snapshots older than `olderThanMs` (never the current one) and
     * delete data directories no surviving snapshot references.
     */
-  def expireSnapshots(olderThanMs: Long): Seq[Long] =
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Seq[Long] =
     // same lock as commit(): maintenance must not interleave with an
     // in-flight append's read-modify-write of the metadata pointer
-    SnapshotTable.commitLock(root).synchronized { expireLocked(olderThanMs) }
+    SnapshotTable.commitLock(root).synchronized { expireLocked(olderThanMs, retainLast) }
 
-  private def expireLocked(olderThanMs: Long): Seq[Long] = {
+  private def expireLocked(olderThanMs: Long, retainLast: Int = 1): Seq[Long] = {
     val all = snapshots
     if (all.isEmpty) return Nil
     // never expire the published head; aged STAGED snapshots do expire
-    // (an audit abandoned past the retention window is dead weight)
+    // (an audit abandoned past the retention window is dead weight) —
+    // UNLESS a named ref pins them: tag targets and branch heads (and
+    // their data) survive until the ref is dropped, Iceberg's
+    // ref-retention contract. Targets alone suffice: snapshots are
+    // self-contained, no ancestor chain is needed to read one.
     val currentOpt = all.filterNot(_.staged).lastOption
+    val refIds = refs.map(_.snapshotId).toSet
+    // retain_last (Iceberg expire_snapshots): the newest N PUBLISHED
+    // snapshots survive regardless of age — a rollback window is a
+    // count guarantee, not an age guarantee, under bursty commit rates
+    val retained = all.filterNot(_.staged).takeRight(math.max(1, retainLast))
+      .map(_.id).toSet
     val (expired, kept0) =
-      all.filterNot(currentOpt.contains).partition(_.committedAtMs < olderThanMs)
+      all.filterNot(currentOpt.contains)
+        .partition(s => s.committedAtMs < olderThanMs && !refIds.contains(s.id) &&
+          !retained.contains(s.id))
     val kept = (kept0 ++ currentOpt).sortBy(_.id)
     val liveDirs = kept.flatMap(s => s.dataDirs ++ s.deletes.map(_.dir)).toSet
     if (expired.nonEmpty) {
@@ -1197,7 +1462,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           deleteRecursively(new File(d))
         }
     }
-    sweepOrphans(liveDirs, olderThanMs)
+    sweepOrphans(liveDirs, olderThanMs): Unit
     expired.map(_.id)
   }
 
@@ -1215,16 +1480,39 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * formats decouple orphan-file age from snapshot expiry for exactly
     * this reason.
     */
-  private def sweepOrphans(liveDirs: Set[String], olderThanMs: Long): Unit = {
+  private def sweepOrphans(liveDirs: Set[String], olderThanMs: Long): Seq[String] = {
     val cutoff = math.min(
       olderThanMs, System.currentTimeMillis() - SnapshotTable.orphanSafetyAgeMs)
     val rootFile = new File(root)
-    Option(rootFile.listFiles()).getOrElse(Array.empty)
+    val dead = Option(rootFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
       .filterNot(f => liveDirs.contains(f.getPath) || liveDirs.contains(f.getAbsolutePath))
       .filter(_.lastModified() < cutoff)
-      .foreach(deleteRecursively)
+    dead.foreach(deleteRecursively)
+    dead.map(_.getPath).toSeq
   }
+
+  /** Remove data directories no snapshot (published OR staged)
+    * references — the residue of commits whose process died between
+    * data write and metadata swap (Iceberg's `remove_orphan_files`
+    * action, exposed standalone so storage hygiene does not have to
+    * ride along with snapshot expiry). The same recency clamp as
+    * [[sweepOrphans]] applies: a dir younger than the safety age is
+    * never touched, because an in-flight commit's dir is written
+    * OUTSIDE the commit lock and recency is the only signal separating
+    * "being committed right now" from "abandoned". Returns the removed
+    * dir paths. O(#dirs) filesystem metadata — no data is read.
+    */
+  def removeOrphanFiles(olderThanMs: Long = System.currentTimeMillis()): Seq[String] =
+    SnapshotTable.commitLock(root).synchronized {
+      val live = snapshots.flatMap(s => s.dataDirs ++ s.deletes.map(_.dir)).toSet
+      val removed = sweepOrphans(live, olderThanMs)
+      if (removed.nonEmpty)
+        Audit.log("table_write", fullName, Map(
+          "operation" -> "remove_orphan_files",
+          "removed_dirs" -> removed.size.toString))
+      removed
+    }
 
   private def requireCurrent: Snapshot = currentSnapshot.getOrElse(
     throw new RuntimeException(
@@ -1260,7 +1548,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       format: String,
       numRetries: Int,
       dynamicReplace: Boolean = false,
-      stageOnly: Boolean = false): Snapshot = {
+      stageOnly: Boolean = false,
+      branch: Option[String] = None): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -1273,7 +1562,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
     require(SnapshotTable.SupportedFormats.contains(format),
       s"Unknown write_format '$format' for $fullName " +
         s"(supported: ${SnapshotTable.SupportedFormats.mkString(", ")})")
-    val base = currentSnapshot.map(_.id)
+    // the commit BASE: the branch ref's target for branch appends, the
+    // published head otherwise
+    val base = branch match {
+      case Some(b) => Some(requireRef(b, "branch").snapshotId)
+      case None => currentSnapshot.map(_.id)
+    }
     // unique dir per attempt: the final snapshot id is unknown until the
     // swap wins, and two optimistic writers must never share a path
     val dataDir = Paths.get(root,
@@ -1349,7 +1643,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     while (true) {
       SnapshotTable.beforeSwapHook(this, attempt)
       trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format, replaced,
-        stageOnly, writeSchema) match {
+        stageOnly, writeSchema, branch) match {
         case Right(snap) =>
           Audit.log("table_write", fullName, Map(
             "operation" -> op, "snapshot_id" -> snap.id.toString,
@@ -1386,12 +1680,22 @@ final class SnapshotTable(val root: String, val fullName: String) {
       format: String,
       replaced: Seq[String],
       stageOnly: Boolean,
-      writeSchema: Seq[(String, String)]): Either[CommitConflictException, Snapshot] =
+      writeSchema: Seq[(String, String)],
+      branch: Option[String] = None): Either[CommitConflictException, Snapshot] =
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
       // commits CAS against (and carry from) the PUBLISHED head: staged
-      // snapshots are invisible to the table and must not parent rivals
-      val head = prev.filterNot(_.staged).lastOption
+      // snapshots are invisible to the table and must not parent rivals.
+      // Branch appends CAS against (and carry from) the branch ref's
+      // target instead — concurrent branch writers conflict on the REF.
+      val head = branch match {
+        case Some(b) =>
+          val r = requireRef(b, "branch")
+          Some(prev.find(_.id == r.snapshotId).getOrElse(
+            throw new IllegalStateException(
+              s"branch '$b' of $fullName references missing snapshot ${r.snapshotId}")))
+        case None => prev.filterNot(_.staged).lastOption
+      }
       val actualParent = head.map(_.id)
       if (actualParent != expectedParent)
         Left(CommitConflictException(fullName, expectedParent, actualParent))
@@ -1495,14 +1799,44 @@ final class SnapshotTable(val root: String, val fullName: String) {
         // would resurrect erased rows. The new dir is NOT in any delete's
         // applies set — appended data is out of the deletes' scope.
         val snap = Snapshot(id, SnapshotTable.clockMs(), op,
-          carryForward :+ dataDir, format, total, masks, staged = stageOnly,
+          carryForward :+ dataDir, format, total, masks,
+          // branch commits stay invisible to published reads until
+          // fastForward flips them — the same mechanism as a WAP stage
+          staged = stageOnly || branch.isDefined,
           deletes = carriedDeletes0,
           parentId = Some(actualParent.getOrElse(0L)),
           cols = cols,
           lastColumnId = math.max(watermark0, nextId))
         writeMetadata(prev :+ snap)
+        // advance the branch ref atomically with the metadata swap
+        // (same lock): readers of the ref see old-head-or-new-head,
+        // never a dangling intermediate
+        branch.foreach { b =>
+          writeRefs(refs.map(r =>
+            if (r.name == b && r.kind == "branch") r.copy(snapshotId = id) else r))
+        }
         Right(snap)
       }
+    }
+
+  /** Partition-spec EVOLUTION (Iceberg `updateSpec().commit()`):
+    * metadata-only — the new transforms govern FUTURE writes; dirs
+    * written under the old layout keep it and reads prune each epoch
+    * with its own transforms (the hidden-partitioning rule checks
+    * per-dir applicability). [[compact]] rewrites old epochs into the
+    * current layout when the owner chooses. At 100 TB this is the only
+    * viable contract: re-partitioning a table eagerly would be a full
+    * rewrite of everything.
+    */
+  def updatePartitionSpec(spec: Seq[graft.template.PartitionField]): Unit =
+    SnapshotTable.commitLock(root).synchronized {
+      requireCurrent: Unit
+      val old = DeclaredPartitionSpec.read(root)
+      DeclaredPartitionSpec.evolve(root, spec)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "update_partition_spec",
+        "old_spec" -> old.map(p => s"${p.transform}(${p.column})").mkString(","),
+        "new_spec" -> spec.map(p => s"${p.transform}(${p.column})").mkString(",")))
     }
 
   // ------------------------------------------------------------------

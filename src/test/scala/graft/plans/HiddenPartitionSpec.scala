@@ -119,6 +119,57 @@ class HiddenPartitionSpec extends SparkSpec {
       s"expected a derived ts_day conjunct in:\n$optimized")
   }
 
+  test("partition evolution: each epoch prunes with its own transform") {
+    val wh = freshCatalog("evolve")
+    spark.sql(
+      "CREATE TABLE graft.ns.pe (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    spark.sql(
+      """INSERT INTO graft.ns.pe VALUES
+        |  (1, TIMESTAMP '2024-01-01 10:00:00'),
+        |  (2, TIMESTAMP '2024-01-02 11:00:00')""".stripMargin)
+    // evolve day(ts) -> month(ts): metadata-only, future writes only
+    val t = SnapshotTable(wh, "ns", "pe")
+    t.updatePartitionSpec(Seq(graft.template.PartitionField("ts", "month")))
+    // the derived ts_day column materialized into the table schema with
+    // epoch 1; post-evolution inserts supply it (NULL — the new layout
+    // no longer derives it, matching the null backfill old dirs get for
+    // ts_month)
+    spark.sql(
+      """INSERT INTO graft.ns.pe VALUES
+        |  (3, TIMESTAMP '2024-02-05 09:00:00', NULL),
+        |  (4, TIMESTAMP '2024-03-06 09:00:00', NULL)""".stripMargin)
+    // mixed layout on disk: epoch 1 kept ts_day dirs, epoch 2 wrote ts_month
+    val layouts = t.currentSnapshot.get.dataDirs.flatMap(d =>
+      Option(new java.io.File(d).list()).getOrElse(Array.empty[String])
+        .filter(_.contains("=")).map(_.split("=")(0))).distinct.sorted
+    assert(layouts == Seq("ts_day", "ts_month"), s"got $layouts")
+    // cross-epoch read is complete
+    assert(spark.sql("SELECT id FROM graft.ns.pe").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // an epoch-1 window prunes to 1 of 2 day partitions; the month
+    // epoch's derived conjunct (ts_month = '2024-01') prunes it to zero
+    val q1 = spark.sql(
+      """SELECT id FROM graft.ns.pe
+        |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)
+    assert(q1.as[Long].collect().toSeq == Seq(2L))
+    assert(partDirs(q1) == 1, s"expected 1 planned partition, got ${partDirs(q1)}")
+    // an epoch-2 window strictly inside February prunes to 1 of 2 month
+    // partitions (an upper bound ON a month boundary keeps that month —
+    // month(v) <= derives, not <); day epoch prunes to zero
+    val q2 = spark.sql(
+      """SELECT id FROM graft.ns.pe
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-02-20 00:00:00'""".stripMargin)
+    assert(q2.as[Long].collect().toSeq == Seq(3L))
+    assert(partDirs(q2) == 1, s"expected 1 planned partition, got ${partDirs(q2)}")
+    // superseded spec is archived, current spec is the new one
+    assert(graft.sink.DeclaredPartitionSpec.read(wh + "/ns.pe")
+      .map(_.transform) == Seq("month"))
+    assert(graft.sink.DeclaredPartitionSpec.readAll(wh + "/ns.pe")
+      .map(_.transform).sorted == Seq("day", "month"))
+  }
+
   test("no declared spec, no rewrite: external partitioned data untouched") {
     val dir = Files.createTempDirectory("graft_hp_ext").toString
     Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "d")
