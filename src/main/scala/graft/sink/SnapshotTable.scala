@@ -1251,10 +1251,26 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // derive the partition layout from the table itself when the caller
     // does not re-declare it: compacting a partitioned table must not
     // silently rewrite it as one unpartitioned dir (rows would survive
-    // but partition pruning — the layout's whole point — would be lost)
-    val pCols = if (partitionCols.nonEmpty) partitionCols else partitionColumns
+    // but partition pruning — the layout's whole point — would be lost).
+    // A table with a DECLARED transform spec compacts under the CURRENT
+    // spec, re-deriving every directory column from its source — this
+    // is what migrates old partition epochs into the evolved layout
+    // (Iceberg's rewrite_data_files after updateSpec does the same);
+    // physical layouts without a declaration keep their established
+    // columns.
+    val declared = DeclaredPartitionSpec.read(root)
+    val pCols =
+      if (partitionCols.nonEmpty) partitionCols
+      else if (declared.nonEmpty) declared.map(DeclaredPartitionSpec.derivedName)
+      else partitionColumns
     val nOut = math.max(1L, (dataBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = read(spark)
+    val df0 = read(spark)
+    val df =
+      if (partitionCols.isEmpty && declared.nonEmpty)
+        declared.map(TableSink.transformColumn).foldLeft(df0) {
+          case (d, (nm, c)) => d.withColumn(nm, c)
+        }
+      else df0
     // clustered rewrite (Iceberg sort/zorder strategy): range-partition on
     // the cluster key so each output file covers a contiguous key range —
     // with a z-value key (functions.ZOrder) that is a compact region in

@@ -168,6 +168,22 @@ class HiddenPartitionSpec extends SparkSpec {
       .map(_.transform) == Seq("month"))
     assert(graft.sink.DeclaredPartitionSpec.readAll(wh + "/ns.pe")
       .map(_.transform).sorted == Seq("day", "month"))
+    // compaction migrates the day epoch into the evolved month layout:
+    // one replace snapshot, every dir month-partitioned, rows intact
+    t.compact(spark)
+    val migrated = t.currentSnapshot.get.dataDirs.flatMap(d =>
+      Option(new java.io.File(d).list()).getOrElse(Array.empty[String])
+        .filter(_.contains("=")).map(_.split("=")(0))).distinct
+    assert(migrated == Seq("ts_month"), s"expected month-only layout, got $migrated")
+    assert(spark.sql("SELECT id FROM graft.ns.pe").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // post-migration pruning serves the ENTIRE table via month dirs
+    val q3 = spark.sql(
+      """SELECT id FROM graft.ns.pe
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)
+    assert(q3.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(partDirs(q3) == 1, s"expected 1 month partition, got ${partDirs(q3)}")
   }
 
   test("no declared spec, no rewrite: external partitioned data untouched") {

@@ -59,4 +59,25 @@ object MetadataRoundTripProps extends Properties("SnapshotMetadata") {
       val back = t.snapshots
       Prop(back == snaps) :| s"expected:\n$snaps\ngot:\n$back"
     }
+
+  // refs.json shares the hand-rolled-JSON risk profile: ref names are
+  // user-chosen strings (quotes, backslashes, unicode included)
+  property("refs write -> parse round-trips, names escaped") =
+    Prop.forAll(Gen.listOf(Gen.zip(
+      trickyStr.suchThat(_.nonEmpty),
+      Gen.oneOf("branch", "tag"),
+      Gen.choose(1L, 1000L))).map(_.take(5))) { rs0 =>
+      val rs = rs0.zipWithIndex.map { case ((n, k, id), i) =>
+        TableRef(s"$i$n", k, id) // unique names, the store invariant
+      }
+      val root = Files.createTempDirectory("graft_refs_prop").toString
+      val t = new SnapshotTable(root, "ns.prop")
+      t.writeMetadata(Seq(Snapshot(1L, 0L, "overwrite", Seq("d"))))
+      rs.foreach(r =>
+        if (r.kind == "branch") t.createBranch(r.name, at = Some(1L))
+        else t.createTag(r.name, at = Some(1L)))
+      val back = t.refs
+      Prop(back.map(r => (r.name, r.kind)) == rs.map(r => (r.name, r.kind))) :|
+        s"expected:\n$rs\ngot:\n$back"
+    }
 }
