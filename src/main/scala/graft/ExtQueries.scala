@@ -283,6 +283,46 @@ object ExtQueries {
       doc = "streaming CDC tail of a snapshot table (graft-stream source): " +
         "snapshot ids as offsets, appends arrive as O(delta) microbatches"),
 
+    "stream_branch_tail" -> QueryDef(
+      (s, dir) => {
+        // tail a BRANCH's append chain (graft-stream `branch` option):
+        // an audit consumer sees staged branch appends as they land —
+        // before any fast-forward — while rival PUBLISHED commits never
+        // leak into the tail (offsets walk the ref's parent chain, not
+        // the snapshot list). The published head stays at the seed
+        // state throughout, pinned below.
+        val wh = MetaQueries.freshWarehouse("stream_branch_tail")
+        val table = graft.sink.SnapshotTable(wh, "testdata", "events_branch")
+        val ev = Queries.tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        val cut1 = lit("2024-01-25 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-30 00:00:00").cast("timestamp")
+        table.overwrite(ev.filter(col("ts") < cut1)): Unit
+        table.createBranch("audit"): Unit
+        val q = s.readStream.format("graft-stream")
+          .option("warehouse", wh).option("table", "testdata.events_branch")
+          .option("branch", "audit").load()
+          .writeStream.format("memory").queryName("branch_tail_query_sink")
+          .option("checkpointLocation", s"$wh/_ckpt").outputMode("append").start()
+        try {
+          q.processAllAvailable() // batch 0: branch state = seed
+          table.appendToBranch("audit",
+            ev.filter(col("ts") >= cut1 && col("ts") < cut2)): Unit
+          // rival PUBLISHED append with real rows: if the tail walked
+          // the snapshot list instead of the ref chain, these rows
+          // would arrive twice and the oracle hash would catch it
+          table.append(ev.filter(col("ts") >= cut2)): Unit
+          q.processAllAvailable() // batch 1: branch delta only
+          table.appendToBranch("audit", ev.filter(col("ts") >= cut2)): Unit
+          q.processAllAvailable() // batch 2: second branch delta
+        } finally q.stop()
+        s.table("branch_tail_query_sink")
+      },
+      Some("SELECT event_id, ts, user_id, event_type FROM events"),
+      doc = "streaming tail of a BRANCH (graft-stream branch option): staged " +
+        "branch appends arrive as O(delta) microbatches; published rivals " +
+        "never leak into the tail"),
+
     "stream_scd2_merge" -> QueryDef(
       (s, dir) => {
         // REAL incremental streaming dimension maintenance: the dim is

@@ -30,7 +30,12 @@ import org.apache.spark.sql.types.StructType
   *    `_change_type` ('insert' | 'delete') + `_commit_snapshot_id`,
   *    batch 0 is the initial state as inserts, and row-level DELETES
   *    (equality deletes, dynamic-overwrite masks, copy-on-write
-  *    rewrites) stream too, via the batch `readChangelog` dir-diff.
+  *    rewrites) stream too, via the batch `readChangelog` dir-diff;
+  *  - `branch` — tail a named BRANCH's append chain instead of the
+  *    published lineage (offsets walk the ref's parent chain, so rival
+  *    published commits never leak into the branch tail): an audit
+  *    consumer sees staged branch appends as they land, before any
+  *    fast-forward. Append-mode only.
   * Downstream, the engine's existing streaming surface (watermarked
   * windows, dedup, `foreachBatch` governed re-ingest) applies — this
   * source closes the loop: ingest -> table -> incremental consume.
@@ -59,13 +64,29 @@ final class GraftStreamSourceProvider extends StreamSourceProvider with DataSour
       k.equalsIgnoreCase("changelog") && v.equalsIgnoreCase("true")
     }
 
+  private def branchOf(parameters: Map[String, String]): Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("branch") && v.nonEmpty => v
+    }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse {
-      val base = tableOf(parameters).read(sqlContext.sparkSession).schema
+      val t = tableOf(parameters)
+      // validated here (sourceSchema runs synchronously at load()) so a
+      // bad combination fails at the call site, not inside the stream
+      require(branchOf(parameters).isEmpty || !isChangelog(parameters),
+        "graft-stream: option 'branch' is append-mode only — changelog=true " +
+          "walks the published lineage; fastForward the branch and tail the " +
+          "published table for CDC")
+      // a branch tail serves the BRANCH head's schema (branches evolve
+      // independently of the published table)
+      val base = branchOf(parameters)
+        .map(b => t.readRef(sqlContext.sparkSession, b).schema)
+        .getOrElse(t.read(sqlContext.sparkSession).schema)
       if (isChangelog(parameters))
         base.add("_change_type", org.apache.spark.sql.types.StringType)
           .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType)
@@ -92,8 +113,16 @@ final class GraftStreamSourceProvider extends StreamSourceProvider with DataSour
       require(n > 0, s"graft-stream option 'maxDirsPerTrigger' must be positive, got $n")
       n
     }
+    val branch = branchOf(parameters)
+    // branch tailing consumes the branch's append chain; the changelog
+    // dir-diff walks the PUBLISHED lineage, so the two modes don't
+    // compose (fast-forward first, then tail the published changelog)
+    require(branch.isEmpty || !isChangelog(parameters),
+      "graft-stream: option 'branch' is append-mode only — changelog=true " +
+        "walks the published lineage; fastForward the branch and tail the " +
+        "published table for CDC")
     new GraftStreamSource(sqlContext, table, resolved, metadataPath, maxDirs,
-      isChangelog(parameters))
+      isChangelog(parameters), branch)
   }
 }
 
@@ -108,7 +137,42 @@ private final class GraftStreamSource(
     override val schema: StructType,
     metadataPath: String,
     maxDirsPerTrigger: Option[Int],
-    changelog: Boolean) extends Source {
+    changelog: Boolean,
+    branch: Option[String] = None) extends Source {
+
+  /** The tail's head: the branch ref's target when tailing a branch
+    * (staging consumers see branch appends as they land, before any
+    * fast-forward), the published head otherwise. A dropped ref fails
+    * loudly — silently stalling would read as "no new data".
+    */
+  private def headSnapshotId: Option[Long] = branch match {
+    case Some(b) =>
+      Some(table.refs.find(r => r.name == b && r.kind == "branch").map(_.snapshotId)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-stream tails branch '$b' of ${table.fullName}, but the ref " +
+            "no longer exists (dropped?); restart the stream against the " +
+            "published table or re-create the branch")))
+    case None => table.currentSnapshot.map(_.id)
+  }
+
+  /** Snapshots on the consumed lineage in (base, head], ascending: the
+    * branch parent chain when tailing a branch (branch commits are
+    * staged and interleave with rival ids — list order won't do), the
+    * published list otherwise.
+    */
+  private def lineage(base: Long, head: Long): Seq[graft.sink.Snapshot] = branch match {
+    case Some(_) =>
+      val byId = table.snapshots.map(s => s.id -> s).toMap
+      var acc = List.empty[graft.sink.Snapshot]
+      var cur = byId.get(head)
+      while (cur.isDefined && cur.get.id > base) {
+        acc ::= cur.get
+        cur = cur.get.parentId.filter(_ != 0L).flatMap(byId.get)
+      }
+      acc
+    case None =>
+      table.snapshots.filter(s => !s.staged && s.id > base && s.id <= head)
+  }
 
   private def idOf(o: Offset): Long = o match {
     case GraftSnapshotOffset(id) => id
@@ -157,28 +221,28 @@ private final class GraftStreamSource(
     }
 
   override def getOffset: Option[Offset] =
-    table.currentSnapshot.map { head =>
+    headSnapshotId.map { headId =>
       val end = (maxDirsPerTrigger, lastEnd) match {
-        case (Some(cap), Some(base)) if head.id > base => cappedEnd(base, head.id, cap)
-        case _ => head.id
+        case (Some(cap), Some(base)) if headId > base => cappedEnd(base, headId, cap)
+        case _ => headId
       }
       advance(end)
       GraftSnapshotOffset(end)
     }
 
-  /** Largest published id in (base, head] whose NEW-dir count vs base
+  /** Largest lineage id in (base, head] whose NEW-dir count vs base
     * stays within `cap` — Iceberg's streaming `max-files-per-micro-batch`
     * role. A single snapshot's delta can't be split, so the first id
     * past base always qualifies even when it alone exceeds the cap.
     */
   private def cappedEnd(base: Long, head: Long, cap: Int): Long = {
-    val pubs = table.snapshots.filter(s => !s.staged && s.id > base && s.id <= head)
-    if (pubs.isEmpty) head
+    val line = lineage(base, head)
+    if (line.isEmpty) head
     else {
       val baseDirs = table.snapshots.find(_.id == base)
         .map(_.dataDirs.toSet).getOrElse(Set.empty[String])
-      val within = pubs.filter(_.dataDirs.count(!baseDirs.contains(_)) <= cap)
-      if (within.isEmpty) pubs.head.id else within.last.id
+      val within = line.filter(_.dataDirs.count(!baseDirs.contains(_)) <= cap)
+      if (within.isEmpty) line.head.id else within.last.id
     }
   }
 

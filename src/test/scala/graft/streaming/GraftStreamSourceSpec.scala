@@ -183,4 +183,50 @@ class GraftStreamSourceSpec extends SparkSpec {
         .format("noop").start())
     assert(e.getMessage.contains("warehouse") || e.getCause != null)
   }
+
+  test("branch tail consumes the branch chain; rival published commits never leak") {
+    val (t, root) = fresh()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("audit")
+    val q = spark.readStream.format("graft-stream")
+      .option("warehouse", root).option("table", "ns.t")
+      .option("branch", "audit").load()
+      .writeStream.format("memory").queryName("branch_tail_sink")
+      .option("checkpointLocation", s"$root/_ckpt_b").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("branch_tail_sink").count() == 1, "batch 0 = branch state")
+      // a branch append arrives as a delta ...
+      t.appendToBranch("audit", Seq((2L, "b")).toDF("id", "v"))
+      // ... while a RIVAL published append must NOT leak into the tail
+      t.append(Seq((99L, "zz")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("branch_tail_sink").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b")),
+        "the branch tail must see only the branch chain")
+      t.appendToBranch("audit", Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("branch_tail_sink").count() == 3)
+    } finally q.stop()
+  }
+
+  test("branch + changelog do not compose; unknown branch fails loudly") {
+    val (t, root) = fresh()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("dev")
+    val e = intercept[Exception](
+      spark.readStream.format("graft-stream")
+        .option("warehouse", root).option("table", "ns.t")
+        .option("branch", "dev").option("changelog", "true").load()
+        .writeStream.format("noop").start())
+    assert(e.getMessage.contains("append-mode only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-mode only")))
+    val e2 = intercept[Exception](
+      spark.readStream.format("graft-stream")
+        .option("warehouse", root).option("table", "ns.t")
+        .option("branch", "nope").load()
+        .writeStream.format("noop").start())
+    assert(e2.getMessage.contains("nope") ||
+      Option(e2.getCause).exists(_.getMessage.contains("nope")))
+  }
 }
