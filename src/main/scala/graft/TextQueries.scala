@@ -304,6 +304,43 @@ object TextQueries {
       doc = "temperature-scaled mix sampling (weights ~ tokens^0.5, T5/mT5): " +
         "low-resource sources upsampled, integer-exact thresholds"),
 
+    "corpus_source_cap" -> QueryDef(
+      (s, dir) => {
+        // quality-ranked per-source cap (the domain-balancing stage:
+        // RefinedWeb/FineWeb keep the BEST docs of each domain instead
+        // of letting one boilerplate-heavy domain dominate): exactly
+        // the top 20 docs per source by (quality desc, length desc),
+        // scored in the SAME scan that ranks (qualityScoreCol appends
+        // to the projection — no join), ranked by the two-pass
+        // DistributedRank — no per-source single-task windows at a
+        // million domains.
+        val docs = tbl(s, dir, "documents").select(
+          col("doc_id"), col("source"), col("n_chars"),
+          graft.text.TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+        graft.text.TrainingMix.capPerStratum(
+          docs, "source",
+          order = Seq(col("quality_score").desc, col("n_chars").desc,
+            col("doc_id").asc),
+          n = 20L, nParts = 16,
+          keep = Seq("doc_id", "source", "quality_score"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source, n_chars,
+              |    round(CAST(
+              |      (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+              |      (CASE WHEN round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 6) > 0.05 THEN 0.3 ELSE 0.0 END) +
+              |      (CASE WHEN round(CAST(length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS DOUBLE) / length(text), 6) < 0.2 THEN 0.3 ELSE 0.0 END)
+              |      AS DOUBLE), 6) AS quality_score
+              |  FROM documents)
+              |SELECT doc_id, source, quality_score FROM (
+              |  SELECT doc_id, source, quality_score,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY quality_score DESC, n_chars DESC, doc_id) AS rk
+              |  FROM q)
+              |WHERE rk <= 20""".stripMargin),
+      doc = "quality-ranked per-source cap (domain balancing): top 20 docs per " +
+        "source by composite quality, one scan, distributed rank"),
+
     "sample_stratified" -> QueryDef(
       (s, dir) =>
         // exact per-stratum counts (not Bernoulli): src0's 40 exceeds its

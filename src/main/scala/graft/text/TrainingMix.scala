@@ -135,6 +135,25 @@ object TrainingMix {
       .select(col("doc_id"), col(stratumCol))
   }
 
+  /** Quality-ranked per-stratum cap — the domain-balancing stage of a
+    * web-corpus pipeline (RefinedWeb/FineWeb keep the best documents of
+    * each domain rather than letting one boilerplate-heavy domain
+    * dominate the mix): EXACTLY the top `n` rows of each stratum by
+    * `order`, via the two-pass [[DistributedRank]] — no per-stratum
+    * single-task window, so a million-domain corpus ranks in parallel.
+    */
+  def capPerStratum(
+      docs: DataFrame, stratumCol: String,
+      order: Seq[org.apache.spark.sql.Column],
+      n: Long, nParts: Int,
+      keep: Seq[String]): DataFrame = {
+    require(n >= 0, "cap must be >= 0")
+    require(nParts > 0, "nParts must be positive")
+    DistributedRank.withGlobalRank(docs, keyCols = Seq(stratumCol), order, nParts)
+      .filter(col("_rk") <= n)
+      .select(keep.map(col): _*)
+  }
+
   def sampleToTargetMix(
       docs: DataFrame, sourceCol: String, textCol: String,
       targetWeights: Map[String, Double], budgetTokens: Long): DataFrame = {

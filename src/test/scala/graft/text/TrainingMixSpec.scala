@@ -151,4 +151,28 @@ class TrainingMixSpec extends SparkSpec {
     // read positions are collision-free
     assert(at3.values.toSet.size == at3.size)
   }
+
+  test("capPerStratum: exactly the top-N per stratum, partition invariant") {
+    import org.apache.spark.sql.functions.{col, length}
+    val keyed = docs.select(col("doc_id"), col("source"), length(col("text")).as("len"))
+    val out = TrainingMix.capPerStratum(
+        keyed, "source", Seq(col("len").desc, col("doc_id").asc),
+        n = 4L, nParts = 8, keep = Seq("doc_id", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // replicate locally: longest 4 per source, doc_id tiebreak
+    val expected = keyed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._1)).take(4).map(r => (r._1, r._2)).toSeq
+      }.toSet
+    assert(out.toSet == expected, s"got ${out.length}, expected ${expected.size}")
+    assert(out.groupBy(_._2).values.forall(_.length <= 4))
+    // deterministic under any input partitioning / rank parallelism
+    val repart = TrainingMix.capPerStratum(
+        keyed.repartition(7, col("doc_id")), "source",
+        Seq(col("len").desc, col("doc_id").asc),
+        n = 4L, nParts = 3, keep = Seq("doc_id", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(repart == expected)
+  }
 }
