@@ -1430,10 +1430,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
       require(!target.staged,
         s"snapshot $snapshotId of $fullName is staged; publish or discard it instead")
       val id = all.map(_.id).maxOption.getOrElse(0L) + 1
+      // parent = the rollback TARGET, not the abandoned head: the new
+      // snapshot's STATE derives from the target, and the $history
+      // parent chain (is_current_ancestor) must mark the bad lineage
+      // abandoned — exactly what Iceberg's rollback does by repointing
       val snap = target.copy(
         id = id, committedAtMs = SnapshotTable.clockMs(),
         operation = "rollback",
-        parentId = Some(all.filterNot(_.staged).lastOption.map(_.id).getOrElse(0L)))
+        parentId = Some(snapshotId))
       writeMetadata(all :+ snap)
       Audit.log("table_write", fullName, Map(
         "operation" -> "rollback", "snapshot_id" -> id.toString,

@@ -164,6 +164,14 @@ class GraftCatalogSpec extends SparkSpec {
       s"metadata listing scans data files:\n${plan.take(300)}")
     // read-only
     intercept[Exception](spark.sql("INSERT INTO graft.ns.m.snapshots VALUES (3L)"))
+    // is_current_ancestor (Iceberg $history): a rollback's parent is its
+    // TARGET, so the abandoned lineage drops off the current ancestor chain
+    t.rollback(1L)
+    val hist = spark.sql(
+      "SELECT snapshot_id, is_current_ancestor FROM graft.ns.m.history ORDER BY 1")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist == Seq((1L, true), (2L, false), (3L, true)),
+      s"rollback(1) should orphan snapshot 2 from the current lineage: $hist")
   }
 
   test("the files metadata table lists per-file footer stats") {
