@@ -1587,6 +1587,33 @@ object MetaQueries {
       doc = "scoped equality-delete rewrite: only delete-scoped dirs rewrite, " +
         "delete entries drop, out-of-scope dirs carry byte-identical"),
 
+    "table_properties" -> QueryDef(
+      (s, dir) => {
+        // Iceberg table properties through SQL DDL: TBLPROPERTIES at
+        // CREATE, ALTER SET/UNSET, read back via SHOW TBLPROPERTIES.
+        // Persisted beside the table metadata (atomic sidecar swap
+        // under the commit lock); engine-computed keys (provider,
+        // format, current-snapshot-id) overlay on read and are not
+        // settable.
+        val wh = freshWarehouse("table_properties")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""CREATE TABLE graft.testdata.props (id BIGINT, v STRING)
+                |TBLPROPERTIES ('retention.max-snapshot-age-ms'='604800000',
+                |               'owner.team'='data-eng')""".stripMargin)
+        s.sql("""ALTER TABLE graft.testdata.props
+                |SET TBLPROPERTIES ('quality.gate'='strict')""".stripMargin)
+        s.sql("ALTER TABLE graft.testdata.props UNSET TBLPROPERTIES ('owner.team')")
+        s.sql("SHOW TBLPROPERTIES graft.testdata.props")
+          .filter(!col("key").isin("provider", "format", "current-snapshot-id", "owner"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('quality.gate', 'strict'),
+             |  ('retention.max-snapshot-age-ms', '604800000'))
+             |AS t("key", "value")""".stripMargin),
+      doc = "table properties: TBLPROPERTIES DDL persisted as an atomic " +
+        "sidecar, SET/UNSET, engine-computed keys overlaid on read"),
+
     "sink_schema_check" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import graft.sink.SnapshotTable
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
@@ -147,6 +149,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val fmt = Option(properties.get("format")).getOrElse("parquet")
     t.create(schema.fields.toSeq.map(f => f.name -> f.dataType.sql), fmt)
     if (spec.nonEmpty) GraftCatalog.writePartitionSpec(t.root, spec)
+    // persist user TBLPROPERTIES (Spark-managed keys stay out: they are
+    // engine-computed on read, not stored state)
+    val user = properties.asScala.toMap -- GraftCatalog.ReservedProperties
+    if (user.nonEmpty) t.setProperties(user)
     new GraftSparkTable(t, None, None)
   }
 
@@ -168,6 +174,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case c: TableChange.UpdateColumnType =>
         require(c.fieldNames.length == 1, "nested ALTER COLUMN is not supported")
         t.updateColumnType(spark, c.fieldNames.head, c.newDataType.sql)
+      case c: TableChange.SetProperty =>
+        require(!GraftCatalog.ReservedProperties.contains(c.property),
+          s"property '${c.property}' is engine-managed and cannot be set")
+        t.setProperties(Map(c.property -> c.value))
+      case c: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(c.property))
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }
@@ -229,6 +241,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
   val MetaTables: Set[String] = Set("snapshots", "history", "partitions", "files", "refs")
+
+  /** Keys the engine computes on read (or Spark manages itself) — never
+    * stored as user properties and not settable via DDL.
+    */
+  val ReservedProperties: Set[String] =
+    Set("provider", "format", "current-snapshot-id", "location", "owner",
+      "external", "is_managed_location")
 
   /** Spark connector Transform -> engine PartitionField. Names cover
     * both the SQL forms (`days(ts)`) and the Expressions factories.
@@ -399,6 +418,8 @@ final class GraftSparkTable(
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
+    // persisted user TBLPROPERTIES first; engine-computed keys overlay
+    snapTable.properties.foreach { case (k, v) => m.put(k, v) }
     m.put("provider", "graft")
     snapTable.currentSnapshot.foreach { s =>
       m.put("format", s.format)

@@ -991,6 +991,53 @@ final class SnapshotTable(val root: String, val fullName: String) {
     }
 
   // ------------------------------------------------------------------
+  // table properties (Iceberg table properties: free-form key/value
+  // metadata — write config, retention policy, ownership — persisted
+  // with the table, settable via SQL TBLPROPERTIES DDL)
+  // ------------------------------------------------------------------
+
+  private def propertiesPath = Paths.get(root, ".graft-properties.json")
+
+  def properties: Map[String, String] =
+    if (!Files.exists(propertiesPath)) Map.empty
+    else {
+      val json = new String(Files.readAllBytes(propertiesPath), StandardCharsets.UTF_8)
+      val re = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+      re.findAllMatchIn(json)
+        .map(m => jsonUnescape(m.group(1)) -> jsonUnescape(m.group(2))).toMap
+    }
+
+  private def writeProperties(props: Map[String, String]): Unit = {
+    val json = props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+    }.mkString("{", ",", "}")
+    val tmp = Paths.get(root, s".graft-properties.json.tmp-${System.nanoTime()}")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, propertiesPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Set (upsert) table properties — `ALTER TABLE ... SET TBLPROPERTIES`. */
+  def setProperties(kv: Map[String, String]): Unit =
+    SnapshotTable.commitLock(root).synchronized {
+      require(kv.keys.forall(_.nonEmpty), "property keys must be non-empty")
+      writeProperties(properties ++ kv)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "set_properties", "keys" -> kv.keys.toSeq.sorted.mkString(",")))
+    }
+
+  /** Remove table properties — `ALTER TABLE ... UNSET TBLPROPERTIES`.
+    * Unknown keys are ignored (SQL UNSET ... IF EXISTS semantics; Spark
+    * passes plain UNSET through the same path).
+    */
+  def unsetProperties(keys: Seq[String]): Unit =
+    SnapshotTable.commitLock(root).synchronized {
+      writeProperties(properties -- keys)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "unset_properties", "keys" -> keys.sorted.mkString(",")))
+    }
+
+  // ------------------------------------------------------------------
   // named refs: branches + tags (Iceberg table refs)
   // ------------------------------------------------------------------
 

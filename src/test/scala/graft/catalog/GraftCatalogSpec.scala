@@ -174,6 +174,34 @@ class GraftCatalogSpec extends SparkSpec {
       s"rollback(1) should orphan snapshot 2 from the current lineage: $hist")
   }
 
+  test("TBLPROPERTIES persist, SET/UNSET round-trip, reserved keys refused") {
+    val wh = freshCatalog("props")
+    spark.sql(
+      "CREATE TABLE graft.ns.p (id BIGINT) TBLPROPERTIES ('a.b'='1', 'c'='x')")
+    val t = SnapshotTable(wh, "ns", "p")
+    assert(t.properties == Map("a.b" -> "1", "c" -> "x"))
+    spark.sql("ALTER TABLE graft.ns.p SET TBLPROPERTIES ('c'='y', 'd'='2')")
+    spark.sql("ALTER TABLE graft.ns.p UNSET TBLPROPERTIES ('a.b')")
+    assert(t.properties == Map("c" -> "y", "d" -> "2"))
+    // engine-computed keys overlay on read and are not settable
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.ns.p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // Spark hides the reserved 'provider' key from SHOW; the engine's
+    // computed keys and the user keys both surface
+    assert(shown("c") == "y" && shown("d") == "2", shown.toString)
+    // 'provider' is refused by Spark itself; engine-computed keys Spark
+    // does not know about are refused by the catalog
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.ns.p SET TBLPROPERTIES ('provider'='mine')"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.ns.p SET TBLPROPERTIES ('current-snapshot-id'='9')"))
+    assert(e.getMessage.contains("engine-managed") ||
+      Option(e.getCause).exists(_.getMessage.contains("engine-managed")))
+    // survives commits (sidecar is independent of snapshot metadata)
+    t.overwrite(Seq(1L).toDF("id"))
+    assert(t.properties == Map("c" -> "y", "d" -> "2"))
+  }
+
   test("the files metadata table lists per-file footer stats") {
     val wh = freshCatalog("files")
     val t = SnapshotTable(wh, "ns", "f")
