@@ -1614,6 +1614,45 @@ object MetaQueries {
       doc = "table properties: TBLPROPERTIES DDL persisted as an atomic " +
         "sidecar, SET/UNSET, engine-computed keys overlaid on read"),
 
+    "retention_policy_override" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // Iceberg precedence: TABLE properties are the operative
+        // retention config, the template is the provisioning default.
+        // Phase 1: a table-level max-age override (10 years) beats the
+        // template's 7 days — nothing expires. Phase 2: the override
+        // removed and retain_last=2 set — expiry honors the count
+        // guarantee (newest two survive regardless of age).
+        val wh = freshWarehouse("retention_policy_override")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        TableSink.overwrite(events.filter(col("event_id") % 5 === 0), t, table)
+        TableSink.overwrite(events.filter(col("event_id") % 3 === 0), t, table)
+        TableSink.overwrite(events.filter(col("event_id") % 2 === 0), t, table)
+        val now = System.currentTimeMillis() + t.retentionMs.get + 3600000L
+        table.setProperties(Map(
+          "history_expire_max_snapshot_age_ms" -> (3650L * 86400000L).toString))
+        val r1 = Pipeline.maintain(TemplatesDir, wh, now)
+          .find(_.table == t.fullName).get
+        val after1 = table.snapshots.size
+        table.unsetProperties(Seq("history_expire_max_snapshot_age_ms"))
+        table.setProperties(Map("history_expire_retain_last" -> "2"))
+        val r2 = Pipeline.maintain(TemplatesDir, wh, now)
+          .find(_.table == t.fullName).get
+        Seq(
+          ("age_override", r1.expired.size, r1.expired.mkString(","), after1),
+          ("retain_last", r2.expired.size, r2.expired.mkString(","),
+            table.snapshots.size))
+          .toDF("phase", "n_expired", "expired_ids", "remaining_after")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('age_override', 0, '', 3),
+             |  ('retain_last', 1, '1', 2))
+             |AS t(phase, n_expired, expired_ids, remaining_after)""".stripMargin),
+      doc = "retention precedence: table properties override the template " +
+        "policy; retain_last is a count guarantee independent of age"),
+
     "sink_schema_check" -> QueryDef(
       (s, dir) => {
         import s.implicits._

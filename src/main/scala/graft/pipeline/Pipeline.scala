@@ -67,10 +67,18 @@ object Pipeline {
   def maintain(templateDir: String, warehouse: String, nowMs: Long): Seq[MaintenanceResult] =
     TemplateLoader.load(templateDir).values.toSeq.sortBy(_.fullName).map { t =>
       val table = SnapshotTable(warehouse, t.namespace, t.name)
-      val expired = t.retentionMs match {
-        case Some(retention) if table.exists => table.expireSnapshots(nowMs - retention)
+      // TABLE-level properties (TBLPROPERTIES DDL) override the
+      // template's declared policy — the Iceberg precedence: table
+      // properties are the operative config, the template is the
+      // provisioning default. Same keys as the template vocabulary.
+      val props = if (table.exists) table.properties else Map.empty[String, String]
+      val retention = props.get("history_expire_max_snapshot_age_ms").map(_.toLong)
+        .orElse(t.retentionMs)
+      val retainLast = props.get("history_expire_retain_last").map(_.toInt).getOrElse(1)
+      val expired = retention match {
+        case Some(r) if table.exists => table.expireSnapshots(nowMs - r, retainLast)
         case _ => Nil
       }
-      MaintenanceResult(t.fullName, t.retentionMs, expired)
+      MaintenanceResult(t.fullName, retention, expired)
     }
 }
