@@ -1166,6 +1166,41 @@ object MetaQueries {
         "DELETE / unconditional UPDATE fallback / conditional INSERT), " +
         "first-true-wins clause order, lowered onto dir-granular copy-on-write"),
 
+    "sql_replace_table" -> QueryDef(
+      (s, dir) => {
+        // Atomic RTAS (the Iceberg StagedTable role, StagingTableCatalog
+        // on the graft catalog): REPLACE TABLE ... AS SELECT stages the
+        // query result as an INVISIBLE snapshot and publishes it as one
+        // O(1) metadata flip under the commit lock — readers see
+        // old-or-new, never in between, and a failed query leaves the
+        // table byte-untouched (failure-injection cases pinned in
+        // GraftCatalogSpec). History survives the replace: the
+        // pre-replace snapshot still time-travels with its own schema.
+        val wh = freshWarehouse("sql_replace_table")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("sql_rtas_src")
+        s.sql("CREATE TABLE graft.testdata.events_rtas AS " +
+          "SELECT event_id, ts, user_id FROM sql_rtas_src")
+        val table = SnapshotTable(wh, "testdata", "events_rtas")
+        val preId = table.currentSnapshot.get.id
+        s.sql("""REPLACE TABLE graft.testdata.events_rtas AS
+                |SELECT event_id, ts, event_type, value
+                |FROM sql_rtas_src WHERE value IS NOT NULL""".stripMargin)
+        require(table.readSnapshot(s, preId).columns.toSeq ==
+          Seq("event_id", "ts", "user_id"),
+          "pre-replace snapshot must keep its own schema")
+        require(!table.snapshots.exists(_.staged),
+          "the staged replace snapshot must be published, not left staged")
+        s.sql("SELECT event_id, ts, event_type, value FROM graft.testdata.events_rtas")
+      },
+      Some("SELECT event_id, ts, event_type, value FROM events WHERE value IS NOT NULL"),
+      doc = "Atomic REPLACE TABLE ... AS SELECT (StagingTableCatalog): the " +
+        "result is staged invisible and published as one metadata flip; " +
+        "pre-replace snapshots keep time-traveling with their own schema"),
+
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {
         val wh = freshWarehouse("time_travel_as_of")

@@ -51,7 +51,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * warehouse per query from session conf, so one catalog instance can
   * serve a session whose warehouse moves (test fixtures do).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
@@ -154,6 +155,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val user = properties.asScala.toMap -- GraftCatalog.ReservedProperties
     if (user.nonEmpty) t.setProperties(user)
     new GraftSparkTable(t, None, None)
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) --------------------
+  // `CREATE TABLE ... AS SELECT` / `REPLACE TABLE ... AS SELECT` /
+  // `CREATE OR REPLACE TABLE ... AS SELECT` route through these instead
+  // of create-then-write: the query result lands as a STAGED snapshot
+  // (invisible to every reader) and commitStagedChanges publishes it as
+  // one O(1) metadata flip — a failed query leaves no half-created
+  // table (CTAS) and a byte-untouched live table (RTAS).
+
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val t = tableOf(ident)
+    if (t.exists) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(t, schema,
+      partitions.toSeq.map(GraftCatalog.toPartitionField),
+      properties.asScala.toMap, replace = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val t = tableOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    new GraftStagedTable(t, schema,
+      partitions.toSeq.map(GraftCatalog.toPartitionField),
+      properties.asScala.toMap, replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val t = tableOf(ident)
+    new GraftStagedTable(t, schema,
+      partitions.toSeq.map(GraftCatalog.toPartitionField),
+      properties.asScala.toMap, replace = t.exists)
   }
 
   /** DDL schema evolution, mapped onto the metadata-only commits. */
@@ -279,6 +323,22 @@ object GraftCatalog {
     }
   }
 
+  /** Engine PartitionField -> Spark connector Transform (the inverse of
+    * [[toPartitionField]], used to report declared specs back to Spark).
+    */
+  private[catalog] def toTransform(p: graft.template.PartitionField): Transform =
+    p.transform match {
+      case "identity" => Expressions.identity(p.column)
+      case "year"     => Expressions.years(p.column)
+      case "month"    => Expressions.months(p.column)
+      case "day"      => Expressions.days(p.column)
+      case "hour"     => Expressions.hours(p.column)
+      case "bucket"   => Expressions.bucket(p.n, p.column)
+      case "truncate" => Expressions.apply("truncate",
+        Expressions.literal(p.n), Expressions.column(p.column))
+      case other => throw new IllegalStateException(s"bad stored transform $other")
+    }
+
   private[catalog] def writePartitionSpec(
       root: String, spec: Seq[graft.template.PartitionField]): Unit =
     graft.sink.DeclaredPartitionSpec.write(root, spec)
@@ -400,19 +460,7 @@ final class GraftSparkTable(
       // DDL-declared transforms report as declared (days(ts), ...);
       // write-established layouts report identity of the dir columns
       val declared = GraftCatalog.readPartitionSpec(snapTable.root)
-      if (declared.nonEmpty) declared.map { p =>
-        p.transform match {
-          case "identity" => Expressions.identity(p.column)
-          case "year"     => Expressions.years(p.column)
-          case "month"    => Expressions.months(p.column)
-          case "day"      => Expressions.days(p.column)
-          case "hour"     => Expressions.hours(p.column)
-          case "bucket"   => Expressions.bucket(p.n, p.column)
-          case "truncate" => Expressions.apply("truncate",
-            Expressions.literal(p.n), Expressions.column(p.column))
-          case other => throw new IllegalStateException(s"bad stored transform $other")
-        }
-      }.toArray
+      if (declared.nonEmpty) declared.map(GraftCatalog.toTransform).toArray
       else snapTable.partitionColumns.map(Expressions.identity).toArray
     }
 
@@ -532,6 +580,130 @@ final class GraftSparkTable(
       }
     }
   }
+}
+
+/** Atomic CTAS / RTAS (the Iceberg `StagedTable` role). The query's
+  * result is fully written and committed as a STAGED snapshot —
+  * invisible to every reader — and only [[commitStagedChanges]]
+  * publishes it, an O(1) metadata flip under the table's commit lock.
+  * A failed query aborts instead: CREATE leaves no table behind,
+  * REPLACE leaves the live table byte-untouched; no reader ever
+  * observes an intermediate state. REPLACE preserves snapshot history
+  * (pre-replace snapshots stay time-travelable), evolves the declared
+  * partition spec to the new DDL's transforms (old dirs keep their
+  * layout), and replaces the user TBLPROPERTIES wholesale — the new
+  * table definition wins. Reference DDL shape: the console's CTAS
+  * provisioning, `aws/modules/athena/main.tf:26-45`.
+  */
+final class GraftStagedTable(
+    t: SnapshotTable,
+    schema0: StructType,
+    spec: Seq[graft.template.PartitionField],
+    props: Map[String, String],
+    replace: Boolean) extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  spec.foreach(p => require(schema0.fieldNames.contains(p.column),
+    s"PARTITIONED BY references unknown column ${p.column}"))
+
+  private val fmt = props.getOrElse("format", "parquet")
+  private def userProps: Map[String, String] = props -- GraftCatalog.ReservedProperties
+  @volatile private var stagedId: Option[Long] = None
+  // only the CTAS that actually created the root may delete it on abort:
+  // if a rival CTAS won the create race, our create threw and their
+  // table must survive our abort
+  @volatile private var createdTable = false
+
+  private def createEmpty(): Unit = {
+    t.create(schema0.fields.toSeq.map(f => f.name -> f.dataType.sql), fmt)
+    createdTable = true
+    if (spec.nonEmpty) GraftCatalog.writePartitionSpec(t.root, spec)
+    if (userProps.nonEmpty) t.setProperties(userProps)
+  }
+
+  override def name(): String = t.fullName
+  override def schema(): StructType = schema0
+  override def partitioning(): Array[Transform] =
+    spec.map(GraftCatalog.toTransform).toArray
+  override def properties(): util.Map[String, String] = props.asJava
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s.add(TableCapability.TRUNCATE)
+    s
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged write IS a full refresh already; nothing to truncate
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ow: Boolean): Unit = {
+              // hidden partitioning: derive every directory column from
+              // its source column per the DDL transforms — the same
+              // contract as the catalog's INSERT path
+              val derived = spec.map(graft.sink.TableSink.transformColumn)
+              val toWrite = derived.foldLeft(data) {
+                case (d, (nm, c)) => d.withColumn(nm, c)
+              }
+              val pCols = derived.map(_._1)
+              stagedId =
+                if (replace)
+                  Some(t.stageOverwrite(toWrite, pCols, format = fmt).id)
+                else {
+                  // CREATE: declare the schema first (concurrent readers
+                  // see an empty table with the right shape, never
+                  // partial data), then stage the query result on top
+                  createEmpty()
+                  Some(t.stageAppend(toWrite, pCols, format = fmt).id)
+                }
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    SnapshotTable.commitLock(t.root).synchronized {
+      stagedId match {
+        case Some(id) =>
+          if (replace) {
+            // the new definition wins wholesale, inside the same lock
+            // scope as the publish: spec evolution (old dirs keep their
+            // layout — the hidden-partition rule prunes each epoch with
+            // its own transforms) and property replacement land exactly
+            // when the data flips
+            graft.sink.DeclaredPartitionSpec.write(t.root, spec)
+            val stale = t.properties.keys.toSeq
+            if (stale.nonEmpty) t.unsetProperties(stale)
+            if (userProps.nonEmpty) t.setProperties(userProps)
+          }
+          t.publish(id): Unit
+        case None =>
+          // Spark always writes the query result before committing, so
+          // this is only reachable for a never-written staged CREATE —
+          // materialize the empty declared table
+          if (replace) throw new IllegalStateException(
+            s"REPLACE TABLE ${t.fullName}: commit without a staged write")
+          if (!t.exists) createEmpty()
+      }
+    }
+
+  override def abortStagedChanges(): Unit =
+    if (createdTable) {
+      // we created the root (CTAS): remove the whole table — staged
+      // data, metadata, sidecars — as if the statement never ran
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(t.root))
+    } else
+      // RTAS: drop the staged snapshot and its data; the published
+      // table was never touched
+      stagedId.foreach(t.discardStaged)
 }
 
 /** Extension-less fallback relation: executes the (column-pruned)

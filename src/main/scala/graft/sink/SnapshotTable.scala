@@ -934,6 +934,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
     commit(df, "append", carryPrevious = true, partitionCols, sortCols, format,
       numRetries, stageOnly = true)
 
+  /** Staged full-refresh: the batch is written and snapshot-referenced
+    * as an INVISIBLE overwrite — published state is untouched until
+    * [[publish]] flips it (or [[discardStaged]] drops it). This is the
+    * data half of atomic `REPLACE TABLE ... AS SELECT`
+    * ([[graft.catalog.GraftStagedTable]]): a reader never observes the
+    * half-written replacement, and an aborted one leaves the table
+    * byte-identical. Operation records as "overwrite" (not "replace",
+    * which the changelog skips as layout-only compaction): the dir-diff
+    * correctly yields full delete+insert CDC rows for the swap.
+    */
+  def stageOverwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format,
+      numRetries, stageOnly = true)
+
   /** Write-audit-publish, step 3: make an audited staged snapshot the
     * table. O(1) metadata flip under the commit lock; conflicts (the
     * published head moved since staging) fail with
@@ -2441,7 +2455,7 @@ object SnapshotTable {
   private val commitLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** One lock object per table root (JVM-wide writer serialization). */
-  private[sink] def commitLock(root: String): Object =
+  private[graft] def commitLock(root: String): Object =
     commitLocks.getOrElseUpdate(new java.io.File(root).getAbsolutePath, new Object)
 
   /** Warehouse layout: `<warehouse>/<namespace>.<name>/`. */

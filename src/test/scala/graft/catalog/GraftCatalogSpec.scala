@@ -248,6 +248,85 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.ns.w").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
   }
 
+  test("CTAS routes through the staging catalog: atomic, nothing left on failure") {
+    val wh = freshCatalog("ctas")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE graft.ns.ctas_ok AS SELECT * FROM ctas_src")
+    val t = SnapshotTable(wh, "ns", "ctas_ok")
+    assert(spark.table("graft.ns.ctas_ok").count() == 2)
+    // staged-then-published: no staged snapshot survives the commit
+    assert(t.snapshots.nonEmpty && !t.snapshots.exists(_.staged))
+
+    // a query that fails DURING the write job (ANSI cast, data-dependent)
+    // must leave NO table behind — not a root dir, not metadata
+    Seq("1", "x").toDF("v").createOrReplaceTempView("ctas_bad")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ns.ctas_fail AS SELECT CAST(v AS INT) i FROM ctas_bad")
+    }
+    assert(!SnapshotTable(wh, "ns", "ctas_fail").exists, "failed CTAS must not create the table")
+    assert(!new java.io.File(s"$wh/ns.ctas_fail").exists(),
+      "failed CTAS must not leave a root dir")
+  }
+
+  test("REPLACE TABLE AS SELECT is atomic and preserves snapshot history") {
+    val wh = freshCatalog("rtas")
+    val t = SnapshotTable(wh, "ns", "rt")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val beforeId = t.currentSnapshot.get.id
+
+    Seq((10L, 1.5), (20L, 2.5)).toDF("k", "score").createOrReplaceTempView("rtas_src")
+    spark.sql("REPLACE TABLE graft.ns.rt AS SELECT * FROM rtas_src")
+    // new schema + data are live
+    assert(spark.table("graft.ns.rt").columns.toSeq == Seq("k", "score"))
+    assert(spark.sql("SELECT sum(k) FROM graft.ns.rt").as[Long].head() == 30L)
+    // history preserved: the pre-replace snapshot still time-travels
+    // with its own schema (Iceberg REPLACE contract)
+    val old = spark.sql(s"SELECT * FROM graft.ns.rt VERSION AS OF $beforeId")
+    assert(old.columns.toSeq == Seq("id", "v") && old.count() == 2)
+
+    // a failing RTAS leaves the table byte-untouched and no staged debris
+    val headBefore = t.currentSnapshot.get.id
+    Seq("x").toDF("v").createOrReplaceTempView("rtas_bad")
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.ns.rt AS SELECT CAST(v AS INT) i FROM rtas_bad")
+    }
+    assert(t.currentSnapshot.get.id == headBefore, "failed RTAS must not advance the head")
+    assert(!t.snapshots.exists(_.staged), "failed RTAS must discard its staged snapshot")
+    assert(spark.table("graft.ns.rt").columns.toSeq == Seq("k", "score"))
+    // REPLACE TABLE on a missing table is an error (CREATE OR REPLACE is not)
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.ns.rt_missing AS SELECT 1 AS x")
+    }
+  }
+
+  test("CREATE OR REPLACE TABLE creates when missing, replaces when present") {
+    val wh = freshCatalog("corp")
+    spark.sql("CREATE OR REPLACE TABLE graft.ns.corp AS SELECT 1L AS id, 'a' AS v")
+    assert(spark.table("graft.ns.corp").count() == 1)
+    spark.sql("CREATE OR REPLACE TABLE graft.ns.corp AS SELECT 2L AS id")
+    assert(spark.table("graft.ns.corp").columns.toSeq == Seq("id"))
+    assert(spark.sql("SELECT id FROM graft.ns.corp").as[Long].head() == 2L)
+    val t = SnapshotTable(wh, "ns", "corp")
+    assert(!t.snapshots.exists(_.staged))
+  }
+
+  test("RTAS PARTITIONED BY evolves the declared spec; new layout governs new dirs") {
+    val wh = freshCatalog("rtpart")
+    val t = SnapshotTable(wh, "ns", "rp")
+    t.overwrite(Seq((1L, "2024-01-05 10:00:00"), (2L, "2024-01-06 11:00:00"))
+      .toDF("id", "ts_s").selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts"))
+    spark.sql("""REPLACE TABLE graft.ns.rp PARTITIONED BY (days(ts)) AS
+                |SELECT id, CAST(ts AS TIMESTAMP) AS ts FROM graft.ns.rp""".stripMargin)
+    // hidden partitioning: the derived day column landed as the dir layout
+    assert(t.partitionColumns == Seq("ts_day"))
+    val dirs = new java.io.File(t.currentSnapshot.get.dataDirs.last)
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("ts_day=2024-01-05", "ts_day=2024-01-06"))
+    // DESCRIBE reports the declared transform
+    val desc = spark.sql("DESCRIBE TABLE graft.ns.rp").collect().map(_.toString).mkString
+    assert(desc.contains("days(ts)"), s"expected days(ts) in:\n$desc")
+  }
+
   test("extension-less sessions still read through the V1Scan fallback") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
