@@ -21,6 +21,48 @@ object TextQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    "text_bm25_rank" -> QueryDef(
+      (s, dir) => TextAnalysis.bm25Score(
+        tbl(s, dir, "documents"), "text", Seq("vector", "hash", "stream", "spark")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+             |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+             |       FROM toks WHERE tok IN ('vector','hash','stream','spark')
+             |       GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |corpus AS (SELECT count(*) AS n_docs,
+             |    avg(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS avgdl
+             |  FROM documents),
+             |contrib AS (
+             |  SELECT doc_id,
+             |    CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             |      AS DECIMAL(18,6)) AS c
+             |  FROM tf JOIN dfreq USING (tok) CROSS JOIN corpus)
+             |SELECT doc_id, CAST(sum(c) AS DOUBLE) AS bm25, count(*) AS n_matched_terms
+             |FROM contrib GROUP BY 1""".stripMargin),
+      doc = "BM25 relevance (Okapi k1=1.2 b=0.75) of every doc against a query " +
+        "term bag - the retrieval/RAG-harvest primitive; one tokenizing pass " +
+        "keeps only query-term hits, df/N/avgdl broadcast back as scalars"),
+
+    "text_chunk_windows" -> QueryDef(
+      (s, dir) => TextAnalysis.chunkWindows(
+        tbl(s, dir, "documents"), "text", window = 20, overlap = 5),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |starts AS (SELECT doc_id, toks,
+             |    unnest(generate_series(0, len(toks) - 1, 15)) AS st
+             |  FROM t)
+             |SELECT doc_id, CAST(st // 15 AS INT) AS chunk_id, CAST(st AS INT) AS start_tok,
+             |  CAST(len(toks[st + 1 : st + 20]) AS INT) AS n_tokens,
+             |  array_to_string(toks[st + 1 : st + 20], ' ') AS chunk_text
+             |FROM starts""".stripMargin),
+      doc = "overlapping token-window chunking (window=20, overlap=5) - the " +
+        "RAG/context-length preprocessing step; map-side sequence+explode, " +
+        "linear, deterministic chunk ids"),
+
     "text_token_count" -> QueryDef(
       (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text"),
       Some("""SELECT doc_id,

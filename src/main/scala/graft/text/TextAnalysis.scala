@@ -315,6 +315,80 @@ object TextAnalysis {
   /** Drop cached window indexes (see [[graft.dedup.Dedup.clearCaches]]). */
   def clearCaches(): Unit = gramCache.clear()
 
+  /** BM25 relevance of every document against a (small) bag of query
+    * terms — the retrieval primitive behind corpus search and RAG
+    * harvesting. Okapi/Lucene form:
+    * {{{
+    *   score(d,q) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)     = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+    * }}}
+    * Distributed shape, 100 TB-safe: ONE pass tokenizes and keeps only
+    * query-term hits (a partition-local `isin` filter — the posting
+    * explosion never materializes non-query tokens); tf is a
+    * (doc, term) groupBy over that filtered sliver; df/N/avgdl reduce
+    * to |q|+2 scalars BROADCAST back (no second scan of the corpus, no
+    * driver loop); the final per-doc score is one more groupBy over
+    * O(matching docs × |q|) rows. Never all-pairs, never a cartesian.
+    * Per-term contributions go through DECIMAL(18,6) so the sum is
+    * exact and engine-independent (a rounded-double sum manufactures
+    * half-way ties that Spark and DuckDB break differently).
+    */
+  def bm25Score(
+      df: DataFrame, textCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Score needs at least one query term")
+    val toks = df.select(col("doc_id"),
+      tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    // corpus constants: N and avgdl over ALL docs (one narrow agg),
+    // df per query term over the filtered sliver — |q|+1 tiny frames,
+    // broadcast into the scoring join
+    val corpus = df.select(size(tokens(lower(col(textCol)))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .cast("decimal(18,6)"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("bm25"),
+        count(lit(1)).as("n_matched_terms"))
+  }
+
+  /** Overlapping token-window chunks — the RAG / context-length
+    * preprocessing step: each document's whitespace tokens split into
+    * windows of `window` tokens starting every `window − overlap`
+    * tokens (the final window may be shorter; a doc shorter than one
+    * window yields exactly one chunk). Pure map-side explode over a
+    * `sequence()` of starts — linear in corpus size, no shuffle, no
+    * state; chunk ids are deterministic (doc_id, start offset).
+    */
+  def chunkWindows(
+      df: DataFrame, textCol: String, window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    df.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("_toks")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("col").as("start_tok"),
+        col("pos").cast("int").as("chunk_id"),
+        slice(col("_toks"), col("col") + 1, lit(window)).as("_chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("_chunk")).as("n_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val n = greatest(length(col(textCol)) - (k - 1), lit(1))
     val minh = df
