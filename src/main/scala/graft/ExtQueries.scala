@@ -211,6 +211,63 @@ object ExtQueries {
              |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin),
       doc = "stream-stream interval join (purchase attribution), batch-shared plan"),
 
+    "stream_exactly_once_ingest" -> QueryDef(
+      (s, dir) => {
+        // EXACTLY-ONCE streaming ingest: foreachBatch is at-least-once
+        // (a crash between the sink commit and the checkpoint advance
+        // re-delivers the batch on restart), so the sink stamps the
+        // (queryId, batchId) watermark into the snapshot SUMMARY
+        // atomically with the commit and skips any batch at or below
+        // it — Iceberg's streaming-sink idempotence, realized here.
+        // The fixture streams events as TWO microbatches, then REPLAYS
+        // both batch ids through the same sink: both must be skipped
+        // (no snapshot advance, no duplicate rows — the oracle's plain
+        // `events` row set is the proof).
+        import org.apache.spark.sql.types._
+        val wh = MetaQueries.freshWarehouse("stream_exactly_once_ingest")
+        val t = graft.template.TemplateLoader.get(MetaQueries.TemplatesDir, "events")
+        val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
+        val ev = Queries.tbl(s, dir, "events")
+        val cut = lit("2024-01-25 00:00:00").cast("timestamp")
+        // two source files -> maxFilesPerTrigger=1 -> two microbatches
+        val srcDir = s"$wh/src"
+        ev.filter(col("ts") < cut).coalesce(1).write.parquet(s"$srcDir/b0")
+        ev.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$srcDir/b1")
+        val schema = s.read.parquet(s"$srcDir/b0").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").parquet(srcDir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+        val qid = "exactly_once_fixture"
+        Streaming.startExactlyOnceIngest(stream, t, table, s"$wh/_ckpt", qid)
+          .awaitTermination()
+        val head = table.currentSnapshot.get
+        require(table.lastCommittedBatch(qid).exists(_ >= 1L),
+          "two microbatches must have committed with summary watermarks")
+        // replay BOTH batches (restart-after-crash shape): each must be
+        // recognized by its id and skipped — no new snapshot, no dup rows
+        Seq(0L, 1L).foreach { bid =>
+          val replay = graft.sink.TableSink.appendOnce(
+            ev, t, table, qid, bid)
+          require(replay.isEmpty, s"replayed batch $bid must be skipped")
+        }
+        require(table.currentSnapshot.get.id == head.id &&
+          table.currentSnapshot.get.rowCount == head.rowCount,
+          "replays must not advance the table")
+        // a genuinely NEW batch id still commits (the watermark only
+        // blocks ids at or below it) — stage it with zero rows so the
+        // oracle row set is untouched
+        require(graft.sink.TableSink.appendOnce(
+          ev.limit(0), t, table, qid, 2L).isDefined,
+          "a new batch id must commit")
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events""".stripMargin),
+      doc = "exactly-once streaming ingest: the (queryId, batchId) watermark " +
+        "rides the snapshot summary atomically with each commit; replayed " +
+        "microbatches are skipped, restarts never double-append"),
+
     "stream_lakehouse_ingest" -> QueryDef(
       (s, dir) => {
         // REAL streaming end-to-end: file-source readStream over the

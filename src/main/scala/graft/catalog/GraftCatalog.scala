@@ -403,9 +403,9 @@ final class GraftSparkTable(
       import spark.implicits._
       snapTable.snapshots
         .map(sn => (sn.id, sn.committedAtMs, sn.operation, sn.rowCount,
-          sn.staged, sn.parentId.getOrElse(-1L), sn.dataDirs.size))
+          sn.staged, sn.parentId.getOrElse(-1L), sn.dataDirs.size, sn.summary))
         .toDF("snapshot_id", "committed_at_ms", "operation", "row_count",
-          "staged", "parent_id", "data_dir_count")
+          "staged", "parent_id", "data_dir_count", "summary")
     case Some("history") =>
       import spark.implicits._
       // is_current_ancestor (Iceberg $history): whether the snapshot is

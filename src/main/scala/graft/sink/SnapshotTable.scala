@@ -77,7 +77,13 @@ final case class Snapshot(
     // field ids are NEVER reused, so dropping a column and re-adding its
     // name yields a FRESH id and old dirs' data cannot resurrect — even
     // after history expiry erases every snapshot that knew the old id.
-    lastColumnId: Int = 0
+    lastColumnId: Int = 0,
+    // free-form commit annotations (the Iceberg snapshot SUMMARY):
+    // written atomically with the commit itself, so facts that must be
+    // exactly-once-per-commit — the streaming (query-id, batch-id)
+    // watermark behind idempotent foreachBatch appends — can never
+    // drift from the data they describe. Surfaced via `$snapshots`.
+    summary: Map[String, String] = Map.empty
 )
 
 /** One table column at a snapshot: a stable field id (never reused over
@@ -923,6 +929,40 @@ final class SnapshotTable(val root: String, val fullName: String) {
   def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries)
 
+  /** Idempotent streaming append — the Iceberg exactly-once foreachBatch
+    * contract: the (queryId, batchId) watermark rides in the snapshot
+    * SUMMARY, written atomically with the commit itself, so a
+    * re-delivered microbatch (Spark's foreachBatch is at-least-once —
+    * a crash between the sink commit and the checkpoint advance replays
+    * the batch on restart) is recognized and SKIPPED (`None`) instead
+    * of double-appended. Skip rule is Iceberg's: `batchId <=` the max
+    * batch id already committed for this query id. Spark delivers one
+    * query's batches sequentially, so check-then-commit has no
+    * concurrent same-batch race; rival writers (other queries, batch
+    * jobs) go through the normal optimistic CAS.
+    */
+  def appendOnce(
+      queryId: String, batchId: Long, df: DataFrame,
+      partitionCols: Seq[String] = Nil,
+      sortCols: Seq[org.apache.spark.sql.Column] = Nil,
+      format: String = "parquet",
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Option[Snapshot] =
+    if (lastCommittedBatch(queryId).exists(_ >= batchId)) None
+    else Some(commit(df, "append", carryPrevious = true, partitionCols, sortCols,
+      format, numRetries, summary = Map(
+        SnapshotTable.SummaryQueryId -> queryId,
+        SnapshotTable.SummaryBatchId -> batchId.toString)))
+
+  /** Highest microbatch id committed by `queryId` — a pure metadata
+    * read over the published snapshots' summaries.
+    */
+  def lastCommittedBatch(queryId: String): Option[Long] =
+    snapshots.filterNot(_.staged)
+      .filter(_.summary.get(SnapshotTable.SummaryQueryId).contains(queryId))
+      .flatMap(_.summary.get(SnapshotTable.SummaryBatchId))
+      .flatMap(_.toLongOption)
+      .maxOption
+
   /** Write-audit-publish, step 1 (Iceberg WAP): commit the batch as a
     * STAGED append — the data is fully written and snapshot-referenced,
     * but reads of the table do not see it. Audit the candidate state via
@@ -1630,7 +1670,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       numRetries: Int,
       dynamicReplace: Boolean = false,
       stageOnly: Boolean = false,
-      branch: Option[String] = None): Snapshot = {
+      branch: Option[String] = None,
+      summary: Map[String, String] = Map.empty): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -1680,30 +1721,43 @@ final class SnapshotTable(val root: String, val fullName: String) {
       .save(dataDir)
     val metrics: Map[String, Any] =
       try obs.get catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // an EMPTY batch writes no data files (just _SUCCESS): commit
+    // METADATA-ONLY — the file-less dir is never referenced (it would
+    // fail schema inference on every later read of the snapshot) and
+    // the stats jobs are skipped, but the commit itself still happens,
+    // so carried state and the SUMMARY advance exactly like a non-empty
+    // append (the streaming exactly-once watermark must move on empty
+    // microbatches too, or a replay after one would double-deliver).
+    val wroteFiles = listDataFiles(new File(dataDir)).nonEmpty
     // row count of the NEW dir, recorded into snapshot metadata so
     // history listings never rescan data. Normally free (observed during
     // the write); the fallback footer count is O(files), not O(rows).
     // Computed once, outside the swap loop: the dir is immutable across
     // retries.
-    val newRows = metrics.get("__rows") match {
-      case Some(l: Long) => l
-      case _ => df.sparkSession.read.format(format).load(dataDir).count()
-    }
+    val newRows =
+      if (!wroteFiles) 0L
+      else metrics.get("__rows") match {
+        case Some(l: Long) => l
+        case _ => df.sparkSession.read.format(format).load(dataDir).count()
+      }
     // per-partition stats sidecar (the manifest-stats role): file counts
     // from a directory walk; for partitioned tables ONE column-pruned
     // job yields both the per-partition row counts and the partition
     // columns' bounds in read-back type space — O(delta) like the write
     // itself, never O(table), and reading no data columns.
     val (rowsByPart, partBounds) =
-      partitionJobStats(df.sparkSession, dataDir, partitionCols, format)
-    writePartitionSidecar(dataDir, partitionCols, rowsByPart, newRows)
+      if (!wroteFiles) (Map.empty[String, Long], Map.empty[String, graft.plans.RangeStats.ColRange])
+      else partitionJobStats(df.sparkSession, dataDir, partitionCols, format)
+    if (wroteFiles)
+      writePartitionSidecar(dataDir, partitionCols, rowsByPart, newRows)
     // column range sidecar (the Iceberg manifest min/max role), consumed
     // by the stats-skip optimizer rule to drop non-overlapping dirs at
     // planning. Stats are an optimization, never a correctness input — a
     // collection failure must not fail the commit (the dir simply stays
     // unskippable).
     try
-      if (metrics.nonEmpty)
+      if (!wroteFiles) ()
+      else if (metrics.nonEmpty)
         graft.plans.RangeStats.writeEntries(dataDir, newRows,
           graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds))
       else graft.plans.RangeStats.writeSidecar(df.sparkSession, dataDir, format, newRows)
@@ -1711,7 +1765,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // partitions the batch REPLACES = the partitions it wrote (dynamic
     // overwrite semantics); read once from the just-written sidecar
     val replaced: Seq[String] =
-      if (dynamicReplace) readPartitionSidecar(dataDir).map(_._1).filter(_.nonEmpty)
+      if (dynamicReplace && wroteFiles)
+        readPartitionSidecar(dataDir).map(_._1).filter(_.nonEmpty)
       else Nil
 
     // the written schema (name -> DDL type), the input to field-id
@@ -1724,8 +1779,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
     while (true) {
       SnapshotTable.beforeSwapHook(this, attempt)
       trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format, replaced,
-        stageOnly, writeSchema, branch) match {
+        stageOnly, writeSchema, branch, summary, emptyWrite = !wroteFiles) match {
         case Right(snap) =>
+          // the file-less dir of an empty batch is not referenced by the
+          // snapshot — remove it rather than leaving _SUCCESS litter
+          if (!wroteFiles) deleteRecursively(new File(dataDir))
           Audit.log("table_write", fullName, Map(
             "operation" -> op, "snapshot_id" -> snap.id.toString,
             "attempts" -> (attempt + 1).toString))
@@ -1762,7 +1820,9 @@ final class SnapshotTable(val root: String, val fullName: String) {
       replaced: Seq[String],
       stageOnly: Boolean,
       writeSchema: Seq[(String, String)],
-      branch: Option[String] = None): Either[CommitConflictException, Snapshot] =
+      branch: Option[String] = None,
+      summary: Map[String, String] = Map.empty,
+      emptyWrite: Boolean = false): Either[CommitConflictException, Snapshot] =
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
       // commits CAS against (and carry from) the PUBLISHED head: staged
@@ -1873,21 +1933,24 @@ final class SnapshotTable(val root: String, val fullName: String) {
           else headCols ++ dfCols.filterNot(c => byName.contains(c.name))
         // the dir's sidecar records what was PHYSICALLY written: the
         // batch's columns (and the batch's TYPES — which can lag the
-        // table type after a promotion) under the ids just resolved
-        writeColumnsSidecar(dataDir,
-          dfCols.zip(writeSchema).map { case (c, (_, t)) => TableColumn(c.id, c.name, t) })
+        // table type after a promotion) under the ids just resolved.
+        // An empty write references no dir, so there is none to annotate.
+        if (!emptyWrite)
+          writeColumnsSidecar(dataDir,
+            dfCols.zip(writeSchema).map { case (c, (_, t)) => TableColumn(c.id, c.name, t) })
         // deletes carry forward with their dirs: dropping one on append
         // would resurrect erased rows. The new dir is NOT in any delete's
         // applies set — appended data is out of the deletes' scope.
         val snap = Snapshot(id, SnapshotTable.clockMs(), op,
-          carryForward :+ dataDir, format, total, masks,
+          if (emptyWrite) carryForward else carryForward :+ dataDir, format, total, masks,
           // branch commits stay invisible to published reads until
           // fastForward flips them — the same mechanism as a WAP stage
           staged = stageOnly || branch.isDefined,
           deletes = carriedDeletes0,
           parentId = Some(actualParent.getOrElse(0L)),
           cols = cols,
-          lastColumnId = math.max(watermark0, nextId))
+          lastColumnId = math.max(watermark0, nextId),
+          summary = summary)
         writeMetadata(prev :+ snap)
         // advance the branch ref atomically with the metadata swap
         // (same lock): readers of the ref see old-head-or-new-head,
@@ -2279,6 +2342,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
           s"""{"id":${c.id},"name":"${jsonEscape(c.name)}","type":"${jsonEscape(c.dataType)}"}""")
           .mkString(""""cols":[""", ",", "],")
       val staged = if (s.staged) """"staged":true,""" else ""
+      val summaryJson =
+        if (s.summary.isEmpty) ""
+        else s.summary.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\""
+        }.mkString(""""summary":{""", ",", "},")
       val dels =
         if (s.deletes.isEmpty) ""
         else {
@@ -2290,7 +2358,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           }.mkString("[", ",", "]")
           s""""deletes":$entries,"""
         }
-      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$parent$lastCol$colsJson$staged$masked$dels"data_dirs":$dirs}"""
+      s"""{"id":${s.id},"committed_at_ms":${s.committedAtMs},"operation":"${s.operation}","format":"${s.format}","row_count":${s.rowCount},$parent$lastCol$colsJson$staged$summaryJson$masked$dels"data_dirs":$dirs}"""
     }.mkString("[", ",", "]")
     // atomic metadata swap: temp file + atomic move, the commit point.
     val tmp = Paths.get(root, s".metadata.json.tmp-${System.nanoTime()}")
@@ -2303,7 +2371,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // "format", "row_count" and "masked_dirs" are optional on read:
     // metadata written before each field existed defaults to parquet /
     // unknown (-1) / no masks
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"parent_id":(-?\d+),)?(?:"last_column_id":(\d+),)?(?:"cols":\[(.*?)\],)?(?:"staged":(true),)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
+    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"parent_id":(-?\d+),)?(?:"last_column_id":(\d+),)?(?:"cols":\[(.*?)\],)?(?:"staged":(true),)?(?:"summary":\{(.*?)\},)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
     // tokenize JSON string elements properly: a naive split on "," eats
     // the escaped quote of an element ENDING in \" (caught by
     // MetadataRoundTripProps) — match balanced escaped strings instead
@@ -2318,20 +2386,26 @@ final class SnapshotTable(val root: String, val fullName: String) {
           TableColumn(cm.group(1).toInt, jsonUnescape(cm.group(2)), jsonUnescape(cm.group(3)))
         }.toSeq
       }.getOrElse(Nil)
-      val masked = Option(m.group(10)).map { content =>
+      val summary = Option(m.group(10)).map { content =>
+        val kvRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+        kvRe.findAllMatchIn(content).map { km =>
+          jsonUnescape(km.group(1)) -> jsonUnescape(km.group(2))
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+      val masked = Option(m.group(11)).map { content =>
         val entryRe = """"((?:[^"\\]|\\.)*)":\[(.*?)\]""".r
         entryRe.findAllMatchIn(content).map { em =>
           jsonUnescape(em.group(1)) -> strs(em.group(2))
         }.toMap
       }.getOrElse(Map.empty[String, Seq[String]])
-      val deletes = Option(m.group(11)).map { content =>
+      val deletes = Option(m.group(12)).map { content =>
         val delRe = """\{"dir":"((?:[^"\\]|\\.)*)","keys":\[(.*?)\],"applies":\[(.*?)\](?:,"fmt":"((?:[^"\\]|\\.)*)")?\}""".r
         delRe.findAllMatchIn(content).map { dm =>
           EqualityDelete(jsonUnescape(dm.group(1)), strs(dm.group(2)), strs(dm.group(3)),
             Option(dm.group(4)).map(jsonUnescape))
         }.toSeq
       }.getOrElse(Nil)
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(12)),
+      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(13)),
         Option(m.group(4)).getOrElse("parquet"),
         Option(m.group(5)).map(_.toLong).getOrElse(-1L),
         masked,
@@ -2339,7 +2413,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
         deletes = deletes,
         parentId = Option(m.group(6)).map(_.toLong),
         cols = cols,
-        lastColumnId = Option(m.group(7)).map(_.toInt).getOrElse(0))
+        lastColumnId = Option(m.group(7)).map(_.toInt).getOrElse(0),
+        summary = summary)
     }.toSeq
   }
 
@@ -2370,6 +2445,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
 }
 
 object SnapshotTable {
+  /** Snapshot-summary keys of the exactly-once streaming watermark. */
+  val SummaryQueryId = "streaming.query-id"
+  val SummaryBatchId = "streaming.batch-id"
+
 
   /** Write formats this engine can materialize (avro is declared by the
     * template vocabulary but needs the external spark-avro module).

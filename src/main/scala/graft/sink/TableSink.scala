@@ -111,6 +111,25 @@ object TableSink {
     snap
   }
 
+  /** Governed idempotent streaming append: schema check + declared
+    * partition derivation as [[append]], committed through
+    * [[SnapshotTable.appendOnce]] so a re-delivered microbatch (same
+    * query id, batch id not beyond the committed watermark) is skipped
+    * instead of double-appended — the exactly-once half of the
+    * streaming ingest contract.
+    */
+  def appendOnce(
+      df: DataFrame, template: TableTemplate, table: SnapshotTable,
+      queryId: String, batchId: Long): Option[Snapshot] = {
+    checkSchema(df, template.schema, table.fullName)
+    val (withParts, partCols) = withPartitionColumns(df, template)
+    val snap = table.appendOnce(queryId, batchId, withParts, partCols,
+      template.sortOrder.map(sortColumn), template.writeFormat,
+      template.commitNumRetries)
+    declareSpec(template, table)
+    snap
+  }
+
   /** `wap_publish`, step 1: stage a governed append for audit (schema
     * check + partition derivation as usual; the snapshot is invisible
     * until published).

@@ -109,6 +109,31 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once lakehouse ingest (`stream_exactly_once_ingest`):
+    * [[startLakehouseIngest]] hardened against foreachBatch's
+    * at-least-once delivery — each microbatch commits through
+    * [[graft.sink.TableSink.appendOnce]], which stamps the
+    * (queryId, batchId) watermark into the snapshot summary atomically
+    * with the data. A batch re-delivered after a crash between the
+    * commit and the checkpoint advance is recognized by its id and
+    * skipped, so restarts never double-append (Iceberg's streaming
+    * sink keeps the same watermark in its snapshot summaries).
+    */
+  def startExactlyOnceIngest(
+      stream: DataFrame,
+      template: graft.template.TableTemplate,
+      table: graft.sink.SnapshotTable,
+      checkpoint: String,
+      queryId: String) =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sink.TableSink.appendOnce(batch.toDF(), template, table, queryId, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming SCD2 dimension maintenance (`stream_scd2_merge`): each
     * CDC microbatch is merged into the dimension snapshot table with the
     * SAME [[graft.patterns.Scd2.merge]] as the batch path — read current

@@ -43,8 +43,11 @@ object MetadataRoundTripProps extends Properties("SnapshotMetadata") {
       name <- trickyStr
       tpe <- Gen.oneOf("BIGINT", "STRING", "DOUBLE", "DECIMAL(18,2)", "ARRAY<FLOAT>")
     } yield TableColumn(cid, name, tpe)).map(_.take(4))
+    summary <- Gen.mapOf(Gen.zip(
+      trickyStr.suchThat(_.nonEmpty), trickyStr)).map(_.take(3))
   } yield Snapshot(id, ts, op, dirs, format, rows, masked, staged, dels, parent,
-    cols, lastColumnId = cols.map(_.id).maxOption.getOrElse(0))
+    cols, lastColumnId = cols.map(_.id).maxOption.getOrElse(0),
+    summary = summary)
 
   property("write -> parse round-trips every field bit-exactly") =
     Prop.forAll(Gen.nonEmptyListOf(genSnapshot).map(_.take(5))) { snaps0 =>

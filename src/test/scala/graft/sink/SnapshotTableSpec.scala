@@ -733,6 +733,53 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("appendOnce: replayed batch ids are skipped, the watermark rides the summary") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    // batch 0 commits; its watermark is in the snapshot summary
+    val s0 = t.appendOnce("q1", 0L, Seq((2L, "b")).toDF("id", "v"))
+    assert(s0.isDefined)
+    assert(s0.get.summary == Map(
+      SnapshotTable.SummaryQueryId -> "q1", SnapshotTable.SummaryBatchId -> "0"))
+    // the watermark survives the metadata round trip
+    assert(t.lastCommittedBatch("q1").contains(0L))
+    // same batch re-delivered -> skipped, table unchanged
+    val head = t.currentSnapshot.get.id
+    assert(t.appendOnce("q1", 0L, Seq((2L, "b")).toDF("id", "v")).isEmpty)
+    assert(t.currentSnapshot.get.id == head)
+    // progress, then an OLD batch replayed after progress -> still skipped
+    assert(t.appendOnce("q1", 1L, Seq((3L, "c")).toDF("id", "v")).isDefined)
+    assert(t.appendOnce("q1", 0L, Seq((2L, "b")).toDF("id", "v")).isEmpty)
+    assert(t.lastCommittedBatch("q1").contains(1L))
+    // a DIFFERENT query id has its own watermark
+    assert(t.appendOnce("q2", 0L, Seq((4L, "d")).toDF("id", "v")).isDefined)
+    assert(t.lastCommittedBatch("q2").contains(0L))
+    assert(t.read(spark).count() == 4)
+    // plain commits carry no summary
+    assert(t.append(Seq((5L, "e")).toDF("id", "v")).summary.isEmpty)
+  }
+
+  test("an empty batch commits metadata-only: no file-less dir, reads stay healthy") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val base = t.currentSnapshot.get
+    // empty append (streaming triggers deliver these routinely) — the
+    // snapshot advances but references NO new dir; a file-less dir would
+    // fail parquet schema inference on every later read
+    val snap = t.append(Seq.empty[(Long, String)].toDF("id", "v"),
+      partitionCols = Seq("v"))
+    assert(snap.dataDirs == base.dataDirs, "empty append must not add a dir")
+    assert(snap.rowCount == base.rowCount)
+    assert(t.read(spark).count() == 2)
+    // the empty write's scratch dir is cleaned up
+    val dirs = new java.io.File(t.root).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("snap-")) == 1, s"expected 1 dir, got ${dirs.toSeq}")
+    // an empty appendOnce still advances the exactly-once watermark
+    assert(t.appendOnce("q", 5L, Seq.empty[(Long, String)].toDF("id", "v")).isDefined)
+    assert(t.lastCommittedBatch("q").contains(5L))
+    assert(t.appendOnce("q", 5L, Seq((9L, "z")).toDF("id", "v")).isEmpty)
+  }
+
   test("declared decimal(p,s) survives conform -> write -> read bit-exactly") {
     import graft.source.SourceReader
     import graft.template.{ColumnDef, TableTemplate}
