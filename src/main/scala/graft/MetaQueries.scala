@@ -1649,6 +1649,52 @@ object MetaQueries {
       doc = "table properties: TBLPROPERTIES DDL persisted as an atomic " +
         "sidecar, SET/UNSET, engine-computed keys overlaid on read"),
 
+    "write_sort_order" -> QueryDef(
+      (s, dir) => {
+        // Declared write sort order (Iceberg's WRITE ORDERED BY, carried
+        // here as the write.sort.order table property): every catalog
+        // write — plain INSERT INTO included — lands its files
+        // internally sorted by the declaration without the statement
+        // saying so. Sorted files keep the range-stats sidecars tight
+        // (narrower min/max per dir => more skipping) at the cost of one
+        // shuffle-free sortWithinPartitions per write. The in-query pin
+        // proves PHYSICAL file order; the oracle proves the data.
+        val wh = freshWarehouse("write_sort_order")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .createOrReplaceTempView("wso_src")
+        s.sql("""CREATE TABLE graft.testdata.events_sorted (
+                |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                |  event_type STRING, value DOUBLE)
+                |TBLPROPERTIES ('write.sort.order'='value DESC NULLS LAST, event_id ASC')""".stripMargin)
+        s.sql("INSERT INTO graft.testdata.events_sorted SELECT * FROM wso_src")
+        // physical pin: every written file is internally sorted by the
+        // declaration (file row order == parquet row order; O(#files)
+        // fixture check, not part of the returned plan)
+        val table = SnapshotTable(wh, "testdata", "events_sorted")
+        val dirs = table.currentSnapshot.get.dataDirs
+        val files = dirs.flatMap(d => Option(new java.io.File(d).listFiles()).
+          getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")))
+        require(files.nonEmpty, "sorted write must produce files")
+        files.foreach { f =>
+          val keys = s.read.parquet(f.getPath)
+            .select(col("value"), col("event_id")).collect()
+            .map(r => (r.isNullAt(0), if (r.isNullAt(0)) 0.0 else -r.getDouble(0),
+              r.getLong(1))).toSeq
+          require(keys == keys.sorted,
+            s"file ${f.getName} must be internally ordered by value DESC NULLS LAST, event_id")
+        }
+        s.sql("SELECT event_id, ts, user_id, event_type, value " +
+          "FROM graft.testdata.events_sorted")
+      },
+      Some("SELECT event_id, ts, user_id, event_type, value FROM events"),
+      doc = "declared write sort order (write.sort.order table property, the " +
+        "Iceberg WRITE ORDERED BY role): catalog writes land files internally " +
+        "sorted; physical order pinned per file, data oracle-checked"),
+
     "retention_policy_override" -> QueryDef(
       (s, dir) => {
         import s.implicits._

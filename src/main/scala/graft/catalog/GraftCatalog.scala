@@ -221,6 +221,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.SetProperty =>
         require(!GraftCatalog.ReservedProperties.contains(c.property),
           s"property '${c.property}' is engine-managed and cannot be set")
+        // operative properties validate at SET time: a typo'd sort
+        // order fails the ALTER, not some later unrelated INSERT
+        if (c.property == graft.sink.WriteSortOrder.Key)
+          graft.sink.WriteSortOrder.parse(c.value): Unit
         t.setProperties(Map(c.property -> c.value))
       case c: TableChange.RemoveProperty =>
         t.unsetProperties(Seq(c.property))
@@ -564,16 +568,19 @@ final class GraftSparkTable(
               // statements naming the branch anywhere
               val branch = Option(org.apache.spark.sql.internal.SQLConf.get
                 .getConfString("spark.graft.write.branch", null)).filter(_.nonEmpty)
+              // declared write sort order (the write.sort.order table
+              // property): every catalog write lands internally sorted
+              val sorts = graft.sink.WriteSortOrder.sortCols(snapTable)
               branch match {
                 case Some(b) =>
                   require(!(overwrite || ow),
                     s"INSERT OVERWRITE cannot target branch '$b': branch " +
                       "writes are append-only (overwrite the branch via " +
                       "fastForward after auditing, or drop and re-branch)")
-                  snapTable.appendToBranch(b, toWrite, pCols, format = fmt): Unit
+                  snapTable.appendToBranch(b, toWrite, pCols, sorts, format = fmt): Unit
                 case None =>
-                  if (overwrite || ow) snapTable.overwrite(toWrite, pCols, format = fmt)
-                  else snapTable.append(toWrite, pCols, format = fmt): Unit
+                  if (overwrite || ow) snapTable.overwrite(toWrite, pCols, sorts, format = fmt)
+                  else snapTable.append(toWrite, pCols, sorts, format = fmt): Unit
               }
             }
           }
@@ -605,6 +612,18 @@ final class GraftStagedTable(
 
   spec.foreach(p => require(schema0.fieldNames.contains(p.column),
     s"PARTITIONED BY references unknown column ${p.column}"))
+
+  // declared write sort order from the NEW definition's TBLPROPERTIES
+  // (a REPLACE must sort by the new declaration, not the old table's)
+  private val sortCols: Seq[org.apache.spark.sql.Column] =
+    props.get(graft.sink.WriteSortOrder.Key).map { v =>
+      val fields = graft.sink.WriteSortOrder.parse(v)
+      val unknown = fields.map(_.column).filterNot(schema0.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"${graft.sink.WriteSortOrder.Key} references unknown column(s) " +
+          unknown.mkString(", "))
+      fields.map(graft.sink.TableSink.sortColumn)
+    }.getOrElse(Nil)
 
   private val fmt = props.getOrElse("format", "parquet")
   private def userProps: Map[String, String] = props -- GraftCatalog.ReservedProperties
@@ -651,13 +670,13 @@ final class GraftStagedTable(
               val pCols = derived.map(_._1)
               stagedId =
                 if (replace)
-                  Some(t.stageOverwrite(toWrite, pCols, format = fmt).id)
+                  Some(t.stageOverwrite(toWrite, pCols, sortCols, format = fmt).id)
                 else {
                   // CREATE: declare the schema first (concurrent readers
                   // see an empty table with the right shape, never
                   // partial data), then stage the query result on top
                   createEmpty()
-                  Some(t.stageAppend(toWrite, pCols, format = fmt).id)
+                  Some(t.stageAppend(toWrite, pCols, sortCols, format = fmt).id)
                 }
             }
           }

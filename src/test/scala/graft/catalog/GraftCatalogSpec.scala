@@ -327,6 +327,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(desc.contains("days(ts)"), s"expected days(ts) in:\n$desc")
   }
 
+  test("write.sort.order is operative: inserts land sorted; bad DDL fails early") {
+    val wh = freshCatalog("wso")
+    spark.sql("CREATE TABLE graft.ns.ws (id BIGINT, score DOUBLE)")
+    spark.sql(
+      "ALTER TABLE graft.ns.ws SET TBLPROPERTIES('write.sort.order'='score DESC')")
+    Seq((1L, 1.0), (2L, 9.0), (3L, 5.0)).toDF("id", "score")
+      .coalesce(1).createOrReplaceTempView("ws_src")
+    spark.sql("INSERT INTO graft.ns.ws SELECT * FROM ws_src")
+    val t = SnapshotTable(wh, "ns", "ws")
+    val files = t.currentSnapshot.get.dataDirs.flatMap(d =>
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")))
+    assert(files.size == 1)
+    val scores = spark.read.parquet(files.head.getPath)
+      .select($"score").as[Double].collect().toSeq
+    assert(scores == Seq(9.0, 5.0, 1.0), "file must be internally sorted DESC")
+    // a typo'd direction fails the ALTER itself, not a later write
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.ns.ws SET TBLPROPERTIES('write.sort.order'='score SIDEWAYS')")
+    }
+    // an unknown column fails the WRITE with an actionable message
+    spark.sql(
+      "ALTER TABLE graft.ns.ws SET TBLPROPERTIES('write.sort.order'='nope ASC')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ns.ws VALUES (4L, 2.0)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unknown column")), s"got: ${msgs(e)}")
+  }
+
   test("extension-less sessions still read through the V1Scan fallback") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
