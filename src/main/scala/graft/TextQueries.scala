@@ -63,6 +63,30 @@ object TextQueries {
         "RAG/context-length preprocessing step; map-side sequence+explode, " +
         "linear, deterministic chunk ids"),
 
+    "text_keywords_tfidf" -> QueryDef(
+      (s, dir) => TextAnalysis.keywordsTfidf(tbl(s, dir, "documents"), "text", k = 3),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+             |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+             |       FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term,
+             |    CAST((CAST(tf AS DOUBLE) / dl) * ln((n_docs + 1.0) / (df + 1.0))
+             |      AS DECIMAL(18,6)) AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |ranked AS (SELECT doc_id, term, score,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+             |  FROM scored)
+             |SELECT doc_id, term, CAST(score AS DOUBLE) AS tfidf, CAST(rn AS INT) AS rank
+             |FROM ranked WHERE rn <= 3""".stripMargin),
+      doc = "top-3 characteristic terms per doc by tf-idf ((tf/dl)*ln((N+1)/(df+1)))" +
+        " - keyword extraction; scores quantized via DECIMAL(18,6), rank ties " +
+        "broken by term so the cut is bit-deterministic cross-engine"),
+
     "text_token_count" -> QueryDef(
       (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text"),
       Some("""SELECT doc_id,

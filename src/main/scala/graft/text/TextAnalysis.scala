@@ -364,6 +364,44 @@ object TextAnalysis {
         count(lit(1)).as("n_matched_terms"))
   }
 
+  /** Top-k characteristic terms per document by tf-idf — the keyword /
+    * topic-signal extractor: `tfidf(t,d) = (tf/|d|) · ln((N+1)/(df+1))`,
+    * scores quantized through DECIMAL(18,6) and ranked
+    * (score desc, term asc) so the top-k cut is bit-deterministic
+    * cross-engine (a raw-double ordering would tie-break on ulps).
+    * Distributed shape: tf = (doc, term) groupBy over the exploded
+    * tokens; df = term groupBy over tf (document frequency needs the
+    * FULL vocabulary, unlike BM25's query sliver — this is the one
+    * extra shuffle); N broadcasts as a scalar; the rank window
+    * partitions by doc_id, which distributes over however many
+    * documents exist — never a single-task window.
+    */
+  def keywordsTfidf(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, "keywordsTfidf needs k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col("doc_id"), tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        ((col("tf").cast("double") / col("dl")) *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+          .cast("decimal(18,6)"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"),
+        col("tfidf").cast("double").as("tfidf"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Overlapping token-window chunks — the RAG / context-length
     * preprocessing step: each document's whitespace tokens split into
     * windows of `window` tokens starting every `window − overlap`
