@@ -1649,6 +1649,51 @@ object MetaQueries {
       doc = "table properties: TBLPROPERTIES DDL persisted as an atomic " +
         "sidecar, SET/UNSET, engine-computed keys overlaid on read"),
 
+    "sql_call_procedures" -> QueryDef(
+      (s, dir) => {
+        // The Iceberg CALL vocabulary through Spark 4's ProcedureCatalog:
+        // a SQL-only operator runs the WHOLE maintenance lifecycle —
+        // publish an audited staged write, compact, expire history —
+        // with each CALL executing the same engine primitive as the
+        // Scala API and returning its result relationally. All three
+        // are metadata- or scope-bounded: publish is an O(1) flip,
+        // compaction rewrites the (small) table once, expiry deletes
+        // only unreferenced dirs.
+        val wh = freshWarehouse("sql_call_procedures")
+        val table = SnapshotTable(wh, "testdata", "events_ops")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        val cut1 = lit(EventsMidCut).cast("timestamp")
+        val cut2 = lit(EventsCut).cast("timestamp")
+        table.overwrite(ev.filter(col("ts") < cut1)): Unit
+        table.append(ev.filter(col("ts") >= cut1 && col("ts") < cut2)): Unit
+        val staged = table.stageAppend(ev.filter(col("ts") >= cut2))
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        val pub = s.sql("CALL graft.system.publish_changes(" +
+          s"`table` => 'testdata.events_ops', snapshot_id => ${staged.id})")
+          .collect().head
+        require(pub.getLong(0) == staged.id, "publish must flip the staged snapshot")
+        val compacted = s.sql(
+          "CALL graft.system.rewrite_data_files(`table` => 'testdata.events_ops')")
+          .collect().head
+        require(compacted.getInt(1) == 1,
+          s"compaction must bin-pack 3 dirs into 1, got ${compacted.getInt(1)}")
+        val expired = s.sql("CALL graft.system.expire_snapshots(" +
+          "`table` => 'testdata.events_ops', older_than_ms => 9999999999999)")
+          .collect().map(_.getLong(0)).toSeq
+        require(expired == Seq(1L, 2L, 3L),
+          s"expiry must drop the three pre-compaction snapshots, got $expired")
+        require(table.snapshots.map(_.id) == Seq(4L),
+          "only the compacted head survives")
+        table.read(s)
+      },
+      Some("SELECT event_id, ts, user_id, event_type FROM events"),
+      doc = "SQL stored procedures (CALL graft.system.*): publish_changes, " +
+        "rewrite_data_files, expire_snapshots run the full maintenance " +
+        "lifecycle from SQL, results returned as rows, engine primitives shared " +
+        "with the Scala API"),
+
     "write_sort_order" -> QueryDef(
       (s, dir) => {
         // Declared write sort order (Iceberg's WRITE ORDERED BY, carried

@@ -52,7 +52,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * serve a session whose warehouse moves (test fixtures do).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
@@ -199,6 +199,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions.toSeq.map(GraftCatalog.toPartitionField),
       properties.asScala.toMap, replace = t.exists)
   }
+
+  // ---- stored procedures (the Iceberg CALL system.* vocabulary) ----
+  // `CALL graft.system.expire_snapshots(...)` etc. — each resolves the
+  // 'ns.table' argument under THIS catalog's warehouse and executes the
+  // same engine primitive the Scala API exposes.
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, { ref =>
+      val parts = ref.split("\\.", 2)
+      require(parts.length == 2,
+        s"procedure table argument must be '<namespace>.<table>', got '$ref'")
+      val t = SnapshotTable(warehouse, parts(0), parts(1))
+      if (!t.exists)
+        throw new NoSuchTableException(Identifier.of(Array(parts(0)), parts(1)))
+      t
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.list()
+    else Array.empty
 
   /** DDL schema evolution, mapped onto the metadata-only commits. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

@@ -1,0 +1,199 @@
+package graft.catalog
+
+import graft.sink.SnapshotTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for table maintenance — the Iceberg
+  * `CALL catalog.system.<proc>(...)` vocabulary (the reference operates
+  * its lakehouse through exactly these: snapshot expiry per the
+  * template retention policy, compaction, WAP publication;
+  * `dagster/lakehouse/assets/maintenance.py`, `docs/deep-dive.md`),
+  * served through Spark 4's DSv2 `ProcedureCatalog` so a SQL-only
+  * operator can run the whole maintenance surface:
+  * {{{
+  *   CALL graft.system.expire_snapshots(`table` => 'ns.t', retain_last => 2)
+  *   CALL graft.system.rollback_to_snapshot(`table` => 'ns.t', snapshot_id => 3)
+  *   CALL graft.system.rewrite_data_files(`table` => 'ns.t')
+  *   CALL graft.system.publish_changes(`table` => 'ns.t', snapshot_id => 5)
+  * }}}
+  * Each call executes the SAME engine primitive the Scala API exposes
+  * (one code path, spec'd once) and returns its result relationally —
+  * expired ids, removed paths, new snapshot ids — as rows.
+  *
+  * All procedures are metadata-bounded or delta-bounded exactly like
+  * their underlying primitives: expiry and rollback are metadata flips,
+  * orphan removal is a directory walk, compaction/delete-rewrite
+  * rewrite only what their contracts scope. Nothing here scans a table
+  * because it was called from SQL.
+  */
+object GraftProcedures {
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def opt(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue("NULL").build()
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** One procedure: parameters (param 0 is always `table` = 'ns.name'),
+    * output schema, and the row-producing body.
+    */
+  final case class ProcDef(
+      name: String,
+      params: Seq[ProcedureParameter],
+      output: StructType,
+      describe: String,
+      run: (SnapshotTable, InternalRow, SparkSession) => Seq[Array[Any]])
+
+  val all: Seq[ProcDef] = Seq(
+    ProcDef("expire_snapshots",
+      Seq(p("table", StringType), opt("older_than_ms", LongType),
+        opt("retain_last", IntegerType)),
+      StructType(Seq(StructField("expired_snapshot_id", LongType))),
+      "Expire published snapshots older than the cutoff (default: now), " +
+        "always retaining the newest retain_last (default 1); tag/branch " +
+        "targets are never expired. Returns the expired ids.",
+      (t, in, _) => {
+        val olderThan =
+          if (in.isNullAt(1)) SnapshotTable.clockMs() else in.getLong(1)
+        val retainLast = if (in.isNullAt(2)) 1 else in.getInt(2)
+        t.expireSnapshots(olderThan, retainLast).map(id => Array[Any](id))
+      }),
+
+    ProcDef("rollback_to_snapshot",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType))),
+      "Repoint the table to an earlier snapshot's state as NEW auditable " +
+        "history (the abandoned lineage stays readable, $history marks it " +
+        "not-current-ancestor).",
+      (t, in, _) => {
+        val prev = t.currentSnapshot.map(_.id).getOrElse(-1L)
+        val snap = t.rollback(in.getLong(1))
+        Seq(Array[Any](prev, snap.id))
+      }),
+
+    ProcDef("cherrypick_snapshot",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("source_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType))),
+      "Transplant an append-shaped snapshot's delta onto the current head " +
+        "(the WAP conflict resolution publish refuses).",
+      (t, in, _) => {
+        val src = in.getLong(1)
+        Seq(Array[Any](src, t.cherryPick(src).id))
+      }),
+
+    ProcDef("publish_changes",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("published_snapshot_id", LongType),
+        StructField("row_count", LongType))),
+      "Publish an audited write-audit-publish staged snapshot: an O(1) " +
+        "metadata flip; conflicts with a moved head fail loudly.",
+      (t, in, _) => {
+        val snap = t.publish(in.getLong(1))
+        Seq(Array[Any](snap.id, snap.rowCount))
+      }),
+
+    ProcDef("fast_forward",
+      Seq(p("table", StringType), p("branch", StringType)),
+      StructType(Seq(
+        StructField("branch", StringType),
+        StructField("previous_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType))),
+      "Publish a branch's staged chain by fast-forwarding the table head " +
+        "to it (ancestor check: divergence fails instead of dropping rivals).",
+      (t, in, _) => {
+        val branch = in.getUTF8String(1).toString
+        val prev = t.currentSnapshot.map(_.id).getOrElse(-1L)
+        val snap = t.fastForward(branch)
+        Seq(Array[Any](utf8(branch), prev, snap.id))
+      }),
+
+    ProcDef("rewrite_data_files",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("new_snapshot_id", LongType),
+        StructField("data_dir_count", IntegerType),
+        StructField("row_count", LongType))),
+      "Compact the table: bin-pack small files, bake in masks and deletes, " +
+        "re-derive the layout under the CURRENT partition spec (the " +
+        "partition-evolution migration path).",
+      (t, in, spark) => {
+        val snap = t.compact(spark)
+        Seq(Array[Any](snap.id, snap.dataDirs.size, snap.rowCount))
+      }),
+
+    ProcDef("rewrite_deletes",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("new_snapshot_id", LongType),
+        StructField("remaining_delete_files", IntegerType))),
+      "Pay down merge-on-read debt: rewrite ONLY delete-scoped dirs with " +
+        "their deletes applied; out-of-scope dirs carry byte-identical; " +
+        "no-op does not commit.",
+      (t, in, spark) => {
+        val snap = t.rewriteDeletes(spark)
+        Seq(Array[Any](snap.id, snap.deletes.size))
+      }),
+
+    ProcDef("remove_orphan_files",
+      Seq(p("table", StringType), opt("older_than_ms", LongType)),
+      StructType(Seq(StructField("orphan_path", StringType))),
+      "Delete files no snapshot references (failed-commit debris), " +
+        "recency-clamped (default: only files older than now) so an " +
+        "in-flight writer's uncommitted dir survives.",
+      (t, in, _) => {
+        val olderThan =
+          if (in.isNullAt(1)) System.currentTimeMillis() else in.getLong(1)
+        t.removeOrphanFiles(olderThan).map(path => Array[Any](utf8(path)))
+      })
+  )
+
+  private val byName: Map[String, ProcDef] = all.map(d => d.name -> d).toMap
+
+  def list(): Array[Identifier] =
+    all.map(d => Identifier.of(Array("system"), d.name)).toArray
+
+  /** Resolve `graft.system.<name>`; `resolve` maps the 'ns.table' arg to
+    * a live [[SnapshotTable]] under the calling catalog's warehouse.
+    */
+  def load(ident: Identifier, resolve: String => SnapshotTable): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live under the 'system' namespace, got ${ident.toString} " +
+        s"(available: ${all.map("system." + _.name).mkString(", ")})")
+    val d = byName.getOrElse(ident.name, throw new IllegalArgumentException(
+      s"unknown procedure system.${ident.name} " +
+        s"(available: ${all.map(_.name).sorted.mkString(", ")})"))
+    new UnboundProcedure {
+      override def name(): String = d.name
+      override def description(): String = d.describe
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = d.name
+        override def description(): String = d.describe
+        override def parameters(): Array[ProcedureParameter] = d.params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          require(!input.isNullAt(0), s"${d.name}: 'table' is required")
+          val t = resolve(input.getUTF8String(0).toString)
+          val out = d.run(t, input, SparkSession.active)
+            .map(vs => new GenericInternalRow(vs): InternalRow).toArray
+          java.util.List.of[Scan](new LocalScan {
+            override def readSchema(): StructType = d.output
+            override def rows(): Array[InternalRow] = out
+          }).iterator()
+        }
+      }
+    }
+  }
+}
