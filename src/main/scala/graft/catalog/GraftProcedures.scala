@@ -147,6 +147,48 @@ object GraftProcedures {
         Seq(Array[Any](snap.id, snap.deletes.size))
       }),
 
+    ProcDef("create_branch",
+      Seq(p("table", StringType), p("branch", StringType),
+        opt("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("branch", StringType),
+        StructField("snapshot_id", LongType))),
+      "Create a named branch at the given snapshot (default: current " +
+        "head); appendToBranch then stages invisible commits on it until " +
+        "fast_forward publishes the chain.",
+      (t, in, _) => {
+        val name = in.getUTF8String(1).toString
+        val at = if (in.isNullAt(2)) None else Some(in.getLong(2))
+        val ref = t.createBranch(name, at)
+        Seq(Array[Any](utf8(ref.name), ref.snapshotId))
+      }),
+
+    ProcDef("create_tag",
+      Seq(p("table", StringType), p("tag", StringType),
+        opt("snapshot_id", LongType)),
+      StructType(Seq(
+        StructField("tag", StringType),
+        StructField("snapshot_id", LongType))),
+      "Pin a named tag to the given snapshot (default: current head); " +
+        "tagged snapshots and their dirs are protected from expiry.",
+      (t, in, _) => {
+        val name = in.getUTF8String(1).toString
+        val at = if (in.isNullAt(2)) None else Some(in.getLong(2))
+        val ref = t.createTag(name, at)
+        Seq(Array[Any](utf8(ref.name), ref.snapshotId))
+      }),
+
+    ProcDef("drop_ref",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("dropped", StringType))),
+      "Drop a branch or tag by name; the snapshots it pointed at remain " +
+        "(expiry governs their lifetime once unprotected).",
+      (t, in, _) => {
+        val name = in.getUTF8String(1).toString
+        t.dropRef(name)
+        Seq(Array[Any](utf8(name)))
+      }),
+
     ProcDef("remove_orphan_files",
       Seq(p("table", StringType), opt("older_than_ms", LongType)),
       StructType(Seq(StructField("orphan_path", StringType))),

@@ -89,6 +89,28 @@ class GraftProceduresSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(orphan))
   }
 
+  test("refs lifecycle from SQL: create_branch, append, fast_forward, create_tag, drop_ref") {
+    val wh = freshCatalog("refs")
+    val t = SnapshotTable(wh, "ns", "rf")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val br = spark.sql(
+      "CALL graft.system.create_branch(`table` => 'ns.rf', branch => 'wip')")
+      .as[(String, Long)].head()
+    assert(br == ("wip", 1L))
+    t.appendToBranch("wip", Seq((2L, "b")).toDF("id", "v"))
+    assert(t.read(spark).count() == 1, "branch append stays invisible")
+    spark.sql("CALL graft.system.fast_forward(`table` => 'ns.rf', branch => 'wip')")
+    assert(t.read(spark).count() == 2)
+    val tag = spark.sql(
+      "CALL graft.system.create_tag(`table` => 'ns.rf', tag => 'v1')")
+      .as[(String, Long)].head()
+    assert(tag._1 == "v1" && tag._2 == t.currentSnapshot.get.id)
+    assert(spark.sql("SELECT name FROM graft.ns.rf.refs").as[String].collect().toSet ==
+      Set("main", "wip", "v1"))
+    spark.sql("CALL graft.system.drop_ref(`table` => 'ns.rf', name => 'wip')")
+    assert(t.refs.map(_.name) == Seq("v1"))
+  }
+
   test("fast_forward publishes a branch; unknown procedure and table fail loudly") {
     val wh = freshCatalog("ff")
     val t = SnapshotTable(wh, "ns", "b")
