@@ -1694,6 +1694,65 @@ object MetaQueries {
         "lifecycle from SQL, results returned as rows, engine primitives shared " +
         "with the Scala API"),
 
+    "bloom_filter_write" -> QueryDef(
+      (s, dir) => {
+        // Operative parquet bloom filters (Iceberg's
+        // write.parquet.bloom-filter-enabled.column.<col> write
+        // property): declaring the property makes every subsequent
+        // write — SQL INSERT here — emit a bloom filter for that column
+        // into each parquet file footer. At 100 TB this is the point-
+        // lookup complement to range stats: `event_id = ?` on a
+        // high-cardinality column the files are NOT sorted by skips row
+        // groups min/max can't rule out, for a few KB of footer per
+        // file. The in-query pin reads footers with parquet-mr:
+        // the declared high-cardinality column HAS a filter; a declared
+        // but fully DICTIONARY-encoded column (user_id, ~1k distinct)
+        // correctly does NOT (parquet-mr suppresses it — the dictionary
+        // page already answers membership exactly); an undeclared
+        // column has none.
+        val wh = freshWarehouse("bloom_filter_write")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+          .createOrReplaceTempView("bloom_src")
+        s.sql("""CREATE TABLE graft.testdata.events_bloom (
+                |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING)
+                |TBLPROPERTIES (
+                |  'write.parquet.bloom-filter-enabled.column.event_id'='true',
+                |  'write.parquet.bloom-filter-expected-ndv.column.event_id'='10000',
+                |  'write.parquet.bloom-filter-enabled.column.user_id'='true')""".stripMargin)
+        s.sql("INSERT INTO graft.testdata.events_bloom SELECT * FROM bloom_src")
+        val table = SnapshotTable(wh, "testdata", "events_bloom")
+        val files = table.currentSnapshot.get.dataDirs.flatMap(d =>
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+            .filter(f => f.isFile && f.getName.endsWith(".parquet")))
+        require(files.nonEmpty, "write must produce files")
+        files.foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            new org.apache.hadoop.conf.Configuration(),
+            new org.apache.hadoop.fs.Path(f.getPath))
+          try {
+            import scala.jdk.CollectionConverters._
+            val cols = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+            def offsets(name: String): Seq[Long] =
+              cols.filter(_.getPath.toDotString == name)
+                .map(_.getBloomFilterOffset).toSeq
+            require(offsets("event_id").nonEmpty && offsets("event_id").forall(_ >= 0),
+              s"${f.getName}: declared high-cardinality event_id must carry a bloom filter")
+            require(offsets("user_id").forall(_ < 0),
+              s"${f.getName}: dictionary-encoded user_id must have its bloom suppressed")
+            require(offsets("ts").forall(_ < 0),
+              s"${f.getName}: undeclared ts must not carry one")
+          } finally reader.close()
+        }
+        s.sql("SELECT event_id, ts, user_id, event_type FROM graft.testdata.events_bloom")
+      },
+      Some("SELECT event_id, ts, user_id, event_type FROM events"),
+      doc = "operative parquet bloom filters: the Iceberg write property makes " +
+        "every write emit per-column bloom filters (footer-pinned via " +
+        "parquet-mr); the point-lookup complement to range-stats skipping"),
+
     "write_sort_order" -> QueryDef(
       (s, dir) => {
         // Declared write sort order (Iceberg's WRITE ORDERED BY, carried

@@ -1715,8 +1715,23 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val statAggs = org.apache.spark.sql.functions
       .count(org.apache.spark.sql.functions.lit(1)).as("__rows") +:
       graft.plans.RangeStats.rangeAggs(fields)
+    // operative parquet bloom filters (Iceberg's
+    // `write.parquet.bloom-filter-enabled.column.<col>` table property):
+    // declared per-column filters are written into every parquet file's
+    // footer, so point lookups on high-cardinality non-sort columns
+    // skip row groups the min/max stats can't rule out. Properties are
+    // a tiny sidecar read; unknown columns are simply ignored by the
+    // parquet writer (declaring a filter never breaks a write).
+    val bloomOpts: Map[String, String] =
+      if (format != "parquet") Map.empty
+      else properties.collect {
+        case (k, v) if k.startsWith(SnapshotTable.BloomEnabledPrefix) =>
+          s"parquet.bloom.filter.enabled#${k.stripPrefix(SnapshotTable.BloomEnabledPrefix)}" -> v
+        case (k, v) if k.startsWith(SnapshotTable.BloomNdvPrefix) =>
+          s"parquet.bloom.filter.expected.ndv#${k.stripPrefix(SnapshotTable.BloomNdvPrefix)}" -> v
+      }
     val writer = sorted.observe(obs, statAggs.head, statAggs.tail: _*)
-      .write.mode("overwrite").format(format)
+      .write.mode("overwrite").format(format).options(bloomOpts)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .save(dataDir)
     val metrics: Map[String, Any] =
@@ -2448,6 +2463,13 @@ object SnapshotTable {
   /** Snapshot-summary keys of the exactly-once streaming watermark. */
   val SummaryQueryId = "streaming.query-id"
   val SummaryBatchId = "streaming.batch-id"
+
+  /** Table-property prefixes declaring per-column parquet bloom filters
+    * (Iceberg's write properties; value for the enabled prefix is
+    * "true"/"false", for the ndv prefix the expected distinct count).
+    */
+  val BloomEnabledPrefix = "write.parquet.bloom-filter-enabled.column."
+  val BloomNdvPrefix = "write.parquet.bloom-filter-expected-ndv.column."
 
 
   /** Write formats this engine can materialize (avro is declared by the
