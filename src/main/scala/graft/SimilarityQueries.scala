@@ -390,6 +390,24 @@ object SimilarityQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    "embedding_quantize_int8" -> QueryDef(
+      (s, dir) => Similarity.quantizeInt8(tbl(s, dir, "embeddings")),
+      Some("""WITH sc AS (
+             |  SELECT vec_id, label, embedding,
+             |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+             |      AS scale
+             |  FROM embeddings)
+             |SELECT vec_id, label, CAST(scale AS DOUBLE) AS scale,
+             |  list_transform(embedding, x -> CAST(
+             |    CASE WHEN scale = 0 THEN 0
+             |         ELSE greatest(-127, least(127,
+             |                floor(CAST(x AS DOUBLE) / scale + 0.5))) END
+             |    AS TINYINT)) AS q
+             |FROM sc""".stripMargin),
+      doc = "symmetric per-vector int8 quantization (scale = max|x|/127, " +
+        "explicit floor(v+0.5) round) - the 4x compression step before ANN " +
+        "serving; map-only, codes bit-identical cross-engine"),
+
     "similarity_topk" -> QueryDef(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")

@@ -44,6 +44,27 @@ object Similarity {
   /** Cast a float embedding to double (exact widening). */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
+  /** Symmetric per-vector int8 quantization — the 4× memory/bandwidth
+    * compression step before large-scale ANN serving or embedding-table
+    * shipping: `scale = max|x|/127`, `q = clamp(round(x/scale), ±127)`.
+    * Pure map-side higher-order expressions (one pass, no shuffle, no
+    * UDF). All arithmetic runs in DOUBLE with an explicit
+    * `floor(v + 0.5)` round, so the quantized codes are bit-identical
+    * across engines (a native round() would tie-break differently).
+    * Zero vectors quantize to zeros with scale 0.
+    */
+  def quantizeInt8(vectors: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val withScale = vectors.withColumn("scale",
+      array_max(transform(col(embCol), x => abs(x.cast("double")))) / lit(127.0))
+    withScale.select(
+      col("vec_id"), col("label"), col("scale"),
+      transform(col(embCol), x =>
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(greatest(lit(-127.0),
+            least(lit(127.0), floor(x.cast("double") / col("scale") + lit(0.5)))))
+          .cast("tinyint")).as("q"))
+  }
+
   /** (id, pos, x) row view of an embedding column. */
   private def exploded(df: DataFrame, idCol: String, asId: String): DataFrame =
     df.select(col(idCol).as(asId), posexplode(asDouble(col("embedding"))))
