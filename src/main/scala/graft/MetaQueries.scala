@@ -1694,6 +1694,38 @@ object MetaQueries {
         "lifecycle from SQL, results returned as rows, engine primitives shared " +
         "with the Scala API"),
 
+    "sql_truncate" -> QueryDef(
+      (s, dir) => {
+        // TRUNCATE TABLE as an empty-overwrite snapshot: the schema
+        // survives, HISTORY survives (pre-truncate snapshots still
+        // time-travel; expiry governs their lifetime), and the commit
+        // is metadata-only — no dir written or referenced. Not the v1
+        // "delete the directory" truncate: a snapshot table's past is
+        // part of its contract.
+        val wh = freshWarehouse("sql_truncate")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+          .createOrReplaceTempView("trunc_src")
+        s.sql("CREATE TABLE graft.testdata.events_trunc AS SELECT * FROM trunc_src")
+        val table = SnapshotTable(wh, "testdata", "events_trunc")
+        val preId = table.currentSnapshot.get.id
+        s.sql("TRUNCATE TABLE graft.testdata.events_trunc")
+        val head = table.currentSnapshot.get
+        require(head.dataDirs.isEmpty && head.rowCount == 0,
+          "TRUNCATE must commit a metadata-only empty snapshot")
+        require(table.readSnapshot(s, preId).columns.length == 4,
+          "pre-truncate snapshot must stay time-travelable")
+        s.sql("""INSERT INTO graft.testdata.events_trunc
+                |SELECT * FROM trunc_src WHERE event_type = 'click'""".stripMargin)
+        s.sql("SELECT event_id, ts, user_id, event_type FROM graft.testdata.events_trunc")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE event_type = 'click'""".stripMargin),
+      doc = "SQL TRUNCATE TABLE as an empty-overwrite snapshot: metadata-only " +
+        "commit, schema kept, history time-travelable, table writable after"),
+
     "bloom_filter_write" -> QueryDef(
       (s, dir) => {
         // Operative parquet bloom filters (Iceberg's

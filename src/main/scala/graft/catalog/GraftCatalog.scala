@@ -555,6 +555,28 @@ final class GraftSparkTable(
     snapTable.deleteWhere(keys, keyCols): Unit
   }
 
+  /** `TRUNCATE TABLE graft.ns.t` — an empty overwrite snapshot: the
+    * schema survives, history survives (pre-truncate snapshots still
+    * time-travel; expiry governs their lifetime), and the commit is
+    * METADATA-ONLY via the empty-write path — no dir is written or
+    * referenced. Not the v1 "delete the directory" truncate: a
+    * snapshot table's past is part of its contract.
+    */
+  override def truncateTable(): Boolean = {
+    require(metaKind.isEmpty && pinnedVersion.isEmpty && pinnedAsOfMs.isEmpty,
+      s"cannot TRUNCATE ${name()}: metadata tables and pinned reads are read-only")
+    val spark = SparkSession.active
+    // a ZERO-partition empty frame (not scan.limit(0), which still runs
+    // one task and writes one empty part file): no tasks, no files —
+    // the commit takes the metadata-only empty-write path
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      snapTable.read(spark).schema)
+    snapTable.overwrite(empty,
+      format = snapTable.currentSnapshot.map(_.format).getOrElse("parquet"))
+    true
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(metaKind.isEmpty,
       s"metadata table ${name()} is read-only")

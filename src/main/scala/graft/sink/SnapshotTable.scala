@@ -1736,25 +1736,28 @@ final class SnapshotTable(val root: String, val fullName: String) {
       .save(dataDir)
     val metrics: Map[String, Any] =
       try obs.get catch { case scala.util.control.NonFatal(_) => Map.empty }
-    // an EMPTY batch writes no data files (just _SUCCESS): commit
-    // METADATA-ONLY — the file-less dir is never referenced (it would
-    // fail schema inference on every later read of the snapshot) and
-    // the stats jobs are skipped, but the commit itself still happens,
-    // so carried state and the SUMMARY advance exactly like a non-empty
-    // append (the streaming exactly-once watermark must move on empty
-    // microbatches too, or a replay after one would double-deliver).
-    val wroteFiles = listDataFiles(new File(dataDir)).nonEmpty
     // row count of the NEW dir, recorded into snapshot metadata so
     // history listings never rescan data. Normally free (observed during
     // the write); the fallback footer count is O(files), not O(rows).
     // Computed once, outside the swap loop: the dir is immutable across
     // retries.
+    val filesWritten = listDataFiles(new File(dataDir)).nonEmpty
     val newRows =
-      if (!wroteFiles) 0L
+      if (!filesWritten) 0L
       else metrics.get("__rows") match {
         case Some(l: Long) => l
         case _ => df.sparkSession.read.format(format).load(dataDir).count()
       }
+    // an EMPTY batch (zero rows — whether it wrote nothing at all or a
+    // handful of 0-row part files, which some plans emit) commits
+    // METADATA-ONLY: the dir is never referenced (a file-less dir would
+    // fail schema inference on later reads; 0-row files are dead weight)
+    // and the stats jobs are skipped, but the commit itself still
+    // happens, so carried state and the SUMMARY advance exactly like a
+    // non-empty append (the streaming exactly-once watermark must move
+    // on empty microbatches too, or a replay after one would
+    // double-deliver). TRUNCATE TABLE rides this same path.
+    val wroteFiles = filesWritten && newRows > 0L
     // per-partition stats sidecar (the manifest-stats role): file counts
     // from a directory walk; for partitioned tables ONE column-pruned
     // job yields both the per-partition row counts and the partition

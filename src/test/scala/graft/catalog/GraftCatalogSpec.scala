@@ -359,6 +359,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("unknown column")), s"got: ${msgs(e)}")
   }
 
+  test("TRUNCATE TABLE: schema and history survive, commit is metadata-only") {
+    val wh = freshCatalog("trunc")
+    val t = SnapshotTable(wh, "ns", "tr")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val preId = t.currentSnapshot.get.id
+    spark.sql("TRUNCATE TABLE graft.ns.tr")
+    assert(spark.table("graft.ns.tr").count() == 0)
+    assert(spark.table("graft.ns.tr").columns.toSeq == Seq("id", "v"))
+    // history preserved: pre-truncate state still time-travels
+    assert(spark.sql(s"SELECT * FROM graft.ns.tr VERSION AS OF $preId").count() == 2)
+    // metadata-only: the truncate snapshot references no dirs
+    val head = t.currentSnapshot.get
+    assert(head.dataDirs.isEmpty && head.rowCount == 0)
+    // the table accepts writes again afterwards
+    spark.sql("INSERT INTO graft.ns.tr VALUES (9L, 'z')")
+    assert(spark.table("graft.ns.tr").count() == 1)
+  }
+
   test("extension-less sessions still read through the V1Scan fallback") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
