@@ -189,6 +189,31 @@ object GraftProcedures {
         Seq(Array[Any](utf8(name)))
       }),
 
+    ProcDef("update_partition_spec",
+      Seq(p("table", StringType), p("spec", StringType)),
+      StructType(Seq(
+        StructField("old_spec", StringType),
+        StructField("new_spec", StringType))),
+      "Evolve the declared partition spec (Iceberg updateSpec): the new " +
+        "transforms govern FUTURE writes; old dirs keep their layout and " +
+        "reads prune each epoch with its own transforms. Spec grammar: " +
+        "'days(ts), bucket(16, id), region' ('none' = unpartitioned).",
+      (t, in, _) => {
+        val specStr = in.getUTF8String(1).toString
+        val fields = GraftProcedures.parseSpec(specStr)
+        val old = graft.sink.DeclaredPartitionSpec.read(t.root)
+        t.updatePartitionSpec(fields)
+        def fmt(s: Seq[graft.template.PartitionField]): String =
+          if (s.isEmpty) "none"
+          else s.map(f => f.transform match {
+            case "identity" => f.column
+            case "bucket" | "truncate" => s"${f.transform}(${f.n}, ${f.column})"
+            // report in the DDL's plural form (days(ts)), as written
+            case tr => s"${tr}s(${f.column})"
+          }).mkString(", ")
+        Seq(Array[Any](utf8(fmt(old)), utf8(fmt(fields))))
+      }),
+
     ProcDef("remove_orphan_files",
       Seq(p("table", StringType), opt("older_than_ms", LongType)),
       StructType(Seq(StructField("orphan_path", StringType))),
@@ -203,6 +228,39 @@ object GraftProcedures {
   )
 
   private val byName: Map[String, ProcDef] = all.map(d => d.name -> d).toMap
+
+  /** Parse a partition-spec string — the Iceberg transform vocabulary
+    * as written in DDL: `days(ts), bucket(16, id), truncate(4, code),
+    * region`; `none` (or empty) = unpartitioned.
+    */
+  private[catalog] def parseSpec(spec: String): Seq[graft.template.PartitionField] = {
+    val trimmed = spec.trim
+    if (trimmed.isEmpty || trimmed.equalsIgnoreCase("none")) return Nil
+    val FnRe = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
+    trimmed.split(",(?![^(]*\\))").map(_.trim).toSeq.map {
+      case FnRe(fn, args) =>
+        val parts = args.split(",").map(_.trim).toSeq
+        fn.toLowerCase match {
+          case "year" | "years"   => graft.template.PartitionField(parts.head, "year")
+          case "month" | "months" => graft.template.PartitionField(parts.head, "month")
+          case "day" | "days"     => graft.template.PartitionField(parts.head, "day")
+          case "hour" | "hours"   => graft.template.PartitionField(parts.head, "hour")
+          case "bucket" =>
+            require(parts.length == 2, s"bucket needs (n, col): '$fn($args)'")
+            graft.template.PartitionField(parts(1), "bucket", parts.head.toInt)
+          case "truncate" =>
+            require(parts.length == 2, s"truncate needs (n, col): '$fn($args)'")
+            graft.template.PartitionField(parts(1), "truncate", parts.head.toInt)
+          case other => throw new IllegalArgumentException(
+            s"unknown partition transform '$other' (year(s), month(s), day(s), " +
+              "hour(s), bucket, truncate, or a bare column)")
+        }
+      case bare if bare.nonEmpty && bare.matches("\\w+") =>
+        graft.template.PartitionField(bare, "identity")
+      case bad => throw new IllegalArgumentException(
+        s"bad partition-spec clause '$bad'")
+    }
+  }
 
   def list(): Array[Identifier] =
     all.map(d => Identifier.of(Array("system"), d.name)).toArray

@@ -111,6 +111,32 @@ class GraftProceduresSpec extends SparkSpec {
     assert(t.refs.map(_.name) == Seq("v1"))
   }
 
+  test("update_partition_spec evolves the declared layout from SQL") {
+    val wh = freshCatalog("uspec")
+    val t = SnapshotTable(wh, "ns", "pe")
+    t.overwrite(Seq((1L, "2024-01-05 10:00:00"))
+      .toDF("id", "ts_s").selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts"))
+    val row = spark.sql(
+      "CALL graft.system.update_partition_spec(`table` => 'ns.pe', " +
+        "spec => 'days(ts), bucket(4, id)')")
+      .as[(String, String)].head()
+    assert(row == ("none", "days(ts), bucket(4, id)"))
+    assert(graft.sink.DeclaredPartitionSpec.read(t.root)
+      .map(f => (f.column, f.transform, f.n)) ==
+      Seq(("ts", "day", 0), ("id", "bucket", 4)))
+    // the next catalog write adopts the new layout
+    spark.sql("INSERT INTO graft.ns.pe VALUES (7L, TIMESTAMP '2024-02-01 00:00:00')")
+    val newDir = new java.io.File(t.currentSnapshot.get.dataDirs.last)
+    val sub = newDir.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(sub == Seq("ts_day=2024-02-01"), s"got $sub")
+    // 'none' unpartitions future writes; bad transforms fail loudly
+    spark.sql("CALL graft.system.update_partition_spec(`table` => 'ns.pe', spec => 'none')")
+    assert(graft.sink.DeclaredPartitionSpec.read(t.root).isEmpty)
+    intercept[Exception] {
+      spark.sql("CALL graft.system.update_partition_spec(`table` => 'ns.pe', spec => 'sideways(ts)')")
+    }
+  }
+
   test("fast_forward publishes a branch; unknown procedure and table fail loudly") {
     val wh = freshCatalog("ff")
     val t = SnapshotTable(wh, "ns", "b")
