@@ -1694,6 +1694,37 @@ object MetaQueries {
         "lifecycle from SQL, results returned as rows, engine primitives shared " +
         "with the Scala API"),
 
+    "row_access_filter" -> QueryDef(
+      (s, dir) => {
+        // Row-level access policy, driven by the access.row-filter.<level>
+        // table property: a reader principal's reads exclude the policy'd
+        // rows; other levels are untouched (policies are per-level and
+        // independent). The predicate is a plain Catalyst filter, so it
+        // pushes down / prunes like any user filter — a region- or
+        // date-scoped policy at 100 TB prunes the scan, not the result.
+        // Complements column-level PII masking (project_pii_mask).
+        val wh = freshWarehouse("row_access_filter")
+        val table = SnapshotTable(wh, "testdata", "events_rls")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        table.overwrite(ev): Unit
+        table.setProperties(Map(
+          AccessControl.rowFilterKey(AccessControl.Reader) ->
+            "event_type <> 'purchase'"))
+        val total = ev.count()
+        // admin reads are NOT filtered by the reader policy
+        require(AccessControl.rowFilter(table.read(s), table.properties,
+          table.fullName, AccessControl.Admin).count() == total,
+          "the reader policy must not apply to admin reads")
+        AccessControl.rowFilter(table.read(s), table.properties,
+          table.fullName, AccessControl.Reader)
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE event_type <> 'purchase'""".stripMargin),
+      doc = "row-level access policy (access.row-filter.<level> table " +
+        "property): reader reads exclude policy'd rows, other levels " +
+        "untouched; the policy predicate pushes down like any filter"),
+
     "sql_truncate" -> QueryDef(
       (s, dir) => {
         // TRUNCATE TABLE as an empty-overwrite snapshot: the schema

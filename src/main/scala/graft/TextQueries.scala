@@ -87,6 +87,33 @@ object TextQueries {
         " - keyword extraction; scores quantized via DECIMAL(18,6), rank ties " +
         "broken by term so the cut is bit-deterministic cross-engine"),
 
+    "text_cdc_chunks" -> QueryDef(
+      (s, dir) => TextAnalysis.cdcChunks(tbl(s, dir, "documents"), "text"),
+      Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS len
+             |  FROM documents),
+             |b AS (SELECT doc_id, text, len,
+             |  CASE WHEN len >= 8 THEN list_filter(
+             |    list_transform(range(8, len + 1), i ->
+             |      CASE WHEN CAST(CONCAT('0x',
+             |          substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 15))
+             |        AS BIGINT) % 64 = 0 THEN CAST(i AS INT) END),
+             |    x -> x IS NOT NULL AND x < len)
+             |  ELSE [] END AS bs
+             |  FROM d),
+             |ab AS (SELECT doc_id, text,
+             |    list_concat(list_concat([0], bs), [len]) AS allb FROM b),
+             |j AS (SELECT doc_id, text, allb,
+             |    unnest(range(1, len(allb))) AS jj FROM ab)
+             |SELECT doc_id, CAST(jj - 1 AS INT) AS chunk_id,
+             |  CAST(allb[jj] + 1 AS INT) AS start_char,
+             |  CAST(allb[jj + 1] - allb[jj] AS INT) AS chunk_len,
+             |  md5(substr(text, CAST(allb[jj] + 1 AS INT),
+             |    CAST(allb[jj + 1] - allb[jj] AS INT))) AS chunk_md5
+             |FROM j""".stripMargin),
+      doc = "content-defined chunking (Rabin-style, ~64-char expected chunks): " +
+        "boundaries where the trailing 8-gram hash % 64 = 0 - shift-robust " +
+        "per-chunk md5s for offset-independent dedup; map-only, position-local"),
+
     "text_token_count" -> QueryDef(
       (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text"),
       Some("""SELECT doc_id,

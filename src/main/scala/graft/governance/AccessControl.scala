@@ -58,4 +58,32 @@ object AccessControl {
 
   def maskPii(df: DataFrame, template: TableTemplate, spark: SparkSession): DataFrame =
     maskPii(df, template, resolve(spark))
+
+  /** Property key of the row-level policy for one access level. */
+  def rowFilterKey(level: Level): String = s"access.row-filter.${level.name}"
+
+  /** Row-level access policy: the `access.row-filter.<level>` TABLE
+    * property declares a SQL predicate appended to every governed read
+    * for principals at exactly that level (no property = no filter;
+    * levels are independent — an admin is never filtered by the reader
+    * policy). The policy is a plain Catalyst predicate, so pushdown and
+    * partition pruning apply to it like any user filter — at 100 TB a
+    * region- or date-scoped policy prunes the scan rather than
+    * post-filtering it. Application is audited. Complements
+    * [[maskPii]]'s column-level masking.
+    */
+  def rowFilter(
+      df: DataFrame,
+      properties: Map[String, String],
+      tableName: String,
+      level: Level): DataFrame =
+    properties.get(rowFilterKey(level)) match {
+      case Some(pred) =>
+        // the event taxonomy is the reference's closed 5-event set; a
+        // governed filtered read IS a table_read, annotated with the policy
+        Audit.log("table_read", tableName,
+          Map("access_level" -> level.name, "row_filter" -> pred))
+        df.filter(org.apache.spark.sql.functions.expr(pred))
+      case None => df
+    }
 }

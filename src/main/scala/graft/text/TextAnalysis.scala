@@ -402,6 +402,47 @@ object TextAnalysis {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Content-defined chunking (basic Rabin-style CDC): a chunk boundary
+    * falls after every character position whose trailing k-gram hashes
+    * to 0 (mod `divisor`) — a POSITION-LOCAL rule, so boundaries (and
+    * therefore per-chunk hashes, the dedup payload) survive insertions
+    * and deletions elsewhere in the document, where fixed windows
+    * reshift everything downstream of an edit. Two documents sharing a
+    * run of content share its chunks' md5s at ANY offset — the
+    * shift-robust near-dup primitive fixed-window shingling is not.
+    * Expected chunk length ≈ `divisor` chars. Position-locality is also
+    * what makes it embarrassingly parallel: no sequential min/max-size
+    * state (the one deviation from production CDC chunkers, which add
+    * bounds at the cost of a sequential scan); one map-side pass,
+    * higher-order expressions only. Docs shorter than k (or empty)
+    * yield a single chunk (none when empty).
+    */
+  def cdcChunks(
+      df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame = {
+    require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
+    val len = length(col(textCol))
+    // candidate boundaries: i in [k, len] with hash60(trailing k-gram) % divisor == 0;
+    // a boundary at exactly len would duplicate the end sentinel — drop it
+    val bounds = when(len >= k,
+      filter(
+        transform(sequence(lit(k), len), i =>
+          when(hash60(col(textCol).substr(i - (k - 1), lit(k))) % divisor === 0, i)),
+        x => x.isNotNull && x < len)).otherwise(array().cast("array<int>"))
+    val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
+      concat(array(lit(0)), bounds, array(len)).as("_b"))
+    withBounds
+      .select(col("doc_id"), col("_t"),
+        posexplode(when(size(col("_b")) > 1,
+          transform(sequence(lit(1), size(col("_b")) - 1), j =>
+            struct(element_at(col("_b"), j).as("s"),
+              (element_at(col("_b"), j + 1) - element_at(col("_b"), j)).as("l"))))
+          .otherwise(array().cast("array<struct<s:int,l:int>>"))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        (col("col.s") + 1).cast("int").as("start_char"),
+        col("col.l").cast("int").as("chunk_len"),
+        md5(col("_t").substr(col("col.s") + 1, col("col.l"))).as("chunk_md5"))
+  }
+
   /** Overlapping token-window chunks — the RAG / context-length
     * preprocessing step: each document's whitespace tokens split into
     * windows of `window` tokens starting every `window − overlap`
