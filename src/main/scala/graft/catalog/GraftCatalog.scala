@@ -148,11 +148,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     spec.foreach(p => require(schema.fieldNames.contains(p.column),
       s"PARTITIONED BY references unknown column ${p.column}"))
     val fmt = Option(properties.get("format")).getOrElse("parquet")
+    // operative TBLPROPERTIES validate BEFORE anything lands on disk —
+    // the CREATE fails whole, not a later write (and not half-created)
+    val user = properties.asScala.toMap -- GraftCatalog.ReservedProperties
+    GraftCatalog.validateOperativeProps(user)
     t.create(schema.fields.toSeq.map(f => f.name -> f.dataType.sql), fmt)
     if (spec.nonEmpty) GraftCatalog.writePartitionSpec(t.root, spec)
     // persist user TBLPROPERTIES (Spark-managed keys stay out: they are
     // engine-computed on read, not stored state)
-    val user = properties.asScala.toMap -- GraftCatalog.ReservedProperties
     if (user.nonEmpty) t.setProperties(user)
     new GraftSparkTable(t, None, None)
   }
@@ -243,9 +246,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!GraftCatalog.ReservedProperties.contains(c.property),
           s"property '${c.property}' is engine-managed and cannot be set")
         // operative properties validate at SET time: a typo'd sort
-        // order fails the ALTER, not some later unrelated INSERT
-        if (c.property == graft.sink.WriteSortOrder.Key)
-          graft.sink.WriteSortOrder.parse(c.value): Unit
+        // order or bloom config fails the ALTER, not some later
+        // unrelated INSERT deep inside a write task
+        GraftCatalog.validateOperativeProps(Map(c.property -> c.value))
         t.setProperties(Map(c.property -> c.value))
       case c: TableChange.RemoveProperty =>
         t.unsetProperties(Seq(c.property))
@@ -347,6 +350,22 @@ object GraftCatalog {
           "month(s), day(s), hour(s), bucket, truncate)")
     }
   }
+
+  /** Validate OPERATIVE table properties (the ones writes consume) at
+    * DDL time — a typo'd sort order or bloom config must fail the
+    * CREATE/ALTER that declares it, not some later unrelated write.
+    */
+  private[catalog] def validateOperativeProps(props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      if (k == graft.sink.WriteSortOrder.Key)
+        graft.sink.WriteSortOrder.parse(v): Unit
+      if (k.startsWith(graft.sink.SnapshotTable.BloomEnabledPrefix))
+        require(v == "true" || v == "false",
+          s"'$k' must be true or false, got '$v'")
+      if (k.startsWith(graft.sink.SnapshotTable.BloomNdvPrefix))
+        require(v.toLongOption.exists(_ > 0),
+          s"'$k' must be a positive integer, got '$v'")
+    }
 
   /** Engine PartitionField -> Spark connector Transform (the inverse of
     * [[toPartitionField]], used to report declared specs back to Spark).
@@ -568,10 +587,15 @@ final class GraftSparkTable(
     val spark = SparkSession.active
     // a ZERO-partition empty frame (not scan.limit(0), which still runs
     // one task and writes one empty part file): no tasks, no files —
-    // the commit takes the metadata-only empty-write path
+    // the commit takes the metadata-only empty-write path. Schema from
+    // the head snapshot's tracked columns (O(1) metadata), not from
+    // building the full merged read plan (O(dirs) sidecar walks).
+    val headSchema = StructType(snapTable.schema.map(c =>
+      org.apache.spark.sql.types.StructField(c.name,
+        org.apache.spark.sql.types.DataType.fromDDL(c.dataType))).toArray)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      snapTable.read(spark).schema)
+      if (headSchema.nonEmpty) headSchema else snapTable.read(spark).schema)
     snapTable.overwrite(empty,
       format = snapTable.currentSnapshot.map(_.format).getOrElse("parquet"))
     true
@@ -655,6 +679,7 @@ final class GraftStagedTable(
 
   spec.foreach(p => require(schema0.fieldNames.contains(p.column),
     s"PARTITIONED BY references unknown column ${p.column}"))
+  GraftCatalog.validateOperativeProps(props -- GraftCatalog.ReservedProperties)
 
   // declared write sort order from the NEW definition's TBLPROPERTIES
   // (a REPLACE must sort by the new declaration, not the old table's)
@@ -726,42 +751,73 @@ final class GraftStagedTable(
       }
     }
 
+  /** Replace the user TBLPROPERTIES wholesale and evolve the declared
+    * spec — ONLY called after the data flip succeeded (see ordering
+    * note in [[commitStagedChanges]]).
+    */
+  private def adoptNewDefinition(): Unit = {
+    graft.sink.DeclaredPartitionSpec.write(t.root, spec)
+    val stale = t.properties.keys.toSeq
+    if (stale.nonEmpty) t.unsetProperties(stale)
+    if (userProps.nonEmpty) t.setProperties(userProps)
+  }
+
+  /** A zero-partition empty frame with the DDL schema — writes no
+    * tasks, no files; its commit takes the metadata-only path.
+    */
+  private def emptyFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
+
   override def commitStagedChanges(): Unit =
     SnapshotTable.commitLock(t.root).synchronized {
       stagedId match {
         case Some(id) =>
           if (replace) {
-            // the new definition wins wholesale, inside the same lock
-            // scope as the publish: spec evolution (old dirs keep their
-            // layout — the hidden-partition rule prunes each epoch with
-            // its own transforms) and property replacement land exactly
-            // when the data flips
-            graft.sink.DeclaredPartitionSpec.write(t.root, spec)
-            val stale = t.properties.keys.toSeq
-            if (stale.nonEmpty) t.unsetProperties(stale)
-            if (userProps.nonEmpty) t.setProperties(userProps)
-          }
-          t.publish(id): Unit
+            // ORDER MATTERS: publish first (it CAS-checks the head and
+            // throws on conflict WITHOUT mutating anything), adopt the
+            // new spec/properties only after the data flip succeeded —
+            // the reverse order would leave a conflicted REPLACE's new
+            // metadata clobbering the untouched old table. Both steps
+            // run under the table lock, so no rival writer interleaves.
+            t.publish(id): Unit
+            adoptNewDefinition()
+          } else
+            t.publish(id): Unit
         case None =>
-          // Spark always writes the query result before committing, so
-          // this is only reachable for a never-written staged CREATE —
-          // materialize the empty declared table
-          if (replace) throw new IllegalStateException(
-            s"REPLACE TABLE ${t.fullName}: commit without a staged write")
-          if (!t.exists) createEmpty()
+          // no staged write: Spark routes plain (non-AS-SELECT)
+          // REPLACE TABLE / CREATE OR REPLACE TABLE DDL through the
+          // staging catalog too — materialize the new EMPTY definition
+          if (replace) {
+            // empty overwrite adopting the new schema (history kept,
+            // like RTAS), then the new spec/properties
+            t.overwrite(emptyFrame(SparkSession.active), format = fmt): Unit
+            adoptNewDefinition()
+          } else if (!t.exists) createEmpty()
       }
     }
 
   override def abortStagedChanges(): Unit =
     if (createdTable) {
-      // we created the root (CTAS): remove the whole table — staged
-      // data, metadata, sidecars — as if the statement never ran
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(): Unit
+      // we created the root (CTAS). Removing it wholesale is only safe
+      // while the table is still exclusively OURS: the DDL create
+      // published a visible empty table, and a rival session may have
+      // legally committed into it while our query ran. If any snapshot
+      // beyond our create (id 1) + our own staged write exists, the
+      // rival owns published state — drop only our staged snapshot and
+      // leave the table standing.
+      val foreign = t.snapshots.exists(s =>
+        s.id != 1L && !stagedId.contains(s.id))
+      if (foreign)
+        stagedId.foreach(t.discardStaged)
+      else {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(t.root))
       }
-      rm(new java.io.File(t.root))
     } else
       // RTAS: drop the staged snapshot and its data; the published
       // table was never touched

@@ -951,16 +951,18 @@ final class SnapshotTable(val root: String, val fullName: String) {
     else Some(commit(df, "append", carryPrevious = true, partitionCols, sortCols,
       format, numRetries, summary = Map(
         SnapshotTable.SummaryQueryId -> queryId,
-        SnapshotTable.SummaryBatchId -> batchId.toString)))
+        SnapshotTable.SummaryBatchId -> batchId.toString,
+        // the durable per-query watermark — carried forward by every
+        // later head, so it survives compaction + expiry
+        s"${SnapshotTable.SummaryBatchPrefix}$queryId" -> batchId.toString)))
 
   /** Highest microbatch id committed by `queryId` — a pure metadata
-    * read over the published snapshots' summaries.
+    * read over the published snapshots' summaries (prefix-key unions
+    * and legacy display pairs both count).
     */
   def lastCommittedBatch(queryId: String): Option[Long] =
     snapshots.filterNot(_.staged)
-      .filter(_.summary.get(SnapshotTable.SummaryQueryId).contains(queryId))
-      .flatMap(_.summary.get(SnapshotTable.SummaryBatchId))
-      .flatMap(_.toLongOption)
+      .flatMap(s => SnapshotTable.watermarksOf(s).get(queryId))
       .maxOption
 
   /** Write-audit-publish, step 1 (Iceberg WAP): commit the batch as a
@@ -1968,7 +1970,22 @@ final class SnapshotTable(val root: String, val fullName: String) {
           parentId = Some(actualParent.getOrElse(0L)),
           cols = cols,
           lastColumnId = math.max(watermark0, nextId),
-          summary = summary)
+          // every new head carries the UNION of its parent's per-query
+          // streaming watermarks (as durable prefix keys) under this
+          // commit's own annotations — so compaction and expiry can
+          // collapse history to one snapshot without ever regressing
+          // the exactly-once guarantee. Per-query max wins on conflict.
+          summary = {
+            val inherited = head.map(SnapshotTable.watermarksOf).getOrElse(Map.empty)
+            val ownMarks = SnapshotTable.watermarksOf(
+              Snapshot(0L, 0L, "probe", Nil, summary = summary))
+            val merged = (inherited.keySet ++ ownMarks.keySet).map { q =>
+              s"${SnapshotTable.SummaryBatchPrefix}$q" ->
+                math.max(inherited.getOrElse(q, Long.MinValue),
+                  ownMarks.getOrElse(q, Long.MinValue)).toString
+            }.toMap
+            summary ++ merged
+          })
         writeMetadata(prev :+ snap)
         // advance the branch ref atomically with the metadata swap
         // (same lock): readers of the ref see old-head-or-new-head,
@@ -2463,9 +2480,35 @@ final class SnapshotTable(val root: String, val fullName: String) {
 }
 
 object SnapshotTable {
-  /** Snapshot-summary keys of the exactly-once streaming watermark. */
+  /** Snapshot-summary keys of the exactly-once streaming watermark.
+    * The per-query key (`SummaryBatchPrefix` + queryId) is the DURABLE
+    * watermark: every new published head carries the union of its
+    * parent's per-query watermarks forward (trySwap; head-copying
+    * commits inherit via `copy`), so maintenance that collapses history
+    * — compaction + expiry down to one snapshot — can never regress the
+    * exactly-once guarantee. The query-id/batch-id pair is display
+    * metadata describing which batch THIS commit was.
+    */
   val SummaryQueryId = "streaming.query-id"
   val SummaryBatchId = "streaming.batch-id"
+  val SummaryBatchPrefix = "streaming.batch-id."
+
+  /** The per-query watermarks a snapshot carries: durable prefix keys
+    * plus the legacy display-pair form (pre-prefix metadata).
+    */
+  private[graft] def watermarksOf(s: Snapshot): Map[String, Long] = {
+    val prefixed = s.summary.collect {
+      case (k, v) if k.startsWith(SummaryBatchPrefix) &&
+        v.toLongOption.isDefined =>
+        k.stripPrefix(SummaryBatchPrefix) -> v.toLong
+    }
+    val legacy = for {
+      q <- s.summary.get(SummaryQueryId)
+      b <- s.summary.get(SummaryBatchId).flatMap(_.toLongOption)
+    } yield q -> b
+    // prefix form wins (it is the carried union; legacy is this commit's own)
+    legacy.toMap ++ prefixed
+  }
 
   /** Table-property prefixes declaring per-column parquet bloom filters
     * (Iceberg's write properties; value for the enabled prefix is

@@ -377,6 +377,68 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.ns.tr").count() == 1)
   }
 
+  test("plain REPLACE TABLE (no AS SELECT) materializes the new empty definition") {
+    val wh = freshCatalog("plainrt")
+    val t = SnapshotTable(wh, "ns", "pr")
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val preId = t.currentSnapshot.get.id
+    spark.sql("REPLACE TABLE graft.ns.pr (k BIGINT, score DOUBLE)")
+    assert(spark.table("graft.ns.pr").columns.toSeq == Seq("k", "score"))
+    assert(spark.table("graft.ns.pr").count() == 0)
+    // history kept, like RTAS
+    assert(spark.sql(s"SELECT * FROM graft.ns.pr VERSION AS OF $preId").count() == 1)
+    // CREATE OR REPLACE without AS SELECT works on both arms
+    spark.sql("CREATE OR REPLACE TABLE graft.ns.pr2 (x BIGINT)")
+    assert(spark.table("graft.ns.pr2").count() == 0)
+    spark.sql("CREATE OR REPLACE TABLE graft.ns.pr2 (y STRING)")
+    assert(spark.table("graft.ns.pr2").columns.toSeq == Seq("y"))
+  }
+
+  test("conflicted RTAS leaves the live table's spec and properties untouched") {
+    val wh = freshCatalog("rtconf")
+    val t = SnapshotTable(wh, "ns", "cf")
+    t.overwrite(Seq((1L, "2024-01-05 10:00:00")).toDF("id", "ts_s")
+      .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts"))
+    t.setProperties(Map("owner.team" -> "old-team"))
+    // stage a replace with a NEW spec + NEW properties...
+    val staged = new GraftStagedTable(t,
+      spark.table("graft.ns.cf").schema,
+      Seq(graft.template.PartitionField("ts", "day")),
+      Map("owner.team" -> "new-team"), replace = true)
+    val rel = staged.newWriteBuilder(null).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write].toInsertableRelation
+    rel.insert(spark.table("graft.ns.cf"), false)
+    // ...then a rival commit advances the head before the commit
+    t.append(Seq((2L, "2024-01-06 10:00:00")).toDF("id", "ts_s")
+      .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts"))
+    intercept[graft.sink.PublishConflictException] { staged.commitStagedChanges() }
+    // the conflicted REPLACE must not have clobbered the table's metadata
+    assert(t.properties == Map("owner.team" -> "old-team"),
+      "conflicted RTAS must leave properties untouched")
+    assert(graft.sink.DeclaredPartitionSpec.read(t.root).isEmpty,
+      "conflicted RTAS must leave the declared spec untouched")
+    staged.abortStagedChanges()
+    assert(!t.snapshots.exists(_.staged))
+    assert(t.read(spark).count() == 2)
+  }
+
+  test("CTAS abort never deletes a rival's published commits") {
+    val wh = freshCatalog("ctrival")
+    val t = SnapshotTable(wh, "ns", "rv")
+    val staged = new GraftStagedTable(t,
+      Seq((0L, "x")).toDF("id", "v").schema, Nil, Map.empty, replace = false)
+    val rel = staged.newWriteBuilder(null).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write].toInsertableRelation
+    rel.insert(Seq((1L, "ours")).toDF("id", "v"), false)
+    // a rival legally commits into the (visible, empty) created table
+    t.append(Seq((2L, "rival")).toDF("id", "v"))
+    staged.abortStagedChanges()
+    // the rival's published data must survive; only our stage is gone
+    assert(t.exists, "abort must not rm a root containing rival commits")
+    assert(t.read(spark).as[(Long, String)].collect().toSeq == Seq((2L, "rival")))
+    assert(!t.snapshots.exists(_.staged))
+  }
+
   test("extension-less sessions still read through the V1Scan fallback") {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession

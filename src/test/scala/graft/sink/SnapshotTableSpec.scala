@@ -740,7 +740,8 @@ class SnapshotTableSpec extends SparkSpec {
     val s0 = t.appendOnce("q1", 0L, Seq((2L, "b")).toDF("id", "v"))
     assert(s0.isDefined)
     assert(s0.get.summary == Map(
-      SnapshotTable.SummaryQueryId -> "q1", SnapshotTable.SummaryBatchId -> "0"))
+      SnapshotTable.SummaryQueryId -> "q1", SnapshotTable.SummaryBatchId -> "0",
+      s"${SnapshotTable.SummaryBatchPrefix}q1" -> "0"))
     // the watermark survives the metadata round trip
     assert(t.lastCommittedBatch("q1").contains(0L))
     // same batch re-delivered -> skipped, table unchanged
@@ -755,8 +756,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(t.appendOnce("q2", 0L, Seq((4L, "d")).toDF("id", "v")).isDefined)
     assert(t.lastCommittedBatch("q2").contains(0L))
     assert(t.read(spark).count() == 4)
-    // plain commits carry no summary
-    assert(t.append(Seq((5L, "e")).toDF("id", "v")).summary.isEmpty)
+    // plain commits carry no display annotations of their own, but DO
+    // carry the per-query watermark union forward (expiry safety)
+    val plain = t.append(Seq((5L, "e")).toDF("id", "v")).summary
+    assert(!plain.contains(SnapshotTable.SummaryQueryId))
+    assert(plain.get(s"${SnapshotTable.SummaryBatchPrefix}q1").contains("1"))
+    assert(plain.get(s"${SnapshotTable.SummaryBatchPrefix}q2").contains("0"))
+  }
+
+  test("the exactly-once watermark survives compaction and full history expiry") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    assert(t.appendOnce("q", 0L, Seq((2L, "b")).toDF("id", "v")).isDefined)
+    assert(t.appendOnce("q", 1L, Seq((3L, "c")).toDF("id", "v")).isDefined)
+    // maintenance collapses history: compact to one dir, expire all but head
+    t.compact(spark)
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 60000, retainLast = 1)
+    assert(expired.nonEmpty && t.snapshots.size == 1,
+      "fixture must actually collapse history to the compacted head")
+    // the compacted head carried the per-query watermark union forward
+    assert(t.lastCommittedBatch("q").contains(1L),
+      "maintenance must never regress the exactly-once watermark")
+    assert(t.appendOnce("q", 1L, Seq((3L, "c")).toDF("id", "v")).isEmpty,
+      "a re-delivered batch after maintenance must still be skipped")
+    assert(t.appendOnce("q", 2L, Seq((4L, "d")).toDF("id", "v")).isDefined)
+    assert(t.read(spark).count() == 4)
+    // intermediate plain appends also carry the union forward
+    t.append(Seq((5L, "e")).toDF("id", "v"))
+    assert(t.currentSnapshot.get.summary
+      .get(s"${SnapshotTable.SummaryBatchPrefix}q").contains("2"))
   }
 
   test("an empty batch commits metadata-only: no file-less dir, reads stay healthy") {
