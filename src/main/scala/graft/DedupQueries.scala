@@ -113,21 +113,19 @@ object DedupQueries {
               Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
             .filter(col("_rn") === 1).drop("_rn")
         }
-        // Shingles are per-document, so kept-corpus postings can be
-        // derived two ways with identical results; pick by what exists:
-        //  - full-corpus postings already cached (another dedup operator
-        //    built them this run) -> cheap semi-join to kept ids;
-        //  - nothing cached -> shingle the KEPT docs directly. Building
-        //    the full index just to filter it would tokenize documents
-        //    the quality gate already discarded — at 100 TB with an
-        //    aggressive filter that is most of the corpus.
+        // Shingle the KEPT docs directly — never the full corpus.
+        // Building the full index just to filter it would tokenize
+        // documents the quality gate already discarded (at 100 TB with
+        // an aggressive filter that is most of the corpus), and reusing
+        // a full-postings cache another dedup operator MIGHT have left
+        // made the capstone's measured cost depend on which query ran
+        // first (r10 driver bench doubled on exactly that order change).
+        // Same result either way — shingles are per-document — so the
+        // deterministic, standalone-cheapest derivation wins.
         // The maxDf rarity cap is applied by jaccardPairs AFTER this
         // restriction, i.e. counted over kept docs, matching the oracle.
         val keptPostings = Dedup.sharedDerived(docs, "corpus_clean:postings") {
-          Dedup.peekPostings(docs, "text", 3) match {
-            case Some(full) => full.join(kept.select("doc_id"), "doc_id")
-            case None       => Dedup.shinglePostings(kept, "text", 3)
-          }
+          Dedup.shinglePostings(kept, "text", 3)
         }
         val nearDupLosers = Dedup.jaccardPairs(
             keptPostings, minJaccard = 0.6, maxDf = 10)

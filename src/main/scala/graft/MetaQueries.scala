@@ -632,30 +632,33 @@ object MetaQueries {
     "table_files" -> QueryDef(
       (s, dir) => {
         // the Iceberg `$files` metadata table: per-FILE path / size /
-        // record-count stats, record counts read from parquet FOOTERS
-        // (metadata pages only — no data I/O). The oracle cross-checks
-        // the footer chain against ground truth: per-partition sums of
-        // per-file record counts must equal the true per-day row
-        // counts — a different evidence path than `$partitions`
-        // (which serves commit-time sidecars), same answer.
+        // record-count stats SERVED from the per-file sidecar every
+        // commit writes beside its dir (the manifest-entry role) — the
+        // serving path opens zero data files and zero parquet footers,
+        // pinned below. The oracle cross-checks ground truth: the
+        // per-partition sums of per-file record counts must equal the
+        // true per-day row counts.
         val wh = freshWarehouse("table_files")
         val table = SnapshotTable(wh, "testdata", "events_filestats")
         val ev = tbl(s, dir, "events")
           .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
         table.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
         table.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
+        val footersBefore = SnapshotTable.footerReads.get()
         val files = table.fileStats(s)
+        require(SnapshotTable.footerReads.get() == footersBefore,
+          "$files must serve from commit-time sidecars, not query-time footer reads")
         val bad = files.filter(col("record_count") < 0 || col("size_bytes") <= 0).count()
-        require(bad == 0, s"$bad files with unreadable footers / empty sizes")
+        require(bad == 0, s"$bad files with unknown records / empty sizes")
         files.groupBy(col("partition_path"))
           .agg(sum(col("record_count")).as("row_count"))
       },
       Some("""SELECT 'ts_day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_path,
              |  count(*) AS row_count
              |FROM events GROUP BY 1""".stripMargin),
-      doc = "Iceberg $files parity: per-file size + record stats from parquet " +
-        "footers (no data I/O); per-partition footer sums cross-check the " +
-        "sidecar evidence chain"),
+      doc = "Iceberg $files parity: per-file size + record stats from commit-time " +
+        "sidecars (manifest role) — zero footer or data I/O at query time, " +
+        "pinned in-query; per-partition sums cross-check the oracle"),
 
     "drift_stats" -> QueryDef(
       (s, dir) => {
@@ -1165,6 +1168,55 @@ object MetaQueries {
       doc = "Multi-clause conditional SQL MERGE (WHEN MATCHED AND cond THEN " +
         "DELETE / unconditional UPDATE fallback / conditional INSERT), " +
         "first-true-wins clause order, lowered onto dir-granular copy-on-write"),
+
+    "sql_merge_not_by_source" -> QueryDef(
+      (s, dir) => {
+        // The third MERGE arm — WHEN NOT MATCHED BY SOURCE — the
+        // full-sync shape: the delivery IS the truth, so target rows the
+        // delivery omits are retired (DELETE) or flagged (UPDATE), in
+        // the SAME atomic statement that upserts the delivered rows.
+        // Detection inverts to an ANTI-join of the broadcast source keys
+        // (target rows with no source match), restricted by the clauses'
+        // target-only conditions; the ordered BY SOURCE clauses apply
+        // first-true-wins over exactly the unmatched target rows.
+        // Delivery: keys % 3 == 0 (balances restated). Absent rows:
+        // negative balances DELETE, others get flagged with name prefix.
+        val wh = freshWarehouse("sql_merge_nbs")
+        val table = SnapshotTable(wh, "testdata", "customer_nbs")
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        table.overwrite(c): Unit
+        val before = table.currentSnapshot.get.rowCount
+        val delivered = c.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 5.0)
+        delivered.createOrReplaceTempView("sql_nbs_src")
+        val retired = c.filter(col("c_custkey") % 3 =!= 0 && col("c_acctbal") < 0).count()
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""MERGE INTO graft.testdata.customer_nbs t
+                |USING sql_nbs_src s ON t.c_custkey = s.c_custkey
+                |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+                |WHEN NOT MATCHED THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN DELETE
+                |WHEN NOT MATCHED BY SOURCE THEN
+                |  UPDATE SET c_name = concat('stale_', t.c_name)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount == before - retired,
+          s"BY SOURCE clauses must retire exactly the absent negative rows: " +
+            s"expected ${before - retired} rows, recorded ${snap.rowCount}")
+        s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft.testdata.customer_nbs")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 3 = 0 THEN c_name
+             |       ELSE 'stale_' || c_name END AS c_name,
+             |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 5.0
+             |       ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |WHERE c_custkey % 3 = 0 OR c_acctbal >= 0""".stripMargin),
+      doc = "MERGE WHEN NOT MATCHED BY SOURCE (full-sync shape): absent target " +
+        "rows retire or restate in the same atomic statement; detection is the " +
+        "inverted (anti-join) broadcast of the source keys, ordered clauses " +
+        "first-true-wins"),
 
     "sql_replace_table" -> QueryDef(
       (s, dir) => {
@@ -1724,6 +1776,63 @@ object MetaQueries {
       doc = "row-level access policy (access.row-filter.<level> table " +
         "property): reader reads exclude policy'd rows, other levels " +
         "untouched; the policy predicate pushes down like any filter"),
+
+    "namespace_access" -> QueryDef(
+      (s, dir) => {
+        // Team-scoped namespaces (docs/multi-tenancy.md §Shared Tables
+        // vs Team Tables, Option A): a `team-<owner>` namespace is
+        // AUTOMATICALLY restricted to the owning team + platform (admin)
+        // — no per-table policy to forget. Enforced at the catalog front
+        // door (every SQL route resolves tables there), denials audited.
+        val wh = freshWarehouse("namespace_access")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        try {
+          // the ML team materializes a scratch table in ITS namespace
+          s.conf.set("graft.access.level", "writer")
+          s.conf.set("graft.access.team", "ml")
+          tbl(s, dir, "events")
+            .select("event_id", "event_type", "value")
+            .filter(col("event_type") === "purchase")
+            .createOrReplaceTempView("na_src")
+          s.sql("CREATE TABLE graft.`team-ml`.purchases AS SELECT * FROM na_src")
+          val own = s.sql("SELECT * FROM graft.`team-ml`.purchases").count()
+          require(own > 0, "owning team must read its own namespace")
+          // a foreign team is refused with an actionable error, on reads
+          // AND writes; the attempt is audited as a denied table_read
+          s.conf.set("graft.access.team", "analytics")
+          def msgs(t: Throwable): Seq[String] =
+            if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+          val deniedRead = try {
+            s.sql("SELECT * FROM graft.`team-ml`.purchases").collect(); Nil
+          } catch { case e: Exception => msgs(e) }
+          require(deniedRead.exists(_.contains("restricted to team 'ml'")),
+            s"foreign team read must fail actionably, got: $deniedRead")
+          val deniedWrite = try {
+            s.sql("INSERT INTO graft.`team-ml`.purchases SELECT * FROM na_src"); Nil
+          } catch { case e: Exception => msgs(e) }
+          require(deniedWrite.exists(_.contains("restricted to team 'ml'")),
+            s"foreign team write must fail actionably, got: $deniedWrite")
+          require(graft.governance.Audit.recorded.exists(ev =>
+            ev.event == "table_read" && ev.details.get("access").contains("denied") &&
+              ev.details.get("namespace").contains("team-ml")),
+            "the denial must be audited")
+          // platform (admin) bypasses regardless of team membership
+          s.conf.set("graft.access.level", "admin")
+          val result =
+            s.sql("SELECT event_id, event_type, value FROM graft.`team-ml`.purchases")
+          result.count(): Unit // force analysis + one run under admin
+          result
+        } finally {
+          s.conf.unset("graft.access.team")
+          s.conf.unset("graft.access.level")
+        }
+      },
+      Some("""SELECT event_id, event_type, value FROM events
+             |WHERE event_type = 'purchase'""".stripMargin),
+      doc = "team-namespace access matrix (multi-tenancy Option A): team-% " +
+        "namespaces auto-restrict to owning team + platform; catalog-front-door " +
+        "enforcement on reads and writes, denials audited"),
 
     "sql_truncate" -> QueryDef(
       (s, dir) => {

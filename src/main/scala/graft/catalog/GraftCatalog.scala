@@ -78,6 +78,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableOf(ident: Identifier): SnapshotTable = {
     require(ident.namespace.length == 1,
       s"graft tables are <namespace>.<name>; got ${ident.toString}")
+    // team-namespace access matrix: every catalog route (read, INSERT,
+    // DDL, drop) resolves its table here, so `team-%` restriction can't
+    // be bypassed by picking a different statement shape
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+      graft.governance.AccessControl.checkNamespaceAccess(
+        ident.namespace.head, s"${ident.namespace.head}.${ident.name}", s))
     SnapshotTable(warehouse, ident.namespace.head, ident.name)
   }
 
@@ -86,12 +92,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // `.partitions` / `.history` (the reference pre-provisions the same
     // listings as named Athena queries, aws/modules/athena/main.tf:48-67)
     if (ident.namespace.length == 2 && GraftCatalog.MetaTables.contains(ident.name)) {
+      // metadata tables are reads of the base table: same access matrix
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+        graft.governance.AccessControl.checkNamespaceAccess(
+          ident.namespace()(0), s"${ident.namespace()(0)}.${ident.namespace()(1)}", s))
       val t = SnapshotTable(warehouse, ident.namespace()(0), ident.namespace()(1))
-      if (!t.exists) throw new NoSuchTableException(ident)
+      if (!t.existsVisible) throw new NoSuchTableException(ident)
       return new GraftSparkTable(t, None, None, Some(ident.name))
     }
     val t = tableOf(ident)
-    if (!t.exists) throw new NoSuchTableException(ident)
+    if (!t.existsVisible) throw new NoSuchTableException(ident)
     new GraftSparkTable(t, None, None)
   }
 
@@ -101,7 +111,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = tableOf(ident)
-    if (!t.exists) throw new NoSuchTableException(ident)
+    if (!t.existsVisible) throw new NoSuchTableException(ident)
     val id = try version.toLong catch {
       case _: NumberFormatException =>
         t.refs.find(_.name == version).map(_.snapshotId).getOrElse(
@@ -116,12 +126,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** Time travel: `TIMESTAMP AS OF <ts>` (Spark passes MICROseconds). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = tableOf(ident)
-    if (!t.exists) throw new NoSuchTableException(ident)
+    if (!t.existsVisible) throw new NoSuchTableException(ident)
     new GraftSparkTable(t, None, Some(Math.floorDiv(timestampMicros, 1000L)))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 && tableOf(ident).exists
+    ident.namespace.length == 1 && tableOf(ident).existsVisible
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
@@ -129,6 +139,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix))
       .map(f => Identifier.of(namespace, f.getName.stripPrefix(prefix)))
+      // an in-flight atomic CTAS's staged-only root is not a table yet
+      .filter(id => tableOf(id).existsVisible)
   }
 
   override def createTable(
@@ -137,7 +149,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val t = tableOf(ident)
-    if (t.exists) throw new TableAlreadyExistsException(ident)
+    if (t.existsVisible) throw new TableAlreadyExistsException(ident)
     // `PARTITIONED BY (days(ts), bucket(16, id), region, ...)` — the
     // Iceberg transform vocabulary, mapped onto the engine's template
     // PartitionFields and persisted beside the table metadata; every
@@ -174,7 +186,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     val t = tableOf(ident)
-    if (t.exists) throw new TableAlreadyExistsException(ident)
+    if (t.existsVisible) throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(t, schema,
       partitions.toSeq.map(GraftCatalog.toPartitionField),
       properties.asScala.toMap, replace = false)
@@ -186,7 +198,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     val t = tableOf(ident)
-    if (!t.exists) throw new NoSuchTableException(ident)
+    if (!t.existsVisible) throw new NoSuchTableException(ident)
     new GraftStagedTable(t, schema,
       partitions.toSeq.map(GraftCatalog.toPartitionField),
       properties.asScala.toMap, replace = true)
@@ -200,7 +212,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t = tableOf(ident)
     new GraftStagedTable(t, schema,
       partitions.toSeq.map(GraftCatalog.toPartitionField),
-      properties.asScala.toMap, replace = t.exists)
+      properties.asScala.toMap, replace = t.existsVisible)
   }
 
   // ---- stored procedures (the Iceberg CALL system.* vocabulary) ----
@@ -213,8 +225,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val parts = ref.split("\\.", 2)
       require(parts.length == 2,
         s"procedure table argument must be '<namespace>.<table>', got '$ref'")
+      // maintenance procedures act on the table: same team-namespace matrix
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+        graft.governance.AccessControl.checkNamespaceAccess(parts(0), ref, s))
       val t = SnapshotTable(warehouse, parts(0), parts(1))
-      if (!t.exists)
+      if (!t.existsVisible)
         throw new NoSuchTableException(Identifier.of(Array(parts(0)), parts(1)))
       t
     })
@@ -227,7 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** DDL schema evolution, mapped onto the metadata-only commits. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tableOf(ident)
-    if (!t.exists) throw new NoSuchTableException(ident)
+    if (!t.existsVisible) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     changes.foreach {
       case c: TableChange.AddColumn =>
@@ -696,14 +711,9 @@ final class GraftStagedTable(
   private val fmt = props.getOrElse("format", "parquet")
   private def userProps: Map[String, String] = props -- GraftCatalog.ReservedProperties
   @volatile private var stagedId: Option[Long] = None
-  // only the CTAS that actually created the root may delete it on abort:
-  // if a rival CTAS won the create race, our create threw and their
-  // table must survive our abort
-  @volatile private var createdTable = false
 
   private def createEmpty(): Unit = {
     t.create(schema0.fields.toSeq.map(f => f.name -> f.dataType.sql), fmt)
-    createdTable = true
     if (spec.nonEmpty) GraftCatalog.writePartitionSpec(t.root, spec)
     if (userProps.nonEmpty) t.setProperties(userProps)
   }
@@ -739,13 +749,14 @@ final class GraftStagedTable(
               stagedId =
                 if (replace)
                   Some(t.stageOverwrite(toWrite, pCols, sortCols, format = fmt).id)
-                else {
-                  // CREATE: declare the schema first (concurrent readers
-                  // see an empty table with the right shape, never
-                  // partial data), then stage the query result on top
-                  createEmpty()
+                else
+                  // CREATE: stage ONLY — the staged snapshot (and its
+                  // column ids, derived from the query result) is
+                  // invisible to every reader, lister and rival CREATE
+                  // until commitStagedChanges publishes it; nothing of
+                  // the table exists before commit, per the StagedTable
+                  // contract
                   Some(t.stageAppend(toWrite, pCols, sortCols, format = fmt).id)
-                }
             }
           }
       }
@@ -782,8 +793,26 @@ final class GraftStagedTable(
             // run under the table lock, so no rival writer interleaves.
             t.publish(id): Unit
             adoptNewDefinition()
-          } else
+          } else {
+            // CREATE: this flip is the table's birth — nothing was
+            // visible before it. A rival that PUBLISHED the same name
+            // while our query ran (plain CREATE, or a rival CTAS that
+            // committed first) owns the table; our CTAS fails whole,
+            // leaving the rival byte-untouched. Rival STAGED snapshots
+            // (a CTAS still in flight) don't block us — the loser's own
+            // commit will detect our published state here.
+            if (t.snapshots.exists(s => !s.staged && s.id != id)) {
+              t.discardStaged(id)
+              throw new IllegalStateException(
+                s"CREATE TABLE ${t.fullName} AS SELECT lost the create " +
+                  "race: the table was created concurrently while the " +
+                  "query ran; it remains untouched (retry as INSERT or " +
+                  "REPLACE TABLE)")
+            }
             t.publish(id): Unit
+            if (spec.nonEmpty) GraftCatalog.writePartitionSpec(t.root, spec)
+            if (userProps.nonEmpty) t.setProperties(userProps)
+          }
         case None =>
           // no staged write: Spark routes plain (non-AS-SELECT)
           // REPLACE TABLE / CREATE OR REPLACE TABLE DDL through the
@@ -793,35 +822,39 @@ final class GraftStagedTable(
             // like RTAS), then the new spec/properties
             t.overwrite(emptyFrame(SparkSession.active), format = fmt): Unit
             adoptNewDefinition()
-          } else if (!t.exists) createEmpty()
+          } else if (!t.existsVisible) createEmpty()
       }
     }
 
   override def abortStagedChanges(): Unit =
-    if (createdTable) {
-      // we created the root (CTAS). Removing it wholesale is only safe
-      // while the table is still exclusively OURS: the DDL create
-      // published a visible empty table, and a rival session may have
-      // legally committed into it while our query ran. If any snapshot
-      // beyond our create (id 1) + our own staged write exists, the
-      // rival owns published state — drop only our staged snapshot and
-      // leave the table standing.
-      val foreign = t.snapshots.exists(s =>
-        s.id != 1L && !stagedId.contains(s.id))
-      if (foreign)
-        stagedId.foreach(t.discardStaged)
-      else {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-          f.delete(): Unit
+    // under the table's commit lock: the foreign-state check and any
+    // root removal must be atomic against a rival CTAS staging into the
+    // same (not-yet-visible) root concurrently
+    SnapshotTable.commitLock(t.root).synchronized {
+      stagedId.foreach { id =>
+        if (replace)
+          // RTAS: drop the staged snapshot and its data; the published
+          // table was never touched
+          t.discardStaged(id)
+        else {
+          // CREATE: nothing was ever visible. If our staged snapshot is
+          // the ONLY state under the root, remove the root wholesale —
+          // no trace remains. Foreign snapshots (a rival in-flight CTAS's
+          // stage, or a published table that won the name) must survive:
+          // drop only ours.
+          val foreign = t.snapshots.exists(_.id != id)
+          if (foreign) t.discardStaged(id)
+          else {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory)
+                Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+              f.delete(): Unit
+            }
+            rm(new java.io.File(t.root))
+          }
         }
-        rm(new java.io.File(t.root))
       }
-    } else
-      // RTAS: drop the staged snapshot and its data; the published
-      // table was never touched
-      stagedId.foreach(t.discardStaged)
+    }
 }
 
 /** Extension-less fallback relation: executes the (column-pruned)

@@ -26,13 +26,14 @@ import org.apache.spark.sql.functions.lit
   *    over the target row;
   *  - `MERGE INTO t USING s ON` equality conjunctions of target and
   *    source columns, with any number of ordered `WHEN MATCHED
-  *    [AND cond] THEN UPDATE SET ... | UPDATE SET * | DELETE` and
-  *    `WHEN NOT MATCHED [AND cond] THEN INSERT ... | INSERT *` clauses
-  *    (first-true-wins per row, SQL clause-order semantics).
-  * Everything else (NOT MATCHED BY SOURCE, non-equality ON, subqueries
-  * in conditions/assignments, schema-evolving MERGE) raises a clear
-  * unsupported error instead of a rewrite that silently diverges from
-  * SQL semantics.
+  *    [AND cond] THEN UPDATE SET ... | UPDATE SET * | DELETE`,
+  *    `WHEN NOT MATCHED [AND cond] THEN INSERT ... | INSERT *` and
+  *    `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... |
+  *    DELETE` clauses (each list first-true-wins per row, SQL
+  *    clause-order semantics).
+  * Everything else (non-equality ON, subqueries in conditions/
+  * assignments, schema-evolving MERGE) raises a clear unsupported error
+  * instead of a rewrite that silently diverges from SQL semantics.
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -99,9 +100,6 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def lowerMerge(m: MergeIntoTable): LogicalPlan = {
     val t = graftTable(m.targetTable, "MERGE")
-    require(m.notMatchedBySourceActions.isEmpty,
-      "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported; express it as a " +
-        "separate UPDATE/DELETE")
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported; evolve the table first " +
         "(ALTER TABLE ADD COLUMN)")
@@ -145,7 +143,24 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"unsupported WHEN NOT MATCHED action: $other")
     }
 
-    GraftMergeCommand(t.snapTable, m.sourceTable, keys, matchedClauses, notMatchedClauses)
+    // the third MERGE arm: target rows no source row matches. Spark's
+    // analyzer already restricts these conditions/assignments to target
+    // references; xlate maps them into the rewrite's __t frame.
+    val bySourceClauses: Seq[Merge.WhenNotMatchedBySource] =
+      m.notMatchedBySourceActions.map {
+        case da: DeleteAction =>
+          Merge.WhenNotMatchedBySource(Merge.Delete, da.condition.map(xlate(_, tSet, sSet)))
+        case ua: UpdateAction =>
+          Merge.WhenNotMatchedBySource(
+            Merge.Update(ua.assignments.map(a =>
+              topLevelName(a.key, "MERGE UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
+            ua.condition.map(xlate(_, tSet, sSet)))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
+
+    GraftMergeCommand(t.snapTable, m.sourceTable, keys, matchedClauses,
+      notMatchedClauses, bySourceClauses)
   }
 }
 
@@ -169,10 +184,13 @@ final case class GraftMergeCommand(
     @transient sourcePlan: LogicalPlan,
     keys: Seq[(String, String)],
     matchedClauses: Seq[Merge.WhenMatched],
-    notMatchedClauses: Seq[Merge.WhenNotMatched]) extends LeafRunnableCommand {
+    notMatchedClauses: Seq[Merge.WhenNotMatched],
+    notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil)
+  extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     table.mergeClauses(
-      GraftSqlShim.ofRows(spark, sourcePlan), keys, matchedClauses, notMatchedClauses)
+      GraftSqlShim.ofRows(spark, sourcePlan), keys, matchedClauses, notMatchedClauses,
+      notMatchedBySourceClauses)
     Nil
   }
 }

@@ -66,12 +66,6 @@ object Dedup {
   def sharedDerived(src: DataFrame, tag: String)(build: => DataFrame): DataFrame =
     derivedCache.getOrBuild(src, tag, 0)(build)
 
-  /** Cached full-corpus postings if some operator already built them
-    * this run; never triggers a build.
-    */
-  def peekPostings(df: DataFrame, textCol: String, n: Int = 3): Option[DataFrame] =
-    postingsCache.peek(df, textCol, n)
-
   /** [[shinglePostings]] through the keyed cache (`dedup_ngram_jaccard`,
     * `dedup_minhash`, `corpus_clean` share one postings build per
     * dataset).

@@ -59,6 +59,59 @@ object AccessControl {
   def maskPii(df: DataFrame, template: TableTemplate, spark: SparkSession): DataFrame =
     maskPii(df, template, resolve(spark))
 
+  /** Team principal of the session: `graft.access.team` session conf
+    * first, then the `LAKEHOUSE_TEAM` environment (the reference's
+    * per-team Dagster instances each carry a team name in their env,
+    * `docs/multi-tenancy.md` onboarding step 3).
+    */
+  def resolveTeam(spark: SparkSession): Option[String] =
+    spark.conf.getOption("graft.access.team")
+      .orElse(sys.env.get("LAKEHOUSE_TEAM"))
+      .map(_.trim.toLowerCase).filter(_.nonEmpty)
+
+  /** `team-{name}` namespaces are team-scoped (docs/multi-tenancy.md
+    * §Shared Tables vs Team Tables, Option A).
+    */
+  val TeamNamespacePrefix = "team-"
+
+  /** Owning team of a team-scoped namespace; None for shared ones. */
+  def namespaceOwner(namespace: String): Option[String] =
+    Some(namespace.toLowerCase).filter(_.startsWith(TeamNamespacePrefix))
+      .map(_.stripPrefix(TeamNamespacePrefix)).filter(_.nonEmpty)
+
+  /** Denied team-namespace access. Fails CLOSED with the remediation. */
+  final case class NamespaceAccessDenied(namespace: String, table: String, principal: String)
+    extends RuntimeException(
+      s"Access to $table denied: namespace '$namespace' is restricted to " +
+        s"team '${namespace.stripPrefix(TeamNamespacePrefix)}' and platform " +
+        s"(admin) principals; this session is $principal. Set " +
+        "graft.access.team to the owning team, use an admin session, or " +
+        "ask the owning team to publish into a shared namespace")
+
+  /** Namespace-scoped access matrix (`docs/multi-tenancy.md:347-354`):
+    * a `team-<owner>` namespace is restricted to the owning team plus
+    * platform (admin) principals — automatically, with no per-table
+    * policy to forget. Shared namespaces are untouched. Enforced at the
+    * catalog front door, so every SQL read/write/DDL route is covered;
+    * denials are audited (a refused attempt is the audit event that
+    * matters most in an access review).
+    */
+  def checkNamespaceAccess(
+      namespace: String, table: String, level: Level, team: Option[String]): Unit =
+    namespaceOwner(namespace).foreach { owner =>
+      if (level != Admin && !team.contains(owner)) {
+        val principal = s"level=${level.name}, team=${team.getOrElse("<none>")}"
+        Audit.log("table_read", table, Map(
+          "access" -> "denied", "namespace" -> namespace,
+          "access_level" -> level.name, "team" -> team.getOrElse("")))
+        throw NamespaceAccessDenied(namespace, table, principal)
+      }
+    }
+
+  /** [[checkNamespaceAccess]] with the session's resolved principal. */
+  def checkNamespaceAccess(namespace: String, table: String, spark: SparkSession): Unit =
+    checkNamespaceAccess(namespace, table, resolve(spark), resolveTeam(spark))
+
   /** Property key of the row-level policy for one access level. */
   def rowFilterKey(level: Level): String = s"access.row-filter.${level.name}"
 

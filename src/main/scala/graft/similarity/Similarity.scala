@@ -56,13 +56,16 @@ object Similarity {
   def quantizeInt8(vectors: DataFrame, embCol: String = "embedding"): DataFrame = {
     val withScale = vectors.withColumn("scale",
       array_max(transform(col(embCol), x => abs(x.cast("double")))) / lit(127.0))
+    // every non-embedding column passes through untouched — the op is a
+    // column rewrite, not a projection onto one fixture's schema
+    val passthrough = vectors.columns.filterNot(_ == embCol).map(col).toSeq
     withScale.select(
-      col("vec_id"), col("label"), col("scale"),
-      transform(col(embCol), x =>
-        when(col("scale") === 0.0, lit(0))
-          .otherwise(greatest(lit(-127.0),
-            least(lit(127.0), floor(x.cast("double") / col("scale") + lit(0.5)))))
-          .cast("tinyint")).as("q"))
+      passthrough :+ col("scale") :+
+        transform(col(embCol), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(greatest(lit(-127.0),
+              least(lit(127.0), floor(x.cast("double") / col("scale") + lit(0.5)))))
+            .cast("tinyint")).as("q"): _*)
   }
 
   /** (id, pos, x) row view of an embedding column. */

@@ -54,6 +54,19 @@ object Merge {
     require(action != Ignore, "Ignore is the absence of a clause, not an action")
   }
 
+  /** One `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE`
+    * clause — acts on TARGET rows no source row matches (the third MERGE
+    * arm: retire or restate rows absent from the delivery).
+    * First-true-wins like the other clause lists; `cond` and assignment
+    * values may reference [[t]] only — there is no source row, which is
+    * also why [[UpdateAll]] (`UPDATE SET *`) is not expressible here.
+    */
+  final case class WhenNotMatchedBySource(action: Matched, cond: Option[Column] = None) {
+    require(action != KeepMatched, "KeepMatched is the absence of a clause, not an action")
+    require(action != UpdateAll,
+      "UPDATE SET * needs a source row; NOT MATCHED BY SOURCE updates assign explicit values")
+  }
+
   /** The target row's column, for use in [[Update]] assignments. */
   def t(name: String): Column = col(s"__t.$name")
 

@@ -148,6 +148,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   def exists: Boolean = Files.exists(metadataPath)
 
+  /** The table has PUBLISHED state — what catalog VISIBILITY means.
+    * Metadata holding only staged snapshots (an in-flight atomic CTAS's
+    * data, crash debris of one) is not a visible table: per the DSv2
+    * StagedTable contract no reader, lister or rival CREATE may observe
+    * any state before commitStagedChanges publishes it.
+    */
+  def existsVisible: Boolean = snapshots.exists(s => !s.staged)
+
   def snapshots: Seq[Snapshot] =
     if (!exists) Nil
     else parse(new String(Files.readAllBytes(metadataPath), StandardCharsets.UTF_8))
@@ -350,6 +358,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           // cur.copy: dirs, format, masks, SCHEMA and watermark all carry
           val snap = cur.copy(id = id, committedAtMs = SnapshotTable.clockMs(),
             operation = "delete", rowCount = total, staged = false,
+            summary = SnapshotTable.carriedSummary(cur.summary),
             deletes = cur.deletes :+
               EqualityDelete(delDir, keyCols, cur.dataDirs, Some(base.format)),
             parentId = Some(cur.id))
@@ -477,22 +486,25 @@ final class SnapshotTable(val root: String, val fullName: String) {
         case Merge.Ignore => Nil
         case nm => Seq(Merge.WhenNotMatched(nm))
       },
-      numRetries)
+      numRetries = numRetries)
 
   /** Full multi-clause MERGE: ordered `WHEN MATCHED [AND cond]` /
-    * `WHEN NOT MATCHED [AND cond]` clauses, first-true-wins per row
-    * (SQL semantics). Dir detection stays a key-pruned semi-join —
-    * conservative under clause conditions: a dir whose matched rows all
-    * fail every condition is rewritten byte-identical rather than
-    * detected as untouched (detecting that would need the full source
-    * join per dir up front; the rewrite itself applies conditions
-    * exactly).
+    * `WHEN NOT MATCHED [AND cond]` / `WHEN NOT MATCHED BY SOURCE
+    * [AND cond]` clauses, each list first-true-wins per row (SQL
+    * semantics). Dir detection stays a key-pruned broadcast join —
+    * semi-join for matched clauses, ANTI-join (plus the clauses'
+    * target-only conditions) for BY SOURCE ones — and conservative
+    * under clause conditions: a dir whose candidate rows all fail every
+    * condition is rewritten byte-identical rather than detected as
+    * untouched (detecting that would need the full source join per dir
+    * up front; the rewrite itself applies conditions exactly).
     */
   def mergeClauses(
       source: DataFrame,
       keys: Seq[(String, String)],
       matchedClauses: Seq[Merge.WhenMatched],
       notMatchedClauses: Seq[Merge.WhenNotMatched],
+      notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil,
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val spark = source.sparkSession
@@ -533,13 +545,31 @@ final class SnapshotTable(val root: String, val fullName: String) {
             "target row — the SQL cardinality rule forbids updating one target row " +
             "twice (dedupe the source)")
       }
-      // dirs holding matched target rows: key-pruned semi-join
+      // dirs holding matched target rows: key-pruned semi-join. BY SOURCE
+      // clauses invert the detection — a dir is affected when it holds
+      // target rows with NO source match that satisfy some clause's
+      // target-only condition (the anti-join of the same broadcast keys).
+      // A fully-matched dir therefore still rewrites byte-identical only
+      // if a matched clause also targets it; a delivery covering every
+      // key leaves untouched dirs untouched.
       val srcKeys = source.select(keys.map { case (tk, sk) => col(sk).as(tk) }: _*).distinct()
-      val affected =
+      val matchedAffected =
         if (matchedClauses.isEmpty) Nil // matched rows stay byte-identical
         else affectedDirs(spark, cur, v =>
           v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
             keys.map(_._1), "left_semi"))
+      val bySourceAffected =
+        if (notMatchedBySourceClauses.isEmpty) Nil
+        else affectedDirs(spark, cur, v => {
+          val anyCond = notMatchedBySourceClauses
+            .map(c => coalesce(c.cond.getOrElse(lit(true)), lit(false)))
+            .reduce(_ || _)
+          v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
+              keys.map(_._1), "left_anti")
+            .alias("__t").filter(anyCond)
+        })
+      val affected = cur.dataDirs.filter(
+        (matchedAffected ++ bySourceAffected).toSet.contains)
       val view = if (affected.isEmpty) None else Some(readDirsView(spark, cur, affected))
       val affectedRows = view.map(_.count()).getOrElse(0L)
 
@@ -565,8 +595,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
       val rewritten: Option[DataFrame] = view.map { v =>
         val joined = v.alias("__t").join(src, joinCond, "left_outer")
-        val preds = clausePreds(matchedCol, matchedClauses.map(_.cond))
-        val withPred = preds.zip(matchedClauses.map(_.action))
+        // matched clauses chain off the match predicate; BY SOURCE
+        // clauses chain off its negation — two independent first-true-
+        // wins lists over disjoint row sets, exactly SQL's contract
+        val preds = clausePreds(matchedCol, matchedClauses.map(_.cond)) ++
+          clausePreds(!matchedCol, notMatchedBySourceClauses.map(_.cond))
+        val withPred = preds.zip(
+          matchedClauses.map(_.action) ++ notMatchedBySourceClauses.map(_.action))
         withPred.foreach {
           case (_, Merge.Update(sets)) =>
             sets.keys.foreach(k => require(schemaCols.exists(_._1 == k),
@@ -722,7 +757,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       case _ => spark.read.format(base.format).load(dataDir).count()
     }
     val (rowsByPart, partBounds) = partitionJobStats(spark, dataDir, pCols, base.format)
-    writePartitionSidecar(dataDir, pCols, rowsByPart, newRows)
+    writePartitionSidecar(dataDir, pCols, rowsByPart, newRows, base.format)
     if (base.cols.nonEmpty)
       writeColumnsSidecar(dataDir, base.cols.map(c =>
         TableColumn(c.id, c.name, c.dataType)))
@@ -756,6 +791,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           rowCount = total,
           maskedDirs = base.maskedDirs -- removed,
           staged = false,
+          summary = SnapshotTable.carriedSummary(base.summary),
           deletes = keptDeletes,
           parentId = Some(base.id))
         writeMetadata(prev :+ snap)
@@ -925,9 +961,15 @@ final class SnapshotTable(val root: String, val fullName: String) {
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format, numRetries)
 
-  /** Append: new snapshot = previous data dirs + newly written dir. */
-  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
-    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries)
+  /** Append: new snapshot = previous data dirs + newly written dir.
+    * `micro = true` declares a streaming-microbatch-sized delta: the
+    * commit trades the per-partition stats JOB for a driver footer walk
+    * and skips partition-column range bounds (see [[commit]]'s micro
+    * note) — per-trigger commit cost must stay O(small), or the sink
+    * throughput is capped by commit machinery rather than data volume.
+    */
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries, micro: Boolean = false): Snapshot =
+    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries, micro = micro)
 
   /** Idempotent streaming append — the Iceberg exactly-once foreachBatch
     * contract: the (queryId, batchId) watermark rides in the snapshot
@@ -949,7 +991,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Option[Snapshot] =
     if (lastCommittedBatch(queryId).exists(_ >= batchId)) None
     else Some(commit(df, "append", carryPrevious = true, partitionCols, sortCols,
-      format, numRetries, summary = Map(
+      format, numRetries, micro = true, summary = Map(
         SnapshotTable.SummaryQueryId -> queryId,
         SnapshotTable.SummaryBatchId -> batchId.toString,
         // the durable per-query watermark — carried forward by every
@@ -1283,12 +1325,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val total =
         if (head.rowCount < 0 || deltaRows < 0) -1L else head.rowCount + deltaRows
       val id = all.map(_.id).max + 1
+      // the picked delta's durable watermarks merge into the new head
+      // (max per query — a watermark never regresses); the head's own
+      // display pair is stripped, as on every head-copying commit
+      val mergedWatermarks =
+        (SnapshotTable.watermarksOf(head).toSeq ++ SnapshotTable.watermarksOf(snap).toSeq)
+          .groupMapReduce(_._1)(_._2)(math.max)
+          .map { case (q, b) => s"${SnapshotTable.SummaryBatchPrefix}$q" -> b.toString }
       val picked = head.copy(
         id = id, committedAtMs = SnapshotTable.clockMs(),
         operation = "cherry_pick",
         dataDirs = head.dataDirs ++ deltaDirs,
         rowCount = total,
         staged = false,
+        summary = SnapshotTable.carriedSummary(head.summary) ++ mergedWatermarks,
         parentId = Some(head.id))
       writeMetadata(all :+ picked)
       Audit.log("table_write", fullName, Map(
@@ -1489,29 +1539,40 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   /** Per-FILE listing of the current snapshot (the Iceberg `$files`
     * metadata-table role): path, owning data dir, partition rel-path,
-    * size in bytes, and the file's record count read from the parquet
-    * FOOTER — metadata pages only, no data I/O (-1 for non-parquet
-    * formats). Files of dynamically-masked partitions are excluded:
-    * they are physically present but logically replaced, exactly like
-    * Iceberg's dead files awaiting orphan cleanup. Driver-side
-    * O(#files) footer reads — the same cost class as a file listing.
+    * size in bytes, record count. A PURE metadata read: every commit
+    * wrote a per-file sidecar beside its (immutable) data dir — the
+    * Iceberg manifest-entry role — so serving `$files` merges tiny JSON
+    * sidecars and opens ZERO data files or parquet footers, the same
+    * bound as `$partitions`. At 100 TB (millions of files) that is the
+    * difference between a metadata query and minutes of single-threaded
+    * driver footer I/O. Dirs written before the file sidecar existed
+    * fall back to a walk + footer read, per dir. Files of
+    * dynamically-masked partitions are excluded: physically present but
+    * logically replaced, exactly like Iceberg's dead files awaiting
+    * orphan cleanup.
     */
   def fileStats(spark: SparkSession): DataFrame = {
     val snap = requireCurrent
     val rows = snap.dataDirs.flatMap { d =>
-      val base = new File(d)
       val masked = snap.maskedDirs.getOrElse(d, Nil).toSet
-      listDataFiles(base)
-        .map { f =>
-          val partition = unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
-          (f, partition)
-        }
-        .filterNot { case (_, p) => masked.contains(p) }
-        .map { case (f, partition) =>
-          val records =
-            if (snap.format == "parquet") SnapshotTable.parquetRecordCount(f) else -1L
-          (f.getAbsolutePath, d, partition, f.length(), records)
-        }
+      readFilesSidecar(d) match {
+        case Some(entries) =>
+          entries.filterNot(e => masked.contains(e._2))
+            .map { case (path, p, bytes, rows) => (path, d, p, bytes, rows) }
+        case None =>
+          val base = new File(d)
+          listDataFiles(base)
+            .map { f =>
+              val partition = unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
+              (f, partition)
+            }
+            .filterNot { case (_, p) => masked.contains(p) }
+            .map { case (f, partition) =>
+              val records =
+                if (snap.format == "parquet") SnapshotTable.parquetRecordCount(f) else -1L
+              (f.getAbsolutePath, d, partition, f.length(), records)
+            }
+      }
     }
     import spark.implicits._
     rows.toDF("file_path", "data_dir", "partition_path", "size_bytes", "record_count")
@@ -1540,6 +1601,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val snap = target.copy(
         id = id, committedAtMs = SnapshotTable.clockMs(),
         operation = "rollback",
+        summary = SnapshotTable.carriedSummary(target.summary),
         parentId = Some(snapshotId))
       writeMetadata(all :+ snap)
       Audit.log("table_write", fullName, Map(
@@ -1673,7 +1735,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       dynamicReplace: Boolean = false,
       stageOnly: Boolean = false,
       branch: Option[String] = None,
-      summary: Map[String, String] = Map.empty): Snapshot = {
+      summary: Map[String, String] = Map.empty,
+      micro: Boolean = false): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -1765,11 +1828,28 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // job yields both the per-partition row counts and the partition
     // columns' bounds in read-back type space — O(delta) like the write
     // itself, never O(table), and reading no data columns.
-    val (rowsByPart, partBounds) =
-      if (!wroteFiles) (Map.empty[String, Long], Map.empty[String, graft.plans.RangeStats.ColRange])
-      else partitionJobStats(df.sparkSession, dataDir, partitionCols, format)
+    // A MICRO commit (streaming microbatch) must not pay a whole extra
+    // Spark job for a delta of a few files: per-partition row counts
+    // come from a driver-side footer walk of the just-written dir
+    // (O(files-in-batch) page-cached metadata reads, no job), and the
+    // partition columns' range bounds are skipped — partition pruning
+    // still governs those dirs by NAME, and the next compaction rewrites
+    // them with full stats. Exactly Iceberg's streaming profile: thin
+    // commit-time manifests, enriched by maintenance.
+    val (rowsByPart, partBounds, microFileRows) =
+      if (!wroteFiles)
+        (Map.empty[String, Long], Map.empty[String, graft.plans.RangeStats.ColRange],
+          Map.empty[String, Long])
+      else if (micro && format == "parquet" && partitionCols.nonEmpty) {
+        val (byPart, byFile) = microPartitionRows(dataDir)
+        (byPart, Map.empty[String, graft.plans.RangeStats.ColRange], byFile)
+      } else {
+        val (byPart, bounds) = partitionJobStats(df.sparkSession, dataDir, partitionCols, format)
+        (byPart, bounds, Map.empty[String, Long])
+      }
     if (wroteFiles)
-      writePartitionSidecar(dataDir, partitionCols, rowsByPart, newRows)
+      writePartitionSidecar(dataDir, partitionCols, rowsByPart, newRows, format,
+        microFileRows)
     // column range sidecar (the Iceberg manifest min/max role), consumed
     // by the stats-skip optimizer rule to drop non-overlapping dirs at
     // planning. Stats are an optimization, never a correctness input — a
@@ -1777,10 +1857,19 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // unskippable).
     try
       if (!wroteFiles) ()
-      else if (metrics.nonEmpty)
-        graft.plans.RangeStats.writeEntries(dataDir, newRows,
-          graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds))
-      else graft.plans.RangeStats.writeSidecar(df.sparkSession, dataDir, format, newRows)
+      else if (metrics.nonEmpty) {
+        val entries =
+          graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds)
+        // a micro commit collected no read-back-typed partition bounds;
+        // the observe metrics hold them in WRITTEN type space, which can
+        // disagree with the inferred read-back type and prune unsoundly
+        // — record NO entry (absent = unknown = never skipped) instead
+        val sound =
+          if (micro && partitionCols.nonEmpty)
+            entries.filterNot(e => partitionCols.contains(e._1))
+          else entries
+        graft.plans.RangeStats.writeEntries(dataDir, newRows, sound)
+      } else graft.plans.RangeStats.writeSidecar(df.sparkSession, dataDir, format, newRows)
     catch { case scala.util.control.NonFatal(_) => () }
     // partitions the batch REPLACES = the partitions it wrote (dynamic
     // overwrite semantics); read once from the just-written sidecar
@@ -2039,13 +2128,19 @@ final class SnapshotTable(val root: String, val fullName: String) {
       org.apache.spark.sql.types.DataType.fromDDL(t): Unit // validate early
     }
     SnapshotTable.commitLock(root).synchronized {
-      require(snapshots.isEmpty, s"table $fullName already exists")
+      // staged-only metadata (crash debris of an aborted atomic CTAS, or
+      // a rival CTAS still in flight) is not a visible table — CREATE
+      // wins by publishing first; the in-flight rival's own commit then
+      // detects the foreign published state and fails its CTAS
+      val prev = snapshots
+      require(prev.forall(_.staged), s"table $fullName already exists")
+      val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
       val cols = colsDdl.zipWithIndex.map { case ((n, t), i) => TableColumn(i + 1, n, t) }
-      val snap = Snapshot(1L, SnapshotTable.clockMs(), "create", Nil, format,
+      val snap = Snapshot(id, SnapshotTable.clockMs(), "create", Nil, format,
         rowCount = 0L, parentId = Some(0L), cols = cols, lastColumnId = cols.size)
-      writeMetadata(Seq(snap))
+      writeMetadata(prev :+ snap)
       Audit.log("table_write", fullName, Map(
-        "operation" -> "create", "snapshot_id" -> "1"))
+        "operation" -> "create", "snapshot_id" -> id.toString))
       snap
     }
   }
@@ -2161,6 +2256,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val snap = cur.copy(
         id = id, committedAtMs = SnapshotTable.clockMs(), operation = "schema",
         staged = false, parentId = Some(cur.id), cols = updated,
+        summary = SnapshotTable.carriedSummary(cur.summary),
         lastColumnId = (watermark +: updated.map(_.id)).max)
       writeMetadata(all :+ snap)
       Audit.log("table_write", fullName, Map(
@@ -2255,7 +2351,39 @@ final class SnapshotTable(val root: String, val fullName: String) {
           Seq(min(col(c)).as(s"p${i}_min"), max(col(c)).as(s"p${i}_max"),
             count(when(col(c).isNull, lit(1))).as(s"p${i}_nulls"))
         }
-      val grouped = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).collect()
+      // the per-group collect is bounded: a backfill commit touching
+      // 100k+ partitions must not hold them all on the driver. Past the
+      // cap the per-partition row counts degrade to unknown (-1 in the
+      // sidecar — unknown stays unknown) and the dir-level column bounds
+      // come from ONE global aggregate row instead, so stats-skip keeps
+      // working at any partition cardinality.
+      val cap = spark.conf.getOption(SnapshotTable.PartitionStatsCapKey)
+        .flatMap(_.toIntOption).getOrElse(SnapshotTable.PartitionStatsCapDefault)
+      val grouped0 = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        .limit(cap + 1).collect()
+      if (grouped0.length > cap) {
+        val global = df.agg(aggs.tail.head, aggs.tail.tail: _*).collect().head
+        val bounds = partitionCols.zipWithIndex.map { case (c, i) =>
+          val mn = Option(global.get(i * 3))
+          val mx = Option(global.get(i * 3 + 1))
+          val nulls = global.getLong(i * 3 + 2)
+          val range = inferred(i) match {
+            case org.apache.spark.sql.types.StringType =>
+              graft.plans.RangeStats.ColRange(nulls,
+                mn.map(_.asInstanceOf[String]
+                  .take(graft.plans.RangeStats.StringBoundChars)),
+                mx.map(_.asInstanceOf[String])
+                  .filter(_.length <= graft.plans.RangeStats.StringBoundChars))
+            case dt =>
+              graft.plans.RangeStats.ColRange(nulls,
+                mn.flatMap(graft.plans.RangeStats.store(dt, _)),
+                mx.flatMap(graft.plans.RangeStats.store(dt, _)))
+          }
+          c -> range
+        }.toMap
+        return (Map.empty, bounds)
+      }
+      val grouped = grouped0
       val rowsByPart = grouped.map { r =>
         val path = partitionCols.indices.map { i =>
           val v = if (r.isNullAt(i)) null else r.getString(i)
@@ -2292,15 +2420,37 @@ final class SnapshotTable(val root: String, val fullName: String) {
       (rowsByPart, bounds)
     }
 
+  /** Per-partition and per-file row counts of a freshly written parquet
+    * dir from its FOOTERS, driver-side — the micro-commit substitute for
+    * [[partitionJobStats]]'s Spark job. Cost is O(files in this delta)
+    * page-cached metadata reads; an unreadable footer degrades its
+    * partition's count to unknown (-1), never to a wrong number.
+    */
+  private def microPartitionRows(dataDir: String): (Map[String, Long], Map[String, Long]) = {
+    val base = new File(dataDir)
+    val perFile = listDataFiles(base).map { f =>
+      val part = unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
+      (f.getAbsolutePath, part, SnapshotTable.parquetRecordCount(f))
+    }
+    val byPart = perFile.groupBy(_._2).map { case (p, fs) =>
+      p -> (if (fs.exists(_._3 < 0)) -1L else fs.map(_._3).sum)
+    }
+    (byPart, perFile.map(e => e._1 -> e._3).toMap)
+  }
+
   private def writePartitionSidecar(
       dataDir: String,
       partitionCols: Seq[String],
       rowsByPart: Map[String, Long],
-      totalRows: Long): Unit = {
+      totalRows: Long,
+      format: String = "parquet",
+      knownFileRows: Map[String, Long] = Map.empty): Unit = {
     val base = new File(dataDir)
-    val filesByPart: Map[String, Long] = listDataFiles(base).groupBy { f =>
+    val grouped: Map[String, Seq[File]] = listDataFiles(base).groupBy { f =>
       unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
-    }.map { case (k, v) => k -> v.size.toLong }
+    }
+    val filesByPart: Map[String, Long] =
+      grouped.map { case (k, v) => k -> v.size.toLong }
     val stats: Seq[(String, Long, Long)] =
       if (partitionCols.isEmpty)
         Seq(("", filesByPart.getOrElse("", 0L), totalRows))
@@ -2312,6 +2462,48 @@ final class SnapshotTable(val root: String, val fullName: String) {
       s"""{"partition":"${jsonEscape(p)}","files":$f,"rows":$r}"""
     }.mkString("[", ",", "]")
     Files.write(sidecarPath(dataDir), json.getBytes(StandardCharsets.UTF_8)): Unit
+    // per-FILE sidecar (the Iceberg manifest-entry role): path, size and
+    // record count recorded AT COMMIT TIME for the just-written dir, so
+    // the `$files` metadata table is a pure sidecar merge — zero data or
+    // footer I/O at query time. Commit-time cost is O(files in this
+    // delta), the same class as Iceberg writing its manifest; a
+    // single-file partition reuses the already-known partition row count
+    // and skips even the (page-cached) footer read.
+    val knownRows = stats.map { case (p, _, r) => p -> r }.toMap
+    val fileEntries = stats.flatMap { case (p, _, _) =>
+      val fs = grouped.getOrElse(p, Nil).sortBy(_.getName)
+      fs.map { f =>
+        val rows = knownFileRows.getOrElse(f.getAbsolutePath,
+          if (fs.size == 1 && knownRows.getOrElse(p, -1L) >= 0) knownRows(p)
+          else if (format == "parquet") SnapshotTable.parquetRecordCount(f)
+          else -1L)
+        val rel = base.toPath.relativize(f.toPath).toString
+        s"""{"file":"${jsonEscape(rel)}","partition":"${jsonEscape(p)}","bytes":${f.length()},"rows":$rows}"""
+      }
+    }
+    Files.write(filesSidecarPath(dataDir),
+      fileEntries.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  private def filesSidecarPath(dataDir: String) =
+    Paths.get(dataDir, ".graft-files.json")
+
+  /** Per-file sidecar entries of one dir: (absolute path, partition,
+    * bytes, rows). None when the dir predates the file sidecar — the
+    * caller falls back to the legacy walk-and-footer path for that dir
+    * only.
+    */
+  private def readFilesSidecar(dataDir: String): Option[Seq[(String, String, Long, Long)]] = {
+    val p = filesSidecarPath(dataDir)
+    if (!Files.exists(p)) None
+    else {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val re = """\{"file":"((?:[^"\\]|\\.)*)","partition":"((?:[^"\\]|\\.)*)","bytes":(\d+),"rows":(-?\d+)\}""".r
+      Some(re.findAllMatchIn(json).map { m =>
+        (new File(dataDir, jsonUnescape(m.group(1))).getAbsolutePath,
+          jsonUnescape(m.group(2)), m.group(3).toLong, m.group(4).toLong)
+      }.toSeq)
+    }
   }
 
   /** Sidecar entries for one data dir; a dir written before the sidecar
@@ -2493,6 +2685,14 @@ object SnapshotTable {
   val SummaryBatchId = "streaming.batch-id"
   val SummaryBatchPrefix = "streaming.batch-id."
 
+  /** Session conf capping how many per-partition stat groups one commit
+    * may collect onto the driver; past it the commit degrades its
+    * per-partition row counts to unknown instead of OOMing the driver
+    * on a 100k-partition backfill.
+    */
+  val PartitionStatsCapKey = "graft.partition-stats.max-entries"
+  val PartitionStatsCapDefault = 100000
+
   /** The per-query watermarks a snapshot carries: durable prefix keys
     * plus the legacy display-pair form (pre-prefix metadata).
     */
@@ -2509,6 +2709,17 @@ object SnapshotTable {
     // prefix form wins (it is the carried union; legacy is this commit's own)
     legacy.toMap ++ prefixed
   }
+
+  /** Summary a head-COPYING metadata commit (rollback, cherry-pick,
+    * schema change, delete, rewrite) inherits from its source snapshot:
+    * the durable per-query watermark prefix keys carry forward, but the
+    * source's OWN display pair (which microbatch THAT commit was) does
+    * not — an ADD COLUMN or rollback is not a streaming microbatch, and
+    * reporting it as one in `$snapshots` misleads. Mirrors what trySwap
+    * does for fresh commits.
+    */
+  private[graft] def carriedSummary(summary: Map[String, String]): Map[String, String] =
+    summary - SummaryQueryId - SummaryBatchId
 
   /** Table-property prefixes declaring per-column parquet bloom filters
     * (Iceberg's write properties; value for the enabled prefix is
@@ -2571,14 +2782,27 @@ object SnapshotTable {
     * into a negative Thread.sleep argument; min(base<<4, base*10) =
     * base*10, so the clamp never changes an in-range wait.
     */
+  /** Count of footer opens — the spec's evidence that the `$files`
+    * SERVING path is sidecar-only (footer reads happen at commit time
+    * and in legacy fallback, never when listing a sidecar-backed table).
+    */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One shared Hadoop conf for footer reads: Configuration construction
+    * parses the default XML resources (~10 ms), which a per-file fresh
+    * instance would pay on every footer of a commit-time sidecar walk.
+    * Used read-only.
+    */
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
   /** A parquet file's record count from its FOOTER — metadata pages
     * only, no data I/O (-1 when unreadable).
     */
   private[sink] def parquetRecordCount(f: File): Long =
     try {
+      footerReads.incrementAndGet(): Unit
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-        new org.apache.hadoop.conf.Configuration())
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getRecordCount finally r.close()
     } catch { case scala.util.control.NonFatal(_) => -1L }

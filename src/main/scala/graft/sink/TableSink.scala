@@ -101,12 +101,16 @@ object TableSink {
     snap
   }
 
-  /** `event_append`: append-only commit (never updates existing rows). */
-  def append(df: DataFrame, template: TableTemplate, table: SnapshotTable): Snapshot = {
+  /** `event_append`: append-only commit (never updates existing rows).
+    * `micro = true` for streaming microbatch deliveries — the commit
+    * uses the slim stats path (no per-partition stats job).
+    */
+  def append(df: DataFrame, template: TableTemplate, table: SnapshotTable,
+      micro: Boolean = false): Snapshot = {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
     val snap = table.append(withParts, partCols, template.sortOrder.map(sortColumn),
-      template.writeFormat, template.commitNumRetries)
+      template.writeFormat, template.commitNumRetries, micro = micro)
     declareSpec(template, table)
     snap
   }

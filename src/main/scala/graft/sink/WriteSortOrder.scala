@@ -58,13 +58,17 @@ object WriteSortOrder {
     val declared = table.properties.get(Key).map(parse).getOrElse(Nil)
     if (declared.isEmpty) Nil
     else {
-      val live = table.schema.map(_.name).toSet
-      val unknown = declared.map(_.column).filterNot(live.contains)
+      // Spark SQL resolves identifiers case-insensitively by default, so
+      // the declared name matches the live schema the same way — and the
+      // sort runs under the LIVE casing so downstream resolution agrees
+      val live = table.schema.map(_.name)
+      val byLower = live.map(n => n.toLowerCase -> n).toMap
+      val unknown = declared.map(_.column).filterNot(c => byLower.contains(c.toLowerCase))
       require(unknown.isEmpty,
         s"$Key for ${table.fullName} references unknown column(s) " +
-          s"${unknown.mkString(", ")} (live: ${live.toSeq.sorted.mkString(", ")}); " +
+          s"${unknown.mkString(", ")} (live: ${live.sorted.mkString(", ")}); " +
           "fix the property via ALTER TABLE ... SET TBLPROPERTIES")
-      declared.map(TableSink.sortColumn)
+      declared.map(f => TableSink.sortColumn(f.copy(column = byLower(f.column.toLowerCase))))
     }
   }
 }

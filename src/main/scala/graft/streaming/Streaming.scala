@@ -102,7 +102,7 @@ object Streaming {
       checkpoint: String) =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sink.TableSink.append(batch.toDF(), template, table)
+        graft.sink.TableSink.append(batch.toDF(), template, table, micro = true)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -186,10 +186,10 @@ object Streaming {
         val df = batch.toDF()
         try {
           graft.quality.Quality.gate(df, table.fullName, checks): Unit
-          graft.sink.TableSink.append(df, template, table): Unit
+          graft.sink.TableSink.append(df, template, table, micro = true): Unit
         } catch {
           case _: graft.quality.Quality.QualityFailure =>
-            graft.sink.TableSink.append(df, template, quarantine): Unit
+            graft.sink.TableSink.append(df, template, quarantine, micro = true): Unit
         }
         ()
       }

@@ -357,6 +357,12 @@ class GraftCatalogSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("unknown column")), s"got: ${msgs(e)}")
+    // identifiers resolve case-INSENSITIVELY, like Spark SQL: 'SCORE'
+    // declared on a column named 'score' validates and sorts
+    spark.sql(
+      "ALTER TABLE graft.ns.ws SET TBLPROPERTIES('write.sort.order'='SCORE ASC')")
+    spark.sql("INSERT INTO graft.ns.ws VALUES (5L, 0.5)")
+    assert(spark.table("graft.ns.ws").count() == 4)
   }
 
   test("TRUNCATE TABLE: schema and history survive, commit is metadata-only") {
@@ -430,13 +436,64 @@ class GraftCatalogSpec extends SparkSpec {
     val rel = staged.newWriteBuilder(null).build()
       .asInstanceOf[org.apache.spark.sql.connector.write.V1Write].toInsertableRelation
     rel.insert(Seq((1L, "ours")).toDF("id", "v"), false)
-    // a rival legally commits into the (visible, empty) created table
+    // a rival legally publishes the same name while our CTAS is in flight
     t.append(Seq((2L, "rival")).toDF("id", "v"))
     staged.abortStagedChanges()
     // the rival's published data must survive; only our stage is gone
     assert(t.exists, "abort must not rm a root containing rival commits")
     assert(t.read(spark).as[(Long, String)].collect().toSeq == Seq((2L, "rival")))
     assert(!t.snapshots.exists(_.staged))
+  }
+
+  test("in-flight CTAS is INVISIBLE: no load, no listing, no existence before commit") {
+    val wh = freshCatalog("ctinv")
+    val t = SnapshotTable(wh, "ns", "inv")
+    val staged = new GraftStagedTable(t,
+      Seq((0L, "x")).toDF("id", "v").schema, Nil, Map.empty, replace = false)
+    val rel = staged.newWriteBuilder(null).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write].toInsertableRelation
+    rel.insert(Seq((1L, "ours")).toDF("id", "v"), false)
+    // the data is fully written and staged — and NOTHING is visible:
+    // the DSv2 StagedTable contract (no state before commit)
+    assert(!spark.catalog.tableExists("graft.ns.inv"))
+    intercept[Exception] { spark.table("graft.ns.inv").collect() }
+    assert(!spark.sql("SHOW TABLES IN graft.ns").as[(String, String, Boolean)]
+      .collect().exists(_._2 == "inv"), "SHOW TABLES must not list an in-flight CTAS")
+    staged.commitStagedChanges()
+    assert(spark.table("graft.ns.inv").count() == 1)
+  }
+
+  test("CTAS loses the create race to a rival that PUBLISHED first; rival untouched") {
+    val wh = freshCatalog("ctrace")
+    val t = SnapshotTable(wh, "ns", "race")
+    val staged = new GraftStagedTable(t,
+      Seq((0L, "x")).toDF("id", "v").schema, Nil, Map.empty, replace = false)
+    val rel = staged.newWriteBuilder(null).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write].toInsertableRelation
+    rel.insert(Seq((1L, "ours")).toDF("id", "v"), false)
+    // a rival plain CREATE wins while our query ran — legal, because our
+    // staged state was invisible (t.create tolerates staged-only debris)
+    t.create(Seq("k" -> "BIGINT"))
+    val err = intercept[IllegalStateException] { staged.commitStagedChanges() }
+    assert(err.getMessage.contains("lost the create race"))
+    assert(!t.snapshots.exists(_.staged), "losing CTAS must discard its stage")
+    assert(t.schema.map(_.name) == Seq("k"), "rival's table must be untouched")
+  }
+
+  test("crash debris of an aborted CTAS (staged-only root) does not block CREATE") {
+    val wh = freshCatalog("ctdebris")
+    val t = SnapshotTable(wh, "ns", "deb")
+    val staged = new GraftStagedTable(t,
+      Seq((0L, "x")).toDF("id", "v").schema, Nil, Map.empty, replace = false)
+    val rel = staged.newWriteBuilder(null).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write].toInsertableRelation
+    rel.insert(Seq((1L, "ours")).toDF("id", "v"), false)
+    // simulate a process crash: neither commit nor abort runs. The root
+    // holds staged-only metadata — invisible, and a later CTAS of the
+    // same name must succeed over the debris.
+    spark.sql("CREATE TABLE graft.ns.deb AS SELECT 7L AS id, 'fresh' AS v")
+    assert(spark.table("graft.ns.deb").as[(Long, String)].collect().toSeq ==
+      Seq((7L, "fresh")))
   }
 
   test("extension-less sessions still read through the V1Scan fallback") {

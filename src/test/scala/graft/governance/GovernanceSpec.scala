@@ -85,4 +85,40 @@ class AccessControlSpec extends SparkSpec {
     }
     spark.conf.unset("graft.access.level")
   }
+
+  test("team-namespace matrix: owning team + admin pass, everyone else refused") {
+    import AccessControl._
+    assert(namespaceOwner("team-ml").contains("ml"))
+    assert(namespaceOwner("Team-ML").contains("ml"), "prefix match is case-insensitive")
+    assert(namespaceOwner("lakehouse").isEmpty)
+    assert(namespaceOwner("team-").isEmpty, "empty owner = not a team namespace")
+    // shared namespaces are never restricted — no principal combination throws
+    checkNamespaceAccess("lakehouse", "lakehouse.t", Reader, None)
+    // owning team at any level passes; platform (admin) passes teamless
+    checkNamespaceAccess("team-ml", "team-ml.t", Reader, Some("ml"))
+    checkNamespaceAccess("team-ml", "team-ml.t", Writer, Some("ml"))
+    checkNamespaceAccess("team-ml", "team-ml.t", Admin, None)
+    // foreign team / teamless non-admin: refused with the remediation
+    Audit.clear()
+    val e = intercept[NamespaceAccessDenied] {
+      checkNamespaceAccess("team-ml", "team-ml.t", Writer, Some("analytics"))
+    }
+    assert(e.getMessage.contains("restricted to team 'ml'"))
+    assert(e.getMessage.contains("graft.access.team"), "message must carry the remediation")
+    intercept[NamespaceAccessDenied] {
+      checkNamespaceAccess("team-ml", "team-ml.t", Reader, None)
+    }
+    assert(Audit.recorded.count(ev =>
+      ev.details.get("access").contains("denied")) == 2, "each denial audited")
+    Audit.clear()
+  }
+
+  test("team resolves from session conf, then env; normalized lowercase") {
+    spark.conf.set("graft.access.team", "  ML ")
+    assert(AccessControl.resolveTeam(spark).contains("ml"))
+    spark.conf.set("graft.access.team", "")
+    assert(AccessControl.resolveTeam(spark).isEmpty, "blank = no team principal")
+    spark.conf.unset("graft.access.team")
+    assert(AccessControl.resolveTeam(spark).isEmpty)
+  }
 }

@@ -329,6 +329,21 @@ class SimilaritySpec extends SparkSpec {
     Similarity.clearCaches()
   }
 
+  test("quantizeInt8 carries every non-embedding column through, any schema") {
+    // not the fixture's schema: different id/metadata columns
+    val df = Seq((10L, "web", Seq(1.0f, -2.0f, 0.5f)), (11L, "pdf", Seq(0f, 0f, 0f)))
+      .toDF("doc_id", "source", "vec")
+    val q = Similarity.quantizeInt8(df, embCol = "vec")
+    assert(q.columns.toSeq == Seq("doc_id", "source", "scale", "q"))
+    val rows = q.orderBy($"doc_id").collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("web", "pdf"))
+    // max|x| = 2 -> scale = 2/127; codes round-trip the extremes exactly
+    assert(rows(0).getSeq[Byte](rows(0).fieldIndex("q")).toSeq == Seq[Byte](64, -127, 32))
+    // zero vector: scale 0, all-zero codes (no division blowup)
+    assert(rows(1).getAs[Double]("scale") == 0.0)
+    assert(rows(1).getSeq[Byte](rows(1).fieldIndex("q")).toSeq == Seq[Byte](0, 0, 0))
+  }
+
   test("bucket signatures are stable and pack into 8 bits") {
     val b = Similarity.bucketSignatures(corpus)
       .as[(Long, Long)].collect().toMap

@@ -17,7 +17,7 @@ object MetadataRoundTripProps extends Properties("SnapshotMetadata") {
     base <- Gen.listOfN(6, Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(
         '/', '_', '-', '=', '.', '"', '\\', ' ', 'é',
-        '[', ']', '{', '}', '\n', '\t')))
+        '[', ']', '{', '}', ',', ':', '\n', '\t')))
   } yield base.mkString
 
   private val genDelete: Gen[EqualityDelete] = for {

@@ -181,6 +181,64 @@ class RowLevelSpec extends SparkSpec {
       Seq((1L, "old", 0.0), (2L, "vip", 1500.0), (3L, "std", 10.0), (4L, "vip", 2000.0)))
   }
 
+  test("NOT MATCHED BY SOURCE clauses act on unmatched target rows, ordered") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "name", "bal"))
+    // delivery covers ids 1 and 5 only; absent rows (2,3,4): negative
+    // balances retire, the rest are flagged stale — while the delivered
+    // rows upsert in the same statement
+    val src = Seq((1L, 100.0), (5L, 50.0)).toDF("id", "amount")
+    val snap = t.mergeClauses(src, Seq("id" -> "id"),
+      Seq(Merge.WhenMatched(Merge.Update(Map("bal" -> Merge.s("amount"))))),
+      Seq(Merge.WhenNotMatched(Merge.Insert(Map(
+        "id" -> Merge.s("id"), "name" -> lit("new"), "bal" -> Merge.s("amount"))))),
+      Seq(
+        Merge.WhenNotMatchedBySource(Merge.Delete, Some(Merge.t("bal") < 0)),
+        Merge.WhenNotMatchedBySource(Merge.Update(Map(
+          "name" -> concat(lit("stale_"), Merge.t("name")))))))
+    assert(snap.operation == "merge")
+    assert(t.read(spark).orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 100.0), (3L, "stale_c", 30.0), (4L, "stale_d", 40.0),
+        (5L, "new", 50.0)))
+    assert(snap.rowCount == 4L)
+  }
+
+  test("BY SOURCE detection is condition-restricted: untouched dirs carry forward") {
+    val t = freshTable()
+    // dir 1: ids 1-100 (all matched by the delivery); dir 2: ids 101-200
+    // (absent, but every row fails the BY SOURCE condition)
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", lit("a")))
+    t.append((101L to 200L).toDF("id").withColumn("v", lit("a")))
+    val dirs = t.currentSnapshot.get.dataDirs
+    val src = (1L to 100L).toDF("id")
+    val snap = t.mergeClauses(src, Seq("id" -> "id"),
+      Nil, Nil,
+      Seq(Merge.WhenNotMatchedBySource(Merge.Delete, Some(Merge.t("id") > 500L))))
+    // nothing matched the condition: both dirs survive byte-identical
+    // (no matched clause -> dir 1 not even a rewrite candidate; dir 2's
+    // unmatched rows all fail the condition -> anti-join detection
+    // filtered it out)
+    assert(snap.id == t.snapshots.map(_.id).max)
+    assert(snap.dataDirs == dirs, "both dirs must carry forward untouched")
+    assert(t.read(spark).count() == 200L)
+  }
+
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE lowers through the catalog") {
+    val wh = Files.createTempDirectory("graft_rl_nbs").toString
+    val t = SnapshotTable(wh, "ns", "nbs")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq((1L, 11.0)).toDF("id", "bal").createOrReplaceTempView("nbs_src")
+    spark.sql("""MERGE INTO graft.ns.nbs t USING nbs_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET bal = s.bal
+                |WHEN NOT MATCHED BY SOURCE AND t.bal >= 30.0 THEN DELETE
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = t.bal * -1.0""".stripMargin)
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 11.0), (2L, -20.0)))
+  }
+
   test("mergeInto key columns can differ in name between sides") {
     val t = freshTable()
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))

@@ -764,6 +764,131 @@ class SnapshotTableSpec extends SparkSpec {
     assert(plain.get(s"${SnapshotTable.SummaryBatchPrefix}q2").contains("0"))
   }
 
+  test("$files serves from commit-time sidecars: zero query-time footer reads") {
+    val t = freshTable()
+    val df = (1 to 100).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "part")
+    t.overwrite(df, partitionCols = Seq("part"))
+    t.append((101 to 120).map(i => (i.toLong, "d0")).toDF("id", "part"),
+      partitionCols = Seq("part"))
+    val before = SnapshotTable.footerReads.get()
+    val files = t.fileStats(spark).collect()
+    assert(SnapshotTable.footerReads.get() == before,
+      "the $files SERVING path must be sidecar-only (footers are commit-time)")
+    assert(files.map(_.getAs[Long]("record_count")).sum == 120)
+    assert(files.forall(_.getAs[Long]("size_bytes") > 0))
+    // independent evidence chain: every sidecar record count equals what
+    // the parquet footer itself says
+    files.foreach { r =>
+      val f = new java.io.File(r.getAs[String]("file_path"))
+      assert(f.exists, s"listed file must exist: $f")
+      assert(SnapshotTable.parquetRecordCount(f) == r.getAs[Long]("record_count"),
+        s"sidecar row count must match the footer for $f")
+    }
+    // a dir written before the file sidecar existed (legacy) falls back
+    // to the walk-and-footer path, same answer
+    val legacyBase = SnapshotTable.footerReads.get()
+    t.currentSnapshot.get.dataDirs.foreach { d =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(d, ".graft-files.json"))
+    }
+    val files2 = t.fileStats(spark).collect()
+    assert(files2.map(_.getAs[Long]("record_count")).sum == 120,
+      "legacy fallback must agree with the sidecar answer")
+    assert(SnapshotTable.footerReads.get() > legacyBase,
+      "the legacy path is the footer path")
+  }
+
+  test("micro append: no stats job, exact sidecar rows, sound (absent) partition bounds") {
+    val t = freshTable()
+    t.overwrite((1 to 50).map(i => (i.toLong, s"d${i % 2}")).toDF("id", "part"),
+      partitionCols = Seq("part"))
+    // jobs observed through the status tracker; listener delivery is
+    // async, so poll until the count stabilizes
+    def jobsDuring(f: => Unit): Int = {
+      val tracker = spark.sparkContext.statusTracker
+      def settled(): Int = {
+        var prev = -1
+        var n = tracker.getJobIdsForGroup(null).length
+        val deadline = System.currentTimeMillis() + 10000
+        while (System.currentTimeMillis() < deadline && n != prev) {
+          prev = n; Thread.sleep(250)
+          n = tracker.getJobIdsForGroup(null).length
+        }
+        n
+      }
+      val before = settled(); f; settled() - before
+    }
+    val batch = (51 to 70).map(i => (i.toLong, s"d${i % 2}")).toDF("id", "part")
+    val fullJobs = jobsDuring(t.append(batch, partitionCols = Seq("part")))
+    val microJobs = jobsDuring(
+      t.append(batch, partitionCols = Seq("part"), micro = true))
+    assert(microJobs < fullJobs,
+      s"micro commit must drop the per-partition stats job ($microJobs vs $fullJobs)")
+    // the micro dir's sidecars are still EXACT: partition rows from
+    // footers, per-file rows served with zero query-time footer reads
+    val stats = t.partitionStats(spark).collect()
+      .map(r => r.getAs[String]("partition_path") -> r.getAs[Long]("row_count")).toMap
+    assert(stats == Map("part=d0" -> 45L, "part=d1" -> 45L), s"got $stats")
+    val before = SnapshotTable.footerReads.get()
+    assert(t.fileStats(spark).collect().map(_.getAs[Long]("record_count")).sum == 90L)
+    assert(SnapshotTable.footerReads.get() == before)
+    // partition-column range bounds are ABSENT on the micro dir (written-
+    // type bounds could prune unsoundly); data-column bounds remain
+    val microDir = t.currentSnapshot.get.dataDirs.last
+    val range = graft.plans.RangeStats.read(microDir).get
+    assert(!range.cols.contains("part"),
+      "micro commit must not record written-type partition bounds")
+    assert(range.cols.get("id").exists(c => c.min.isDefined && c.max.isDefined),
+      "observe-collected data-column bounds must survive on the micro dir")
+  }
+
+  test("per-partition stats collect is capped: rows degrade to unknown, bounds survive") {
+    val t = freshTable()
+    spark.conf.set(SnapshotTable.PartitionStatsCapKey, "3")
+    try {
+      // 8 partitions > cap 3: a 100k-partition backfill must not hold
+      // every group on the driver — rows go unknown (never wrong), the
+      // dir-level column bounds still come from one global aggregate row
+      val df = (1 to 40).map(i => (i.toLong, s"p${i % 8}")).toDF("id", "part")
+      t.overwrite(df, partitionCols = Seq("part"))
+      val stats = t.partitionStats(spark).collect()
+      assert(stats.length == 8)
+      assert(stats.forall(_.getAs[Long]("file_count") >= 1L))
+      assert(stats.forall(_.getAs[Long]("row_count") == -1L),
+        "past the cap, per-partition rows are unknown — unknown stays unknown")
+      val dir = t.currentSnapshot.get.dataDirs.head
+      val range = graft.plans.RangeStats.read(dir)
+      assert(range.exists(_.cols.get("part").exists(c =>
+        c.min.contains("p0") && c.max.contains("p7"))),
+        s"global-aggregate bounds must still be recorded, got $range")
+    } finally spark.conf.unset(SnapshotTable.PartitionStatsCapKey)
+  }
+
+  test("head-copying commits keep the watermark but drop the display pair") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    assert(t.appendOnce("q", 0L, Seq((2L, "b")).toDF("id", "v")).isDefined)
+    val streamHead = t.currentSnapshot.get.id
+    // every head-copying metadata commit derives from the streaming
+    // head, carries the durable watermark forward, and must NOT report
+    // itself as a streaming microbatch in $snapshots
+    def check(op: String): Unit = {
+      val s = t.currentSnapshot.get
+      assert(s.operation == op)
+      assert(!s.summary.contains(SnapshotTable.SummaryQueryId),
+        s"$op snapshot must not claim the source's streaming.query-id")
+      assert(!s.summary.contains(SnapshotTable.SummaryBatchId),
+        s"$op snapshot must not claim the source's streaming.batch-id")
+      assert(t.lastCommittedBatch("q").contains(0L),
+        s"$op must carry the durable watermark forward")
+    }
+    t.addColumn(spark, "extra", "STRING"); check("schema")
+    t.deleteWhere(Seq(2L).toDF("id"), Seq("id")); check("delete")
+    t.rollback(streamHead); check("rollback")
+    // the streaming snapshot itself still shows its own display pair
+    val orig = t.snapshots.find(_.id == streamHead).get
+    assert(orig.summary.get(SnapshotTable.SummaryQueryId).contains("q"))
+  }
+
   test("the exactly-once watermark survives compaction and full history expiry") {
     val t = freshTable()
     t.overwrite(Seq((1L, "a")).toDF("id", "v"))

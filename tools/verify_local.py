@@ -9,6 +9,11 @@ hash compare would see it.
 
 Usage: verify_local.py <sfDir> <outDir> [key ...]
 (outDir must already contain Verify.scala's dumps.)
+
+Set VERIFY_JSON=<path> to additionally write the per-query result map in
+the driver's CORRECTNESS_r*.json shape (rows/schema/hash match + row
+counts + err), so a self-check artifact can be committed from HEAD
+without anyone re-running the 185-query gate to adjudicate it.
 """
 import json
 import math
@@ -53,6 +58,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     passed, failed, skipped = [], [], []
+    record = {}
+
+    def rec(key, rows_match, schema_match, hash_match, s_rows, o_rows, err):
+        record[key] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": s_rows,
+            "oracle_rows": o_rows, "err": err,
+        }
+
     for key in sorted(oracles):
         if only and key not in only:
             continue
@@ -63,6 +77,7 @@ def main():
             orows = ocur.fetchall()
         except Exception as e:
             failed.append((key, f"oracle error: {e}"))
+            rec(key, False, False, False, None, None, f"oracle error: {e}")
             continue
         try:
             scur = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')")
@@ -70,14 +85,18 @@ def main():
             srows = scur.fetchall()
         except Exception as e:
             failed.append((key, f"spark result missing: {e}"))
+            rec(key, False, False, False, None, len(orows), f"spark result missing: {e}")
             continue
         oc, orws = frame(ocols, orows)
         sc, srws = frame(scols, srows)
         if oc != sc:
             failed.append((key, f"schema mismatch: spark={sc} oracle={oc}"))
+            rec(key, len(srws) == len(orws), False, False, len(srws), len(orws),
+                f"schema mismatch: spark={sc} oracle={oc}")
             continue
         if len(orws) != len(srws):
             failed.append((key, f"row count: spark={len(srws)} oracle={len(orws)}"))
+            rec(key, False, True, False, len(srws), len(orws), None)
             continue
         bad = None
         for i, (a, b) in enumerate(zip(srws, orws)):
@@ -86,13 +105,22 @@ def main():
                 break
         if bad:
             failed.append((key, f"value mismatch at sorted-row {bad[0]}:\n  spark ={bad[1]}\n  oracle={bad[2]}"))
+            rec(key, True, True, False, len(srws), len(orws),
+                f"value mismatch at sorted-row {bad[0]}")
         else:
             passed.append(key)
+            rec(key, True, True, True, len(srws), len(orws), None)
     for k in passed:
         print(f"PASS {k}")
     for k, why in failed:
         print(f"FAIL {k}: {why}")
     print(f"\n{len(passed)} passed, {len(failed)} failed")
+    import os
+    out_json = os.environ.get("VERIFY_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(dict(sorted(record.items())), f, indent=2)
+        print(f"wrote {out_json} ({len(record)} queries)")
     sys.exit(1 if failed else 0)
 
 
