@@ -21,6 +21,77 @@ object TextQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    "text_normalize_unicode" -> QueryDef(
+      (s, dir) => {
+        // Unicode NFC canonicalization (the first multi-source cleaning
+        // step: composed vs decomposed graphemes break dedup hashes and
+        // tokenizer merges). The fixture PREPENDS a decomposed sequence
+        // ("A" + combining ring U+030A -> "Å" under NFC) to every doc so
+        // the oracle exercises real recomposition, not the ASCII
+        // identity path; outputs pin the char-count contraction (2
+        // code points -> 1) and a stable content hash of the normalized
+        // text. Map-side codegen'd expression, no shuffle.
+        val docs = tbl(s, dir, "documents")
+        // decomposed on purpose: "A" + combining ring (U+030A), written
+        // as an escape so no editor silently recomposes the fixture
+        val raw = concat(lit("A\u030A "), col("text"))
+        val nfc = graft.functions.NormalizeNFC.normalizeNfc(raw)
+        docs.select(
+          col("doc_id"),
+          length(raw).as("n_raw_chars"),
+          length(nfc).as("n_nfc_chars"),
+          md5(nfc).as("nfc_hash"))
+      },
+      Some("""SELECT doc_id,
+             |  length('A' || chr(778) || ' ' || text) AS n_raw_chars,
+             |  length(nfc_normalize('A' || chr(778) || ' ' || text)) AS n_nfc_chars,
+             |  md5(nfc_normalize('A' || chr(778) || ' ' || text)) AS nfc_hash
+             |FROM documents""".stripMargin),
+      doc = "Unicode NFC normalization as a codegen'd native expression " +
+        "(java.text.Normalizer == standard NFC == DuckDB nfc_normalize, " +
+        "bit-identical): decomposed graphemes recompose, ASCII short-circuits " +
+        "on a byte scan; map-side, no shuffle"),
+
+    "text_gopher_rules" -> QueryDef(
+      (s, dir) => TextAnalysis.gopherRules(tbl(s, dir, "documents"), "text"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |    regexp_split_to_array(trim(text), '\s+') AS toks,
+             |    regexp_split_to_array(text, '\n') AS lines
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(toks) AS n_words,
+             |  round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+             |    / len(toks), 6) AS mean_word_len,
+             |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+             |    AS DOUBLE) / len(toks), 6) AS pct_alpha_words,
+             |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+             |    AS DOUBLE) / len(lines), 6) AS pct_bullet_lines,
+             |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+             |    AS DOUBLE) / len(lines), 6) AS pct_ellipsis_lines,
+             |  round(CAST((length(text) - length(regexp_replace(text, '#', '', 'g')))
+             |      + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+             |      + (length(text) - length(regexp_replace(text, '…', '', 'g')))
+             |    AS DOUBLE) / len(toks), 6) AS symbol_ratio,
+             |  (len(toks) BETWEEN 50 AND 100000)
+             |    AND (round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+             |      / len(toks), 6) BETWEEN 3.0 AND 10.0)
+             |    AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+             |      AS DOUBLE) / len(lines), 6) <= 0.9
+             |    AND round(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+             |      AS DOUBLE) / len(lines), 6) <= 0.3
+             |    AND round(CAST((length(text) - length(regexp_replace(text, '#', '', 'g')))
+             |        + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+             |        + (length(text) - length(regexp_replace(text, '…', '', 'g')))
+             |      AS DOUBLE) / len(toks), 6) < 0.1
+             |    AND round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+             |      AS DOUBLE) / len(toks), 6) >= 0.8 AS keep
+             |FROM d""".stripMargin),
+      doc = "Gopher/MassiveText document-shape rule suite (word-count window, " +
+        "mean word length, bullet/ellipsis line ratios, symbol and alpha-word " +
+        "ratios + conjunctive keep) - the canonical pre-model web filter; one " +
+        "map-side pass, ratios DECIMAL-stable cross-engine"),
+
     "text_bm25_rank" -> QueryDef(
       (s, dir) => TextAnalysis.bm25Score(
         tbl(s, dir, "documents"), "text", Seq("vector", "hash", "stream", "spark")),

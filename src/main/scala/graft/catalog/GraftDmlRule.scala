@@ -68,17 +68,29 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Lift a resolved expression out of the command into a Column over
     * the engine's rewrite frames: target refs become `__t.<name>`
     * (plain `<name>` for single-table UPDATE), source refs `__s.<name>`.
-    * Subqueries cannot be lifted — their attributes stay bound to the
-    * original relations and would surface as a confusing "resolved
-    * attribute(s) missing" analysis error downstream — so they are
-    * rejected here with an explicit unsupported-feature message.
+    *
+    * UNCORRELATED SCALAR subqueries are supported: SQL evaluates them
+    * once per statement, so they lift as a [[DeferredScalarSubquery]]
+    * placeholder that the command materializes into a literal at RUN
+    * time (never during analysis — EXPLAIN must not execute jobs, and
+    * analyzer batches may re-enter). Correlated or multi-row subqueries
+    * cannot be lifted — their attributes stay bound to the original
+    * relations and would surface as a confusing "resolved attribute(s)
+    * missing" analysis error downstream — so they are rejected with an
+    * explicit unsupported-feature message.
     */
   private def xlate(e: Expression, tSet: AttributeSet, sSet: AttributeSet): Column = {
-    if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+    val prepared = e.transform {
+      case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if s.outerAttrs.isEmpty && s.plan.resolved =>
+        DeferredScalarSubquery(s.plan)
+    }
+    if (prepared.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
       throw new UnsupportedOperationException(
-        s"subqueries in UPDATE/MERGE conditions or assignments are not supported ($e); " +
-          "materialize the subquery as a source table or temp view first")
-    GraftSqlShim.column(e.transform {
+        s"only uncorrelated SCALAR subqueries are supported in UPDATE/MERGE " +
+          s"conditions and assignments ($e); materialize the subquery as a " +
+          "source table or temp view first")
+    GraftSqlShim.column(prepared.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))
       case a: AttributeReference if tSet.contains(a) =>
@@ -164,13 +176,41 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Placeholder carrying an uncorrelated scalar subquery's resolved plan
+  * through a lowered DML Column until command RUN time, where it
+  * materializes into a literal — once per statement, SQL's contract
+  * for uncorrelated scalar subqueries (0 rows → NULL, >1 rows → error).
+  */
+final case class DeferredScalarSubquery(
+    @transient plan: LogicalPlan)
+  extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def dataType: org.apache.spark.sql.types.DataType = plan.output.head.dataType
+  override def nullable: Boolean = true
+}
+
+object DeferredScalarSubquery {
+  /** Evaluate every deferred subquery in `c` to a literal. */
+  def materialize(spark: SparkSession, c: Column): Column =
+    GraftSqlShim.column(GraftSqlShim.expression(c).transform {
+      case DeferredScalarSubquery(p) =>
+        val rows = GraftSqlShim.ofRows(spark, p).limit(2).collect()
+        require(rows.length <= 1,
+          "scalar subquery in UPDATE/MERGE returned more than one row")
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          if (rows.isEmpty) null else rows.head.get(0), p.output.head.dataType)
+    })
+}
+
 /** Executable lowering of `UPDATE graft.ns.t SET ... WHERE ...`. */
 final case class GraftUpdateCommand(
     @transient table: SnapshotTable,
     cond: Option[Column],
     sets: Map[String, Column]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    table.updateWhere(spark, cond.getOrElse(lit(true)), sets)
+    def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
+    table.updateWhere(spark, cond.map(m).getOrElse(lit(true)),
+      sets.map { case (k, v) => k -> m(v) })
     Nil
   }
 }
@@ -188,9 +228,27 @@ final case class GraftMergeCommand(
     notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
     table.mergeClauses(
-      GraftSqlShim.ofRows(spark, sourcePlan), keys, matchedClauses, notMatchedClauses,
-      notMatchedBySourceClauses)
+      GraftSqlShim.ofRows(spark, sourcePlan), keys,
+      matchedClauses.map(c => c.copy(
+        action = c.action match {
+          case Merge.Update(sets) => Merge.Update(sets.map { case (k, v) => k -> m(v) })
+          case other => other
+        },
+        cond = c.cond.map(m))),
+      notMatchedClauses.map(c => c.copy(
+        action = c.action match {
+          case Merge.Insert(sets) => Merge.Insert(sets.map { case (k, v) => k -> m(v) })
+          case other => other
+        },
+        cond = c.cond.map(m))),
+      notMatchedBySourceClauses.map(c => c.copy(
+        action = c.action match {
+          case Merge.Update(sets) => Merge.Update(sets.map { case (k, v) => k -> m(v) })
+          case other => other
+        },
+        cond = c.cond.map(m))))
     Nil
   }
 }

@@ -210,16 +210,23 @@ object RangeStats {
     val p = sidecarPath(dataDir)
     if (!Files.exists(p)) None
     else Option(cache.computeIfAbsent(dataDir, _ => {
+      // stats are an optimization, never a correctness input: malformed
+      // sidecar content degrades to "no stats, dir unskippable" rather
+      // than failing the read (unlike table METADATA, where corruption
+      // must fail loudly — see SnapshotTable.parse)
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val rows = """"rows":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
-      val colRe =
-        ("""\{"name":"((?:[^"\\]|\\.)*)","nulls":(\d+)""" +
-          """(?:,"min":"((?:[^"\\]|\\.)*)")?(?:,"max":"((?:[^"\\]|\\.)*)")?\}""").r
-      val cols = colRe.findAllMatchIn(json).map { m =>
-        jsonUnescape(m.group(1)) -> ColRange(m.group(2).toLong,
-          Option(m.group(3)).map(jsonUnescape), Option(m.group(4)).map(jsonUnescape))
-      }.toMap
-      DirStats(rows, cols)
+      try {
+        val o = graft.sink.MetadataJson.parse(json).asObj
+        val rows = o.get("rows").map(_.asLong).getOrElse(-1L)
+        val cols = o.get("cols").map(_.asArr.map { cv =>
+          val c = cv.asObj
+          c("name").asStr -> ColRange(c("nulls").asLong,
+            c.get("min").map(_.asStr), c.get("max").map(_.asStr))
+        }.toMap).getOrElse(Map.empty[String, ColRange])
+        DirStats(rows, cols)
+      } catch {
+        case _: graft.sink.MetadataJson.ParseException => DirStats(-1L, Map.empty)
+      }
     }))
   }
 
@@ -385,22 +392,6 @@ object RangeStats {
     case c => c.toString
   }
 
-  private def jsonUnescape(s: String): String = {
-    val b = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
-            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case o => b.append(o); i += 2
-        }
-      } else { b.append(c); i += 1 }
-    }
-    b.toString
-  }
 }
 
 /** Optimizer rule: prune file-scan root directories whose range

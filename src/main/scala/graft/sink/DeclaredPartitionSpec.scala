@@ -100,10 +100,10 @@ object DeclaredPartitionSpec {
     if (!Files.exists(p)) Nil
     else {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      """\{"column":"([^"]+)","transform":"([^"]+)","n":(\d+)\}""".r
-        .findAllMatchIn(json)
-        .map(m => PartitionField(m.group(1), m.group(2), m.group(3).toInt))
-        .toSeq
+      MetadataJson.parse(json).asArr.map { v =>
+        val o = v.asObj
+        PartitionField(o("column").asStr, o("transform").asStr, o("n").asLong.toInt)
+      }
     }
   }
 }

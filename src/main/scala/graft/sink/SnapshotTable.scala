@@ -1100,9 +1100,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     if (!Files.exists(propertiesPath)) Map.empty
     else {
       val json = new String(Files.readAllBytes(propertiesPath), StandardCharsets.UTF_8)
-      val re = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
-      re.findAllMatchIn(json)
-        .map(m => jsonUnescape(m.group(1)) -> jsonUnescape(m.group(2))).toMap
+      MetadataJson.parse(json).asObj.map { case (k, v) => k -> v.asStr }
     }
 
   private def writeProperties(props: Map[String, String]): Unit = {
@@ -1149,9 +1147,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
     if (!Files.exists(refsPath)) Nil
     else {
       val json = new String(Files.readAllBytes(refsPath), StandardCharsets.UTF_8)
-      val re = """\{"name":"((?:[^"\\]|\\.)*)","type":"(branch|tag)","snapshot_id":(\d+)\}""".r
-      re.findAllMatchIn(json).map(m =>
-        TableRef(jsonUnescape(m.group(1)), m.group(2), m.group(3).toLong)).toSeq
+      MetadataJson.parse(json).asArr.map { v =>
+        val o = v.asObj
+        TableRef(o("name").asStr, o("type").asStr, o("snapshot_id").asLong)
+      }
     }
 
   private def writeRefs(rs: Seq[TableRef]): Unit = {
@@ -2290,8 +2289,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val p = columnsSidecarPath(dataDir)
     if (Files.exists(p)) {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val re = """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)"(?:,"type":"(?:[^"\\]|\\.)*")?\}""".r
-      re.findAllMatchIn(json).map(m => m.group(1).toInt -> jsonUnescape(m.group(2))).toMap
+      MetadataJson.parse(json).asArr.map { v =>
+        val o = v.asObj
+        o("id").asLong.toInt -> o("name").asStr
+      }.toMap
     } else cols.map(c => c.id -> c.name).toMap
   }
 
@@ -2498,11 +2499,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
     if (!Files.exists(p)) None
     else {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val re = """\{"file":"((?:[^"\\]|\\.)*)","partition":"((?:[^"\\]|\\.)*)","bytes":(\d+),"rows":(-?\d+)\}""".r
-      Some(re.findAllMatchIn(json).map { m =>
-        (new File(dataDir, jsonUnescape(m.group(1))).getAbsolutePath,
-          jsonUnescape(m.group(2)), m.group(3).toLong, m.group(4).toLong)
-      }.toSeq)
+      Some(MetadataJson.parse(json).asArr.map { v =>
+        val o = v.asObj
+        (new File(dataDir, o("file").asStr).getAbsolutePath,
+          o("partition").asStr, o("bytes").asLong, o("rows").asLong)
+      })
     }
   }
 
@@ -2513,10 +2514,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val p = sidecarPath(dataDir)
     if (Files.exists(p)) {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val re = """\{"partition":"((?:[^"\\]|\\.)*)","files":(\d+),"rows":(-?\d+)\}""".r
-      re.findAllMatchIn(json).map { m =>
-        (jsonUnescape(m.group(1)), m.group(2).toLong, m.group(3).toLong)
-      }.toSeq
+      MetadataJson.parse(json).asArr.map { v =>
+        val o = v.asObj
+        (o("partition").asStr, o("files").asLong, o("rows").asLong)
+      }
     } else {
       val base = new File(dataDir)
       listDataFiles(base).groupBy { f =>
@@ -2593,77 +2594,43 @@ final class SnapshotTable(val root: String, val fullName: String) {
     Files.move(tmp, metadataPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  // Minimal JSON parse for our own fixed-shape metadata (no deps).
-  private[sink] def parse(json: String): Seq[Snapshot] = {
-    // "format", "row_count" and "masked_dirs" are optional on read:
-    // metadata written before each field existed defaults to parquet /
-    // unknown (-1) / no masks
-    val snapRe = """\{"id":(\d+),"committed_at_ms":(\d+),"operation":"(\w+)",(?:"format":"(\w+)",)?(?:"row_count":(-?\d+),)?(?:"parent_id":(-?\d+),)?(?:"last_column_id":(\d+),)?(?:"cols":\[(.*?)\],)?(?:"staged":(true),)?(?:"summary":\{(.*?)\},)?(?:"masked_dirs":\{(.*?)\},)?(?:"deletes":\[(.*?)\],(?="data_dirs"))?"data_dirs":\[(.*?)\]\}""".r
-    // tokenize JSON string elements properly: a naive split on "," eats
-    // the escaped quote of an element ENDING in \" (caught by
-    // MetadataRoundTripProps) — match balanced escaped strings instead
-    val strRe = """"((?:[^"\\]|\\.)*)"""".r
-    def strs(arr: String): Seq[String] =
-      if (arr.isEmpty) Nil
-      else strRe.findAllMatchIn(arr).map(sm => jsonUnescape(sm.group(1))).toSeq
-    snapRe.findAllMatchIn(json).map { m =>
-      val cols = Option(m.group(8)).map { content =>
-        val colRe = """\{"id":(\d+),"name":"((?:[^"\\]|\\.)*)","type":"((?:[^"\\]|\\.)*)"\}""".r
-        colRe.findAllMatchIn(content).map { cm =>
-          TableColumn(cm.group(1).toInt, jsonUnescape(cm.group(2)), jsonUnescape(cm.group(3)))
-        }.toSeq
-      }.getOrElse(Nil)
-      val summary = Option(m.group(10)).map { content =>
-        val kvRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
-        kvRe.findAllMatchIn(content).map { km =>
-          jsonUnescape(km.group(1)) -> jsonUnescape(km.group(2))
-        }.toMap
-      }.getOrElse(Map.empty[String, String])
-      val masked = Option(m.group(11)).map { content =>
-        val entryRe = """"((?:[^"\\]|\\.)*)":\[(.*?)\]""".r
-        entryRe.findAllMatchIn(content).map { em =>
-          jsonUnescape(em.group(1)) -> strs(em.group(2))
-        }.toMap
-      }.getOrElse(Map.empty[String, Seq[String]])
-      val deletes = Option(m.group(12)).map { content =>
-        val delRe = """\{"dir":"((?:[^"\\]|\\.)*)","keys":\[(.*?)\],"applies":\[(.*?)\](?:,"fmt":"((?:[^"\\]|\\.)*)")?\}""".r
-        delRe.findAllMatchIn(content).map { dm =>
-          EqualityDelete(jsonUnescape(dm.group(1)), strs(dm.group(2)), strs(dm.group(3)),
-            Option(dm.group(4)).map(jsonUnescape))
-        }.toSeq
-      }.getOrElse(Nil)
-      Snapshot(m.group(1).toLong, m.group(2).toLong, m.group(3), strs(m.group(13)),
-        Option(m.group(4)).getOrElse("parquet"),
-        Option(m.group(5)).map(_.toLong).getOrElse(-1L),
-        masked,
-        staged = m.group(9) != null,
-        deletes = deletes,
-        parentId = Option(m.group(6)).map(_.toLong),
-        cols = cols,
-        lastColumnId = Option(m.group(7)).map(_.toInt).getOrElse(0),
-        summary = summary)
-    }.toSeq
-  }
-
-  /** Sequential-scan unescape (chained .replace would corrupt adjacent
-    * escapes); inverse of [[jsonEscape]] including \uXXXX.
+  /** Parse the snapshots metadata through [[MetadataJson]] (a real
+    * tokenizer, not a shape regex: correct for ALL legal JSON, and
+    * corrupted metadata fails loudly with an offset instead of silently
+    * dropping snapshots). "format", "row_count" and "masked_dirs" are
+    * optional on read: metadata written before each field existed
+    * defaults to parquet / unknown (-1) / no masks.
     */
-  private def jsonUnescape(s: String): String = {
-    val b = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
-            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case o => b.append(o); i += 2 // \\ and \"
-        }
-      } else { b.append(c); i += 1 }
+  private[sink] def parse(json: String): Seq[Snapshot] =
+    MetadataJson.parse(json).asArr.map { v =>
+      val o = v.asObj
+      def optLong(k: String) = o.get(k).map(_.asLong)
+      val cols = o.get("cols").map(_.asArr.map { cv =>
+        val c = cv.asObj
+        TableColumn(c("id").asLong.toInt, c("name").asStr, c("type").asStr)
+      }).getOrElse(Nil)
+      val summary = o.get("summary")
+        .map(_.asObj.map { case (k, sv) => k -> sv.asStr }).getOrElse(Map.empty[String, String])
+      val masked = o.get("masked_dirs")
+        .map(_.asObj.map { case (k, mv) => k -> mv.asArr.map(_.asStr) })
+        .getOrElse(Map.empty[String, Seq[String]])
+      val deletes = o.get("deletes").map(_.asArr.map { dv =>
+        val d = dv.asObj
+        EqualityDelete(d("dir").asStr, d("keys").asArr.map(_.asStr),
+          d("applies").asArr.map(_.asStr), d.get("fmt").map(_.asStr))
+      }).getOrElse(Nil)
+      Snapshot(o("id").asLong, o("committed_at_ms").asLong, o("operation").asStr,
+        o("data_dirs").asArr.map(_.asStr),
+        o.get("format").map(_.asStr).getOrElse("parquet"),
+        optLong("row_count").getOrElse(-1L),
+        masked,
+        staged = o.get("staged").exists(_.asBool),
+        deletes = deletes,
+        parentId = optLong("parent_id"),
+        cols = cols,
+        lastColumnId = optLong("last_column_id").map(_.toInt).getOrElse(0),
+        summary = summary)
     }
-    b.toString
-  }
 
   private def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -478,4 +478,51 @@ object TextAnalysis {
     df.select(col("doc_id"), md5(col(textCol)).as("content_md5"))
       .join(minh, Seq("doc_id"), "left_outer")
   }
+
+  /** `text_gopher_rules`: the Gopher/MassiveText repetition-and-shape
+    * rule suite (Rae et al. 2021, §A.1.1) — the canonical cheap
+    * DOCUMENT-level filter a web-scale training pipeline applies before
+    * any model-based scoring: word-count window, mean word length,
+    * bullet/ellipsis line ratios, symbol-to-word ratio, alphabetic-word
+    * ratio, plus the conjunctive keep flag. One map-side pass over the
+    * text column (per-doc HOFs, no shuffle, no UDF); every ratio is
+    * rounded to 6 dp so the flags are bit-stable cross-engine.
+    */
+  def gopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks) // trim+split never yields 0 elements
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    def r6(c: Column) = round(c.cast("double"), 6)
+    def occurrences(pattern: String, width: Int) =
+      (length(t) - length(regexp_replace(t, pattern, ""))) / width
+    val meanWordLen = r6(
+      aggregate(transform(toks, w => length(w)), lit(0), (a, x) => a + x)
+        .cast("double") / nWords)
+    val pctAlpha = r6(
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+    val pctBullet = r6(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines)
+    val pctEllipsis = r6(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / nLines)
+    val symbolRatio = r6(
+      (occurrences("#", 1) + occurrences("\\.\\.\\.", 3) + occurrences("…", 1))
+        .cast("double") / nWords)
+    df.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      pctAlpha.as("pct_alpha_words"),
+      pctBullet.as("pct_bullet_lines"),
+      pctEllipsis.as("pct_ellipsis_lines"),
+      symbolRatio.as("symbol_ratio"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("pct_bullet_lines") <= 0.9 &&
+          col("pct_ellipsis_lines") <= 0.3 &&
+          col("symbol_ratio") < 0.1 &&
+          col("pct_alpha_words") >= 0.8)
+  }
 }

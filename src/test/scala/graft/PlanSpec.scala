@@ -203,6 +203,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"target-mix sample should not shuffle:\n${p.take(800)}")
   }
 
+  test("gopher rules and NFC normalization are map-side: no exchange, one scan") {
+    for (q <- Seq("text_gopher_rules", "text_normalize_unicode")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(800)}")
+      // per-doc computation over one column: exactly one parquet scan
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q should scan once:\n${p.take(800)}")
+    }
+  }
+
   test("decontamination broadcasts only the benchmark side") {
     val conf = spark.conf
     val prevAqe = conf.get("spark.sql.adaptive.enabled")

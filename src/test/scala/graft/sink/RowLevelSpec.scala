@@ -313,6 +313,39 @@ class RowLevelSpec extends SparkSpec {
     assert(t.read(spark).filter(col("bal") === 0.0).count() == 0L)
   }
 
+  test("uncorrelated SCALAR subqueries in DML materialize once per statement") {
+    val wh = Files.createTempDirectory("graft_rl_scalar").toString
+    val t = SnapshotTable(wh, "ns", "sct")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq(5.0, 15.0).toDF("bonus").createOrReplaceTempView("rl_sc_bonus")
+    // UPDATE: scalar subqueries in both the assignment and the WHERE;
+    // SQL contract = evaluated once, against the PRE-update state
+    spark.sql("""UPDATE graft.ns.sct
+                |SET bal = bal + (SELECT max(bonus) FROM rl_sc_bonus)
+                |WHERE bal >= (SELECT avg(bal) FROM graft.ns.sct)""".stripMargin)
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 35.0), (3L, 45.0)))
+    // MERGE: scalar subquery inside a clause condition
+    Seq((1L, 100.0), (2L, 1.0)).toDF("id", "amount").createOrReplaceTempView("rl_sc_src")
+    spark.sql("""MERGE INTO graft.ns.sct t USING rl_sc_src s ON t.id = s.id
+                |WHEN MATCHED AND s.amount > (SELECT min(bonus) FROM rl_sc_bonus)
+                |  THEN UPDATE SET bal = s.amount""".stripMargin)
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 100.0), (2L, 35.0), (3L, 45.0)))
+    // a zero-row scalar subquery is NULL (condition never true): no-op
+    spark.sql("""UPDATE graft.ns.sct SET bal = 0
+                |WHERE bal > (SELECT bonus FROM rl_sc_bonus WHERE bonus > 999)""".stripMargin)
+    assert(t.read(spark).filter(col("bal") === 0.0).count() == 0L)
+    // correlated subqueries stay rejected with the actionable message
+    val e = intercept[Exception](spark.sql(
+      """UPDATE graft.ns.sct SET bal = 0
+        |WHERE bal > (SELECT max(bonus) FROM rl_sc_bonus WHERE bonus < bal)""".stripMargin))
+    assert(e.getMessage.contains("SCALAR subqueries") ||
+      e.getMessage.toLowerCase.contains("correlated"), e.getMessage)
+  }
+
   test("SQL MERGE delete + partitioned copy-on-write keeps the layout") {
     val t = freshTable()
     val df = Seq((1L, "x", "d1"), (2L, "y", "d1"), (3L, "z", "d2"))
