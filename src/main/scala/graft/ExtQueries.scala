@@ -481,6 +481,68 @@ object ExtQueries {
       doc = "streaming quality gate with dead-letter quarantine: each microbatch is " +
         "gated before landing; failing batches quarantine whole, the stream survives"),
 
+    "stream_quarantine_replay" -> QueryDef(
+      (s, dir) => {
+        // the OTHER half of the dead-letter pattern: after the producer
+        // is fixed, the quarantined deliveries re-attempt the SAME gate
+        // and land in the main table; the quarantine drains via a
+        // metadata-only empty overwrite (history survives — the incident
+        // audit trail stays time-travelable). A non-curing fix fails the
+        // gate and mutates NOTHING (pinned below); a second replay is a
+        // no-op.
+        import s.implicits._
+        import graft.quality.Quality
+        val wh = MetaQueries.freshWarehouse("stream_quarantine_replay")
+        val t = graft.template.TemplateLoader.get(MetaQueries.TemplatesDir, "events")
+        val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
+        val quarantine = graft.sink.SnapshotTable(wh, t.namespace, "events_quarantine")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        val events = Queries.tbl(s, dir, "events").filter(col("event_id") < 2000)
+        val clean = events.filter(col("event_id") % 2 === 0).select(cols.map(col): _*)
+        val poisoned = events.filter(col("event_id") % 2 === 1)
+          .withColumn("user_id",
+            when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+          .select(cols.map(col): _*)
+        val checks = Seq(Quality.rowCount(), Quality.missingCount("user_id"))
+        // the incident: the clean batch landed, the poisoned one was
+        // quarantined whole (same split the gated stream produces)
+        graft.sink.TableSink.append(clean, t, table): Unit
+        graft.sink.TableSink.append(poisoned, t, quarantine): Unit
+        // a replay whose fix does NOT cure still-null user_ids must fail
+        // the gate and mutate neither table
+        val (mainHead, qHead) =
+          (table.currentSnapshot.get.id, quarantine.currentSnapshot.get.id)
+        val failed = try {
+          Streaming.replayQuarantine(s, t, table, quarantine, checks); false
+        } catch { case _: Quality.QualityFailure => true }
+        require(failed, "an uncured replay must fail the gate")
+        require(table.currentSnapshot.get.id == mainHead &&
+          quarantine.currentSnapshot.get.id == qHead,
+          "a failed replay must mutate nothing")
+        // the cure: backfill the missing ids deterministically
+        val snap = Streaming.replayQuarantine(s, t, table, quarantine, checks,
+          fix = df => df.withColumn("user_id",
+            coalesce(col("user_id"), col("event_id") % 97)))
+        require(snap.isDefined, "the cured replay must commit")
+        require(quarantine.read(s).isEmpty, "the quarantine must drain")
+        require(quarantine.snapshots.size > qHead,
+          "the drain must be a new snapshot, not erased history")
+        require(Streaming.replayQuarantine(s, t, table, quarantine, checks).isEmpty,
+          "a second replay must be a no-op")
+        table.read(s).select(cols.map(col): _*)
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id < 2000 AND event_id % 2 = 0
+             |UNION ALL
+             |SELECT event_id, ts,
+             |  CASE WHEN event_id % 7 = 0 THEN event_id % 97 ELSE user_id END AS user_id,
+             |  event_type, value, props
+             |FROM events WHERE event_id < 2000 AND event_id % 2 = 1""".stripMargin),
+      doc = "dead-letter quarantine REPLAY: fixed deliveries re-attempt the same " +
+        "gate and land in the main table; the quarantine drains metadata-only " +
+        "(history kept); uncured replays fail atomically, repeats are no-ops, " +
+        "concurrent quarantining batches survive the drain"),
+
     "mm_decode_features" -> QueryDef(
       (s, dir) => Multimodal.decodeFeatures(media(s, dir), batchSize = 128),
       Some("""WITH b AS (

@@ -1834,6 +1834,87 @@ object MetaQueries {
         "namespaces auto-restrict to owning team + platform; catalog-front-door " +
         "enforcement on reads and writes, denials audited"),
 
+    "team_access_matrix" -> QueryDef(
+      (s, dir) => {
+        // The reference's per-team table ACL (docs/multi-tenancy.md:44-105):
+        // one YAML per team mapping tables to none/reader/writer/admin,
+        // missing tables defaulting to none. The fixture writes the five
+        // DOCUMENTED team configs verbatim and probes the REAL catalog
+        // enforcement (checkTableAccess) for every (team, table, verb) —
+        // the oracle is the documented matrix itself. Unknown teams fail
+        // CLOSED (pinned); teamless sessions fall back to the global
+        // level (the operator shape).
+        import s.implicits._
+        import graft.governance.{AccessControl, TeamConfig}
+        val teamsDir = java.nio.file.Files.createTempDirectory("graft_teams")
+        val declared = Map(
+          "data-engineering" -> Map(
+            "event_stream" -> "writer", "scd_type2" -> "reader",
+            "feature_table" -> "reader"),
+          "analytics" -> Map(
+            "event_stream" -> "reader", "scd_type2" -> "reader",
+            "feature_table" -> "none"),
+          "ml-platform" -> Map(
+            "event_stream" -> "reader", "scd_type2" -> "reader",
+            "feature_table" -> "writer"),
+          "customer-data" -> Map(
+            "event_stream" -> "none", "scd_type2" -> "writer",
+            "feature_table" -> "none"),
+          "platform" -> Map(
+            "event_stream" -> "admin", "scd_type2" -> "admin",
+            "feature_table" -> "admin"))
+        declared.foreach { case (team, tables) =>
+          val body = s"name: $team\ntables:\n" +
+            tables.map { case (t, l) => s"  $t: $l" }.mkString("\n")
+          java.nio.file.Files.writeString(teamsDir.resolve(s"$team.yaml"), body): Unit
+        }
+        TeamConfig.invalidate()
+        s.conf.set(TeamConfig.DirConfKey, teamsDir.toString)
+        try {
+          val tables = Seq("event_stream", "scd_type2", "feature_table")
+          def allowed(team: String, table: String, verb: String): Boolean = {
+            s.conf.set("graft.access.team", team)
+            try { AccessControl.checkTableAccess(s, table, s"lakehouse.$table", verb); true }
+            catch { case _: AccessControl.TableAccessDenied => false }
+          }
+          // an unknown team name fails CLOSED on every verb
+          require(!allowed("no-such-team", "event_stream", "read"),
+            "unknown teams must have no access")
+          val rows = for {
+            (team, decl) <- declared.toSeq
+            table <- tables
+          } yield (team, table, decl(table),
+            allowed(team, table, "read"),
+            allowed(team, table, "write"),
+            allowed(team, table, "alter"))
+          rows.toDF("team", "table", "level", "can_select", "can_write", "can_alter")
+        } finally {
+          s.conf.unset("graft.access.team")
+          s.conf.unset(TeamConfig.DirConfKey)
+        }
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('data-engineering', 'event_stream',  'writer', true,  true,  false),
+             |  ('data-engineering', 'scd_type2',     'reader', true,  false, false),
+             |  ('data-engineering', 'feature_table', 'reader', true,  false, false),
+             |  ('analytics',        'event_stream',  'reader', true,  false, false),
+             |  ('analytics',        'scd_type2',     'reader', true,  false, false),
+             |  ('analytics',        'feature_table', 'none',   false, false, false),
+             |  ('ml-platform',      'event_stream',  'reader', true,  false, false),
+             |  ('ml-platform',      'scd_type2',     'reader', true,  false, false),
+             |  ('ml-platform',      'feature_table', 'writer', true,  true,  false),
+             |  ('customer-data',    'event_stream',  'none',   false, false, false),
+             |  ('customer-data',    'scd_type2',     'writer', true,  true,  false),
+             |  ('customer-data',    'feature_table', 'none',   false, false, false),
+             |  ('platform',         'event_stream',  'admin',  true,  true,  true),
+             |  ('platform',         'scd_type2',     'admin',  true,  true,  true),
+             |  ('platform',         'feature_table', 'admin',  true,  true,  true))
+             |AS t(team, "table", "level", can_select, can_write, can_alter)""".stripMargin),
+      doc = "per-team table ACL (teams-dir YAML, multi-tenancy Option B): the five " +
+        "documented team configs probed through the real catalog enforcement — " +
+        "none/reader/writer/admin gate read/write/alter exactly per the doc's " +
+        "matrix; unknown teams fail closed, omitted tables default to none"),
+
     "sql_truncate" -> QueryDef(
       (s, dir) => {
         // TRUNCATE TABLE as an empty-overwrite snapshot: the schema

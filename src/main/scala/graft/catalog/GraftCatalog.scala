@@ -87,6 +87,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     SnapshotTable(warehouse, ident.namespace.head, ident.name)
   }
 
+  private def checkTeamAccess(bare: String, full: String, verb: String): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+      graft.governance.AccessControl.checkTableAccess(s, bare, full, verb))
+
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style metadata tables: `graft.<ns>.<table>.snapshots` /
     // `.partitions` / `.history` (the reference pre-provisions the same
@@ -96,12 +100,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
         graft.governance.AccessControl.checkNamespaceAccess(
           ident.namespace()(0), s"${ident.namespace()(0)}.${ident.namespace()(1)}", s))
+      checkTeamAccess(ident.namespace()(1),
+        s"${ident.namespace()(0)}.${ident.namespace()(1)}", "read")
       val t = SnapshotTable(warehouse, ident.namespace()(0), ident.namespace()(1))
       if (!t.existsVisible) throw new NoSuchTableException(ident)
       return new GraftSparkTable(t, None, None, Some(ident.name))
     }
     val t = tableOf(ident)
     if (!t.existsVisible) throw new NoSuchTableException(ident)
+    checkTeamAccess(ident.name, t.fullName, "read")
     new GraftSparkTable(t, None, None)
   }
 
@@ -112,6 +119,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = tableOf(ident)
     if (!t.existsVisible) throw new NoSuchTableException(ident)
+    checkTeamAccess(ident.name, t.fullName, "read")
     val id = try version.toLong catch {
       case _: NumberFormatException =>
         t.refs.find(_.name == version).map(_.snapshotId).getOrElse(
@@ -127,6 +135,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = tableOf(ident)
     if (!t.existsVisible) throw new NoSuchTableException(ident)
+    checkTeamAccess(ident.name, t.fullName, "read")
     new GraftSparkTable(t, None, Some(Math.floorDiv(timestampMicros, 1000L)))
   }
 
@@ -199,6 +208,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): StagedTable = {
     val t = tableOf(ident)
     if (!t.existsVisible) throw new NoSuchTableException(ident)
+    checkTeamAccess(ident.name, t.fullName, "write")
     new GraftStagedTable(t, schema,
       partitions.toSeq.map(GraftCatalog.toPartitionField),
       properties.asScala.toMap, replace = true)
@@ -243,6 +253,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tableOf(ident)
     if (!t.existsVisible) throw new NoSuchTableException(ident)
+    checkTeamAccess(ident.name, t.fullName, "alter")
     val spark = SparkSession.active
     changes.foreach {
       case c: TableChange.AddColumn =>
@@ -276,6 +287,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val t = tableOf(ident)
     if (!t.exists) return false
+    checkTeamAccess(ident.name, t.fullName, "alter")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
       f.delete(): Unit
@@ -570,7 +582,13 @@ final class GraftSparkTable(
     metaKind.isEmpty && pinnedVersion.isEmpty && pinnedAsOfMs.isEmpty &&
       GraftSparkTable.keyRows(filters).isDefined
 
+  private def teamCheck(verb: String): Unit =
+    SparkSession.getActiveSession.foreach(s =>
+      graft.governance.AccessControl.checkTableAccess(
+        s, snapTable.fullName.split("\\.", 2).last, snapTable.fullName, verb))
+
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    teamCheck("write")
     val (keyCols, rows) = GraftSparkTable.keyRows(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"DELETE on ${name()} supports equality predicates (col = v [AND ...], " +
@@ -597,6 +615,7 @@ final class GraftSparkTable(
     * snapshot table's past is part of its contract.
     */
   override def truncateTable(): Boolean = {
+    teamCheck("write")
     require(metaKind.isEmpty && pinnedVersion.isEmpty && pinnedAsOfMs.isEmpty,
       s"cannot TRUNCATE ${name()}: metadata tables and pinned reads are read-only")
     val spark = SparkSession.active
@@ -628,6 +647,7 @@ final class GraftSparkTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ow: Boolean): Unit = {
+              teamCheck("write")
               val fmt = snapTable.currentSnapshot.map(_.format).getOrElse("parquet")
               val declared = GraftCatalog.readPartitionSpec(snapTable.root)
               val (toWrite, pCols) =

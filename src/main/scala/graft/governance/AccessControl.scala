@@ -112,6 +112,59 @@ object AccessControl {
   def checkNamespaceAccess(namespace: String, table: String, spark: SparkSession): Unit =
     checkNamespaceAccess(namespace, table, resolve(spark), resolveTeam(spark))
 
+  /** The session's access level for ONE table. With a teams directory
+    * configured ([[TeamConfig.DirConfKey]]) and a team principal set,
+    * the per-team per-table matrix governs — including `none` (returned
+    * as None = no access at all) for tables the team's config omits and
+    * for unknown team names (fail CLOSED). Teamless sessions — the
+    * operator shape — and sessions without a teams dir fall back to the
+    * global level.
+    */
+  def effectiveLevel(spark: SparkSession, table: String): Option[Level] =
+    TeamConfig.configuredDir(spark) match {
+      case Some(dir) =>
+        resolveTeam(spark) match {
+          case Some(team) => TeamConfig.levelFor(dir, Some(team), table)
+          case None => Some(resolve(spark))
+        }
+      case None => Some(resolve(spark))
+    }
+
+  /** Denied per-table access under the team matrix. */
+  final case class TableAccessDenied(
+      table: String, verb: String, level: String, team: String)
+    extends RuntimeException(
+      s"Access to $table denied: '$verb' requires more than level '$level' " +
+        s"for team '$team' (matrix: none < reader < writer < admin; see the " +
+        "teams directory's YAML for this team). Raise the table's declared " +
+        "level in the team config, or use a session with the owning team")
+
+  /** Verb-level enforcement of the per-team table matrix
+    * (`docs/multi-tenancy.md` §3 Access Levels Per Table): read needs
+    * reader+, write (INSERT/DELETE/MERGE/TRUNCATE) needs writer+, alter
+    * (schema/properties/drop) needs admin. No-op when no teams dir is
+    * in force. Denials are audited.
+    */
+  def checkTableAccess(
+      spark: SparkSession, table: String, fullName: String, verb: String): Unit =
+    if (TeamConfig.configuredDir(spark).isDefined) {
+      val lvl = effectiveLevel(spark, table)
+      val ok = (lvl, verb) match {
+        case (None, _) => false
+        case (Some(_), "read") => true
+        case (Some(Reader), _) => false
+        case (Some(Writer), "alter") => false
+        case (Some(_), _) => true
+      }
+      if (!ok) {
+        val team = resolveTeam(spark).getOrElse("<none>")
+        Audit.log("table_read", fullName, Map(
+          "access" -> "denied", "verb" -> verb,
+          "team" -> team, "level" -> lvl.map(_.name).getOrElse("none")))
+        throw TableAccessDenied(fullName, verb, lvl.map(_.name).getOrElse("none"), team)
+      }
+    }
+
   /** Property key of the row-level policy for one access level. */
   def rowFilterKey(level: Level): String = s"access.row-filter.${level.name}"
 

@@ -735,10 +735,18 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val pCols = partitionColumns
     val dataDir = Paths.get(root,
       s"snap-${java.util.UUID.randomUUID().toString.take(8)}").toString
-    val clustered =
+    val clustered0 =
       if (pCols.nonEmpty)
         replacement.repartition(pCols.map(org.apache.spark.sql.functions.col): _*)
       else replacement
+    // a declared write.sort.order holds through DML rewrites too: the
+    // dirs an UPDATE/MERGE/delete-paydown touches must come back
+    // internally sorted, or row-level mutation would quietly erode the
+    // sorted-file contract (tight range stats, cheap merge consumers)
+    val declaredSorts = WriteSortOrder.sortCols(this)
+    val clustered =
+      if (declaredSorts.nonEmpty) clustered0.sortWithinPartitions(declaredSorts: _*)
+      else clustered0
     // same single-pass stats collection as [[commit]]: row count +
     // column ranges observed during the write, partition rows + bounds
     // from one column-pruned job
@@ -1434,8 +1442,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
       if (clusterBy.nonEmpty) df.repartitionByRange(nOut, clusterBy: _*)
       else if (pCols.nonEmpty) df
       else df.coalesce(nOut)
+    // a declared write.sort.order governs ANY rewrite of the table's
+    // files: compaction must not undo the sorted-file contract (tight
+    // range stats, cheap merge consumers) the property promises. An
+    // explicit clusterBy wins — the caller asked for that layout.
+    val sorts =
+      if (clusterBy.nonEmpty) clusterBy else WriteSortOrder.sortCols(this)
     commit(packed, "replace", carryPrevious = false, pCols,
-      clusterBy, snap.format, numRetries)
+      sorts, snap.format, numRetries)
   }
 
   /** Pay down merge-on-read debt WITHOUT a full compaction — the

@@ -196,6 +196,54 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Dead-letter REPLAY — the other half of [[startGatedIngest]]'s
+    * quarantine contract: after the operator fixes the producer (or
+    * supplies a row-level `fix`), the held deliveries re-attempt the
+    * SAME gate and, on pass, append to the main table; the quarantine
+    * then drains via an empty overwrite (METADATA-ONLY commit — its
+    * history survives, so what-was-quarantined stays time-travelable,
+    * the audit trail an incident review needs). A replay whose fix did
+    * NOT cure the data fails the gate and mutates NOTHING — replay is
+    * atomic-per-attempt and idempotent to retry.
+    *
+    * Safe against a still-running gated stream: the replay reads the
+    * quarantine PINNED at its head snapshot; if new batches quarantine
+    * while the replay runs, the drain preserves exactly those rows
+    * (the incremental delta since the pinned head) instead of silently
+    * dropping them. Cost is O(quarantine), never O(main table).
+    */
+  def replayQuarantine(
+      spark: SparkSession,
+      template: graft.template.TableTemplate,
+      table: graft.sink.SnapshotTable,
+      quarantine: graft.sink.SnapshotTable,
+      checks: Seq[graft.quality.Quality.Check],
+      fix: DataFrame => DataFrame = identity): Option[graft.sink.Snapshot] = {
+    val headId = quarantine.currentSnapshot.map(_.id).getOrElse(return None)
+    val held0 = quarantine.readSnapshot(spark, headId)
+    if (held0.isEmpty) return None // nothing to replay (one limit-1 job)
+    // quarantined rows carry the template's DERIVED partition columns
+    // (directory layout, not data) — project back to the declared
+    // schema so the re-append derives them fresh like any ingest
+    val held = held0.select(template.schema.fieldNames.toSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+    val cured = fix(held)
+    // throws QualityFailure before ANY table is touched
+    graft.quality.Quality.gate(cured, table.fullName, checks): Unit
+    val snap = graft.sink.TableSink.append(cured, template, table)
+    // drain: rows quarantined AFTER the pinned head (a concurrent gated
+    // stream may still be failing batches in) survive the drain
+    val newSince = quarantine.currentSnapshot.map(_.id).filter(_ != headId)
+      .map(cur => quarantine.readIncremental(spark, headId, cur))
+    val fmt = quarantine.currentSnapshot.map(_.format).getOrElse("parquet")
+    val drained = newSince.getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], held0.schema))
+    // surviving rows keep the quarantine's partition layout
+    quarantine.overwrite(drained, quarantine.partitionColumns, format = fmt): Unit
+    Some(snap)
+  }
+
   final case class Event(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, events: Long, purchases: Long, total_value: Double)
 

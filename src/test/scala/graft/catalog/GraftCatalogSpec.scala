@@ -363,6 +363,21 @@ class GraftCatalogSpec extends SparkSpec {
       "ALTER TABLE graft.ns.ws SET TBLPROPERTIES('write.sort.order'='SCORE ASC')")
     spark.sql("INSERT INTO graft.ns.ws VALUES (5L, 0.5)")
     assert(spark.table("graft.ns.ws").count() == 4)
+    // the declared order survives MAINTENANCE and DML rewrites: after a
+    // compaction and a row-level UPDATE, every rewritten file must still
+    // be internally sorted — the property is a contract on the table's
+    // files, not on one statement's output
+    def allFileScores(): Seq[Seq[Double]] =
+      t.currentSnapshot.get.dataDirs.flatMap(d =>
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")))
+        .map(f => spark.read.parquet(f.getPath).select($"score").as[Double].collect().toSeq)
+    t.compact(spark)
+    assert(allFileScores().forall(s => s == s.sorted),
+      s"compacted files must keep the declared ASC order: ${allFileScores()}")
+    spark.sql("UPDATE graft.ns.ws SET score = score + 0.25 WHERE id = 2")
+    assert(allFileScores().forall(s => s == s.sorted),
+      s"UPDATE-rewritten files must keep the declared ASC order: ${allFileScores()}")
   }
 
   test("TRUNCATE TABLE: schema and history survive, commit is metadata-only") {

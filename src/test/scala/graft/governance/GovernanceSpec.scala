@@ -121,4 +121,65 @@ class AccessControlSpec extends SparkSpec {
     spark.conf.unset("graft.access.team")
     assert(AccessControl.resolveTeam(spark).isEmpty)
   }
+
+  test("team config: typo'd levels and duplicate names fail the LOAD, not a later read") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_teams_bad")
+    Files.writeString(dir.resolve("a.yaml"), "name: a\ntables:\n  t1: Writer\n")
+    // levels normalize case-insensitively
+    TeamConfig.invalidate()
+    assert(TeamConfig.load(dir.toString)("a").tables("t1") == AccessControl.Writer)
+    Files.writeString(dir.resolve("b.yaml"), "name: b\ntables:\n  t1: righter\n")
+    TeamConfig.invalidate()
+    val e = intercept[IllegalArgumentException](TeamConfig.load(dir.toString))
+    assert(e.getMessage.contains("unknown access level 'righter'"), e.getMessage)
+    Files.writeString(dir.resolve("b.yaml"), "name: a\ntables: {}\n")
+    TeamConfig.invalidate()
+    val e2 = intercept[IllegalArgumentException](TeamConfig.load(dir.toString))
+    assert(e2.getMessage.contains("duplicate team name"), e2.getMessage)
+    TeamConfig.invalidate()
+  }
+
+  test("team matrix enforces end-to-end through the SQL catalog") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val teamsDir = Files.createTempDirectory("graft_teams_e2e")
+    Files.writeString(teamsDir.resolve("bi.yaml"),
+      "name: bi\ntables:\n  tm: reader\n")
+    val wh = Files.createTempDirectory("graft_teams_wh").toString
+    graft.sink.SnapshotTable(wh, "ns", "tm")
+      .overwrite(Seq((1L, "a")).toDF("id", "v")): Unit
+    graft.sink.SnapshotTable(wh, "ns", "other")
+      .overwrite(Seq((2L, "b")).toDF("id", "v")): Unit
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    TeamConfig.invalidate()
+    spark.conf.set(TeamConfig.DirConfKey, teamsDir.toString)
+    spark.conf.set("graft.access.team", "bi")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    try {
+      // reader: SELECT works, INSERT / ALTER / an unlisted table do not
+      assert(spark.sql("SELECT * FROM graft.ns.tm").count() == 1)
+      val w = intercept[Exception](
+        spark.sql("INSERT INTO graft.ns.tm VALUES (9L, 'z')"))
+      assert(msgs(w).exists(_.contains("requires more than level 'reader'")), msgs(w))
+      val a = intercept[Exception](
+        spark.sql("ALTER TABLE graft.ns.tm ADD COLUMN extra STRING"))
+      assert(msgs(a).exists(_.contains("'alter' requires")), msgs(a))
+      val n = intercept[Exception](spark.sql("SELECT * FROM graft.ns.other").collect())
+      assert(msgs(n).exists(_.contains("denied")),
+        s"tables the team config omits default to none: ${msgs(n)}")
+      // the table is untouched by the refused write
+      assert(spark.sql("SELECT * FROM graft.ns.tm").count() == 1)
+      // teamless operator session falls back to the global (admin) level
+      spark.conf.unset("graft.access.team")
+      spark.sql("INSERT INTO graft.ns.tm VALUES (9L, 'z')")
+      assert(spark.sql("SELECT * FROM graft.ns.tm").count() == 2)
+    } finally {
+      spark.conf.unset("graft.access.team")
+      spark.conf.unset(TeamConfig.DirConfKey)
+      TeamConfig.invalidate()
+    }
+  }
 }

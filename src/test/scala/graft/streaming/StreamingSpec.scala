@@ -334,4 +334,41 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L) == Streaming.UserStats(2L, 1L, 0L, 2.0))
     } finally query.stop()
   }
+
+  test("quarantine replay drains only the pinned snapshot; concurrent batches survive") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+    val wh = Files.createTempDirectory("graft_qreplay").toString
+    val tpl = graft.template.TemplateLoader.get("/root/repo/templates", "events")
+    val table = graft.sink.SnapshotTable(wh, tpl.namespace, tpl.name)
+    val quarantine = graft.sink.SnapshotTable(wh, tpl.namespace, "events_quarantine")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def batch(ids: Seq[Long], uid: Option[Long]) =
+      ids.map(i => (i, t(10, 5), uid, "click", 1.0, "{}"))
+        .toDF(cols: _*)
+    val checks = Seq(Quality.rowCount(), Quality.missingCount("user_id"))
+    graft.sink.TableSink.append(batch(Seq(1L, 2L), Some(7L)), tpl, table): Unit
+    graft.sink.TableSink.append(batch(Seq(3L, 4L), None), tpl, quarantine): Unit
+    // a rival gated stream quarantines batch B WHILE the replay runs —
+    // injected through the fix callback, which executes after the replay
+    // pinned the quarantine head and before it drains
+    val late = batch(Seq(9L), None)
+    val snap = Streaming.replayQuarantine(spark, tpl, table, quarantine, checks,
+      fix = { df =>
+        graft.sink.TableSink.append(late, tpl, quarantine): Unit
+        df.withColumn("user_id", coalesce(col("user_id"), lit(0L)))
+      })
+    assert(snap.isDefined)
+    // cured batch A landed in main; concurrent batch B SURVIVED the drain
+    assert(table.read(spark).select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(quarantine.read(spark).select("event_id").as[Long].collect().toSeq ==
+      Seq(9L), "a batch quarantined mid-replay must not be silently dropped")
+    // empty replay after the next cure drains to zero and then no-ops
+    assert(Streaming.replayQuarantine(spark, tpl, table, quarantine, checks,
+      fix = _.withColumn("user_id", coalesce(col("user_id"), lit(0L)))).isDefined)
+    assert(quarantine.read(spark).count() == 0)
+    assert(Streaming.replayQuarantine(spark, tpl, table, quarantine, checks).isEmpty)
+  }
 }
