@@ -235,9 +235,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val parts = ref.split("\\.", 2)
       require(parts.length == 2,
         s"procedure table argument must be '<namespace>.<table>', got '$ref'")
-      // maintenance procedures act on the table: same team-namespace matrix
-      org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
-        graft.governance.AccessControl.checkNamespaceAccess(parts(0), ref, s))
+      // maintenance procedures MUTATE the table (compact, expire,
+      // rollback, cherry-pick): namespace matrix + writer-level in the
+      // per-team table matrix
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+        graft.governance.AccessControl.checkNamespaceAccess(parts(0), ref, s)
+        graft.governance.AccessControl.checkTableAccess(s, parts(1), ref, "write")
+      }
       val t = SnapshotTable(warehouse, parts(0), parts(1))
       if (!t.existsVisible)
         throw new NoSuchTableException(Identifier.of(Array(parts(0)), parts(1)))
@@ -851,7 +855,12 @@ final class GraftStagedTable(
     // root removal must be atomic against a rival CTAS staging into the
     // same (not-yet-visible) root concurrently
     SnapshotTable.commitLock(t.root).synchronized {
-      stagedId.foreach { id =>
+      // idempotent: a CTAS that lost the create race already discarded
+      // its stage inside commitStagedChanges — the abort Spark issues
+      // right after must be a no-op, not a NoSuchElementException that
+      // masks the race error
+      stagedId.filter(id => t.snapshots.exists(s => s.id == id && s.staged))
+        .foreach { id =>
         if (replace)
           // RTAS: drop the staged snapshot and its data; the published
           // table was never touched

@@ -208,6 +208,10 @@ final case class GraftUpdateCommand(
     cond: Option[Column],
     sets: Map[String, Column]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // row-level DML is a WRITE under the per-team table matrix — the
+    // analysis-time loadTable only established read access
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
     def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
     table.updateWhere(spark, cond.map(m).getOrElse(lit(true)),
       sets.map { case (k, v) => k -> m(v) })
@@ -228,6 +232,8 @@ final case class GraftMergeCommand(
     notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil)
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
     def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
     table.mergeClauses(
       GraftSqlShim.ofRows(spark, sourcePlan), keys,

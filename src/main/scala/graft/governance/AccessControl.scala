@@ -56,8 +56,19 @@ object AccessControl {
       case _ => df
     }
 
+  /** Session-resolved masking. Under a configured teams dir the
+    * PER-TABLE effective level governs (the doc matrix: a team reading
+    * at `reader` loses restricted columns on THIS table even if it is
+    * `writer` elsewhere); a `none` table fails the read outright —
+    * masking is not a substitute for denial.
+    */
   def maskPii(df: DataFrame, template: TableTemplate, spark: SparkSession): DataFrame =
-    maskPii(df, template, resolve(spark))
+    effectiveLevel(spark, template.name) match {
+      case Some(lvl) => maskPii(df, template, lvl)
+      case None =>
+        throw TableAccessDenied(template.fullName, "read", "none",
+          resolveTeam(spark).getOrElse("<none>"))
+    }
 
   /** Team principal of the session: `graft.access.team` session conf
     * first, then the `LAKEHOUSE_TEAM` environment (the reference's

@@ -493,6 +493,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("lost the create race"))
     assert(!t.snapshots.exists(_.staged), "losing CTAS must discard its stage")
     assert(t.schema.map(_.name) == Seq("k"), "rival's table must be untouched")
+    // Spark aborts a failed staged commit right after: the stage is
+    // already discarded — the abort must be a NO-OP, not an error that
+    // masks the race, and must not touch the rival's table
+    staged.abortStagedChanges()
+    assert(t.exists && t.schema.map(_.name) == Seq("k"))
   }
 
   test("crash debris of an aborted CTAS (staged-only root) does not block CREATE") {

@@ -167,11 +167,36 @@ class AccessControlSpec extends SparkSpec {
       val a = intercept[Exception](
         spark.sql("ALTER TABLE graft.ns.tm ADD COLUMN extra STRING"))
       assert(msgs(a).exists(_.contains("'alter' requires")), msgs(a))
+      // row-level DML is a write too: UPDATE/MERGE must not slip past
+      // the matrix through their own lowering path
+      val u = intercept[Exception](
+        spark.sql("UPDATE graft.ns.tm SET v = 'x' WHERE id = 1"))
+      assert(msgs(u).exists(_.contains("requires more than level 'reader'")), msgs(u))
+      val mg = intercept[Exception](
+        spark.sql("""MERGE INTO graft.ns.tm t USING (SELECT 1L AS id, 'y' AS v) s
+                    |ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+      assert(msgs(mg).exists(_.contains("requires more than level 'reader'")), msgs(mg))
       val n = intercept[Exception](spark.sql("SELECT * FROM graft.ns.other").collect())
       assert(msgs(n).exists(_.contains("denied")),
         s"tables the team config omits default to none: ${msgs(n)}")
       // the table is untouched by the refused write
       assert(spark.sql("SELECT * FROM graft.ns.tm").count() == 1)
+      // PII masking honors the PER-TABLE level: the same governed-read
+      // masking that drops restricted columns for global readers drops
+      // them for a team whose level on THIS table is reader
+      val tpl = graft.template.TemplateLoader.get("/root/repo/templates", "events")
+        .copy(name = "tm", namespace = "ns")
+      val masked = AccessControl.maskPii(
+        Seq((1L, 2L)).toDF("event_id", "user_id"), tpl, spark)
+      assert(!masked.columns.contains("user_id"),
+        "a reader-level team must lose restricted columns")
+      // a none-level table refuses the masked read outright — masking is
+      // not a substitute for denial
+      val noneT = tpl.copy(name = "other")
+      val d = intercept[AccessControl.TableAccessDenied] {
+        AccessControl.maskPii(Seq((1L, 2L)).toDF("event_id", "user_id"), noneT, spark)
+      }
+      assert(d.getMessage.contains("denied"))
       // teamless operator session falls back to the global (admin) level
       spark.conf.unset("graft.access.team")
       spark.sql("INSERT INTO graft.ns.tm VALUES (9L, 'z')")
