@@ -1746,6 +1746,64 @@ object MetaQueries {
         "lifecycle from SQL, results returned as rows, engine primitives shared " +
         "with the Scala API"),
 
+    "sql_add_files" -> QueryDef(
+      (s, dir) => {
+        // Zero-copy onboarding (Iceberg snapshot + add_files): migrate an
+        // existing parquet path into a NEW table without copying a byte,
+        // then import a second external source into it. At 100 TB this is
+        // THE onboarding path — a petabyte of legacy parquet becomes a
+        // governed, snapshot-versioned table in O(files) metadata work
+        // (footer counts + one column-pruned stats job), never O(rows)
+        // of rewrite. The commit materializes an owned per-file symlink
+        // manifest (the Iceberg manifest-list role), so the source stays
+        // external: expiry/cleanup can only ever delete the links.
+        val wh = freshWarehouse("sql_add_files")
+        val srcDir = freshWarehouse("sql_add_files_src")
+        tbl(s, dir, "nation")
+          .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+            concat(lit("X_"), col("n_name")).as("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$srcDir/nation_extra")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        val srcRows = tbl(s, dir, "nation").count()
+        val mig = s.sql("CALL graft.system.snapshot(`table` => " +
+          s"'testdata.nation_mig', source_path => '$dir/nation.parquet')")
+          .collect().head
+        require(mig.getLong(2) == srcRows,
+          s"snapshot must import all $srcRows source rows, got ${mig.getLong(2)}")
+        val add = s.sql("CALL graft.system.add_files(`table` => " +
+          s"'testdata.nation_mig', source_path => '$srcDir/nation_extra')")
+          .collect().head
+        require(add.getLong(2) == srcRows,
+          s"add_files must import all $srcRows extra rows, got ${add.getLong(2)}")
+        val table = SnapshotTable(wh, "testdata", "nation_mig")
+        require(table.currentSnapshot.exists(_.rowCount == 2 * srcRows),
+          "imported row counts must be exact in snapshot metadata")
+        // the zero-copy pin: every data file both imports committed is a
+        // SYMLINK into the external source — no data byte was copied
+        def walk(f: File): Seq[File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
+              .filterNot(c => c.getName.startsWith(".") || c.getName.startsWith("_"))
+              .flatMap(walk)
+          else Seq(f)
+        val dataFiles = table.currentSnapshot.toSeq.flatMap(_.dataDirs)
+          .flatMap(d => walk(new File(d)))
+        require(dataFiles.nonEmpty &&
+          dataFiles.forall(f => java.nio.file.Files.isSymbolicLink(f.toPath)),
+          "every imported data file must be a symlink into the source " +
+            "(zero-copy); found a materialized copy")
+        s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft.testdata.nation_mig")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |UNION ALL
+             |SELECT CAST(n_nationkey + 100 AS INTEGER), 'X_' || n_name, n_regionkey
+             |FROM nation""".stripMargin),
+      doc = "zero-copy onboarding (CALL graft.system.snapshot + add_files): " +
+        "existing parquet becomes a governed snapshot table by reference — " +
+        "owned symlink manifest, footer-count + one stats job import cost, " +
+        "source files never owned or deleted by maintenance"),
+
     "row_access_filter" -> QueryDef(
       (s, dir) => {
         // Row-level access policy, driven by the access.row-filter.<level>

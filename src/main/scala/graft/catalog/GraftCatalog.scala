@@ -231,7 +231,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // same engine primitive the Scala API exposes.
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(ident, { ref =>
+    GraftProcedures.load(ident, { (ref, requiresTable) =>
       val parts = ref.split("\\.", 2)
       require(parts.length == 2,
         s"procedure table argument must be '<namespace>.<table>', got '$ref'")
@@ -243,7 +243,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         graft.governance.AccessControl.checkTableAccess(s, parts(1), ref, "write")
       }
       val t = SnapshotTable(warehouse, parts(0), parts(1))
-      if (!t.existsVisible)
+      if (requiresTable && !t.existsVisible)
         throw new NoSuchTableException(Identifier.of(Array(parts(0)), parts(1)))
       t
     })

@@ -50,7 +50,11 @@ object GraftProcedures {
       params: Seq[ProcedureParameter],
       output: StructType,
       describe: String,
-      run: (SnapshotTable, InternalRow, SparkSession) => Seq[Array[Any]])
+      run: (SnapshotTable, InternalRow, SparkSession) => Seq[Array[Any]],
+      // false for table-CREATING procedures (snapshot migration): the
+      // catalog resolves the name to a handle without requiring a
+      // visible table to already exist
+      requiresTable: Boolean = true)
 
   val all: Seq[ProcDef] = Seq(
     ProcDef("expire_snapshots",
@@ -224,7 +228,51 @@ object GraftProcedures {
         val olderThan =
           if (in.isNullAt(1)) System.currentTimeMillis() else in.getLong(1)
         t.removeOrphanFiles(olderThan).map(path => Array[Any](utf8(path)))
-      })
+      }),
+
+    ProcDef("add_files",
+      Seq(p("table", StringType), p("source_path", StringType)),
+      StructType(Seq(
+        StructField("snapshot_id", LongType),
+        StructField("added_files_count", LongType),
+        StructField("added_rows_count", LongType))),
+      "Zero-copy import (Iceberg add_files): commit a snapshot that " +
+        "references the source path's parquet files in place — no data " +
+        "is read or copied at import; footer counts and one stats pass " +
+        "give imported dirs the same sidecar stats as written ones. " +
+        "Source files are never owned: expiry and cleanup can only ever " +
+        "delete the table's own link manifest.",
+      (t, in, spark) => {
+        val before = t.currentSnapshot.map(_.rowCount).getOrElse(0L)
+        val snap = t.addFiles(spark, in.getUTF8String(1).toString)
+        val added = snap.summary.get("added-files").map(_.toLong).getOrElse(-1L)
+        Seq(Array[Any](snap.id, added,
+          if (before < 0 || snap.rowCount < 0) -1L else snap.rowCount - before))
+      }),
+
+    ProcDef("snapshot",
+      Seq(p("table", StringType), p("source_path", StringType)),
+      StructType(Seq(
+        StructField("snapshot_id", LongType),
+        StructField("imported_files_count", LongType),
+        StructField("imported_rows_count", LongType))),
+      "Create a NEW table over an existing parquet path without copying " +
+        "it (Iceberg snapshot/migrate): infer the schema from the " +
+        "source, create the table, then zero-copy add_files. The source " +
+        "stays external and is never deleted by table maintenance.",
+      (t, in, spark) => {
+        require(!t.existsVisible,
+          s"snapshot: table ${t.fullName} already exists; use add_files " +
+            "to import more data into an existing table")
+        val sourcePath = in.getUTF8String(1).toString
+        val colsDdl = spark.read.parquet(sourcePath)
+          .schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+        t.create(colsDdl): Unit
+        val snap = t.addFiles(spark, sourcePath)
+        val added = snap.summary.get("added-files").map(_.toLong).getOrElse(-1L)
+        Seq(Array[Any](snap.id, added, snap.rowCount))
+      },
+      requiresTable = false)
   )
 
   private val byName: Map[String, ProcDef] = all.map(d => d.name -> d).toMap
@@ -266,9 +314,11 @@ object GraftProcedures {
     all.map(d => Identifier.of(Array("system"), d.name)).toArray
 
   /** Resolve `graft.system.<name>`; `resolve` maps the 'ns.table' arg to
-    * a live [[SnapshotTable]] under the calling catalog's warehouse.
+    * a live [[SnapshotTable]] under the calling catalog's warehouse. Its
+    * second argument is the procedure's `requiresTable`: table-creating
+    * procedures get a handle without the existence check.
     */
-  def load(ident: Identifier, resolve: String => SnapshotTable): UnboundProcedure = {
+  def load(ident: Identifier, resolve: (String, Boolean) => SnapshotTable): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
       s"procedures live under the 'system' namespace, got ${ident.toString} " +
         s"(available: ${all.map("system." + _.name).mkString(", ")})")
@@ -285,7 +335,7 @@ object GraftProcedures {
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           require(!input.isNullAt(0), s"${d.name}: 'table' is required")
-          val t = resolve(input.getUTF8String(0).toString)
+          val t = resolve(input.getUTF8String(0).toString, d.requiresTable)
           val out = d.run(t, input, SparkSession.active)
             .map(vs => new GenericInternalRow(vs): InternalRow).toArray
           java.util.List.of[Scan](new LocalScan {

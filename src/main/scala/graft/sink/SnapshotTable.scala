@@ -1040,6 +1040,130 @@ final class SnapshotTable(val root: String, val fullName: String) {
     commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format,
       numRetries, stageOnly = true)
 
+  /** Zero-copy import of existing data files (the Iceberg `add_files`
+    * / `snapshot` migration role, reference data layer
+    * `docs/deep-dive.md:49-72`): commit a snapshot that REFERENCES the
+    * source's files in place — no row is read for the import itself and
+    * no byte of data is copied. The commit materializes an owned
+    * manifest directory of per-file symlinks under the table root (our
+    * realization of Iceberg's manifest list: an immutable, owned
+    * listing that points at foreign data), so every downstream
+    * mechanism — reads, sidecar stats, `$files`, expiry — works
+    * unchanged, and table maintenance can only ever delete the LINKS:
+    * the source files are never owned and never touched by
+    * `expireSnapshots` / `removeOrphanFiles` / `discardStaged`.
+    *
+    * Import-time costs are the same class as Iceberg's: one footer
+    * walk for record counts (O(files), driver-side, page-cached) and
+    * one column-pruned stats job for partitioned layouts. Schema
+    * conformance is the normal append contract enforced at swap time
+    * (same-name columns must match or promote losslessly; new columns
+    * evolve in). Hive-style `col=value` path segments in the source
+    * are preserved, so partition pruning governs imported dirs exactly
+    * like written ones.
+    */
+  def addFiles(
+      spark: SparkSession,
+      sourcePath: String,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    val src = new File(sourcePath)
+    require(src.exists,
+      s"add_files to $fullName: source path $sourcePath does not exist")
+    val srcCanon = src.getCanonicalPath
+    val rootCanon = new File(root).getCanonicalPath
+    require(srcCanon != rootCanon && !srcCanon.startsWith(rootCanon + File.separator),
+      s"add_files to $fullName: source $sourcePath lies inside the table " +
+        "root — those files are already table-managed (import would " +
+        "double-reference them)")
+    val format = currentSnapshot.map(_.format).getOrElse("parquet")
+    require(format == "parquet",
+      s"add_files to $fullName: zero-copy import supports parquet tables " +
+        s"(table format is '$format'); rewrite via a normal append instead")
+    val files: Seq[(File, String)] =
+      if (src.isFile) Seq(src -> src.getName)
+      else listDataFiles(src).map(f =>
+        f -> src.toPath.relativize(f.toPath).toString)
+    require(files.nonEmpty,
+      s"add_files to $fullName: $sourcePath contains no data files")
+    // partition layout carried by the source's own hive-style paths;
+    // mixed layouts inside one import are a corrupt source, not a merge
+    val layouts = files.map(_._2.split("/").dropRight(1)
+      .filter(_.contains("=")).map(_.split("=", 2)(0)).toSeq).distinct
+    require(layouts.size == 1,
+      s"add_files to $fullName: source mixes partition layouts " +
+        s"(${layouts.map(_.mkString("/")).mkString(" vs ")}); import each layout separately")
+    val partCols = layouts.head
+    // the owned manifest dir: one symlink per imported file, partition
+    // subdirs recreated as real directories so relative structure (and
+    // with it dir-name pruning) is preserved byte-for-byte
+    val dataDir = Paths.get(root,
+      s"snap-${java.util.UUID.randomUUID().toString.take(8)}-added").toString
+    files.foreach { case (f, rel) =>
+      val target = Paths.get(dataDir, rel)
+      Files.createDirectories(target.getParent)
+      Files.createSymbolicLink(target, f.toPath.toAbsolutePath): Unit
+    }
+    // record counts from footers (no data rows read); an unreadable
+    // footer fails the import whole — an importer must not commit a
+    // snapshot whose rowCount it cannot state
+    val perFileRows: Map[String, Long] = files.map { case (_, rel) =>
+      val link = Paths.get(dataDir, rel).toFile
+      val n = SnapshotTable.parquetRecordCount(link)
+      require(n >= 0,
+        s"add_files to $fullName: unreadable parquet footer in $sourcePath/$rel")
+      link.getAbsolutePath -> n
+    }.toMap
+    val newRows = perFileRows.values.sum
+    // same stats sidecars a written commit gets: per-partition rows +
+    // partition-column bounds from ONE column-pruned job (partitioned
+    // sources only), column ranges from one stats pass — so stats-skip
+    // and $partitions/$files treat imported dirs like any other
+    val (rowsByPart, partBounds) =
+      partitionJobStats(spark, dataDir, partCols, format)
+    val rowsByPart1 =
+      if (partCols.nonEmpty) rowsByPart
+      else Map("" -> newRows)
+    writePartitionSidecar(dataDir, partCols, rowsByPart1, newRows, format, perFileRows)
+    try {
+      val df = spark.read.format(format).load(dataDir)
+      val fields = df.schema.fields.toSeq
+      val aggs = graft.plans.RangeStats.rangeAggs(fields)
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      val metrics = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        n -> row.get(i)
+      }.toMap[String, Any]
+      graft.plans.RangeStats.writeEntries(dataDir, newRows,
+        graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val writeSchema: Seq[(String, String)] =
+      spark.read.format(format).load(dataDir)
+        .schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+    var expectedParent = currentSnapshot.map(_.id)
+    var attempt = 0
+    while (true) {
+      trySwap(expectedParent, dataDir, newRows, "append", carryPrevious = true,
+        format, Nil, stageOnly = false, writeSchema, None,
+        summary = Map(
+          "added-files-source" -> srcCanon,
+          "added-files" -> files.size.toString)) match {
+        case Right(snap) =>
+          Audit.log("table_write", fullName, Map(
+            "operation" -> "add_files", "snapshot_id" -> snap.id.toString,
+            "source" -> srcCanon, "files" -> files.size.toString))
+          return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries) {
+            deleteRecursively(new File(dataDir))
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          }
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          expectedParent = conflict.actualParent
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Write-audit-publish, step 3: make an audited staged snapshot the
     * table. O(1) metadata flip under the commit lock; conflicts (the
     * published head moved since staging) fail with
