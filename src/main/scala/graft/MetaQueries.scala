@@ -1037,37 +1037,55 @@ object MetaQueries {
     "sql_update" -> QueryDef(
       (s, dir) => {
         // Row-level UPDATE through SQL, lowered onto copy-on-write at
-        // dir granularity (GraftDmlRule -> SnapshotTable.updateWhere):
-        // of the two commit dirs, only the one physically holding
-        // matching rows is rewritten — the other carries forward
-        // byte-identical (the require pins it). Iceberg's COW update,
-        // O(affected dirs) not O(table).
+        // FILE granularity (GraftDmlRule -> SnapshotTable.updateWhere):
+        // the table is ONE dir of four key-range files; the update's
+        // key predicate physically touches only the low-range file(s),
+        // and the requires pin the Iceberg COW-at-file-granularity
+        // contract — untouched sibling FILES within the touched dir
+        // carry byte-identical (hard links, zero data I/O) into a
+        // -carry dir instead of being decoded and rewritten. At 100 TB
+        // an update matching a few rows costs O(affected files), never
+        // O(dir) and never O(table).
         val wh = freshWarehouse("sql_update")
         val table = SnapshotTable(wh, "testdata", "orders_cow")
         val o = tbl(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        val half = o.agg(max(col("o_orderkey"))).head.getLong(0) / 2
-        table.overwrite(o.filter(col("o_orderkey") < half)): Unit
-        table.append(o.filter(col("o_orderkey") >= half)): Unit
-        val upperDir = table.currentSnapshot.get.dataDirs.last
+        val quarter = o.agg(max(col("o_orderkey"))).head.getLong(0) / 4
+        table.overwrite(o.repartitionByRange(4, col("o_orderkey"))): Unit
+        val origDir = table.currentSnapshot.get.dataDirs.head
+        val origFiles = new java.io.File(origDir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.toPath).toMap
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         s.sql(s"""UPDATE graft.testdata.orders_cow
                  |SET o_orderstatus = 'X', o_totalprice = o_totalprice * 2
-                 |WHERE o_orderstatus = 'P' AND o_orderkey < $half""".stripMargin)
+                 |WHERE o_orderstatus = 'P' AND o_orderkey < $quarter""".stripMargin)
         val snap = table.currentSnapshot.get
-        require(snap.operation == "update" && snap.dataDirs.contains(upperDir),
-          "UPDATE must rewrite only the affected dir; the untouched dir carries forward")
+        require(snap.operation == "update", s"expected update, got ${snap.operation}")
+        val carry = snap.dataDirs.filter(_.endsWith("-carry"))
+        require(carry.size == 1 && !snap.dataDirs.contains(origDir),
+          "UPDATE must split the touched dir: untouched files carry, the dir drops")
+        val carried = new java.io.File(carry.head).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        require(carried.nonEmpty && carried.length < origFiles.size,
+          s"a key-local update must carry some (not all) of the ${origFiles.size} files")
+        carried.foreach { c =>
+          val orig = origFiles.getOrElse(c.getName, sys.error(
+            s"carried file ${c.getName} has no original sibling"))
+          require(java.nio.file.Files.isSameFile(c.toPath, orig),
+            s"carried file ${c.getName} must be byte-identical (hard link) to the original")
+        }
         s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.testdata.orders_cow")
       },
       Some("""SELECT o_orderkey,
-             |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < (SELECT max(o_orderkey) // 2 FROM orders)
+             |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < (SELECT max(o_orderkey) // 4 FROM orders)
              |       THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
-             |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < (SELECT max(o_orderkey) // 2 FROM orders)
+             |  CASE WHEN o_orderstatus = 'P' AND o_orderkey < (SELECT max(o_orderkey) // 4 FROM orders)
              |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
              |FROM orders""".stripMargin),
-      doc = "SQL UPDATE via the DSv2 catalog, lowered to dir-granular copy-on-write " +
-        "(only dirs holding matching rows rewrite; the rest carry forward)"),
+      doc = "SQL UPDATE via the DSv2 catalog, lowered to FILE-granular copy-on-write " +
+        "(only files physically holding matching rows rewrite; sibling files in the " +
+        "touched dir carry byte-identical as hard links — Iceberg's COW contract)"),
 
     "sql_merge" -> QueryDef(
       (s, dir) => {
@@ -1217,6 +1235,105 @@ object MetaQueries {
         "rows retire or restate in the same atomic statement; detection is the " +
         "inverted (anti-join) broadcast of the source keys, ordered clauses " +
         "first-true-wins"),
+
+    "sql_delete_in_subquery" -> QueryDef(
+      (s, dir) => {
+        // DELETE ... WHERE k IN (SELECT ...) — the everyday lakehouse
+        // erasure shape (erase every user the fraud query flagged). The
+        // subquery cannot cross the DSv2 filter push-down, so
+        // GraftDmlRule lowers it directly onto the SAME merge-on-read
+        // contract a literal key list gets: the subquery's distinct
+        // keys become the equality-delete file — O(|keys|) write, no
+        // data file rewritten, the key frame distributed end-to-end
+        // (the require pins all of it). IN-semantics note: NULL keys
+        // (subquery or target side) match nothing — exactly SQL IN.
+        val wh = freshWarehouse("sql_delete_in_sub")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        val dirsBefore = table.currentSnapshot.get.dataDirs
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""DELETE FROM graft.testdata.events
+                |WHERE user_id IN (SELECT user_id FROM graft.testdata.events
+                |                  WHERE event_type = 'purchase' AND value > 400)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "delete" && snap.dataDirs == dirsBefore &&
+          snap.deletes.nonEmpty,
+          "an IN-subquery DELETE must commit a merge-on-read equality delete, not a rewrite")
+        s.sql("SELECT event_id, ts, user_id, event_type FROM graft.testdata.events")
+      },
+      Some("""SELECT e.event_id, e.ts, e.user_id, e.event_type FROM events e
+             |WHERE NOT EXISTS (SELECT 1 FROM events p
+             |  WHERE p.event_type = 'purchase' AND p.value > 400
+             |    AND p.user_id = e.user_id)""".stripMargin),
+      doc = "SQL DELETE with an uncorrelated IN (SELECT ...) condition: lowered " +
+        "onto the merge-on-read equality delete (subquery keys = delete file, " +
+        "no rewrite, keys never collect to the driver)"),
+
+    "sql_delete_predicate" -> QueryDef(
+      (s, dir) => {
+        // DELETE with an ARBITRARY predicate (`value * 2 > 500` — the
+        // DSv2 filter API cannot translate arithmetic): GraftDmlRule
+        // routes it onto the file-granular COW delete
+        // (SnapshotTable.deleteRows) instead of dying at planning.
+        // Rows where the predicate is NULL survive (SQL DELETE removes
+        // only where TRUE — the oracle's COALESCE pins it).
+        val wh = freshWarehouse("sql_delete_pred")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        val before = table.currentSnapshot.get.rowCount
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""DELETE FROM graft.testdata.events
+                |WHERE value * 2 > 500 AND event_type = 'purchase'""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "delete" && snap.rowCount < before,
+          s"arbitrary-predicate DELETE must commit a COW delete (op=${snap.operation})")
+        s.sql("SELECT event_id, ts, user_id, event_type, value FROM graft.testdata.events")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value FROM events
+             |WHERE NOT COALESCE(value * 2 > 500 AND event_type = 'purchase', FALSE)""".stripMargin),
+      doc = "SQL DELETE with a non-source-translatable predicate (arithmetic): " +
+        "routed onto the file-granular copy-on-write delete instead of failing " +
+        "at the DSv2 filter push-down; NULL-predicate rows survive (SQL contract)"),
+
+    "sql_update_in_subquery" -> QueryDef(
+      (s, dir) => {
+        // UPDATE ... WHERE k IN (SELECT ...) AND <residual>: lowered
+        // onto the copy-on-write MERGE path — the subquery's distinct
+        // keys become the merge source (broadcast semi-join for
+        // affected-dir detection, key-pruned scans), the residual
+        // conjunct rides as the matched clause's condition. At 100 TB
+        // the key set stays a distributed frame; nothing collects.
+        val wh = freshWarehouse("sql_update_in_sub")
+        val table = SnapshotTable(wh, "testdata", "orders_insub")
+        val o = tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        table.overwrite(o): Unit
+        val before = table.currentSnapshot.get.rowCount
+        tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
+          .select(col("l_orderkey")).createOrReplaceTempView("sql_upd_in_keys")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.orders_insub SET o_orderstatus = 'Q'
+                |WHERE o_orderkey IN (SELECT l_orderkey FROM sql_upd_in_keys)
+                |  AND o_orderstatus = 'O'""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount == before,
+          "an IN-subquery UPDATE must ride the COW merge path and change no row count")
+        s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.testdata.orders_insub")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'O' AND o_orderkey IN
+             |    (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+             |       THEN 'Q' ELSE o_orderstatus END AS o_orderstatus,
+             |  o_totalprice
+             |FROM orders""".stripMargin),
+      doc = "SQL UPDATE with an uncorrelated IN (SELECT ...) conjunct: lowered " +
+        "onto the copy-on-write MERGE (subquery keys = broadcast semi-join " +
+        "source; residual conjuncts become the clause condition)"),
 
     "sql_replace_table" -> QueryDef(
       (s, dir) => {

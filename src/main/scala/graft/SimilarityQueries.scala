@@ -60,6 +60,18 @@ object SimilarityQueries {
        |  (sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)) *
        |   sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y))), 4)""".stripMargin
 
+  /** DuckDB: force CTE materialization (`AS MATERIALIZED`) on every
+    * generated CTE. The unrolled Lloyd chains reference each round's
+    * CTEs several times; DuckDB's default CTE *inlining* re-expands
+    * that tree combinatorially — the sf0.01 ivfpq oracles cost
+    * 60-920 s inlined vs <0.5 s materialized, with bit-identical
+    * results (it is a pure optimization fence, no semantic change).
+    * This is what keeps the whole DuckDB gate in single-digit
+    * minutes. Idempotent: `AS MATERIALIZED (` is not re-matched.
+    */
+  private def materialized(ctes: String): String =
+    ctes.replaceAll("""\bAS \(""", "AS MATERIALIZED (")
+
   /** DuckDB: unrolled Lloyd iterations mirroring Similarity.kmeans —
     * init a0 = vec_id % k, then per round an avg M-step and an argmin
     * E-step with the same round(d2, 6) + cell-asc tie-break as
@@ -87,7 +99,7 @@ object SimilarityQueries {
          |  FROM dots_$i d JOIN cn2_$i c USING (cell) JOIN vn2 v USING (vec_id))
          |  WHERE rn = 1)""".stripMargin
     }
-    (header +: rounds).mkString(",\n")
+    materialized((header +: rounds).mkString(",\n"))
   }
 
   /** DuckDB: LSH bucket of double array v — J sign bits of integer-grid
@@ -146,7 +158,7 @@ object SimilarityQueries {
     }
     val cball = (0 until m).map(s => s"SELECT * FROM cb_s$s").mkString(" UNION ALL ")
     val codesall = (0 until m).map(s => s"SELECT * FROM codes_s$s").mkString(" UNION ALL ")
-    (subspaces :+ s"cball AS ($cball),\ncodesall AS ($codesall)").mkString(",\n")
+    materialized((subspaces :+ s"cball AS ($cball),\ncodesall AS ($codesall)").mkString(",\n"))
   }
 
   private def pqCte(m: Int, k: Int, iters: Int, nQueries: Int): String = {
@@ -176,7 +188,7 @@ object SimilarityQueries {
          |  FROM pq_adot
          |  JOIN nrm qn ON pq_adot.query_id = qn.vec_id
          |  JOIN nrm cn ON pq_adot.vec_id = cn.vec_id)""".stripMargin
-    Seq(base, pqTrainCte(m, k, iters, base = "ex0"), search).mkString(",\n")
+    materialized(Seq(base, pqTrainCte(m, k, iters, base = "ex0"), search).mkString(",\n"))
   }
 
   /** DuckDB CTE chain replicating the IVF-PQ (IVFADC) pipeline
@@ -236,8 +248,8 @@ object SimilarityQueries {
          |  FROM ivfpq_adot
          |  JOIN nrm qn ON ivfpq_adot.query_id = qn.vec_id
          |  JOIN nrm cn ON ivfpq_adot.vec_id = cn.vec_id)""".stripMargin
-    Seq(kmeansCte(nCells, iters), residual,
-      pqTrainCte(m, codes, iters, base = "resid"), search).mkString(",\n")
+    materialized(Seq(kmeansCte(nCells, iters), residual,
+      pqTrainCte(m, codes, iters, base = "resid"), search).mkString(",\n"))
   }
 
   /** DuckDB CTE chain replicating INCREMENTAL IVF-PQ maintenance
@@ -343,9 +355,9 @@ object SimilarityQueries {
          |  FROM inc_adot
          |  JOIN nrmall qn ON inc_adot.query_id = qn.vec_id
          |  JOIN nrmall cn ON inc_adot.vec_id = cn.vec_id)""".stripMargin
-    Seq(kmeansCte(nCells, iters, where = s"NOT ($batchPred)"), residual,
+    materialized(Seq(kmeansCte(nCells, iters, where = s"NOT ($batchPred)"), residual,
       pqTrainCte(m, codes, iters, base = "resid"),
-      full, batch, bsubs, combined, search).mkString(",\n")
+      full, batch, bsubs, combined, search).mkString(",\n"))
   }
 
   /** DuckDB CTE chain for the IVF pipeline, ending in
@@ -354,7 +366,7 @@ object SimilarityQueries {
     * their `nprobe` nearest). Shared by `similarity_ivf`,
     * `similarity_ivf_probe2` and `similarity_recall`.
     */
-  private def ivfRankedCte(nprobe: Int): String =
+  private def ivfRankedCte(nprobe: Int): String = materialized(
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT vec_id, label, u.i AS pos, v[CAST(u.i AS INT) + 1] AS x
        |  FROM e, unnest(range(0, 64)) AS u(i)),
@@ -386,7 +398,7 @@ object SimilarityQueries {
        |  SELECT query_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM scored)""".stripMargin)
 
   def defs: Map[String, QueryDef] = Map(
 

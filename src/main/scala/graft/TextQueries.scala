@@ -159,6 +159,19 @@ object TextQueries {
         "broken by term so the cut is bit-deterministic cross-engine"),
 
     "text_cdc_chunks" -> QueryDef(
+      // ENGINE-DEFAULT mode: xxhash64 boundaries + chunk keys (codegen'd
+      // native hash; no per-gram digest/hex/conv chain). Not DuckDB-
+      // replicable, so the CDC invariants (coverage, shift-robustness,
+      // chunk-length distribution) are spec-pinned and the bit-exact
+      // oracle lives on the dedicated md5 variant key below.
+      (s, dir) => TextAnalysis.cdcChunksFast(tbl(s, dir, "documents"), "text"),
+      None,
+      doc = "content-defined chunking, engine default (xxhash64 Rabin-style " +
+        "boundaries, ~64-char expected chunks): shift-robust per-chunk keys " +
+        "for offset-independent dedup; map-only, position-local; invariants " +
+        "spec-pinned, bit-exact oracle on text_cdc_chunks_md5"),
+
+    "text_cdc_chunks_md5" -> QueryDef(
       (s, dir) => TextAnalysis.cdcChunks(tbl(s, dir, "documents"), "text"),
       Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS len
              |  FROM documents),
@@ -181,9 +194,9 @@ object TextQueries {
              |  md5(substr(text, CAST(allb[jj] + 1 AS INT),
              |    CAST(allb[jj + 1] - allb[jj] AS INT))) AS chunk_md5
              |FROM j""".stripMargin),
-      doc = "content-defined chunking (Rabin-style, ~64-char expected chunks): " +
-        "boundaries where the trailing 8-gram hash % 64 = 0 - shift-robust " +
-        "per-chunk md5s for offset-independent dedup; map-only, position-local"),
+      doc = "content-defined chunking, md5 ORACLE variant (boundaries where the " +
+        "trailing 8-gram md5-hash % 64 = 0): bit-exact DuckDB replication of " +
+        "boundaries and per-chunk md5s; the engine default is text_cdc_chunks"),
 
     "text_token_count" -> QueryDef(
       (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text"),
@@ -660,6 +673,15 @@ object TextQueries {
       doc = "per-(source, language) corpus composition: docs, tokens, exact quality mass"),
 
     "text_fingerprint" -> QueryDef(
+      // ENGINE-DEFAULT mode: xxhash64 content key + min-xxhash64 shingle
+      // (same structure, no digest/hex/conv chain); equality classes are
+      // spec-pinned, the bit-exact oracle lives on the md5 variant below.
+      (s, dir) => TextAnalysis.fingerprintFast(tbl(s, dir, "documents"), "text", k = 8),
+      None,
+      doc = "content hash + winnowing-style min-shingle rolling fingerprint, " +
+        "engine default (xxhash64); bit-exact oracle on text_fingerprint_md5"),
+
+    "text_fingerprint_md5" -> QueryDef(
       (s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text", k = 8),
       Some("""SELECT doc_id, md5(text) AS content_md5,
              |  list_min(list_transform(
@@ -667,6 +689,7 @@ object TextQueries {
              |    i -> CAST(CONCAT('0x', substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
              |  )) AS min_shingle_hash
              |FROM documents""".stripMargin),
-      doc = "content hash + winnowing-style min-shingle rolling fingerprint")
+      doc = "content hash + min-shingle rolling fingerprint, md5 ORACLE variant " +
+        "(DuckDB-replicable bit-exact); the engine default is text_fingerprint")
   )
 }

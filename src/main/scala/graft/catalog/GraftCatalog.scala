@@ -239,7 +239,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // rollback, cherry-pick): namespace matrix + writer-level in the
       // per-team table matrix
       org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-        graft.governance.AccessControl.checkNamespaceAccess(parts(0), ref, s)
+        graft.governance.AccessControl.checkNamespaceAccess(parts(0), ref, s, "write")
         graft.governance.AccessControl.checkTableAccess(s, parts(1), ref, "write")
       }
       val t = SnapshotTable(warehouse, parts(0), parts(1))

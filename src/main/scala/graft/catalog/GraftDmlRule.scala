@@ -42,14 +42,158 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if u.resolved && graftRel(target).isDefined =>
       val t = graftTable(target, "UPDATE")
       val tSet = target.outputSet
-      GraftUpdateCommand(
-        t.snapTable,
-        condition.map(xlate(_, tSet, AttributeSet.empty)),
-        assignments.map(a =>
-          topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, AttributeSet.empty)).toMap)
+      condition.flatMap(extractInArm(_, tSet)) match {
+        // UPDATE ... WHERE k IN (SELECT ...): lower onto the MERGE
+        // engine path — the subquery's distinct keys become the merge
+        // source, the IN becomes the key semi-join the COW detection
+        // already runs broadcast + key-pruned, and residual conjuncts
+        // ride as the matched clause's condition. Never a driver-side
+        // key collect: at 100 TB the subquery result stays distributed.
+        case Some((keys, srcPlan, rest)) =>
+          val sSet = srcPlan.outputSet
+          GraftMergeCommand(t.snapTable, srcPlan, keys,
+            matchedClauses = Seq(Merge.WhenMatched(
+              Merge.Update(assignments.map(a =>
+                topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
+              rest.map(xlate(_, tSet, sSet)))),
+            notMatchedClauses = Nil)
+        case None =>
+          GraftUpdateCommand(
+            t.snapTable,
+            condition.map(xlate(_, tSet, AttributeSet.empty)),
+            assignments.map(a =>
+              topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, AttributeSet.empty)).toMap)
+      }
+
+    // DELETE FROM t with a condition the DSv2 SupportsDelete filter API
+    // cannot carry: a subquery, or a non-source-translatable predicate
+    // (`value * 2 > 500`, function calls, …). Simple attribute/literal
+    // predicates stay on the push-down (merge-on-read equality delete).
+    // A pure IN-delete keeps the SAME merge-on-read contract (the
+    // subquery's distinct keys become the equality-delete file —
+    // O(|keys|), no data file rewritten); IN plus residual conjuncts
+    // lowers onto the COW merge path as WHEN MATCHED AND <rest> THEN
+    // DELETE; everything else onto the file-granular COW delete
+    // (deleteRows). A predicate our conservative translatability check
+    // misjudges as non-pushable still deletes CORRECTLY — it just pays
+    // the COW write instead of the O(keys) delete file.
+    case d @ DeleteFromTable(target, condition)
+        if d.resolved && graftRel(target).isDefined &&
+          (condition.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) ||
+            !pushableDelete(condition)) =>
+      val t = graftTable(target, "DELETE")
+      val tSet = target.outputSet
+      extractInArm(condition, tSet) match {
+        case Some((keys, srcPlan, None)) =>
+          GraftDeleteInCommand(t.snapTable, srcPlan, keys)
+        case Some((keys, srcPlan, rest)) =>
+          val sSet = srcPlan.outputSet
+          GraftMergeCommand(t.snapTable, srcPlan, keys,
+            matchedClauses = Seq(Merge.WhenMatched(
+              Merge.Delete, rest.map(xlate(_, tSet, sSet)))),
+            notMatchedClauses = Nil)
+        case None =>
+          // scalar/EXISTS-only subquery conditions: evaluate statement-
+          // level via the deferred machinery on the UPDATE-free engine
+          // delete path (deleteRows below translates through xlate and
+          // rejects the unsupported forms with the actionable message)
+          GraftDeleteWhereCommand(t.snapTable,
+            xlate(condition, tSet, AttributeSet.empty))
+      }
 
     case m: MergeIntoTable if m.resolved && graftRel(m.targetTable).isDefined =>
       lowerMerge(m)
+  }
+
+  /** Conservative mirror of Spark's V2 filter translatability: the
+    * shapes `DataSourceV2Strategy.translateFilterV2` accepts (attribute
+    * vs literal comparisons, literal IN, null tests, string prefix/
+    * suffix/contains, boolean combinators). Anything else — arithmetic,
+    * function calls, casts — fails the DSv2 push-down at planning with
+    * an unhelpful error, so those DELETEs route to the COW path
+    * instead. Misjudging pushable-as-not costs only the write shape
+    * (COW vs delete file), never correctness.
+    */
+  private def pushableDelete(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // this rule runs at ANALYSIS time, before ConstantFolding: a type-
+    // coerced literal is still Cast(Literal) here (e.g. `user_id IN
+    // (101, ...)` against a bigint column). `foldable` is the right
+    // test — exactly those expressions are literals by push-down time.
+    // The ATTRIBUTE side tolerates exactly the WIDENING numeric casts
+    // type coercion inserts (int column vs bigint literal wraps the
+    // COLUMN too): Spark's UnwrapCastInBinaryComparison strips those
+    // before the V2 filter translation, so they push fine. Any other
+    // cast around the column defeats the translation → COW.
+    import org.apache.spark.sql.types._
+    def widening(from: DataType, to: DataType): Boolean = {
+      val order: Seq[DataType] =
+        Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+      val (f, t) = (order.indexOf(from), order.indexOf(to))
+      (f >= 0 && t >= 0 && f <= t) || from == to ||
+        (from.isInstanceOf[DecimalType] && to.isInstanceOf[DecimalType])
+    }
+    def attrSide(e: Expression): Boolean = e match {
+      case _: AttributeReference => true
+      case c: Cast => c.child.isInstanceOf[AttributeReference] &&
+        widening(c.child.dataType, c.dataType)
+      case _ => false
+    }
+    def al(a: Expression, b: Expression) =
+      (attrSide(a) && b.foldable) || (a.foldable && attrSide(b))
+    e match {
+      case And(l, r) => pushableDelete(l) && pushableDelete(r)
+      case Or(l, r) => pushableDelete(l) && pushableDelete(r)
+      case Not(c) => pushableDelete(c)
+      case EqualTo(a, b) => al(a, b)
+      case EqualNullSafe(a, b) => al(a, b)
+      case GreaterThan(a, b) => al(a, b)
+      case GreaterThanOrEqual(a, b) => al(a, b)
+      case LessThan(a, b) => al(a, b)
+      case LessThanOrEqual(a, b) => al(a, b)
+      case In(a, list) => attrSide(a) && list.forall(_.foldable)
+      case InSet(a, _) => attrSide(a)
+      case IsNull(_: AttributeReference) => true
+      case IsNotNull(_: AttributeReference) => true
+      case StartsWith(a, b) => al(a, b)
+      case EndsWith(a, b) => al(a, b)
+      case Contains(a, b) => al(a, b)
+      case _: Literal => true
+      case _ => false
+    }
+  }
+
+  /** Decompose a DML condition's conjunction: if exactly one arm is an
+    * uncorrelated `IN (SELECT ...)` over plain target columns, return
+    * (target-key -> source-key pairs, DISTINCT'd subquery plan, the
+    * remaining conjuncts recombined). The DISTINCT makes the semi-join
+    * keys unique, which both matches IN semantics exactly and satisfies
+    * the MERGE cardinality rule. More than one IN arm, IN over computed
+    * expressions, or a correlated list query all fall through to
+    * [[xlate]]'s explicit unsupported error.
+    */
+  private def extractInArm(
+      cond: Expression, tSet: AttributeSet): Option[(Seq[(String, String)], LogicalPlan, Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+    val arms = splitConj(cond)
+    val ins = arms.collect {
+      case in @ InSubquery(values, lq: ListQuery)
+          if lq.outerAttrs.isEmpty && lq.plan.resolved &&
+            values.forall {
+              case a: AttributeReference => tSet.contains(a)
+              case _ => false
+            } &&
+            values.size == lq.plan.output.size =>
+        in
+    }
+    ins match {
+      case Seq(in @ InSubquery(values, lq: ListQuery)) =>
+        val keys = values.map(_.asInstanceOf[AttributeReference].name)
+          .zip(lq.plan.output.map(_.name))
+        val rest = arms.filterNot(_ eq in)
+        Some((keys, Distinct(lq.plan), rest.reduceOption(And)))
+      case _ => None
+    }
   }
 
   private def graftRel(plan: LogicalPlan): Option[DataSourceV2Relation] =
@@ -84,12 +228,20 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
           if s.outerAttrs.isEmpty && s.plan.resolved =>
         DeferredScalarSubquery(s.plan)
+      case ex: org.apache.spark.sql.catalyst.expressions.Exists
+          if ex.outerAttrs.isEmpty && ex.plan.resolved =>
+        // uncorrelated EXISTS is a statement-level boolean (SQL
+        // evaluates it once): defer to run time like scalar subqueries
+        DeferredExistsSubquery(ex.plan)
     }
     if (prepared.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
       throw new UnsupportedOperationException(
-        s"only uncorrelated SCALAR subqueries are supported in UPDATE/MERGE " +
-          s"conditions and assignments ($e); materialize the subquery as a " +
-          "source table or temp view first")
+        s"unsupported subquery shape in DML ($e): supported are uncorrelated " +
+          "SCALAR and EXISTS subqueries anywhere in UPDATE/MERGE conditions " +
+          "and assignments, and ONE uncorrelated `col IN (SELECT ...)` (over " +
+          "plain target columns) as a top-level WHERE conjunct of UPDATE or " +
+          "DELETE; for correlated or other forms, materialize the subquery " +
+          "as a source table or temp view and use MERGE")
     GraftSqlShim.column(prepared.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))
@@ -199,7 +351,26 @@ object DeferredScalarSubquery {
           "scalar subquery in UPDATE/MERGE returned more than one row")
         org.apache.spark.sql.catalyst.expressions.Literal.create(
           if (rows.isEmpty) null else rows.head.get(0), p.output.head.dataType)
+      case DeferredExistsSubquery(p) =>
+        // one limit-1 probe; never NULL (so NOT EXISTS over an empty
+        // subquery is TRUE, not unknown)
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          GraftSqlShim.ofRows(spark, p).limit(1).collect().nonEmpty,
+          org.apache.spark.sql.types.BooleanType)
     })
+}
+
+/** Placeholder carrying an uncorrelated EXISTS subquery's resolved plan
+  * through a lowered DML Column until command RUN time, where one
+  * limit-1 probe materializes it into a boolean literal.
+  */
+final case class DeferredExistsSubquery(
+    @transient plan: LogicalPlan)
+  extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
 }
 
 /** Executable lowering of `UPDATE graft.ns.t SET ... WHERE ...`. */
@@ -215,6 +386,47 @@ final case class GraftUpdateCommand(
     def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
     table.updateWhere(spark, cond.map(m).getOrElse(lit(true)),
       sets.map { case (k, v) => k -> m(v) })
+    Nil
+  }
+}
+
+/** Executable lowering of `DELETE FROM graft.ns.t WHERE k IN (SELECT …)`
+  * with no residual condition: the subquery's keys (already DISTINCT'd
+  * by the lowering) become a MERGE-ON-READ equality delete — the same
+  * contract a plain key-list DELETE gets through SupportsDelete:
+  * O(|keys|) write cost, no data file rewritten, reads anti-join the
+  * delete file. The key frame stays a distributed plan end-to-end;
+  * nothing collects to the driver.
+  */
+final case class GraftDeleteInCommand(
+    @transient table: SnapshotTable,
+    @transient keysPlan: LogicalPlan,
+    keys: Seq[(String, String)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
+    val keyFrame = GraftSqlShim.ofRows(spark, keysPlan)
+      .select(keys.map { case (tk, sk) =>
+        org.apache.spark.sql.functions.col(sk).as(tk)
+      }: _*)
+    table.deleteWhere(keyFrame, keys.map(_._1))
+    Nil
+  }
+}
+
+/** Executable lowering of `DELETE FROM graft.ns.t WHERE <cond>` whose
+  * condition carries deferred scalar/EXISTS subqueries (the DSv2 filter
+  * push-down cannot cross those): statement-level subqueries
+  * materialize to literals at run time, then the copy-on-write delete
+  * rewrites only the dirs holding matching rows.
+  */
+final case class GraftDeleteWhereCommand(
+    @transient table: SnapshotTable,
+    cond: Column) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
+    table.deleteRows(spark, DeferredScalarSubquery.materialize(spark, cond))
     Nil
   }
 }

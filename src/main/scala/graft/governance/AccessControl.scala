@@ -108,20 +108,40 @@ object AccessControl {
     * matters most in an access review).
     */
   def checkNamespaceAccess(
-      namespace: String, table: String, level: Level, team: Option[String]): Unit =
+      namespace: String, table: String, level: Level, team: Option[String],
+      verb: String = "resolve"): Unit =
     namespaceOwner(namespace).foreach { owner =>
       if (level != Admin && !team.contains(owner)) {
         val principal = s"level=${level.name}, team=${team.getOrElse("<none>")}"
-        Audit.log("table_read", table, Map(
-          "access" -> "denied", "namespace" -> namespace,
+        // denial audited under the event matching the refused VERB
+        // (within the closed 5-event taxonomy: mutations → table_write),
+        // with the verb itself in details — an access review must be
+        // able to tell refused reads from refused writes. "resolve" =
+        // statement shape unknown at the catalog front door.
+        Audit.log(deniedEvent(verb), table, Map(
+          "access" -> "denied", "verb" -> verb, "namespace" -> namespace,
           "access_level" -> level.name, "team" -> team.getOrElse("")))
         throw NamespaceAccessDenied(namespace, table, principal)
       }
     }
 
+  /** Audit event name for a denied `verb` — the closed taxonomy has no
+    * table_alter, so every refused mutation (write, alter, drop) audits
+    * as table_write and the exact verb rides in details.
+    */
+  private def deniedEvent(verb: String): String =
+    if (verb == "read" || verb == "resolve") "table_read" else "table_write"
+
   /** [[checkNamespaceAccess]] with the session's resolved principal. */
   def checkNamespaceAccess(namespace: String, table: String, spark: SparkSession): Unit =
-    checkNamespaceAccess(namespace, table, resolve(spark), resolveTeam(spark))
+    checkNamespaceAccess(namespace, table, resolve(spark), resolveTeam(spark), "resolve")
+
+  /** [[checkNamespaceAccess]] with the session's resolved principal and
+    * an explicit verb (so the denial audits under the right event).
+    */
+  def checkNamespaceAccess(namespace: String, table: String, spark: SparkSession,
+      verb: String): Unit =
+    checkNamespaceAccess(namespace, table, resolve(spark), resolveTeam(spark), verb)
 
   /** The session's access level for ONE table. With a teams directory
     * configured ([[TeamConfig.DirConfKey]]) and a team principal set,
@@ -169,7 +189,7 @@ object AccessControl {
       }
       if (!ok) {
         val team = resolveTeam(spark).getOrElse("<none>")
-        Audit.log("table_read", fullName, Map(
+        Audit.log(deniedEvent(verb), fullName, Map(
           "access" -> "denied", "verb" -> verb,
           "team" -> team, "level" -> lvl.map(_.name).getOrElse("none")))
         throw TableAccessDenied(fullName, verb, lvl.map(_.name).getOrElse("none"), team)

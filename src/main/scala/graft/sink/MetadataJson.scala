@@ -155,7 +155,16 @@ object MetadataJson {
             case 't'  => b.append('\t'); pos += 1
             case 'u' =>
               if (pos + 4 >= s.length) fail("truncated \\u escape")
-              b.append(Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar)
+              val hex = s.substring(pos + 1, pos + 5)
+              // strictly 4 hex DIGITS: parseInt would also accept sign
+              // chars ("+1aF") and throw NumberFormatException (not
+              // ParseException) on junk — and callers that degrade on
+              // ParseException (stats sidecars are never a correctness
+              // input) must see every malformed input as a parse error
+              if (!hex.forall(c => (c >= '0' && c <= '9') ||
+                  (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+                fail(s"invalid \\u escape '\\u$hex'")
+              b.append(Integer.parseInt(hex, 16).toChar)
               pos += 5
             case e => fail(s"unknown escape '\\$e'")
           }

@@ -282,7 +282,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * projection never blocks filter pushdown or partition pruning.
     */
   private def projectTo(
-      df: DataFrame, cols: Seq[TableColumn], mapping: Map[Int, String]): DataFrame =
+      df: DataFrame, cols: Seq[TableColumn], mapping: Map[Int, String],
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
     if (cols.isEmpty) df
     else {
       import org.apache.spark.sql.functions.{col, lit}
@@ -295,7 +296,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
             (if (df.schema(phys).dataType == t) base else base.cast(t)).as(c.name)
           case None => lit(null).cast(t).as(c.name)
         }
-      }: _*)
+      } ++ extra: _*)
     }
 
   /** Equality delete (Iceberg v2 merge-on-read) — the GDPR / right-to-be-
@@ -440,14 +441,52 @@ final class SnapshotTable(val root: String, val fullName: String) {
         s"UPDATE on $fullName assigns unknown column $k (columns: ${names.mkString(", ")})"))
       val affected = affectedDirs(spark, cur, _.filter(cond))
       if (affected.isEmpty) return cur
-      val view = readDirsView(spark, cur, affected)
+      val (view, carryDirs) = splitForRewrite(spark, cur, affected, _.filter(cond))
       val updated = view.select(schemaCols.map { case (n, t) =>
         sets.get(n)
           .map(v => when(cond, v.cast(t)).otherwise(col(n)).as(n))
           .getOrElse(col(n))
       }: _*)
       rewriteDirs(spark, cur, affected, updated, "update",
-        newTotal = cur.rowCount, attempt = attempt) match {
+        newTotal = cur.rowCount, attempt = attempt, carryDirs = carryDirs) match {
+        case Right(snap) => return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries)
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Copy-on-write row DELETE for ARBITRARY predicates — the companion
+    * to [[deleteWhere]] (which stays the right tool for key equality:
+    * O(|keys|), merge-on-read, no rewrite). Dirs holding matching rows
+    * are detected with one pruned scan; only those rewrite, keeping
+    * exactly the rows where `cond` is false or NULL (SQL DELETE removes
+    * rows where the predicate is TRUE); untouched dirs carry forward
+    * byte-identical. Matching zero rows commits nothing. This is the
+    * Iceberg copy-on-write delete shape: O(affected dirs), never
+    * O(table).
+    */
+  def deleteRows(
+      spark: SparkSession,
+      cond: org.apache.spark.sql.Column,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      val affected = affectedDirs(spark, cur, _.filter(cond))
+      if (affected.isEmpty) return cur
+      val (view, carryDirs) = splitForRewrite(spark, cur, affected, _.filter(cond))
+      val affectedRows = if (cur.rowCount < 0) -1L else view.count()
+      val kept = view.filter(not(coalesce(cond, lit(false))))
+      rewriteDirs(spark, cur, affected, kept, "delete",
+        newTotal = if (cur.rowCount < 0) -1L else -2L,
+        attempt = attempt, removedRows = affectedRows,
+        carryDirs = carryDirs) match {
         case Right(snap) => return snap
         case Left(conflict) =>
           if (attempt >= numRetries)
@@ -570,7 +609,32 @@ final class SnapshotTable(val root: String, val fullName: String) {
         })
       val affected = cur.dataDirs.filter(
         (matchedAffected ++ bySourceAffected).toSet.contains)
-      val view = if (affected.isEmpty) None else Some(readDirsView(spark, cur, affected))
+      // the combined per-row touch predicate (matched-shape ∪ by-source
+      // shape) drives the FILE-granular split: files of an affected dir
+      // holding no touched row carry byte-identical instead of rewriting
+      val mergeShape: DataFrame => DataFrame = v => {
+        val m =
+          if (matchedClauses.isEmpty) None
+          else Some(v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
+            keys.map(_._1), "left_semi"))
+        val bs =
+          if (notMatchedBySourceClauses.isEmpty) None
+          else {
+            val anyCond = notMatchedBySourceClauses
+              .map(c => coalesce(c.cond.getOrElse(lit(true)), lit(false)))
+              .reduce(_ || _)
+            Some(v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
+                keys.map(_._1), "left_anti")
+              .alias("__t").filter(anyCond))
+          }
+        (m.toSeq ++ bs.toSeq).reduce(_ unionByName _)
+      }
+      val (view, carryDirs) =
+        if (affected.isEmpty) (None, Nil)
+        else {
+          val (v, cds) = splitForRewrite(spark, cur, affected, mergeShape)
+          (Some(v), cds)
+        }
       val affectedRows = view.map(_.count()).getOrElse(0L)
 
       val src = source.withColumn("__s_present", lit(true)).alias("__s")
@@ -667,7 +731,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
           val total = if (cur.rowCount < 0) -1L else -2L // -2: resolve from written rows below
           rewriteDirs(spark, cur, affected, newData, "merge",
             newTotal = total, attempt = attempt,
-            removedRows = if (cur.rowCount < 0) -1L else affectedRows) match {
+            removedRows = if (cur.rowCount < 0) -1L else affectedRows,
+            carryDirs = carryDirs) match {
             case Right(snap) => return snap
             case Left(conflict) =>
               if (attempt >= numRetries)
@@ -716,6 +781,119 @@ final class SnapshotTable(val root: String, val fullName: String) {
       spark: SparkSession, snap: Snapshot, dirs: Seq[String]): DataFrame =
     dirs.map(readDir(spark, snap, _)).reduce(_ unionByName _)
 
+  /** FILE-granular copy-on-write split — the Iceberg contract that a
+    * row-level mutation touching a few rows of a huge dir must not
+    * rewrite the whole dir. For each affected dir that is CLEAN (no
+    * partition mask, no equality delete scoped to it — a mask/delete
+    * carried at file granularity would resurrect its rows), ONE extra
+    * column-pruned probe job (`input_file_name`, all clean dirs
+    * unioned) finds which FILES physically hold rows `shape` touches.
+    * Dirs where that is a strict subset split: only the affected
+    * files' rows enter the returned rewrite view; sibling files CARRY
+    * byte-identical into a fresh `snap-*-carry` dir as HARD links —
+    * same inode, zero data I/O, and safe against the original dir's
+    * later expiry (a symlink would dangle; an object-store port makes
+    * this a manifest reference / server-side copy). The carry dir
+    * inherits the original's columns sidecar (same physical files),
+    * an exact rebuilt partition sidecar (from the original's per-file
+    * entries), and the original's range-stats sidecar (bounds over a
+    * superset — conservative, stats are never a correctness input).
+    *
+    * Returns (rewrite view over exactly the rows that must be
+    * rewritten, carry dirs to add to the snapshot alongside the
+    * rewrite). Cost: O(affected files) rewrite + O(carried files)
+    * metadata, never O(dir).
+    */
+  private def splitForRewrite(
+      spark: SparkSession, snap: Snapshot, affected: Seq[String],
+      shape: DataFrame => DataFrame): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    val dirCol = "__graft_probe_dir"
+    val fileCol = "__graft_probe_file"
+    val clean = affected.filter(d =>
+      snap.maskedDirs.get(d).forall(_.isEmpty) &&
+        !snap.deletes.exists(_.applies.contains(d)))
+    val fileHits: Map[String, Set[String]] =
+      if (clean.isEmpty) Map.empty
+      else {
+        val probe = clean.map { d =>
+          val base = spark.read.format(snap.format).load(d)
+            .withColumn(dirCol, lit(d))
+            .withColumn(fileCol, input_file_name())
+          projectTo(base, snap.cols, dirColumnMapping(d, snap.cols),
+            extra = Seq(col(dirCol), col(fileCol)))
+        }.reduce(_ unionByName _)
+        shape(probe).select(col(dirCol), col(fileCol)).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1)))
+          .groupBy(_._1).map { case (d, fs) =>
+            d -> fs.map(x => SnapshotTable.fileUriToPath(x._2)).toSet
+          }
+      }
+    val parts = affected.map { d =>
+      val hits = fileHits.getOrElse(d, Set.empty)
+      val all = listDataFiles(new File(d)).map(_.getAbsolutePath)
+      // split ONLY when every probed hit resolves to a listed file and
+      // some file is untouched; any URI/walk disagreement falls back to
+      // the whole-dir rewrite — misclassifying an affected file as
+      // carried would silently lose its mutation
+      if (hits.isEmpty || !hits.subsetOf(all.toSet) || all.forall(hits.contains))
+        (readDir(spark, snap, d), None)
+      else {
+        val carried = all.filterNot(hits.contains)
+        val carryDir = Paths.get(root,
+          s"snap-${java.util.UUID.randomUUID().toString.take(8)}-carry").toString
+        val dBase = new File(d).toPath
+        carried.foreach { f =>
+          val src = Paths.get(f)
+          val target = Paths.get(carryDir, dBase.relativize(src).toString)
+          Files.createDirectories(target.getParent)
+          try Files.createLink(target, src): Unit
+          catch { case _: java.io.IOException => Files.copy(src, target): Unit }
+        }
+        // columns sidecar: identical physical files, identical mapping
+        if (Files.exists(columnsSidecarPath(d)))
+          Files.copy(columnsSidecarPath(d), columnsSidecarPath(carryDir),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        // partition sidecar rebuilt EXACTLY from the original's
+        // per-file entries (rows stay known; a legacy dir without them
+        // degrades to unknown, never to a wrong number)
+        val carriedSet = carried.toSet
+        val origEntries = readFilesSidecar(d).getOrElse(Nil)
+          .filter(e => carriedSet.contains(e._1))
+        val dirPartCols = readPartitionSidecar(d).map(_._1)
+          .find(_.nonEmpty).map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+          .getOrElse(Nil)
+        val rowsByPart: Map[String, Long] = origEntries.groupBy(_._2).map {
+          case (p, es) => p -> (if (es.exists(_._4 < 0)) -1L else es.map(_._4).sum)
+        }
+        val carriedRows =
+          if (origEntries.size == carried.size && origEntries.forall(_._4 >= 0))
+            origEntries.map(_._4).sum
+          else -1L
+        val knownFileRows = origEntries.collect {
+          case (path, _, _, rows) if rows >= 0 =>
+            Paths.get(carryDir, dBase.relativize(Paths.get(path)).toString)
+              .toFile.getAbsolutePath -> rows
+        }.toMap
+        writePartitionSidecar(carryDir, dirPartCols,
+          if (dirPartCols.isEmpty) Map("" -> carriedRows) else rowsByPart,
+          carriedRows, snap.format, knownFileRows)
+        val ranges = Paths.get(d, graft.plans.RangeStats.SidecarName)
+        if (Files.exists(ranges))
+          Files.copy(ranges, Paths.get(carryDir, graft.plans.RangeStats.SidecarName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        // the rewrite reads ONLY the affected files; basePath keeps the
+        // hive partition columns resolving exactly as a dir read would
+        val hit = all.filter(hits.contains)
+        val narrow = spark.read.format(snap.format)
+          .option("basePath", d).load(hit: _*)
+        (projectTo(narrow, snap.cols, dirColumnMapping(d, snap.cols)),
+          Some(carryDir))
+      }
+    }
+    (parts.map(_._1).reduce(_ unionByName _), parts.flatMap(_._2))
+  }
+
   /** One copy-on-write commit attempt cycle: write `replacement` as a
     * new dir, then CAS a snapshot that drops `removedDirs` (and their
     * masks / delete scopes — the rewrite baked them in) and appends the
@@ -731,7 +909,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
       op: String,
       newTotal: Long,
       attempt: Int,
-      removedRows: Long = 0L): Either[CommitConflictException, Snapshot] = {
+      removedRows: Long = 0L,
+      // file-granular COW: already-realized carry dirs (hard-linked
+      // sibling files of split dirs) that join the snapshot alongside
+      // the rewrite; cleaned up with the data dir on a lost CAS
+      carryDirs: Seq[String] = Nil): Either[CommitConflictException, Snapshot] = {
     val pCols = partitionColumns
     val dataDir = Paths.get(root,
       s"snap-${java.util.UUID.randomUUID().toString.take(8)}").toString
@@ -786,6 +968,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val head = prev.filterNot(_.staged).lastOption
       if (head.map(_.id) != Some(base.id)) {
         deleteRecursively(new File(dataDir))
+        carryDirs.foreach(c => deleteRecursively(new File(c)))
         Left(CommitConflictException(fullName, Some(base.id), head.map(_.id)))
       } else {
         val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
@@ -795,7 +978,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
           .filter(_.applies.nonEmpty)
         val snap = base.copy(
           id = id, committedAtMs = SnapshotTable.clockMs(), operation = op,
-          dataDirs = base.dataDirs.filterNot(removed) :+ dataDir,
+          dataDirs = base.dataDirs.filterNot(removed) ++ carryDirs :+ dataDir,
           rowCount = total,
           maskedDirs = base.maskedDirs -- removed,
           staged = false,
@@ -969,6 +1152,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
   def overwrite(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
     commit(df, "overwrite", carryPrevious = false, partitionCols, sortCols, format, numRetries)
 
+  /** CONDITIONAL full overwrite — a true compare-and-swap: the commit
+    * lands only if the published head is still exactly `expectedHead`
+    * (None = empty table) at swap time; any rival commit in between
+    * fails it with [[CommitFailedException]] instead of blind-retrying
+    * onto the moved head. This is the primitive for read-modify-write
+    * callers (e.g. the quarantine drain) whose payload was COMPUTED
+    * from `expectedHead`'s state: a blind retry would silently discard
+    * whatever the rival wrote; the CAS forces the caller to recompute
+    * from the new head.
+    */
+  def overwriteIf(df: DataFrame, expectedHead: Option[Long], partitionCols: Seq[String] = Nil, format: String = "parquet"): Snapshot =
+    commit(df, "overwrite", carryPrevious = false, partitionCols, Nil, format,
+      numRetries = 0, expectedBase = Some(expectedHead))
+
   /** Append: new snapshot = previous data dirs + newly written dir.
     * `micro = true` declares a streaming-microbatch-sized delta: the
     * commit trades the per-partition stats JOB for a driver footer walk
@@ -976,8 +1173,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * note) — per-trigger commit cost must stay O(small), or the sink
     * throughput is capped by commit machinery rather than data volume.
     */
-  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries, micro: Boolean = false): Snapshot =
-    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries, micro = micro)
+  def append(df: DataFrame, partitionCols: Seq[String] = Nil, sortCols: Seq[org.apache.spark.sql.Column] = Nil, format: String = "parquet", numRetries: Int = SnapshotTable.DefaultCommitRetries, micro: Boolean = false, summary: Map[String, String] = Map.empty): Snapshot =
+    commit(df, "append", carryPrevious = true, partitionCols, sortCols, format, numRetries, micro = micro, summary = summary)
 
   /** Idempotent streaming append — the Iceberg exactly-once foreachBatch
     * contract: the (queryId, batchId) watermark rides in the snapshot
@@ -1093,75 +1290,109 @@ final class SnapshotTable(val root: String, val fullName: String) {
       s"add_files to $fullName: source mixes partition layouts " +
         s"(${layouts.map(_.mkString("/")).mkString(" vs ")}); import each layout separately")
     val partCols = layouts.head
-    // the owned manifest dir: one symlink per imported file, partition
-    // subdirs recreated as real directories so relative structure (and
-    // with it dir-name pruning) is preserved byte-for-byte
+    // record counts from footers (no data rows read) via ONE
+    // distributed job over the source file list — Iceberg's add_files
+    // distributes manifest building the same way, so a million-file
+    // onboarding costs O(files/parallelism) of page-cached metadata
+    // I/O, never hours of single-threaded driver reads. An unreadable
+    // footer fails the import whole — an importer must not commit a
+    // snapshot whose rowCount it cannot state.
+    val srcList: Seq[(String, String)] =
+      files.map { case (f, rel) => (f.toPath.toAbsolutePath.toString, rel) }
+    val slices = math.max(1, math.min(srcList.size,
+      spark.sparkContext.defaultParallelism * 2))
+    val relRows: Map[String, Long] =
+      spark.sparkContext.parallelize(srcList, slices)
+        .map { case (abs, rel) =>
+          rel -> SnapshotTable.parquetRecordCount(new File(abs))
+        }.collect().toMap
+    relRows.find(_._2 < 0).foreach { case (rel, _) =>
+      throw new IllegalArgumentException(
+        s"add_files to $fullName: unreadable parquet footer in $sourcePath/$rel")
+    }
+    val newRows = relRows.values.sum
     val dataDir = Paths.get(root,
       s"snap-${java.util.UUID.randomUUID().toString.take(8)}-added").toString
-    files.foreach { case (f, rel) =>
-      val target = Paths.get(dataDir, rel)
-      Files.createDirectories(target.getParent)
-      Files.createSymbolicLink(target, f.toPath.toAbsolutePath): Unit
-    }
-    // record counts from footers (no data rows read); an unreadable
-    // footer fails the import whole — an importer must not commit a
-    // snapshot whose rowCount it cannot state
-    val perFileRows: Map[String, Long] = files.map { case (_, rel) =>
-      val link = Paths.get(dataDir, rel).toFile
-      val n = SnapshotTable.parquetRecordCount(link)
-      require(n >= 0,
-        s"add_files to $fullName: unreadable parquet footer in $sourcePath/$rel")
-      link.getAbsolutePath -> n
-    }.toMap
-    val newRows = perFileRows.values.sum
-    // same stats sidecars a written commit gets: per-partition rows +
-    // partition-column bounds from ONE column-pruned job (partitioned
-    // sources only), column ranges from one stats pass — so stats-skip
-    // and $partitions/$files treat imported dirs like any other
-    val (rowsByPart, partBounds) =
-      partitionJobStats(spark, dataDir, partCols, format)
-    val rowsByPart1 =
-      if (partCols.nonEmpty) rowsByPart
-      else Map("" -> newRows)
-    writePartitionSidecar(dataDir, partCols, rowsByPart1, newRows, format, perFileRows)
+    // any failure — a stats error, a schema-conformance reject at swap
+    // time, conflict-retry exhaustion — cleans up the manifest dir: an
+    // aborted import must not leave an orphaned snap-*-added dir for
+    // the (age-gated) orphan sweep to chase
     try {
-      val df = spark.read.format(format).load(dataDir)
-      val fields = df.schema.fields.toSeq
-      val aggs = graft.plans.RangeStats.rangeAggs(fields)
-      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-      val metrics = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
-        n -> row.get(i)
-      }.toMap[String, Any]
-      graft.plans.RangeStats.writeEntries(dataDir, newRows,
-        graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds))
-    } catch { case scala.util.control.NonFatal(_) => () }
-    val writeSchema: Seq[(String, String)] =
-      spark.read.format(format).load(dataDir)
-        .schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
-    var expectedParent = currentSnapshot.map(_.id)
-    var attempt = 0
-    while (true) {
-      trySwap(expectedParent, dataDir, newRows, "append", carryPrevious = true,
-        format, Nil, stageOnly = false, writeSchema, None,
-        summary = Map(
-          "added-files-source" -> srcCanon,
-          "added-files" -> files.size.toString)) match {
-        case Right(snap) =>
-          Audit.log("table_write", fullName, Map(
-            "operation" -> "add_files", "snapshot_id" -> snap.id.toString,
-            "source" -> srcCanon, "files" -> files.size.toString))
-          return snap
-        case Left(conflict) =>
-          if (attempt >= numRetries) {
-            deleteRecursively(new File(dataDir))
-            throw CommitFailedException(fullName, attempt + 1, conflict)
-          }
-          Thread.sleep(SnapshotTable.backoffMs(attempt))
-          expectedParent = conflict.actualParent
-          attempt += 1
+      // the manifest LISTING file first (the Iceberg manifest-list
+      // role): one entry per imported file with source path, relative
+      // path and record count. This file — not the link tree — is the
+      // portable design artifact: an object-store port, where symlinks
+      // don't exist, realizes the import by reading this listing.
+      Files.createDirectories(Paths.get(dataDir))
+      val manifestJson = srcList.sortBy(_._2).map { case (abs, rel) =>
+        s"""{"path":"${jsonEscape(abs)}","rel":"${jsonEscape(rel)}","rows":${relRows(rel)}}"""
+      }.mkString("[", ",", "]")
+      Files.write(Paths.get(dataDir, SnapshotTable.ImportManifestName),
+        manifestJson.getBytes(StandardCharsets.UTF_8)): Unit
+      // local-FS realization of the manifest: one symlink per imported
+      // file (metadata-only syscalls — no data I/O), partition subdirs
+      // recreated as real directories so relative structure (and with
+      // it dir-name pruning) is preserved byte-for-byte and the
+      // unchanged dir-based read path / sidecars / expiry all apply
+      files.foreach { case (f, rel) =>
+        val target = Paths.get(dataDir, rel)
+        Files.createDirectories(target.getParent)
+        Files.createSymbolicLink(target, f.toPath.toAbsolutePath): Unit
       }
+      val perFileRows: Map[String, Long] = relRows.map { case (rel, n) =>
+        Paths.get(dataDir, rel).toFile.getAbsolutePath -> n
+      }
+      // same stats sidecars a written commit gets: per-partition rows +
+      // partition-column bounds from ONE column-pruned job (partitioned
+      // sources only), column ranges from one stats pass — so stats-skip
+      // and $partitions/$files treat imported dirs like any other
+      val (rowsByPart, partBounds) =
+        partitionJobStats(spark, dataDir, partCols, format)
+      val rowsByPart1 =
+        if (partCols.nonEmpty) rowsByPart
+        else Map("" -> newRows)
+      writePartitionSidecar(dataDir, partCols, rowsByPart1, newRows, format, perFileRows)
+      try {
+        val df = spark.read.format(format).load(dataDir)
+        val fields = df.schema.fields.toSeq
+        val aggs = graft.plans.RangeStats.rangeAggs(fields)
+        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+        val metrics = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+          n -> row.get(i)
+        }.toMap[String, Any]
+        graft.plans.RangeStats.writeEntries(dataDir, newRows,
+          graft.plans.RangeStats.entriesFromMetrics(fields, metrics, partBounds))
+      } catch { case scala.util.control.NonFatal(_) => () }
+      val writeSchema: Seq[(String, String)] =
+        spark.read.format(format).load(dataDir)
+          .schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+      var expectedParent = currentSnapshot.map(_.id)
+      var attempt = 0
+      while (true) {
+        trySwap(expectedParent, dataDir, newRows, "append", carryPrevious = true,
+          format, Nil, stageOnly = false, writeSchema, None,
+          summary = Map(
+            "added-files-source" -> srcCanon,
+            "added-files" -> files.size.toString)) match {
+          case Right(snap) =>
+            Audit.log("table_write", fullName, Map(
+              "operation" -> "add_files", "snapshot_id" -> snap.id.toString,
+              "source" -> srcCanon, "files" -> files.size.toString))
+            return snap
+          case Left(conflict) =>
+            if (attempt >= numRetries)
+              throw CommitFailedException(fullName, attempt + 1, conflict)
+            Thread.sleep(SnapshotTable.backoffMs(attempt))
+            expectedParent = conflict.actualParent
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        deleteRecursively(new File(dataDir))
+        throw e
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Write-audit-publish, step 3: make an audited staged snapshot the
@@ -1873,7 +2104,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
       stageOnly: Boolean = false,
       branch: Option[String] = None,
       summary: Map[String, String] = Map.empty,
-      micro: Boolean = false): Snapshot = {
+      micro: Boolean = false,
+      // Some(head) pins the commit base for CAS semantics (overwriteIf):
+      // the caller computed its payload FROM that head, so pair it with
+      // numRetries = 0 — a conflict must surface, not blind-retry
+      expectedBase: Option[Option[Long]] = None): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -1886,12 +2121,12 @@ final class SnapshotTable(val root: String, val fullName: String) {
     require(SnapshotTable.SupportedFormats.contains(format),
       s"Unknown write_format '$format' for $fullName " +
         s"(supported: ${SnapshotTable.SupportedFormats.mkString(", ")})")
-    // the commit BASE: the branch ref's target for branch appends, the
-    // published head otherwise
-    val base = branch match {
+    // the commit BASE: the caller's CAS pin when given, else the branch
+    // ref's target for branch appends, else the published head
+    val base = expectedBase.getOrElse(branch match {
       case Some(b) => Some(requireRef(b, "branch").snapshotId)
       case None => currentSnapshot.map(_.id)
-    }
+    })
     // unique dir per attempt: the final snapshot id is unknown until the
     // swap wins, and two optimistic writers must never share a path
     val dataDir = Paths.get(root,
@@ -2893,6 +3128,34 @@ object SnapshotTable {
     */
   private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Footer opens made on a NON-executor (driver) thread — the spec's
+    * evidence that bulk import (`addFiles`) distributes its footer walk
+    * as a Spark job instead of a driver-side per-file loop. Local-mode
+    * executor task threads are named "Executor task launch worker-*".
+    */
+  private[graft] val driverFooterReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `input_file_name()` returns the scan's file URI (`file:///…`,
+    * possibly URL-encoded); normalize to a local filesystem path for
+    * comparison against walked [[java.io.File]] paths. Non-URI strings
+    * pass through unchanged.
+    */
+  private[sink] def fileUriToPath(u: String): String =
+    if (u.startsWith("file:"))
+      try java.nio.file.Paths.get(java.net.URI.create(u)).toString
+      catch { case scala.util.control.NonFatal(_) => u.stripPrefix("file:") }
+    else u
+
+  /** Name of the import manifest listing file [[SnapshotTable.addFiles]]
+    * writes into its snap-*-added dir (the Iceberg manifest-list role):
+    * one JSON entry per imported file — absolute source path, relative
+    * path, footer record count. Underscore-prefixed so Spark's file
+    * listing and [[listDataFiles]] both skip it. The symlink tree
+    * beside it is the local-FS *realization* of this listing; on object
+    * storage (no symlinks) a port reads the manifest itself.
+    */
+  val ImportManifestName = "_import_manifest.json"
+
   /** One shared Hadoop conf for footer reads: Configuration construction
     * parses the default XML resources (~10 ms), which a per-file fresh
     * instance would pay on every footer of a commit-time sidecar walk.
@@ -2906,6 +3169,8 @@ object SnapshotTable {
   private[sink] def parquetRecordCount(f: File): Long =
     try {
       footerReads.incrementAndGet(): Unit
+      if (!Thread.currentThread().getName.startsWith("Executor task launch"))
+        driverFooterReads.incrementAndGet(): Unit
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.getAbsolutePath), footerConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -2926,7 +3191,7 @@ object SnapshotTable {
     * attempt index) so specs can inject a concurrent commit into the
     * conflict window deterministically. No-op in production.
     */
-  @volatile private[sink] var beforeSwapHook: (SnapshotTable, Int) => Unit = (_, _) => ()
+  @volatile private[graft] var beforeSwapHook: (SnapshotTable, Int) => Unit = (_, _) => ()
 
   private val commitLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 

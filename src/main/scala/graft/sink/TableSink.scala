@@ -106,11 +106,12 @@ object TableSink {
     * uses the slim stats path (no per-partition stats job).
     */
   def append(df: DataFrame, template: TableTemplate, table: SnapshotTable,
-      micro: Boolean = false): Snapshot = {
+      micro: Boolean = false, summary: Map[String, String] = Map.empty): Snapshot = {
     checkSchema(df, template.schema, table.fullName)
     val (withParts, partCols) = withPartitionColumns(df, template)
     val snap = table.append(withParts, partCols, template.sortOrder.map(sortColumn),
-      template.writeFormat, template.commitNumRetries, micro = micro)
+      template.writeFormat, template.commitNumRetries, micro = micro,
+      summary = summary)
     declareSpec(template, table)
     snap
   }

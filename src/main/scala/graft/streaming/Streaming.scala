@@ -207,10 +207,21 @@ object Streaming {
     * atomic-per-attempt and idempotent to retry.
     *
     * Safe against a still-running gated stream: the replay reads the
-    * quarantine PINNED at its head snapshot; if new batches quarantine
-    * while the replay runs, the drain preserves exactly those rows
-    * (the incremental delta since the pinned head) instead of silently
-    * dropping them. Cost is O(quarantine), never O(main table).
+    * quarantine PINNED at its head snapshot, and the drain commits as a
+    * true COMPARE-AND-SWAP against the exact snapshot its survivors
+    * delta was computed from ([[graft.sink.SnapshotTable.overwriteIf]]) —
+    * if a batch quarantines anywhere between the pin and the winning
+    * swap, the CAS fails and the delta is RECOMPUTED from the moved
+    * head, so no concurrent batch is ever silently dropped. Cost is
+    * O(quarantine), never O(main table).
+    *
+    * Retry-idempotent across PARTIAL failure: the main-table append
+    * records a replay watermark (`replayed-quarantine` /
+    * `replayed-through` = the pinned quarantine snapshot id) inside its
+    * own commit summary — atomically with the rows it describes. A
+    * re-run after a failed drain sees the watermark, appends only the
+    * quarantine delta BEYOND it (nothing, typically) instead of
+    * re-appending already-landed rows, and finishes the drain.
     */
   def replayQuarantine(
       spark: SparkSession,
@@ -220,29 +231,75 @@ object Streaming {
       checks: Seq[graft.quality.Quality.Check],
       fix: DataFrame => DataFrame = identity): Option[graft.sink.Snapshot] = {
     val headId = quarantine.currentSnapshot.map(_.id).getOrElse(return None)
-    val held0 = quarantine.readSnapshot(spark, headId)
-    if (held0.isEmpty) return None // nothing to replay (one limit-1 job)
-    // quarantined rows carry the template's DERIVED partition columns
-    // (directory layout, not data) — project back to the declared
-    // schema so the re-append derives them fresh like any ingest
-    val held = held0.select(template.schema.fieldNames.toSeq
-      .map(org.apache.spark.sql.functions.col): _*)
-    val cured = fix(held)
-    // throws QualityFailure before ANY table is touched
-    graft.quality.Quality.gate(cured, table.fullName, checks): Unit
-    val snap = graft.sink.TableSink.append(cured, template, table)
+    if (quarantine.readSnapshot(spark, headId).isEmpty)
+      return None // nothing held, nothing to drain (one limit-1 job)
+    // resume watermark: the highest quarantine snapshot whose rows this
+    // main table has already absorbed (recorded in the append's summary)
+    val watermark: Option[Long] = {
+      val throughs = table.snapshots
+        .filter(_.summary.get(ReplayedFromKey).contains(quarantine.fullName))
+        .flatMap(_.summary.get(ReplayedThroughKey).flatMap(_.toLongOption))
+      if (throughs.isEmpty) None else Some(throughs.max)
+    }
+    val held0: Option[DataFrame] = watermark match {
+      // everything up to the head already landed (a previous replay's
+      // drain failed after its append won): only the drain remains
+      case Some(w) if w >= headId => None
+      case Some(w) => Some(quarantine.readIncremental(spark, w, headId))
+      case None => Some(quarantine.readSnapshot(spark, headId))
+    }
+    val snapOpt = held0.filterNot(_.isEmpty).map { h =>
+      // quarantined rows carry the template's DERIVED partition columns
+      // (directory layout, not data) — project back to the declared
+      // schema so the re-append derives them fresh like any ingest
+      val held = h.select(template.schema.fieldNames.toSeq
+        .map(org.apache.spark.sql.functions.col): _*)
+      val cured = fix(held)
+      // throws QualityFailure before ANY table is touched
+      graft.quality.Quality.gate(cured, table.fullName, checks): Unit
+      graft.sink.TableSink.append(cured, template, table, summary = Map(
+        ReplayedFromKey -> quarantine.fullName,
+        ReplayedThroughKey -> headId.toString))
+    }
     // drain: rows quarantined AFTER the pinned head (a concurrent gated
-    // stream may still be failing batches in) survive the drain
-    val newSince = quarantine.currentSnapshot.map(_.id).filter(_ != headId)
-      .map(cur => quarantine.readIncremental(spark, headId, cur))
+    // stream may still be failing batches in) survive; the CAS pins the
+    // delta's basis, recomputing whenever a rival commit moves the head
     val fmt = quarantine.currentSnapshot.map(_.format).getOrElse("parquet")
-    val drained = newSince.getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], held0.schema))
-    // surviving rows keep the quarantine's partition layout
-    quarantine.overwrite(drained, quarantine.partitionColumns, format = fmt): Unit
-    Some(snap)
+    var attempt = 0
+    var drained = false
+    while (!drained) {
+      val pinned = quarantine.currentSnapshot.map(_.id)
+      val survivors = pinned.filter(_ != headId)
+        .map(cur => quarantine.readIncremental(spark, headId, cur))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          quarantine.read(spark).schema))
+      try {
+        // surviving rows keep the quarantine's partition layout
+        quarantine.overwriteIf(survivors, pinned,
+          quarantine.partitionColumns, format = fmt): Unit
+        drained = true
+      } catch {
+        case _: graft.sink.CommitFailedException if attempt < DrainCasAttempts =>
+          attempt += 1 // head moved since the pin: recompute the delta
+      }
+    }
+    snapOpt
   }
+
+  /** Commit-summary keys of the quarantine-replay watermark (see
+    * [[replayQuarantine]]): which quarantine a replayed append came
+    * from, and the quarantine snapshot id it replayed through.
+    */
+  val ReplayedFromKey = "replayed-quarantine"
+  val ReplayedThroughKey = "replayed-through"
+
+  /** Drain CAS retry bound: each retry recomputes the survivors delta
+    * from the moved head, so exhaustion means a pathologically hot
+    * quarantine — surface the conflict (the replay is resumable: the
+    * watermark already landed with the append) rather than loop forever.
+    */
+  private val DrainCasAttempts = 8
 
   final case class Event(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, events: Long, purchases: Long, total_value: Double)

@@ -418,15 +418,36 @@ object TextAnalysis {
     * yield a single chunk (none when empty).
     */
   def cdcChunks(
-      df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame = {
+      df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame =
+    cdcChunksWith(df, textCol, k, divisor,
+      gramHash = hash60, chunkKey = md5, keyName = "chunk_md5")
+
+  /** [[cdcChunks]] with the ENGINE-DEFAULT hash: xxhash64 for both the
+    * boundary rule and the chunk key (a codegen'd native long hash vs
+    * md5's per-gram digest+hex+conv chain — the md5 variant exists only
+    * because DuckDB can replicate it bit-exactly for the oracle; a
+    * production pipeline has no reason to pay ~2-4× for it). Boundary
+    * POSITIONS differ from the md5 variant (different hash, same
+    * expected chunk length and the same shift-robustness class); the
+    * CDC properties are spec-pinned instead of oracle-compared.
+    */
+  def cdcChunksFast(
+      df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame =
+    cdcChunksWith(df, textCol, k, divisor,
+      gramHash = xxhash64(_), chunkKey = xxhash64(_), keyName = "chunk_hash")
+
+  private def cdcChunksWith(
+      df: DataFrame, textCol: String, k: Int, divisor: Int,
+      gramHash: Column => Column, chunkKey: Column => Column,
+      keyName: String): DataFrame = {
     require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
     val len = length(col(textCol))
-    // candidate boundaries: i in [k, len] with hash60(trailing k-gram) % divisor == 0;
+    // candidate boundaries: i in [k, len] with gramHash(trailing k-gram) % divisor == 0;
     // a boundary at exactly len would duplicate the end sentinel — drop it
     val bounds = when(len >= k,
       filter(
         transform(sequence(lit(k), len), i =>
-          when(hash60(col(textCol).substr(i - (k - 1), lit(k))) % divisor === 0, i)),
+          when(gramHash(col(textCol).substr(i - (k - 1), lit(k))) % divisor === 0, i)),
         x => x.isNotNull && x < len)).otherwise(array().cast("array<int>"))
     val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
       concat(array(lit(0)), bounds, array(len)).as("_b"))
@@ -440,7 +461,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
         (col("col.s") + 1).cast("int").as("start_char"),
         col("col.l").cast("int").as("chunk_len"),
-        md5(col("_t").substr(col("col.s") + 1, col("col.l"))).as("chunk_md5"))
+        chunkKey(col("_t").substr(col("col.s") + 1, col("col.l"))).as(keyName))
   }
 
   /** Overlapping token-window chunks — the RAG / context-length
@@ -476,6 +497,24 @@ object TextAnalysis {
       .select(col("doc_id"), hash60(col("_t").substr(col("_i"), lit(k))).as("_h"))
       .groupBy(col("doc_id")).agg(min(col("_h")).as("min_shingle_hash"))
     df.select(col("doc_id"), md5(col(textCol)).as("content_md5"))
+      .join(minh, Seq("doc_id"), "left_outer")
+  }
+
+  /** [[fingerprint]] with the ENGINE-DEFAULT hash (xxhash64 content key
+    * + min-xxhash64 shingle, no digest/hex/conv chain) — same rolling-
+    * fingerprint structure and dedup power, ~2-4× cheaper per position;
+    * the md5 variant exists for bit-exact DuckDB oracle parity only.
+    * Shingle hashing stays map-side; the only shuffle is the per-doc
+    * min aggregate, identical to the md5 variant's plan.
+    */
+  def fingerprintFast(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val n = greatest(length(col(textCol)) - (k - 1), lit(1))
+    val minh = df
+      .select(col("doc_id"), col(textCol).as("_t"),
+        explode(sequence(lit(1), n)).as("_i"))
+      .select(col("doc_id"), xxhash64(col("_t").substr(col("_i"), lit(k))).as("_h"))
+      .groupBy(col("doc_id")).agg(min(col("_h")).as("min_shingle_hash"))
+    df.select(col("doc_id"), xxhash64(col(textCol)).as("content_hash"))
       .join(minh, Seq("doc_id"), "left_outer")
   }
 

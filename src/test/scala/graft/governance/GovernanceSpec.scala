@@ -110,6 +110,16 @@ class AccessControlSpec extends SparkSpec {
     }
     assert(Audit.recorded.count(ev =>
       ev.details.get("access").contains("denied")) == 2, "each denial audited")
+    // an access review must distinguish refused reads from refused
+    // mutations: a write-verb denial audits as table_write with the verb
+    Audit.clear()
+    intercept[NamespaceAccessDenied] {
+      checkNamespaceAccess("team-ml", "team-ml.t", Writer, Some("analytics"), "write")
+    }
+    val wd = Audit.recorded.filter(_.details.get("access").contains("denied"))
+    assert(wd.map(_.event) == Seq("table_write"),
+      s"a refused write must audit as table_write, got ${wd.map(_.event)}")
+    assert(wd.head.details.get("verb").contains("write"))
     Audit.clear()
   }
 

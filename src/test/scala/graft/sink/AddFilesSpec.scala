@@ -105,6 +105,46 @@ class AddFilesSpec extends SparkSpec {
     t.overwrite(Seq((1, "a")).toDF("id", "name"))
     val e = intercept[IllegalArgumentException](t.addFiles(spark, s"$src/bad"))
     assert(e.getMessage.contains("column id"), s"got: ${e.getMessage}")
+    // the rejected import must not orphan its half-built manifest dir
+    val leftover = new File(t.root).listFiles()
+      .filter(f => f.isDirectory && f.getName.endsWith("-added"))
+    assert(leftover.isEmpty,
+      s"a swap-time reject must clean up its snap-*-added dir, found ${leftover.toSeq}")
+  }
+
+  test("the footer walk is a distributed job, not a driver-side loop") {
+    val src = stageSource("dist") { d =>
+      Seq.tabulate(40)(i => (i, s"n$i")).toDF("id", "name")
+        .repartition(8).write.parquet(s"$d/many")
+    }
+    val t = freshTable()
+    val driverBefore = SnapshotTable.driverFooterReads.get()
+    val snap = t.addFiles(spark, s"$src/many")
+    assert(snap.rowCount == 40)
+    assert(SnapshotTable.driverFooterReads.get() == driverBefore,
+      "add_files must read every parquet footer inside the Spark job " +
+        "(executor threads), never in a per-file driver loop")
+  }
+
+  test("the import writes a manifest listing file (the portable artifact)") {
+    val src = stageSource("manifest") { d =>
+      Seq((1, "a"), (2, "b")).toDF("id", "name")
+        .repartition(2).write.parquet(s"$d/m")
+    }
+    val t = freshTable()
+    val snap = t.addFiles(spark, s"$src/m")
+    val dir = new File(snap.dataDirs.last)
+    val mf = new File(dir, SnapshotTable.ImportManifestName)
+    assert(mf.exists, "snap-*-added must carry the import manifest listing")
+    val text = new String(Files.readAllBytes(mf.toPath), "UTF-8")
+    val srcFiles = new File(s"$src/m").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getCanonicalPath)
+    srcFiles.foreach(p => assert(text.contains(new File(p).getName),
+      s"manifest must list every imported file, missing $p in $text"))
+    assert(text.contains("\"rows\":"), "manifest entries carry record counts")
+    // underscore prefix: neither Spark's listing nor $files may see it
+    assert(t.read(spark).count() == 2)
+    assert(!t.fileStats(spark).collect().map(_.toString).exists(_.contains("_import_manifest")))
   }
 
   test("sources inside the table root and missing paths are rejected") {

@@ -46,6 +46,19 @@ class MetadataJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt \\u escapes fail as ParseException, never NumberFormatException") {
+    // callers degrade on ParseException only (stats sidecars are never a
+    // correctness input) — a NumberFormatException leaking from parseInt
+    // would fail a whole read instead; and parseInt's sign tolerance
+    // ("+1aF") must not make junk parse
+    for (bad <- Seq("ZZZZ", "+1aF", "12 4", "-123").map(h => "{\"k\":\"\\u" + h + "\"}")) {
+      val e = intercept[ParseException](parse(bad))
+      assert(e.getMessage.contains("\\u"), s"$bad -> ${e.getMessage}")
+    }
+    // well-formed hex still round-trips, both cases
+    assert(parse("{\"k\":\"\\u0041\\u00e9\\u00E9\"}").asObj("k").asStr == "Aéé")
+  }
+
   test("typed accessors fail actionably on shape mismatch") {
     val e = intercept[ParseException](parse("""[1]""").asObj)
     assert(e.getMessage.contains("expected object"))

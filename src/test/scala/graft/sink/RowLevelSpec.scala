@@ -299,17 +299,156 @@ class RowLevelSpec extends SparkSpec {
     assert(t.currentSnapshot.get.rowCount == 3L)
   }
 
-  test("SQL DML with subqueries in conditions is rejected explicitly") {
+  test("file-granular COW: an update touching one file carries its siblings byte-identical") {
+    import java.nio.file.{Files => NioFiles, Paths}
+    val t = freshTable()
+    // ONE dir, four range-partitioned files: ids 1-100 in contiguous runs
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", lit("a"))
+      .repartitionByRange(4, col("id")))
+    val origDir = t.currentSnapshot.get.dataDirs.head
+    val origFiles = new java.io.File(origDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f).toMap
+    assert(origFiles.size == 4, s"fixture needs 4 files, got ${origFiles.size}")
+    val snap = t.updateWhere(spark, col("id") <= 10L, Map("v" -> lit("b")))
+    assert(snap.operation == "update" && snap.rowCount == 100L)
+    // the untouched files carried into a -carry dir as hard links —
+    // byte-identical, zero data I/O
+    val carry = snap.dataDirs.filter(_.endsWith("-carry"))
+    assert(carry.size == 1,
+      s"expected one carry dir for the 3 untouched files, dirs: ${snap.dataDirs}")
+    assert(!snap.dataDirs.contains(origDir), "the split dir itself must be dropped")
+    val carried = new java.io.File(carry.head).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(carried.length == 3, s"3 of 4 files untouched, carried ${carried.length}")
+    carried.foreach { c =>
+      val orig = origFiles.getOrElse(c.getName,
+        fail(s"carried file ${c.getName} has no original sibling"))
+      assert(NioFiles.isSameFile(c.toPath, orig.toPath) ||
+        java.util.Arrays.equals(NioFiles.readAllBytes(c.toPath), NioFiles.readAllBytes(orig.toPath)),
+        s"carried file ${c.getName} must be byte-identical to the original")
+    }
+    // logical result exact
+    val out = t.read(spark)
+    assert(out.filter(col("v") === "b").count() == 10L)
+    assert(out.filter(col("v") === "a").count() == 90L)
+    assert(out.count() == 100L)
+    // $partitions/$files stay exact: carried rows retain known counts
+    assert(t.fileStats(spark).agg(org.apache.spark.sql.functions.sum("record_count"))
+      .head.getLong(0) == 100L, "per-file sidecar rows must stay exact after a split")
+    // expiry safety: hard links must survive deletion of the original dir
+    t.expireSnapshots(Long.MaxValue, retainLast = 1)
+    assert(!new java.io.File(origDir).exists, "old dir expired")
+    assert(t.read(spark).count() == 100L,
+      "carried files must survive the original dir's expiry (hard links, not symlinks)")
+    assert(t.read(spark).filter(col("v") === "b").count() == 10L)
+  }
+
+  test("file-granular COW: merge delete splits files; delete-scoped dirs fall back whole") {
+    val t = freshTable()
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", lit(1.0))
+      .repartitionByRange(4, col("id")))
+    // merge-delete three rows living in one file
+    t.mergeInto(Seq(1L, 2L, 3L).toDF("id"), Seq("id" -> "id"),
+      matched = Merge.Delete, notMatched = Merge.Ignore)
+    val snap = t.currentSnapshot.get
+    assert(snap.rowCount == 97L)
+    assert(snap.dataDirs.exists(_.endsWith("-carry")),
+      "a 3-row merge delete must not rewrite the other 3 files")
+    assert(t.read(spark).count() == 97L)
+    assert(t.read(spark).filter(col("id") <= 3L).count() == 0L)
+    // a dir with an equality delete scoped to it is NOT file-split (the
+    // delete scope would be dropped while its rows carry physically)
+    val t2 = freshTable()
+    t2.overwrite((1L to 100L).toDF("id").withColumn("v", lit("x"))
+      .repartitionByRange(4, col("id")))
+    t2.deleteWhere(Seq(50L).toDF("id"), Seq("id"))
+    t2.updateWhere(spark, col("id") === 1L, Map("v" -> lit("y")))
+    val s2 = t2.currentSnapshot.get
+    assert(!s2.dataDirs.exists(_.endsWith("-carry")),
+      "delete-scoped dirs must take the whole-dir rewrite (file carry would resurrect)")
+    assert(t2.read(spark).count() == 99L, "the equality delete must hold")
+    assert(t2.read(spark).filter(col("v") === "y").count() == 1L)
+  }
+
+  test("UPDATE/DELETE WHERE k IN (SELECT ...) lower onto the engine paths") {
     val wh = Files.createTempDirectory("graft_rl_sub").toString
     val t = SnapshotTable(wh, "ns", "subt")
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "bal"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq(1L, 3L, 99L).toDF("id").createOrReplaceTempView("rl_sub_keys")
+    // UPDATE + IN: lowered to the COW merge (semi-join on the subquery's
+    // distinct keys); residual conjuncts ride as the clause condition
+    spark.sql("""UPDATE graft.ns.subt SET bal = bal + 100
+                |WHERE id IN (SELECT id FROM rl_sub_keys) AND bal > 2.0""".stripMargin)
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 103.0), (4L, 4.0)))
+    assert(t.currentSnapshot.get.operation == "merge")
+    // pure DELETE + IN: merge-on-read equality delete — no dir rewritten
+    val dirsBefore = t.currentSnapshot.get.dataDirs
+    spark.sql("DELETE FROM graft.ns.subt WHERE id IN (SELECT id FROM rl_sub_keys)")
+    val delSnap = t.currentSnapshot.get
+    assert(delSnap.operation == "delete" && delSnap.dataDirs == dirsBefore &&
+      delSnap.deletes.nonEmpty,
+      "an IN-subquery DELETE with no residual condition must stay merge-on-read")
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // DELETE + IN + residual conjunct: copy-on-write merge delete
+    Seq(2L, 4L).toDF("id").createOrReplaceTempView("rl_sub_keys2")
+    spark.sql("""DELETE FROM graft.ns.subt
+                |WHERE id IN (SELECT id FROM rl_sub_keys2) AND bal < 3.0""".stripMargin)
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(4L))
+    assert(t.currentSnapshot.get.operation == "merge")
+  }
+
+  test("DELETE with a non-pushable predicate routes to the COW delete") {
+    val wh = Files.createTempDirectory("graft_rl_pred").toString
+    val t = SnapshotTable(wh, "ns", "predt")
+    t.overwrite(Seq((1L, 10.0), (2L, 260.0), (3L, 300.0), (4L, Double.NaN))
+      .toDF("id", "v")): Unit
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    // arithmetic cannot cross the DSv2 filter API; the rule must route
+    // to deleteRows instead of AnalysisException at planning
+    spark.sql("DELETE FROM graft.ns.predt WHERE v * 2 > 500")
+    assert(t.currentSnapshot.get.operation == "delete")
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(1L),
+      "rows where the predicate is true delete (Spark orders NaN above " +
+        "every number, so NaN*2>500 is TRUE and id=4 deletes — DuckDB agrees)")
+    // plain equality keeps the merge-on-read push-down (no rewrite)
+    val dirsBefore = t.currentSnapshot.get.dataDirs
+    spark.sql("DELETE FROM graft.ns.predt WHERE id = 1")
+    val s2 = t.currentSnapshot.get
+    assert(s2.operation == "delete" && s2.dataDirs == dirsBefore && s2.deletes.nonEmpty,
+      "translatable predicates must stay on the equality-delete push-down")
+  }
+
+  test("uncorrelated EXISTS in DML is a statement-level boolean; correlated rejected") {
+    val wh = Files.createTempDirectory("graft_rl_ex").toString
+    val t = SnapshotTable(wh, "ns", "ext")
     t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "bal"))
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    Seq(1L).toDF("id").createOrReplaceTempView("rl_sub_keys")
+    Seq(7L).toDF("k").createOrReplaceTempView("rl_ex_keys")
+    // EXISTS over a non-empty relation: condition holds, update applies
+    spark.sql("""UPDATE graft.ns.ext SET bal = bal * 10
+                |WHERE EXISTS (SELECT 1 FROM rl_ex_keys WHERE k > 5) AND id = 1""".stripMargin)
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 2.0)))
+    // NOT EXISTS over an EMPTY subquery is TRUE (not unknown): applies
+    spark.sql("""UPDATE graft.ns.ext SET bal = 0
+                |WHERE NOT EXISTS (SELECT 1 FROM rl_ex_keys WHERE k > 99) AND id = 2""".stripMargin)
+    assert(t.read(spark).filter(col("id") === 2L).as[(Long, Double)].head()._2 == 0.0)
+    // DELETE with an EXISTS-gated predicate: COW deleteRows path
+    spark.sql("""DELETE FROM graft.ns.ext
+                |WHERE EXISTS (SELECT 1 FROM rl_ex_keys) AND bal = 0.0""".stripMargin)
+    assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(t.currentSnapshot.get.operation == "delete")
+    // correlated subqueries stay rejected with the actionable message
     val e = intercept[Exception](spark.sql(
-      "UPDATE graft.ns.subt SET bal = 0 WHERE id IN (SELECT id FROM rl_sub_keys)"))
-    assert(e.getMessage.contains("subquer"))
-    // table unchanged
+      """UPDATE graft.ns.ext SET bal = 0
+        |WHERE EXISTS (SELECT 1 FROM rl_ex_keys WHERE k = id)""".stripMargin))
+    assert(e.getMessage.contains("subquery") || e.getMessage.contains("correlated"),
+      e.getMessage)
     assert(t.read(spark).filter(col("bal") === 0.0).count() == 0L)
   }
 

@@ -371,4 +371,70 @@ class StreamingSpec extends SparkSpec {
     assert(quarantine.read(spark).count() == 0)
     assert(Streaming.replayQuarantine(spark, tpl, table, quarantine, checks).isEmpty)
   }
+
+  test("the drain is a CAS: a batch landing between pin and swap is never dropped") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+    val wh = Files.createTempDirectory("graft_qcas").toString
+    val tpl = graft.template.TemplateLoader.get("/root/repo/templates", "events")
+    val table = graft.sink.SnapshotTable(wh, tpl.namespace, tpl.name)
+    val quarantine = graft.sink.SnapshotTable(wh, tpl.namespace, "events_quarantine")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def batch(ids: Seq[Long], uid: Option[Long]) =
+      ids.map(i => (i, t(10, 5), uid, "click", 1.0, "{}")).toDF(cols: _*)
+    val checks = Seq(Quality.rowCount(), Quality.missingCount("user_id"))
+    graft.sink.TableSink.append(batch(Seq(1L), Some(7L)), tpl, table): Unit
+    graft.sink.TableSink.append(batch(Seq(3L, 4L), None), tpl, quarantine): Unit
+    // rival batch lands INSIDE the narrowest window: after the drain
+    // computed its survivors delta, right before its swap — exactly the
+    // TOCTOU a blind conflict-retry would silently drop
+    @volatile var injected = false
+    graft.sink.SnapshotTable.beforeSwapHook = (t, _) =>
+      if (!injected && t.fullName.endsWith("events_quarantine") &&
+          t.currentSnapshot.exists(_.operation != "overwrite")) {
+        injected = true
+        graft.sink.TableSink.append(batch(Seq(9L), None), tpl, quarantine): Unit
+      }
+    try {
+      val snap = Streaming.replayQuarantine(spark, tpl, table, quarantine, checks,
+        fix = _.withColumn("user_id", coalesce(col("user_id"), lit(0L))))
+      assert(snap.isDefined)
+    } finally graft.sink.SnapshotTable.beforeSwapHook = (_, _) => ()
+    assert(injected, "the hook must have fired inside the drain's swap window")
+    assert(quarantine.read(spark).select("event_id").as[Long].collect().toSeq ==
+      Seq(9L), "a batch quarantined between the drain's pin and its swap " +
+        "must survive via CAS-recompute, never be dropped by a blind retry")
+    assert(table.read(spark).select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+  }
+
+  test("a re-run after a failed drain skips already-landed rows (replay watermark)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.quality.Quality
+    val wh = Files.createTempDirectory("graft_qwm").toString
+    val tpl = graft.template.TemplateLoader.get("/root/repo/templates", "events")
+    val table = graft.sink.SnapshotTable(wh, tpl.namespace, tpl.name)
+    val quarantine = graft.sink.SnapshotTable(wh, tpl.namespace, "events_quarantine")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def batch(ids: Seq[Long], uid: Option[Long]) =
+      ids.map(i => (i, t(10, 5), uid, "click", 1.0, "{}")).toDF(cols: _*)
+    val checks = Seq(Quality.rowCount(), Quality.missingCount("user_id"))
+    graft.sink.TableSink.append(batch(Seq(1L), Some(7L)), tpl, table): Unit
+    graft.sink.TableSink.append(batch(Seq(3L, 4L), None), tpl, quarantine): Unit
+    val headId = quarantine.currentSnapshot.get.id
+    // simulate the partial failure: a previous replay appended the cured
+    // rows WITH its watermark, then crashed before the drain
+    graft.sink.TableSink.append(batch(Seq(3L, 4L), Some(0L)), tpl, table,
+      summary = Map(
+        Streaming.ReplayedFromKey -> quarantine.fullName,
+        Streaming.ReplayedThroughKey -> headId.toString)): Unit
+    val snap = Streaming.replayQuarantine(spark, tpl, table, quarantine, checks,
+      fix = _.withColumn("user_id", coalesce(col("user_id"), lit(0L))))
+    assert(snap.isEmpty, "nothing beyond the watermark: the re-run must not re-append")
+    assert(table.read(spark).select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L), "already-landed rows must not be double-appended by the re-run")
+    assert(quarantine.read(spark).count() == 0, "the re-run must finish the drain")
+  }
 }

@@ -44,4 +44,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((6L, 0L, 0.0)))
     assert(out(5L) == ((2L, 0L, 0.0)))
   }
+
+  test("fast CDC chunks: coverage, position-locality, degenerate docs") {
+    val base = (1 to 40).map(i => s"sentence$i with some filler words here.").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, "PREFIX-EDIT " + base), // same content, shifted by an edit
+      (3L, "tiny"),                // shorter than k: one whole-doc chunk
+      (4L, "")                     // empty: one zero-length chunk (md5-variant parity)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunksFast(docs, "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .groupBy(_._1)
+    // coverage: chunks tile the document exactly — contiguous starts,
+    // lengths summing to the doc length
+    val d1 = out(1L).sortBy(_._2)
+    assert(d1.map(_._4).sum == base.length)
+    assert(d1.head._3 == 1)
+    d1.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._3 + a._4, s"gap between $a and $b")
+      case _ => ()
+    }
+    assert(d1.length > 3, s"expected multiple ~64-char chunks, got ${d1.length}")
+    // position-locality (the CDC point): an edit at the head must not
+    // reshift every downstream chunk — the two docs share most chunk keys
+    val k1 = d1.map(_._5).toSet
+    val k2 = out(2L).map(_._5).toSet
+    val shared = k1.intersect(k2).size
+    assert(shared >= k1.size - 2,
+      s"only $shared/${k1.size} chunk keys survived a head edit — not shift-robust")
+    // degenerate shapes (same contract the md5 variant's oracle pins:
+    // sub-k docs one whole-doc chunk, empty docs one zero-length chunk)
+    assert(out(3L).map(t => (t._3, t._4)).toSeq == Seq((1, 4)))
+    assert(out(4L).map(t => (t._3, t._4)).toSeq == Seq((1, 0)))
+  }
+
+  test("fast fingerprint: duplicate detection and shingle-superset monotonicity") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, a), (2L, a), (3L, a + " plus a distinct suffix"), (4L, "entirely different content"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintFast(docs, "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exact duplicates share BOTH keys — the dedup decision the md5
+    // variant makes, at native-hash cost
+    assert(out(1L) == out(2L))
+    assert(out(1L)._1 != out(4L)._1)
+    // doc 3's shingle set is a superset of doc 1's: its min can only be <=
+    assert(out(3L)._2 <= out(1L)._2)
+    assert(out(3L)._1 != out(1L)._1, "content hash must see the suffix")
+  }
 }
