@@ -1335,6 +1335,115 @@ object MetaQueries {
         "onto the copy-on-write MERGE (subquery keys = broadcast semi-join " +
         "source; residual conjuncts become the clause condition)"),
 
+    "sql_delete_exists" -> QueryDef(
+      (s, dir) => {
+        // DELETE ... WHERE EXISTS (correlated) — the erasure shape
+        // written as a correlated probe instead of IN. GraftDmlRule
+        // DECORRELATES it: the `s.user_id = t.user_id` equality becomes
+        // the join key, inner-only conjuncts (s.value > 400) stay the
+        // subquery's filter, and because the EXISTS is the WHOLE
+        // condition the statement lands on the SAME merge-on-read
+        // equality-delete contract as an IN — O(|keys|) delete file,
+        // zero data files rewritten (the require pins all of it).
+        val wh = freshWarehouse("sql_delete_exists")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        val dirsBefore = table.currentSnapshot.get.dataDirs
+        tbl(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"))
+          .createOrReplaceTempView("sql_del_ex_src")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""DELETE FROM graft.testdata.events t
+                |WHERE EXISTS (SELECT 1 FROM sql_del_ex_src s
+                |              WHERE s.user_id = t.user_id AND s.value > 400)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "delete" && snap.dataDirs == dirsBefore &&
+          snap.deletes.nonEmpty,
+          "a pure correlated-EXISTS DELETE must decorrelate onto the " +
+            "merge-on-read equality delete, not a rewrite")
+        s.sql("SELECT event_id, ts, user_id, event_type FROM graft.testdata.events")
+      },
+      Some("""SELECT e.event_id, e.ts, e.user_id, e.event_type FROM events e
+             |WHERE NOT EXISTS (SELECT 1 FROM events p
+             |  WHERE p.event_type = 'purchase' AND p.value > 400
+             |    AND p.user_id = e.user_id)""".stripMargin),
+      doc = "SQL DELETE with a correlated EXISTS condition: decorrelated " +
+        "(equality correlation = join key) onto the merge-on-read equality " +
+        "delete — same O(keys) contract as IN, no rewrite"),
+
+    "sql_delete_not_exists" -> QueryDef(
+      (s, dir) => {
+        // DELETE ... WHERE NOT EXISTS (correlated) — the referential-
+        // integrity sweep (retire orders with no qualifying line).
+        // Decorrelates onto MERGE's third arm: an ANTI-join of the
+        // broadcast subquery keys (WHEN NOT MATCHED BY SOURCE THEN
+        // DELETE), so detection is key-pruned and dirs whose rows all
+        // have matches stay untouched.
+        val wh = freshWarehouse("sql_delete_not_exists")
+        val table = SnapshotTable(wh, "testdata", "orders_ne")
+        val o = tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        table.overwrite(o): Unit
+        val before = table.currentSnapshot.get.rowCount
+        tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+          .createOrReplaceTempView("sql_del_ne_src")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""DELETE FROM graft.testdata.orders_ne o
+                |WHERE NOT EXISTS (SELECT 1 FROM sql_del_ne_src l
+                |                  WHERE l.l_orderkey = o.o_orderkey
+                |                    AND l.l_quantity > 30)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount < before,
+          s"NOT EXISTS DELETE must ride the anti-join merge path and retire " +
+            s"rows (op=${snap.operation}, ${snap.rowCount} of $before)")
+        s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.testdata.orders_ne")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 30)""".stripMargin),
+      doc = "SQL DELETE with a correlated NOT EXISTS condition: decorrelated " +
+        "onto MERGE's third arm (anti-join of the broadcast subquery keys) — " +
+        "the referential-integrity sweep, key-pruned detection"),
+
+    "sql_update_exists" -> QueryDef(
+      (s, dir) => {
+        // UPDATE ... WHERE EXISTS (correlated) AND <residual>: the
+        // correlation equality becomes the semi-join key, the residual
+        // target-only conjunct rides as the matched clause's condition
+        // — one COW MERGE, keys distributed end-to-end.
+        val wh = freshWarehouse("sql_update_exists")
+        val table = SnapshotTable(wh, "testdata", "customer_uex")
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        table.overwrite(c): Unit
+        val before = table.currentSnapshot.get.rowCount
+        tbl(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+          .createOrReplaceTempView("sql_upd_ex_src")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.customer_uex c
+                |SET c_acctbal = c_acctbal + 100.0
+                |WHERE EXISTS (SELECT 1 FROM sql_upd_ex_src o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 300000)
+                |  AND c.c_acctbal >= 0""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount == before,
+          "a correlated-EXISTS UPDATE must ride the COW merge path and change no row count")
+        s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft.testdata.customer_uex")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_acctbal >= 0 AND c_custkey IN
+             |    (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+             |FROM customer""".stripMargin),
+      doc = "SQL UPDATE with a correlated EXISTS conjunct plus a residual " +
+        "condition: decorrelated onto the copy-on-write MERGE (correlation " +
+        "equality = broadcast semi-join key; residual = clause condition)"),
+
     "sql_replace_table" -> QueryDef(
       (s, dir) => {
         // Atomic RTAS (the Iceberg StagedTable role, StagingTableCatalog

@@ -42,14 +42,15 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if u.resolved && graftRel(target).isDefined =>
       val t = graftTable(target, "UPDATE")
       val tSet = target.outputSet
-      condition.flatMap(extractInArm(_, tSet)) match {
-        // UPDATE ... WHERE k IN (SELECT ...): lower onto the MERGE
-        // engine path — the subquery's distinct keys become the merge
-        // source, the IN becomes the key semi-join the COW detection
-        // already runs broadcast + key-pruned, and residual conjuncts
-        // ride as the matched clause's condition. Never a driver-side
-        // key collect: at 100 TB the subquery result stays distributed.
-        case Some((keys, srcPlan, rest)) =>
+      condition.flatMap(extractSubqueryArm(_, tSet)) match {
+        // UPDATE ... WHERE k IN (SELECT ...) / WHERE EXISTS (corr):
+        // lower onto the MERGE engine path — the subquery's distinct
+        // keys become the merge source, the IN / correlation equalities
+        // become the key semi-join the COW detection already runs
+        // broadcast + key-pruned, and residual conjuncts ride as the
+        // matched clause's condition. Never a driver-side key collect:
+        // at 100 TB the subquery result stays distributed.
+        case Some((SemiArm, keys, srcPlan, rest)) =>
           val sSet = srcPlan.outputSet
           GraftMergeCommand(t.snapTable, srcPlan, keys,
             matchedClauses = Seq(Merge.WhenMatched(
@@ -57,6 +58,19 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
               rest.map(xlate(_, tSet, sSet)))),
             notMatchedClauses = Nil)
+        // UPDATE ... WHERE NOT EXISTS (corr): the inverted detection —
+        // exactly MERGE's third arm (WHEN NOT MATCHED BY SOURCE), an
+        // anti-join of the broadcast subquery keys. NULL-keyed target
+        // rows correctly update: no inner row can equal NULL, so NOT
+        // EXISTS is true for them, and the anti-join keeps them too.
+        case Some((AntiArm, keys, srcPlan, rest)) =>
+          val sSet = srcPlan.outputSet
+          GraftMergeCommand(t.snapTable, srcPlan, keys,
+            matchedClauses = Nil, notMatchedClauses = Nil,
+            notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
+              Merge.Update(assignments.map(a =>
+                topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
+              rest.map(xlate(_, tSet, sSet)))))
         case None =>
           GraftUpdateCommand(
             t.snapTable,
@@ -83,15 +97,28 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             !pushableDelete(condition)) =>
       val t = graftTable(target, "DELETE")
       val tSet = target.outputSet
-      extractInArm(condition, tSet) match {
-        case Some((keys, srcPlan, None)) =>
+      extractSubqueryArm(condition, tSet) match {
+        // pure key-membership delete (uncorrelated IN, or correlated
+        // EXISTS whose correlation is the whole condition): the SAME
+        // merge-on-read contract a literal key list gets — the distinct
+        // keys become the equality-delete file, no data file rewritten
+        case Some((SemiArm, keys, srcPlan, None)) =>
           GraftDeleteInCommand(t.snapTable, srcPlan, keys)
-        case Some((keys, srcPlan, rest)) =>
+        case Some((SemiArm, keys, srcPlan, rest)) =>
           val sSet = srcPlan.outputSet
           GraftMergeCommand(t.snapTable, srcPlan, keys,
             matchedClauses = Seq(Merge.WhenMatched(
               Merge.Delete, rest.map(xlate(_, tSet, sSet)))),
             notMatchedClauses = Nil)
+        // DELETE ... WHERE NOT EXISTS (corr): retire target rows with
+        // no matching subquery row — MERGE's third arm (anti-join of
+        // the broadcast keys), the full-sync retirement shape
+        case Some((AntiArm, keys, srcPlan, rest)) =>
+          val sSet = srcPlan.outputSet
+          GraftMergeCommand(t.snapTable, srcPlan, keys,
+            matchedClauses = Nil, notMatchedClauses = Nil,
+            notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
+              Merge.Delete, rest.map(xlate(_, tSet, sSet)))))
         case None =>
           // scalar/EXISTS-only subquery conditions: evaluate statement-
           // level via the deferred machinery on the UPDATE-free engine
@@ -163,37 +190,168 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Decompose a DML condition's conjunction: if exactly one arm is an
-    * uncorrelated `IN (SELECT ...)` over plain target columns, return
-    * (target-key -> source-key pairs, DISTINCT'd subquery plan, the
-    * remaining conjuncts recombined). The DISTINCT makes the semi-join
-    * keys unique, which both matches IN semantics exactly and satisfies
-    * the MERGE cardinality rule. More than one IN arm, IN over computed
-    * expressions, or a correlated list query all fall through to
+  /** Decompose a DML condition's conjunction: if exactly one arm is a
+    * multi-row subquery the engine can lower as a JOIN — an
+    * uncorrelated `IN (SELECT ...)` over plain target columns, a
+    * correlated `IN`, or a correlated `[NOT] EXISTS` whose correlation
+    * predicates are plain target-column = inner-column equalities —
+    * return (semi/anti kind, target-key -> source-key pairs, DISTINCT'd
+    * decorrelated subquery plan, the remaining conjuncts recombined).
+    * The DISTINCT makes the join keys unique, which both matches
+    * IN/EXISTS semantics exactly and satisfies the MERGE cardinality
+    * rule (every key pair equates a target column, so a target row
+    * matches at most ONE distinct source tuple). Multiple subquery
+    * arms, NOT IN, or non-equality correlation all fall through to
     * [[xlate]]'s explicit unsupported error.
     */
-  private def extractInArm(
-      cond: Expression, tSet: AttributeSet): Option[(Seq[(String, String)], LogicalPlan, Option[Expression])] = {
-    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery}
+  private def extractSubqueryArm(
+      cond: Expression, tSet: AttributeSet)
+      : Option[(ArmKind, Seq[(String, String)], LogicalPlan, Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Exists, InSubquery, ListQuery, Not}
     val arms = splitConj(cond)
-    val ins = arms.collect {
-      case in @ InSubquery(values, lq: ListQuery)
-          if lq.outerAttrs.isEmpty && lq.plan.resolved &&
-            values.forall {
-              case a: AttributeReference => tSet.contains(a)
-              case _ => false
-            } &&
-            values.size == lq.plan.output.size =>
-        in
+    // arms this extractor could lower (scalar / uncorrelated-EXISTS
+    // arms are NOT counted — they stay in `rest` and defer through
+    // xlate's run-time-literal machinery)
+    def lowerable(e: Expression): Boolean = e.exists {
+      case _: ListQuery => true
+      case ex: Exists => ex.outerAttrs.nonEmpty
+      case _ => false
     }
-    ins match {
-      case Seq(in @ InSubquery(values, lq: ListQuery)) =>
+    val subArms = arms.filter(lowerable)
+    if (subArms.size != 1) return None
+    val arm = subArms.head
+    val rest = arms.filterNot(_ eq arm).reduceOption(And)
+    def targetAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference => tSet.contains(a)
+      case _ => false
+    }
+    // alias every key column to a fresh stable name: inner attrs from
+    // different relations may collide on name, and the merge path maps
+    // keys by NAME across the source frame
+    def build(kind: ArmKind, pairs: Seq[(AttributeReference, AttributeReference)],
+        child: LogicalPlan): Option[(ArmKind, Seq[(String, String)], LogicalPlan, Option[Expression])] = {
+      val aliased = pairs.map(_._2).zipWithIndex.map {
+        case (a, i) => Alias(a, s"__gkey$i")()
+      }
+      Some((kind, pairs.map(_._1.name).zip(aliased.map(_.name)),
+        Distinct(Project(aliased, child)), rest))
+    }
+    arm match {
+      // uncorrelated IN over plain target columns
+      case InSubquery(values, lq: ListQuery)
+          if lq.outerAttrs.isEmpty && lq.plan.resolved &&
+            values.forall(targetAttr) && values.size == lq.plan.output.size =>
         val keys = values.map(_.asInstanceOf[AttributeReference].name)
           .zip(lq.plan.output.map(_.name))
-        val rest = arms.filterNot(_ eq in)
-        Some((keys, Distinct(lq.plan), rest.reduceOption(And)))
+        Some((SemiArm, keys, Distinct(lq.plan), rest))
+      // correlated IN: `t.k IN (SELECT x FROM s WHERE s.g = t.g ...)`
+      // — the IN-match columns and the correlation equalities combine
+      // into one semi-join key set
+      case InSubquery(values, lq: ListQuery)
+          if lq.outerAttrs.nonEmpty && lq.plan.resolved &&
+            values.forall(targetAttr) && values.size == lq.plan.output.size =>
+        for {
+          (corr, child) <- decorrelate(lq.plan, tSet)
+          inAttrs <- resolveThrough(lq.plan, lq.plan.output, child)
+          r <- build(SemiArm,
+            values.map(_.asInstanceOf[AttributeReference]).zip(inAttrs) ++ corr,
+            child)
+        } yield r
+      // correlated EXISTS → semi-join on the correlation equalities
+      case ex: Exists if ex.outerAttrs.nonEmpty && ex.plan.resolved =>
+        decorrelate(ex.plan, tSet).flatMap { case (corr, child) =>
+          build(SemiArm, corr, child)
+        }
+      // correlated NOT EXISTS → anti-join on the correlation equalities
+      case Not(ex: Exists) if ex.outerAttrs.nonEmpty && ex.plan.resolved =>
+        decorrelate(ex.plan, tSet).flatMap { case (corr, child) =>
+          build(AntiArm, corr, child)
+        }
       case _ => None
     }
+  }
+
+  /** Decorrelate an equality-correlated subquery plan: exactly one
+    * Filter carries every outer reference; each of its outer-referencing
+    * conjuncts must be a plain `inner-attr = outer(target-attr)`
+    * equality (either order); every node ABOVE that Filter must be
+    * row-set-preserving (Project / SubqueryAlias / Distinct — so
+    * discarding them cannot change which key tuples exist); no nested
+    * subquery anywhere (an outer reference hiding inside one would
+    * escape the audit). Returns (target-attr -> inner-attr correlation
+    * pairs, the Filter's child re-filtered by the inner-only conjuncts)
+    * — i.e. exactly the relation a semi/anti join needs.
+    */
+  private def decorrelate(plan: LogicalPlan, tSet: AttributeSet)
+      : Option[(Seq[(AttributeReference, AttributeReference)], LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.{OuterReference, SubqueryExpression}
+    def outerCount(e: Expression): Int = {
+      var n = 0
+      e.foreach { case _: OuterReference => n += 1; case _ => () }
+      n
+    }
+    if (plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[SubqueryExpression]))))
+      return None
+    val planOuter = plan.collect { case n => n }
+      .map(_.expressions.map(outerCount).sum).sum
+    val corrFilters = plan.collect {
+      case f: Filter if outerCount(f.condition) > 0 => f
+    }
+    corrFilters match {
+      case Seq(f) if outerCount(f.condition) == planOuter =>
+        // every node above the filter must preserve the key-tuple set
+        def pathOk(p: LogicalPlan): Boolean = p match {
+          case x if x eq f => true
+          case Project(_, child) => pathOk(child)
+          case SubqueryAlias(_, child) => pathOk(child)
+          case Distinct(child) => pathOk(child)
+          case _ => false
+        }
+        if (!pathOk(plan)) return None
+        val (corrArms, innerArms) = splitConj(f.condition).partition(outerCount(_) > 0)
+        val pairs = corrArms.map {
+          case EqualTo(a: AttributeReference, OuterReference(o: AttributeReference))
+              if tSet.contains(o) && f.child.outputSet.contains(a) => Some(o -> a)
+          case EqualTo(OuterReference(o: AttributeReference), a: AttributeReference)
+              if tSet.contains(o) && f.child.outputSet.contains(a) => Some(o -> a)
+          case _ => None
+        }
+        if (pairs.exists(_.isEmpty)) None
+        else Some((pairs.flatten,
+          innerArms.reduceOption(And).map(Filter(_, f.child)).getOrElse(f.child)))
+      case _ => None
+    }
+  }
+
+  /** Trace `attrs` (output attributes of `plan`) down through the
+    * row-preserving nodes to attributes available at `stop`'s level
+    * (the decorrelated child — `stop` must be reachable through
+    * Project-of-attrs / SubqueryAlias / Distinct only).
+    */
+  private def resolveThrough(
+      plan: LogicalPlan,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      stop: LogicalPlan): Option[Seq[AttributeReference]] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    def walk(p: LogicalPlan,
+        cur: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+        : Option[Seq[AttributeReference]] = p match {
+      case _ if cur.forall(a => stop.outputSet.contains(a)) =>
+        Some(cur.map(_.asInstanceOf[AttributeReference]))
+      case Project(list, child) =>
+        val byId = list.map(ne => ne.toAttribute.exprId -> ne).toMap
+        val mapped = cur.map(a => byId.get(a.exprId) match {
+          case Some(ar: AttributeReference) => Some(ar)
+          case Some(Alias(ar: AttributeReference, _)) => Some(ar)
+          case _ => None
+        })
+        if (mapped.exists(_.isEmpty)) None else walk(child, mapped.flatten)
+      case SubqueryAlias(_, child) => walk(child, cur)
+      case Distinct(child) => walk(child, cur)
+      case Filter(_, child) => walk(child, cur)
+      case _ => None
+    }
+    walk(plan, attrs)
   }
 
   private def graftRel(plan: LogicalPlan): Option[DataSourceV2Relation] =
@@ -238,10 +396,12 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       throw new UnsupportedOperationException(
         s"unsupported subquery shape in DML ($e): supported are uncorrelated " +
           "SCALAR and EXISTS subqueries anywhere in UPDATE/MERGE conditions " +
-          "and assignments, and ONE uncorrelated `col IN (SELECT ...)` (over " +
-          "plain target columns) as a top-level WHERE conjunct of UPDATE or " +
-          "DELETE; for correlated or other forms, materialize the subquery " +
-          "as a source table or temp view and use MERGE")
+          "and assignments, and ONE top-level WHERE conjunct of UPDATE or " +
+          "DELETE that is `col IN (SELECT ...)` (over plain target columns, " +
+          "correlated or not) or a correlated `[NOT] EXISTS` whose " +
+          "correlation predicates are plain column equalities; for NOT IN, " +
+          "non-equality correlation, or other forms, materialize the " +
+          "subquery as a source table or temp view and use MERGE")
     GraftSqlShim.column(prepared.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))
@@ -327,6 +487,14 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       notMatchedClauses, bySourceClauses)
   }
 }
+
+/** Join kind a lowered DML subquery arm maps to: [[SemiArm]] (IN /
+  * EXISTS — rows WITH a key match) or [[AntiArm]] (NOT EXISTS — rows
+  * WITHOUT one, MERGE's third arm).
+  */
+sealed trait ArmKind
+case object SemiArm extends ArmKind
+case object AntiArm extends ArmKind
 
 /** Placeholder carrying an uncorrelated scalar subquery's resolved plan
   * through a lowered DML Column until command RUN time, where it

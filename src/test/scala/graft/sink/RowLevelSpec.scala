@@ -443,13 +443,55 @@ class RowLevelSpec extends SparkSpec {
                 |WHERE EXISTS (SELECT 1 FROM rl_ex_keys) AND bal = 0.0""".stripMargin)
     assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(1L))
     assert(t.currentSnapshot.get.operation == "delete")
-    // correlated subqueries stay rejected with the actionable message
+    // NON-EQUALITY correlation stays rejected with the actionable message
+    // (equality correlation decorrelates — covered by its own test)
     val e = intercept[Exception](spark.sql(
-      """UPDATE graft.ns.ext SET bal = 0
-        |WHERE EXISTS (SELECT 1 FROM rl_ex_keys WHERE k = id)""".stripMargin))
+      """UPDATE graft.ns.ext SET bal = -1
+        |WHERE EXISTS (SELECT 1 FROM rl_ex_keys WHERE k > id)""".stripMargin))
     assert(e.getMessage.contains("subquery") || e.getMessage.contains("correlated"),
       e.getMessage)
-    assert(t.read(spark).filter(col("bal") === 0.0).count() == 0L)
+    // NOT IN stays rejected (its NULL semantics cannot ride the anti-join)
+    val e2 = intercept[Exception](spark.sql(
+      """DELETE FROM graft.ns.ext
+        |WHERE id NOT IN (SELECT k FROM rl_ex_keys)""".stripMargin))
+    assert(e2.getMessage.contains("subquery"), e2.getMessage)
+    assert(t.read(spark).filter(col("bal") === -1.0).count() == 0L)
+  }
+
+  test("correlated [NOT] EXISTS and correlated IN decorrelate onto the join paths") {
+    val wh = Files.createTempDirectory("graft_rl_corr").toString
+    val t = SnapshotTable(wh, "ns", "corrt")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+      .toDF("id", "grp", "bal"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq((1L, "a", 10.0), (3L, "b", 30.0), (4L, "zzz", 40.0))
+      .toDF("rid", "rgrp", "rv").createOrReplaceTempView("rl_corr_src")
+    // correlated IN: the IN-match column AND the correlation equality
+    // combine into one semi-join key set — (id, grp) must BOTH match
+    spark.sql("""UPDATE graft.ns.corrt SET bal = bal + 100
+                |WHERE id IN (SELECT rid FROM rl_corr_src WHERE rgrp = grp)""".stripMargin)
+    assert(t.read(spark).orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 101.0), (2L, "a", 2.0), (3L, "b", 103.0), (4L, "b", 4.0)),
+      "id=4 matches rid=4 but not rgrp — the correlation key must bind")
+    assert(t.currentSnapshot.get.operation == "merge")
+    // pure correlated EXISTS DELETE: merge-on-read equality delete
+    val dirsBefore = t.currentSnapshot.get.dataDirs
+    spark.sql("""DELETE FROM graft.ns.corrt t
+                |WHERE EXISTS (SELECT 1 FROM rl_corr_src s
+                |              WHERE s.rid = t.id AND s.rv > 20)""".stripMargin)
+    val delSnap = t.currentSnapshot.get
+    assert(delSnap.operation == "delete" && delSnap.dataDirs == dirsBefore &&
+      delSnap.deletes.nonEmpty,
+      "a pure correlated-EXISTS DELETE must stay merge-on-read")
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L), "rv>20 holds for rid 3 and 4")
+    // correlated NOT EXISTS DELETE: the anti-join (MERGE's third arm)
+    spark.sql("""DELETE FROM graft.ns.corrt t
+                |WHERE NOT EXISTS (SELECT 1 FROM rl_corr_src s WHERE s.rid = t.id)""".stripMargin)
+    assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(1L),
+      "id=2 has no rl_corr_src row and must retire")
+    assert(t.currentSnapshot.get.operation == "merge")
   }
 
   test("uncorrelated SCALAR subqueries in DML materialize once per statement") {
