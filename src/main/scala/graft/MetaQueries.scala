@@ -411,6 +411,58 @@ object MetaQueries {
       doc = "equality deletes (merge-on-read GDPR erasure): O(keys) delete files " +
         "anti-joined at read, scoped to pre-delete dirs so later appends survive"),
 
+    "sink_positional_delete" -> QueryDef(
+      (s, dir) => {
+        // POSITIONAL deletes (Iceberg v2's second delete-file flavor):
+        // an ARBITRARY-predicate point delete in O(matched rows) write
+        // cost — no key semantics, zero data files rewritten. One probe
+        // job carries the parquet physical row identity
+        // (_metadata.file_path/row_index); matched (file, pos) pairs
+        // become the delete file; reads anti-join on row identity, and
+        // only dirs with a positional delete in scope pay the metadata-
+        // column cost. Routed from SQL by Iceberg's `write.delete.mode`
+        // table property: merge-on-read picks positions over the
+        // copy-on-write rewrite. Appends after the delete — even rows
+        // matching the predicate — survive (dir-scoped, the sequence-
+        // number rule).
+        val wh = freshWarehouse("sink_positional_delete")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        TableSink.overwrite(events, t, table)
+        table.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+        val filesBefore = table.dataFileCount
+        val dirsBefore = table.currentSnapshot.get.dataDirs
+        val before = table.currentSnapshot.get.rowCount
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        // arithmetic predicate: not key-shaped (equality delete can't
+        // carry it), not pushable (COW would rewrite) — exactly the
+        // positional sweet spot under merge-on-read mode
+        s.sql("""DELETE FROM graft.testdata.events
+                |WHERE value * 3 > 900 AND event_type = 'view'""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "delete" && snap.dataDirs == dirsBefore &&
+          table.dataFileCount == filesBefore &&
+          snap.deletes.exists(_.positional) && snap.rowCount < before,
+          "merge-on-read DELETE mode must commit a positional delete file, " +
+            s"not a rewrite (op=${snap.operation})")
+        // rows matching the predicate appended AFTER the delete survive
+        val reAdd = events
+          .filter(col("value") * 3 > 900 && col("event_type") === "view")
+          .withColumn("event_id", col("event_id") + 20000000L)
+        TableSink.append(reAdd, t, table)
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value FROM events
+             |WHERE NOT COALESCE(value * 3 > 900 AND event_type = 'view', FALSE)
+             |UNION ALL
+             |SELECT event_id + 20000000, ts, user_id, event_type, value
+             |FROM events WHERE value * 3 > 900 AND event_type = 'view'""".stripMargin),
+      doc = "positional deletes (Iceberg v2 merge-on-read, write.delete.mode): " +
+        "arbitrary-predicate point delete as (file, row-position) pairs — " +
+        "O(matched) write, no rewrite, reads anti-join on physical row identity"),
+
     "volume_sensor" -> QueryDef(
       (s, dir) => {
         // volume anomaly detection from snapshot metadata ALONE: three

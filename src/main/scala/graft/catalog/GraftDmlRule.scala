@@ -583,10 +583,14 @@ final case class GraftDeleteInCommand(
 }
 
 /** Executable lowering of `DELETE FROM graft.ns.t WHERE <cond>` whose
-  * condition carries deferred scalar/EXISTS subqueries (the DSv2 filter
-  * push-down cannot cross those): statement-level subqueries
-  * materialize to literals at run time, then the copy-on-write delete
-  * rewrites only the dirs holding matching rows.
+  * condition cannot ride the DSv2 filter push-down (deferred scalar/
+  * EXISTS subqueries, arbitrary expressions): statement-level
+  * subqueries materialize to literals at run time, then the write shape
+  * follows Iceberg's `write.delete.mode` table property —
+  * `copy-on-write` (the default) rewrites only the files holding
+  * matching rows; `merge-on-read` writes a POSITIONAL delete file
+  * instead (O(matched rows), zero data files rewritten — the
+  * delete-often/read-rarely shape).
   */
 final case class GraftDeleteWhereCommand(
     @transient table: SnapshotTable,
@@ -594,7 +598,10 @@ final case class GraftDeleteWhereCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     graft.governance.AccessControl.checkTableAccess(spark,
       table.fullName.split("\\.", 2).last, table.fullName, "write")
-    table.deleteRows(spark, DeferredScalarSubquery.materialize(spark, cond))
+    val c = DeferredScalarSubquery.materialize(spark, cond)
+    if (table.properties.get("write.delete.mode").contains("merge-on-read"))
+      table.deletePositions(spark, c)
+    else table.deleteRows(spark, c)
     Nil
   }
 }

@@ -103,7 +103,14 @@ final case class TableColumn(id: Int, name: String, dataType: String)
   * with `snap.format`).
   */
 final case class EqualityDelete(
-    dir: String, keys: Seq[String], applies: Seq[String], format: Option[String] = None)
+    dir: String, keys: Seq[String], applies: Seq[String], format: Option[String] = None,
+    // Iceberg v2's SECOND delete-file flavor: a POSITIONAL delete. The
+    // file holds (file_path, row_position) pairs instead of key tuples;
+    // reads anti-join on physical row identity (parquet `_metadata.
+    // file_path` / `row_index`), so an arbitrary-predicate point delete
+    // costs O(matched rows) — no key semantics needed, no data file
+    // rewritten. `keys` is then the two position column names.
+    positional: Boolean = false)
 
 /** A named reference into the snapshot history (Iceberg table refs,
   * spec §4 "Refs"): a `branch` is a movable head that branch writes
@@ -242,10 +249,35 @@ final class SnapshotTable(val root: String, val fullName: String) {
   }
 
   /** One dir of `snap`, masked, projected to the snapshot schema, with
-    * the dir-scoped equality deletes applied.
+    * the dir-scoped positional and equality deletes applied.
     */
-  private def readDir(spark: SparkSession, snap: Snapshot, d: String): DataFrame = {
-    val base = spark.read.format(snap.format).load(d)
+  private def readDir(spark: SparkSession, snap: Snapshot, d: String): DataFrame =
+    readDirInternal(spark, snap, d, keepRowId = false)
+
+  /** [[readDir]] plus the physical row-identity columns
+    * ([[SnapshotTable.RowIdFileCol]] / [[SnapshotTable.RowIdPosCol]] from
+    * parquet `_metadata`) — the probe view positional deletes are
+    * computed against. Deletes/masks apply as in a normal read, so a
+    * probe never re-matches an already-deleted row.
+    */
+  private def readDirWithRowId(spark: SparkSession, snap: Snapshot, d: String): DataFrame =
+    readDirInternal(spark, snap, d, keepRowId = true)
+
+  private def readDirInternal(
+      spark: SparkSession, snap: Snapshot, d: String, keepRowId: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dels = snap.deletes.filter(_.applies.contains(d))
+    val (posDels, eqDels) = dels.partition(_.positional)
+    // physical row identity is needed only when a positional delete is
+    // in scope (or the caller probes for one): dirs without them pay
+    // zero metadata-column cost
+    val needRowId = keepRowId || posDels.nonEmpty
+    val base0 = spark.read.format(snap.format).load(d)
+    val base =
+      if (!needRowId) base0
+      else base0.select(col("*"),
+        col("_metadata.file_path").as(SnapshotTable.RowIdFileCol),
+        col("_metadata.row_index").as(SnapshotTable.RowIdPosCol))
     val masked = snap.maskedDirs.get(d).filter(_.nonEmpty)
       .map(mask => base.filter(maskFilter(mask)))
       .getOrElse(base)
@@ -255,14 +287,27 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // renames alias. Same-type projections are cast-free, so pushdown
     // and partition pruning are unaffected; the mask filter above runs
     // on physical names (partition dirs never rename — enforced).
-    val projected = projectTo(masked, snap.cols, dirColumnMapping(d, snap.cols))
+    val projected = projectTo(masked, snap.cols, dirColumnMapping(d, snap.cols),
+      extra =
+        if (!needRowId) Nil
+        else Seq(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol)))
+    // merge-on-read, positional flavor first: anti-join each positional
+    // delete file scoped to this dir on (file_path, row_index) —
+    // physical row identity, no key semantics
+    val afterPos = posDels.foldLeft(projected) { (df, del) =>
+      df.join(broadcast(spark.read.format(del.format.getOrElse(snap.format)).load(del.dir)),
+        Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol), "left_anti")
+    }
+    val cleaned =
+      if (needRowId && !keepRowId)
+        afterPos.drop(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol)
+      else afterPos
     // merge-on-read: anti-join each equality-delete file scoped to
     // this dir (delete files are key tuples — tiny, broadcast); data
     // appended after the delete is out of scope by construction.
     // Delete keys are delete-time column names; renaming an active
     // delete's key column is rejected, so they match current names.
-    snap.deletes.filter(_.applies.contains(d)).foldLeft(projected) { (df, del) =>
-      import org.apache.spark.sql.functions.broadcast
+    eqDels.foldLeft(cleaned) { (df, del) =>
       df.join(broadcast(spark.read.format(del.format.getOrElse(snap.format)).load(del.dir)),
         del.keys, "left_anti")
     }
@@ -380,6 +425,108 @@ final class SnapshotTable(val root: String, val fullName: String) {
           // refresh the base: the next loop iteration recomputes the
           // restated count against the rival's head (its dirs enter the
           // delete's scope — the delete commits after the rival)
+          cur = conflict.actualParent.flatMap(id => snapshots.find(_.id == id))
+            .getOrElse(requireCurrent)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Positional delete (Iceberg v2's second merge-on-read delete
+    * flavor) — the arbitrary-predicate point delete: erase every row
+    * `cond` matches, in O(matched rows) write cost, without key
+    * semantics and without rewriting a single data file. One probe job
+    * over the logical view (masks and existing deletes applied, so an
+    * already-erased row can never re-match) carries the parquet
+    * physical row identity (`_metadata.file_path`, `_metadata.
+    * row_index`); the matched (file, position) pairs are written as a
+    * delete file that reads anti-join (broadcast — positional files
+    * are small by construction). Scope is the probed data dirs, so
+    * rows APPENDED after the delete — even ones matching `cond` —
+    * survive, the Iceberg sequence-number contract at dir granularity.
+    * Complements [[deleteWhere]] (key equality, O(|keys|) with no
+    * probe) and [[deleteRows]] (copy-on-write — the right shape when
+    * the match is dense and rewriting beats carrying delete files).
+    * [[compact]] / [[rewriteDeletes]] pay the merge-on-read debt and
+    * drop the file. Matching zero rows commits nothing.
+    */
+  def deletePositions(
+      spark: SparkSession,
+      cond: org.apache.spark.sql.Column,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = requireCurrent
+    require(base.format == "parquet",
+      s"positional deletes need parquet row identity (_metadata.row_index); " +
+        s"$fullName is ${base.format} — use deleteWhere or deleteRows")
+    if (base.dataDirs.isEmpty) return base
+    val probe = base.dataDirs.map(readDirWithRowId(spark, base, _))
+      .reduce(_ unionByName _)
+    val matches = probe.filter(cond)
+      .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
+    val removedAtBase = matches.count()
+    if (removedAtBase == 0L) return base
+    val delDir = Paths.get(root,
+      s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
+    matches.write.mode("overwrite").format(base.format).save(delDir)
+
+    var cur = base
+    var attempt = 0
+    while (true) {
+      // scope: the probed dirs still present at the head we commit onto
+      // (data dirs are immutable, so surviving dirs' positions are
+      // stable; rows in rival-added dirs are out of scope by contract)
+      val applies = base.dataDirs.filter(cur.dataDirs.contains)
+      if (applies.isEmpty && cur.id != base.id) {
+        // a rival rewrote every probed dir (compaction/overwrite): the
+        // positions no longer denote those rows — surface rather than
+        // commit a delete file that can never apply
+        deleteRecursively(new File(delDir))
+        throw CommitFailedException(fullName, attempt + 1,
+          CommitConflictException(fullName, Some(base.id), Some(cur.id)))
+      }
+      // restate the count against the CURRENT head: a rival may have
+      // dropped dirs or erased overlapping rows — semi-join the head's
+      // logical row ids against the delete file (exact, key-cols-only)
+      val removed =
+        if (cur.rowCount < 0) -1L
+        else if (cur.id == base.id) removedAtBase
+        else applies.map(readDirWithRowId(spark, cur, _)).reduce(_ unionByName _)
+          .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
+          .join(broadcast(spark.read.format(base.format).load(delDir)),
+            Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol), "left_semi")
+          .count()
+      val total = if (cur.rowCount < 0 || removed < 0) -1L else cur.rowCount - removed
+      SnapshotTable.beforeSwapHook(this, attempt)
+      val res = SnapshotTable.commitLock(root).synchronized {
+        val prev = snapshots
+        val head = prev.filterNot(_.staged).lastOption
+        if (head.map(_.id) != Some(cur.id))
+          Left(CommitConflictException(fullName, Some(cur.id), head.map(_.id)))
+        else {
+          val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+          val snap = cur.copy(id = id, committedAtMs = SnapshotTable.clockMs(),
+            operation = "delete", rowCount = total, staged = false,
+            summary = SnapshotTable.carriedSummary(cur.summary),
+            deletes = cur.deletes :+ EqualityDelete(delDir,
+              Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol),
+              applies, Some(base.format), positional = true),
+            parentId = Some(cur.id))
+          writeMetadata(prev :+ snap)
+          Audit.log("table_write", fullName, Map(
+            "operation" -> "positional_delete", "snapshot_id" -> id.toString))
+          Right(snap)
+        }
+      }
+      res match {
+        case Right(snap) => return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries) {
+            deleteRecursively(new File(delDir))
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          }
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
           cur = conflict.actualParent.flatMap(id => snapshots.find(_.id == id))
             .getOrElse(requireCurrent)
           attempt += 1
@@ -2955,7 +3102,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
             val ks = d.keys.map(k => "\"" + jsonEscape(k) + "\"").mkString("[", ",", "]")
             val as = d.applies.map(a => "\"" + jsonEscape(a) + "\"").mkString("[", ",", "]")
             val fmt = d.format.map(f => s""","fmt":"${jsonEscape(f)}"""").getOrElse("")
-            s"""{"dir":"${jsonEscape(d.dir)}","keys":$ks,"applies":$as$fmt}"""
+            val pos = if (d.positional) ""","pos":true""" else ""
+            s"""{"dir":"${jsonEscape(d.dir)}","keys":$ks,"applies":$as$fmt$pos}"""
           }.mkString("[", ",", "]")
           s""""deletes":$entries,"""
         }
@@ -2990,7 +3138,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val deletes = o.get("deletes").map(_.asArr.map { dv =>
         val d = dv.asObj
         EqualityDelete(d("dir").asStr, d("keys").asArr.map(_.asStr),
-          d("applies").asArr.map(_.asStr), d.get("fmt").map(_.asStr))
+          d("applies").asArr.map(_.asStr), d.get("fmt").map(_.asStr),
+          positional = d.get("pos").exists(_.asBool))
       }).getOrElse(Nil)
       Snapshot(o("id").asLong, o("committed_at_ms").asLong, o("operation").asStr,
         o("data_dirs").asArr.map(_.asStr),
@@ -3021,6 +3170,14 @@ object SnapshotTable {
     * exactly-once guarantee. The query-id/batch-id pair is display
     * metadata describing which batch THIS commit was.
     */
+  /** Column names carrying the parquet physical row identity through a
+    * positional-delete probe or read (`_metadata.file_path` /
+    * `_metadata.row_index`, re-aliased so they survive the snapshot-
+    * schema projection and cannot collide with user columns).
+    */
+  val RowIdFileCol = "__graft_pd_file"
+  val RowIdPosCol = "__graft_pd_pos"
+
   val SummaryQueryId = "streaming.query-id"
   val SummaryBatchId = "streaming.batch-id"
   val SummaryBatchPrefix = "streaming.batch-id."

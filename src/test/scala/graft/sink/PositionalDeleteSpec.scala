@@ -1,0 +1,153 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Positional deletes (Iceberg v2's second merge-on-read delete
+  * flavor): arbitrary-predicate point deletes as (file, row-position)
+  * pairs — probe semantics, dir scoping, interplay with equality
+  * deletes / time travel / compaction, and the `write.delete.mode`
+  * SQL routing.
+  */
+class PositionalDeleteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): SnapshotTable =
+    SnapshotTable(Files.createTempDirectory("graft_pd").toString, "ns", "pt")
+
+  test("deletePositions erases exactly the matched rows, rewriting nothing") {
+    val t = freshTable()
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", ((col("id") % 10) * 100).cast("double")))
+    val filesBefore = t.dataFileCount
+    val dirsBefore = t.currentSnapshot.get.dataDirs
+    // arithmetic predicate — not key-shaped, not pushable
+    val snap = t.deletePositions(spark, col("v") * 2 > 1500.0)
+    assert(snap.operation == "delete")
+    assert(snap.dataDirs == dirsBefore, "no data dir may be rewritten")
+    assert(t.dataFileCount == filesBefore, "no data file may be rewritten")
+    assert(snap.deletes.exists(_.positional))
+    // v in {0,100,...,900}; v*2>1500 ⇔ v∈{800,900} ⇔ id%10∈{8,9}: 20 rows
+    assert(snap.rowCount == 80L)
+    assert(t.read(spark).count() == 80L)
+    assert(t.read(spark).filter(col("id") % 10 === 8 || col("id") % 10 === 9).count() == 0L)
+  }
+
+  test("NULL-predicate rows survive (SQL DELETE removes only TRUE)") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, Some(10.0)), (2L, None), (3L, Some(300.0)))
+      .toDF("id", "v"))
+    t.deletePositions(spark, col("v") > 100.0)
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "the NULL-v row must survive")
+  }
+
+  test("matching zero rows commits nothing") {
+    val t = freshTable()
+    t.overwrite((1L to 10L).toDF("id"))
+    val before = t.snapshots.size
+    t.deletePositions(spark, col("id") > 999L)
+    assert(t.snapshots.size == before)
+  }
+
+  test("dir-scoped: rows appended after the delete survive, even matching ones") {
+    val t = freshTable()
+    t.overwrite((1L to 50L).toDF("id"))
+    t.deletePositions(spark, col("id") % 5 === 0L)
+    assert(t.read(spark).count() == 40L)
+    t.append((51L to 60L).toDF("id"))
+    // appended multiples of 5 (55, 60) are OUT of the delete's scope
+    assert(t.read(spark).count() == 50L)
+    assert(t.read(spark).filter(col("id") > 50L && col("id") % 5 === 0L).count() == 2L)
+  }
+
+  test("the probe runs over the logical view: already-deleted rows never re-match") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v"))
+    val s1 = t.deleteWhere(Seq(2L).toDF("id"), Seq("id"))
+    assert(s1.rowCount == 3L)
+    // the predicate also matches the equality-deleted row 2 — the probe
+    // must not re-count it (rowCount stays exact)
+    val s2 = t.deletePositions(spark, col("v") >= 20.0)
+    assert(s2.rowCount == 1L)
+    assert(t.read(spark).select("id").as[Long].collect().toSeq == Seq(1L))
+    // and a second identical positional delete matches nothing: no commit
+    val before = t.snapshots.size
+    t.deletePositions(spark, col("v") >= 20.0)
+    assert(t.snapshots.size == before)
+  }
+
+  test("time travel to the pre-delete snapshot shows the erased rows") {
+    val t = freshTable()
+    t.overwrite((1L to 20L).toDF("id"))
+    val preId = t.currentSnapshot.get.id
+    t.deletePositions(spark, col("id") <= 10L)
+    assert(t.read(spark).count() == 10L)
+    assert(t.readSnapshot(spark, preId).count() == 20L)
+  }
+
+  test("compaction bakes positional deletes in and drops the delete file") {
+    val t = freshTable()
+    t.overwrite((1L to 30L).toDF("id"))
+    t.append((31L to 60L).toDF("id"))
+    t.deletePositions(spark, col("id") % 3 === 0L)
+    assert(t.currentSnapshot.get.deletes.exists(_.positional))
+    val compacted = t.compact(spark)
+    assert(compacted.deletes.isEmpty, "compaction must pay the merge-on-read debt")
+    assert(t.read(spark).count() == 40L)
+    assert(t.read(spark).filter(col("id") % 3 === 0L).count() == 0L)
+  }
+
+  test("reads of dirs without a positional delete in scope plan no row-id metadata") {
+    val t = freshTable()
+    t.overwrite((1L to 10L).toDF("id"))
+    t.deletePositions(spark, col("id") === 1L)
+    t.append((11L to 20L).toDF("id"))
+    val plan = t.read(spark).queryExecution.optimizedPlan.toString
+    // exactly one scan branch (the scoped dir) carries the row identity
+    assert(plan.contains(SnapshotTable.RowIdFileCol))
+    val metaRefs = plan.sliding(SnapshotTable.RowIdPosCol.length)
+      .count(_ == SnapshotTable.RowIdPosCol)
+    assert(t.read(spark).count() == 19L)
+    assert(metaRefs > 0)
+  }
+
+  test("non-parquet tables reject positional deletes with the remediation") {
+    val wh = Files.createTempDirectory("graft_pd_fmt").toString
+    val t = SnapshotTable(wh, "ns", "ptf")
+    t.overwrite((1L to 5L).toDF("id"), format = "orc")
+    val e = intercept[IllegalArgumentException](
+      t.deletePositions(spark, col("id") === 1L))
+    assert(e.getMessage.contains("parquet"))
+    assert(e.getMessage.contains("deleteRows"))
+  }
+
+  test("SQL DELETE routes by write.delete.mode: merge-on-read picks positions") {
+    val wh = Files.createTempDirectory("graft_pd_sql").toString
+    val t = SnapshotTable(wh, "ns", "psql")
+    t.overwrite(Seq((1L, 100.0), (2L, 260.0), (3L, 300.0)).toDF("id", "v"))
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val dirsBefore = t.currentSnapshot.get.dataDirs
+    spark.sql("DELETE FROM graft.ns.psql WHERE v * 2 > 500")
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "delete" && snap.dataDirs == dirsBefore &&
+      snap.deletes.exists(_.positional),
+      "merge-on-read mode must write a positional delete, not rewrite")
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == Seq(1L))
+    // flip to copy-on-write (the default): same statement shape rewrites
+    // — and the rewrite BAKES the prior positional delete in, descoping
+    // it, so no positional entry (old or new) remains
+    val posDirs = snap.deletes.filter(_.positional).map(_.dir).toSet
+    t.setProperties(Map("write.delete.mode" -> "copy-on-write"))
+    spark.sql("DELETE FROM graft.ns.psql WHERE v * 2 > 150")
+    val snap2 = t.currentSnapshot.get
+    assert(snap2.operation == "delete" &&
+      snap2.deletes.filter(_.positional).forall(d => posDirs.contains(d.dir)),
+      "copy-on-write mode must not add a positional delete file")
+    assert(t.read(spark).count() == 0L)
+  }
+}
