@@ -440,7 +440,7 @@ object MetaQueries {
         // carry it), not pushable (COW would rewrite) — exactly the
         // positional sweet spot under merge-on-read mode
         s.sql("""DELETE FROM graft.testdata.events
-                |WHERE value * 3 > 900 AND event_type = 'view'""".stripMargin)
+                |WHERE value * 3 > 600 AND event_type = 'view'""".stripMargin)
         val snap = table.currentSnapshot.get
         require(snap.operation == "delete" && snap.dataDirs == dirsBefore &&
           table.dataFileCount == filesBefore &&
@@ -449,19 +449,61 @@ object MetaQueries {
             s"not a rewrite (op=${snap.operation})")
         // rows matching the predicate appended AFTER the delete survive
         val reAdd = events
-          .filter(col("value") * 3 > 900 && col("event_type") === "view")
+          .filter(col("value") * 3 > 600 && col("event_type") === "view")
           .withColumn("event_id", col("event_id") + 20000000L)
         TableSink.append(reAdd, t, table)
         table.read(s).select("event_id", "ts", "user_id", "event_type", "value")
       },
       Some("""SELECT event_id, ts, user_id, event_type, value FROM events
-             |WHERE NOT COALESCE(value * 3 > 900 AND event_type = 'view', FALSE)
+             |WHERE NOT COALESCE(value * 3 > 600 AND event_type = 'view', FALSE)
              |UNION ALL
              |SELECT event_id + 20000000, ts, user_id, event_type, value
-             |FROM events WHERE value * 3 > 900 AND event_type = 'view'""".stripMargin),
+             |FROM events WHERE value * 3 > 600 AND event_type = 'view'""".stripMargin),
       doc = "positional deletes (Iceberg v2 merge-on-read, write.delete.mode): " +
         "arbitrary-predicate point delete as (file, row-position) pairs — " +
         "O(matched) write, no rewrite, reads anti-join on physical row identity"),
+
+    "sink_positional_update" -> QueryDef(
+      (s, dir) => {
+        // merge-on-read UPDATE (Iceberg's write.update.mode): ONE atomic
+        // commit pairs a positional delete of the old row versions with
+        // an append of the updated rows — O(matched rows) write, zero
+        // files rewritten. The sparse-update-of-a-huge-table shape: at
+        // 100 TB, restating a few thousand rows costs two small writes,
+        // not a rewrite of every touched file. The riding delete scopes
+        // to pre-commit dirs, so the commit's own re-inserted rows
+        // survive it by construction (pinned below).
+        val wh = freshWarehouse("sink_positional_update")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        table.setProperties(Map("write.update.mode" -> "merge-on-read"))
+        val origDirs = table.currentSnapshot.get.dataDirs
+        val before = table.currentSnapshot.get.rowCount
+        val snapsBefore = table.snapshots.size
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.events SET value = value + 1000
+                |WHERE value * 2 > 400 AND event_type = 'purchase'""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "update" &&
+          table.snapshots.size == snapsBefore + 1 &&
+          origDirs.forall(snap.dataDirs.contains) &&
+          snap.dataDirs.size == origDirs.size + 1 &&
+          snap.deletes.exists(d => d.positional && d.applies.toSet == origDirs.toSet) &&
+          snap.rowCount == before,
+          "merge-on-read UPDATE must be one delete+append commit that " +
+            s"rewrites nothing (op=${snap.operation})")
+        s.sql("SELECT event_id, ts, user_id, event_type, value FROM graft.testdata.events")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type,
+             |  CASE WHEN COALESCE(value * 2 > 400 AND event_type = 'purchase', FALSE)
+             |       THEN value + 1000 ELSE value END AS value
+             |FROM events""".stripMargin),
+      doc = "merge-on-read UPDATE (Iceberg write.update.mode): one atomic " +
+        "commit = positional delete of old versions + append of updated rows " +
+        "— O(matched) write, no file rewritten, re-inserted rows out of the " +
+        "delete's scope by construction"),
 
     "volume_sensor" -> QueryDef(
       (s, dir) => {

@@ -541,7 +541,13 @@ final case class DeferredExistsSubquery(
   override def nullable: Boolean = false
 }
 
-/** Executable lowering of `UPDATE graft.ns.t SET ... WHERE ...`. */
+/** Executable lowering of `UPDATE graft.ns.t SET ... WHERE ...`. The
+  * write shape follows Iceberg's `write.update.mode` table property:
+  * `copy-on-write` (the default) rewrites only the files holding
+  * matched rows; `merge-on-read` pairs a positional delete with an
+  * append of the updated rows in one atomic commit — O(matched rows),
+  * no file rewritten.
+  */
 final case class GraftUpdateCommand(
     @transient table: SnapshotTable,
     cond: Option[Column],
@@ -552,8 +558,12 @@ final case class GraftUpdateCommand(
     graft.governance.AccessControl.checkTableAccess(spark,
       table.fullName.split("\\.", 2).last, table.fullName, "write")
     def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
-    table.updateWhere(spark, cond.map(m).getOrElse(lit(true)),
-      sets.map { case (k, v) => k -> m(v) })
+    if (table.properties.get("write.update.mode").contains("merge-on-read"))
+      table.updatePositions(spark, cond.map(m).getOrElse(lit(true)),
+        sets.map { case (k, v) => k -> m(v) })
+    else
+      table.updateWhere(spark, cond.map(m).getOrElse(lit(true)),
+        sets.map { case (k, v) => k -> m(v) })
     Nil
   }
 }

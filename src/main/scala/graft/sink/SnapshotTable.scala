@@ -535,6 +535,69 @@ final class SnapshotTable(val root: String, val fullName: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Merge-on-read UPDATE (Iceberg's `write.update.mode=merge-on-read`
+    * shape): instead of rewriting the files holding matched rows
+    * ([[updateWhere]], copy-on-write), ONE atomic commit pairs a
+    * positional delete of the old row versions with an append of the
+    * updated rows — O(matched rows) write cost, untouched files never
+    * re-written, the sparse-update-of-a-huge-table sweet spot. The
+    * riding delete scopes to the pre-commit dirs only, so the commit's
+    * own re-inserted rows survive it by construction. Commits CAS
+    * against the probed head (the positions are only meaningful there);
+    * a conflict re-probes from scratch — a rival's overlapping erasure
+    * or rewrite is re-observed, never silently overridden. Matching
+    * zero rows commits nothing.
+    */
+  def updatePositions(
+      spark: SparkSession,
+      cond: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column],
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    require(sets.nonEmpty, s"merge-on-read UPDATE on $fullName needs at least one assignment")
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      require(cur.format == "parquet",
+        s"merge-on-read UPDATE needs parquet row identity (_metadata.row_index); " +
+          s"$fullName is ${cur.format} — use updateWhere")
+      if (cur.dataDirs.isEmpty) return cur
+      val schemaCols = snapshotSchema(spark, cur)
+      sets.keys.foreach(k => require(schemaCols.exists(_._1 == k),
+        s"UPDATE on $fullName assigns unknown column $k " +
+          s"(columns: ${schemaCols.map(_._1).mkString(", ")})"))
+      val probe = cur.dataDirs.map(readDirWithRowId(spark, cur, _))
+        .reduce(_ unionByName _)
+      val matched = probe.filter(cond)
+      val positions = matched
+        .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
+      val removed = positions.count()
+      if (removed == 0L) return cur
+      val delDir = Paths.get(root,
+        s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
+      positions.write.mode("overwrite").format(cur.format).save(delDir)
+      val updated = matched.select(schemaCols.map { case (n, t) =>
+        sets.get(n).map(_.cast(t).as(n)).getOrElse(col(n))
+      }: _*)
+      try
+        return commit(updated, "update", carryPrevious = true,
+          partitionCols = Nil, sortCols = WriteSortOrder.sortCols(this),
+          format = cur.format, numRetries = 0,
+          expectedBase = Some(Some(cur.id)), posDelete = Some((delDir, removed)))
+      catch {
+        case e: CommitFailedException =>
+          // the commit cleaned up its own data dir; the delete file is
+          // ours to reclaim. Re-probe from the moved head — positions
+          // are only valid against the snapshot they were probed from.
+          deleteRecursively(new File(delDir))
+          if (attempt >= numRetries) throw e
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Predicate keeping rows OUTSIDE every masked partition rel-path.
     * References only partition columns, so Catalyst evaluates it against
     * the partition spec at planning (directory-level skip).
@@ -2255,7 +2318,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // Some(head) pins the commit base for CAS semantics (overwriteIf):
       // the caller computed its payload FROM that head, so pair it with
       // numRetries = 0 — a conflict must surface, not blind-retry
-      expectedBase: Option[Option[Long]] = None): Snapshot = {
+      expectedBase: Option[Option[Long]] = None,
+      // (delete-file dir, rows it removes): a POSITIONAL delete riding
+      // the same snapshot as the data write — the merge-on-read UPDATE
+      // shape (delete old positions + append new rows, one atomic
+      // commit). Scope resolves to the head's dirs at swap time, so
+      // callers must pair it with expectedBase CAS pinning (the
+      // positions were probed against exactly that head).
+      posDelete: Option[(String, Long)] = None): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -2407,7 +2477,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
     while (true) {
       SnapshotTable.beforeSwapHook(this, attempt)
       trySwap(expectedParent, dataDir, newRows, op, carryPrevious, format, replaced,
-        stageOnly, writeSchema, branch, summary, emptyWrite = !wroteFiles) match {
+        stageOnly, writeSchema, branch, summary, emptyWrite = !wroteFiles,
+        posDelete = posDelete) match {
         case Right(snap) =>
           // the file-less dir of an empty batch is not referenced by the
           // snapshot — remove it rather than leaving _SUCCESS litter
@@ -2450,7 +2521,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       writeSchema: Seq[(String, String)],
       branch: Option[String] = None,
       summary: Map[String, String] = Map.empty,
-      emptyWrite: Boolean = false): Either[CommitConflictException, Snapshot] =
+      emptyWrite: Boolean = false,
+      posDelete: Option[(String, Long)] = None): Either[CommitConflictException, Snapshot] =
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
       // commits CAS against (and carry from) the PUBLISHED head: staged
@@ -2519,9 +2591,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
             }
             if (perDir.exists(_ < 0)) -1L else perDir.sum
           }
+        val posRemoved = posDelete.map(_._2).getOrElse(0L)
         val total =
-          if (carriedRows < 0 || removedRows < 0) -1L
-          else carriedRows - removedRows + newRows
+          if (carriedRows < 0 || removedRows < 0 || posRemoved < 0) -1L
+          else carriedRows - removedRows - posRemoved + newRows
         val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
         // schema continuity (Iceberg field ids): columns resolve ids by
         // NAME against the head; genuinely new columns draw fresh ids
@@ -2568,13 +2641,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
             dfCols.zip(writeSchema).map { case (c, (_, t)) => TableColumn(c.id, c.name, t) })
         // deletes carry forward with their dirs: dropping one on append
         // would resurrect erased rows. The new dir is NOT in any delete's
-        // applies set — appended data is out of the deletes' scope.
+        // applies set — appended data is out of the deletes' scope (a
+        // riding positional delete scopes to the HEAD's dirs only, so a
+        // merge-on-read UPDATE's own re-inserted rows survive it).
         val snap = Snapshot(id, SnapshotTable.clockMs(), op,
           if (emptyWrite) carryForward else carryForward :+ dataDir, format, total, masks,
           // branch commits stay invisible to published reads until
           // fastForward flips them — the same mechanism as a WAP stage
           staged = stageOnly || branch.isDefined,
-          deletes = carriedDeletes0,
+          deletes = carriedDeletes0 ++ posDelete.map { case (delDir, _) =>
+            EqualityDelete(delDir,
+              Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol),
+              applies = head.map(_.dataDirs).getOrElse(Nil), Some(format),
+              positional = true)
+          },
           parentId = Some(actualParent.getOrElse(0L)),
           cols = cols,
           lastColumnId = math.max(watermark0, nextId),

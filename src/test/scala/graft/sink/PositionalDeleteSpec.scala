@@ -124,6 +124,60 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(e.getMessage.contains("deleteRows"))
   }
 
+  test("updatePositions: one atomic commit = positional delete + updated-rows append") {
+    val t = freshTable()
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", lit(1.0)))
+    val origDirs = t.currentSnapshot.get.dataDirs
+    val snapsBefore = t.snapshots.size
+    val snap = t.updatePositions(spark, col("id") <= 10L, Map("v" -> (col("v") + 100.0)))
+    assert(snap.operation == "update")
+    assert(t.snapshots.size == snapsBefore + 1, "delete + append must be ONE commit")
+    assert(origDirs.forall(snap.dataDirs.contains), "original dirs carried, not rewritten")
+    assert(snap.dataDirs.size == origDirs.size + 1, "updated rows land in one new dir")
+    assert(snap.rowCount == 100L, "an update moves no row count")
+    val del = snap.deletes.find(_.positional).get
+    assert(del.applies.toSet == origDirs.toSet,
+      "the riding delete scopes to pre-commit dirs only — re-inserted rows survive")
+    val out = t.read(spark)
+    assert(out.count() == 100L)
+    assert(out.filter(col("v") === 101.0).count() == 10L)
+    assert(out.filter(col("v") === 1.0).count() == 90L)
+    // a second update can hit the first update's re-inserted rows
+    t.updatePositions(spark, col("v") === 101.0, Map("v" -> lit(7.0)))
+    assert(t.read(spark).filter(col("v") === 7.0).count() == 10L)
+    assert(t.read(spark).count() == 100L)
+  }
+
+  test("updatePositions matching nothing commits nothing; time travel shows old values") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val before = t.snapshots.size
+    t.updatePositions(spark, col("id") > 99L, Map("v" -> lit(0.0)))
+    assert(t.snapshots.size == before)
+    val preId = t.currentSnapshot.get.id
+    t.updatePositions(spark, col("id") === 1L, Map("v" -> lit(9.0)))
+    assert(t.readSnapshot(spark, preId).filter(col("id") === 1L)
+      .select("v").as[Double].head() == 1.0)
+    assert(t.read(spark).filter(col("id") === 1L).select("v").as[Double].head() == 9.0)
+  }
+
+  test("SQL UPDATE routes by write.update.mode: merge-on-read appends, never rewrites") {
+    val wh = Files.createTempDirectory("graft_pd_usql").toString
+    val t = SnapshotTable(wh, "ns", "usql")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"))
+    t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val origDirs = t.currentSnapshot.get.dataDirs
+    spark.sql("UPDATE graft.ns.usql SET v = v * 2 WHERE id >= 2")
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "update" && origDirs.forall(snap.dataDirs.contains) &&
+      snap.deletes.exists(_.positional),
+      "merge-on-read mode must append + position-delete, not rewrite")
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)))
+  }
+
   test("SQL DELETE routes by write.delete.mode: merge-on-read picks positions") {
     val wh = Files.createTempDirectory("graft_pd_sql").toString
     val t = SnapshotTable(wh, "ns", "psql")
