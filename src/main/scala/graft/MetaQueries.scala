@@ -505,6 +505,60 @@ object MetaQueries {
         "— O(matched) write, no file rewritten, re-inserted rows out of the " +
         "delete's scope by construction"),
 
+    "sql_merge_mor" -> QueryDef(
+      (s, dir) => {
+        // merge-on-read MERGE (Iceberg's write.merge.mode) — completes
+        // the v2 row-level trio: the same ordered-clause semantics as
+        // the COW merge, but ONE atomic commit pairs a positional
+        // delete of exactly the touched row versions with an append of
+        // the rewritten + inserted rows. The trickle-merge shape: a
+        // small delivery into a huge table costs O(touched + inserted),
+        // untouched rows of touched files are never rewritten.
+        val wh = freshWarehouse("sql_merge_mor")
+        val table = SnapshotTable(wh, "testdata", "customer_mor")
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        table.overwrite(c): Unit
+        table.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+        val origDirs = table.currentSnapshot.get.dataDirs
+        val before = table.currentSnapshot.get.rowCount
+        val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
+        val delivery = c.filter(col("c_custkey") % 11 === 0)
+          .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("c_acctbal"))
+          .unionByName(c.filter(col("c_custkey") % 11 === 5)
+            .select((col("c_custkey") + maxKey).as("c_custkey"),
+              col("c_acctbal")))
+        delivery.createOrReplaceTempView("sql_mor_src")
+        val inserts = c.filter(col("c_custkey") % 11 === 5).count()
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""MERGE INTO graft.testdata.customer_mor t
+                |USING sql_mor_src s ON t.c_custkey = s.c_custkey
+                |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+                |WHEN NOT MATCHED THEN
+                |  INSERT (c_custkey, c_name, c_acctbal)
+                |  VALUES (s.c_custkey, 'inserted', s.c_acctbal)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" &&
+          origDirs.forall(snap.dataDirs.contains) &&
+          snap.deletes.exists(_.positional) &&
+          snap.rowCount == before + inserts,
+          "merge-on-read MERGE must append + position-delete without " +
+            s"rewriting (op=${snap.operation}, rows=${snap.rowCount})")
+        s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft.testdata.customer_mor")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0
+             |       ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey + (SELECT max(c_custkey) FROM customer) AS c_custkey,
+             |  'inserted' AS c_name, c_acctbal
+             |FROM customer WHERE c_custkey % 11 = 5""".stripMargin),
+      doc = "merge-on-read MERGE (Iceberg write.merge.mode): one atomic commit " +
+        "= positional delete of touched row versions + append of rewritten and " +
+        "inserted rows — O(touched+inserted), untouched rows never rewritten"),
+
     "volume_sensor" -> QueryDef(
       (s, dir) => {
         // volume anomaly detection from snapshot metadata ALONE: three

@@ -632,7 +632,16 @@ final case class GraftMergeCommand(
     graft.governance.AccessControl.checkTableAccess(spark,
       table.fullName.split("\\.", 2).last, table.fullName, "write")
     def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
-    table.mergeClauses(
+    // Iceberg's write.merge.mode: merge-on-read pairs a positional
+    // delete of touched rows with the rewritten/inserted append in one
+    // commit; copy-on-write (default) rewrites the touched files
+    val engine: (org.apache.spark.sql.DataFrame, Seq[(String, String)],
+        Seq[Merge.WhenMatched], Seq[Merge.WhenNotMatched],
+        Seq[Merge.WhenNotMatchedBySource]) => Any =
+      if (table.properties.get("write.merge.mode").contains("merge-on-read"))
+        table.mergeClausesMor(_, _, _, _, _)
+      else table.mergeClauses(_, _, _, _, _)
+    engine(
       GraftSqlShim.ofRows(spark, sourcePlan), keys,
       matchedClauses.map(c => c.copy(
         action = c.action match {

@@ -955,6 +955,196 @@ final class SnapshotTable(val root: String, val fullName: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Merge-on-read MERGE (Iceberg's `write.merge.mode=merge-on-read`):
+    * the same ordered-clause semantics as [[mergeClauses]] — SQL
+    * cardinality rule, first-true-wins matched / not-matched /
+    * not-matched-by-source chains — but instead of rewriting the files
+    * holding touched rows, ONE atomic commit pairs a positional delete
+    * of exactly the touched row versions with an append of the
+    * rewritten + inserted rows. Untouched rows of touched files are
+    * never read twice or rewritten: O(touched + inserted) write cost,
+    * the trickle-merge-into-a-huge-table shape. Detection stays
+    * key-pruned (the same broadcast semi/anti dir probes as
+    * copy-on-write), commits CAS against the probed head, and a
+    * conflict re-probes from scratch.
+    */
+  def mergeClausesMor(
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matchedClauses: Seq[Merge.WhenMatched],
+      notMatchedClauses: Seq[Merge.WhenNotMatched],
+      notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val spark = source.sparkSession
+    require(keys.nonEmpty, s"MERGE into $fullName needs at least one key pair")
+    keys.foreach { case (_, sk) =>
+      require(source.columns.contains(sk),
+        s"MERGE source lacks key column $sk (has: ${source.columns.mkString(", ")})")
+    }
+    val srcKeyCols = keys.map { case (_, sk) => col(sk) }
+    val dupKeys = source.groupBy(srcKeyCols: _*).count()
+      .filter(col("count") > 1)
+      .select(keys.map { case (tk, sk) => col(sk).as(tk) }: _*)
+    val hasDupKeys = dupKeys.limit(1).count() > 0L
+
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      require(cur.format == "parquet",
+        s"merge-on-read MERGE needs parquet row identity (_metadata.row_index); " +
+          s"$fullName is ${cur.format} — use mergeClauses")
+      val schemaCols = snapshotSchema(spark, cur)
+      keys.foreach { case (tk, _) =>
+        require(schemaCols.exists(_._1 == tk),
+          s"MERGE into $fullName keys on unknown column $tk")
+      }
+      lazy val tableKeys = readSnapshot(spark, cur.id)
+        .select(keys.map { case (tk, _) => col(tk) }: _*).distinct()
+      if (hasDupKeys) {
+        val dupMatched = dupKeys
+          .join(tableKeys, keys.map(_._1), "left_semi").limit(1).count()
+        require(dupMatched == 0L,
+          s"MERGE into $fullName: multiple source rows share a key that matches a " +
+            "target row — the SQL cardinality rule forbids updating one target row " +
+            "twice (dedupe the source)")
+      }
+      val srcKeys = source.select(keys.map { case (tk, sk) => col(sk).as(tk) }: _*).distinct()
+      val matchedAffected =
+        if (matchedClauses.isEmpty) Nil
+        else affectedDirs(spark, cur, v =>
+          v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
+            keys.map(_._1), "left_semi"))
+      val bySourceAffected =
+        if (notMatchedBySourceClauses.isEmpty) Nil
+        else affectedDirs(spark, cur, v => {
+          val anyCond = notMatchedBySourceClauses
+            .map(c => coalesce(c.cond.getOrElse(lit(true)), lit(false)))
+            .reduce(_ || _)
+          v.join(org.apache.spark.sql.functions.broadcast(srcKeys),
+              keys.map(_._1), "left_anti")
+            .alias("__t").filter(anyCond)
+        })
+      val affected = cur.dataDirs.filter(
+        (matchedAffected ++ bySourceAffected).toSet.contains)
+
+      val src = source.withColumn("__s_present", lit(true)).alias("__s")
+      val joinCond = keys.map { case (tk, sk) =>
+        col(s"__t.$tk") === col(s"__s.$sk")
+      }.reduce(_ && _)
+      val matchedCol = col("__s.__s_present").isNotNull
+      def clausePreds(base: org.apache.spark.sql.Column, conds: Seq[Option[org.apache.spark.sql.Column]])
+        : Seq[org.apache.spark.sql.Column] = {
+        var remaining = base
+        conds.map { c =>
+          val cTrue = coalesce(c.getOrElse(lit(true)), lit(false))
+          val p = remaining && cTrue
+          remaining = remaining && !cTrue
+          p
+        }
+      }
+
+      // touched rows only: the probe carries row identity; a row where
+      // some clause fires contributes its position to the delete file
+      // and (unless the winning action is DELETE) its rewritten version
+      // to the append — rows of the same file no clause touches are
+      // never rewritten
+      val touched: Option[(DataFrame, DataFrame)] =
+        if (affected.isEmpty) None
+        else {
+          val v = affected.map(readDirWithRowId(spark, cur, _)).reduce(_ unionByName _)
+          val joined = v.alias("__t").join(src, joinCond, "left_outer")
+          val preds = clausePreds(matchedCol, matchedClauses.map(_.cond)) ++
+            clausePreds(!matchedCol, notMatchedBySourceClauses.map(_.cond))
+          val withPred = preds.zip(
+            matchedClauses.map(_.action) ++ notMatchedBySourceClauses.map(_.action))
+          withPred.foreach {
+            case (_, Merge.Update(sets)) =>
+              sets.keys.foreach(k => require(schemaCols.exists(_._1 == k),
+                s"MERGE into $fullName assigns unknown column $k"))
+            case _ => ()
+          }
+          val hit = joined.filter(withPred.map(_._1).reduce(_ || _))
+          val positions = hit.select(
+            col(s"__t.${SnapshotTable.RowIdFileCol}").as(SnapshotTable.RowIdFileCol),
+            col(s"__t.${SnapshotTable.RowIdPosCol}").as(SnapshotTable.RowIdPosCol))
+          val deletePred = withPred.collect { case (p, Merge.Delete) => p }
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val rewritten = hit.filter(!deletePred).select(schemaCols.map { case (n, t) =>
+            val keep = col(s"__t.$n")
+            val chain = withPred.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+              case (acc, (p, action)) =>
+                val value = action match {
+                  case Merge.UpdateAll =>
+                    if (source.columns.contains(n)) Some(col(s"__s.$n").cast(t)) else None
+                  case Merge.Update(sets) => sets.get(n).map(_.cast(t))
+                  case _ => None // Delete rows are already filtered out
+                }
+                value.map(v0 => acc.map(_.when(p, v0)).getOrElse(when(p, v0))).orElse(acc)
+            }
+            chain.map(_.otherwise(keep).as(n)).getOrElse(keep.as(n))
+          }: _*)
+          Some((positions, rewritten))
+        }
+
+      val inserts: Option[DataFrame] =
+        if (notMatchedClauses.isEmpty) None
+        else {
+          val unmatched = source.alias("__s").join(
+            tableKeys.alias("__t"), joinCond, "left_anti")
+          val preds = clausePreds(lit(true), notMatchedClauses.map(_.cond))
+          val withPred = preds.zip(notMatchedClauses.map(_.action))
+          val applicable = unmatched.filter(withPred.map(_._1).reduce(_ || _))
+          Some(applicable.select(schemaCols.map { case (n, t) =>
+            val chain = withPred.map { case (p, action) =>
+              val value = action match {
+                case Merge.InsertAll =>
+                  val fromKey = keys.find(_._1 == n).map(_._2)
+                  val src0 = fromKey.orElse(Some(n).filter(source.columns.contains))
+                  src0.map(sn => col(s"__s.$sn").cast(t)).getOrElse(lit(null).cast(t))
+                case Merge.Insert(sets) =>
+                  sets.get(n).map(_.cast(t)).getOrElse(lit(null).cast(t))
+              }
+              (p, value)
+            }.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+              case (acc, (p, v0)) => Some(acc.map(_.when(p, v0)).getOrElse(when(p, v0)))
+            }
+            chain.get.otherwise(lit(null).cast(t)).as(n)
+          }: _*))
+        }
+
+      val removed = touched.map(_._1.count()).getOrElse(0L)
+      // a merge that touches no row and inserts none is a NO-OP — a dir
+      // can pass the key-level detection while every clause condition
+      // fails on its rows, and committing would bloat history
+      if (removed == 0L && inserts.forall(_.isEmpty)) return cur
+      val delDir: Option[String] =
+        if (removed == 0L) None
+        else {
+          val dd = Paths.get(root,
+            s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
+          touched.get._1.write.mode("overwrite").format(cur.format).save(dd)
+          Some(dd)
+        }
+      val newData = (touched.map(_._2).toSeq ++ inserts.toSeq)
+        .reduce(_ unionByName _)
+      try
+        return commit(newData, "merge", carryPrevious = true,
+          partitionCols = Nil, sortCols = WriteSortOrder.sortCols(this),
+          format = cur.format, numRetries = 0,
+          expectedBase = Some(Some(cur.id)),
+          posDelete = delDir.map(_ -> removed))
+      catch {
+        case e: CommitFailedException =>
+          delDir.foreach(d => deleteRecursively(new File(d)))
+          if (attempt >= numRetries) throw e
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The table schema as (name, Spark DataType) at `snap` — from the
     * tracked snapshot schema, or one footer read for legacy tables.
     */

@@ -178,6 +178,77 @@ class PositionalDeleteSpec extends SparkSpec {
       Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)))
   }
 
+  test("mergeClausesMor: upsert touches only matched rows, one atomic commit") {
+    val t = freshTable()
+    t.overwrite((1L to 100L).toDF("id").withColumn("v", lit(1.0)))
+    val origDirs = t.currentSnapshot.get.dataDirs
+    val snapsBefore = t.snapshots.size
+    val src = Seq((50L, 5.0), (60L, 6.0), (200L, 2.0)).toDF("id", "nv")
+    val snap = t.mergeClausesMor(src, Seq("id" -> "id"),
+      matchedClauses = Seq(Merge.WhenMatched(Merge.Update(Map("v" -> col("nv"))))),
+      notMatchedClauses = Seq(Merge.WhenNotMatched(
+        Merge.Insert(Map("id" -> col("id"), "v" -> col("nv"))))))
+    assert(snap.operation == "merge")
+    assert(t.snapshots.size == snapsBefore + 1, "delete + append must be ONE commit")
+    assert(origDirs.forall(snap.dataDirs.contains), "touched files never rewrite")
+    assert(snap.rowCount == 101L, "100 - 2 touched + 2 rewritten + 1 insert")
+    val out = t.read(spark)
+    assert(out.count() == 101L)
+    assert(out.filter(col("id") === 50L).select("v").as[Double].head() == 5.0)
+    assert(out.filter(col("id") === 200L).select("v").as[Double].head() == 2.0)
+    assert(out.filter(col("v") === 1.0).count() == 98L)
+    assert(snap.deletes.count(_.positional) == 1)
+  }
+
+  test("mergeClausesMor: delete clause, conditional chains and BY SOURCE arm") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 10.0), (2L, -5.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v"))
+    val src = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "nv")
+    // matched: negative balances retire, others restate; absent rows flag
+    t.mergeClausesMor(src, Seq("id" -> "id"),
+      matchedClauses = Seq(
+        Merge.WhenMatched(Merge.Delete, Some(Merge.t("v") < 0)),
+        Merge.WhenMatched(Merge.Update(Map("v" -> col("nv"))))),
+      notMatchedClauses = Nil,
+      notMatchedBySourceClauses = Seq(
+        Merge.WhenNotMatchedBySource(Merge.Update(Map("v" -> (Merge.t("v") + 0.5))))))
+    val out = t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 100.0), (3L, 30.5), (4L, 40.5)),
+      s"delete id=2 (negative), update id=1 from source, flag absent 3 and 4: $out")
+    assert(t.currentSnapshot.get.rowCount == 3L)
+  }
+
+  test("mergeClausesMor enforces the SQL cardinality rule") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "v"))
+    val dup = Seq((1L, 2.0), (1L, 3.0)).toDF("id", "nv")
+    val e = intercept[IllegalArgumentException](
+      t.mergeClausesMor(dup, Seq("id" -> "id"),
+        matchedClauses = Seq(Merge.WhenMatched(Merge.Update(Map("v" -> col("nv"))))),
+        notMatchedClauses = Nil))
+    assert(e.getMessage.contains("cardinality"))
+  }
+
+  test("SQL MERGE routes by write.merge.mode: merge-on-read never rewrites") {
+    val wh = Files.createTempDirectory("graft_pd_msql").toString
+    val t = SnapshotTable(wh, "ns", "msql")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    t.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v").createOrReplaceTempView("pd_merge_src")
+    val origDirs = t.currentSnapshot.get.dataDirs
+    spark.sql("""MERGE INTO graft.ns.msql t USING pd_merge_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "merge" && origDirs.forall(snap.dataDirs.contains) &&
+      snap.deletes.exists(_.positional),
+      "merge-on-read MERGE must append + position-delete, not rewrite")
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
   test("SQL DELETE routes by write.delete.mode: merge-on-read picks positions") {
     val wh = Files.createTempDirectory("graft_pd_sql").toString
     val t = SnapshotTable(wh, "ns", "psql")
