@@ -343,7 +343,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
-  val MetaTables: Set[String] = Set("snapshots", "history", "partitions", "files", "refs")
+  val MetaTables: Set[String] =
+    Set("snapshots", "history", "partitions", "files", "refs", "deletes")
 
   /** Keys the engine computes on read (or Spark manages itself) — never
     * stored as user properties and not settable via DDL.
@@ -513,6 +514,19 @@ final class GraftSparkTable(
         .map(sn => ("main", "branch", sn.id)).toSeq
       (main ++ snapTable.refs.map(r => (r.name, r.kind, r.snapshotId)))
         .toDF("name", "type", "snapshot_id")
+    case Some("deletes") =>
+      import spark.implicits._
+      // the ACTIVE merge-on-read delete files (Iceberg's delete-files
+      // metadata view): one row per delete file still anti-joined at
+      // read time — kind (equality | positional), its key columns, and
+      // how many data dirs it scopes to. Pure metadata (snapshot JSON);
+      // compaction/rewrite paying the debt empties this listing.
+      snapTable.currentSnapshot.map(_.deletes).getOrElse(Nil)
+        .map(d => (d.dir,
+          if (d.positional) "positional" else "equality",
+          d.keys, d.applies.size,
+          d.format.getOrElse(snapTable.currentSnapshot.map(_.format).getOrElse("parquet"))))
+        .toDF("path", "kind", "key_columns", "applies_dir_count", "file_format")
     case Some(other) => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (supported: ${GraftCatalog.MetaTables.mkString(", ")})")
     case None => pinnedVersion match {

@@ -114,6 +114,39 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(metaRefs > 0)
   }
 
+  test("rewriteDeletes pays down positional files too, scoped dirs only") {
+    val t = freshTable()
+    t.overwrite((1L to 10L).toDF("id"))
+    t.deletePositions(spark, col("id") % 2 === 0L)
+    t.append((11L to 20L).toDF("id")) // out of the delete's scope
+    val dirC = t.currentSnapshot.get.dataDirs.last
+    val snap = t.rewriteDeletes(spark)
+    assert(snap.deletes.isEmpty, "the positional debt must be paid")
+    assert(snap.dataDirs.contains(dirC), "out-of-scope dir must carry forward")
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      ((1L to 10L).filter(_ % 2 == 1) ++ (11L to 20L)).sorted)
+  }
+
+  test("the $deletes metadata table lists active delete files by kind") {
+    val wh = Files.createTempDirectory("graft_pd_meta").toString
+    val t = SnapshotTable(wh, "ns", "mdel")
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    assert(spark.sql("SELECT * FROM graft.ns.mdel.deletes").count() == 0L)
+    t.deleteWhere(Seq(1L).toDF("id"), Seq("id"))
+    t.deletePositions(spark, col("v") > 2.5)
+    val rows = spark.sql(
+      "SELECT kind, key_columns, applies_dir_count FROM graft.ns.mdel.deletes")
+      .as[(String, Seq[String], Int)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("equality", "positional"))
+    assert(rows.head._2 == Seq("id"))
+    assert(rows.forall(_._3 == 1))
+    // compaction pays the debt: the listing empties
+    t.compact(spark)
+    assert(spark.sql("SELECT * FROM graft.ns.mdel.deletes").count() == 0L)
+  }
+
   test("non-parquet tables reject positional deletes with the remediation") {
     val wh = Files.createTempDirectory("graft_pd_fmt").toString
     val t = SnapshotTable(wh, "ns", "ptf")
