@@ -1592,6 +1592,56 @@ object MetaQueries {
         "condition: decorrelated onto the copy-on-write MERGE (correlation " +
         "equality = broadcast semi-join key; residual = clause condition)"),
 
+    "sql_update_corr_scalar" -> QueryDef(
+      (s, dir) => {
+        // UPDATE with a correlated SCALAR subquery in the assignment —
+        // "restate each customer's balance to their best order" — the
+        // everyday enrichment shape. Kim decorrelation: the global
+        // max() over the correlated filter becomes a per-key aggregate
+        // merge source; matched rows take the aggregate, keyless rows
+        // take NULL via the BY SOURCE arm (SQL's empty-subquery scalar)
+        // — pinned by the require below, since a semi-join alone would
+        // silently skip them. Distributed end-to-end; count-shaped
+        // subqueries are refused (the count-bug), never rewritten wrong.
+        val wh = freshWarehouse("sql_update_corr_scalar")
+        val table = SnapshotTable(wh, "testdata", "customer_cs")
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        table.overwrite(c): Unit
+        val before = table.currentSnapshot.get.rowCount
+        // big-ticket orders only, so some customers are KEYLESS — the
+        // empty-subquery NULL arm is part of the contract under test
+        val bigOrders = tbl(s, dir, "orders")
+          .filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey"), col("o_totalprice"))
+        bigOrders.createOrReplaceTempView("sql_ucs_src")
+        val keyless = c.join(bigOrders,
+          col("c_custkey") === col("o_custkey"), "left_anti").count()
+        require(keyless > 0, "fixture needs customers without orders")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.customer_cs c
+                |SET c_acctbal = (SELECT max(o_totalprice) FROM sql_ucs_src o
+                |                 WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount == before,
+          "a correlated-scalar UPDATE must ride the MERGE path, row count unchanged")
+        require(s.sql(
+          "SELECT count(*) FROM graft.testdata.customer_cs WHERE c_acctbal IS NULL")
+          .head.getLong(0) == keyless,
+          "customers without orders must take the empty-subquery NULL")
+        s.sql("SELECT c_custkey, c_name, c_acctbal FROM graft.testdata.customer_cs")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT max(o_totalprice) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey
+             |     AND o.o_totalprice > 250000) AS c_acctbal
+             |FROM customer c""".stripMargin),
+      doc = "SQL UPDATE with a correlated scalar subquery assignment: Kim " +
+        "decorrelation onto the MERGE path (per-key aggregate source; keyless " +
+        "rows take NULL via the BY SOURCE arm; count-shaped subqueries refused " +
+        "— the count-bug)"),
+
     "sql_replace_table" -> QueryDef(
       (s, dir) => {
         // Atomic RTAS (the Iceberg StagedTable role, StagingTableCatalog

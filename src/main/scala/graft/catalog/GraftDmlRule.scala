@@ -72,11 +72,12 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
               rest.map(xlate(_, tSet, sSet)))))
         case None =>
-          GraftUpdateCommand(
-            t.snapTable,
-            condition.map(xlate(_, tSet, AttributeSet.empty)),
-            assignments.map(a =>
-              topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, AttributeSet.empty)).toMap)
+          lowerCorrScalarUpdate(t, assignments, condition, tSet).getOrElse(
+            GraftUpdateCommand(
+              t.snapTable,
+              condition.map(xlate(_, tSet, AttributeSet.empty)),
+              assignments.map(a =>
+                topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, AttributeSet.empty)).toMap))
       }
 
     // DELETE FROM t with a condition the DSv2 SupportsDelete filter API
@@ -266,6 +267,81 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Not(ex: Exists) if ex.outerAttrs.nonEmpty && ex.plan.resolved =>
         decorrelate(ex.plan, tSet).flatMap { case (corr, child) =>
           build(AntiArm, corr, child)
+        }
+      case _ => None
+    }
+  }
+
+  /** `UPDATE t SET x = (SELECT agg(...) FROM s WHERE s.k = t.k) ...` —
+    * a correlated SCALAR subquery in an assignment. Classic Kim
+    * decorrelation: the global aggregate over the correlated filter
+    * becomes a PER-KEY aggregate (grouped on the correlation columns,
+    * which also makes the merge keys unique by construction), the
+    * statement lowers onto the COW/MOR MERGE with the subquery node
+    * substituted by the source's aggregate column in the matched arm —
+    * and by NULL in a WHEN NOT MATCHED BY SOURCE arm, because SQL gives
+    * keyless rows the empty-subquery scalar (NULL), and a semi-join
+    * alone would silently skip them. Restricted to NULL-on-empty
+    * aggregates (max/min/sum/avg): COUNT over an empty group is 0, not
+    * NULL — the classic count-bug — so count-shaped subqueries keep the
+    * actionable unsupported error instead of a silently-wrong rewrite.
+    */
+  private def lowerCorrScalarUpdate(
+      t: GraftSparkTable,
+      assignments: Seq[Assignment],
+      condition: Option[Expression],
+      tSet: AttributeSet): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, OuterReference, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, AggregateExpression, Max, Min, Sum}
+    val subs = assignments.flatMap(_.value.collect {
+      case s: ScalarSubquery if s.outerAttrs.nonEmpty => s
+    }).distinct
+    subs match {
+      case Seq(sub) if sub.plan.resolved &&
+          // the WHERE must carry no subquery of its own: combining a
+          // lowered condition arm with a lowered assignment would need
+          // two different merge sources
+          condition.forall(!_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])) =>
+        def strip(p: LogicalPlan): LogicalPlan = p match {
+          case SubqueryAlias(_, c) => strip(c)
+          case other => other
+        }
+        strip(sub.plan) match {
+          case Aggregate(Seq(), Seq(outExpr), aggChild, _) =>
+            val aggFuns = outExpr.collect {
+              case ae: AggregateExpression => ae.aggregateFunction
+            }
+            val nullOnEmpty = aggFuns.nonEmpty && aggFuns.forall {
+              case _: Max | _: Min | _: Sum | _: Average => true
+              case _ => false
+            }
+            if (!nullOnEmpty || outExpr.exists(_.isInstanceOf[OuterReference])) None
+            else decorrelate(aggChild, tSet).flatMap { case (pairs, child) =>
+              val keyAls = pairs.map(_._2).zipWithIndex.map {
+                case (a, i) => Alias(a, s"__gkey$i")()
+              }
+              val valAl = outExpr match {
+                case Alias(c, _) => Alias(c, "__gval")()
+                case other => Alias(other, "__gval")()
+              }
+              val srcPlan = Aggregate(pairs.map(_._2), keyAls :+ valAl, child, None)
+              val keys = pairs.map(_._1.name).zip(keyAls.map(_.name))
+              val sSet = srcPlan.outputSet
+              def sets(repl: Expression): Map[String, Column] =
+                assignments.map(a => topLevelName(a.key, "UPDATE") ->
+                  xlate(a.value.transform {
+                    case s2: ScalarSubquery if s2 == sub => repl
+                  }, tSet, sSet)).toMap
+              val cond = condition.map(xlate(_, tSet, sSet))
+              Some(GraftMergeCommand(t.snapTable, srcPlan, keys,
+                matchedClauses = Seq(Merge.WhenMatched(
+                  Merge.Update(sets(valAl.toAttribute)), cond)),
+                notMatchedClauses = Nil,
+                notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
+                  Merge.Update(sets(Literal.create(null, sub.dataType))), cond))))
+            }
+          case _ => None
         }
       case _ => None
     }

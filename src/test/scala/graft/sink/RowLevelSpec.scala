@@ -494,6 +494,36 @@ class RowLevelSpec extends SparkSpec {
     assert(t.currentSnapshot.get.operation == "merge")
   }
 
+  test("correlated scalar assignment decorrelates; keyless rows take NULL; count refused") {
+    val wh = Files.createTempDirectory("graft_rl_cs").toString
+    val t = SnapshotTable(wh, "ns", "cst")
+    t.overwrite(Seq((1L, 0.0), (2L, 0.0), (3L, 99.0)).toDF("id", "best"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq((1L, 10.0), (1L, 30.0), (2L, 20.0)).toDF("k", "v")
+      .createOrReplaceTempView("rl_cs_src")
+    spark.sql("""UPDATE graft.ns.cst t
+                |SET best = (SELECT max(v) FROM rl_cs_src s WHERE s.k = t.id)""".stripMargin)
+    val out = t.read(spark).orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, Some(30.0)), (2L, Some(20.0)), (3L, None)),
+      s"per-key max for matched rows, NULL for the keyless row: $out")
+    assert(t.currentSnapshot.get.operation == "merge")
+    // residual WHERE restricts BOTH arms (matched and keyless)
+    t.overwrite(Seq((1L, 0.0), (2L, -1.0), (3L, 99.0)).toDF("id", "best")): Unit
+    spark.sql("""UPDATE graft.ns.cst t
+                |SET best = (SELECT sum(v) FROM rl_cs_src s WHERE s.k = t.id)
+                |WHERE t.best >= 0""".stripMargin)
+    val out2 = t.read(spark).orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(out2 == Seq((1L, Some(40.0)), (2L, Some(-1.0)), (3L, None)),
+      s"cond-false rows untouched on both arms: $out2")
+    // COUNT over an empty group is 0, not NULL — the count-bug means a
+    // grouped rewrite would be silently wrong; must refuse instead
+    val e = intercept[Exception](spark.sql(
+      """UPDATE graft.ns.cst t
+        |SET best = (SELECT count(*) FROM rl_cs_src s WHERE s.k = t.id)""".stripMargin))
+    assert(e.getMessage.contains("subquery"), e.getMessage)
+  }
+
   test("uncorrelated SCALAR subqueries in DML materialize once per statement") {
     val wh = Files.createTempDirectory("graft_rl_scalar").toString
     val t = SnapshotTable(wh, "ns", "sct")
