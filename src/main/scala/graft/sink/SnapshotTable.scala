@@ -579,9 +579,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val updated = matched.select(schemaCols.map { case (n, t) =>
         sets.get(n).map(_.cast(t).as(n)).getOrElse(col(n))
       }: _*)
+      // keep the table's partition layout on the appended dir (when the
+      // partition columns are part of the schema) so pruning governs
+      // the updated rows too
+      val pcols = partitionColumns.filter(pc => schemaCols.exists(_._1 == pc))
       try
         return commit(updated, "update", carryPrevious = true,
-          partitionCols = Nil, sortCols = WriteSortOrder.sortCols(this),
+          partitionCols = pcols, sortCols = WriteSortOrder.sortCols(this),
           format = cur.format, numRetries = 0,
           expectedBase = Some(Some(cur.id)), posDelete = Some((delDir, removed)))
       catch {
@@ -1128,9 +1132,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
         }
       val newData = (touched.map(_._2).toSeq ++ inserts.toSeq)
         .reduce(_ unionByName _)
+      // keep the table's partition layout on the appended dir (when the
+      // partition columns are part of the schema) so pruning governs
+      // the rewritten + inserted rows too
+      val pcols = partitionColumns.filter(pc => schemaCols.exists(_._1 == pc))
       try
         return commit(newData, "merge", carryPrevious = true,
-          partitionCols = Nil, sortCols = WriteSortOrder.sortCols(this),
+          partitionCols = pcols, sortCols = WriteSortOrder.sortCols(this),
           format = cur.format, numRetries = 0,
           expectedBase = Some(Some(cur.id)),
           posDelete = delDir.map(_ -> removed))
@@ -1502,12 +1510,26 @@ final class SnapshotTable(val root: String, val fullName: String) {
         val keyDeletes = cur.deletes.filterNot(d => prevDeleteDirs.contains(d.dir))
           .flatMap { del =>
             val applicable = del.applies.filter(prevDirs.contains)
-            applicable.map(d => readDir(spark, prev, d)).reduceOption(_ unionByName _)
+            // a POSITIONAL delete's "keys" are the physical row-identity
+            // columns — they exist only on a row-id read; semi-join
+            // there and drop the identity columns before stamping (the
+            // changelog consumer sees table columns only). This also
+            // makes a merge-on-read UPDATE/MERGE commit surface exactly
+            // as Iceberg's changelog contract: erased old versions as
+            // 'delete', the commit's new dir as 'insert'.
+            val read: String => DataFrame =
+              if (del.positional) readDirWithRowId(spark, prev, _)
+              else readDir(spark, prev, _)
+            applicable.map(read).reduceOption(_ unionByName _)
               .map { rows =>
                 val keys = spark.read
                   .format(del.format.getOrElse(prev.format)).load(del.dir)
-                stamp(rows.join(broadcast(keys), del.keys, "left_semi"),
-                  prev, "delete", cur.id)
+                val erased = rows.join(broadcast(keys), del.keys, "left_semi")
+                val cleaned =
+                  if (del.positional)
+                    erased.drop(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol)
+                  else erased
+                stamp(cleaned, prev, "delete", cur.id)
               }
           }
         inserts ++ dirDeletes ++ maskDeletes ++ keyDeletes

@@ -114,6 +114,36 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(metaRefs > 0)
   }
 
+  test("changelog over positional commits: erased versions delete, new rows insert") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    val s0 = t.currentSnapshot.get.id
+    t.deletePositions(spark, col("id") === 2L)
+    t.updatePositions(spark, col("id") === 3L, Map("v" -> lit(33.0)))
+    val cl = t.readChangelog(spark, s0, t.currentSnapshot.get.id)
+      .select("id", "v", "_change_type")
+      .as[(Long, Double, String)].collect().sortBy(r => (r._1, r._3))
+    assert(cl.toSeq == Seq(
+      (2L, 2.0, "delete"),          // positional delete: the erased row itself
+      (3L, 3.0, "delete"),          // MOR update: old version deletes...
+      (3L, 33.0, "insert")),        // ...new version inserts — Iceberg's CDC shape
+      s"changelog rows: ${cl.toSeq}")
+  }
+
+  test("MOR update keeps the table's partition layout on the appended dir") {
+    val t = freshTable()
+    t.overwrite(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "p", "v"),
+      partitionCols = Seq("p"))
+    val snap = t.updatePositions(spark, col("id") === 1L, Map("v" -> lit(10.0)))
+    val newDir = snap.dataDirs.last
+    assert(new java.io.File(newDir).listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("p=")),
+      "the appended updated-rows dir must keep the p= hive layout")
+    assert(t.read(spark).filter(col("p") === "a" && col("v") === 10.0).count() == 1L)
+    assert(t.read(spark).count() == 3L)
+  }
+
   test("rewriteDeletes pays down positional files too, scoped dirs only") {
     val t = freshTable()
     t.overwrite((1L to 10L).toDF("id"))
