@@ -421,6 +421,73 @@ object ExtQueries {
       doc = "streaming SCD2 merge: CDC microbatches through foreachBatch into " +
         "the dimension snapshot table; invariants hold after every batch"),
 
+    "stream_mor_upsert" -> QueryDef(
+      (s, dir) => {
+        // streaming CDC upsert via MERGE-ON-READ: two microbatches flow
+        // through foreachBatch -> per-batch last-change-per-key dedup
+        // (max_by, satisfies the MERGE cardinality rule) -> mergeOnce
+        // (one atomic positional-delete + append commit per batch,
+        // exactly-once watermark). Batch 1 carries an INTRA-batch
+        // duplicate per updated key (ord 1 then ord 2 — the dedup must
+        // pick ord 2) plus inserts; batch 2 re-updates a subset of
+        // batch 1's keys, so the final state proves last-write-wins
+        // ACROSS batches and dedup WITHIN one. No data file is ever
+        // rewritten (pinned); compaction pays the debt off-stream.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val wh = MetaQueries.freshWarehouse("stream_mor_upsert")
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "customer_cdc")
+        val c = Queries.tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        table.overwrite(c): Unit
+        val origDirs = table.currentSnapshot.get.dataDirs
+        val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
+        // the MemoryStream staging is dimension-feed sized (CDC deltas),
+        // never fact-stream sized — same profile as stream_scd2_merge
+        val upd = c.filter(col("c_custkey") % 7 === 0)
+          .as[(Long, String, Double)].collect().toSeq
+        val b1: Seq[(Long, String, Double, Long)] =
+          upd.map { case (k, n, b) => (k, n, b + 50.0, 1L) } ++
+            upd.map { case (k, n, b) => (k, n, b + 100.0, 2L) } ++
+            c.filter(col("c_custkey") % 7 === 3)
+              .as[(Long, String, Double)].collect().toSeq
+              .map { case (k, _, b) => (k + maxKey, "new", b, 1L) }
+        val b2: Seq[(Long, String, Double, Long)] =
+          upd.filter(_._1 % 14 == 0)
+            .map { case (k, n, b) => (k, n, b + 200.0, 3L) }
+        val mem = MemoryStream[(Long, String, Double, Long)]
+        val q = Streaming.startMorUpsert(
+          mem.toDF().toDF("c_custkey", "c_name", "c_acctbal", "ord"),
+          table, keys = Seq("c_custkey"), orderCol = "ord",
+          checkpoint = s"$wh/_checkpoint", queryId = "mor_upsert")
+        try {
+          mem.addData(b1)
+          q.processAllAvailable()
+          mem.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" &&
+          origDirs.forall(snap.dataDirs.contains) &&
+          snap.deletes.exists(_.positional),
+          "streaming MOR upsert must never rewrite a data file " +
+            s"(op=${snap.operation})")
+        table.read(s).select("c_custkey", "c_name", "c_acctbal")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 200.0
+             |       WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+             |       ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey + (SELECT max(c_custkey) FROM customer),
+             |  'new' AS c_name, c_acctbal
+             |FROM customer WHERE c_custkey % 7 = 3""".stripMargin),
+      doc = "streaming CDC upsert via merge-on-read: per-batch max_by dedup + " +
+        "mergeOnce (atomic positional-delete + append, exactly-once watermark); " +
+        "last-write-wins across batches, no data file rewritten"),
+
     "stream_quality_gate" -> QueryDef(
       (s, dir) => {
         // streaming dead-letter quality enforcement: batch 1 (even ids)

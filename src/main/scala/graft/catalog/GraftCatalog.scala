@@ -344,7 +344,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
   val MetaTables: Set[String] =
-    Set("snapshots", "history", "partitions", "files", "refs", "deletes")
+    Set("snapshots", "history", "partitions", "files", "refs", "deletes",
+      "position_deletes")
 
   /** Keys the engine computes on read (or Spark manages itself) — never
     * stored as user properties and not settable via DDL.
@@ -527,6 +528,29 @@ final class GraftSparkTable(
           d.keys, d.applies.size,
           d.format.getOrElse(snapTable.currentSnapshot.map(_.format).getOrElse("parquet"))))
         .toDF("path", "kind", "key_columns", "applies_dir_count", "file_format")
+    case Some("position_deletes") =>
+      // Iceberg's position_deletes table: the ACTIVE (data file, row
+      // position) pairs themselves, each stamped with the delete file
+      // it came from. Reads only the (tiny) delete files, never data.
+      import org.apache.spark.sql.functions.{col, lit}
+      val posDels = snapTable.currentSnapshot.map(_.deletes).getOrElse(Nil)
+        .filter(_.positional)
+      posDels
+        .map { d =>
+          spark.read
+            .format(d.format.getOrElse(
+              snapTable.currentSnapshot.map(_.format).getOrElse("parquet")))
+            .load(d.dir)
+            .select(
+              col(graft.sink.SnapshotTable.RowIdFileCol).as("file_path"),
+              col(graft.sink.SnapshotTable.RowIdPosCol).as("pos"),
+              lit(d.dir).as("delete_file"))
+        }
+        .reduceOption(_ unionByName _)
+        .getOrElse {
+          import spark.implicits._
+          Seq.empty[(String, Long, String)].toDF("file_path", "pos", "delete_file")
+        }
     case Some(other) => throw new IllegalArgumentException(
       s"unknown metadata table '$other' (supported: ${GraftCatalog.MetaTables.mkString(", ")})")
     case None => pinnedVersion match {

@@ -978,7 +978,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       matchedClauses: Seq[Merge.WhenMatched],
       notMatchedClauses: Seq[Merge.WhenNotMatched],
       notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil,
-      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+      numRetries: Int = SnapshotTable.DefaultCommitRetries,
+      summary: Map[String, String] = Map.empty): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val spark = source.sparkSession
     require(keys.nonEmpty, s"MERGE into $fullName needs at least one key pair")
@@ -1140,7 +1141,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
         return commit(newData, "merge", carryPrevious = true,
           partitionCols = pcols, sortCols = WriteSortOrder.sortCols(this),
           format = cur.format, numRetries = 0,
-          expectedBase = Some(Some(cur.id)),
+          expectedBase = Some(Some(cur.id)), summary = summary,
           posDelete = delDir.map(_ -> removed))
       catch {
         case e: CommitFailedException =>
@@ -1623,6 +1624,30 @@ final class SnapshotTable(val root: String, val fullName: String) {
         SnapshotTable.SummaryBatchId -> batchId.toString,
         // the durable per-query watermark — carried forward by every
         // later head, so it survives compaction + expiry
+        s"${SnapshotTable.SummaryBatchPrefix}$queryId" -> batchId.toString)))
+
+  /** [[mergeClausesMor]] hardened against foreachBatch's at-least-once
+    * delivery — the streaming CDC upsert commit. The (queryId, batchId)
+    * watermark stamps into the merge's own snapshot summary atomically
+    * with the rows, so a batch re-delivered after a crash between
+    * commit and checkpoint advance is recognized and skipped (None).
+    * A NO-OP batch commits nothing and stamps nothing — re-running a
+    * no-op is idempotent by definition, so the watermark can lag
+    * no-ops safely.
+    */
+  def mergeOnce(
+      queryId: String, batchId: Long,
+      source: DataFrame,
+      keys: Seq[(String, String)],
+      matchedClauses: Seq[Merge.WhenMatched],
+      notMatchedClauses: Seq[Merge.WhenNotMatched],
+      notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Option[Snapshot] =
+    if (lastCommittedBatch(queryId).exists(_ >= batchId)) None
+    else Some(mergeClausesMor(source, keys, matchedClauses, notMatchedClauses,
+      notMatchedBySourceClauses, numRetries, summary = Map(
+        SnapshotTable.SummaryQueryId -> queryId,
+        SnapshotTable.SummaryBatchId -> batchId.toString,
         s"${SnapshotTable.SummaryBatchPrefix}$queryId" -> batchId.toString)))
 
   /** Highest microbatch id committed by `queryId` — a pure metadata

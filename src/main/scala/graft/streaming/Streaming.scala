@@ -163,6 +163,42 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Streaming CDC upsert into a lakehouse table via merge-on-read
+    * (`stream_mor_upsert`): each microbatch keeps only the LATEST
+    * change per key (max_by over `orderCol` — a map-side-partial
+    * aggregate, so the per-batch dedup both satisfies the MERGE
+    * cardinality rule and scales), then commits through
+    * [[graft.sink.SnapshotTable.mergeOnce]]: ONE atomic snapshot =
+    * positional delete of the touched row versions + append of the
+    * upserted rows, exactly-once under foreachBatch's at-least-once
+    * delivery via the (queryId, batchId) summary watermark. The
+    * trickle-CDC-into-a-huge-table shape: per batch cost is
+    * O(changed keys), no data file is ever rewritten, and the
+    * merge-on-read debt is paid by scheduled compaction, not by the
+    * stream.
+    */
+  def startMorUpsert(
+      changes: DataFrame,
+      table: graft.sink.SnapshotTable,
+      keys: Seq[String],
+      orderCol: String,
+      checkpoint: String,
+      queryId: String) =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, max_by, struct}
+        val latest = batch.toDF()
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(struct(batch.columns.map(col): _*), col(orderCol)).as("__r"))
+          .select(batch.columns.map(c => col(s"__r.$c")): _*)
+        table.mergeOnce(queryId, batchId, latest, keys.map(k => k -> k),
+          matchedClauses = Seq(graft.sink.Merge.WhenMatched(graft.sink.Merge.UpdateAll)),
+          notMatchedClauses = Seq(graft.sink.Merge.WhenNotMatched(graft.sink.Merge.InsertAll)))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming quality enforcement (`stream_quality_gate`): every
     * microbatch is gated BEFORE it can land — a passing batch appends to
     * the main table, a failing one is quarantined WHOLE (the streaming

@@ -157,6 +157,34 @@ class PositionalDeleteSpec extends SparkSpec {
       ((1L to 10L).filter(_ % 2 == 1) ++ (11L to 20L)).sorted)
   }
 
+  test("the probe pushes the predicate into the parquet scan (scale path)") {
+    val t = freshTable()
+    t.overwrite((1L to 1000L).toDF("id").withColumn("v", col("id").cast("double")))
+    // the probe plan a deletePositions(cond) would run: pruned columns
+    // + pushed filters must reach the scan even with _metadata selected
+    val probeShape = t.read(spark) // logical view; row-id variant shares the scan path
+    val plan = probeShape.filter(col("v") > 990.0).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && !plan.contains("PushedFilters: []"),
+      s"the positional probe must push its predicate down:\n$plan")
+  }
+
+  test("the $position_deletes metadata table serves the active (file, pos) pairs") {
+    val wh = Files.createTempDirectory("graft_pd_posmeta").toString
+    val t = SnapshotTable(wh, "ns", "pmeta")
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    assert(spark.sql("SELECT * FROM graft.ns.pmeta.position_deletes").count() == 0L)
+    t.deletePositions(spark, col("v") >= 2.0)
+    val pairs = spark.sql(
+      "SELECT file_path, pos, delete_file FROM graft.ns.pmeta.position_deletes")
+      .as[(String, Long, String)].collect()
+    assert(pairs.length == 2)
+    assert(pairs.forall(_._3.contains("snap-posdel-")))
+    assert(pairs.forall(p => p._1.nonEmpty && p._2 >= 0L))
+  }
+
   test("the $deletes metadata table lists active delete files by kind") {
     val wh = Files.createTempDirectory("graft_pd_meta").toString
     val t = SnapshotTable(wh, "ns", "mdel")

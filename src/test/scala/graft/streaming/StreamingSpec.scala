@@ -437,4 +437,35 @@ class StreamingSpec extends SparkSpec {
       Seq(1L, 3L, 4L), "already-landed rows must not be double-appended by the re-run")
     assert(quarantine.read(spark).count() == 0, "the re-run must finish the drain")
   }
+
+  test("mergeOnce skips a redelivered batch (exactly-once MOR upsert)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_mor_once").toString
+    val t = graft.sink.SnapshotTable(wh, "ns", "cdc")
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val src = Seq((1L, 10.0)).toDF("id", "v")
+    val first = t.mergeOnce("q1", 0L, src, Seq("id" -> "id"),
+      matchedClauses = Seq(graft.sink.Merge.WhenMatched(graft.sink.Merge.UpdateAll)),
+      notMatchedClauses = Seq(graft.sink.Merge.WhenNotMatched(graft.sink.Merge.InsertAll)))
+    assert(first.isDefined && first.get.deletes.exists(_.positional))
+    assert(t.read(spark).filter(col("id") === 1L).select("v").as[Double].head() == 10.0)
+    // the at-least-once redelivery: same batch id — recognized, skipped
+    val redelivered = t.mergeOnce("q1", 0L, Seq((1L, 99.0)).toDF("id", "v"),
+      Seq("id" -> "id"),
+      matchedClauses = Seq(graft.sink.Merge.WhenMatched(graft.sink.Merge.UpdateAll)),
+      notMatchedClauses = Nil)
+    assert(redelivered.isEmpty, "a committed batch id must be skipped on redelivery")
+    assert(t.read(spark).filter(col("id") === 1L).select("v").as[Double].head() == 10.0)
+    // the next batch id applies, and the watermark survives compaction
+    t.compact(spark): Unit
+    val next = t.mergeOnce("q1", 1L, Seq((2L, 20.0)).toDF("id", "v"),
+      Seq("id" -> "id"),
+      matchedClauses = Seq(graft.sink.Merge.WhenMatched(graft.sink.Merge.UpdateAll)),
+      notMatchedClauses = Nil)
+    assert(next.isDefined)
+    assert(t.mergeOnce("q1", 1L, src, Seq("id" -> "id"),
+      Seq(graft.sink.Merge.WhenMatched(graft.sink.Merge.UpdateAll)), Nil).isEmpty,
+      "the watermark must survive compaction collapsing history")
+  }
 }
