@@ -455,50 +455,31 @@ final class SnapshotTable(val root: String, val fullName: String) {
       spark: SparkSession,
       cond: org.apache.spark.sql.Column,
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val base = requireCurrent
-    require(base.format == "parquet",
-      s"positional deletes need parquet row identity (_metadata.row_index); " +
-        s"$fullName is ${base.format} — use deleteWhere or deleteRows")
-    if (base.dataDirs.isEmpty) return base
-    val probe = base.dataDirs.map(readDirWithRowId(spark, base, _))
-      .reduce(_ unionByName _)
-    val matches = probe.filter(cond)
-      .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
-    val removedAtBase = matches.count()
-    if (removedAtBase == 0L) return base
-    val delDir = Paths.get(root,
-      s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
-    matches.write.mode("overwrite").format(base.format).save(delDir)
-
-    var cur = base
+    import org.apache.spark.sql.functions.col
     var attempt = 0
     while (true) {
-      // scope: the probed dirs still present at the head we commit onto
-      // (data dirs are immutable, so surviving dirs' positions are
-      // stable; rows in rival-added dirs are out of scope by contract)
-      val applies = base.dataDirs.filter(cur.dataDirs.contains)
-      if (applies.isEmpty && cur.id != base.id) {
-        // a rival rewrote every probed dir (compaction/overwrite): the
-        // positions no longer denote those rows — surface rather than
-        // commit a delete file that can never apply
-        deleteRecursively(new File(delDir))
-        throw CommitFailedException(fullName, attempt + 1,
-          CommitConflictException(fullName, Some(base.id), Some(cur.id)))
-      }
-      // restate the count against the CURRENT head: a rival may have
-      // dropped dirs or erased overlapping rows — semi-join the head's
-      // logical row ids against the delete file (exact, key-cols-only)
-      val removed =
-        if (cur.rowCount < 0) -1L
-        else if (cur.id == base.id) removedAtBase
-        else applies.map(readDirWithRowId(spark, cur, _)).reduce(_ unionByName _)
-          .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
-          .join(broadcast(spark.read.format(base.format).load(delDir)),
-            Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol), "left_semi")
-          .count()
-      val total = if (cur.rowCount < 0 || removed < 0) -1L else cur.rowCount - removed
+      val cur = requireCurrent
+      require(cur.format == "parquet",
+        s"positional deletes need parquet row identity (_metadata.row_index); " +
+          s"$fullName is ${cur.format} — use deleteWhere or deleteRows")
+      if (cur.dataDirs.isEmpty) return cur
+      val probe = cur.dataDirs.map(readDirWithRowId(spark, cur, _))
+        .reduce(_ unionByName _)
+      val matches = probe.filter(cond)
+        .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
+      val removed = matches.count()
+      if (removed == 0L) return cur
+      val delDir = Paths.get(root,
+        s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
+      matches.write.mode("overwrite").format(cur.format).save(delDir)
+      val total = if (cur.rowCount < 0) -1L else cur.rowCount - removed
       SnapshotTable.beforeSwapHook(this, attempt)
+      // strict CAS against the probed head: positions denote rows of
+      // exactly that snapshot's files. A conflict — even a rival pure
+      // append — re-probes from scratch rather than re-scoping the file
+      // (scoping down after a rival REWRITE would silently skip the
+      // matching rows the rival moved into new dirs — Iceberg's
+      // conflicting-files validation exists for the same reason).
       val res = SnapshotTable.commitLock(root).synchronized {
         val prev = snapshots
         val head = prev.filterNot(_.staged).lastOption
@@ -511,7 +492,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
             summary = SnapshotTable.carriedSummary(cur.summary),
             deletes = cur.deletes :+ EqualityDelete(delDir,
               Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol),
-              applies, Some(base.format), positional = true),
+              cur.dataDirs, Some(cur.format), positional = true),
             parentId = Some(cur.id))
           writeMetadata(prev :+ snap)
           Audit.log("table_write", fullName, Map(
@@ -522,13 +503,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
       res match {
         case Right(snap) => return snap
         case Left(conflict) =>
-          if (attempt >= numRetries) {
-            deleteRecursively(new File(delDir))
+          deleteRecursively(new File(delDir))
+          if (attempt >= numRetries)
             throw CommitFailedException(fullName, attempt + 1, conflict)
-          }
           Thread.sleep(SnapshotTable.backoffMs(attempt))
-          cur = conflict.actualParent.flatMap(id => snapshots.find(_.id == id))
-            .getOrElse(requireCurrent)
           attempt += 1
       }
     }

@@ -79,6 +79,36 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(t.snapshots.size == before)
   }
 
+  test("deletePositions under a conflicting rival rewrite re-probes, never skips rows") {
+    val t = freshTable()
+    t.overwrite((1L to 20L).toDF("id"))
+    t.append((21L to 40L).toDF("id"))
+    // a rival COMPACTION lands in the probe→swap window: every probed
+    // dir is rewritten, so the probed positions denote dead files. The
+    // delete must re-probe against the compacted layout — scoping the
+    // stale file down instead would silently skip every matching row.
+    val injecting = new java.lang.ThreadLocal[Boolean] {
+      override def initialValue(): Boolean = false
+    }
+    SnapshotTable.backoffBaseMs = 1L
+    SnapshotTable.beforeSwapHook = (table, attempt) =>
+      if ((table eq t) && attempt == 0 && !injecting.get() &&
+          table.currentSnapshot.exists(_.operation != "replace")) {
+        injecting.set(true)
+        try t.compact(spark): Unit
+        finally injecting.set(false)
+      }
+    try {
+      val snap = t.deletePositions(spark, col("id") % 4 === 0L)
+      assert(snap.operation == "delete")
+      assert(t.read(spark).count() == 30L, "all 10 matching rows must still erase")
+      assert(t.read(spark).filter(col("id") % 4 === 0L).count() == 0L)
+    } finally {
+      SnapshotTable.beforeSwapHook = (_, _) => ()
+      SnapshotTable.backoffBaseMs = 1000L
+    }
+  }
+
   test("time travel to the pre-delete snapshot shows the erased rows") {
     val t = freshTable()
     t.overwrite((1L to 20L).toDF("id"))
