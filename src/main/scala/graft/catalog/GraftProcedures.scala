@@ -151,6 +151,19 @@ object GraftProcedures {
         Seq(Array[Any](snap.id, snap.deletes.size))
       }),
 
+    ProcDef("rewrite_position_deletes",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("new_snapshot_id", LongType),
+        StructField("position_delete_files", IntegerType))),
+      "Consolidate the active positional delete files into one ((file, " +
+        "position) pairs self-scope by file path, so the union is sound); " +
+        "data files untouched; fewer than two files is a no-op.",
+      (t, in, spark) => {
+        val snap = t.consolidatePositionalDeletes(spark)
+        Seq(Array[Any](snap.id, snap.deletes.count(_.positional)))
+      }),
+
     ProcDef("create_branch",
       Seq(p("table", StringType), p("branch", StringType),
         opt("snapshot_id", LongType)),

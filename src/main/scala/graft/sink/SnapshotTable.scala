@@ -513,6 +513,68 @@ final class SnapshotTable(val root: String, val fullName: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Consolidate the ACTIVE positional delete files into one (Iceberg's
+    * `rewrite_position_deletes` maintenance action): trickle CDC leaves
+    * one small delete file per commit, and every read of a scoped dir
+    * pays one anti-join per file — this folds them into a single
+    * broadcast without touching any data file. Sound because a
+    * (file, position) pair can only ever match rows of exactly the
+    * file it names — the pairs SELF-SCOPE — so the merged entry's dir
+    * scope is simply the union of the originals' (intersected with the
+    * current dirs). Logical content is identical, so the commit is a
+    * layout-only 'replace' (the changelog skips it, like compaction).
+    * Old delete files stay on disk for time travel; expiry reclaims
+    * them with their snapshots. Fewer than two files is a no-op.
+    */
+  def consolidatePositionalDeletes(
+      spark: SparkSession,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      val (pos, eq) = cur.deletes.partition(_.positional)
+      if (pos.size < 2) return cur
+      val union = pos.map(d =>
+          spark.read.format(d.format.getOrElse(cur.format)).load(d.dir))
+        .reduce(_ unionByName _).distinct()
+      val delDir = Paths.get(root,
+        s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
+      union.write.mode("overwrite").format(cur.format).save(delDir)
+      val applies = pos.flatMap(_.applies).distinct.filter(cur.dataDirs.contains)
+      SnapshotTable.beforeSwapHook(this, attempt)
+      val res = SnapshotTable.commitLock(root).synchronized {
+        val prev = snapshots
+        val head = prev.filterNot(_.staged).lastOption
+        if (head.map(_.id) != Some(cur.id))
+          Left(CommitConflictException(fullName, Some(cur.id), head.map(_.id)))
+        else {
+          val id = prev.map(_.id).maxOption.getOrElse(0L) + 1
+          val snap = cur.copy(id = id, committedAtMs = SnapshotTable.clockMs(),
+            operation = "replace", staged = false,
+            summary = SnapshotTable.carriedSummary(cur.summary),
+            deletes = eq :+ EqualityDelete(delDir,
+              Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol),
+              applies, Some(cur.format), positional = true),
+            parentId = Some(cur.id))
+          writeMetadata(prev :+ snap)
+          Audit.log("table_write", fullName, Map(
+            "operation" -> "rewrite_position_deletes", "snapshot_id" -> id.toString))
+          Right(snap)
+        }
+      }
+      res match {
+        case Right(snap) => return snap
+        case Left(conflict) =>
+          deleteRecursively(new File(delDir))
+          if (attempt >= numRetries)
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Merge-on-read UPDATE (Iceberg's `write.update.mode=merge-on-read`
     * shape): instead of rewriting the files holding matched rows
     * ([[updateWhere]], copy-on-write), ONE atomic commit pairs a

@@ -118,6 +118,34 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(t.readSnapshot(spark, preId).count() == 20L)
   }
 
+  test("rewrite_position_deletes consolidates trickle delete files; data untouched") {
+    val wh = Files.createTempDirectory("graft_pd_cons").toString
+    val t = SnapshotTable(wh, "ns", "cons")
+    t.overwrite((1L to 30L).toDF("id"))
+    // three trickle commits → three positional delete files
+    t.deletePositions(spark, col("id") === 1L)
+    t.deletePositions(spark, col("id") === 2L)
+    t.updatePositions(spark, col("id") === 3L, Map("id" -> lit(300L)))
+    assert(t.currentSnapshot.get.deletes.count(_.positional) == 3)
+    val dataDirs = t.currentSnapshot.get.dataDirs
+    val preConsolidation = t.currentSnapshot.get.id
+    val expected = t.read(spark).select("id").as[Long].collect().sorted.toSeq
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val out = spark.sql("CALL graft.system.rewrite_position_deletes('ns.cons')")
+      .as[(Long, Int)].head()
+    assert(out._2 == 1, "three positional files must fold into one")
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "replace" && snap.dataDirs == dataDirs,
+      "consolidation is layout-only: no data dir changes")
+    assert(t.read(spark).select("id").as[Long].collect().sorted.toSeq == expected,
+      "reads must be identical before and after consolidation")
+    // logical content identical → the changelog emits nothing for it
+    assert(t.readChangelog(spark, preConsolidation, snap.id).count() == 0L)
+    // idempotent: one file left → no-op, no new commit
+    assert(t.consolidatePositionalDeletes(spark).id == snap.id)
+  }
+
   test("compaction bakes positional deletes in and drops the delete file") {
     val t = freshTable()
     t.overwrite((1L to 30L).toDF("id"))
