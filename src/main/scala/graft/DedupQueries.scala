@@ -192,6 +192,59 @@ object DedupQueries {
              |FROM documents GROUP BY md5(text)""".stripMargin),
       doc = "exact dedup by content hash; text never shuffles, only (hash, id)"),
 
+    "corpus_dedup_apply" -> QueryDef(
+      (s, dir) => {
+        // the dedup verdict APPLIED to a governed corpus table — the
+        // end-to-end shape a 100 TB training-data lake needs: dedup must
+        // not rewrite the corpus. The loser set (every copy beyond the
+        // canonical min-doc_id per content hash) lands as an O(losers)
+        // MERGE-ON-READ equality delete on doc_id: zero corpus files
+        // rewritten (pinned), reads anti-join the small delete file,
+        // compaction pays the debt at maintenance time. The fixture
+        // corpus is documents plus two deterministic clone waves — one
+        // with HIGHER ids (originals win) and one with LOWER ids (the
+        // clone wins, so canonicalization is exercised both ways).
+        import org.apache.spark.sql.functions.min
+        val wh = MetaQueries.freshWarehouse("corpus_dedup_apply")
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
+        val docs = tbl(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val corpus = docs
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") - 100000L))
+        table.overwrite(corpus): Unit
+        val before = table.currentSnapshot.get.rowCount
+        val dirsBefore = table.currentSnapshot.get.dataDirs
+        // verdict: keep the canonical min doc_id per content hash; every
+        // other copy is a loser. Only (hash, id) shuffles — never text.
+        val keep = table.read(s)
+          .groupBy(org.apache.spark.sql.functions.md5(col("text")))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val losers = table.read(s).select("doc_id")
+          .join(keep, Seq("doc_id"), "left_anti")
+        val snap = table.deleteWhere(losers, Seq("doc_id"))
+        require(snap.operation == "delete" && snap.dataDirs == dirsBefore &&
+          snap.deletes.nonEmpty && snap.rowCount < before,
+          "applying the dedup verdict must be a merge-on-read delete, " +
+            s"never a corpus rewrite (op=${snap.operation})")
+        table.read(s).select("doc_id", "lang", "source", "n_chars")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, lang, source, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT doc_id - 100000, text, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+             |SELECT c.doc_id, c.lang, c.source, c.n_chars
+             |FROM corpus c JOIN keep USING (doc_id)""".stripMargin),
+      doc = "dedup verdict applied to the governed corpus: losers erase as an " +
+        "O(losers) merge-on-read equality delete — zero corpus files rewritten"),
+
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => Dedup.jaccardPairs(
         Dedup.sharedPostings(tbl(s, dir, "documents"), "text", 3),
