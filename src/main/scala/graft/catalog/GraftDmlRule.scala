@@ -57,7 +57,7 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Merge.Update(assignments.map(a =>
                 topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
               rest.map(xlate(_, tSet, sSet)))),
-            notMatchedClauses = Nil)
+            notMatchedClauses = Nil, modeProperty = "write.update.mode")
         // UPDATE ... WHERE NOT EXISTS (corr): the inverted detection —
         // exactly MERGE's third arm (WHEN NOT MATCHED BY SOURCE), an
         // anti-join of the broadcast subquery keys. NULL-keyed target
@@ -70,7 +70,8 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
               Merge.Update(assignments.map(a =>
                 topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
-              rest.map(xlate(_, tSet, sSet)))))
+              rest.map(xlate(_, tSet, sSet)))),
+            modeProperty = "write.update.mode")
         case None =>
           lowerCorrScalarUpdate(t, assignments, condition, tSet).getOrElse(
             GraftUpdateCommand(
@@ -110,7 +111,7 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftMergeCommand(t.snapTable, srcPlan, keys,
             matchedClauses = Seq(Merge.WhenMatched(
               Merge.Delete, rest.map(xlate(_, tSet, sSet)))),
-            notMatchedClauses = Nil)
+            notMatchedClauses = Nil, modeProperty = "write.delete.mode")
         // DELETE ... WHERE NOT EXISTS (corr): retire target rows with
         // no matching subquery row — MERGE's third arm (anti-join of
         // the broadcast keys), the full-sync retirement shape
@@ -119,7 +120,8 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftMergeCommand(t.snapTable, srcPlan, keys,
             matchedClauses = Nil, notMatchedClauses = Nil,
             notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
-              Merge.Delete, rest.map(xlate(_, tSet, sSet)))))
+              Merge.Delete, rest.map(xlate(_, tSet, sSet)))),
+            modeProperty = "write.delete.mode")
         case None =>
           // scalar/EXISTS-only subquery conditions: evaluate statement-
           // level via the deferred machinery on the UPDATE-free engine
@@ -309,11 +311,22 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         strip(sub.plan) match {
           case Aggregate(Seq(), Seq(outExpr), aggChild, _) =>
-            val aggFuns = outExpr.collect {
-              case ae: AggregateExpression => ae.aggregateFunction
+            // the output must be the NULL-on-empty aggregate DIRECTLY
+            // (under Alias/Cast only): any surrounding expression — a
+            // COALESCE, CASE, arithmetic — can map the empty-group NULL
+            // to a non-NULL value, and the BY SOURCE arm's Literal(null)
+            // substitution would then be silently wrong for keyless rows
+            // (the count-bug's general form)
+            def bare(e: Expression): Expression = e match {
+              case org.apache.spark.sql.catalyst.expressions.Alias(c, _) => bare(c)
+              case c: org.apache.spark.sql.catalyst.expressions.Cast => bare(c.child)
+              case other => other
             }
-            val nullOnEmpty = aggFuns.nonEmpty && aggFuns.forall {
-              case _: Max | _: Min | _: Sum | _: Average => true
+            val nullOnEmpty = bare(outExpr) match {
+              case ae: AggregateExpression => ae.aggregateFunction match {
+                case _: Max | _: Min | _: Sum | _: Average => true
+                case _ => false
+              }
               case _ => false
             }
             if (!nullOnEmpty || outExpr.exists(_.isInstanceOf[OuterReference])) None
@@ -339,7 +352,8 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   Merge.Update(sets(valAl.toAttribute)), cond)),
                 notMatchedClauses = Nil,
                 notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
-                  Merge.Update(sets(Literal.create(null, sub.dataType))), cond))))
+                  Merge.Update(sets(Literal.create(null, sub.dataType))), cond)),
+                modeProperty = "write.update.mode"))
             }
           case _ => None
         }
@@ -702,7 +716,13 @@ final case class GraftMergeCommand(
     keys: Seq[(String, String)],
     matchedClauses: Seq[Merge.WhenMatched],
     notMatchedClauses: Seq[Merge.WhenNotMatched],
-    notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil)
+    notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil,
+    // which Iceberg write-mode property routes this statement: a real
+    // MERGE follows write.merge.mode, but a subquery-shaped UPDATE or
+    // DELETE lowered onto the merge engine must keep following ITS
+    // verb's property (write.update.mode / write.delete.mode) — the
+    // user configured the verb, not the lowering
+    modeProperty: String = "write.merge.mode")
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     graft.governance.AccessControl.checkTableAccess(spark,
@@ -714,7 +734,7 @@ final case class GraftMergeCommand(
     val engine: (org.apache.spark.sql.DataFrame, Seq[(String, String)],
         Seq[Merge.WhenMatched], Seq[Merge.WhenNotMatched],
         Seq[Merge.WhenNotMatchedBySource]) => Any =
-      if (table.properties.get("write.merge.mode").contains("merge-on-read"))
+      if (table.properties.get(modeProperty).contains("merge-on-read"))
         table.mergeClausesMor(_, _, _, _, _)
       else table.mergeClauses(_, _, _, _, _)
     engine(

@@ -463,15 +463,30 @@ final class SnapshotTable(val root: String, val fullName: String) {
         s"positional deletes need parquet row identity (_metadata.row_index); " +
           s"$fullName is ${cur.format} — use deleteWhere or deleteRows")
       if (cur.dataDirs.isEmpty) return cur
-      val probe = cur.dataDirs.map(readDirWithRowId(spark, cur, _))
+      import org.apache.spark.sql.functions.lit
+      val probe = cur.dataDirs.map(d => readDirWithRowId(spark, cur, d)
+          .withColumn(SnapshotTable.RowIdDirCol, lit(d)))
         .reduce(_ unionByName _)
       val matches = probe.filter(cond)
-        .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
-      val removed = matches.count()
-      if (removed == 0L) return cur
+        .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol),
+          col(SnapshotTable.RowIdDirCol))
+      // ONE probe scan: write the (tiny) positions file, then read the
+      // count AND the touched-dir scope back from it — never a second
+      // pass over the table just to count, and the delete scopes to
+      // exactly the dirs holding matched files, so every other dir
+      // keeps the zero-metadata-cost read path
       val delDir = Paths.get(root,
         s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
       matches.write.mode("overwrite").format(cur.format).save(delDir)
+      val delFile = spark.read.format(cur.format).load(delDir)
+      val removed = delFile.count()
+      if (removed == 0L) {
+        deleteRecursively(new File(delDir))
+        return cur
+      }
+      val hitDirs = delFile.select(SnapshotTable.RowIdDirCol)
+        .distinct().collect().map(_.getString(0)).toSet
+      val applies = cur.dataDirs.filter(hitDirs.contains)
       val total = if (cur.rowCount < 0) -1L else cur.rowCount - removed
       SnapshotTable.beforeSwapHook(this, attempt)
       // strict CAS against the probed head: positions denote rows of
@@ -492,7 +507,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
             summary = SnapshotTable.carriedSummary(cur.summary),
             deletes = cur.deletes :+ EqualityDelete(delDir,
               Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol),
-              cur.dataDirs, Some(cur.format), positional = true),
+              applies, Some(cur.format), positional = true),
             parentId = Some(cur.id))
           writeMetadata(prev :+ snap)
           Audit.log("table_write", fullName, Map(
@@ -606,16 +621,29 @@ final class SnapshotTable(val root: String, val fullName: String) {
       sets.keys.foreach(k => require(schemaCols.exists(_._1 == k),
         s"UPDATE on $fullName assigns unknown column $k " +
           s"(columns: ${schemaCols.map(_._1).mkString(", ")})"))
-      val probe = cur.dataDirs.map(readDirWithRowId(spark, cur, _))
+      import org.apache.spark.sql.functions.lit
+      val probe = cur.dataDirs.map(d => readDirWithRowId(spark, cur, d)
+          .withColumn(SnapshotTable.RowIdDirCol, lit(d)))
         .reduce(_ unionByName _)
       val matched = probe.filter(cond)
       val positions = matched
-        .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol))
-      val removed = positions.count()
-      if (removed == 0L) return cur
+        .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol),
+          col(SnapshotTable.RowIdDirCol))
+      // write the positions file first, count + scope from the (tiny)
+      // file — the table-sized probe runs twice total (positions write,
+      // updated-rows write), never a third time for a count
       val delDir = Paths.get(root,
         s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
       positions.write.mode("overwrite").format(cur.format).save(delDir)
+      val delFile = spark.read.format(cur.format).load(delDir)
+      val removed = delFile.count()
+      if (removed == 0L) {
+        deleteRecursively(new File(delDir))
+        return cur
+      }
+      val hitDirs = delFile.select(SnapshotTable.RowIdDirCol)
+        .distinct().collect().map(_.getString(0)).toSet
+      val applies = cur.dataDirs.filter(hitDirs.contains)
       val updated = matched.select(schemaCols.map { case (n, t) =>
         sets.get(n).map(_.cast(t).as(n)).getOrElse(col(n))
       }: _*)
@@ -627,7 +655,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
         return commit(updated, "update", carryPrevious = true,
           partitionCols = pcols, sortCols = WriteSortOrder.sortCols(this),
           format = cur.format, numRetries = 0,
-          expectedBase = Some(Some(cur.id)), posDelete = Some((delDir, removed)))
+          expectedBase = Some(Some(cur.id)),
+          posDelete = Some((delDir, removed, applies)))
       catch {
         case e: CommitFailedException =>
           // the commit cleaned up its own data dir; the delete file is
@@ -1097,7 +1126,9 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val touched: Option[(DataFrame, DataFrame)] =
         if (affected.isEmpty) None
         else {
-          val v = affected.map(readDirWithRowId(spark, cur, _)).reduce(_ unionByName _)
+          val v = affected.map(d => readDirWithRowId(spark, cur, d)
+              .withColumn(SnapshotTable.RowIdDirCol, lit(d)))
+            .reduce(_ unionByName _)
           val joined = v.alias("__t").join(src, joinCond, "left_outer")
           val preds = clausePreds(matchedCol, matchedClauses.map(_.cond)) ++
             clausePreds(!matchedCol, notMatchedBySourceClauses.map(_.cond))
@@ -1112,7 +1143,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
           val hit = joined.filter(withPred.map(_._1).reduce(_ || _))
           val positions = hit.select(
             col(s"__t.${SnapshotTable.RowIdFileCol}").as(SnapshotTable.RowIdFileCol),
-            col(s"__t.${SnapshotTable.RowIdPosCol}").as(SnapshotTable.RowIdPosCol))
+            col(s"__t.${SnapshotTable.RowIdPosCol}").as(SnapshotTable.RowIdPosCol),
+            col(s"__t.${SnapshotTable.RowIdDirCol}").as(SnapshotTable.RowIdDirCol))
           val deletePred = withPred.collect { case (p, Merge.Delete) => p }
             .reduceOption(_ || _).getOrElse(lit(false))
           val rewritten = hit.filter(!deletePred).select(schemaCols.map { case (n, t) =>
@@ -1158,19 +1190,29 @@ final class SnapshotTable(val root: String, val fullName: String) {
           }: _*))
         }
 
-      val removed = touched.map(_._1.count()).getOrElse(0L)
+      // write the (tiny) positions file first; the count and the dir
+      // scope come from IT, so the probe join runs twice total
+      // (positions write, rewritten-rows write) — never a third pass
+      // over the table just to count
+      val delInfo: Option[(String, Long, Seq[String])] = touched.flatMap {
+        case (positions, _) =>
+          val dd = Paths.get(root,
+            s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
+          positions.write.mode("overwrite").format(cur.format).save(dd)
+          val f = spark.read.format(cur.format).load(dd)
+          val removed = f.count()
+          if (removed == 0L) {
+            deleteRecursively(new File(dd)); None
+          } else {
+            val hit = f.select(SnapshotTable.RowIdDirCol)
+              .distinct().collect().map(_.getString(0)).toSet
+            Some((dd, removed, cur.dataDirs.filter(hit.contains)))
+          }
+      }
       // a merge that touches no row and inserts none is a NO-OP — a dir
       // can pass the key-level detection while every clause condition
       // fails on its rows, and committing would bloat history
-      if (removed == 0L && inserts.forall(_.isEmpty)) return cur
-      val delDir: Option[String] =
-        if (removed == 0L) None
-        else {
-          val dd = Paths.get(root,
-            s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
-          touched.get._1.write.mode("overwrite").format(cur.format).save(dd)
-          Some(dd)
-        }
+      if (delInfo.isEmpty && inserts.forall(_.isEmpty)) return cur
       val newData = (touched.map(_._2).toSeq ++ inserts.toSeq)
         .reduce(_ unionByName _)
       // keep the table's partition layout on the appended dir (when the
@@ -1182,10 +1224,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
           partitionCols = pcols, sortCols = WriteSortOrder.sortCols(this),
           format = cur.format, numRetries = 0,
           expectedBase = Some(Some(cur.id)), summary = summary,
-          posDelete = delDir.map(_ -> removed))
+          posDelete = delInfo)
       catch {
         case e: CommitFailedException =>
-          delDir.foreach(d => deleteRecursively(new File(d)))
+          delInfo.foreach(d => deleteRecursively(new File(d._1)))
           if (attempt >= numRetries) throw e
           Thread.sleep(SnapshotTable.backoffMs(attempt))
           attempt += 1
@@ -1214,6 +1256,9 @@ final class SnapshotTable(val root: String, val fullName: String) {
       spark: SparkSession, snap: Snapshot,
       shape: DataFrame => DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.lit
+    // an empty table (TRUNCATE, empty overwrite) holds no affected dir
+    // — and the union below would throw on an empty reduce
+    if (snap.dataDirs.isEmpty) return Nil
     val tagged = snap.dataDirs
       .map(d => readDir(spark, snap, d).withColumn("__graft_dir", lit(d)))
       .reduce(_ unionByName _)
@@ -2596,13 +2641,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // the caller computed its payload FROM that head, so pair it with
       // numRetries = 0 — a conflict must surface, not blind-retry
       expectedBase: Option[Option[Long]] = None,
-      // (delete-file dir, rows it removes): a POSITIONAL delete riding
-      // the same snapshot as the data write — the merge-on-read UPDATE
-      // shape (delete old positions + append new rows, one atomic
-      // commit). Scope resolves to the head's dirs at swap time, so
-      // callers must pair it with expectedBase CAS pinning (the
-      // positions were probed against exactly that head).
-      posDelete: Option[(String, Long)] = None): Snapshot = {
+      // (delete-file dir, rows it removes, dirs it scopes to): a
+      // POSITIONAL delete riding the same snapshot as the data write —
+      // the merge-on-read UPDATE/MERGE shape (delete old positions +
+      // append new rows, one atomic commit). The scope is the matched
+      // files' dirs only; callers must pair this with expectedBase CAS
+      // pinning (the positions were probed against exactly that head).
+      posDelete: Option[(String, Long, Seq[String])] = None): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
     // `table-templates/_schema.json:100-103`). avro is declared-but-
     // unavailable here: the DataFrame avro source lives in the external
@@ -2799,7 +2844,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       branch: Option[String] = None,
       summary: Map[String, String] = Map.empty,
       emptyWrite: Boolean = false,
-      posDelete: Option[(String, Long)] = None): Either[CommitConflictException, Snapshot] =
+      posDelete: Option[(String, Long, Seq[String])] = None): Either[CommitConflictException, Snapshot] =
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
       // commits CAS against (and carry from) the PUBLISHED head: staged
@@ -2926,10 +2971,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
           // branch commits stay invisible to published reads until
           // fastForward flips them — the same mechanism as a WAP stage
           staged = stageOnly || branch.isDefined,
-          deletes = carriedDeletes0 ++ posDelete.map { case (delDir, _) =>
+          deletes = carriedDeletes0 ++ posDelete.map { case (delDir, _, scope) =>
             EqualityDelete(delDir,
               Seq(SnapshotTable.RowIdFileCol, SnapshotTable.RowIdPosCol),
-              applies = head.map(_.dataDirs).getOrElse(Nil), Some(format),
+              applies = scope.filter(
+                head.map(_.dataDirs).getOrElse(Nil).contains), Some(format),
               positional = true)
           },
           parentId = Some(actualParent.getOrElse(0L)),
@@ -3534,6 +3580,14 @@ object SnapshotTable {
     */
   val RowIdFileCol = "__graft_pd_file"
   val RowIdPosCol = "__graft_pd_pos"
+
+  /** Third column of a positional delete file: the data DIR containing
+    * the matched file, written so the delete's `applies` scope can be
+    * derived from the (tiny) delete file itself — a single-row delete
+    * then scopes to ONE dir, and every other dir keeps the zero-cost
+    * read path. Ignored by the read-side anti-join (keys are file+pos).
+    */
+  val RowIdDirCol = "__graft_pd_dir"
 
   val SummaryQueryId = "streaming.query-id"
   val SummaryBatchId = "streaming.batch-id"

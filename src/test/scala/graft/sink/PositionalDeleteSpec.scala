@@ -263,6 +263,55 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.ns.mdel.deletes").count() == 0L)
   }
 
+  test("a positional delete scopes to the dirs holding matched files only") {
+    val t = freshTable()
+    t.overwrite((1L to 50L).toDF("id"))
+    t.append((51L to 100L).toDF("id"))
+    val dirs = t.currentSnapshot.get.dataDirs
+    // matches rows of the SECOND dir only
+    val snap = t.deletePositions(spark, col("id") > 90L)
+    val del = snap.deletes.find(_.positional).get
+    assert(del.applies == Seq(dirs.last),
+      s"scope must be the hit dir only, got ${del.applies}")
+    // the untouched dir keeps the zero-metadata-cost read path
+    val plan = t.read(spark).queryExecution.optimizedPlan.toString
+    assert(plan.contains(SnapshotTable.RowIdFileCol))
+    assert(t.read(spark).count() == 90L)
+  }
+
+  test("merge into an empty (truncated) table inserts instead of crashing") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "v"))
+    t.overwrite(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      t.read(spark).schema)): Unit // empty table, dataDirs = Nil
+    assert(t.currentSnapshot.get.dataDirs.isEmpty)
+    val snap = t.mergeClausesMor(Seq((5L, 50.0)).toDF("id", "v"), Seq("id" -> "id"),
+      matchedClauses = Seq(Merge.WhenMatched(Merge.UpdateAll)),
+      notMatchedClauses = Seq(Merge.WhenNotMatched(Merge.InsertAll)))
+    assert(snap.operation == "merge")
+    assert(t.read(spark).as[(Long, Double)].collect().toSeq == Seq((5L, 50.0)),
+      "the CDC bootstrap into an empty table must insert")
+  }
+
+  test("subquery-shaped UPDATE honors write.update.mode, not write.merge.mode") {
+    val wh = Files.createTempDirectory("graft_pd_mode").toString
+    val t = SnapshotTable(wh, "ns", "modet")
+    t.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    Seq(1L).toDF("k").createOrReplaceTempView("pd_mode_keys")
+    val origDirs = t.currentSnapshot.get.dataDirs
+    spark.sql("""UPDATE graft.ns.modet SET v = v + 10
+                |WHERE id IN (SELECT k FROM pd_mode_keys)""".stripMargin)
+    val snap = t.currentSnapshot.get
+    assert(origDirs.forall(snap.dataDirs.contains) && snap.deletes.exists(_.positional),
+      "an IN-shaped UPDATE must follow the UPDATE verb's merge-on-read mode")
+    assert(t.read(spark).orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 11.0), (2L, 2.0)))
+  }
+
   test("non-parquet tables reject positional deletes with the remediation") {
     val wh = Files.createTempDirectory("graft_pd_fmt").toString
     val t = SnapshotTable(wh, "ns", "ptf")

@@ -522,6 +522,14 @@ class RowLevelSpec extends SparkSpec {
       """UPDATE graft.ns.cst t
         |SET best = (SELECT count(*) FROM rl_cs_src s WHERE s.k = t.id)""".stripMargin))
     assert(e.getMessage.contains("subquery"), e.getMessage)
+    // ... and so does ANY NULL-to-non-NULL wrapper around a legal
+    // aggregate (coalesce maps the empty-group NULL to 0 — substituting
+    // NULL on the keyless arm would silently diverge)
+    val e2 = intercept[Exception](spark.sql(
+      """UPDATE graft.ns.cst t
+        |SET best = (SELECT coalesce(max(v), 0.0) FROM rl_cs_src s
+        |            WHERE s.k = t.id)""".stripMargin))
+    assert(e2.getMessage.contains("subquery"), e2.getMessage)
   }
 
   test("uncorrelated SCALAR subqueries in DML materialize once per statement") {
