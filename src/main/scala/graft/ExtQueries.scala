@@ -438,7 +438,11 @@ object ExtQueries {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         val wh = MetaQueries.freshWarehouse("stream_mor_upsert")
         val table = graft.sink.SnapshotTable(wh, "lakehouse", "customer_cdc")
+        // a bounded dimension slice: the operator under test is the
+        // per-batch MOR merge machinery, not shoveling the full table
+        // through the driver-local MemoryStream at every scale
         val c = Queries.tbl(s, dir, "customer")
+          .filter(col("c_custkey") <= 5000)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         table.overwrite(c): Unit
         val origDirs = table.currentSnapshot.get.dataDirs
@@ -475,15 +479,16 @@ object ExtQueries {
             s"(op=${snap.operation})")
         table.read(s).select("c_custkey", "c_name", "c_acctbal")
       },
-      Some("""SELECT c_custkey, c_name,
+      Some("""WITH c AS (SELECT * FROM customer WHERE c_custkey <= 5000)
+             |SELECT c_custkey, c_name,
              |  CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 200.0
              |       WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
              |       ELSE c_acctbal END AS c_acctbal
-             |FROM customer
+             |FROM c
              |UNION ALL
-             |SELECT c_custkey + (SELECT max(c_custkey) FROM customer),
+             |SELECT c_custkey + (SELECT max(c_custkey) FROM c),
              |  'new' AS c_name, c_acctbal
-             |FROM customer WHERE c_custkey % 7 = 3""".stripMargin),
+             |FROM c WHERE c_custkey % 7 = 3""".stripMargin),
       doc = "streaming CDC upsert via merge-on-read: per-batch max_by dedup + " +
         "mergeOnce (atomic positional-delete + append, exactly-once watermark); " +
         "last-write-wins across batches, no data file rewritten"),
