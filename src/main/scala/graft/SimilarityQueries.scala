@@ -403,18 +403,24 @@ object SimilarityQueries {
   def defs: Map[String, QueryDef] = Map(
 
     "embedding_quantize_int8" -> QueryDef(
-      (s, dir) => Similarity.quantizeInt8(tbl(s, dir, "embeddings")),
+      // the driver's compare harness sorts rows with pandas, which cannot
+      // order array cells (r12 gate: "unhashable type: numpy.ndarray") —
+      // oracle-keyed registry outputs must be flat, so the code array is
+      // serialized to a comma-joined string on BOTH sides; the library
+      // API (Similarity.quantizeInt8) still returns the real tinyint array
+      (s, dir) => Similarity.quantizeInt8(tbl(s, dir, "embeddings"))
+        .withColumn("q", array_join(transform(col("q"), _.cast("string")), ",")),
       Some("""WITH sc AS (
              |  SELECT vec_id, label, embedding,
              |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
              |      AS scale
              |  FROM embeddings)
              |SELECT vec_id, label, CAST(scale AS DOUBLE) AS scale,
-             |  list_transform(embedding, x -> CAST(
+             |  array_to_string(list_transform(embedding, x -> CAST(
              |    CASE WHEN scale = 0 THEN 0
              |         ELSE greatest(-127, least(127,
              |                floor(CAST(x AS DOUBLE) / scale + 0.5))) END
-             |    AS TINYINT)) AS q
+             |    AS TINYINT)), ',') AS q
              |FROM sc""".stripMargin),
       doc = "symmetric per-vector int8 quantization (scale = max|x|/127, " +
         "explicit floor(v+0.5) round) - the 4x compression step before ANN " +

@@ -267,6 +267,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("every oracle-keyed registry output has a flat (driver-comparable) schema") {
+    // the driver's compare sorts rows with pandas, which cannot order
+    // array/map/struct cells — r12's gate crashed on exactly this
+    // (embedding_quantize_int8). Nested types stay legal for the
+    // oracle-LESS keys (rows-only check never sorts).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for ((k, d) <- Queries.all if d.oracle.isDefined) {
+      val nested = d.fn(spark, dir).schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(nested.isEmpty,
+        s"$k has oracle but nested output columns ${nested.map(_.name).mkString(", ")} — " +
+          "the driver's pandas row-sort crashes on these; serialize or explode them")
+    }
+  }
+
   test("no query in the registry plans a cartesian product or nested-loop join") {
     for ((k, d) <- Queries.all) {
       val p = d.fn(spark, dir).queryExecution.executedPlan.toString
