@@ -453,6 +453,55 @@ object DedupQueries {
              |       sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))), 4) AS cos
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
              |SELECT vec_a, vec_b, block, cos FROM p WHERE cos >= 0.3""".stripMargin),
-      doc = "embedding cosine near-dup within blocking key (IVF-cell pattern)")
+      doc = "embedding cosine near-dup within blocking key (IVF-cell pattern)"),
+
+    "dedup_substring_spans" -> QueryDef(
+      (s, dir) => Dedup.substringSpans(tbl(s, dir, "documents"), "text", w = 12),
+      Some(s"""WITH ${substringIslandsSql(12)}
+              |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+              |  CAST(max(pos) + 12 AS INT) AS span_end,
+              |  CAST(max(pos) + 12 - min(pos) AS INT) AS span_tokens
+              |FROM isl GROUP BY doc_id, island""".stripMargin),
+      doc = "exact-substring dedup (Lee et al. 2022): maximal token spans " +
+        "covered by any 12-token window repeated corpus-wide - the " +
+        "span-cut list a training pipeline applies before tokenization"),
+
+    "dedup_substring_stats" -> QueryDef(
+      (s, dir) => Dedup.substringStats(tbl(s, dir, "documents"), "text", w = 12),
+      Some(s"""WITH ${substringIslandsSql(12)},
+              |spans AS (
+              |  SELECT doc_id, CAST(sum(sp) AS BIGINT) AS dup_tokens FROM (
+              |    SELECT doc_id, max(pos) + 12 - min(pos) AS sp
+              |    FROM isl GROUP BY doc_id, island) GROUP BY doc_id),
+              |sz AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+              |  AS n_tokens FROM documents)
+              |SELECT sz.doc_id, sz.n_tokens,
+              |  coalesce(spans.dup_tokens, 0) AS dup_tokens,
+              |  round(coalesce(spans.dup_tokens, 0) / CAST(sz.n_tokens AS DOUBLE), 6) AS dup_ratio
+              |FROM sz LEFT JOIN spans USING (doc_id)""".stripMargin),
+      doc = "per-doc duplicated-token coverage under exact-substring dedup - " +
+        "the corpus-health readout that decides whether span-cutting pays")
   )
+
+  /** DuckDB CTE chain shared by the exact-substring ops: 12-token window
+    * fingerprints -> corpus-wide occurrence >= 2 -> duplicated start
+    * positions -> gaps-and-islands span grouping (`isl`), mirroring
+    * [[graft.dedup.Dedup.substringSpans]] exactly.
+    */
+  private def substringIslandsSql(w: Int): String =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    md5(array_to_string(toks[CAST(i AS INT) + 1 : CAST(i AS INT) + $w], ' ')) AS g
+       |  FROM t, LATERAL (SELECT unnest(range(len(toks) - ${w - 1})) AS i) gs
+       |  WHERE len(toks) >= $w),
+       |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+       |starts AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+       |flag AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos <= max(pos + $w) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS ni
+       |  FROM starts),
+       |isl AS (SELECT doc_id, pos,
+       |  sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM flag)""".stripMargin
 }

@@ -591,6 +591,44 @@ object TextQueries {
              |FROM r JOIN s USING (src)""".stripMargin),
       doc = "deterministic round-robin source interleaving (training-mix ordering)"),
 
+    "sample_dsir_weights" -> QueryDef(
+      (s, dir) =>
+        // DSIR (Xie et al. 2023): hashed-unigram importance weights of
+        // every doc toward the English slice as target distribution;
+        // rank 1 = most target-like. B-row model state, broadcast
+        // log-ratio table, two-pass distributed rank — see
+        // graft.text.TrainingMix.dsirWeights scale notes.
+        graft.text.TrainingMix.dsirWeights(
+          tbl(s, dir, "documents"), "text", col("lang") === "en",
+          buckets = 4096, nParts = graft.text.TrainingMix.defaultShards(s)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang = 'en' AS is_target,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |tb AS (SELECT doc_id, is_target,
+             |  CAST(CONCAT('0x', substr(md5(tok), 1, 6)) AS INT) % 4096 AS b FROM t),
+             |db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
+             |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE is_target GROUP BY 1),
+             |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+             |  CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS nt FROM tb),
+             |lam AS (
+             |  SELECT raw.b,
+             |    ln((coalesce(tgt.ct, 0) + 1) / CAST(tot.nt + 4096 AS DOUBLE))
+             |    - ln((raw.cr + 1) / CAST(tot.nr + 4096 AS DOUBLE)) AS lam
+             |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+             |sc AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    round(sum(c * lam), 4) AS logw
+             |  FROM db JOIN lam USING (b) GROUP BY 1)
+             |SELECT doc_id, n_tokens, logw,
+             |  CAST(row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS INT) AS rank
+             |FROM sc""".stripMargin),
+      doc = "DSIR importance weights (Xie et al. 2023): hashed-unigram " +
+        "log-likelihood ratio of a target slice vs the raw corpus, " +
+        "deterministic top-rank selection - the data-selection stage " +
+        "between quality filtering and sampling"),
+
     "corpus_length_hist" -> QueryDef(
       (s, dir) => {
         // per-source token-length histogram on log2 buckets — the

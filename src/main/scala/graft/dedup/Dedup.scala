@@ -596,4 +596,80 @@ object Dedup {
       .select(col("vec_id"), col("cell"),
         not(coalesce(col("_dropped"), lit(false))).as("kept"))
   }
+
+  /** (doc_id, pos, g) fingerprints of every `w`-token window — the
+    * row view both exact-substring ops share. md5 keeps the oracle
+    * bit-parity contract (an engine-default build would swap xxhash64,
+    * like the cdc/fingerprint twins); positions are 0-based.
+    */
+  private def windowGrams(df: DataFrame, textCol: String, w: Int): DataFrame = {
+    val toks = df.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until w).map(o => lead(col("tok"), o).over(win).as(s"_t$o"))
+    toks.select(col("doc_id") +: col("pos") +: col("tok").as("_t0") +: leads: _*)
+      .filter(col(s"_t${w - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (0 until w).map(o => col(s"_t$o")): _*)).as("g"))
+  }
+
+  /** `dedup_substring_spans`: exact-substring duplicated spans (the
+    * suffix-array dedup of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed as a window-fingerprint
+    * join): any `w`-token window whose exact text occurs >= 2 times
+    * corpus-wide (within-doc repeats count — self-plagiarized boilerplate
+    * is still duplicated text) marks its token positions duplicated;
+    * overlapping/adjacent duplicated windows merge into maximal spans via
+    * gaps-and-islands (running max of span end, island break when a start
+    * clears it).
+    *
+    * Scale: the gram view is linear in corpus tokens (one posexplode +
+    * per-doc lead window, no shuffle beyond the doc partitioning);
+    * occurrence counting is one hash shuffle on the 16-byte fingerprint
+    * with map-side partial counts; the duplicated-gram set is tiny after
+    * the >=2 filter, so the join back is effectively a semi-join; the
+    * island windows partition by doc_id — bounded by document length,
+    * never corpus-wide. No all-pairs stage anywhere, unlike the
+    * quadratic candidate joins the reference's athena templates imply
+    * (docs/deep-dive.md:49-72 stops at engine-delegated SQL).
+    *
+    * @return (doc_id, span_start, span_end, span_tokens) — token-index
+    *         half-open [start, end) spans to cut before training.
+    */
+  def substringSpans(df: DataFrame, textCol: String = "text", w: Int = 12): DataFrame = {
+    val grams = windowGrams(df, textCol, w)
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("g")
+    val starts = grams.join(dup, "g").select("doc_id", "pos")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = starts
+      .withColumn("prev_end",
+        max(col("pos") + lit(w)).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(byPos))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** `dedup_substring_stats`: per-document duplicated-token coverage
+    * under [[substringSpans]] — every doc gets a row (clean docs report
+    * 0 / 0.0), dup_ratio = covered tokens / total tokens at 6 dp. The
+    * corpus-health readout that decides whether span-cutting is worth a
+    * rewrite pass at all.
+    */
+  def substringStats(df: DataFrame, textCol: String = "text", w: Int = 12): DataFrame = {
+    val spans = substringSpans(df, textCol, w)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
+    val sizes = df.select(col("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+    sizes.join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
 }

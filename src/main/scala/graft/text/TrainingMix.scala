@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.plans.DistributedRank
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -269,5 +269,66 @@ object TrainingMix {
     ranked.join(broadcast(sources), "_src")
       .select(col("doc_id"), col("source"),
         (col("rk") * col("n_sources") + col("source_idx")).cast("long").as("pos"))
+  }
+
+  /** `sample_dsir_weights`: Data Selection via Importance Resampling
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by its log importance weight
+    * under hashed-unigram bag-of-words models of a TARGET slice vs the
+    * whole raw corpus,
+    *
+    *   log w(doc) = sum_b n(doc, b) * (ln p_target(b) - ln p_raw(b))
+    *
+    * with add-one smoothing over `buckets` hash buckets. Ranking by
+    * log-weight is the deterministic (temperature-0 Gumbel-top-k)
+    * selection variant — the pipeline keeps the top token budget.
+    *
+    * Scale: the token->bucket map is a pure projection; both feature
+    * models are `buckets`-row aggregates (one hash shuffle each with
+    * map-side partial counts — model state is bounded by B, never
+    * corpus-sized); per-doc scoring joins (doc, bucket) counts against
+    * the broadcast B-row log-ratio table; the final rank is a two-pass
+    * [[DistributedRank]], never a single-task global window. Bucket hash
+    * is md5-derived for oracle bit-parity (production swaps xxhash64).
+    *
+    * @param target  boolean Column marking the target-distribution docs
+    *                (they stay in the scored output — DSIR scores the
+    *                raw corpus, which includes them)
+    * @return (doc_id, n_tokens, logw, rank) — rank 1 = most target-like.
+    */
+  def dsirWeights(
+      docs: DataFrame, textCol: String, target: Column,
+      buckets: Int, nParts: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs
+      .select(col("doc_id"), target.as("is_target"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("int"), lit(buckets)))
+    val docBuckets = toks.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // raw model over ALL buckets present in the corpus; target counts
+    // left-joined (absent bucket -> smoothed 1/(nt+B)). A bucket absent
+    // from raw cannot occur in any doc, so the lambda table is complete.
+    val tgt = toks.filter(col("is_target"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = toks.agg(
+      count(lit(1)).as("nr"),
+      count(when(col("is_target"), lit(1))).as("nt"))
+    val lam = raw.join(tgt, Seq("b"), "left_outer").crossJoin(totals)
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("nt") + lit(buckets.toLong)).cast("double")) -
+          log((col("cr") + lit(1L)).cast("double") /
+            (col("nr") + lit(buckets.toLong)).cast("double"))).as("lam"))
+    val scored = docBuckets.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c").cast("double") * col("lam")), 4).as("logw"))
+    DistributedRank.withGlobalRank(scored, keyCols = Seq.empty,
+        order = Seq(col("logw").desc, col("doc_id").asc), nParts = nParts)
+      .select(col("doc_id"), col("n_tokens"), col("logw"),
+        col("_rk").cast("int").as("rank"))
   }
 }

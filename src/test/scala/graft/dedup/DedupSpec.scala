@@ -233,4 +233,43 @@ class DedupSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
     assert(out.count() == 0)
   }
+
+  test("substring spans: cross-doc repeated windows merge into maximal spans") {
+    val shared = (1 to 14).map(i => s"w$i").mkString(" ")
+    val fix = Seq(
+      (1L, shared + " unique1 tail1 a b"), // dup windows start 0,1,2
+      (2L, "lead2 x " + shared + " ending2"), // dup windows start 2,3,4
+      (3L, "totally different words " + (1 to 12).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(fix, "text", w = 12).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // three overlapping duplicated windows merge into ONE [start, end) span
+    // per doc; the clean doc emits nothing
+    assert(spans == Set((1L, 0, 14, 14), (2L, 2, 16, 14)))
+  }
+
+  test("substring spans: within-doc repeats are duplication; disjoint runs stay split") {
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val fix = Seq((7L, run + " mid " + run)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(fix, "text", w = 12).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).toSet
+    // the run occurs at token 0 and token 13: two islands (13 > 0 + 12),
+    // windows crossing 'mid' are unique and never bridge them
+    assert(spans == Set((0, 12), (13, 25)))
+  }
+
+  test("substring stats: every doc reports coverage; clean docs report zero") {
+    val shared = (1 to 14).map(i => s"w$i").mkString(" ")
+    val fix = Seq(
+      (1L, shared + " unique1 tail1 a b"), // 18 tokens, 14 duplicated
+      (2L, "lead2 x " + shared + " ending2"),
+      (3L, "clean short doc"))
+      .toDF("doc_id", "text")
+    val st = Dedup.substringStats(fix, "text", w = 12).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(st(1L) == ((18, 14L, math.round(14.0 / 18 * 1e6) / 1e6)))
+    assert(st(2L)._2 == 14L)
+    assert(st(3L) == ((3, 0L, 0.0)))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.{Queries, SparkSpec}
+import org.apache.spark.sql.functions.col
 
 class TrainingMixSpec extends SparkSpec {
 
@@ -174,5 +175,27 @@ class TrainingMixSpec extends SparkSpec {
         n = 4L, nParts = 3, keep = Seq("doc_id", "source"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(repart == expected)
+  }
+
+  test("dsirWeights: target-like vocabulary ranks first, invariant to partitioning") {
+    val docs = Seq(
+      (1L, "aa aa aa aa", true),
+      (2L, "aa aa bb bb", true),
+      (3L, "aa aa aa bb", false),
+      (4L, "bb bb bb bb", false),
+      (5L, "cc cc cc cc", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = TrainingMix.dsirWeights(docs, "text", col("tgt"),
+        buckets = 4096, nParts = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out.size == 5 && out.values.forall(_._1 == 4L))
+    // target model is 'aa'-heavy -> more 'aa' means higher weight; the
+    // never-seen-in-target vocabulary ('cc') ranks dead last
+    assert(out.toSeq.sortBy(_._2._3).map(_._1) == Seq(1L, 3L, 2L, 4L, 5L))
+    assert(out(1L)._2 > out(3L)._2 && out(4L)._2 > out(5L)._2)
+    val repart = TrainingMix.dsirWeights(docs.repartition(7, col("doc_id")),
+        "text", col("tgt"), buckets = 4096, nParts = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(repart == out)
   }
 }
