@@ -480,7 +480,28 @@ object DedupQueries {
               |  round(coalesce(spans.dup_tokens, 0) / CAST(sz.n_tokens AS DOUBLE), 6) AS dup_ratio
               |FROM sz LEFT JOIN spans USING (doc_id)""".stripMargin),
       doc = "per-doc duplicated-token coverage under exact-substring dedup - " +
-        "the corpus-health readout that decides whether span-cutting pays")
+        "the corpus-health readout that decides whether span-cutting pays"),
+
+    "dedup_substring_apply" -> QueryDef(
+      (s, dir) => Dedup.substringApply(tbl(s, dir, "documents"), "text", w = 12),
+      Some(s"""WITH ${substringIslandsSql(12)},
+              |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+              |  FROM isl GROUP BY doc_id, island),
+              |tk AS (SELECT doc_id, CAST(gs.i AS INT) AS pos,
+              |    toks[CAST(gs.i AS INT) + 1] AS tok
+              |  FROM t, LATERAL (SELECT unnest(range(len(toks))) AS i) gs),
+              |kept AS (
+              |  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+              |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+              |    WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e)),
+              |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+              |  CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+              |  coalesce(agg.kept_tokens, 0) AS kept_tokens,
+              |  CAST(len(toks) AS INT) AS n_tokens
+              |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin),
+      doc = "span-cut rewrite: duplicated-span tokens removed, survivors " +
+        "rejoin in order; fully-duplicated docs come back empty, not dropped")
   )
 
   /** DuckDB CTE chain shared by the exact-substring ops: 12-token window

@@ -689,6 +689,21 @@ object SimilarityQueries {
               |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
               |  FROM scored)
               |WHERE rank <= 5""".stripMargin),
-      doc = "hyperplane-LSH bucketed ANN: equi-join on 8-bit signature, then rank")
+      doc = "hyperplane-LSH bucketed ANN: equi-join on 8-bit signature, then rank"),
+
+    "similarity_range" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.lshRange(emb.filter(col("vec_id") < 20), emb, minCos = 0.25)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |c AS (SELECT vec_id, v, ${bucketSql("v")} AS b FROM e),
+              |q AS (SELECT vec_id AS query_id, v AS qv, b AS qb FROM c WHERE vec_id < 20),
+              |scored AS (
+              |  SELECT q.query_id, c.vec_id, ${cosSql("q.qv", "c.v")} AS cos
+              |  FROM c JOIN q ON q.qb = c.b AND q.query_id <> c.vec_id)
+              |SELECT query_id, vec_id, cos FROM scored WHERE cos >= 0.25""".stripMargin),
+      doc = "LSH radius search: every neighbor within a cosine threshold - " +
+        "no ranking stage, the filter parallelizes flat after the bucket join")
   )
 }

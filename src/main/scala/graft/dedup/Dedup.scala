@@ -661,6 +661,40 @@ object Dedup {
     * corpus-health readout that decides whether span-cutting is worth a
     * rewrite pass at all.
     */
+  /** `dedup_substring_apply`: the span-cut rewrite — every token covered
+    * by a [[substringSpans]] duplicated span is removed and the survivors
+    * rejoin in order (Lee et al. 2022 apply their suffix-array spans the
+    * same way before tokenization). Every input doc gets an output row; a
+    * fully-duplicated doc comes back empty rather than disappearing (the
+    * downstream length filter decides its fate, not the dedup op).
+    *
+    * Scale: the anti join is doc_id-equi with a positional range residual
+    * — co-partitioned with the token view, never all-pairs; the rebuild
+    * groups by doc_id with collect bounded by document length.
+    */
+  def substringApply(df: DataFrame, textCol: String = "text", w: Int = 12): DataFrame = {
+    val spans = substringSpans(df, textCol, w)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val toks = df.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
+    val kept = toks.join(spans,
+        toks("doc_id") === spans("doc_id") &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+    df.select(col("doc_id"), size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        col("n_tokens"))
+  }
+
   def substringStats(df: DataFrame, textCol: String = "text", w: Int = 12): DataFrame = {
     val spans = substringSpans(df, textCol, w)
       .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))

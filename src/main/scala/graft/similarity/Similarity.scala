@@ -162,6 +162,27 @@ object Similarity {
     rankWindow(scoreCandidates(candidates, queries, corpus), k)
   }
 
+  /** `similarity_range`: RADIUS search — every corpus vector within a
+    * cosine threshold of each query (the "find everything this similar"
+    * shape dedup and retrieval-augmentation both need, where top-k's
+    * fixed k either truncates dense neighborhoods or pads sparse ones).
+    * Candidates from the hyperplane-LSH bucket equi-join, exact cosine
+    * verify on the bounded candidate set — identical recall contract to
+    * [[lshTopK]], no ranking stage at all (no window, no global sort):
+    * the filter is embarrassingly parallel after the bucket join.
+    */
+  def lshRange(queries: DataFrame, corpus: DataFrame, minCos: Double): DataFrame = {
+    val qe = exploded(queries, "vec_id", "query_id")
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val candidates = buckets(ce, "vec_id")
+      .join(broadcast(buckets(qe, "query_id")
+        .withColumnRenamed("bucket", "qbucket")), col("bucket") === col("qbucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    scoreCandidates(candidates, queries, corpus)
+      .filter(col("cos") >= minCos)
+  }
+
   /** Per-dimension centroid view (cell, pos, c) of a corpus, using a
     * label column as the trained coarse quantizer's cells.
     */

@@ -258,6 +258,24 @@ class DedupSpec extends SparkSpec {
     assert(spans == Set((0, 12), (13, 25)))
   }
 
+  test("substring apply: covered tokens cut, survivors rejoin in order") {
+    val shared = (1 to 14).map(i => s"w$i").mkString(" ")
+    val fix = Seq(
+      (1L, shared + " unique1 tail1 a b"), // span [0,14) -> keep last 4
+      (2L, "lead2 x " + shared + " ending2"), // span [2,16) -> keep 2 + 1
+      (3L, "clean short doc"),
+      (4L, shared + " " + shared.split(" ").take(12).mkString(" "))) // check below
+      .toDF("doc_id", "text")
+    val out = Dedup.substringApply(fix, "text", w = 12).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("unique1 tail1 a b", 4L, 18)))
+    assert(out(2L) == (("lead2 x ending2", 3L, 17)))
+    assert(out(3L) == (("clean short doc", 3L, 3)))
+    // doc 4 is w1..w14 w1..w12: every 12-window of it repeats (vs docs 1/2
+    // or internally), so the whole doc is duplicated -> empty, NOT dropped
+    assert(out(4L)._1 == "" && out(4L)._2 == 0L && out(4L)._3 == 26)
+  }
+
   test("substring stats: every doc reports coverage; clean docs report zero") {
     val shared = (1 to 14).map(i => s"w$i").mkString(" ")
     val fix = Seq(

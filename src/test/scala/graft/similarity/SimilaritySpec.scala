@@ -41,6 +41,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!lsh.exists(_._1 == 3L))
   }
 
+  test("range search returns exactly the bucket-mates above the threshold") {
+    val brute = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, 10)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val lshAll = Similarity.lshTopK(corpus.filter($"vec_id" === 0), corpus, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val range = Similarity.lshRange(corpus.filter($"vec_id" === 0), corpus, minCos = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    // = candidates (bucket-mates) whose exact cosine clears the threshold;
+    // scores identical to brute force, no below-threshold leakage
+    assert(range.keySet == lshAll.filter(brute(_) >= 0.9))
+    range.foreach { case (id, cos) => assert(brute(id) == cos && cos >= 0.9) }
+    assert(range.contains(5L)) // the identical vector always qualifies
+  }
+
   test("IVF recall is monotonically non-decreasing in nprobe; full probe is exact") {
     // 3 coarse cells, 36 vectors clustered around 3 directions with seeded
     // jitter — tight enough that nprobe=1 misses some cross-cell neighbors
