@@ -501,7 +501,62 @@ object DedupQueries {
               |  CAST(len(toks) AS INT) AS n_tokens
               |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin),
       doc = "span-cut rewrite: duplicated-span tokens removed, survivors " +
-        "rejoin in order; fully-duplicated docs come back empty, not dropped")
+        "rejoin in order; fully-duplicated docs come back empty, not dropped"),
+
+    "corpus_span_rewrite" -> QueryDef(
+      (s, dir) => {
+        // exact-substring dedup closing the loop through the engine's
+        // merge-on-read path: the span-cut rewrites of the affected docs
+        // land as ONE atomic positional-delete + append commit costing
+        // O(affected rows) — zero corpus data files rewritten (pinned
+        // below: every original dir survives), reads reconstruct. At
+        // 100 TB a span-cut pass touches a few percent of docs; COW
+        // would rewrite every file holding one.
+        val wh = MetaQueries.freshWarehouse("corpus_span_rewrite")
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
+        val docs = tbl(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        table.overwrite(docs): Unit
+        val origDirs = table.currentSnapshot.get.dataDirs
+        val before = table.currentSnapshot.get.rowCount
+        val cleaned = Dedup.substringApply(table.read(s), "text", w = 12)
+          .filter(col("kept_tokens") < col("n_tokens")) // affected docs only
+          .select(col("doc_id"), col("clean_text"))
+        val snap = table.mergeClausesMor(cleaned, Seq("doc_id" -> "doc_id"),
+          matchedClauses = Seq(graft.sink.Merge.WhenMatched(
+            graft.sink.Merge.Update(Map(
+              "text" -> graft.sink.Merge.s("clean_text"))))),
+          notMatchedClauses = Nil)
+        require(snap.operation == "merge" &&
+          origDirs.forall(snap.dataDirs.contains) &&
+          snap.rowCount == before && snap.deletes.exists(_.positional),
+          "span rewrite must land merge-on-read: original files intact, " +
+            s"row count unchanged (op=${snap.operation})")
+        table.read(s).select("doc_id", "text", "n_chars")
+      },
+      Some(s"""WITH ${substringIslandsSql(12)},
+              |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+              |  FROM isl GROUP BY doc_id, island),
+              |tk AS (SELECT doc_id, CAST(gs.i AS INT) AS pos,
+              |    toks[CAST(gs.i AS INT) + 1] AS tok
+              |  FROM t, LATERAL (SELECT unnest(range(len(toks))) AS i) gs),
+              |kept AS (
+              |  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+              |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+              |    WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e)),
+              |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              |  FROM kept GROUP BY doc_id),
+              |affected AS (SELECT DISTINCT doc_id FROM isl)
+              |SELECT d.doc_id,
+              |  CASE WHEN a.doc_id IS NOT NULL THEN coalesce(agg.clean_text, '')
+              |       ELSE d.text END AS text,
+              |  d.n_chars
+              |FROM documents d
+              |LEFT JOIN affected a USING (doc_id)
+              |LEFT JOIN agg USING (doc_id)""".stripMargin),
+      doc = "span-cut verdict applied to the governed corpus: affected docs " +
+        "rewrite as ONE atomic merge-on-read commit (positional delete + " +
+        "append, O(affected)); zero corpus files rewritten - pinned in-query")
   )
 
   /** DuckDB CTE chain shared by the exact-substring ops: 12-token window
