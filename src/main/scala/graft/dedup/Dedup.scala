@@ -46,6 +46,7 @@ object Dedup {
   private val postingsCache = new graft.util.KeyedCache
   private val simhashCache = new graft.util.KeyedCache
   private val derivedCache = new graft.util.KeyedCache
+  private val gramsCache = new graft.util.KeyedCache
 
   /** Drop every cached derived index (postings, signatures, trained
     * quantizer assignments). Call when the underlying source files of a
@@ -53,6 +54,7 @@ object Dedup {
     */
   def clearCaches(): Unit = {
     postingsCache.clear(); simhashCache.clear(); derivedCache.clear()
+    gramsCache.clear()
     graft.similarity.Similarity.clearCaches()
     graft.text.TextAnalysis.clearCaches()
   }
@@ -613,6 +615,18 @@ object Dedup {
         md5(concat_ws(" ", (0 until w).map(o => col(s"_t$o")): _*)).as("g"))
   }
 
+  /** [[windowGrams]] through the keyed cache: the gram view feeds BOTH
+    * sides of the duplicated-fingerprint self-consumption (occurrence
+    * counts AND the position join-back) plus every substring op layered
+    * on spans — without persistence Spark re-runs the scan + tokenize +
+    * lead-window subtree once per consumer (measured: two full document
+    * scans in the spans plan alone). Same recompute-vs-persist call as
+    * [[sharedPostings]]; at real scale the persist spills to executor
+    * disk, still cheaper than re-tokenizing the corpus.
+    */
+  private def sharedWindowGrams(df: DataFrame, textCol: String, w: Int): DataFrame =
+    gramsCache.getOrBuild(df, textCol, w)(windowGrams(df, textCol, w))
+
   /** `dedup_substring_spans`: exact-substring duplicated spans (the
     * suffix-array dedup of Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better", re-expressed as a window-fingerprint
@@ -637,7 +651,7 @@ object Dedup {
     *         half-open [start, end) spans to cut before training.
     */
   def substringSpans(df: DataFrame, textCol: String = "text", w: Int = 12): DataFrame = {
-    val grams = windowGrams(df, textCol, w)
+    val grams = sharedWindowGrams(df, textCol, w)
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("g")
     val starts = grams.join(dup, "g").select("doc_id", "pos")

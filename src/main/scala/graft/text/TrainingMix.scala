@@ -305,20 +305,25 @@ object TrainingMix {
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("b",
         pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("int"), lit(buckets)))
-    val docBuckets = toks.groupBy(col("doc_id"), col("b"))
+    // ONE pass builds the per-doc feature counts; both models and the
+    // totals derive from it (is_target is constant per doc, so the extra
+    // grouping key changes nothing) — a per-aggregate formulation
+    // re-executed the scan + tokenize subtree once per consumer (4 full
+    // corpus passes in the original plan).
+    val docBuckets = toks.groupBy(col("doc_id"), col("is_target"), col("b"))
       .agg(count(lit(1)).as("c"))
-    // raw model over ALL buckets present in the corpus; target counts
-    // left-joined (absent bucket -> smoothed 1/(nt+B)). A bucket absent
-    // from raw cannot occur in any doc, so the lambda table is complete.
-    val tgt = toks.filter(col("is_target"))
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val totals = toks.agg(
-      count(lit(1)).as("nr"),
-      count(when(col("is_target"), lit(1))).as("nt"))
-    val lam = raw.join(tgt, Seq("b"), "left_outer").crossJoin(totals)
+    // B-row model table, raw and target counts in one aggregation; a
+    // bucket absent from raw cannot occur in any doc, so it is complete.
+    // localCheckpoint pins the tiny table: totals and lam below would
+    // otherwise each re-run the corpus aggregation feeding it.
+    val bAgg = docBuckets.groupBy(col("b"))
+      .agg(sum(col("c")).as("cr"),
+        coalesce(sum(when(col("is_target"), col("c"))), lit(0L)).as("ct"))
+      .localCheckpoint()
+    val totals = bAgg.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lam = bAgg.crossJoin(totals)
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+        (log((col("ct") + lit(1L)).cast("double") /
             (col("nt") + lit(buckets.toLong)).cast("double")) -
           log((col("cr") + lit(1L)).cast("double") /
             (col("nr") + lit(buckets.toLong)).cast("double"))).as("lam"))
