@@ -16,6 +16,33 @@ object TextQueries {
   /** DuckDB fragment: lowercase whitespace tokens. */
   private val ToksSql = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
+  /** DuckDB CTE chain ending in `sc(doc_id, n_tokens, logw)`: the DSIR
+    * hashed-unigram log importance weights, mirroring
+    * [[graft.text.TrainingMix.dsirWeights]] (shared by the weights query
+    * and the Gumbel-top-k resampler).
+    */
+  private val DsirScoreSql: String =
+    """t AS (
+      |  SELECT doc_id, lang = 'en' AS is_target,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tb AS (SELECT doc_id, is_target,
+      |  CAST(CONCAT('0x', substr(md5(tok), 1, 6)) AS INT) % 4096 AS b FROM t),
+      |db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
+      |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE is_target GROUP BY 1),
+      |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+      |  CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS nt FROM tb),
+      |lam AS (
+      |  SELECT raw.b,
+      |    ln((coalesce(tgt.ct, 0) + 1) / CAST(tot.nt + 4096 AS DOUBLE))
+      |    - ln((raw.cr + 1) / CAST(tot.nr + 4096 AS DOUBLE)) AS lam
+      |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      |sc AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    round(sum(c * lam), 4) AS logw
+      |  FROM db JOIN lam USING (b) GROUP BY 1)""".stripMargin
+
   private def markerSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -601,33 +628,41 @@ object TextQueries {
         graft.text.TrainingMix.dsirWeights(
           tbl(s, dir, "documents"), "text", col("lang") === "en",
           buckets = 4096, nParts = graft.text.TrainingMix.defaultShards(s)),
-      Some("""WITH t AS (
-             |  SELECT doc_id, lang = 'en' AS is_target,
-             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-             |  FROM documents),
-             |tb AS (SELECT doc_id, is_target,
-             |  CAST(CONCAT('0x', substr(md5(tok), 1, 6)) AS INT) % 4096 AS b FROM t),
-             |db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
-             |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE is_target GROUP BY 1),
-             |raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
-             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
-             |  CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS nt FROM tb),
-             |lam AS (
-             |  SELECT raw.b,
-             |    ln((coalesce(tgt.ct, 0) + 1) / CAST(tot.nt + 4096 AS DOUBLE))
-             |    - ln((raw.cr + 1) / CAST(tot.nr + 4096 AS DOUBLE)) AS lam
-             |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
-             |sc AS (
-             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-             |    round(sum(c * lam), 4) AS logw
-             |  FROM db JOIN lam USING (b) GROUP BY 1)
-             |SELECT doc_id, n_tokens, logw,
-             |  CAST(row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS INT) AS rank
-             |FROM sc""".stripMargin),
+      Some(s"""WITH $DsirScoreSql
+              |SELECT doc_id, n_tokens, logw,
+              |  CAST(row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS INT) AS rank
+              |FROM sc""".stripMargin),
       doc = "DSIR importance weights (Xie et al. 2023): hashed-unigram " +
         "log-likelihood ratio of a target slice vs the raw corpus, " +
         "deterministic top-rank selection - the data-selection stage " +
         "between quality filtering and sampling"),
+
+    "sample_gumbel_topk" -> QueryDef(
+      (s, dir) =>
+        // DSIR's resampling step proper: top-k of logw/T + Gumbel noise
+        // == sampling w/o replacement proportional to exp(logw/T); the
+        // noise hashes off the doc id, so the draw re-materializes
+        // identically anywhere. Map-side keys + distributed TakeOrdered.
+        graft.text.TrainingMix.gumbelTopK(
+          graft.text.TrainingMix.dsirWeights(
+            tbl(s, dir, "documents"), "text", col("lang") === "en",
+            buckets = 4096, nParts = graft.text.TrainingMix.defaultShards(s)),
+          temperature = 1.0, k = 50),
+      Some(s"""WITH $DsirScoreSql,
+              |keyed AS (
+              |  SELECT doc_id, logw,
+              |    round(logw / 1.0 - ln(-ln(
+              |      (CAST(CONCAT('0x', substr(md5('gumbel:' || doc_id), 1, 15)) AS BIGINT)
+              |        % 1000000 + 0.5) / 1000000.0)), 4) AS key
+              |  FROM sc),
+              |top AS (SELECT doc_id, logw, key FROM keyed
+              |  ORDER BY key DESC, doc_id ASC LIMIT 50)
+              |SELECT doc_id, logw, key,
+              |  CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INT) AS rank
+              |FROM top""".stripMargin),
+      doc = "Gumbel-top-k resampling over DSIR weights: deterministic " +
+        "hash-derived noise makes the without-replacement draw " +
+        "reproducible across runs, engines, and partitionings"),
 
     "corpus_length_hist" -> QueryDef(
       (s, dir) => {

@@ -336,4 +336,33 @@ object TrainingMix {
       .select(col("doc_id"), col("n_tokens"), col("logw"),
         col("_rk").cast("int").as("rank"))
   }
+
+  /** `sample_gumbel_topk`: the resampling step of DSIR proper — sampling
+    * k docs WITHOUT replacement with probability proportional to
+    * exp(logw / T) is exactly taking the top k of logw/T + Gumbel noise
+    * (the Gumbel-top-k trick; Xie et al. 2023 §3 sample this way). The
+    * noise is derived from an md5 hash of the doc id, so the draw is
+    * reproducible across runs, engines, and partitionings — a training
+    * pipeline must be able to re-materialize the exact mix it shipped.
+    * Temperature interpolates between greedy top-k (T->0) and uniform
+    * sampling (T->inf).
+    *
+    * Scale: one map-side expression over the scored table, then a
+    * distributed top-k (TakeOrdered — per-partition heaps, never a
+    * global sort).
+    */
+  def gumbelTopK(scored: DataFrame, temperature: Double, k: Int): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    require(k > 0, "k must be positive")
+    val u = ((TextAnalysis.hash60(concat(lit("gumbel:"), col("doc_id")))
+      % lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+    val key = round(col("logw") / lit(temperature) - log(-log(u)), 4)
+    val top = scored.withColumn("key", key)
+      .orderBy(col("key").desc, col("doc_id").asc).limit(k)
+    // the k survivors are bounded and tiny: the global rank window here
+    // runs over <= k rows, never the corpus
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("key").desc, col("doc_id").asc)).cast("int"))
+      .select(col("doc_id"), col("logw"), col("key"), col("rank"))
+  }
 }

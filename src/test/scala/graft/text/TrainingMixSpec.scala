@@ -198,4 +198,28 @@ class TrainingMixSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
     assert(repart == out)
   }
+
+  test("gumbelTopK: T->0 is greedy; the draw is reproducible under repartitioning") {
+    val docs = Seq(
+      (1L, "aa aa aa aa", true),
+      (2L, "aa aa bb bb", true),
+      (3L, "aa aa aa bb", false),
+      (4L, "bb bb bb bb", false),
+      (5L, "cc cc cc cc", false))
+      .toDF("doc_id", "text", "tgt")
+    val scored = TrainingMix.dsirWeights(docs, "text", col("tgt"),
+      buckets = 4096, nParts = 2)
+    // near-zero temperature: logw/T dominates any Gumbel draw -> the
+    // selection is exactly the greedy weight ranking
+    val greedy = TrainingMix.gumbelTopK(scored, temperature = 1e-6, k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(greedy == Seq(1L, 3L, 2L))
+    val draw = TrainingMix.gumbelTopK(scored, temperature = 1.0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).toSet
+    assert(draw.size == 3)
+    val redraw = TrainingMix.gumbelTopK(
+        scored.repartition(5, col("doc_id")), temperature = 1.0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).toSet
+    assert(redraw == draw)
+  }
 }
