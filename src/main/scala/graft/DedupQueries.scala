@@ -288,6 +288,42 @@ object DedupQueries {
       doc = "benchmark decontamination: corpus docs sharing >=3 rare n-grams " +
         "with an eval doc (broadcast bench postings, df-capped fan-out)"),
 
+    "dedup_decontaminate_spans" -> QueryDef(
+      (s, dir) => Dedup.contaminationSpans(
+        // same fixture frame as dedup_decontaminate: 2% eval set by id,
+        // 3-token grams so the short synthetic docs produce spans
+        tbl(s, dir, "documents"), "text",
+        benchPred = pmod(col("doc_id"), lit(50)) === 0,
+        spanTokens = 3, maxDf = 20),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             |grams AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos,
+             |    md5(array_to_string(toks[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ')) AS g
+             |  FROM t, LATERAL (SELECT unnest(range(len(toks) - 2)) AS i) gs
+             |  WHERE len(toks) >= 3),
+             |rare AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+             |  FROM grams GROUP BY g) WHERE df <= 20),
+             |rg AS (SELECT grams.doc_id, grams.pos, grams.g FROM grams JOIN rare USING (g)),
+             |bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM rg WHERE doc_id % 50 = 0),
+             |hits AS (SELECT DISTINCT c.doc_id, b.bench_id, c.pos
+             |  FROM rg c JOIN bench b USING (g) WHERE c.doc_id % 50 <> 0),
+             |flag AS (
+             |  SELECT doc_id, bench_id, pos,
+             |    CASE WHEN pos <= max(pos + 3) OVER (PARTITION BY doc_id, bench_id
+             |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 0 ELSE 1 END AS ni
+             |  FROM hits),
+             |isl AS (SELECT doc_id, bench_id, pos,
+             |  sum(ni) OVER (PARTITION BY doc_id, bench_id ORDER BY pos) AS island FROM flag)
+             |SELECT doc_id, bench_id, CAST(min(pos) AS INT) AS span_start,
+             |  CAST(max(pos) + 3 AS INT) AS span_end,
+             |  CAST(max(pos) + 3 - min(pos) AS INT) AS span_tokens
+             |FROM isl GROUP BY doc_id, bench_id, island""".stripMargin),
+      doc = "contamination audit evidence: per (train doc, eval doc) pair, the " +
+        "exact token spans covered by shared rare n-grams - decontaminate " +
+        "says WHETHER, this says WHERE (the masking pass keys on positions)"),
+
     "dedup_containment" -> QueryDef(
       (s, dir) => Dedup.containmentPairs(
         Dedup.sharedPostings(tbl(s, dir, "documents"), "text", 3),

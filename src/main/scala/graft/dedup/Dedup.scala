@@ -669,6 +669,47 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
 
+  /** `dedup_decontaminate_spans`: contamination AUDIT EVIDENCE — for
+    * every (training doc, benchmark doc) pair, the exact token spans of
+    * the training doc covered by shared rare n-grams, merged into
+    * maximal intervals the gaps-and-islands way. [[decontaminate]]
+    * answers "is it contaminated"; this answers "show me where" — the
+    * removal/masking pass and the human audit both key on positions.
+    *
+    * Same shapes as the rest of the family: positional grams through the
+    * shared cache, df cap as the skew guard (rarity counted over distinct
+    * docs, exactly [[contaminationPairs]]'s statistic), benchmark side
+    * broadcast (eval sets are bounded by construction), island windows
+    * partitioned by (doc, bench) — bounded by doc length.
+    */
+  def contaminationSpans(
+      docs: DataFrame, textCol: String, benchPred: Column,
+      spanTokens: Int = 13, maxDf: Int = 20): DataFrame = {
+    val grams = sharedWindowGrams(docs, textCol, spanTokens)
+    val rare = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("g")
+    val rareGrams = grams.join(rare, "g")
+    val bench = rareGrams.filter(benchPred)
+      .select(col("doc_id").as("bench_id"), col("g")).distinct()
+    val hits = rareGrams.filter(!benchPred)
+      .join(broadcast(bench), "g")
+      .select(col("doc_id"), col("bench_id"), col("pos")).distinct()
+    val byPos = Window.partitionBy(col("doc_id"), col("bench_id")).orderBy(col("pos"))
+    val islands = hits
+      .withColumn("prev_end",
+        max(col("pos") + lit(spanTokens))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(byPos))
+    islands.groupBy(col("doc_id"), col("bench_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(spanTokens)).as("span_end"))
+      .select(col("doc_id"), col("bench_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** `dedup_substring_stats`: per-document duplicated-token coverage
     * under [[substringSpans]] — every doc gets a row (clean docs report
     * 0 / 0.0), dup_ratio = covered tokens / total tokens at 6 dp. The

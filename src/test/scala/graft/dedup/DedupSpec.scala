@@ -258,6 +258,22 @@ class DedupSpec extends SparkSpec {
     assert(spans == Set((0, 12), (13, 25)))
   }
 
+  test("contamination spans point at the exact leaked positions per eval doc") {
+    val fix = Seq(
+      (1L, "xx yy alpha beta gamma delta zz ww"), // leak at tokens [2, 6)
+      (2L, "totally unrelated words here right now"),
+      (100L, "alpha beta gamma delta epsilon")) // the benchmark doc
+      .toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(fix, "text",
+        benchPred = col("doc_id") >= 100L, spanTokens = 3, maxDf = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    // grams at starts 2 and 3 are shared -> one merged island [2, 6);
+    // the clean doc pairs with nothing, bench docs never self-report
+    assert(spans == Set((1L, 100L, 2, 6, 4)))
+  }
+
   test("substring apply: covered tokens cut, survivors rejoin in order") {
     val shared = (1 to 14).map(i => s"w$i").mkString(" ")
     val fix = Seq(
