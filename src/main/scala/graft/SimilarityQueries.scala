@@ -704,6 +704,26 @@ object SimilarityQueries {
               |  FROM c JOIN q ON q.qb = c.b AND q.query_id <> c.vec_id)
               |SELECT query_id, vec_id, cos FROM scored WHERE cos >= 0.25""".stripMargin),
       doc = "LSH radius search: every neighbor within a cosine threshold - " +
-        "no ranking stage, the filter parallelizes flat after the bucket join")
+        "no ranking stage, the filter parallelizes flat after the bucket join"),
+
+    "embedding_project_rp" -> QueryDef(
+      (s, dir) => Similarity.randomProject(tbl(s, dir, "embeddings"), outDims = 16),
+      Some {
+        val scale = Similarity.rpScale(16)
+        val cols = (0 until 16).map { j =>
+          s"""round(list_reduce(list_transform(range(1, 65),
+             |    i -> v[CAST(i AS INT)] * (CASE
+             |      CAST(CONCAT('0x', substr(md5('rp:' || (i - 1) || ':$j'), 1, 15)) AS BIGINT) % 6
+             |      WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)),
+             |    (x, y) -> x + y) * $scale, 4) AS p$j""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT vec_id,
+           |$cols
+           |FROM e""".stripMargin
+      },
+      doc = "sparse random projection (Achlioptas 2003): hash-derived " +
+        "{+1,-1,0} weights, no training, no stored model - the JL " +
+        "dimension reducer ahead of clustering/ANN; one grouped pass")
   )
 }

@@ -162,6 +162,37 @@ object Similarity {
     rankWindow(scoreCandidates(candidates, queries, corpus), k)
   }
 
+  /** `embedding_project_rp`: sparse random projection (Achlioptas 2003,
+    * "Database-friendly random projections") — the Johnson-Lindenstrauss
+    * dimension reducer that needs no training at all: weights
+    * w(pos, j) ∈ {+1, −1, 0, 0, 0, 0} (prob 1/6, 1/6, 2/3) derive from an
+    * md5 hash of (position, output dim), scaled by sqrt(3/k). The cheap
+    * first stage before clustering/ANN when 64 dims is already too many
+    * times 10^11 vectors: distance-preserving in expectation, zero model
+    * state, any executor reproduces any weight on demand (nothing is
+    * broadcast, trained, or stored).
+    *
+    * Scale: one pass over the row view, one groupBy(vec_id) with
+    * map-side partials — identical shape to [[buckets]].
+    */
+  def randomProject(emb: DataFrame, outDims: Int = 16): DataFrame = {
+    require(outDims > 0, "outDims must be positive")
+    val e = exploded(emb, "vec_id", "vec_id")
+    val scale = math.sqrt(3.0 / outDims)
+    val projections = (0 until outDims).map { j =>
+      val h = pmod(graft.text.TextAnalysis.hash60(
+        concat(lit("rp:"), col("pos"), lit(s":$j"))), lit(6L))
+      val w = when(h === 0L, lit(1.0)).when(h === 1L, lit(-1.0)).otherwise(lit(0.0))
+      round(sum(col("x") * w) * lit(scale), 4).as(s"p$j")
+    }
+    e.groupBy(col("vec_id")).agg(projections.head, projections.tail: _*)
+  }
+
+  /** The [[randomProject]] scale factor, shared with the oracle SQL so
+    * both engines multiply by the bit-identical double literal.
+    */
+  def rpScale(outDims: Int): Double = math.sqrt(3.0 / outDims)
+
   /** `similarity_range`: RADIUS search — every corpus vector within a
     * cosine threshold of each query (the "find everything this similar"
     * shape dedup and retrieval-augmentation both need, where top-k's

@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     assert(range.contains(5L)) // the identical vector always qualifies
   }
 
+  test("random projection: linear, deterministic, identical inputs project identically") {
+    val out = Similarity.randomProject(corpus, outDims = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
+    assert(out.size == 6 && out.values.forall(_.size == 8))
+    // vec 5 is an exact copy of vec 0; vec 3 = -vec 0 and the map is linear
+    assert(out(5L) == out(0L))
+    assert(out(3L) == out(0L).map(x => if (x == 0.0) 0.0 else -x))
+    val repart = Similarity.randomProject(
+        corpus.repartition(5, col("vec_id")), outDims = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
+    assert(repart == out)
+  }
+
   test("IVF recall is monotonically non-decreasing in nprobe; full probe is exact") {
     // 3 coarse cells, 36 vectors clustered around 3 directions with seeded
     // jitter — tight enough that nprobe=1 misses some cross-cell neighbors
