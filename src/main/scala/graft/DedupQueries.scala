@@ -555,7 +555,11 @@ object DedupQueries {
         table.overwrite(docs): Unit
         val origDirs = table.currentSnapshot.get.dataDirs
         val before = table.currentSnapshot.get.rowCount
-        val cleaned = Dedup.substringApply(table.read(s), "text", w = 12)
+        // spans compute from the SOURCE frame (content-identical to the
+        // table just overwritten with it): the cached gram view is then
+        // the same entry the other substring keys share, instead of a
+        // dead cache slot keyed to this query's throwaway warehouse
+        val cleaned = Dedup.substringApply(docs, "text", w = 12)
           .filter(col("kept_tokens") < col("n_tokens")) // affected docs only
           .select(col("doc_id"), col("clean_text"))
         val snap = table.mergeClausesMor(cleaned, Seq("doc_id" -> "doc_id"),

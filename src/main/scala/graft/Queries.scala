@@ -18,6 +18,21 @@ final case class QueryDef(
 
 object Queries {
 
+  /** Column names of nested (array/map/struct) fields — the cell types
+    * the driver's pandas row-sort cannot order, so an oracle-keyed
+    * registry output must have none. The ONE definition both Verify's
+    * dump refusal and PlanSpec's registry gate consume.
+    */
+  def nestedColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    schema.fields.collect {
+      case f if (f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      }) => f.name
+    }.toSeq
+  }
+
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts has shipped as INT64 TIMESTAMP(NANOS) (which Spark's
     // parquet reader rejects — read as long nanos, truncate to micros the

@@ -642,11 +642,14 @@ object TextQueries {
         // DSIR's resampling step proper: top-k of logw/T + Gumbel noise
         // == sampling w/o replacement proportional to exp(logw/T); the
         // noise hashes off the doc id, so the draw re-materializes
-        // identically anywhere. Map-side keys + distributed TakeOrdered.
+        // identically anywhere. Consumes the UNRANKED scoring stage
+        // (gumbel computes its own key; paying the two-pass global rank
+        // to discard it was the round's review finding) — map-side keys
+        // + distributed TakeOrdered.
         graft.text.TrainingMix.gumbelTopK(
-          graft.text.TrainingMix.dsirWeights(
+          graft.text.TrainingMix.dsirScores(
             tbl(s, dir, "documents"), "text", col("lang") === "en",
-            buckets = 4096, nParts = graft.text.TrainingMix.defaultShards(s)),
+            buckets = 4096),
           temperature = 1.0, k = 50),
       Some(s"""WITH $DsirScoreSql,
               |keyed AS (

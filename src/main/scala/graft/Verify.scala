@@ -30,15 +30,10 @@ object Verify {
         // the driver's compare sorts rows with pandas, which crashes on
         // array/map/struct cells (r12: embedding_quantize_int8) — refuse
         // to dump an oracle-keyed result the gate cannot hash
-        val nested = df.schema.fields.filter(f => f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType |
-               _: org.apache.spark.sql.types.MapType |
-               _: org.apache.spark.sql.types.StructType => true
-          case _ => false
-        })
+        val nested = Queries.nestedColumns(df.schema)
         if (nested.nonEmpty && SparkEntry.oracleSql.contains(name))
           System.err.println(s"[verify] $name SKIPPED: oracle-keyed output has " +
-            s"nested columns ${nested.map(_.name).mkString(", ")} the driver " +
+            s"nested columns ${nested.mkString(", ")} the driver " +
             "compare cannot sort — serialize or explode them")
         else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>

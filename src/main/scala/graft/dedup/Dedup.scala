@@ -145,16 +145,25 @@ object Dedup {
     * tokenizes once, window-lead assembles each n-gram once, `distinct`
     * is one shuffle with map-side partial aggregation.
     */
-  def shinglePostings(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+  def shinglePostings(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    positionalGrams(df, textCol, n)
+      .select(col("doc_id"), col("gram").as("sh"))
+      .distinct()
+
+  /** (doc_id, pos, gram) — every `n`-token window with its 0-based start
+    * position, the ONE row-shaped assembler (posexplode + window-lead,
+    * each token materialized once) behind the shingle postings AND the
+    * exact-substring / contamination gram views.
+    */
+  private def positionalGrams(df: DataFrame, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col("doc_id"),
       posexplode(TextAnalysis.tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"_t$o"))
-    toks.select(col("doc_id") +: col("tok").as("_t0") +: leads: _*)
+    toks.select(col("doc_id") +: col("pos") +: col("tok").as("_t0") +: leads: _*)
       .filter(col(s"_t${n - 1}").isNotNull) // drop trailing partial grams
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(o => col(s"_t$o")): _*).as("sh"))
-      .distinct()
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (0 until n).map(o => col(s"_t$o")): _*).as("gram"))
   }
 
   /** Array-of-shingles view (test/inspection surface; the operators
@@ -604,16 +613,9 @@ object Dedup {
     * bit-parity contract (an engine-default build would swap xxhash64,
     * like the cdc/fingerprint twins); positions are 0-based.
     */
-  private def windowGrams(df: DataFrame, textCol: String, w: Int): DataFrame = {
-    val toks = df.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until w).map(o => lead(col("tok"), o).over(win).as(s"_t$o"))
-    toks.select(col("doc_id") +: col("pos") +: col("tok").as("_t0") +: leads: _*)
-      .filter(col(s"_t${w - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", (0 until w).map(o => col(s"_t$o")): _*)).as("g"))
-  }
+  private def windowGrams(df: DataFrame, textCol: String, w: Int): DataFrame =
+    positionalGrams(df, textCol, w)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("g"))
 
   /** [[windowGrams]] through the keyed cache: the gram view feeds BOTH
     * sides of the duplicated-fingerprint self-consumption (occurrence
@@ -655,18 +657,29 @@ object Dedup {
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("g")
     val starts = grams.join(dup, "g").select("doc_id", "pos")
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val islands = starts
+    mergeSpans(starts, Seq("doc_id"), w)
+  }
+
+  /** Merge window start positions into maximal [start, end) token spans
+    * per `partCols` group — gaps-and-islands: running max of span end,
+    * island break when a start clears it. The ONE island rule both the
+    * exact-substring family and the contamination evidence share (and
+    * both DuckDB oracles mirror).
+    */
+  private def mergeSpans(hits: DataFrame, partCols: Seq[String], w: Int): DataFrame = {
+    val keys = partCols.map(col)
+    val byPos = Window.partitionBy(keys: _*).orderBy(col("pos"))
+    val islands = hits
       .withColumn("prev_end",
         max(col("pos") + lit(w)).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("ni",
         when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
       .withColumn("island", sum(col("ni")).over(byPos))
-    islands.groupBy(col("doc_id"), col("island"))
+    islands.groupBy(keys :+ col("island"): _*)
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(w)).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_tokens"))
+      .select(keys :+ col("span_start") :+ col("span_end") :+
+        (col("span_end") - col("span_start")).as("span_tokens"): _*)
   }
 
   /** `dedup_decontaminate_spans`: contamination AUDIT EVIDENCE — for
@@ -695,27 +708,9 @@ object Dedup {
     val hits = rareGrams.filter(!benchPred)
       .join(broadcast(bench), "g")
       .select(col("doc_id"), col("bench_id"), col("pos")).distinct()
-    val byPos = Window.partitionBy(col("doc_id"), col("bench_id")).orderBy(col("pos"))
-    val islands = hits
-      .withColumn("prev_end",
-        max(col("pos") + lit(spanTokens))
-          .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("ni",
-        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
-      .withColumn("island", sum(col("ni")).over(byPos))
-    islands.groupBy(col("doc_id"), col("bench_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(spanTokens)).as("span_end"))
-      .select(col("doc_id"), col("bench_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_tokens"))
+    mergeSpans(hits, Seq("doc_id", "bench_id"), spanTokens)
   }
 
-  /** `dedup_substring_stats`: per-document duplicated-token coverage
-    * under [[substringSpans]] — every doc gets a row (clean docs report
-    * 0 / 0.0), dup_ratio = covered tokens / total tokens at 6 dp. The
-    * corpus-health readout that decides whether span-cutting is worth a
-    * rewrite pass at all.
-    */
   /** `dedup_substring_apply`: the span-cut rewrite — every token covered
     * by a [[substringSpans]] duplicated span is removed and the survivors
     * rejoin in order (Lee et al. 2022 apply their suffix-array spans the
@@ -750,6 +745,12 @@ object Dedup {
         col("n_tokens"))
   }
 
+  /** `dedup_substring_stats`: per-document duplicated-token coverage
+    * under [[substringSpans]] — every doc gets a row (clean docs report
+    * 0 / 0.0), dup_ratio = covered tokens / total tokens at 6 dp. The
+    * corpus-health readout that decides whether span-cutting is worth a
+    * rewrite pass at all.
+    */
   def substringStats(df: DataFrame, textCol: String = "text", w: Int = 12): DataFrame = {
     val spans = substringSpans(df, textCol, w)
       .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))

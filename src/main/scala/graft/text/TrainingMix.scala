@@ -298,7 +298,19 @@ object TrainingMix {
     */
   def dsirWeights(
       docs: DataFrame, textCol: String, target: Column,
-      buckets: Int, nParts: Int): DataFrame = {
+      buckets: Int, nParts: Int): DataFrame =
+    DistributedRank.withGlobalRank(dsirScores(docs, textCol, target, buckets),
+        keyCols = Seq.empty,
+        order = Seq(col("logw").desc, col("doc_id").asc), nParts = nParts)
+      .select(col("doc_id"), col("n_tokens"), col("logw"),
+        col("_rk").cast("int").as("rank"))
+
+  /** The unranked DSIR scoring stage (doc_id, n_tokens, logw) — consumed
+    * directly by [[gumbelTopK]], which computes its own selection key
+    * and must not pay the two-pass global rank just to discard it.
+    */
+  def dsirScores(
+      docs: DataFrame, textCol: String, target: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val toks = docs
       .select(col("doc_id"), target.as("is_target"),
@@ -327,14 +339,10 @@ object TrainingMix {
             (col("nt") + lit(buckets.toLong)).cast("double")) -
           log((col("cr") + lit(1L)).cast("double") /
             (col("nr") + lit(buckets.toLong)).cast("double"))).as("lam"))
-    val scored = docBuckets.join(broadcast(lam), "b")
+    docBuckets.join(broadcast(lam), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
         round(sum(col("c").cast("double") * col("lam")), 4).as("logw"))
-    DistributedRank.withGlobalRank(scored, keyCols = Seq.empty,
-        order = Seq(col("logw").desc, col("doc_id").asc), nParts = nParts)
-      .select(col("doc_id"), col("n_tokens"), col("logw"),
-        col("_rk").cast("int").as("rank"))
   }
 
   /** `sample_gumbel_topk`: the resampling step of DSIR proper — sampling

@@ -272,14 +272,10 @@ class PlanSpec extends SparkSpec {
     // array/map/struct cells — r12's gate crashed on exactly this
     // (embedding_quantize_int8). Nested types stay legal for the
     // oracle-LESS keys (rows-only check never sorts).
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     for ((k, d) <- Queries.all if d.oracle.isDefined) {
-      val nested = d.fn(spark, dir).schema.fields.filter(f => f.dataType match {
-        case _: ArrayType | _: MapType | _: StructType => true
-        case _ => false
-      })
+      val nested = Queries.nestedColumns(d.fn(spark, dir).schema)
       assert(nested.isEmpty,
-        s"$k has oracle but nested output columns ${nested.map(_.name).mkString(", ")} — " +
+        s"$k has oracle but nested output columns ${nested.mkString(", ")} — " +
           "the driver's pandas row-sort crashes on these; serialize or explode them")
     }
   }

@@ -207,8 +207,7 @@ class TrainingMixSpec extends SparkSpec {
       (4L, "bb bb bb bb", false),
       (5L, "cc cc cc cc", false))
       .toDF("doc_id", "text", "tgt")
-    val scored = TrainingMix.dsirWeights(docs, "text", col("tgt"),
-      buckets = 4096, nParts = 2)
+    val scored = TrainingMix.dsirScores(docs, "text", col("tgt"), buckets = 4096)
     // near-zero temperature: logw/T dominates any Gumbel draw -> the
     // selection is exactly the greedy weight ranking
     val greedy = TrainingMix.gumbelTopK(scored, temperature = 1e-6, k = 3)
