@@ -457,6 +457,50 @@ object DedupQueries {
               |FROM reach GROUP BY a""".stripMargin),
       doc = "near-dup pair graph -> dedup groups: distributed min-label connected components"),
 
+    "dedup_cluster_canonical" -> QueryDef(
+      (s, dir) => {
+        // production canonicalization: within each near-dup cluster keep
+        // the HIGHEST-QUALITY copy, not the lowest id (RefinedWeb-style
+        // pipelines keep the best-scoring duplicate; min-id is only the
+        // arbitrary default). Shares the cached cluster table with
+        // dedup_clusters (same tag), joins the quality signal, and ranks
+        // inside each cluster — a window bounded by cluster size, never
+        // corpus-wide.
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val docs = tbl(s, dir, "documents")
+        val clusters = Dedup.sharedDerived(docs, "dedup_clusters") {
+          Dedup.connectedComponents(
+            Dedup.simhashPairs(docs, "text", maxHamming = 2))
+        }
+        val q = graft.text.TextAnalysis.qualityScore(docs, "text")
+          .select(col("doc_id"), col("quality_score"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        clusters.join(q, "doc_id")
+          .withColumn("kept", row_number().over(w) === 1)
+          .select("doc_id", "cluster_id", "cluster_size", "quality_score", "kept")
+      },
+      Some(s"""WITH RECURSIVE $SimhashPairsCte,
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM hp
+              |      UNION SELECT doc_b, doc_a FROM hp),
+              |n AS (SELECT DISTINCT a AS doc FROM e),
+              |reach(a, b) AS (
+              |  SELECT doc, doc FROM n
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cl AS (SELECT a AS doc_id, min(b) AS cluster_id,
+              |  CAST(count(DISTINCT b) AS BIGINT) AS cluster_size
+              |  FROM reach GROUP BY a),
+              |${TextQueries.QualityScoreCte}
+              |SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, q.quality_score,
+              |  (row_number() OVER (PARTITION BY cl.cluster_id
+              |    ORDER BY q.quality_score DESC, cl.doc_id ASC) = 1) AS kept
+              |FROM cl JOIN qscore q USING (doc_id)""".stripMargin),
+      doc = "quality-aware cluster canonicalization: keep each near-dup " +
+        "cluster's best-scoring copy (not the arbitrary min id); shares " +
+        "the cached cluster table and bounds ranking by cluster size"),
+
     "dedup_semantic" -> QueryDef(
       (s, dir) => Dedup.semanticDedup(tbl(s, dir, "embeddings"), k = 8, iters = 2, minCos = 0.35),
       // Oracle: the unrolled Lloyd CTE (same as embedding_kmeans) gives

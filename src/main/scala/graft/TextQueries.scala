@@ -43,6 +43,24 @@ object TextQueries {
       |    round(sum(c * lam), 4) AS logw
       |  FROM db JOIN lam USING (b) GROUP BY 1)""".stripMargin
 
+  /** DuckDB CTE chain ending in `qscore(doc_id, quality_score)` — the
+    * composite quality gate of `text_quality_score`, factored for reuse
+    * by ops that rank or canonicalize on quality (cluster
+    * canonicalization). Names are prefixed (`qsrc`/`qscore`) so the
+    * chain composes into oracles that already bind `t`.
+    */
+  private[graft] lazy val QualityScoreCte: String =
+    s"""qsrc AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS punct
+       |  FROM documents),
+       |qscore AS (SELECT doc_id, round(CAST(
+       |    (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+       |    (CASE WHEN round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) > 0.05 THEN 0.3 ELSE 0.0 END) +
+       |    (CASE WHEN round(CAST(punct AS DOUBLE) / n_chars, 6) < 0.2 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6) AS quality_score
+       |  FROM qsrc)""".stripMargin
+
   private def markerSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -364,6 +382,49 @@ object TextQueries {
            |FROM s""".stripMargin
       },
       doc = "marker-word language ID with deterministic argmax tie-break"),
+
+    "text_lang_confusion" -> QueryDef(
+      (s, dir) => {
+        // declared-vs-predicted language confusion matrix — the metadata
+        // trust audit: a corpus whose declared labels disagree with the
+        // content signal gets its language FILTERS routed to the
+        // predictor instead. Pure narrow projection + one bounded
+        // (|langs|^2-row) aggregation.
+        val docs = tbl(s, dir, "documents")
+        docs.select(
+            coalesce(col("lang"), lit("<none>")).as("declared_lang"),
+            TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"))
+          .groupBy(col("declared_lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("is_match", col("declared_lang") === col("predicted_lang"))
+      },
+      Some {
+        val scores = TextAnalysis.Markers.map { case (l, ws) =>
+          s"CAST(len(list_filter(toks, x -> list_contains(${markerSql(ws)}, x))) AS INT) AS score_$l"
+        }.mkString(",\n  ")
+        s"""WITH t AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+           |s AS (SELECT doc_id, lang,
+           |  $scores
+           |FROM t),
+           |p AS (SELECT coalesce(lang, '<none>') AS declared_lang,
+           |  CASE
+           |    WHEN score_en = 0 AND score_es = 0 AND score_de = 0
+           |     AND score_fr = 0 AND score_zh = 0 THEN 'und'
+           |    WHEN score_en >= greatest(score_es, score_de, score_fr, score_zh) THEN 'en'
+           |    WHEN score_es >= greatest(score_de, score_fr, score_zh) THEN 'es'
+           |    WHEN score_de >= greatest(score_fr, score_zh) THEN 'de'
+           |    WHEN score_fr >= score_zh THEN 'fr'
+           |    ELSE 'zh'
+           |  END AS predicted_lang
+           |FROM s)
+           |SELECT declared_lang, predicted_lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  declared_lang = predicted_lang AS is_match
+           |FROM p GROUP BY 1, 2""".stripMargin
+      },
+      doc = "declared-vs-predicted language confusion matrix - the metadata " +
+        "trust audit deciding whether language filters key on labels or " +
+        "the content signal"),
 
     "text_ngram_freq" -> QueryDef(
       (s, dir) => {
