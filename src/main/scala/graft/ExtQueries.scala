@@ -380,6 +380,70 @@ object ExtQueries {
         "branch appends arrive as O(delta) microbatches; published rivals " +
         "never leak into the tail"),
 
+    "stream_corpus_ingest_dedup" -> QueryDef(
+      (s, dir) => {
+        // dedup at the DOOR: two document microbatches flow through the
+        // content-hash gate — batch 1 overlaps the seeded corpus, batch 2
+        // overlaps batch 1 AND carries same-text clones under new ids
+        // (the re-crawl shape). Clones lose to their originals inside the
+        // batch, re-deliveries lose to the table — the corpus never needs
+        // a retroactive dedup rewrite for ingest-time duplicates.
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val wh = MetaQueries.freshWarehouse("stream_corpus_ingest_dedup")
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
+        // bounded slice: the operator under test is the per-batch gate,
+        // not shoveling the corpus through a driver-local MemoryStream
+        val base = Queries.tbl(s, dir, "documents")
+          .filter(col("doc_id") < 2000)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        table.overwrite(base.filter(col("doc_id") % 3 === 0)): Unit
+        val b1 = base.filter(col("doc_id") % 3 <= 1)
+          .as[(Long, String, String, String, Long)].collect().toSeq
+        val b2src = base.filter(col("doc_id") % 3 >= 1)
+        val b2 = (b2src.as[(Long, String, String, String, Long)].collect() ++
+          b2src.select(col("doc_id") + 200000L, col("text"), col("lang"),
+              col("source"), col("n_chars"))
+            .as[(Long, String, String, String, Long)].collect()).toSeq
+        val mem = MemoryStream[(Long, String, String, String, Long)]
+        val q = Streaming.startDedupIngest(
+          mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+          table, "text", s"$wh/_checkpoint")
+        try {
+          mem.addData(b1)
+          q.processAllAvailable()
+          mem.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+        table.read(s).select("doc_id", "lang", "source", "n_chars")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, lang, source, n_chars FROM documents
+             |  WHERE doc_id < 2000),
+             |seed AS (SELECT * FROM base WHERE doc_id % 3 = 0),
+             |sh AS (SELECT DISTINCT md5(text) AS h FROM seed),
+             |b1 AS (SELECT * FROM base WHERE doc_id % 3 <= 1),
+             |b1k AS (
+             |  SELECT * FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM b1)
+             |  WHERE rn = 1 AND md5(text) NOT IN (SELECT h FROM sh)),
+             |h1 AS (SELECT h FROM sh UNION SELECT md5(text) FROM b1k),
+             |b2 AS (SELECT * FROM base WHERE doc_id % 3 >= 1
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text, lang, source, n_chars
+             |  FROM base WHERE doc_id % 3 >= 1),
+             |b2k AS (
+             |  SELECT * FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM b2)
+             |  WHERE rn = 1 AND md5(text) NOT IN (SELECT h FROM h1))
+             |SELECT doc_id, lang, source, n_chars FROM seed
+             |UNION ALL SELECT doc_id, lang, source, n_chars FROM b1k
+             |UNION ALL SELECT doc_id, lang, source, n_chars FROM b2k""".stripMargin),
+      doc = "dedup-gated streaming corpus ingest: per-batch content-hash gate " +
+        "(within-batch min-id, anti-join vs the table) - re-crawled or " +
+        "re-delivered docs never land twice, no retroactive rewrite"),
+
     "stream_scd2_merge" -> QueryDef(
       (s, dir) => {
         // REAL incremental streaming dimension maintenance: the dim is

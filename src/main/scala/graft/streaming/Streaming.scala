@@ -134,6 +134,46 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Dedup-gated corpus ingest (`stream_corpus_ingest_dedup`): each
+    * microbatch admits only CONTENT-novel documents — first the batch
+    * dedups against itself (min doc_id per content hash, so a clone and
+    * its original arriving together keep the original), then an
+    * anti-join against the governed table's content hashes drops
+    * everything already landed. Idempotent corpus ingestion: re-sent or
+    * re-crawled documents never append twice, and dedup happens at the
+    * door instead of as a retroactive rewrite pass.
+    *
+    * Scale: the anti-join moves HASHES only (computed map-side; the
+    * batch's text never shuffles, the table's text never leaves its
+    * scan). The per-batch table re-hash is the sandbox simplification —
+    * a 100 TB deployment keeps a persistent content-hash index (a
+    * bloom-filtered sidecar per commit, the shape the $files sidecars
+    * already model) instead of re-reading the corpus per batch.
+    */
+  def startDedupIngest(
+      stream: DataFrame,
+      table: graft.sink.SnapshotTable,
+      textCol: String,
+      checkpoint: String) =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val withHash = batch.toDF().withColumn("_h", md5(col(textCol)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_h")).orderBy(col("doc_id").asc)
+        val firstPerHash = withHash
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val existing = table.read(spark)
+          .select(md5(col(textCol)).as("_h")).distinct()
+        val novel = firstPerHash.join(existing, Seq("_h"), "left_anti").drop("_h")
+        // no empty commits: an all-duplicate batch leaves no snapshot
+        if (novel.limit(1).count() > 0) { table.append(novel, micro = true): Unit }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Streaming SCD2 dimension maintenance (`stream_scd2_merge`): each
     * CDC microbatch is merged into the dimension snapshot table with the
     * SAME [[graft.patterns.Scd2.merge]] as the batch path — read current
