@@ -466,20 +466,14 @@ object DedupQueries {
         // dedup_clusters (same tag), joins the quality signal, and ranks
         // inside each cluster — a window bounded by cluster size, never
         // corpus-wide.
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.row_number
         val docs = tbl(s, dir, "documents")
         val clusters = Dedup.sharedDerived(docs, "dedup_clusters") {
           Dedup.connectedComponents(
             Dedup.simhashPairs(docs, "text", maxHamming = 2))
         }
-        val q = graft.text.TextAnalysis.qualityScore(docs, "text")
-          .select(col("doc_id"), col("quality_score"))
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col("quality_score").desc, col("doc_id").asc)
-        clusters.join(q, "doc_id")
-          .withColumn("kept", row_number().over(w) === 1)
-          .select("doc_id", "cluster_id", "cluster_size", "quality_score", "kept")
+        Dedup.canonicalByQuality(clusters,
+          graft.text.TextAnalysis.qualityScore(docs, "text")
+            .select(col("doc_id"), col("quality_score")))
       },
       Some(s"""WITH RECURSIVE $SimhashPairsCte,
               |e AS (SELECT doc_a AS a, doc_b AS b FROM hp

@@ -44,14 +44,17 @@ object TextQueries {
       |  FROM db JOIN lam USING (b) GROUP BY 1)""".stripMargin
 
   /** DuckDB CTE chain ending in `qscore(doc_id, quality_score)` — the
-    * composite quality gate of `text_quality_score`, factored for reuse
-    * by ops that rank or canonicalize on quality (cluster
-    * canonicalization). Names are prefixed (`qsrc`/`qscore`) so the
-    * chain composes into oracles that already bind `t`.
+    * ONE copy of the composite quality gate's SQL, consumed by the
+    * `text_quality_score` oracle itself and by every op that ranks or
+    * canonicalizes on quality (cluster canonicalization). `qsrc` also
+    * exposes the raw features (toks/words/n_chars/punct) so feature
+    * projections build on the same expressions. Names are prefixed so
+    * the chain composes into oracles that already bind `t`.
     */
   private[graft] lazy val QualityScoreCte: String =
     s"""qsrc AS (SELECT doc_id,
        |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
        |    length(text) AS n_chars,
        |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS punct
        |  FROM documents),
@@ -317,39 +320,24 @@ object TextQueries {
 
     "text_quality_score" -> QueryDef(
       (s, dir) => TextAnalysis.qualityScore(tbl(s, dir, "documents"), "text"),
-      Some(s"""WITH t AS (
-              |  SELECT doc_id,
-              |    regexp_split_to_array(trim(text), '\\s+') AS toks,
-              |    regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
-              |    length(text) AS n_chars,
-              |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS punct
-              |  FROM documents)
-              |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-              |  round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
-              |  round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-              |  round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len,
-              |  round(CAST(
-              |    (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
-              |    (CASE WHEN round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) > 0.05 THEN 0.3 ELSE 0.0 END) +
-              |    (CASE WHEN round(CAST(punct AS DOUBLE) / n_chars, 6) < 0.2 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 6) AS quality_score
-              |FROM t""".stripMargin),
+      Some(s"""WITH $QualityScoreCte
+              |SELECT s.doc_id, CAST(len(s.toks) AS INT) AS n_tokens,
+              |  round(CAST(len(list_filter(s.toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(s.toks), 6) AS stop_ratio,
+              |  round(CAST(s.punct AS DOUBLE) / s.n_chars, 6) AS punct_ratio,
+              |  round(CAST(list_sum(list_transform(s.words, w -> length(w))) AS DOUBLE) / greatest(len(s.words), 1), 6) AS mean_word_len,
+              |  q.quality_score
+              |FROM qsrc s JOIN qscore q USING (doc_id)""".stripMargin),
       doc = "length/punct/stopword quality signals + composite score"),
 
     "quality_model_score" -> QueryDef(
       (s, dir) => TextAnalysis.modelScore(tbl(s, dir, "documents"), "text"),
-      Some(s"""WITH t AS (
-              |  SELECT doc_id,
-              |    regexp_split_to_array(trim(text), '\\s+') AS toks,
-              |    regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
-              |    length(text) AS n_chars,
-              |    length(text) - length(regexp_replace(text, '[!"#$$%&''()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]', '', 'g')) AS punct
-              |  FROM documents),
+      Some(s"""WITH $QualityScoreCte,
               |f AS (SELECT doc_id,
               |  CAST(len(toks) AS INT) AS n_tokens,
               |  round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
               |  round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
               |  round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len
-              |FROM t),
+              |FROM qsrc),
               |z AS (SELECT doc_id,
               |  -0.8 + 6.0 * stop_ratio - 4.0 * punct_ratio + 0.2 * mean_word_len - 0.004 * n_tokens AS z
               |FROM f)

@@ -682,6 +682,24 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"): _*)
   }
 
+  /** `dedup_cluster_canonical` selection: within each near-dup cluster
+    * keep the HIGHEST-QUALITY copy (tie -> lowest doc_id), not the
+    * arbitrary min id — the RefinedWeb-style production semantics. The
+    * ranking window partitions by cluster_id: bounded by cluster size,
+    * never corpus-wide.
+    *
+    * @param clusters (doc_id, cluster_id, cluster_size) from
+    *                 [[connectedComponents]]
+    * @param quality  (doc_id, quality_score)
+    */
+  def canonicalByQuality(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("kept", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "cluster_size", "quality_score", "kept")
+  }
+
   /** `dedup_decontaminate_spans`: contamination AUDIT EVIDENCE — for
     * every (training doc, benchmark doc) pair, the exact token spans of
     * the training doc covered by shared rare n-grams, merged into

@@ -154,25 +154,41 @@ object Streaming {
       stream: DataFrame,
       table: graft.sink.SnapshotTable,
       textCol: String,
-      checkpoint: String) =
+      checkpoint: String,
+      idCol: String = "doc_id") = {
+    // fail at call time, not inside the first microbatch
+    Seq(idCol, textCol).foreach(c => require(stream.columns.contains(c),
+      s"dedup ingest needs column $c (stream has: ${stream.columns.mkString(", ")})"))
+    // null content still dedups — every null-text row shares one sentinel
+    // key (a plain md5(null) is null, and null join keys never match, so
+    // null-text re-deliveries would append FOREVER); the txt: prefix keeps
+    // real hashes disjoint from the sentinel
+    def contentKey(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("null:")).otherwise(concat(lit("txt:"), md5(c)))
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val withHash = batch.toDF().withColumn("_h", md5(col(textCol)))
+        val withHash = batch.toDF().withColumn("_h", contentKey(col(textCol)))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("_h")).orderBy(col("doc_id").asc)
+          .partitionBy(col("_h")).orderBy(col(idCol).asc)
         val firstPerHash = withHash
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
         val existing = table.read(spark)
-          .select(md5(col(textCol)).as("_h")).distinct()
-        val novel = firstPerHash.join(existing, Seq("_h"), "left_anti").drop("_h")
+          .select(contentKey(col(textCol)).as("_h")).distinct()
+        // persisted: the emptiness probe and the append below would
+        // otherwise each run the whole gate (window + table re-hash +
+        // anti-join) — 2x the per-batch cost
+        val novel = firstPerHash.join(existing, Seq("_h"), "left_anti")
+          .drop("_h").persist()
         // no empty commits: an all-duplicate batch leaves no snapshot
-        if (novel.limit(1).count() > 0) { table.append(novel, micro = true): Unit }
+        try { if (!novel.isEmpty) { table.append(novel, micro = true): Unit } }
+        finally { novel.unpersist(): Unit }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** Streaming SCD2 dimension maintenance (`stream_scd2_merge`): each
     * CDC microbatch is merged into the dimension snapshot table with the

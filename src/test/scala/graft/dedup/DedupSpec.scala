@@ -258,6 +258,18 @@ class DedupSpec extends SparkSpec {
     assert(spans == Set((0, 12), (13, 25)))
   }
 
+  test("cluster canonicalization keeps the best-quality copy, not the min id") {
+    val clusters = Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+    val quality = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality_score")
+    val out = Dedup.canonicalByQuality(clusters, quality).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // doc 2 wins cluster 1 (best score; the tie vs doc 3 breaks to the
+    // lower id); a singleton keeps its only member regardless of score
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 9L -> true))
+  }
+
   test("contamination spans point at the exact leaked positions per eval doc") {
     val fix = Seq(
       (1L, "xx yy alpha beta gamma delta zz ww"), // leak at tokens [2, 6)

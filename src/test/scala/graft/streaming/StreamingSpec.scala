@@ -468,4 +468,39 @@ class StreamingSpec extends SparkSpec {
       Seq(graft.sink.Merge.WhenMatched(graft.sink.Merge.UpdateAll)), Nil).isEmpty,
       "the watermark must survive compaction collapsing history")
   }
+
+  test("dedup ingest: content gate is idempotent, clones lose, null text dedups") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_dedup_ingest_wh").toString
+    val table = graft.sink.SnapshotTable(wh, "t", "docs")
+    table.overwrite(Seq((1L, "alpha text", "en"), (2L, "beta text", "en"))
+      .toDF("doc_id", "text", "lang")): Unit
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.startDedupIngest(
+      mem.toDF().toDF("doc_id", "text", "lang"), table, "text", s"$wh/_ckpt")
+    try {
+      // batch 1: a re-delivery of doc 1 (drops at the table gate), novel
+      // doc 3, a same-text clone of 3 in the SAME batch (original wins),
+      // and a null-text doc
+      mem.addData(Seq((1L, "alpha text", "en"), (3L, "gamma text", "en"),
+        (300L, "gamma text", "en"), (4L, null, "en")))
+      q.processAllAvailable()
+      val after1 = table.read(spark).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after1 == Set(1L, 2L, 3L, 4L))
+      val snaps1 = table.snapshots.size
+      // batch 2: ALL duplicates — incl. a null-text re-delivery, the case
+      // a plain md5 key re-appends forever — and no commit must land
+      mem.addData(Seq((3L, "gamma text", "en"), (5L, null, "en")))
+      q.processAllAvailable()
+      assert(table.read(spark).count() == 4)
+      assert(table.snapshots.size == snaps1, "all-duplicate batch must not commit")
+    } finally q.stop()
+    // a stream without the id column fails at call time, not mid-stream
+    val bad = intercept[IllegalArgumentException] {
+      Streaming.startDedupIngest(
+        mem.toDF().toDF("id", "text", "lang"), table, "text", s"$wh/_ckpt2")
+    }
+    assert(bad.getMessage.contains("doc_id"))
+  }
 }
