@@ -1419,6 +1419,70 @@ object MetaQueries {
         "onto the merge-on-read equality delete (subquery keys = delete file, " +
         "no rewrite, keys never collect to the driver)"),
 
+    "sql_delete_not_in" -> QueryDef(
+      (s, dir) => {
+        // DELETE ... WHERE k NOT IN (SELECT ...) — SQL's null-aware
+        // NOT IN (retire every user the retention query did NOT keep).
+        // GraftDmlRule lowers it onto GraftNotInCommand: two limit-1
+        // probes of the distinct key frame classify the statement
+        // (NULL key → statement no-op; empty → delete-all; else the
+        // anti-join = MERGE's third arm over non-NULL target keys).
+        // Here the subquery is non-empty and NULL-free, so the require
+        // pins the anti-join merge commit. The spec covers the NULL and
+        // empty branches.
+        val wh = freshWarehouse("sql_delete_not_in")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        val before = table.currentSnapshot.get.rowCount
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""DELETE FROM graft.testdata.events
+                |WHERE user_id NOT IN (SELECT user_id FROM graft.testdata.events
+                |                      WHERE event_type = 'purchase' AND value > 200)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount < before,
+          s"a NOT IN DELETE over a non-empty NULL-free key set must run the " +
+            s"anti-join merge path (op=${snap.operation}, rows=${snap.rowCount}/$before)")
+        s.sql("SELECT event_id, ts, user_id, event_type FROM graft.testdata.events")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+             |WHERE user_id IN (SELECT user_id FROM events
+             |  WHERE event_type = 'purchase' AND value > 200)""".stripMargin),
+      doc = "SQL DELETE with an uncorrelated NOT IN (SELECT ...) condition: " +
+        "null-aware semantics branched at run time (NULL key → no-op, empty " +
+        "subquery → TRUE everywhere, else anti-join restricted to non-NULL " +
+        "target keys)"),
+
+    "sql_update_not_in" -> QueryDef(
+      (s, dir) => {
+        // UPDATE ... WHERE k NOT IN (SELECT ...): same null-aware
+        // lowering, update shape — zero out the value of every event
+        // whose user never made a qualifying purchase.
+        val wh = freshWarehouse("sql_update_not_in")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.events SET value = -1.0
+                |WHERE user_id NOT IN (SELECT user_id FROM graft.testdata.events
+                |                      WHERE event_type = 'purchase' AND value > 200)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge",
+          s"a NOT IN UPDATE over a non-empty NULL-free key set must run the " +
+            s"anti-join merge path (op=${snap.operation})")
+        s.sql("SELECT event_id, user_id, event_type, value FROM graft.testdata.events")
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |  CASE WHEN user_id NOT IN (SELECT user_id FROM events
+             |    WHERE event_type = 'purchase' AND value > 200)
+             |  THEN -1.0 ELSE value END AS value
+             |FROM events""".stripMargin),
+      doc = "SQL UPDATE with an uncorrelated NOT IN (SELECT ...) condition: " +
+        "the same null-aware run-time branch, lowered onto MERGE's " +
+        "WHEN NOT MATCHED BY SOURCE arm"),
+
     "sql_delete_predicate" -> QueryDef(
       (s, dir) => {
         // DELETE with an ARBITRARY predicate (`value * 2 > 500` — the

@@ -72,6 +72,27 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
               rest.map(xlate(_, tSet, sSet)))),
             modeProperty = "write.update.mode")
+        // UPDATE ... WHERE k NOT IN (SELECT ...): null-aware semantics
+        // branch at RUN time (a NULL in the subquery makes NOT IN never
+        // TRUE; an empty subquery makes it TRUE everywhere; otherwise
+        // it is the anti-join — MERGE's third arm — restricted to
+        // non-NULL target keys, because `NULL NOT IN (non-empty)` is
+        // UNKNOWN, and an anti-join alone would wrongly touch those rows)
+        case Some((NotInArm, keys, srcPlan, rest)) =>
+          val sSet = srcPlan.outputSet
+          val keyAttr = target.output.find(_.name == keys.head._1).get
+          val antiCond = rest
+            .map(And(org.apache.spark.sql.catalyst.expressions.IsNotNull(keyAttr), _))
+            .getOrElse(org.apache.spark.sql.catalyst.expressions.IsNotNull(keyAttr))
+          GraftNotInCommand(t.snapTable, srcPlan, keys,
+            bySourceClause = Merge.WhenNotMatchedBySource(
+              Merge.Update(assignments.map(a =>
+                topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, sSet)).toMap),
+              Some(xlate(antiCond, tSet, sSet))),
+            plainCond = rest.map(xlate(_, tSet, AttributeSet.empty)),
+            plainSets = Some(assignments.map(a =>
+              topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, AttributeSet.empty)).toMap),
+            modeProperty = "write.update.mode")
         case None =>
           lowerCorrScalarUpdate(t, assignments, condition, tSet).getOrElse(
             GraftUpdateCommand(
@@ -121,6 +142,20 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             matchedClauses = Nil, notMatchedClauses = Nil,
             notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
               Merge.Delete, rest.map(xlate(_, tSet, sSet)))),
+            modeProperty = "write.delete.mode")
+        // DELETE ... WHERE k NOT IN (SELECT ...): same run-time
+        // null-aware branching as the UPDATE form above
+        case Some((NotInArm, keys, srcPlan, rest)) =>
+          val sSet = srcPlan.outputSet
+          val keyAttr = target.output.find(_.name == keys.head._1).get
+          val antiCond = rest
+            .map(And(org.apache.spark.sql.catalyst.expressions.IsNotNull(keyAttr), _))
+            .getOrElse(org.apache.spark.sql.catalyst.expressions.IsNotNull(keyAttr))
+          GraftNotInCommand(t.snapTable, srcPlan, keys,
+            bySourceClause = Merge.WhenNotMatchedBySource(
+              Merge.Delete, Some(xlate(antiCond, tSet, sSet))),
+            plainCond = rest.map(xlate(_, tSet, AttributeSet.empty)),
+            plainSets = None,
             modeProperty = "write.delete.mode")
         case None =>
           // scalar/EXISTS-only subquery conditions: evaluate statement-
@@ -270,6 +305,17 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         decorrelate(ex.plan, tSet).flatMap { case (corr, child) =>
           build(AntiArm, corr, child)
         }
+      // uncorrelated single-column NOT IN: the null-aware shape. The
+      // extractor only pairs the key columns; the caller owns the
+      // three-way run-time semantics (NULL-in-subquery no-op / empty-
+      // subquery TRUE / anti-join over non-NULL target keys)
+      case Not(InSubquery(Seq(value), lq: ListQuery))
+          if lq.outerAttrs.isEmpty && lq.plan.resolved &&
+            targetAttr(value) && lq.plan.output.size == 1 =>
+        val keyName = value.asInstanceOf[AttributeReference].name
+        val aliased = Alias(lq.plan.output.head, "__gkey0")()
+        Some((NotInArm, Seq(keyName -> "__gkey0"),
+          Distinct(Project(Seq(aliased), lq.plan)), rest))
       case _ => None
     }
   }
@@ -488,10 +534,12 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "SCALAR and EXISTS subqueries anywhere in UPDATE/MERGE conditions " +
           "and assignments, and ONE top-level WHERE conjunct of UPDATE or " +
           "DELETE that is `col IN (SELECT ...)` (over plain target columns, " +
-          "correlated or not) or a correlated `[NOT] EXISTS` whose " +
-          "correlation predicates are plain column equalities; for NOT IN, " +
-          "non-equality correlation, or other forms, materialize the " +
-          "subquery as a source table or temp view and use MERGE")
+          "correlated or not), `col NOT IN (SELECT ...)` (uncorrelated, " +
+          "single column, full null-aware semantics), or a correlated " +
+          "`[NOT] EXISTS` whose correlation predicates are plain column " +
+          "equalities; for multi-column or correlated NOT IN, non-equality " +
+          "correlation, or other forms, materialize the subquery as a " +
+          "source table or temp view and use MERGE")
     GraftSqlShim.column(prepared.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))
@@ -585,6 +633,10 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 sealed trait ArmKind
 case object SemiArm extends ArmKind
 case object AntiArm extends ArmKind
+/** Uncorrelated NOT IN — anti-join SHAPE but null-aware SEMANTICS, so it
+  * lowers to [[GraftNotInCommand]]'s run-time branch, not a plain anti.
+  */
+case object NotInArm extends ArmKind
 
 /** Placeholder carrying an uncorrelated scalar subquery's resolved plan
   * through a lowered DML Column until command RUN time, where it
@@ -702,6 +754,60 @@ final case class GraftDeleteWhereCommand(
     if (table.properties.get("write.delete.mode").contains("merge-on-read"))
       table.deletePositions(spark, c)
     else table.deleteRows(spark, c)
+    Nil
+  }
+}
+
+/** Executable lowering of `UPDATE/DELETE ... WHERE k NOT IN (SELECT …)`
+  * — SQL's null-aware NOT IN, branched at RUN time with two limit-1
+  * probes of the (DISTINCT'd) subquery keys:
+  *  - any NULL key → `k <> NULL` is UNKNOWN for every row, so NOT IN is
+  *    never TRUE: the whole statement is a no-op;
+  *  - empty subquery → NOT IN is TRUE for EVERY row (NULL target keys
+  *    included): run the plain engine update/delete with the residual
+  *    condition only;
+  *  - otherwise → MERGE's third arm (WHEN NOT MATCHED BY SOURCE), an
+  *    anti-join of the key frame, with `k IS NOT NULL` folded into the
+  *    clause condition (a NULL target key against a non-empty list is
+  *    UNKNOWN — the anti-join alone would wrongly touch those rows).
+  * The key frame stays a distributed plan; nothing but the two one-row
+  * probes ever reaches the driver.
+  */
+final case class GraftNotInCommand(
+    @transient table: SnapshotTable,
+    @transient keysPlan: LogicalPlan,
+    keys: Seq[(String, String)],
+    bySourceClause: Merge.WhenNotMatchedBySource,
+    plainCond: Option[Column],
+    plainSets: Option[Map[String, Column]],
+    modeProperty: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
+    import org.apache.spark.sql.functions.col
+    def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
+    val src = GraftSqlShim.ofRows(spark, keysPlan)
+    val kCol = keys.head._2
+    if (src.filter(col(kCol).isNull).limit(1).collect().nonEmpty) return Nil
+    if (src.limit(1).collect().isEmpty) {
+      val mor = table.properties.get(modeProperty).contains("merge-on-read")
+      plainSets match {
+        case Some(sets) =>
+          val c = plainCond.map(m).getOrElse(lit(true))
+          val s2 = sets.map { case (k, v) => k -> m(v) }
+          if (mor) table.updatePositions(spark, c, s2)
+          else table.updateWhere(spark, c, s2)
+        case None =>
+          val c = plainCond.map(m).getOrElse(lit(true))
+          if (mor) table.deletePositions(spark, c)
+          else table.deleteRows(spark, c)
+      }
+    } else {
+      GraftMergeCommand(table, keysPlan, keys,
+        matchedClauses = Nil, notMatchedClauses = Nil,
+        notMatchedBySourceClauses = Seq(bySourceClause),
+        modeProperty = modeProperty).run(spark)
+    }
     Nil
   }
 }

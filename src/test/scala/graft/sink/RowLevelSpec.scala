@@ -450,12 +450,60 @@ class RowLevelSpec extends SparkSpec {
         |WHERE EXISTS (SELECT 1 FROM rl_ex_keys WHERE k > id)""".stripMargin))
     assert(e.getMessage.contains("subquery") || e.getMessage.contains("correlated"),
       e.getMessage)
-    // NOT IN stays rejected (its NULL semantics cannot ride the anti-join)
-    val e2 = intercept[Exception](spark.sql(
-      """DELETE FROM graft.ns.ext
-        |WHERE id NOT IN (SELECT k FROM rl_ex_keys)""".stripMargin))
-    assert(e2.getMessage.contains("subquery"), e2.getMessage)
-    assert(t.read(spark).filter(col("bal") === -1.0).count() == 0L)
+  }
+
+  test("uncorrelated NOT IN in DML is null-aware: no-op / delete-all / anti-join") {
+    val wh = Files.createTempDirectory("graft_rl_notin").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    def fresh(name: String): SnapshotTable = {
+      val t = SnapshotTable(wh, "ns", name)
+      t.overwrite(Seq[(java.lang.Long, Double)]((1L, 1.0), (2L, 2.0), (3L, 3.0), (null, 9.0))
+        .toDF("id", "bal"))
+      t
+    }
+    // 1. NULL in the subquery: `id <> NULL` is UNKNOWN, NOT IN is never
+    //    TRUE — the statement is a complete no-op (no new snapshot)
+    val t1 = fresh("nin1")
+    Seq[java.lang.Long](1L, null).toDF("k").createOrReplaceTempView("rl_nin_null")
+    val snapBefore = t1.currentSnapshot.get.id
+    spark.sql("DELETE FROM graft.ns.nin1 WHERE id NOT IN (SELECT k FROM rl_nin_null)")
+    assert(t1.currentSnapshot.get.id == snapBefore && t1.read(spark).count() == 4L,
+      "a NULL subquery key makes NOT IN never TRUE: statement must no-op")
+    // 2. EMPTY subquery: NOT IN is TRUE for EVERY row, NULL keys included
+    val t2 = fresh("nin2")
+    Seq.empty[Long].toDF("k").createOrReplaceTempView("rl_nin_empty")
+    spark.sql("DELETE FROM graft.ns.nin2 WHERE id NOT IN (SELECT k FROM rl_nin_empty)")
+    assert(t2.read(spark).count() == 0L,
+      "an empty subquery makes NOT IN TRUE everywhere — all rows delete")
+    // 3. non-empty NULL-free subquery: anti-join over NON-NULL target
+    //    keys — the NULL-keyed row is UNKNOWN and must survive
+    val t3 = fresh("nin3")
+    Seq(1L, 3L).toDF("k").createOrReplaceTempView("rl_nin_keys")
+    spark.sql("DELETE FROM graft.ns.nin3 WHERE id NOT IN (SELECT k FROM rl_nin_keys)")
+    assert(t3.currentSnapshot.get.operation == "merge")
+    assert(t3.read(spark).select("bal").as[Double].collect().sorted.toSeq ==
+      Seq(1.0, 3.0, 9.0),
+      "id=2 deletes; ids 1,3 match; the NULL id is UNKNOWN and survives")
+    // 4. UPDATE + NOT IN + residual conjunct
+    val t4 = fresh("nin4")
+    spark.sql("""UPDATE graft.ns.nin4 SET bal = -1
+                |WHERE id NOT IN (SELECT k FROM rl_nin_keys) AND bal > 1.5""".stripMargin)
+    assert(t4.read(spark).select("bal").as[Double].collect().sorted.toSeq ==
+      Seq(-1.0, 1.0, 3.0, 9.0),
+      "only id=2 is both NOT IN and bal>1.5; the NULL id stays untouched")
+    // 5. empty subquery + UPDATE: TRUE everywhere (NULL key included)
+    val t5 = fresh("nin5")
+    spark.sql("""UPDATE graft.ns.nin5 SET bal = 0
+                |WHERE id NOT IN (SELECT k FROM rl_nin_empty)""".stripMargin)
+    assert(t5.read(spark).select("bal").as[Double].collect().toSeq.forall(_ == 0.0))
+    // 6. multi-column NOT IN keeps the actionable error
+    val t6 = fresh("nin6")
+    Seq((1L, 1.0)).toDF("k", "b").createOrReplaceTempView("rl_nin_pair")
+    val e = intercept[Exception](spark.sql(
+      """DELETE FROM graft.ns.nin6
+        |WHERE (id, bal) NOT IN (SELECT k, b FROM rl_nin_pair)""".stripMargin))
+    assert(e.getMessage.contains("subquery"), e.getMessage)
   }
 
   test("correlated [NOT] EXISTS and correlated IN decorrelate onto the join paths") {
