@@ -426,6 +426,64 @@ object SimilarityQueries {
         "explicit floor(v+0.5) round) - the 4x compression step before ANN " +
         "serving; map-only, codes bit-identical cross-engine"),
 
+    "embedding_quantize_sign" -> QueryDef(
+      // flat output (driver compare): the two packed words as BIGINT
+      // columns; the library API returns the real array<long> signature
+      (s, dir) => Similarity.quantizeSign(tbl(s, dir, "embeddings"), dims = 64)
+        .select(col("vec_id"), col("label"),
+          element_at(col("sig"), 1).as("w0"),
+          element_at(col("sig"), 2).as("w1")),
+      Some("""WITH bits AS (
+             |  SELECT e.vec_id, e.label, p.i,
+             |    CASE WHEN e.embedding[CAST(p.i AS INT) + 1] > 0
+             |         THEN 1::BIGINT ELSE 0::BIGINT END AS b
+             |  FROM embeddings e CROSS JOIN range(0, 64) p(i))
+             |SELECT vec_id, label,
+             |  CAST(sum(CASE WHEN i < 32 THEN b * (1::BIGINT << CAST(i AS INT))
+             |           ELSE 0 END) AS BIGINT) AS w0,
+             |  CAST(sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (CAST(i AS INT) - 32))
+             |           ELSE 0 END) AS BIGINT) AS w1
+             |FROM bits GROUP BY vec_id, label""".stripMargin),
+      doc = "sign-bit (binary) embedding quantization: 1 bit per dimension " +
+        "packed 32-per-long (32x compression past int8); exact integer fold, " +
+        "bit-identical cross-engine; map-only, no shuffle"),
+
+    "similarity_sign_hamming" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.signHammingTopK(emb.filter(col("vec_id") < 5), emb, dims = 64, k = 10)
+      },
+      Some("""WITH bits AS (
+             |  SELECT e.vec_id, p.i,
+             |    CASE WHEN e.embedding[CAST(p.i AS INT) + 1] > 0
+             |         THEN 1::BIGINT ELSE 0::BIGINT END AS b
+             |  FROM embeddings e CROSS JOIN range(0, 64) p(i)),
+             |sig AS (
+             |  SELECT vec_id,
+             |    CAST(sum(CASE WHEN i < 32 THEN b * (1::BIGINT << CAST(i AS INT))
+             |             ELSE 0 END) AS BIGINT) AS w0,
+             |    CAST(sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (CAST(i AS INT) - 32))
+             |             ELSE 0 END) AS BIGINT) AS w1
+             |  FROM bits GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+             |      FROM sig WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, s.vec_id,
+             |    CAST(bit_count(xor(q.qw0, s.w0)) + bit_count(xor(q.qw1, s.w1))
+             |         AS BIGINT) AS hamming
+             |  FROM sig s JOIN q ON q.query_id <> s.vec_id)
+             |SELECT query_id, vec_id, hamming, rank FROM (
+             |  SELECT query_id, vec_id, hamming,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY hamming ASC, vec_id ASC) AS INT) AS rank
+             |  FROM scored)
+             |WHERE rank <= 10""".stripMargin),
+      doc = "binary-signature ANN: top-10 by Hamming distance over packed " +
+        "sign bits (XOR + popcount per candidate, queries broadcast, corpus " +
+        "streamed once at 8 bytes/vector) - the memory-bandwidth-bound scan " +
+        "that covers a billion vectors where float cosine cannot; " +
+        "deterministic (hamming, vec_id) tiebreak"),
+
     "similarity_topk" -> QueryDef(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")

@@ -269,6 +269,33 @@ object TextQueries {
       doc = "per-doc mean NLL under the corpus's own unigram LM - the " +
         "perplexity-filter quality signal, fully reproducible"),
 
+    "text_bigram_logprob" -> QueryDef(
+      (s, dir) => TextAnalysis.bigramLogprob(tbl(s, dir, "documents"), "text"),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents),
+             |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+             |f AS (SELECT tok, count(*) AS c1 FROM u GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM f),
+             |bge AS (SELECT doc_id,
+             |    unnest(toks[1:len(toks)-1]) AS prev,
+             |    unnest(toks[2:len(toks)]) AS tok
+             |  FROM t WHERE len(toks) >= 2),
+             |bf AS (SELECT prev, tok, count(*) AS c2 FROM bge GROUP BY 1, 2),
+             |sc AS (SELECT doc_id,
+             |    -avg(ln(0.75 * bf.c2 / fp.c1 + 0.25 * fw.c1 / tot.n)) AS raw,
+             |    count(*) AS nb
+             |  FROM bge JOIN bf USING (prev, tok)
+             |  JOIN f fp ON fp.tok = bge.prev
+             |  JOIN f fw ON fw.tok = bge.tok
+             |  CROSS JOIN tot GROUP BY 1)
+             |SELECT d.doc_id, round(coalesce(sc.raw, 0), 4) AS nll,
+             |  coalesce(sc.nb, 0) AS n_bigrams
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin),
+      doc = "per-doc mean NLL under the corpus's own Jelinek-Mercer bigram LM " +
+        "(lambda=0.75): the word-ORDER-aware perplexity filter - shuffled-text " +
+        "spam scores high where the unigram model cannot see the disorder; " +
+        "bigrams array-side, counts two hash aggs, scoring a key join"),
+
     "text_repetition_stats" -> QueryDef(
       (s, dir) => TextAnalysis.repetitionStats(tbl(s, dir, "documents"), "text"),
       Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

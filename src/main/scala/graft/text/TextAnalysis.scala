@@ -195,6 +195,52 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** `text_bigram_logprob`: per-document mean NLL under the corpus's own
+    * INTERPOLATED bigram LM — `p(w|prev) = λ·c(prev w)/c(prev) +
+    * (1−λ)·c(w)/N` (Jelinek-Mercer smoothing, λ = 0.75). The bigram
+    * refinement of [[unigramLogprob]]'s perplexity-filter signal: a doc
+    * of common words in an uncommon ORDER scores high here where the
+    * unigram model cannot see the disorder (shuffled-text spam, n-gram
+    * keyword stuffing). Shape: tokenize once; bigrams build array-side
+    * (zip of shifted slices, no per-token window); counts are two hash
+    * aggregations with map-side partials; scoring joins doc bigrams to
+    * the count tables on their keys — every stage linear in corpus
+    * tokens, no all-pairs, nothing driver-side. Docs with < 2 tokens
+    * carry nll = 0 with n_bigrams = 0 (no bigram evidence — gate those
+    * by length upstream, not perplexity). The interpolation keeps every
+    * probability strictly positive without held-out tuning: both terms
+    * come from the same corpus the filter runs over.
+    */
+  def bigramLogprob(df: DataFrame, textCol: String, lambda: Double = 0.75): DataFrame = {
+    val toks = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freq = uni.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = freq.agg(sum(col("c1")).as("n"))
+    val bg = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (p, w) => struct(p.as("prev"), w.as("tok")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
+    val bfreq = bg.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+    val scored = bg
+      .join(bfreq, Seq("prev", "tok"))
+      .join(freq.select(col("tok").as("prev"), col("c1").as("cprev")), Seq("prev"))
+      .join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        (-avg(log(lit(lambda) * col("c2") / col("cprev") +
+          lit(1.0 - lambda) * col("c1") / col("n")))).as("raw"),
+        count(lit(1)).as("nb"))
+    df.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("raw"), lit(0.0)), 4).as("nll"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"))
+  }
+
   /** `text_repetition_stats`: per-document repetition quality signals in
     * the Gopher-rules family (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
     * the reference has no analogue; these are the filters a training

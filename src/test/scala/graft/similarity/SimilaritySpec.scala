@@ -371,6 +371,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1).getSeq[Byte](rows(1).fieldIndex("q")).toSeq == Seq[Byte](0, 0, 0))
   }
 
+  test("quantizeSign packs the exact sign pattern, 32 bits per word") {
+    // 40 dims (not a multiple of 32): word 0 full, word 1 carries 8 bits
+    val v = (0 until 40).map(i => if (i % 3 == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.0f)
+    val df = Seq((1L, "m", v)).toDF("vec_id", "meta", "embedding")
+    val out = Similarity.quantizeSign(df, dims = 40)
+    assert(out.columns.toSeq == Seq("vec_id", "meta", "sig"))
+    val sig = out.head().getSeq[Long](2)
+    assert(sig.length == 2)
+    // strict x > 0: only the i % 3 == 0 positions set (zero is NOT set)
+    val expected0 = (0 until 32).filter(_ % 3 == 0).map(1L << _).sum
+    val expected1 = (32 until 40).filter(_ % 3 == 0).map(i => 1L << (i - 32)).sum
+    assert(sig == Seq(expected0, expected1))
+  }
+
+  test("signHammingTopK: copies at distance 0 rank first; complements at dims") {
+    val base = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val comp = base.map(-_)
+    val near = base.updated(0, -1.0f) // one flipped bit
+    val df = Seq((0L, base), (1L, base), (2L, near), (3L, comp))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.signHammingTopK(
+      df.filter($"vec_id" === 0L), df, dims = 64, k = 3)
+      .orderBy($"rank").as[(Long, Long, Long, Int)].collect().toSeq
+    // rank 1: the identical copy at hamming 0 (binary signatures, unlike
+    // PQ cells, preserve exact-copy identity); rank 2: the 1-bit flip;
+    // rank 3: the complement at the full 64 (every bit differs — sign of
+    // -1 clears, sign of +1 sets... both flip)
+    assert(out.map(r => (r._2, r._3)) == Seq((1L, 0L), (2L, 1L), (3L, 64L)))
+  }
+
   test("bucket signatures are stable and pack into 8 bits") {
     val b = Similarity.bucketSignatures(corpus)
       .as[(Long, Long)].collect().toMap

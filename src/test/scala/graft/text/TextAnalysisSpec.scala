@@ -22,6 +22,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(3)._1 - math.log(12.0)) < 1e-3)
   }
 
+  test("bigram NLL sees word ORDER where the unigram model cannot") {
+    // docs 1 and 2 have IDENTICAL token multisets (same unigram NLL);
+    // doc 2's order is shuffled so its bigrams are corpus-rare
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "mat the on sat cat the mat the on sat cat the"),
+      (3L, "the cat sat on the mat"),
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLogprob(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(1) == uni(2), "unigram model is order-blind by construction")
+    val out = TextAnalysis.bigramLogprob(docs, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // n_bigrams = tokens - 1; single-token doc carries the 0/0 sentinel
+    assert(out(1)._2 == 11L && out(3)._2 == 5L && out(4) == ((0.0, 0L)))
+    // doc 1's bigrams repeat corpus-wide (docs 1+3 share them); doc 2's
+    // shuffled order makes each bigram rare -> strictly higher NLL
+    assert(out(1)._1 < out(2)._1,
+      s"bigram NLL must separate the shuffled doc: $out")
+  }
+
   test("boilerplate coverage: cross-doc frequent spans, overlaps counted once") {
     import spark.implicits._
     // "click here to subscribe" appears in 3 docs (boilerplate); doc 4 is
