@@ -2027,6 +2027,50 @@ object MetaQueries {
       doc = "tag-protected retention: expiry GCs untagged history, the tagged " +
         "snapshot and its data survive and stay readable"),
 
+    "ref_retention_policy" -> QueryDef(
+      (s, dir) => {
+        // Iceberg per-ref retention: a TAG with max_ref_age_ms ages out
+        // WITH the expiry run (its target then expires like any
+        // unprotected snapshot), while a BRANCH with min_snapshots_to_keep
+        // keeps that many of its staged ancestor chain alive past the
+        // table-level cutoff. Chain: snap1 (published base) <- snap2/3/4
+        // (staged branch appends). Expiry at cutoff-everything: the aged
+        // tag drops, snap1 and snap2 expire, min-keep saves snaps 3+4 —
+        // and the branch head still reads back IN FULL (snapshots are
+        // self-contained; kept snapshots' dirs survive the GC sweep).
+        val wh = freshWarehouse("ref_retention_policy")
+        val table = SnapshotTable(wh, "testdata", "events")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type")
+        val mid = lit(EventsMidCut).cast("timestamp")
+        table.overwrite(ev.filter(col("ts") < mid)): Unit // snap 1
+        table.createTag("stale", maxRefAgeMs = Some(1L)): Unit // ages out
+        table.createBranch("dev", minSnapshotsToKeep = Some(2)): Unit
+        val late = ev.filter(col("ts") >= mid)
+        table.appendToBranch("dev", late.filter(col("event_type") === "view")): Unit // snap 2
+        table.appendToBranch("dev", late.filter(col("event_type") === "click")): Unit // snap 3
+        table.appendToBranch("dev", late.filter(col("event_type") === "purchase")): Unit // snap 4
+        table.overwrite(ev): Unit // snap 5 — the published head
+        val expired = table.expireSnapshots(System.currentTimeMillis() + 3600000L)
+        require(expired == Seq(1L, 2L),
+          s"expected the aged-out tag's target (1) and the unprotected chain " +
+            s"snapshot (2) to expire, got $expired")
+        require(table.refs.map(_.name) == Seq("dev"),
+          s"the aged tag must auto-expire; refs: ${table.refs.map(_.name)}")
+        table.readRef(s, "dev")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+              |FROM events
+              |WHERE ts < TIMESTAMP '$EventsMidCut'
+              |   OR event_type IN ('view', 'click', 'purchase')
+              |GROUP BY event_type""".stripMargin),
+      doc = "per-ref retention policies (Iceberg branch/tag retention): " +
+        "max_ref_age_ms ages a ref out during expire_snapshots, " +
+        "min_snapshots_to_keep / max_snapshot_age_ms protect a branch's " +
+        "staged ancestor chain; the branch head reads back in full after GC"),
+
     "wap_cherry_pick" -> QueryDef(
       (s, dir) => {
         // the WAP resolution publish() refuses: the head advanced after

@@ -512,9 +512,13 @@ final class GraftSparkTable(
       // the published head surfaces as the implicit `main` branch,
       // Iceberg's $refs shape
       val main = snapTable.currentSnapshot
-        .map(sn => ("main", "branch", sn.id)).toSeq
-      (main ++ snapTable.refs.map(r => (r.name, r.kind, r.snapshotId)))
-        .toDF("name", "type", "snapshot_id")
+        .map(sn => ("main", "branch", sn.id,
+          None: Option[Long], None: Option[Int], None: Option[Long])).toSeq
+      (main ++ snapTable.refs.map(r => (r.name, r.kind, r.snapshotId,
+        r.maxRefAgeMs, r.minSnapshotsToKeep, r.maxSnapshotAgeMs)))
+        .toDF("name", "type", "snapshot_id",
+          "max_reference_age_in_ms", "min_snapshots_to_keep",
+          "max_snapshot_age_in_ms")
     case Some("deletes") =>
       import spark.implicits._
       // the ACTIVE merge-on-read delete files (Iceberg's delete-files

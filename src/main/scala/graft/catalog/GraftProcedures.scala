@@ -166,32 +166,42 @@ object GraftProcedures {
 
     ProcDef("create_branch",
       Seq(p("table", StringType), p("branch", StringType),
-        opt("snapshot_id", LongType)),
+        opt("snapshot_id", LongType), opt("max_ref_age_ms", LongType),
+        opt("min_snapshots_to_keep", IntegerType),
+        opt("max_snapshot_age_ms", LongType)),
       StructType(Seq(
         StructField("branch", StringType),
         StructField("snapshot_id", LongType))),
       "Create a named branch at the given snapshot (default: current " +
         "head); appendToBranch then stages invisible commits on it until " +
-        "fast_forward publishes the chain.",
+        "fast_forward publishes the chain. Optional Iceberg branch " +
+        "retention: max_ref_age_ms expires the branch itself, " +
+        "min_snapshots_to_keep / max_snapshot_age_ms protect its staged " +
+        "ancestor chain from expire_snapshots.",
       (t, in, _) => {
         val name = in.getUTF8String(1).toString
         val at = if (in.isNullAt(2)) None else Some(in.getLong(2))
-        val ref = t.createBranch(name, at)
+        val maxRefAge = if (in.isNullAt(3)) None else Some(in.getLong(3))
+        val minKeep = if (in.isNullAt(4)) None else Some(in.getInt(4))
+        val maxSnapAge = if (in.isNullAt(5)) None else Some(in.getLong(5))
+        val ref = t.createBranch(name, at, maxRefAge, minKeep, maxSnapAge)
         Seq(Array[Any](utf8(ref.name), ref.snapshotId))
       }),
 
     ProcDef("create_tag",
       Seq(p("table", StringType), p("tag", StringType),
-        opt("snapshot_id", LongType)),
+        opt("snapshot_id", LongType), opt("max_ref_age_ms", LongType)),
       StructType(Seq(
         StructField("tag", StringType),
         StructField("snapshot_id", LongType))),
       "Pin a named tag to the given snapshot (default: current head); " +
-        "tagged snapshots and their dirs are protected from expiry.",
+        "tagged snapshots and their dirs are protected from expiry — " +
+        "until the tag outlives its own optional max_ref_age_ms.",
       (t, in, _) => {
         val name = in.getUTF8String(1).toString
         val at = if (in.isNullAt(2)) None else Some(in.getLong(2))
-        val ref = t.createTag(name, at)
+        val maxRefAge = if (in.isNullAt(3)) None else Some(in.getLong(3))
+        val ref = t.createTag(name, at, maxRefAge)
         Seq(Array[Any](utf8(ref.name), ref.snapshotId))
       }),
 

@@ -121,9 +121,33 @@ final case class EqualityDelete(
   * `expireSnapshots`. Snapshots here are self-contained (each lists
   * every data dir it is composed of), so protecting the TARGET alone is
   * sufficient — no ancestor chain needs to survive for reads.
+  *
+  * Per-ref retention (Iceberg's branch/tag retention policies):
+  *  - `maxRefAgeMs` — the ref ITSELF expires during `expireSnapshots`
+  *    once `now − committedAt(target) > maxRefAgeMs` (advancing a
+  *    branch refreshes its age; Iceberg's `max-ref-age-ms`);
+  *  - `minSnapshotsToKeep` (branches only) — at least this many
+  *    snapshots of the branch's STAGED ancestor chain survive expiry
+  *    regardless of age (`min-snapshots-to-keep`);
+  *  - `maxSnapshotAgeMs` (branches only) — chain snapshots younger
+  *    than this survive even past the table-level cutoff
+  *    (`max-snapshot-age-ms`).
+  * Published (main-lineage) history stays governed by the table-level
+  * expiry arguments — branch policies scope to the history only the
+  * branch can see, exactly the snapshots main retention cannot reason
+  * about.
   */
-final case class TableRef(name: String, kind: String, snapshotId: Long) {
+final case class TableRef(name: String, kind: String, snapshotId: Long,
+    maxRefAgeMs: Option[Long] = None,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None) {
   require(kind == "branch" || kind == "tag", s"ref kind must be branch|tag, got '$kind'")
+  require(kind == "branch" || (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+    s"snapshot-retention fields apply to branches only; tag '$name' cannot carry them " +
+      "(a tag pins exactly one snapshot — Iceberg rejects these there too)")
+  require(maxRefAgeMs.forall(_ > 0) && minSnapshotsToKeep.forall(_ > 0) &&
+    maxSnapshotAgeMs.forall(_ > 0),
+    s"ref '$name' retention values must be positive")
 }
 
 /** A concurrent writer advanced the table between this commit's base
@@ -2044,14 +2068,23 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val json = new String(Files.readAllBytes(refsPath), StandardCharsets.UTF_8)
       MetadataJson.parse(json).asArr.map { v =>
         val o = v.asObj
-        TableRef(o("name").asStr, o("type").asStr, o("snapshot_id").asLong)
+        // retention fields are optional — refs written before the
+        // feature carry none and parse as policy-free
+        TableRef(o("name").asStr, o("type").asStr, o("snapshot_id").asLong,
+          maxRefAgeMs = o.get("max_ref_age_ms").map(_.asLong),
+          minSnapshotsToKeep = o.get("min_snapshots_to_keep").map(_.asLong.toInt),
+          maxSnapshotAgeMs = o.get("max_snapshot_age_ms").map(_.asLong))
       }
     }
 
   private def writeRefs(rs: Seq[TableRef]): Unit = {
-    val json = rs.map(r =>
-      s"""{"name":"${jsonEscape(r.name)}","type":"${r.kind}","snapshot_id":${r.snapshotId}}""")
-      .mkString("[", ",", "]")
+    val json = rs.map { r =>
+      val retention =
+        r.maxRefAgeMs.map(v => s""","max_ref_age_ms":$v""").getOrElse("") +
+          r.minSnapshotsToKeep.map(v => s""","min_snapshots_to_keep":$v""").getOrElse("") +
+          r.maxSnapshotAgeMs.map(v => s""","max_snapshot_age_ms":$v""").getOrElse("")
+      s"""{"name":"${jsonEscape(r.name)}","type":"${r.kind}","snapshot_id":${r.snapshotId}$retention}"""
+    }.mkString("[", ",", "]")
     val tmp = Paths.get(root, s".refs.json.tmp-${System.nanoTime()}")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, refsPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
@@ -2063,7 +2096,10 @@ final class SnapshotTable(val root: String, val fullName: String) {
         s"Table $fullName has no $kind '$name' " +
           s"(refs: ${refs.map(r => s"${r.name}[${r.kind}]").mkString(", ")})"))
 
-  private def createRef(name: String, kind: String, at: Option[Long]): TableRef =
+  private def createRef(name: String, kind: String, at: Option[Long],
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): TableRef =
     SnapshotTable.commitLock(root).synchronized {
       require(name.nonEmpty && name != "main",
         s"ref name '$name' is reserved ('main' is the published head)")
@@ -2079,7 +2115,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
           throw new IllegalStateException(
             s"Table $fullName has no published snapshot to ref; write first"))
       }
-      val r = TableRef(name, kind, target.id)
+      val r = TableRef(name, kind, target.id,
+        maxRefAgeMs, minSnapshotsToKeep, maxSnapshotAgeMs)
       writeRefs(refs :+ r)
       Audit.log("table_write", fullName, Map(
         "operation" -> s"create_$kind", "ref" -> name,
@@ -2089,17 +2126,23 @@ final class SnapshotTable(val root: String, val fullName: String) {
 
   /** Create a branch at `at` (default: the published head). Branch
     * appends ([[appendToBranch]]) advance it without touching the
-    * published table; [[fastForward]] publishes it.
+    * published table; [[fastForward]] publishes it. Optional per-ref
+    * retention (Iceberg branch retention): see [[TableRef]].
     */
-  def createBranch(name: String, at: Option[Long] = None): TableRef =
-    createRef(name, "branch", at)
+  def createBranch(name: String, at: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): TableRef =
+    createRef(name, "branch", at, maxRefAgeMs, minSnapshotsToKeep, maxSnapshotAgeMs)
 
   /** Create an immutable tag at `at` (default: the published head).
     * The tagged snapshot — and its data — survives retention expiry
-    * until the tag is dropped.
+    * until the tag is dropped, or until the tag outlives its own
+    * optional `maxRefAgeMs` (Iceberg tag retention).
     */
-  def createTag(name: String, at: Option[Long] = None): TableRef =
-    createRef(name, "tag", at)
+  def createTag(name: String, at: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): TableRef =
+    createRef(name, "tag", at, maxRefAgeMs)
 
   /** Drop a branch or tag. Branch-only snapshots it pointed to stay in
     * metadata (staged, invisible) until retention expires them — same
@@ -2527,8 +2570,49 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // their data) survive until the ref is dropped, Iceberg's
     // ref-retention contract. Targets alone suffice: snapshots are
     // self-contained, no ancestor chain is needed to read one.
+    val now = SnapshotTable.clockMs()
+    // per-ref retention, pass 1: a ref older than its own max-ref-age-ms
+    // expires WITH this maintenance run (Iceberg's max-ref-age-ms; age =
+    // now − committedAt of the ref's CURRENT target, so advancing a
+    // branch refreshes its age). Its target then competes for survival
+    // like any unprotected snapshot.
+    val (agedOut, liveRefs) = refs.partition(r =>
+      r.maxRefAgeMs.exists(maxAge =>
+        all.find(_.id == r.snapshotId).exists(s => now - s.committedAtMs > maxAge)))
+    if (agedOut.nonEmpty) {
+      writeRefs(liveRefs)
+      agedOut.foreach(r => Audit.log("table_write", fullName, Map(
+        "operation" -> "expire_ref", "ref" -> r.name, "kind" -> r.kind)))
+    }
     val currentOpt = all.filterNot(_.staged).lastOption
-    val refIds = refs.map(_.snapshotId).toSet
+    // per-ref retention, pass 2: a branch with min-snapshots-to-keep /
+    // max-snapshot-age-ms protects that many (or that young) a prefix of
+    // its STAGED ancestor chain — the history only the branch can see,
+    // which the table-level arguments cannot reason about. Published
+    // ancestors stay governed by olderThanMs/retainLast (the walk stops
+    // at the first published snapshot), and the head itself is already
+    // protected as the ref target.
+    val chainProtected: Set[Long] = liveRefs
+      .filter(r => r.kind == "branch" &&
+        (r.minSnapshotsToKeep.isDefined || r.maxSnapshotAgeMs.isDefined))
+      .flatMap { r =>
+        val chain = scala.collection.mutable.ListBuffer.empty[Snapshot]
+        var curId: Option[Long] = Some(r.snapshotId)
+        var walking = true
+        while (walking && curId.isDefined) {
+          all.find(_.id == curId.get) match {
+            case Some(s) if s.staged || chain.isEmpty =>
+              chain += s; curId = s.parentId
+            case _ => walking = false
+          }
+        }
+        val minKeep = r.minSnapshotsToKeep.getOrElse(1)
+        chain.zipWithIndex.collect {
+          case (s, i) if i < minKeep ||
+            r.maxSnapshotAgeMs.exists(a => now - s.committedAtMs <= a) => s.id
+        }
+      }.toSet
+    val refIds = liveRefs.map(_.snapshotId).toSet ++ chainProtected
     // retain_last (Iceberg expire_snapshots): the newest N PUBLISHED
     // snapshots survive regardless of age — a rollback window is a
     // count guarantee, not an age guarantee, under bursty commit rates

@@ -127,6 +127,68 @@ class RefsSpec extends SparkSpec {
     assert(t.readRef(spark, "dev").as[Int].collect().sorted.toSeq == Seq(1, 2))
   }
 
+  test("per-ref retention: max_ref_age_ms ages a ref out with the expiry run") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v")) // snap 1 — tagged, tag pre-aged
+    t.createTag("ephemeral", maxRefAgeMs = Some(1L))
+    t.createTag("durable") // no policy — survives forever
+    Thread.sleep(5)
+    t.overwrite(Seq(2).toDF("v")) // snap 2 — current
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 60000)
+    // the aged tag dropped WITH the run; its target (1) then expired
+    // unprotected... except 'durable' still pins it
+    assert(expired.isEmpty && t.refs.map(_.name) == Seq("durable"),
+      s"refs=${t.refs.map(_.name)} expired=$expired")
+    t.dropRef("durable")
+    assert(t.expireSnapshots(System.currentTimeMillis() + 60000) == Seq(1L))
+  }
+
+  test("per-ref retention: min_snapshots_to_keep protects the staged chain prefix") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v")) // snap 1 — published base
+    t.createBranch("dev", minSnapshotsToKeep = Some(2))
+    t.appendToBranch("dev", Seq(2).toDF("v")) // snap 2 — expires (beyond min-keep)
+    t.appendToBranch("dev", Seq(3).toDF("v")) // snap 3 — kept (position 1)
+    t.appendToBranch("dev", Seq(4).toDF("v")) // snap 4 — kept (head)
+    t.overwrite(Seq(9).toDF("v")) // snap 5 — current
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 60000)
+    assert(expired == Seq(1L, 2L), s"got $expired")
+    // the branch head still reads back IN FULL: snapshots are
+    // self-contained, kept snapshots' dirs survived the GC
+    assert(t.readRef(spark, "dev").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("per-ref retention: max_snapshot_age_ms keeps young chain snapshots") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    t.createBranch("dev", maxSnapshotAgeMs = Some(3600000L)) // keep < 1h old
+    t.appendToBranch("dev", Seq(2).toDF("v")) // snap 2 — young, kept
+    t.appendToBranch("dev", Seq(3).toDF("v")) // snap 3 — head
+    t.overwrite(Seq(9).toDF("v")) // snap 4 — current
+    // cutoff far future: age alone would expire 1 and 2; the branch
+    // policy saves 2 (staged, younger than 1h), main policy expires 1
+    val expired = t.expireSnapshots(System.currentTimeMillis() + 7200000L)
+    assert(expired == Seq(1L), s"got $expired")
+    assert(t.readRef(spark, "dev").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("per-ref retention: fields round-trip refs.json; legacy refs parse policy-free") {
+    val t = freshTable()
+    t.overwrite(Seq(1).toDF("v"))
+    t.createBranch("b", maxRefAgeMs = Some(86400000L),
+      minSnapshotsToKeep = Some(5), maxSnapshotAgeMs = Some(3600000L))
+    t.createTag("g", maxRefAgeMs = Some(1000L))
+    t.createTag("plain")
+    val again = new SnapshotTable(t.root, t.fullName).refs
+    assert(again.find(_.name == "b").get ==
+      TableRef("b", "branch", 1L, Some(86400000L), Some(5), Some(3600000L)))
+    assert(again.find(_.name == "g").get == TableRef("g", "tag", 1L, Some(1000L)))
+    assert(again.find(_.name == "plain").get == TableRef("plain", "tag", 1L))
+    // tags cannot carry branch-only snapshot retention
+    intercept[IllegalArgumentException](
+      t.createTag("bad", maxRefAgeMs = None).copy(minSnapshotsToKeep = Some(1)))
+  }
+
   test("cherryPick transplants a staged append's delta onto the advanced head") {
     val t = freshTable()
     t.overwrite(Seq(1).toDF("v")) // snap 1
