@@ -384,6 +384,44 @@ object PatternQueries {
     // ------------------------------------------------------------------
     // append-only event stream
     // ------------------------------------------------------------------
+    "event_transitions" -> QueryDef(
+      (s, dir) => {
+        // first-order Markov transition matrix of the event stream:
+        // (event_type -> next_event_type) counts and row-normalized
+        // probabilities per user timeline. The lead() window partitions
+        // by user_id (bounded per-user timelines — never a single-task
+        // global sort); the count + normalize stages are two hash
+        // aggregations over at most |types|^2 rows. The behavioral-model
+        // counterpart of event_funnel's fixed-order analysis.
+        val events = tbl(s, dir, "events")
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = events
+          .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val byPrev = Window.partitionBy(col("prev_type"))
+        pairs
+          .withColumn("p", round(col("n").cast("double") /
+            sum(col("n")).over(byPrev), 4))
+          .select("prev_type", "next_type", "n", "p")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT event_type AS prev_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts ASC, event_id ASC) AS next_type
+             |  FROM events),
+             |c AS (SELECT prev_type, next_type, count(*) AS n
+             |  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n,
+             |  round(CAST(n AS DOUBLE) /
+             |    sum(n) OVER (PARTITION BY prev_type), 4) AS p
+             |FROM c""".stripMargin),
+      doc = "first-order Markov transitions of the event stream: per-user " +
+        "lead() pairing (bounded partitions), counts + row-normalized " +
+        "probabilities - the behavioral-model counterpart of the funnel"),
+
     "event_sessionize" -> QueryDef(
       (s, dir) => {
         // classic event sessionization: a 30-minute inactivity gap opens

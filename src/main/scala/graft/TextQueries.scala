@@ -642,6 +642,37 @@ object TextQueries {
       doc = "exact stratified sampling: deterministic hash-ordered rank per stratum, " +
         "precise per-stratum counts"),
 
+    "sample_epoch_budget" -> QueryDef(
+      (s, dir) => {
+        // data-constrained scaling (Muennighoff 2023): budget = 2.5x the
+        // corpus's unique tokens, cap 4 epochs -> every doc repeats
+        // twice in full, and one fractional tail epoch samples ~50% by
+        // the deterministic hash draw. The budget derives from the
+        // corpus itself so the fixture holds at every SF.
+        val docs = tbl(s, dir, "documents")
+        val unique = docs.agg(
+          sum(size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")))
+          .head().getLong(0)
+        graft.text.TrainingMix.epochBudget(docs, "source", "text",
+          budgetTokens = unique * 5L / 2L, maxEpochs = 4)
+      },
+      Some("""WITH u AS (SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             |    AS BIGINT) AS ut FROM documents),
+             |p AS (SELECT LEAST(CAST(4 AS HUGEINT) * 1000000,
+             |    (CAST(ut AS HUGEINT) * 5 // 2) * 1000000 // ut) AS e_ppm
+             |  FROM u),
+             |eps AS (SELECT CAST(unnest(range(1,
+             |    CAST(e_ppm // 1000000 AS BIGINT) + 2)) AS BIGINT) AS epoch FROM p)
+             |SELECT d.doc_id, d.source, e.epoch
+             |FROM documents d CROSS JOIN eps e CROSS JOIN p
+             |WHERE e.epoch <= CAST(p.e_ppm // 1000000 AS BIGINT)
+             |   OR CAST(CONCAT('0x', substr(md5('epoch:' || d.doc_id), 1, 15)) AS BIGINT)
+             |      % 1000000 < CAST(p.e_ppm % 1000000 AS BIGINT)""".stripMargin),
+      doc = "data-constrained epoch allocation (Muennighoff 2023): " +
+        "epochs = min(maxEpochs, budget/unique) in exact ppm integer math; " +
+        "floor(epochs) full copies + one hash-sampled fractional tail epoch; " +
+        "map-side explode, documents never shuffle"),
+
     "sample_target_mix" -> QueryDef(
       (s, dir) =>
         // target-composition form: 50/30/15/5 across four sources under

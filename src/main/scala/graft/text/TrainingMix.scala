@@ -296,6 +296,45 @@ object TrainingMix {
     *                raw corpus, which includes them)
     * @return (doc_id, n_tokens, logw, rank) — rank 1 = most target-like.
     */
+  /** `sample_epoch_budget`: data-constrained scaling (Muennighoff et
+    * al. 2023, arXiv:2305.16264). When the token budget EXCEEDS the
+    * corpus's unique supply, repeating data is near-full value up to
+    * ~4 epochs and near-worthless past that — so the allocator plans
+    * `epochs = min(maxEpochs, budget / unique)` in exact ppm integer
+    * math (BigInt: multi-trillion-token budgets overflow Long), and
+    * every doc materializes floor(epochs) full copies plus membership
+    * in ONE fractional tail epoch decided by the same deterministic
+    * salted hash draw the samplers use — reproducible under any
+    * partitioning, no random(). Budget past maxEpochs·unique is
+    * deliberately left unspent (the paper's decay cliff). Output:
+    * (doc_id, source, epoch) — the repeated-data training mix.
+    *
+    * Scale: one column-pruned stats agg (1 row collected), then a
+    * map-side explode(sequence)+filter; documents never shuffle.
+    */
+  def epochBudget(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val M = 1000000L
+    val unique = Option(
+      docs.agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long")))
+        .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val epochsPpm =
+      if (unique == 0L) 0L
+      else (BigInt(budgetTokens) * BigInt(M) / BigInt(unique))
+        .min(BigInt(maxEpochs) * BigInt(M)).toLong
+    val full = epochsPpm / M
+    val tailPpm = epochsPpm % M
+    docs
+      .select(col("doc_id"), col(sourceCol),
+        explode(sequence(lit(1L), lit(full + 1L))).as("epoch"))
+      .filter(col("epoch") <= lit(full) ||
+        pmod(TextAnalysis.hash60(concat(lit("epoch:"), col("doc_id"))),
+          lit(M)) < lit(tailPpm))
+  }
+
   def dsirWeights(
       docs: DataFrame, textCol: String, target: Column,
       buckets: Int, nParts: Int): DataFrame =

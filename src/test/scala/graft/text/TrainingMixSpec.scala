@@ -221,4 +221,30 @@ class TrainingMixSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).toSet
     assert(redraw == draw)
   }
+
+  test("epochBudget: full copies exact, tail deterministic, cap binds") {
+    // 10 docs x 4 tokens = 40 unique tokens
+    val docs = (1L to 10L).map(d => (d, "web", "a b c d")).toDF("doc_id", "source", "text")
+    // budget 100 = 2.5 epochs: 2 full copies of everything + ~half a tail
+    val out = TrainingMix.epochBudget(docs, "source", "text", budgetTokens = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val full = out.filter(_._2 <= 2L)
+    assert(full.size == 20, "every doc must appear in both full epochs")
+    val tail = out.filter(_._2 == 3L).map(_._1).toSet
+    assert(tail.nonEmpty && tail.size < 10, s"tail must be a strict sample: $tail")
+    // deterministic under repartitioning
+    val again = TrainingMix.epochBudget(docs.repartition(7), "source", "text", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(again.toSet == out.toSet)
+    // budget below unique: single fractional epoch = plain subsample
+    val sub = TrainingMix.epochBudget(docs, "source", "text", budgetTokens = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(sub.forall(_._2 == 1L) && sub.size < 10 && sub.nonEmpty)
+    // budget far past the cap: exactly maxEpochs full copies, no tail
+    val capped = TrainingMix.epochBudget(docs, "source", "text",
+      budgetTokens = 4000L, maxEpochs = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(capped.size == 40 && capped.map(_._2).max == 4L,
+      "excess budget past maxEpochs*unique must stay unspent")
+  }
 }
