@@ -484,6 +484,51 @@ object SimilarityQueries {
         "that covers a billion vectors where float cosine cannot; " +
         "deterministic (hamming, vec_id) tiebreak"),
 
+    "similarity_sign_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.signHammingRerank(emb.filter(col("vec_id") < 5), emb,
+          dims = 64, candidates = 25, k = 10)
+      },
+      Some(s"""WITH bits AS (
+              |  SELECT e.vec_id, p.i,
+              |    CASE WHEN e.embedding[CAST(p.i AS INT) + 1] > 0
+              |         THEN 1::BIGINT ELSE 0::BIGINT END AS b
+              |  FROM embeddings e CROSS JOIN range(0, 64) p(i)),
+              |sig AS (
+              |  SELECT vec_id,
+              |    CAST(sum(CASE WHEN i < 32 THEN b * (1::BIGINT << CAST(i AS INT))
+              |             ELSE 0 END) AS BIGINT) AS w0,
+              |    CAST(sum(CASE WHEN i >= 32 THEN b * (1::BIGINT << (CAST(i AS INT) - 32))
+              |             ELSE 0 END) AS BIGINT) AS w1
+              |  FROM bits GROUP BY vec_id),
+              |hq AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+              |       FROM sig WHERE vec_id < 5),
+              |cand AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT hq.query_id, s.vec_id,
+              |      row_number() OVER (PARTITION BY hq.query_id
+              |        ORDER BY bit_count(xor(hq.qw0, s.w0))
+              |          + bit_count(xor(hq.qw1, s.w1)) ASC, s.vec_id ASC) AS hrank
+              |    FROM sig s JOIN hq ON hq.query_id <> s.vec_id)
+              |  WHERE hrank <= 25),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE query_id < 5),
+              |scored AS (
+              |  SELECT c.query_id, c.vec_id, ${cosSql("q.qv", "e.v")} AS cos
+              |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+              |  JOIN q ON q.query_id = c.query_id)
+              |SELECT query_id, vec_id, cos, rank FROM (
+              |  SELECT query_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 10""".stripMargin),
+      doc = "two-stage binary ANN: Hamming top-25 over packed sign bits " +
+        "(8 bytes/vector scan), exact-cosine rerank of only those candidates " +
+        "to top-10 - recall from candidate width, precision from the rerank, " +
+        "float work bounded to candidates x queries"),
+
     "similarity_topk" -> QueryDef(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")

@@ -129,6 +129,22 @@ object Similarity {
       .select("query_id", "vec_id", "hamming", "rank")
   }
 
+  /** Two-stage binary ANN (the production serving shape): stage 1 scans
+    * the packed sign bits for `candidates` Hamming neighbors per query
+    * (8 bytes/vector, XOR+popcount); stage 2 reranks ONLY those
+    * candidates with the exact float cosine. Recall comes from the
+    * candidate width, precision from the rerank — and the float work is
+    * bounded to candidates·|Q| pairs instead of N·|Q|, so the corpus
+    * never streams at full float width.
+    */
+  def signHammingRerank(queries: DataFrame, corpus: DataFrame, dims: Int,
+      candidates: Int, k: Int): DataFrame = {
+    require(candidates >= k, "rerank needs at least k candidates")
+    val cand = signHammingTopK(queries, corpus, dims, candidates)
+      .select(col("query_id"), col("vec_id"))
+    rankWindow(scoreCandidates(cand, queries, corpus), k)
+  }
+
   /** (id, pos, x) row view of an embedding column. */
   private def exploded(df: DataFrame, idCol: String, asId: String): DataFrame =
     df.select(col(idCol).as(asId), posexplode(asDouble(col("embedding"))))
