@@ -935,6 +935,43 @@ object MetaQueries {
         "per-snapshot insert/delete rows from a dir-diff walk - appends as " +
         "inserts, equality-deleted ROWS as deletes, O(changed dirs) scan cost"),
 
+    "time_travel_changelog_updates" -> QueryDef(
+      (s, dir) => {
+        // CDC update pairing (Delta CDF update_preimage/update_postimage;
+        // Iceberg create_changelog_view compute-updates): a merge-on-read
+        // UPDATE erases exactly the touched row versions and appends the
+        // rewritten ones in ONE commit; pairing the two sides on the
+        // table's declared identifier.fields re-stamps them as an update
+        // pair. O(changed rows): one validation agg + one keyed window
+        // over the changelog slice, never the table.
+        val wh = freshWarehouse("changelog_updates")
+        val table = SnapshotTable(wh, "testdata", "events")
+        val ev = tbl(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        table.overwrite(ev): Unit // snap 1
+        table.setProperties(Map(
+          "write.update.mode" -> "merge-on-read",
+          "identifier.fields" -> "event_id"))
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.events SET value = value + 1000
+                |WHERE event_type = 'purchase'""".stripMargin) // snap 2 (MOR)
+        table.readChangelogUpdates(s, 1L, 2L)
+      },
+      Some("""SELECT event_id, user_id, event_type, value,
+             |  'update_preimage' AS _change_type,
+             |  CAST(2 AS BIGINT) AS _commit_snapshot_id
+             |FROM events WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT event_id, user_id, event_type, value + 1000,
+             |  'update_postimage', CAST(2 AS BIGINT)
+             |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      doc = "changelog UPDATE pairing (Delta CDF pre/post images, Iceberg " +
+        "compute-updates) on the declared identifier.fields: a merge-on-read " +
+        "UPDATE's erase+append commit re-stamps as update_preimage/" +
+        "update_postimage pairs; ambiguous key multiplicity raises instead " +
+        "of pairing arbitrarily"),
+
     "schema_evolution" -> QueryDef(
       (s, dir) => {
         // Iceberg schema evolution (docs/deep-dive.md:49-72 lists it as a

@@ -80,4 +80,45 @@ class ChangelogSpec extends SparkSpec {
     t.append(Seq(4L).toDF("id"))
     assert(changes(t, 2, 4) == Seq((4L, "insert", 4L)))
   }
+
+  test("readChangelogUpdates pairs delete+insert per key; unmatched stay raw") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // snap 1
+    // MOR update: erase exactly id=2's old version + append the new one
+    // in ONE commit — the pairing's home case
+    t.updatePositions(spark, col("id") === 2L, Map("v" -> lit("B"))) // snap 2
+    t.append(Seq((4L, "d")).toDF("id", "v")) // snap 3 — pure insert
+    t.deleteWhere(Seq(1L).toDF("id"), Seq("id")) // snap 4 — pure delete
+    val got = t.readChangelogUpdates(spark, 1L, 4L, keyCols = Seq("id"))
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_snapshot_id"))
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, "a", "delete", 4L),
+      (2L, "B", "update_postimage", 2L),
+      (2L, "b", "update_preimage", 2L),
+      (4L, "d", "insert", 3L)))
+    // identifier.fields property is the default key source
+    t.setProperties(Map("identifier.fields" -> "id"))
+    val viaProp = t.readChangelogUpdates(spark, 1L, 4L)
+      .select(col("id"), col("_change_type")).as[(Long, String)].collect().sorted.toSeq
+    assert(viaProp == got.map(r => (r._1, r._3)).sorted)
+    // no keys anywhere: actionable error
+    val t2 = freshTable()
+    t2.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t2.append(Seq((2L, "b")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](
+      t2.readChangelogUpdates(spark, 1L, 2L))
+    assert(e.getMessage.contains("identifier.fields"))
+  }
+
+  test("readChangelogUpdates rejects ambiguous identifier multiplicity") {
+    val t = freshTable()
+    // two rows share key 7 — a COW rewrite of their file would emit two
+    // deletes + two inserts for the same (commit, key): unpairable
+    t.overwrite(Seq((7L, "x"), (7L, "y"), (8L, "z")).toDF("id", "v"))
+    t.updateWhere(spark, col("id") === 8L, Map("v" -> lit("Z"))) // COW: rewrites the file
+    val e = intercept[IllegalArgumentException](
+      t.readChangelogUpdates(spark, 1L, 2L, keyCols = Seq("id")))
+    assert(e.getMessage.contains("unique per commit side"), e.getMessage)
+  }
 }
