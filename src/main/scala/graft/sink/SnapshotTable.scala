@@ -846,13 +846,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * up front; the rewrite itself applies conditions exactly).
     */
   def mergeClauses(
-      source: DataFrame,
+      sourceIn: DataFrame,
       keys: Seq[(String, String)],
       matchedClauses: Seq[Merge.WhenMatched],
       notMatchedClauses: Seq[Merge.WhenNotMatched],
       notMatchedBySourceClauses: Seq[Merge.WhenNotMatchedBySource] = Nil,
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val source = materializeSource(sourceIn)
     val spark = source.sparkSession
     require(keys.nonEmpty, s"MERGE into $fullName needs at least one key pair")
     keys.foreach { case (_, sk) =>
@@ -1066,7 +1067,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * conflict re-probes from scratch.
     */
   def mergeClausesMor(
-      source: DataFrame,
+      sourceIn: DataFrame,
       keys: Seq[(String, String)],
       matchedClauses: Seq[Merge.WhenMatched],
       notMatchedClauses: Seq[Merge.WhenNotMatched],
@@ -1074,6 +1075,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       numRetries: Int = SnapshotTable.DefaultCommitRetries,
       summary: Map[String, String] = Map.empty): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val source = materializeSource(sourceIn)
     val spark = source.sparkSession
     require(keys.nonEmpty, s"MERGE into $fullName needs at least one key pair")
     keys.foreach { case (_, sk) =>
@@ -1710,6 +1712,30 @@ final class SnapshotTable(val root: String, val fullName: String) {
             .otherwise(lit("update_postimage")))
           .otherwise(col("_change_type")))
       .drop("_nd", "_ni")
+  }
+
+  /** MERGE evaluates its source several times — the cardinality check,
+    * the broadcast dir probes, and the rewrite/append itself. A source
+    * that is more than a simple deterministic scan is materialized ONCE
+    * via a lazy local checkpoint (Delta's merge source materialization,
+    * for the same two reasons): an expensive lineage would re-execute
+    * per consumer, and a NON-DETERMINISTIC source could yield a delete
+    * computed from one evaluation paired with an append from another —
+    * silent corruption, not just waste. Simple scans (project/filter
+    * over a leaf, all expressions deterministic) skip the checkpoint:
+    * re-reading them is cheaper than materializing.
+    */
+  private def materializeSource(source: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def simple(p: LogicalPlan): Boolean = (p match {
+      case _: LeafNode => true
+      case Project(_, c) => simple(c)
+      case Filter(_, c) => simple(c)
+      case SubqueryAlias(_, c) => simple(c)
+      case _ => false
+    }) && p.expressions.forall(_.deterministic)
+    if (simple(source.queryExecution.analyzed)) source
+    else source.localCheckpoint(eager = false)
   }
 
   /** Align a frame already projected to `fromCols`' names onto the
