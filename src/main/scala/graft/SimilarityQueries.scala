@@ -426,6 +426,27 @@ object SimilarityQueries {
         "explicit floor(v+0.5) round) - the 4x compression step before ANN " +
         "serving; map-only, codes bit-identical cross-engine"),
 
+    "embedding_audit" -> QueryDef(
+      (s, dir) => Similarity.embeddingAudit(tbl(s, dir, "embeddings"), dims = 64),
+      Some("""WITH f AS (SELECT label,
+             |    len(embedding) AS l,
+             |    list_reduce(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS sq,
+             |    len(list_filter(embedding, x -> isnan(x))) AS nan
+             |  FROM embeddings)
+             |SELECT label, count(*) AS n_vecs,
+             |  CAST(sum(CASE WHEN l <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_badlen,
+             |  CAST(sum(CASE WHEN nan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+             |  CAST(sum(CASE WHEN sq = 0 AND nan = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |  round(min(CASE WHEN nan = 0 THEN sqrt(sq) END), 4) AS nrm_min,
+             |  round(avg(CASE WHEN nan = 0 THEN sqrt(sq) END), 4) AS nrm_avg,
+             |  round(max(CASE WHEN nan = 0 THEN sqrt(sq) END), 4) AS nrm_max
+             |FROM f GROUP BY label""".stripMargin),
+      doc = "pre-index embedding data-quality audit: per-group vector count, " +
+        "wrong-dim / NaN-poisoned / exact-zero counts, L2-norm min/avg/max " +
+        "(NaN vectors excluded from norm stats) - one map-side pass + one " +
+        "hash agg, vectors never shuffle"),
+
     "embedding_quantize_sign" -> QueryDef(
       // flat output (driver compare): the two packed words as BIGINT
       // columns; the library API returns the real array<long> signature

@@ -374,6 +374,29 @@ object TextQueries {
       doc = "logistic quality-classifier inference over the surface features " +
         "(the fasttext-filter stage as pure column math; map-only, no shuffle)"),
 
+    "quality_topfrac_gate" -> QueryDef(
+      (s, dir) => TextAnalysis.topFracGate(tbl(s, dir, "documents"), "text",
+        keepFrac = 0.6),
+      Some(s"""WITH $QualityScoreCte,
+              |f AS (SELECT doc_id,
+              |  CAST(len(toks) AS INT) AS n_tokens,
+              |  round(CAST(len(list_filter(toks, x -> list_contains(${markerSql(TextAnalysis.StopwordsEn)}, x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+              |  round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+              |  round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len
+              |FROM qsrc),
+              |z AS (SELECT doc_id,
+              |  -0.8 + 6.0 * stop_ratio - 4.0 * punct_ratio + 0.2 * mean_word_len - 0.004 * n_tokens AS z
+              |FROM f),
+              |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS model_score FROM z),
+              |thr AS (SELECT round(quantile_cont(model_score, 0.4), 6) AS thr FROM sc)
+              |SELECT sc.doc_id, sc.model_score, thr.thr,
+              |  sc.model_score >= thr.thr AS kept
+              |FROM sc CROSS JOIN thr""".stripMargin),
+      doc = "keep-rate-calibrated quality gate: threshold = exact (1-frac) " +
+        "quantile of the model score (one agg, broadcast back; approx_percentile " +
+        "at 100 TB, same plan shape), 6-dp-rounded on both sides so the gate " +
+        "has no float knife edge"),
+
     "text_language_id" -> QueryDef(
       (s, dir) => TextAnalysis.languageId(tbl(s, dir, "documents"), "text"),
       Some {

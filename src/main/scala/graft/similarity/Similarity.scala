@@ -129,6 +129,36 @@ object Similarity {
       .select("query_id", "vec_id", "hamming", "rank")
   }
 
+  /** `embedding_audit`: pre-index data-quality audit of an embedding
+    * column — the vector counterpart of the text quality gates. Per
+    * group: vector count, wrong-dimensionality count, NaN-poisoned
+    * count, exact-zero count (unembeddable inputs a cosine index would
+    * divide by), and the L2-norm min/avg/max (norm collapse or blowup =
+    * a broken encoder batch). One map-side HOF pass + one hash
+    * aggregation — linear, no shuffle of vectors, NaN vectors excluded
+    * from the norm stats so one poison row cannot mask the
+    * distribution.
+    */
+  def embeddingAudit(vectors: DataFrame, dims: Int,
+      embCol: String = "embedding", groupCol: String = "label"): DataFrame = {
+    val x = col(embCol)
+    val feats = vectors.select(col(groupCol),
+      size(x).as("len"),
+      aggregate(x, lit(0.0),
+        (a, v) => a + v.cast("double") * v.cast("double")).as("sq"),
+      aggregate(x, lit(0),
+        (a, v) => a + when(v.isNaN, 1).otherwise(0)).as("nan"))
+    feats.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("len") =!= dims, 1L).otherwise(0L)).as("n_badlen"),
+        sum(when(col("nan") > 0, 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("sq") === 0.0 && col("nan") === 0, 1L).otherwise(0L)).as("n_zero"),
+        round(min(when(col("nan") === 0, sqrt(col("sq")))), 4).as("nrm_min"),
+        round(avg(when(col("nan") === 0, sqrt(col("sq")))), 4).as("nrm_avg"),
+        round(max(when(col("nan") === 0, sqrt(col("sq")))), 4).as("nrm_max"))
+  }
+
   /** Two-stage binary ANN (the production serving shape): stage 1 scans
     * the packed sign bits for `candidates` Hamming neighbors per query
     * (8 bytes/vector, XOR+popcount); stage 2 reranks ONLY those

@@ -211,6 +211,26 @@ object TextAnalysis {
     * probability strictly positive without held-out tuning: both terms
     * come from the same corpus the filter runs over.
     */
+  /** `quality_topfrac_gate`: calibrate the model-score gate to a target
+    * KEEP RATE instead of a fixed score — "keep the top 60%" survives
+    * corpus drift where "keep score >= 0.5" silently changes its keep
+    * rate every refresh. The threshold is the exact (1 − keepFrac)
+    * quantile of the model scores (one aggregate, broadcast back; the
+    * scores are already 4-dp-rounded so the quantile interpolates
+    * between stable values — at 100 TB swap the exact percentile for
+    * approx_percentile, same plan shape), rounded to 6 dp on BOTH the
+    * threshold and the comparison so the gate has no float knife edge.
+    */
+  def topFracGate(df: DataFrame, textCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    val scored = modelScore(df, textCol).select(col("doc_id"), col("model_score"))
+    val thr = scored.agg(
+      round(expr(s"percentile(model_score, ${1.0 - keepFrac})"), 6).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("model_score"), col("thr"),
+        (col("model_score") >= col("thr")).as("kept"))
+  }
+
   def bigramLogprob(df: DataFrame, textCol: String, lambda: Double = 0.75): DataFrame = {
     val toks = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
     val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))

@@ -401,6 +401,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._2, r._3)) == Seq((1L, 0L), (2L, 1L), (3L, 64L)))
   }
 
+  test("embeddingAudit counts the poison classes; NaN rows never taint norms") {
+    val rows = Seq(
+      (1L, 1, Seq(3.0f, 4.0f)),               // norm 5
+      (2L, 1, Seq(0.0f, 0.0f)),               // exact zero
+      (3L, 1, Seq(Float.NaN, 1.0f)),          // NaN-poisoned
+      (4L, 1, Seq(1.0f, 2.0f, 2.0f)),         // wrong dims (3 != 2), norm 3
+      (5L, 2, Seq(6.0f, 8.0f)))               // second group, norm 10
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingAudit(rows, dims = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val g1 = out(1)
+    assert(g1.getLong(1) == 4L && g1.getLong(2) == 1L && // n_vecs, n_badlen
+      g1.getLong(3) == 1L && g1.getLong(4) == 1L)        // n_nan, n_zero
+    assert(g1.getDouble(5) == 0.0 && g1.getDouble(7) == 5.0,
+      "NaN row excluded; min=zero vector, max=norm-5 vector")
+    assert(out(2).getDouble(6) == 10.0) // clean group's avg untainted
+  }
+
   test("bucket signatures are stable and pack into 8 bits") {
     val b = Similarity.bucketSignatures(corpus)
       .as[(Long, Long)].collect().toMap
