@@ -444,6 +444,46 @@ object ExtQueries {
         "(within-batch min-id, anti-join vs the table) - re-crawled or " +
         "re-delivered docs never land twice, no retroactive rewrite"),
 
+    "stream_cdc_updates" -> QueryDef(
+      (s, dir) => {
+        // Streaming CDC with UPDATE pairing: batch 0 tails the seeded
+        // state as inserts; a merge-on-read UPDATE then commits ONE
+        // snapshot whose delete+insert rows arrive as the next
+        // microbatch and pair into update_preimage/update_postimage
+        // (Delta CDF's streaming shape) — per-commit pairing needs no
+        // cross-batch state because a changelog microbatch IS one
+        // commit's rows.
+        val wh = MetaQueries.freshWarehouse("stream_cdc_updates")
+        val table = graft.sink.SnapshotTable(wh, "testdata", "events_cdc")
+        val ev = Queries.tbl(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        table.overwrite(ev): Unit // snap 1
+        table.setProperties(Map("write.update.mode" -> "merge-on-read"))
+        val out = s"$wh/_cdc_out"
+        val q = Streaming.startCdcUpdates(s, wh, "testdata.events_cdc",
+          keys = Seq("event_id"), outPath = out, checkpoint = s"$wh/_ckpt")
+        try {
+          q.processAllAvailable() // batch 0: the seeded state as inserts
+          table.updatePositions(s, col("event_type") === "purchase",
+            Map("value" -> (col("value") + lit(1000.0)))): Unit
+          q.processAllAvailable() // batch 1: the MOR commit -> update pairs
+        } finally q.stop()
+        s.read.parquet(out)
+          .select("event_id", "event_type", "value", "_change_type")
+      },
+      Some("""SELECT event_id, event_type, value, 'insert' AS _change_type
+             |FROM events
+             |UNION ALL
+             |SELECT event_id, event_type, value, 'update_preimage'
+             |FROM events WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT event_id, event_type, value + 1000, 'update_postimage'
+             |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      doc = "streaming CDC tail with update pairing (Delta CDF streaming " +
+        "shape): a merge-on-read UPDATE commit arrives as one microbatch and " +
+        "pairs into pre/post images via the same core as the batch reader; " +
+        "no cross-batch state"),
+
     "stream_scd2_merge" -> QueryDef(
       (s, dir) => {
         // REAL incremental streaming dimension maintenance: the dim is

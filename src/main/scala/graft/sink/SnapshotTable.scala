@@ -1676,7 +1676,6 @@ final class SnapshotTable(val root: String, val fullName: String) {
     */
   def readChangelogUpdates(spark: SparkSession, fromId: Long, toId: Long,
       keyCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, sum, when}
     val keys =
       if (keyCols.nonEmpty) keyCols
       else properties.get("identifier.fields")
@@ -1686,32 +1685,8 @@ final class SnapshotTable(val root: String, val fullName: String) {
       s"readChangelogUpdates on $fullName needs identifier columns: pass " +
         "keyCols or set the 'identifier.fields' table property (Iceberg " +
         "identifier fields)")
-    val cl = readChangelog(spark, fromId, toId)
-    keys.foreach(k => require(cl.columns.contains(k),
-      s"identifier column $k is not in the changelog schema " +
-        s"(${cl.columns.mkString(", ")})"))
-    val groupCols = (keys :+ "_commit_snapshot_id").map(col)
-    val ambiguous = cl.groupBy(groupCols: _*)
-      .agg(
-        sum(when(col("_change_type") === "delete", 1).otherwise(0)).as("nd"),
-        sum(when(col("_change_type") === "insert", 1).otherwise(0)).as("ni"))
-      .filter(col("nd") > 1 || col("ni") > 1)
-    require(ambiguous.limit(1).collect().isEmpty,
-      s"changelog of $fullName has a commit with multiple rows per " +
-        s"identifier (${keys.mkString(", ")}): identifier fields must be " +
-        "unique per commit side to pair updates — fix the keys or read the " +
-        "raw changelog")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols: _*)
-    cl.withColumn("_nd",
-        sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
-      .withColumn("_ni",
-        sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
-      .withColumn("_change_type",
-        when(col("_nd") === 1 && col("_ni") === 1,
-          when(col("_change_type") === "delete", lit("update_preimage"))
-            .otherwise(lit("update_postimage")))
-          .otherwise(col("_change_type")))
-      .drop("_nd", "_ni")
+    SnapshotTable.pairChangelogUpdates(
+      readChangelog(spark, fromId, toId), keys, fullName)
   }
 
   /** MERGE evaluates its source several times — the cardinality check,
@@ -3731,6 +3706,48 @@ final class SnapshotTable(val root: String, val fullName: String) {
 }
 
 object SnapshotTable {
+
+  /** The update-pairing core of [[SnapshotTable.readChangelogUpdates]],
+    * static so the STREAMING changelog path can apply it per microbatch
+    * (a foreachBatch body sees a plain DataFrame with the same
+    * `_change_type` / `_commit_snapshot_id` columns). Within each
+    * commit, a delete row and an insert row sharing the identifier key
+    * re-stamp as `update_preimage` / `update_postimage`; ambiguous
+    * multiplicity per (commit, key) raises. One validation aggregate +
+    * one keyed window over the given slice.
+    */
+  def pairChangelogUpdates(
+      cl: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      tableName: String = "<changelog>"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    require(keys.nonEmpty, s"pairChangelogUpdates on $tableName needs identifier columns")
+    keys.foreach(k => require(cl.columns.contains(k),
+      s"identifier column $k is not in the changelog schema " +
+        s"(${cl.columns.mkString(", ")})"))
+    val groupCols = (keys :+ "_commit_snapshot_id").map(col)
+    val ambiguous = cl.groupBy(groupCols: _*)
+      .agg(
+        sum(when(col("_change_type") === "delete", 1).otherwise(0)).as("nd"),
+        sum(when(col("_change_type") === "insert", 1).otherwise(0)).as("ni"))
+      .filter(col("nd") > 1 || col("ni") > 1)
+    require(ambiguous.limit(1).collect().isEmpty,
+      s"changelog of $tableName has a commit with multiple rows per " +
+        s"identifier (${keys.mkString(", ")}): identifier fields must be " +
+        "unique per commit side to pair updates — fix the keys or read the " +
+        "raw changelog")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols: _*)
+    cl.withColumn("_nd",
+        sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+      .withColumn("_ni",
+        sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col("_nd") === 1 && col("_ni") === 1,
+          when(col("_change_type") === "delete", lit("update_preimage"))
+            .otherwise(lit("update_postimage")))
+          .otherwise(col("_change_type")))
+      .drop("_nd", "_ni")
+  }
+
   /** Snapshot-summary keys of the exactly-once streaming watermark.
     * The per-query key (`SummaryBatchPrefix` + queryId) is the DURABLE
     * watermark: every new published head carries the union of its

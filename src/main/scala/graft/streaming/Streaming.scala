@@ -109,6 +109,35 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC tail with UPDATE pairing (`stream_cdc_updates`):
+    * the graft-stream changelog source delivers each commit's
+    * delete+insert rows as its own microbatch; foreachBatch applies
+    * the SAME pairing core the batch reader uses
+    * ([[graft.sink.SnapshotTable.pairChangelogUpdates]]), so a
+    * merge-on-read UPDATE commit arrives downstream as
+    * update_preimage/update_postimage pairs — Delta CDF's streaming
+    * shape. Pairing needs only the rows of ONE commit at a time, which
+    * is exactly what a changelog microbatch is — no cross-batch state.
+    */
+  def startCdcUpdates(
+      spark: SparkSession,
+      warehouse: String,
+      table: String,
+      keys: Seq[String],
+      outPath: String,
+      checkpoint: String) =
+    spark.readStream.format("graft-stream")
+      .option("warehouse", warehouse).option("table", table)
+      .option("changelog", "true").load()
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.SnapshotTable.pairChangelogUpdates(batch.toDF(), keys)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Exactly-once lakehouse ingest (`stream_exactly_once_ingest`):
     * [[startLakehouseIngest]] hardened against foreachBatch's
     * at-least-once delivery — each microbatch commits through
