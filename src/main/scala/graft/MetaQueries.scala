@@ -269,6 +269,35 @@ object MetaQueries {
              |FROM events WHERE event_id % 7 = 0""".stripMargin),
       doc = "orc write-format dispatch: template-declared format, snapshot-recorded, read back"),
 
+    "sink_write_avro" -> QueryDef(
+      (s, dir) => {
+        // the third template format (`_schema.json:100-103`): avro data
+        // files written by the engine's avro-core-backed FileFormat
+        // (this distribution ships avro-1.12.1 but NOT the spark-avro
+        // module — previously an env-blocked remediation, now served).
+        // Timestamps ride the timestamp-micros logical type, doubles/
+        // longs/strings their primitive branches, nullables as
+        // union(null, T): the oracle hash over the read-back proves the
+        // container round-trip bit-exact against the parquet source.
+        val wh = freshWarehouse("sink_write_avro")
+        val t0 = TemplateLoader.get(TemplatesDir, "events")
+        val t = t0.copy(properties = t0.properties + ("write_format" -> "avro"))
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        TableSink.overwrite(tbl(s, dir, "events").filter(col("event_id") % 3 === 0), t, table)
+        def hasAvro(f: java.io.File): Boolean =
+          if (f.isDirectory) Option(f.listFiles()).exists(_.exists(hasAvro))
+          else f.getName.endsWith(".avro")
+        require(table.currentSnapshot.get.format == "avro" &&
+          hasAvro(new java.io.File(table.currentSnapshot.get.dataDirs.head)),
+          "the snapshot must record and materialize avro data files")
+        table.read(s).select("event_id", "ts", "user_id", "event_type", "value", "props")
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id % 3 = 0""".stripMargin),
+      doc = "avro write-format dispatch through the avro-core FileFormat: " +
+        "template-declared, snapshot-recorded, timestamp-micros logical type, " +
+        "bit-exact read-back"),
+
     "decimal_roundtrip" -> QueryDef(
       (s, dir) => {
         // decimal(p,s) end to end through the DECLARED-schema path: the
@@ -2730,26 +2759,40 @@ object MetaQueries {
         val mismatch = outcome(TableSink.overwrite(bad, t, table))
         val missing = outcome(table.read(s))
         val guard = outcome(SourceReader.validatePath("/etc/passwd"))
-        // avro is in the template vocabulary but needs the external
-        // spark-avro module: the write must fail with remediation, not a
-        // ClassNotFoundException mid-job
+        // avro is in the template vocabulary and is SERVED by the
+        // engine's avro-core-backed FileFormat (the spark-avro module is
+        // absent from this distribution): the write must succeed and
+        // read back in full
         val avroT = t.copy(properties = t.properties + ("write_format" -> "avro"))
-        val avro = outcome(TableSink.overwrite(tbl(s, dir, "events"), avroT,
-          SnapshotTable(freshWarehouse("sink_schema_check_avro"), "x", "z")))
+        val avroTable = SnapshotTable(freshWarehouse("sink_schema_check_avro"), "x", "z")
+        val src = tbl(s, dir, "events")
+        val avro = outcome {
+          TableSink.overwrite(src, avroT, avroTable)
+          require(avroTable.currentSnapshot.get.format == "avro" &&
+            avroTable.read(s).count() == src.count(),
+            "avro snapshot must read back in full")
+        }
+        // an unknown format still fails actionably before any job runs
+        val unknownT = t.copy(properties = t.properties + ("write_format" -> "csvx"))
+        val unknown = outcome(TableSink.overwrite(src, unknownT,
+          SnapshotTable(freshWarehouse("sink_schema_check_unknown"), "x", "u")))
         Seq(
           ("schema_mismatch", mismatch._1, mismatch._2),
           ("missing_table", missing._1, missing._2),
           ("path_guard", guard._1, guard._2),
-          ("avro_unavailable", avro._1, avro._2))
+          ("avro_write", avro._1, avro._2),
+          ("unknown_format", unknown._1, unknown._2))
           .toDF("case", "error", "raised")
       },
       Some("""SELECT * FROM (VALUES
              |  ('schema_mismatch', 'IllegalArgumentException', true),
              |  ('missing_table', 'RuntimeException', true),
              |  ('path_guard', 'IllegalArgumentException', true),
-             |  ('avro_unavailable', 'IllegalArgumentException', true))
+             |  ('avro_write', '<no error>', false),
+             |  ('unknown_format', 'IllegalArgumentException', true))
              |AS t("case", error, raised)""".stripMargin),
-      doc = "pre-write schema diff, missing-table error, source path guard, avro remediation"),
+      doc = "pre-write schema diff, missing-table error, source path guard, " +
+        "avro write served by the avro-core FileFormat, unknown-format error"),
 
     "quality_warn" -> QueryDef(
       (s, dir) => {

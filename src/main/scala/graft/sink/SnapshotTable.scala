@@ -2791,14 +2791,9 @@ final class SnapshotTable(val root: String, val fullName: String) {
       // pinning (the positions were probed against exactly that head).
       posDelete: Option[(String, Long, Seq[String])] = None): Snapshot = {
     // dispatch per the template vocabulary (parquet|orc|avro,
-    // `table-templates/_schema.json:100-103`). avro is declared-but-
-    // unavailable here: the DataFrame avro source lives in the external
-    // spark-avro module, which this distribution does not ship — fail
-    // with the remediation instead of a ClassNotFoundException mid-write.
-    if (format == "avro")
-      throw new IllegalArgumentException(
-        s"write_format 'avro' for $fullName requires the spark-avro module on the " +
-          "classpath; this distribution ships parquet and orc")
+    // `table-templates/_schema.json:100-103`). avro is served by
+    // graft.source.GraftAvroFileFormat (avro-core-backed; this
+    // distribution ships avro-1.12.1 but not the spark-avro module).
     require(SnapshotTable.SupportedFormats.contains(format),
       s"Unknown write_format '$format' for $fullName " +
         s"(supported: ${SnapshotTable.SupportedFormats.mkString(", ")})")
@@ -3824,7 +3819,7 @@ object SnapshotTable {
   /** Write formats this engine can materialize (avro is declared by the
     * template vocabulary but needs the external spark-avro module).
     */
-  val SupportedFormats: Set[String] = Set("parquet", "orc")
+  val SupportedFormats: Set[String] = Set("parquet", "orc", "avro")
 
   /** Default `commit_num_retries` when the template declares none
     * (Iceberg's own `commit.retry.num-retries` default).
