@@ -455,7 +455,10 @@ object ExtQueries {
         // commit's rows.
         val wh = MetaQueries.freshWarehouse("stream_cdc_updates")
         val table = graft.sink.SnapshotTable(wh, "testdata", "events_cdc")
+        // bounded seed (cost here is streaming machinery + the MOR
+        // commit, not rows — same discipline as stream_mor_upsert)
         val ev = Queries.tbl(s, dir, "events")
+          .filter(col("event_id") % 4 === 0)
           .select("event_id", "user_id", "event_type", "value")
         table.overwrite(ev): Unit // snap 1
         table.setProperties(Map("write.update.mode" -> "merge-on-read"))
@@ -472,13 +475,13 @@ object ExtQueries {
           .select("event_id", "event_type", "value", "_change_type")
       },
       Some("""SELECT event_id, event_type, value, 'insert' AS _change_type
-             |FROM events
+             |FROM events WHERE event_id % 4 = 0
              |UNION ALL
              |SELECT event_id, event_type, value, 'update_preimage'
-             |FROM events WHERE event_type = 'purchase'
+             |FROM events WHERE event_id % 4 = 0 AND event_type = 'purchase'
              |UNION ALL
              |SELECT event_id, event_type, value + 1000, 'update_postimage'
-             |FROM events WHERE event_type = 'purchase'""".stripMargin),
+             |FROM events WHERE event_id % 4 = 0 AND event_type = 'purchase'""".stripMargin),
       doc = "streaming CDC tail with update pairing (Delta CDF streaming " +
         "shape): a merge-on-read UPDATE commit arrives as one microbatch and " +
         "pairs into pre/post images via the same core as the batch reader; " +
