@@ -77,13 +77,17 @@ class SnapshotTableSpec extends SparkSpec {
     assert(e.getMessage.contains("orc"))
   }
 
-  test("avro write format fails with remediation, unknown formats are rejected") {
+  test("avro write format is served by the avro-core FileFormat; unknown formats rejected") {
     val t = freshTable()
-    val e = intercept[IllegalArgumentException](t.overwrite(Seq(1).toDF("v"), format = "avro"))
-    assert(e.getMessage.contains("spark-avro"))
-    val u = intercept[IllegalArgumentException](t.overwrite(Seq(1).toDF("v"), format = "feather"))
+    // previously env-blocked (no spark-avro module): now a real write
+    // through graft.source.GraftAvroFileFormat — full round-trip is
+    // AvroFormatSpec's job, this pins the engine dispatch
+    t.overwrite(Seq(1, 2).toDF("v"), format = "avro")
+    assert(t.currentSnapshot.get.format == "avro")
+    assert(t.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    val u = intercept[IllegalArgumentException](
+      freshTable().overwrite(Seq(1).toDF("v"), format = "feather"))
     assert(u.getMessage.contains("feather"))
-    assert(!t.exists)
   }
 
   test("TableSink.overwrite enforces the declared schema before writing") {
