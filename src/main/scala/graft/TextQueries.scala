@@ -374,6 +374,36 @@ object TextQueries {
       doc = "logistic quality-classifier inference over the surface features " +
         "(the fasttext-filter stage as pure column math; map-only, no shuffle)"),
 
+    "corpus_line_dedup" -> QueryDef(
+      (s, dir) => TextAnalysis.lineDedup(tbl(s, dir, "documents"), "text"),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\n') AS lines
+             |  FROM documents),
+             |l AS (SELECT doc_id, CAST(gs.i AS INT) AS pos,
+             |    lines[CAST(gs.i AS INT) + 1] AS line
+             |  FROM t, LATERAL (SELECT unnest(range(len(lines))) AS i) gs),
+             |e AS (SELECT doc_id, pos, line,
+             |    len(regexp_split_to_array(trim(line), '\s+')) >= 5
+             |      AND length(trim(line)) > 0 AS eligible
+             |  FROM l),
+             |f AS (SELECT line, min(doc_id * 1000000 + pos) AS first_key
+             |  FROM e WHERE eligible GROUP BY line),
+             |k AS (SELECT e.doc_id, e.pos, e.line
+             |  FROM e LEFT JOIN f USING (line)
+             |  WHERE NOT e.eligible OR e.doc_id * 1000000 + e.pos = f.first_key),
+             |agg AS (SELECT doc_id,
+             |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             |    count(*) AS n_lines_kept
+             |  FROM k GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS n FROM l GROUP BY 1)
+             |SELECT agg.doc_id, agg.clean_text, agg.n_lines_kept,
+             |  tot.n - agg.n_lines_kept AS n_lines_dropped
+             |FROM agg JOIN tot USING (doc_id)""".stripMargin),
+      doc = "C4-style corpus-wide line dedup: every 5+-word line keeps only " +
+        "its FIRST (doc_id, pos) occurrence corpus-wide; short lines always " +
+        "keep; docs reassemble in order. One content-keyed hash shuffle with " +
+        "map-side partial min + one doc-keyed reassembly - linear; a doc " +
+        "losing every line drops from the output (C4 drops empty docs)"),
+
     "quality_topfrac_gate" -> QueryDef(
       (s, dir) => TextAnalysis.topFracGate(tbl(s, dir, "documents"), "text",
         keepFrac = 0.6),

@@ -211,6 +211,50 @@ object TextAnalysis {
     * probability strictly positive without held-out tuning: both terms
     * come from the same corpus the filter runs over.
     */
+  /** `corpus_line_dedup`: C4's line-level dedup (Raffel et al. 2020
+    * §2.2 — "we discarded all but one of any three-sentence span
+    * occurring more than once", realized here at line granularity, the
+    * common production variant): every line of `minWords`+ words that
+    * occurs anywhere else in the corpus keeps only its FIRST occurrence
+    * (by (doc_id, position) — deterministic under any partitioning);
+    * shorter lines always keep (boilerplate-length fragments like ""
+    * or "Home" would otherwise destroy every document). Docs reassemble
+    * in original line order.
+    *
+    * Scale: posexplode lines (linear), ONE hash shuffle keyed by line
+    * content with map-side partial min for the first-occurrence
+    * resolution, one doc-keyed reassembly agg bounded by doc length.
+    * No all-pairs stage, nothing driver-side.
+    */
+  def lineDedup(df: DataFrame, textCol: String, minWords: Int = 5): DataFrame = {
+    val lines = df
+      .select(col("doc_id"), posexplode(split(col(textCol), "\n")))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("eligible", size(tokens(col("line"))) >= minWords &&
+        length(trim(col("line"))) > 0)
+    // first occurrence per eligible line: min over an order-preserving
+    // composite key (docs and line positions both bounded well below
+    // 1e6-per-unit, so the packed key is collision-free and cheap)
+    val first = lines.filter(col("eligible"))
+      .groupBy(col("line"))
+      .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("first_key"))
+    val kept = lines
+      .join(first, Seq("line"), "left")
+      .filter(!col("eligible") ||
+        col("doc_id") * lit(1000000L) + col("pos") === col("first_key"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+      .join(
+        lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"),
+        col("n_lines_kept"), (col("n_lines") - col("n_lines_kept")).as("n_lines_dropped"))
+  }
+
   /** `quality_topfrac_gate`: calibrate the model-score gate to a target
     * KEEP RATE instead of a fixed score — "keep the top 60%" survives
     * corpus drift where "keep score >= 0.5" silently changes its keep

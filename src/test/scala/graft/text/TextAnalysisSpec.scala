@@ -44,6 +44,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"bigram NLL must separate the shuffled doc: $out")
   }
 
+  test("line dedup keeps first occurrences; short lines always survive") {
+    val boiler = "subscribe to our newsletter for all the updates"
+    val docs = Seq(
+      (1L, s"alpha beta\n$boiler\nunique one two three four five"),
+      (2L, s"$boiler\nanother unique line of five words"),
+      (3L, boiler))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 saw the boilerplate first: keeps everything
+    assert(out(1) == ((s"alpha beta\n$boiler\nunique one two three four five", 3L, 0L)))
+    // doc 2 loses the repeated line, keeps its unique one
+    assert(out(2) == (("another unique line of five words", 1L, 1L)))
+    // doc 3 was ONLY the repeated line: drops from the output entirely
+    assert(!out.contains(3L))
+    // "alpha beta" (2 words) is below minWords: it would survive even
+    // if repeated — short fragments must never dedup a doc to death
+    val short = Seq((1L, "hi\nworld"), (2L, "hi\nworld")).toDF("doc_id", "text")
+    val kept = TextAnalysis.lineDedup(short, "text")
+      .collect().map(r => r.getString(1)).toSeq
+    assert(kept == Seq("hi\nworld", "hi\nworld"))
+    // determinism under repartitioning
+    val re = TextAnalysis.lineDedup(docs.repartition(7), "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(re == out.map { case (k, v) => (k, v._1) }.toSet)
+  }
+
   test("boilerplate coverage: cross-doc frequent spans, overlaps counted once") {
     import spark.implicits._
     // "click here to subscribe" appears in 3 docs (boilerplate); doc 4 is
