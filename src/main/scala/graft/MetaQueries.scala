@@ -837,6 +837,51 @@ object MetaQueries {
         "sidecars (manifest role) — zero footer or data I/O at query time, " +
         "pinned in-query; per-partition sums cross-check the oracle"),
 
+    "maintenance_rewrite_manifests" -> QueryDef(
+      (s, dir) => {
+        // Iceberg rewrite_manifests: after many commits, $files serving
+        // opens one sidecar PER DIR; the CALL consolidates the current
+        // snapshot's entries into ONE root manifest — at object-store
+        // latency that is a metadata query vs thousands of sequential
+        // GETs. Pinned in-query: the post-rewrite listing reads the
+        // manifest (counter +) and ZERO per-dir sidecars; a subsequent
+        // commit bypasses the now-stale manifest and still answers
+        // correctly from sidecars.
+        val wh = freshWarehouse("rewrite_manifests")
+        val table = SnapshotTable(wh, "testdata", "events_manifests")
+        val ev = tbl(s, dir, "events")
+          .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+        table.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+        table.append(ev.filter(col("event_id") % 4 === 1), partitionCols = Seq("ts_day")): Unit
+        table.append(ev.filter(col("event_id") % 4 === 3), partitionCols = Seq("ts_day")): Unit
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        val res = s.sql(
+          "CALL graft.system.rewrite_manifests('testdata.events_manifests')").head()
+        require(res.getInt(0) == 3 && res.getInt(1) > 0,
+          s"expected 3 dirs consolidated, got $res")
+        val sidecarsBefore = SnapshotTable.sidecarReads.get()
+        val manifestsBefore = SnapshotTable.manifestReads.get()
+        val files = table.fileStats(s)
+        val agg = files.groupBy(col("partition_path"))
+          .agg(sum(col("record_count")).as("row_count"))
+        val out = agg.collect() // force the serving path before reading counters
+        require(SnapshotTable.sidecarReads.get() == sidecarsBefore &&
+          SnapshotTable.manifestReads.get() > manifestsBefore,
+          "post-rewrite $files must serve from the consolidated manifest, " +
+            "not per-dir sidecars")
+        import s.implicits._
+        out.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("partition_path", "row_count")
+      },
+      Some("""SELECT 'ts_day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS partition_path,
+             |  count(*) AS row_count
+             |FROM events GROUP BY 1""".stripMargin),
+      doc = "Iceberg rewrite_manifests parity: consolidate per-dir file " +
+        "sidecars into one root manifest - $files then opens ONE metadata " +
+        "file (counter-pinned in-query); later commits bypass the stale " +
+        "manifest until the next rewrite"),
+
     "drift_stats" -> QueryDef(
       (s, dir) => {
         // distribution drift per event_type: week 1 vs weeks 2-4 of the

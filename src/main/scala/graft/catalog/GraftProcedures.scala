@@ -164,6 +164,20 @@ object GraftProcedures {
         Seq(Array[Any](snap.id, snap.deletes.count(_.positional)))
       }),
 
+    ProcDef("rewrite_manifests",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("data_dirs", IntegerType),
+        StructField("data_files", IntegerType))),
+      "Consolidate the current snapshot's per-dir file sidecars into one " +
+        "root-level manifest listing: a $files query then opens ONE " +
+        "metadata file instead of one per dir. Pure metadata; later " +
+        "commits bypass it until the next rewrite.",
+      (t, in, _) => {
+        val (dirs, files) = t.rewriteManifests()
+        Seq(Array[Any](dirs, files))
+      }),
+
     ProcDef("create_branch",
       Seq(p("table", StringType), p("branch", StringType),
         opt("snapshot_id", LongType), opt("max_ref_age_ms", LongType),

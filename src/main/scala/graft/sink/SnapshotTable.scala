@@ -2554,30 +2554,97 @@ final class SnapshotTable(val root: String, val fullName: String) {
     */
   def fileStats(spark: SparkSession): DataFrame = {
     val snap = requireCurrent
-    val rows = snap.dataDirs.flatMap { d =>
-      val masked = snap.maskedDirs.getOrElse(d, Nil).toSet
-      readFilesSidecar(d) match {
-        case Some(entries) =>
-          entries.filterNot(e => masked.contains(e._2))
-            .map { case (path, p, bytes, rows) => (path, d, p, bytes, rows) }
-        case None =>
-          val base = new File(d)
-          listDataFiles(base)
-            .map { f =>
-              val partition = unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
-              (f, partition)
-            }
-            .filterNot { case (_, p) => masked.contains(p) }
-            .map { case (f, partition) =>
-              val records =
-                if (snap.format == "parquet") SnapshotTable.parquetRecordCount(f) else -1L
-              (f.getAbsolutePath, d, partition, f.length(), records)
-            }
-      }
-    }
+    val rows = readManifest(snap.id).getOrElse(
+      snap.dataDirs.flatMap(dirFileEntries(snap, _)))
     import spark.implicits._
     rows.toDF("file_path", "data_dir", "partition_path", "size_bytes", "record_count")
   }
+
+  /** One dir's $files entries (sidecar-served; legacy dirs fall back to
+    * a walk + footer read), masked partitions excluded.
+    */
+  private def dirFileEntries(
+      snap: Snapshot, d: String): Seq[(String, String, String, Long, Long)] = {
+    val masked = snap.maskedDirs.getOrElse(d, Nil).toSet
+    readFilesSidecar(d) match {
+      case Some(entries) =>
+        entries.filterNot(e => masked.contains(e._2))
+          .map { case (path, p, bytes, rows) => (path, d, p, bytes, rows) }
+      case None =>
+        val base = new File(d)
+        listDataFiles(base)
+          .map { f =>
+            val partition = unescapePath(base.toPath.relativize(f.toPath.getParent).toString)
+            (f, partition)
+          }
+          .filterNot { case (_, p) => masked.contains(p) }
+          .map { case (f, partition) =>
+            val records =
+              if (snap.format == "parquet") SnapshotTable.parquetRecordCount(f) else -1L
+            (f.getAbsolutePath, d, partition, f.length(), records)
+          }
+    }
+  }
+
+  private def manifestFilePath(snapshotId: Long) =
+    Paths.get(root, s"manifest-$snapshotId.json")
+
+  /** Consolidated manifest for exactly this snapshot id, if one was
+    * rewritten: the whole $files listing in ONE metadata open instead
+    * of one sidecar per dir. Paths are stored root-relative (the
+    * object-store-portable form).
+    */
+  private def readManifest(snapshotId: Long): Option[Seq[(String, String, String, Long, Long)]] = {
+    val p = manifestFilePath(snapshotId)
+    if (!Files.exists(p)) None
+    else {
+      SnapshotTable.manifestReads.incrementAndGet(): Unit
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      Some(MetadataJson.parse(json).asArr.map { v =>
+        val o = v.asObj
+        val dir = Paths.get(root, o("dir").asStr).toString
+        (new File(dir, o("file").asStr).getAbsolutePath,
+          dir, o("partition").asStr, o("bytes").asLong, o("rows").asLong)
+      })
+    }
+  }
+
+  /** Iceberg's `rewrite_manifests`: consolidate the per-dir file
+    * sidecars of the CURRENT snapshot into one root-level manifest
+    * listing, so a $files query on a 10,000-commit table opens ONE
+    * metadata file instead of one per dir — at object-store latency,
+    * the difference between a metadata query and 10,000 sequential
+    * GETs. Pure metadata (the data layout is untouched); keyed by
+    * snapshot id, so any later commit naturally bypasses it (falls back
+    * to per-dir sidecars) until the next rewrite; stale manifests of
+    * earlier snapshots are dropped with the write. Returns
+    * (data_dirs, data_files) consolidated.
+    */
+  def rewriteManifests(): (Int, Int) =
+    SnapshotTable.commitLock(root).synchronized {
+      val snap = requireCurrent
+      val entries = snap.dataDirs.flatMap(dirFileEntries(snap, _))
+      val rootPath = Paths.get(root)
+      val json = entries.map { case (abs, d, part, bytes, rows) =>
+        val relDir = rootPath.relativize(Paths.get(d)).toString
+        val relFile = Paths.get(d).relativize(Paths.get(abs)).toString
+        s"""{"dir":"${jsonEscape(relDir)}","file":"${jsonEscape(relFile)}",""" +
+          s""""partition":"${jsonEscape(part)}","bytes":$bytes,"rows":$rows}"""
+      }.mkString("[", ",", "]")
+      val tmp = Paths.get(root, s".manifest.json.tmp-${System.nanoTime()}")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestFilePath(snap.id),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+      Option(new File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("manifest-") && f.getName.endsWith(".json") &&
+          f.getName != s"manifest-${snap.id}.json")
+        .foreach(f => f.delete(): Unit)
+      Audit.log("table_write", fullName, Map(
+        "operation" -> "rewrite_manifests",
+        "data_dirs" -> snap.dataDirs.size.toString,
+        "data_files" -> entries.size.toString))
+      (snap.dataDirs.size, entries.size)
+    }
 
   /** Roll the table back to an earlier snapshot's state (Iceberg
     * `rollback_to_snapshot`) — the bad-load undo: a NEW snapshot is
@@ -3558,6 +3625,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val p = filesSidecarPath(dataDir)
     if (!Files.exists(p)) None
     else {
+      SnapshotTable.sidecarReads.incrementAndGet(): Unit
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       Some(MetadataJson.parse(json).asArr.map { v =>
         val o = v.asObj
@@ -3874,6 +3942,14 @@ object SnapshotTable {
     * and in legacy fallback, never when listing a sidecar-backed table).
     */
   private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Metadata-I/O counters of the $files serving paths — per-dir file
+    * sidecars vs a consolidated manifest — so specs and in-query pins
+    * can prove WHICH path served a listing (the scale contract of
+    * rewrite_manifests is exactly "one open instead of one per dir").
+    */
+  private[graft] val sidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Footer opens made on a NON-executor (driver) thread — the spec's
     * evidence that bulk import (`addFiles`) distributes its footer walk

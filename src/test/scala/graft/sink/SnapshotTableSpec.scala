@@ -90,6 +90,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(u.getMessage.contains("feather"))
   }
 
+  test("rewriteManifests consolidates $files serving; later commits bypass it") {
+    val t = freshTable()
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "day"), partitionCols = Seq("day"))
+    t.append(Seq((3L, "a")).toDF("id", "day"), partitionCols = Seq("day"))
+    val (dirs, files) = t.rewriteManifests()
+    assert(dirs == 2 && files >= 2)
+    def stats() = t.fileStats(spark).select("partition_path", "record_count")
+      .as[(String, Long)].collect().sorted.toSeq
+    val viaSidecars = Seq(("day=a", 1L), ("day=a", 1L), ("day=b", 1L))
+    val (s0, m0) = (SnapshotTable.sidecarReads.get(), SnapshotTable.manifestReads.get())
+    assert(stats() == viaSidecars)
+    assert(SnapshotTable.sidecarReads.get() == s0 && SnapshotTable.manifestReads.get() > m0,
+      "the consolidated manifest must serve, zero per-dir sidecar opens")
+    // a NEW commit changes the snapshot id: the stale manifest is
+    // bypassed (correctness first) and the sidecar path serves again
+    t.append(Seq((4L, "c")).toDF("id", "day"), partitionCols = Seq("day"))
+    val s1 = SnapshotTable.sidecarReads.get()
+    assert(stats() == viaSidecars :+ (("day=c", 1L)))
+    assert(SnapshotTable.sidecarReads.get() > s1, "stale manifest must be bypassed")
+    // re-rewriting adopts the new head and drops the stale manifest file
+    t.rewriteManifests(): Unit
+    val manifests = Option(new java.io.File(t.root).listFiles()).get
+      .filter(_.getName.startsWith("manifest-"))
+    assert(manifests.length == 1,
+      s"exactly one manifest may remain: ${manifests.map(_.getName).toSeq}")
+  }
+
   test("TableSink.overwrite enforces the declared schema before writing") {
     val tpl = TemplateLoader.get("/root/repo/templates", "events")
     val t = freshTable()
