@@ -178,7 +178,52 @@ object CoreQueries {
     // ------------------------------------------------------------------
     "q1_agg" -> QueryDef(
       (s, dir) => Q1.build(tbl(s, dir, "lineitem")),
-      Some(Q1.oracle))
+      Some(Q1.oracle)),
+
+    "q3_priority" -> QueryDef(
+      (s, dir) => {
+        // TPC-H Q3-shaped flagship join: the canonical star shape —
+        // customer (filtered dim, broadcast) ⋈ orders ⋈ lineitem
+        // (fact), every filter pushed to its scan, revenue in exact
+        // decimal, top-10 with a total tie-break. PlanSpec pins the
+        // broadcast + pushdown; AQE is free to pick the join order.
+        val cut = lit("1998-06-15").cast("timestamp")
+        val dec = (c: String) => col(c).cast("decimal(18,2)")
+        val cust = tbl(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cut)
+          .select(col("l_orderkey"),
+            (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+              .as("rev"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(sum(col("rev")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+             |  o_orderpriority,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-15'
+             |  AND l_shipdate > TIMESTAMP '1998-06-15'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey ASC
+             |LIMIT 10""".stripMargin),
+      doc = "TPC-H Q3-shaped star join: filtered dim broadcast, filters " +
+        "pushed to every scan, decimal-exact revenue, deterministic top-10")
   )
 
   /** TPC-H Q1-shaped flagship: filter -> groupBy -> multi-aggregate.

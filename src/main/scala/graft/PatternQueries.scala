@@ -422,6 +422,49 @@ object PatternQueries {
         "lead() pairing (bounded partitions), counts + row-normalized " +
         "probabilities - the behavioral-model counterpart of the funnel"),
 
+    "event_anomaly_mad" -> QueryDef(
+      (s, dir) => {
+        // robust per-type anomaly detection: median absolute deviation
+        // (the estimator outliers cannot poison, unlike mean/stddev —
+        // the same spike being hunted would inflate a z-score's own
+        // yardstick). Exact percentiles here; at 100 TB swap in
+        // approx_percentile, same plan shape. Outlier gate compares
+        // 6-dp-rounded values on both sides (no float knife edge);
+        // 1.4826 is the usual normal-consistency constant.
+        val ev = tbl(s, dir, "events").select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("value")).as("n"),
+            round(min(col("med")), 6).as("med"),
+            round(min(col("mad")), 6).as("mad"),
+            sum(when(round(col("adev"), 6) >
+              round(lit(3.0) * lit(1.4826) * col("mad"), 6), 1L).otherwise(0L))
+              .as("n_outliers"))
+      },
+      Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |d AS (SELECT e.event_type, e.value, m.med,
+             |    abs(e.value - m.med) AS adev
+             |  FROM events e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             |  FROM d GROUP BY 1)
+             |SELECT d.event_type, count(d.value) AS n,
+             |  round(min(d.med), 6) AS med, round(min(md.mad), 6) AS mad,
+             |  CAST(sum(CASE WHEN round(d.adev, 6) >
+             |    round(3.0 * 1.4826 * md.mad, 6) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM d JOIN md USING (event_type) GROUP BY 1""".stripMargin),
+      doc = "median-absolute-deviation anomaly detection per event type: the " +
+        "robust estimator outliers cannot poison; exact percentiles (approx " +
+        "at scale, same plan), 6-dp-rounded gate, two broadcast-joined aggs"),
+
     "event_sessionize" -> QueryDef(
       (s, dir) => {
         // classic event sessionization: a 30-minute inactivity gap opens

@@ -19,6 +19,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double,l_shipdate:timestamp_ntz>"))
   }
 
+  test("q3_priority: dim broadcast, date filters pushed to every scan") {
+    val p = planOf("q3_priority")
+    assert(p.contains("BroadcastHashJoin"), "the dim join must broadcast")
+    assert(p.contains("GreaterThan(l_shipdate"), "lineitem's date filter must push")
+    assert(p.contains("LessThan(o_orderdate"), "orders' date filter must push")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must push")
+  }
+
   test("filter_predicate pushes every conjunct") {
     val p = planOf("filter_predicate")
     assert(p.contains("GreaterThanOrEqual(l_shipda") || p.contains("PushedFilters: [IsNotNull"))
