@@ -837,6 +837,43 @@ object MetaQueries {
         "sidecars (manifest role) — zero footer or data I/O at query time, " +
         "pinned in-query; per-partition sums cross-check the oracle"),
 
+    "sql_show_create" -> QueryDef(
+      (s, dir) => {
+        // SHOW CREATE TABLE round-trips the full DSv2 definition —
+        // columns, hidden-partition transforms, user + engine
+        // properties — through Spark's own ShowCreateTableExec over the
+        // catalog's Table surface. The rendering is deterministic
+        // (fresh table => snapshot id 1; no location line), so the
+        // exact DDL lines hash-compare.
+        val wh = freshWarehouse("sql_show_create")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""CREATE TABLE graft.ns.ddl_demo
+                |  (id BIGINT, ts TIMESTAMP, v DOUBLE)
+                |PARTITIONED BY (days(ts), bucket(4, id))
+                |TBLPROPERTIES ('write.sort.order' = 'id ASC')""".stripMargin)
+        val ddl = s.sql("SHOW CREATE TABLE graft.ns.ddl_demo").head().getString(0)
+        import s.implicits._
+        ddl.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+          .zipWithIndex.map { case (l, i) => (i, l) }
+          .toDF("pos", "line")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (0, 'CREATE TABLE graft.ns.ddl_demo ('),
+             |  (1, 'id BIGINT,'),
+             |  (2, 'ts TIMESTAMP,'),
+             |  (3, 'v DOUBLE)'),
+             |  (4, 'USING graft'),
+             |  (5, 'PARTITIONED BY (days(ts), bucket(4, id))'),
+             |  (6, 'TBLPROPERTIES ('),
+             |  (7, '''current-snapshot-id'' = ''1'','),
+             |  (8, '''format'' = ''parquet'','),
+             |  (9, '''write.sort.order'' = ''id ASC'')'))
+             |AS t(pos, line)""".stripMargin),
+      doc = "SHOW CREATE TABLE through the DSv2 catalog: columns, hidden-" +
+        "partition transforms, and properties render deterministically and " +
+        "hash-compare line by line"),
+
     "maintenance_rewrite_manifests" -> QueryDef(
       (s, dir) => {
         // Iceberg rewrite_manifests: after many commits, $files serving
