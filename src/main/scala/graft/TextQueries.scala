@@ -385,11 +385,11 @@ object TextQueries {
              |    len(regexp_split_to_array(trim(line), '\s+')) >= 5
              |      AND length(trim(line)) > 0 AS eligible
              |  FROM l),
-             |f AS (SELECT line, min(doc_id * 1000000 + pos) AS first_key
+             |f AS (SELECT line, min(struct_pack(d := doc_id, p := pos)) AS fk
              |  FROM e WHERE eligible GROUP BY line),
              |k AS (SELECT e.doc_id, e.pos, e.line
              |  FROM e LEFT JOIN f USING (line)
-             |  WHERE NOT e.eligible OR e.doc_id * 1000000 + e.pos = f.first_key),
+             |  WHERE NOT e.eligible OR (e.doc_id = f.fk.d AND e.pos = f.fk.p)),
              |agg AS (SELECT doc_id,
              |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
              |    count(*) AS n_lines_kept

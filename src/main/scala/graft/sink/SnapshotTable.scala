@@ -2624,10 +2624,14 @@ final class SnapshotTable(val root: String, val fullName: String) {
     SnapshotTable.commitLock(root).synchronized {
       val snap = requireCurrent
       val entries = snap.dataDirs.flatMap(dirFileEntries(snap, _))
-      val rootPath = Paths.get(root)
+      // absolute on both sides: dirFileEntries returns absolute FILE
+      // paths, and relativize throws on mixed absolute/relative inputs
+      // (a relative warehouse root is legal)
+      val rootPath = Paths.get(root).toAbsolutePath
       val json = entries.map { case (abs, d, part, bytes, rows) =>
-        val relDir = rootPath.relativize(Paths.get(d)).toString
-        val relFile = Paths.get(d).relativize(Paths.get(abs)).toString
+        val dirPath = Paths.get(d).toAbsolutePath
+        val relDir = rootPath.relativize(dirPath).toString
+        val relFile = dirPath.relativize(Paths.get(abs)).toString
         s"""{"dir":"${jsonEscape(relDir)}","file":"${jsonEscape(relFile)}",""" +
           s""""partition":"${jsonEscape(part)}","bytes":$bytes,"rows":$rows}"""
       }.mkString("[", ",", "]")
@@ -3776,35 +3780,36 @@ object SnapshotTable {
     * `_change_type` / `_commit_snapshot_id` columns). Within each
     * commit, a delete row and an insert row sharing the identifier key
     * re-stamp as `update_preimage` / `update_postimage`; ambiguous
-    * multiplicity per (commit, key) raises. One validation aggregate +
-    * one keyed window over the given slice.
+    * multiplicity per (commit, key) raises — IN-PLAN via `assert_true`
+    * riding the same keyed window that pairs, so the changelog slice
+    * executes exactly ONCE (a separate validation aggregate would scan
+    * the whole multi-dir union twice). The error therefore surfaces at
+    * the consuming action, wrapped in Spark's task failure.
     */
   def pairChangelogUpdates(
       cl: org.apache.spark.sql.DataFrame, keys: Seq[String],
       tableName: String = "<changelog>"): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    import org.apache.spark.sql.functions.{assert_true, col, lit, sum, when}
     require(keys.nonEmpty, s"pairChangelogUpdates on $tableName needs identifier columns")
     keys.foreach(k => require(cl.columns.contains(k),
       s"identifier column $k is not in the changelog schema " +
         s"(${cl.columns.mkString(", ")})"))
     val groupCols = (keys :+ "_commit_snapshot_id").map(col)
-    val ambiguous = cl.groupBy(groupCols: _*)
-      .agg(
-        sum(when(col("_change_type") === "delete", 1).otherwise(0)).as("nd"),
-        sum(when(col("_change_type") === "insert", 1).otherwise(0)).as("ni"))
-      .filter(col("nd") > 1 || col("ni") > 1)
-    require(ambiguous.limit(1).collect().isEmpty,
-      s"changelog of $tableName has a commit with multiple rows per " +
-        s"identifier (${keys.mkString(", ")}): identifier fields must be " +
-        "unique per commit side to pair updates — fix the keys or read the " +
-        "raw changelog")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols: _*)
+    val msg = s"changelog of $tableName has a commit with multiple rows per " +
+      s"identifier (${keys.mkString(", ")}): identifier fields must be " +
+      "unique per commit side to pair updates — fix the keys or read the " +
+      "raw changelog"
     cl.withColumn("_nd",
         sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
       .withColumn("_ni",
         sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
       .withColumn("_change_type",
-        when(col("_nd") === 1 && col("_ni") === 1,
+        // assert_true returns NULL when the check holds (and throws per
+        // offending row otherwise); referencing it INSIDE the kept
+        // expression stops column pruning from optimizing the check away
+        when(assert_true(col("_nd") <= 1 && col("_ni") <= 1, lit(msg)).isNull &&
+          col("_nd") === 1 && col("_ni") === 1,
           when(col("_change_type") === "delete", lit("update_preimage"))
             .otherwise(lit("update_postimage")))
           .otherwise(col("_change_type")))

@@ -107,14 +107,23 @@ final class GraftAvroFileFormat extends FileFormat with DataSourceRegister with 
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
     // Configuration is not serializable: ship the entries and rebuild
-    // on the executor (public-API equivalent of SerializableConfiguration)
-    val confEntries: Array[(String, String)] =
-      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    // ONCE per deserialized closure (public-API equivalent of a
+    // broadcast SerializableConfiguration — not once per file)
+    val confHolder = new GraftAvroFileFormat.ConfHolder(
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray)
     (file: PartitionedFile) => {
-      val conf = new Configuration(false)
-      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      val conf = confHolder.conf
       val in = new FsInput(file.toPath, conf)
-      val reader = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+      // resolve against a READER schema built from requiredSchema: avro
+      // schema resolution then skip-decodes every pruned column, so a
+      // two-column projection (or a count()) never deserializes the
+      // full row width. The reader record takes the WRITER's name
+      // (resolution matches records by full name), so files written by
+      // any producer resolve.
+      val datumReader = new GenericDatumReader[GenericRecord]()
+      val reader = new DataFileReader(in, datumReader)
+      datumReader.setExpected(GraftAvroFileFormat.toAvro(
+        requiredSchema, reader.getSchema.getFullName))
       val proj = UnsafeProjection.create(requiredSchema)
       // close at exhaustion AND at task end (limit()/take() stop early);
       // DataFileReader.close is idempotent, the double close is safe
@@ -135,6 +144,17 @@ final class GraftAvroFileFormat extends FileFormat with DataSourceRegister with 
 }
 
 object GraftAvroFileFormat {
+
+  /** Serializable carrier rebuilding a Hadoop Configuration lazily on
+    * the executor — once per deserialized task closure, not per file.
+    */
+  final class ConfHolder(entries: Array[(String, String)]) extends Serializable {
+    @transient lazy val conf: Configuration = {
+      val c = new Configuration(false)
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
 
   /** StructType → Avro record schema (nullable = union(null, T)). */
   def toAvro(schema: StructType, recordName: String): AvroSchema = {

@@ -118,6 +118,12 @@ object Streaming {
     * update_preimage/update_postimage pairs — Delta CDF's streaming
     * shape. Pairing needs only the rows of ONE commit at a time, which
     * is exactly what a changelog microbatch is — no cross-batch state.
+    *
+    * Idempotent under foreachBatch's at-least-once delivery: each batch
+    * lands in its OWN `batch=<id>` directory with overwrite, so a
+    * replayed microbatch (crash between the write and the checkpoint
+    * advance) overwrites its previous output instead of duplicating
+    * CDC rows — the same batchId discipline as the exactly-once sinks.
     */
   def startCdcUpdates(
       spark: SparkSession,
@@ -130,9 +136,9 @@ object Streaming {
       .option("warehouse", warehouse).option("table", table)
       .option("changelog", "true").load()
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sink.SnapshotTable.pairChangelogUpdates(batch.toDF(), keys)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -195,22 +195,6 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
-  /** `text_bigram_logprob`: per-document mean NLL under the corpus's own
-    * INTERPOLATED bigram LM — `p(w|prev) = λ·c(prev w)/c(prev) +
-    * (1−λ)·c(w)/N` (Jelinek-Mercer smoothing, λ = 0.75). The bigram
-    * refinement of [[unigramLogprob]]'s perplexity-filter signal: a doc
-    * of common words in an uncommon ORDER scores high here where the
-    * unigram model cannot see the disorder (shuffled-text spam, n-gram
-    * keyword stuffing). Shape: tokenize once; bigrams build array-side
-    * (zip of shifted slices, no per-token window); counts are two hash
-    * aggregations with map-side partials; scoring joins doc bigrams to
-    * the count tables on their keys — every stage linear in corpus
-    * tokens, no all-pairs, nothing driver-side. Docs with < 2 tokens
-    * carry nll = 0 with n_bigrams = 0 (no bigram evidence — gate those
-    * by length upstream, not perplexity). The interpolation keeps every
-    * probability strictly positive without held-out tuning: both terms
-    * come from the same corpus the filter runs over.
-    */
   /** `corpus_line_dedup`: C4's line-level dedup (Raffel et al. 2020
     * §2.2 — "we discarded all but one of any three-sentence span
     * occurring more than once", realized here at line granularity, the
@@ -232,16 +216,16 @@ object TextAnalysis {
       .toDF("doc_id", "pos", "line")
       .withColumn("eligible", size(tokens(col("line"))) >= minWords &&
         length(trim(col("line"))) > 0)
-    // first occurrence per eligible line: min over an order-preserving
-    // composite key (docs and line positions both bounded well below
-    // 1e6-per-unit, so the packed key is collision-free and cheap)
+    // first occurrence per eligible line: lexicographic struct min over
+    // (doc_id, pos) — collision-free at ANY doc count or length (a
+    // packed arithmetic key silently collides past its digit budget)
     val first = lines.filter(col("eligible"))
       .groupBy(col("line"))
-      .agg(min(col("doc_id") * lit(1000000L) + col("pos")).as("first_key"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_at"))
     val kept = lines
       .join(first, Seq("line"), "left")
       .filter(!col("eligible") ||
-        col("doc_id") * lit(1000000L) + col("pos") === col("first_key"))
+        (col("doc_id") === col("first_at.doc_id") && col("pos") === col("first_at.pos")))
     kept.groupBy(col("doc_id"))
       .agg(
         concat_ws("\n", transform(
@@ -275,6 +259,22 @@ object TextAnalysis {
         (col("model_score") >= col("thr")).as("kept"))
   }
 
+  /** `text_bigram_logprob`: per-document mean NLL under the corpus's own
+    * INTERPOLATED bigram LM — `p(w|prev) = λ·c(prev w)/c(prev) +
+    * (1−λ)·c(w)/N` (Jelinek-Mercer smoothing, λ = 0.75). The bigram
+    * refinement of [[unigramLogprob]]'s perplexity-filter signal: a doc
+    * of common words in an uncommon ORDER scores high here where the
+    * unigram model cannot see the disorder (shuffled-text spam, n-gram
+    * keyword stuffing). Shape: tokenize once; bigrams build array-side
+    * (zip of shifted slices, no per-token window); counts are two hash
+    * aggregations with map-side partials; scoring joins doc bigrams to
+    * the count tables on their keys — every stage linear in corpus
+    * tokens, no all-pairs, nothing driver-side. Docs with < 2 tokens
+    * carry nll = 0 with n_bigrams = 0 (no bigram evidence — gate those
+    * by length upstream, not perplexity). The interpolation keeps every
+    * probability strictly positive without held-out tuning: both terms
+    * come from the same corpus the filter runs over.
+    */
   def bigramLogprob(df: DataFrame, textCol: String, lambda: Double = 0.75): DataFrame = {
     val toks = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
     val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))

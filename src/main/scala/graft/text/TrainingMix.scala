@@ -296,6 +296,15 @@ object TrainingMix {
     *                raw corpus, which includes them)
     * @return (doc_id, n_tokens, logw, rank) — rank 1 = most target-like.
     */
+  def dsirWeights(
+      docs: DataFrame, textCol: String, target: Column,
+      buckets: Int, nParts: Int): DataFrame =
+    DistributedRank.withGlobalRank(dsirScores(docs, textCol, target, buckets),
+        keyCols = Seq.empty,
+        order = Seq(col("logw").desc, col("doc_id").asc), nParts = nParts)
+      .select(col("doc_id"), col("n_tokens"), col("logw"),
+        col("_rk").cast("int").as("rank"))
+
   /** `sample_epoch_budget`: data-constrained scaling (Muennighoff et
     * al. 2023, arXiv:2305.16264). When the token budget EXCEEDS the
     * corpus's unique supply, repeating data is near-full value up to
@@ -334,15 +343,6 @@ object TrainingMix {
         pmod(TextAnalysis.hash60(concat(lit("epoch:"), col("doc_id"))),
           lit(M)) < lit(tailPpm))
   }
-
-  def dsirWeights(
-      docs: DataFrame, textCol: String, target: Column,
-      buckets: Int, nParts: Int): DataFrame =
-    DistributedRank.withGlobalRank(dsirScores(docs, textCol, target, buckets),
-        keyCols = Seq.empty,
-        order = Seq(col("logw").desc, col("doc_id").asc), nParts = nParts)
-      .select(col("doc_id"), col("n_tokens"), col("logw"),
-        col("_rk").cast("int").as("rank"))
 
   /** The unranked DSIR scoring stage (doc_id, n_tokens, logw) — consumed
     * directly by [[gumbelTopK]], which computes its own selection key

@@ -117,8 +117,13 @@ class ChangelogSpec extends SparkSpec {
     // deletes + two inserts for the same (commit, key): unpairable
     t.overwrite(Seq((7L, "x"), (7L, "y"), (8L, "z")).toDF("id", "v"))
     t.updateWhere(spark, col("id") === 8L, Map("v" -> lit("Z"))) // COW: rewrites the file
-    val e = intercept[IllegalArgumentException](
-      t.readChangelogUpdates(spark, 1L, 2L, keyCols = Seq("id")))
-    assert(e.getMessage.contains("unique per commit side"), e.getMessage)
+    // the check rides IN-PLAN (assert_true on the same window pass that
+    // pairs — one execution of the slice, not a separate validation
+    // scan), so it surfaces at the consuming ACTION, task-wrapped
+    val e = intercept[Exception](
+      t.readChangelogUpdates(spark, 1L, 2L, keyCols = Seq("id")).collect())
+    def messages(x: Throwable): String =
+      if (x == null) "" else x.getMessage + messages(x.getCause)
+    assert(messages(e).contains("unique per commit side"), messages(e))
   }
 }
