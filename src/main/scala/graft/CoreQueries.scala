@@ -176,6 +176,27 @@ object CoreQueries {
     // ------------------------------------------------------------------
     // flagship: TPC-H Q1-shaped pricing summary (entry query)
     // ------------------------------------------------------------------
+    "scan_avro" -> QueryDef(
+      (s, dir) => {
+        // the avro READ front door: a declared avro source scans through
+        // the same validated-path + schema-conform pipeline as parquet/
+        // csv/json, served by the engine's avro-core FileFormat. The
+        // fixture materializes a deterministic avro copy of events
+        // first (timestamps ride the timestamp-micros logical type).
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val avroDir = java.nio.file.Files.createTempDirectory("scan_avro").toString
+        tbl(s, dir, "events").filter(col("event_id") % 6 === 0)
+          .write.mode("overwrite").format("avro").save(avroDir)
+        SourceReader.read(s,
+          graft.template.SourceDef(s"local://$avroDir", "avro"), t.schema)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      },
+      Some("""SELECT event_id, ts, event_type, value
+             |FROM events WHERE event_id % 6 = 0""".stripMargin),
+      doc = "avro scan through the validated-source front door (path guard + " +
+        "schema conform), served by the avro-core FileFormat; container-header " +
+        "schema inference, logical-type timestamps"),
+
     "q1_agg" -> QueryDef(
       (s, dir) => Q1.build(tbl(s, dir, "lineitem")),
       Some(Q1.oracle)),

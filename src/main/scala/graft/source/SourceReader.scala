@@ -62,6 +62,10 @@ object SourceReader {
         // read with string-permissive inference then cast — JSON numerics
         // and timestamp strings land correctly via the conform cast.
         spark.read.json(path)
+      case "avro"    =>
+        // served by graft.source.GraftAvroFileFormat (avro-core-backed);
+        // schema inferred from the container header, conform casts below
+        spark.read.format("avro").load(path)
       case other => throw new IllegalArgumentException(s"Unsupported source format: $other")
     }
     conform(raw, schema)
