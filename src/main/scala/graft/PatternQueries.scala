@@ -442,8 +442,8 @@ object PatternQueries {
           .groupBy(col("event_type"))
           .agg(
             count(col("value")).as("n"),
-            round(min(col("med")), 6).as("med"),
-            round(min(col("mad")), 6).as("mad"),
+            (round(min(col("med")), 6) + lit(0.0)).as("med"),
+            (round(min(col("mad")), 6) + lit(0.0)).as("mad"),
             sum(when(round(col("adev"), 6) >
               round(lit(3.0) * lit(1.4826) * col("mad"), 6), 1L).otherwise(0L))
               .as("n_outliers"))
@@ -456,7 +456,7 @@ object PatternQueries {
              |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
              |  FROM d GROUP BY 1)
              |SELECT d.event_type, count(d.value) AS n,
-             |  round(min(d.med), 6) AS med, round(min(md.mad), 6) AS mad,
+             |  (round(min(d.med), 6) + 0.0) AS med, (round(min(md.mad), 6) + 0.0) AS mad,
              |  CAST(sum(CASE WHEN round(d.adev, 6) >
              |    round(3.0 * 1.4826 * md.mad, 6) THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_outliers

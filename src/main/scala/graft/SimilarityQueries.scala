@@ -55,10 +55,10 @@ object SimilarityQueries {
 
   /** DuckDB: sequential-fold cosine between double arrays a and b. */
   private def cosSql(a: String, b: String): String =
-    s"""round(
+    s"""(round(
        |  list_reduce(list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y) /
        |  (sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y)) *
-       |   sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y))), 4)""".stripMargin
+       |   sqrt(list_reduce(list_transform($b, x -> x * x), (x, y) -> x + y))), 4) + 0.0)""".stripMargin
 
   /** DuckDB: force CTE materialization (`AS MATERIALIZED`) on every
     * generated CTE. The unrolled Lloyd chains reference each round's
@@ -151,7 +151,7 @@ object SimilarityQueries {
       }
       val tail =
         s"""cb$P AS (SELECT $s AS sub, a.cell AS code, ex.pos AS spos,
-           |    round(avg(ex.x), 6) AS c
+           |    (round(avg(ex.x), 6) + 0.0) AS c
            |  FROM ex$P ex JOIN a$iters$P a USING (vec_id) GROUP BY 1, 2, 3),
            |codes$P AS (SELECT vec_id, $s AS sub, cell AS code FROM a$iters$P)""".stripMargin
       (header +: rounds :+ tail).mkString(",\n")
@@ -182,7 +182,7 @@ object SimilarityQueries {
          |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex0 GROUP BY 1),
          |pq_ranked AS (
          |  SELECT pq_adot.query_id, pq_adot.vec_id,
-         |    round(adot / (qn.nrm * cn.nrm), 4) AS cos,
+         |    (round(adot / (qn.nrm * cn.nrm), 4) + 0.0) AS cos,
          |    CAST(row_number() OVER (PARTITION BY pq_adot.query_id
          |      ORDER BY round(adot / (qn.nrm * cn.nrm), 4) DESC, pq_adot.vec_id ASC) AS INT) AS rank
          |  FROM pq_adot
@@ -204,7 +204,7 @@ object SimilarityQueries {
       nQueries: Int, nprobe: Int): String = {
     val subDim = 64 / m
     val residual =
-      s"""ccb AS (SELECT a.cell, ex.pos, round(avg(ex.x), 6) AS c
+      s"""ccb AS (SELECT a.cell, ex.pos, (round(avg(ex.x), 6) + 0.0) AS c
          |  FROM ex JOIN a$iters a USING (vec_id) GROUP BY 1, 2),
          |resid AS (SELECT ex.vec_id, ex.pos, ex.x - cb.c AS x
          |  FROM ex JOIN a$iters a USING (vec_id)
@@ -242,7 +242,7 @@ object SimilarityQueries {
          |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY 1),
          |ivfpq_ranked AS (
          |  SELECT ivfpq_adot.query_id, ivfpq_adot.vec_id,
-         |    round(adot / (qn.nrm * cn.nrm), 4) AS cos,
+         |    (round(adot / (qn.nrm * cn.nrm), 4) + 0.0) AS cos,
          |    CAST(row_number() OVER (PARTITION BY ivfpq_adot.query_id
          |      ORDER BY round(adot / (qn.nrm * cn.nrm), 4) DESC, ivfpq_adot.vec_id ASC) AS INT) AS rank
          |  FROM ivfpq_adot
@@ -266,7 +266,7 @@ object SimilarityQueries {
       nQueries: Int, nprobe: Int, batchPred: String): String = {
     val subDim = 64 / m
     val residual =
-      s"""ccb AS (SELECT a.cell, ex.pos, round(avg(ex.x), 6) AS c
+      s"""ccb AS (SELECT a.cell, ex.pos, (round(avg(ex.x), 6) + 0.0) AS c
          |  FROM ex JOIN a$iters a USING (vec_id) GROUP BY 1, 2),
          |resid AS (SELECT ex.vec_id, ex.pos, ex.x - cb.c AS x
          |  FROM ex JOIN a$iters a USING (vec_id)
@@ -349,7 +349,7 @@ object SimilarityQueries {
          |nrmall AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exall GROUP BY 1),
          |inc_ranked AS (
          |  SELECT inc_adot.query_id, inc_adot.vec_id,
-         |    round(adot / (qn.nrm * cn.nrm), 4) AS cos,
+         |    (round(adot / (qn.nrm * cn.nrm), 4) + 0.0) AS cos,
          |    CAST(row_number() OVER (PARTITION BY inc_adot.query_id
          |      ORDER BY round(adot / (qn.nrm * cn.nrm), 4) DESC, inc_adot.vec_id ASC) AS INT) AS rank
          |  FROM inc_adot
@@ -645,7 +645,7 @@ object SimilarityQueries {
     "embedding_kmeans" -> QueryDef(
       (s, dir) => Similarity.kmeans(tbl(s, dir, "embeddings"), k = 8, iters = 2),
       Some(s"""WITH ${kmeansCte(8, 2)}
-              |SELECT a.cell, ex.pos, round(avg(ex.x), 6) AS c
+              |SELECT a.cell, ex.pos, (round(avg(ex.x), 6) + 0.0) AS c
               |FROM ex JOIN a2 a USING (vec_id)
               |GROUP BY 1, 2""".stripMargin),
       doc = "distributed Lloyd k-means (k=8, 2 rounds): trains the IVF coarse " +
@@ -791,7 +791,7 @@ object SimilarityQueries {
       // arrays for API consumers and is spec-verified.
       (s, dir) => Similarity.centroids(tbl(s, dir, "embeddings"), "label"),
       Some("""SELECT label, CAST(u.i AS INT) AS pos,
-             |  round(avg(embedding[CAST(u.i AS INT) + 1]::DOUBLE), 6) AS m
+             |  (round(avg(embedding[CAST(u.i AS INT) + 1]::DOUBLE), 6) + 0.0) AS m
              |FROM embeddings, unnest(range(0, 64)) AS u(i)
              |GROUP BY 1, 2""".stripMargin),
       doc = "per-cluster mean vectors via (label, pos) aggregation — no vector collects"),
@@ -835,11 +835,11 @@ object SimilarityQueries {
       Some {
         val scale = Similarity.rpScale(16)
         val cols = (0 until 16).map { j =>
-          s"""round(list_reduce(list_transform(range(1, 65),
+          s"""(round(list_reduce(list_transform(range(1, 65),
              |    i -> v[CAST(i AS INT)] * (CASE
              |      CAST(CONCAT('0x', substr(md5('rp:' || (i - 1) || ':$j'), 1, 15)) AS BIGINT) % 6
              |      WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)),
-             |    (x, y) -> x + y) * $scale, 4) AS p$j""".stripMargin
+             |    (x, y) -> x + y) * $scale, 4) + 0.0) AS p$j""".stripMargin
         }.mkString(",\n")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
            |SELECT vec_id,

@@ -814,9 +814,9 @@ object TextQueries {
       Some(s"""WITH $DsirScoreSql,
               |keyed AS (
               |  SELECT doc_id, logw,
-              |    round(logw / 1.0 - ln(-ln(
+              |    (round(logw / 1.0 - ln(-ln(
               |      (CAST(CONCAT('0x', substr(md5('gumbel:' || doc_id), 1, 15)) AS BIGINT)
-              |        % 1000000 + 0.5) / 1000000.0)), 4) AS key
+              |        % 1000000 + 0.5) / 1000000.0)), 4) + 0.0) AS key
               |  FROM sc),
               |top AS (SELECT doc_id, logw, key FROM keyed
               |  ORDER BY key DESC, doc_id ASC LIMIT 50)

@@ -24,8 +24,8 @@ object DataDrift {
     df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("null_count"),
-      round(sum(col(valueCol).cast("decimal(18,6)")).cast("double") /
-        count(col(valueCol)), 6).as("mean"))
+      (round(sum(col(valueCol).cast("decimal(18,6)")).cast("double") /
+        count(col(valueCol)), 6) + lit(0.0)).as("mean"))
 
   /** Drift report between a baseline slice and a current slice: groups
     * present in BOTH, with relative mean delta and a threshold flag.

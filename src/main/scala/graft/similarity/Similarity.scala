@@ -224,7 +224,7 @@ object Similarity {
       .join(broadcast(norms(qe, "query_id").select(col("query_id"), col("nrm").as("qnrm"))), "query_id")
       .join(norms(ce, "vec_id").select(col("vec_id"), col("nrm").as("cnrm")), "vec_id")
       .select(col("query_id"), col("vec_id"),
-        round(col("dot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+        (round(col("dot") / (col("qnrm") * col("cnrm")), 4) + lit(0.0)).as("cos"))
   }
 
   /** Exact cosine top-k via window ranking. */
@@ -253,8 +253,8 @@ object Similarity {
       .join(cv, "vec_id")
       .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("vec_id"),
-        round(VectorMath.dotProduct(col("qv"), col("v")) /
-          (col("qnrm") * col("nrm")), 4).as("cos"))
+        (round(VectorMath.dotProduct(col("qv"), col("v")) /
+          (col("qnrm") * col("nrm")), 4) + lit(0.0)).as("cos"))
   }
 
   /** ANN top-k: compare only within matching LSH buckets. */
@@ -290,7 +290,10 @@ object Similarity {
       val h = pmod(graft.text.TextAnalysis.hash60(
         concat(lit("rp:"), col("pos"), lit(s":$j"))), lit(6L))
       val w = when(h === 0L, lit(1.0)).when(h === 1L, lit(-1.0)).otherwise(lit(0.0))
-      round(sum(col("x") * w) * lit(scale), 4).as(s"p$j")
+      // `+ 0.0` normalizes IEEE negative zero: a negative sum rounding to
+      // zero must hash identically across engines (DuckDB's round()
+      // preserves the sign; Spark's BigDecimal round() does not).
+      (round(sum(col("x") * w) * lit(scale), 4) + lit(0.0)).as(s"p$j")
     }
     e.groupBy(col("vec_id")).agg(projections.head, projections.tail: _*)
   }
@@ -400,7 +403,7 @@ object Similarity {
     val e = exploded(corpus, "vec_id", "vec_id")
     e.join(kmeansAssign(corpus, k, iters), "vec_id")
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
-      .select(col("cell"), col("pos"), round(col("c"), 6).as("c"))
+      .select(col("cell"), col("pos"), (round(col("c"), 6) + lit(0.0)).as("c"))
   }
 
   /** Final (vec_id, cell) assignment of [[kmeans]] — what you attach to
@@ -537,7 +540,7 @@ object Similarity {
         "query_id")
       .join(cnorms, "vec_id")
       .select(col("query_id"), col("vec_id"),
-        round(col("adot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+        (round(col("adot") / (col("qnrm") * col("cnrm")), 4) + lit(0.0)).as("cos"))
     rankWindow(scored, k)
   }
 
@@ -627,7 +630,7 @@ object Similarity {
         "query_id")
       .join(cnorms, "vec_id")
       .select(col("query_id"), col("vec_id"),
-        round(col("adot") / (col("qnrm") * col("cnrm")), 4).as("cos"))
+        (round(col("adot") / (col("qnrm") * col("cnrm")), 4) + lit(0.0)).as("cos"))
     rankWindow(scored, k)
   }
 
@@ -839,7 +842,7 @@ object Similarity {
   def centroids(corpus: DataFrame, cellCol: String): DataFrame =
     centroidRows(corpus, cellCol)
       .select(col("cell").as("label"), col("pos"),
-        round(col("c"), 6).as("m"))
+        (round(col("c"), 6) + lit(0.0)).as("m"))
 
   /** Array-of-doubles view of [[centroids]]: one row per cell with the
     * mean vector assembled in position order plus its dimension count.

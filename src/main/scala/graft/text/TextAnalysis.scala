@@ -191,7 +191,7 @@ object TextAnalysis {
     toks.join(freq, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
-      .agg(round(-avg(log(col("c") / col("n"))), 4).as("nll"),
+      .agg((round(-avg(log(col("c") / col("n"))), 4) + lit(0.0)).as("nll"),
         count(lit(1)).as("n_tokens"))
   }
 
@@ -301,7 +301,7 @@ object TextAnalysis {
         count(lit(1)).as("nb"))
     df.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        round(coalesce(col("raw"), lit(0.0)), 4).as("nll"),
+        (round(coalesce(col("raw"), lit(0.0)), 4) + lit(0.0)).as("nll"),
         coalesce(col("nb"), lit(0L)).as("n_bigrams"))
   }
 
@@ -352,8 +352,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"),
         dupWordFrac.as("dup_word_frac"),
         top2Frac.as("top2gram_frac"),
-        round(log(col("n_words").cast("double")) -
-          col("clnc") / col("n_words"), 4).as("word_entropy"),
+        (round(log(col("n_words").cast("double")) -
+          col("clnc") / col("n_words"), 4) + lit(0.0)).as("word_entropy"),
         (top2Frac >= maxTop2 || dupWordFrac >= maxDupWord).as("repetitive"))
   }
 

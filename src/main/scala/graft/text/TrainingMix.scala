@@ -381,7 +381,7 @@ object TrainingMix {
     docBuckets.join(broadcast(lam), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        round(sum(col("c").cast("double") * col("lam")), 4).as("logw"))
+        (round(sum(col("c").cast("double") * col("lam")), 4) + lit(0.0)).as("logw"))
   }
 
   /** `sample_gumbel_topk`: the resampling step of DSIR proper — sampling
@@ -403,7 +403,7 @@ object TrainingMix {
     require(k > 0, "k must be positive")
     val u = ((TextAnalysis.hash60(concat(lit("gumbel:"), col("doc_id")))
       % lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
-    val key = round(col("logw") / lit(temperature) - log(-log(u)), 4)
+    val key = round(col("logw") / lit(temperature) - log(-log(u)), 4) + lit(0.0)
     val top = scored.withColumn("key", key)
       .orderBy(col("key").desc, col("doc_id").asc).limit(k)
     // the k survivors are bounded and tiny: the global rank window here

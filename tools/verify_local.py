@@ -17,6 +17,7 @@ without anyone re-running the 185-query gate to adjudicate it.
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -24,11 +25,20 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _fbits(v):
+    # Bit-level float identity: distinguishes -0.0 from +0.0 the way the
+    # driver's bitwise hash does (a plain == compare false-greened the
+    # round-13 embedding_project_rp red). NaN canonicalized to one pattern.
+    if math.isnan(v):
+        return "f:NaN"
+    return "f:" + struct.pack("<d", v).hex()
+
+
 def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+    if isinstance(v, bool):
         return v
+    if isinstance(v, float):
+        return _fbits(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -39,7 +49,8 @@ def canon(v):
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v  # int/float unify like a pandas hash would not; keep simple
+        # int/float unify (one engine may widen); floats carry bit identity
+        return _fbits(float(v)) if abs(v) < 2**52 else v
     return v
 
 
