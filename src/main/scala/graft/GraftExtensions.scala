@@ -79,5 +79,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL row-level DML: lower resolved UPDATE / MERGE INTO on graft
     // tables onto the copy-on-write engine path (see GraftDmlRule)
     ext.injectResolutionRule(session => new graft.catalog.GraftDmlRule(session))
+    // SAVED VIEWS (the reference's named-query surface): Spark 4.1's
+    // SQL layer only plans view DDL for the v1 session catalog, so —
+    // like Iceberg's extensions — CREATE/DROP/SHOW VIEW on fully
+    // qualified graft names are intercepted at the parser, and view
+    // reads expand through a resolution rule (see GraftViewSql)
+    ext.injectParser((_, delegate) => new graft.catalog.GraftViewSqlParser(delegate))
+    ext.injectResolutionRule(session => new graft.catalog.GraftViewRule(session))
   }
 }

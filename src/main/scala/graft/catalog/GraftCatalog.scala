@@ -52,7 +52,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * serve a session whose warehouse moves (test fixtures do).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = "graft"
   private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
@@ -159,6 +159,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     val t = tableOf(ident)
     if (t.existsVisible) throw new TableAlreadyExistsException(ident)
+    if (GraftViewStore.exists(warehouse, ident))
+      throw new IllegalArgumentException(
+        s"cannot create table ${ident.toString}: a VIEW with that name exists")
     // `PARTITIONED BY (days(ts), bucket(16, id), region, ...)` — the
     // Iceberg transform vocabulary, mapped onto the engine's template
     // PartitionFields and persisted beside the table metadata; every
@@ -305,6 +308,89 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "RENAME TABLE is not supported: snapshot metadata records absolute dir paths")
 
   // ---- namespaces: derived from the warehouse's <ns>.<table> layout ----
+
+  // ---- saved views (ViewCatalog) -----------------------------------
+  // The reference pre-provisions its user-facing entry points as named
+  // Athena queries (aws/modules/athena/main.tf:26-67); the engine's
+  // equivalent is a persisted view sidecar per namespace. The SQL
+  // statements (CREATE/DROP/SHOW VIEW + view reads) arrive through
+  // GraftViewSql (parser + resolution rule — Spark 4.1's own SQL layer
+  // only plans view DDL for the v1 session catalog); this API is the
+  // programmatic front door over the same store.
+
+  private def viewIdent(ident: Identifier): Identifier = {
+    require(ident.namespace.length == 1,
+      s"graft views are <namespace>.<name>; got ${ident.toString}")
+    ident
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace.toArray)
+    GraftViewStore.list(warehouse, namespace.head).toArray
+  }
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View =
+    GraftViewStore.read(warehouse, viewIdent(ident))
+      .map(new GraftView(catalogName, _))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && GraftViewStore.exists(warehouse, ident)
+
+  override def createView(info: ViewInfo): org.apache.spark.sql.connector.catalog.View = {
+    val ident = viewIdent(info.ident)
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+      graft.governance.AccessControl.checkNamespaceAccess(
+        ident.namespace.head, s"${ident.namespace.head}.${ident.name}", s))
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (tableOf(ident).existsVisible)
+      throw new IllegalArgumentException(
+        s"cannot create view ${ident.toString}: a TABLE with that name exists")
+    // validate exactly as the SQL command does: the expanded body must
+    // analyze, so an unresolvable view can never be persisted
+    val spark = org.apache.spark.sql.SparkSession.active
+    val userAliases = info.columnAliases.toSeq
+    val (qNames, schema) =
+      GraftViewSql.validate(spark, catalogName, ident, info.sql, userAliases)
+    val sv = GraftViewStore.StoredView(
+      namespace = ident.namespace.head,
+      name = ident.name,
+      sql = info.sql,
+      currentCatalog = catalogName,
+      currentNamespace = Seq(ident.namespace.head),
+      schemaJson = schema.json,
+      queryColumnNames = qNames,
+      columnAliases = userAliases,
+      properties = info.properties.asScala.toMap)
+    GraftViewStore.write(warehouse, sv)
+    new GraftView(catalogName, sv)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val sv = GraftViewStore.read(warehouse, viewIdent(ident)).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    val props = changes.foldLeft(sv.properties) {
+      case (p, set: ViewChange.SetProperty) => p + (set.property -> set.value)
+      case (p, rm: ViewChange.RemoveProperty) => p - rm.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported view change $other")
+    }
+    val updated = sv.copy(properties = props)
+    GraftViewStore.write(warehouse, updated)
+    new GraftView(catalogName, updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && GraftViewStore.delete(warehouse, ident)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    viewIdent(oldIdent); viewIdent(newIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    GraftViewStore.rename(warehouse, oldIdent, newIdent)
+  }
 
   override def listNamespaces(): Array[Array[String]] =
     Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)

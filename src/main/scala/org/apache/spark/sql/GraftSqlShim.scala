@@ -16,6 +16,18 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Parse SQL text with the session's own parser (view bodies are
+    * stored as TEXT and re-expanded at read time).
+    */
+  def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sql)
+
+  /** Run the analyzer over a plan (view creation validates the
+    * expanded body before persisting anything).
+    */
+  def analyzed(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.executePlan(plan).analyzed
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)

@@ -1,0 +1,199 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.sink.SnapshotTable
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange, ViewInfo}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Saved views (named queries) through the SQL front door and the
+  * DSv2 ViewCatalog API: CREATE/DROP/SHOW VIEW, read expansion with
+  * bare-name scoping, time travel THROUGH a view, nesting + recursion
+  * detection, catalog-reload persistence, and collision guards.
+  */
+class GraftViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshCatalog(key: String): String = {
+    val wh = Files.createTempDirectory(s"graft_view_$key").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    wh
+  }
+
+  private def people(wh: String): SnapshotTable = {
+    val t = SnapshotTable(wh, "ns", "people")
+    t.overwrite(Seq((1L, "alice", 30L), (2L, "bob", 40L), (3L, "carol", 40L))
+      .toDF("id", "name", "age"))
+    t
+  }
+
+  test("CREATE VIEW + SELECT: body re-expands, bare names bind to the view's namespace") {
+    val wh = freshCatalog("basic")
+    val t = people(wh)
+    // bare `people` in the body must resolve to graft.ns.people (the
+    // view's own namespace), not the session catalog
+    spark.sql("CREATE VIEW graft.ns.grownups AS SELECT name FROM people WHERE age >= 40")
+    assert(spark.sql("SELECT * FROM graft.ns.grownups ORDER BY name")
+      .as[String].collect().toSeq == Seq("bob", "carol"))
+    // TEXT semantics: new table rows appear through the view unchanged
+    t.append(Seq((4L, "dave", 50L)).toDF("id", "name", "age"))
+    assert(spark.sql("SELECT count(*) FROM graft.ns.grownups").as[Long].head() == 3L)
+    // qualified column references through the alias work
+    assert(spark.sql(
+      "SELECT g.name FROM graft.ns.grownups g WHERE g.name = 'dave'").count() == 1)
+  }
+
+  test("time-travel SQL works INSIDE a view body (the reference's named time-travel queries)") {
+    val wh = freshCatalog("tt")
+    val t = SnapshotTable(wh, "ns", "ev")
+    val saved = SnapshotTable.clockMs
+    try {
+      SnapshotTable.clockMs = () => 1000L
+      t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+      SnapshotTable.clockMs = () => 2000L
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+    } finally SnapshotTable.clockMs = saved
+    spark.sql("CREATE VIEW graft.ns.ev_v1 AS SELECT id, v FROM graft.ns.ev VERSION AS OF 1")
+    assert(spark.sql("SELECT * FROM graft.ns.ev_v1").count() == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.ns.ev").as[Long].head() == 2L)
+    // time travel ON the view itself is refused with a pointer inward
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.ns.ev_v1 VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("inside the view body"))
+  }
+
+  test("SHOW VIEWS lists with pattern filtering; DROP VIEW removes") {
+    val wh = freshCatalog("show")
+    people(wh)
+    spark.sql("CREATE VIEW graft.ns.v_ages AS SELECT age FROM people")
+    spark.sql("CREATE VIEW graft.ns.v_names AS SELECT name FROM people")
+    spark.sql("CREATE VIEW graft.ns.other AS SELECT id FROM people")
+    val all = spark.sql("SHOW VIEWS IN graft.ns").collect()
+    assert(all.map(_.getString(1)).toSeq == Seq("other", "v_ages", "v_names"))
+    assert(all.forall(r => r.getString(0) == "ns" && !r.getBoolean(2)))
+    assert(spark.sql("SHOW VIEWS IN graft.ns LIKE 'v_*'").collect()
+      .map(_.getString(1)).toSeq == Seq("v_ages", "v_names"))
+    assert(spark.sql("SHOW VIEWS IN graft.ns LIKE 'other|v_ages'").collect()
+      .map(_.getString(1)).toSeq == Seq("other", "v_ages"))
+    spark.sql("DROP VIEW graft.ns.v_ages")
+    assert(spark.sql("SHOW VIEWS IN graft.ns").count() == 2)
+    intercept[Exception](spark.sql("DROP VIEW graft.ns.v_ages"))
+    spark.sql("DROP VIEW IF EXISTS graft.ns.v_ages") // no-op, no error
+  }
+
+  test("CREATE OR REPLACE and IF NOT EXISTS semantics") {
+    val wh = freshCatalog("replace")
+    people(wh)
+    spark.sql("CREATE VIEW graft.ns.v AS SELECT id FROM people")
+    intercept[Exception](spark.sql("CREATE VIEW graft.ns.v AS SELECT name FROM people"))
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.ns.v AS SELECT name FROM people")
+    assert(spark.sql("SELECT * FROM graft.ns.v").columns.toSeq == Seq("id"))
+    spark.sql("CREATE OR REPLACE VIEW graft.ns.v AS SELECT name FROM people")
+    assert(spark.sql("SELECT * FROM graft.ns.v").columns.toSeq == Seq("name"))
+  }
+
+  test("user column aliases rename the view's output") {
+    val wh = freshCatalog("aliases")
+    people(wh)
+    spark.sql(
+      "CREATE VIEW graft.ns.heads (person, years) AS SELECT name, age FROM people")
+    val df = spark.sql("SELECT person, years FROM graft.ns.heads WHERE years >= 40")
+    assert(df.columns.toSeq == Seq("person", "years"))
+    assert(df.count() == 2)
+    // alias count must match the query arity — rejected at CREATE
+    intercept[Exception](spark.sql(
+      "CREATE VIEW graft.ns.bad (a, b, c) AS SELECT name, age FROM people"))
+  }
+
+  test("nested views expand recursively; a cycle fails with a clear error") {
+    val wh = freshCatalog("nest")
+    people(wh)
+    spark.sql("CREATE VIEW graft.ns.base AS SELECT id, age FROM people")
+    spark.sql("CREATE VIEW graft.ns.agg AS SELECT age, count(*) AS n FROM base GROUP BY age")
+    assert(spark.sql("SELECT * FROM graft.ns.agg ORDER BY age")
+      .as[(Long, Long)].collect().toSeq == Seq((30L, 1L), (40L, 2L)))
+    // OR REPLACE that would close a cycle (base -> agg -> base) is
+    // rejected at CREATE-validation time, not at first read
+    val e = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW graft.ns.base AS SELECT age, n FROM agg"))
+    assert(e.getMessage.contains("recursive view"), e.getMessage)
+  }
+
+  test("a view that does not resolve is rejected at CREATE; views are not writable") {
+    val wh = freshCatalog("guards")
+    people(wh)
+    intercept[Exception](spark.sql(
+      "CREATE VIEW graft.ns.broken AS SELECT nope FROM people"))
+    intercept[Exception](spark.sql(
+      "CREATE VIEW graft.ns.broken AS SELECT * FROM no_such_table"))
+    assert(spark.sql("SHOW VIEWS IN graft.ns").count() == 0)
+    spark.sql("CREATE VIEW graft.ns.v AS SELECT id, name, age FROM people")
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graft.ns.v VALUES (9, 'zed', 9)"))
+    assert(e.getMessage.contains("VIEW"), e.getMessage)
+  }
+
+  test("views survive a catalog reload (fresh catalog instance, same warehouse)") {
+    val wh = freshCatalog("reload")
+    people(wh)
+    spark.sql("CREATE VIEW graft.ns.keeper AS SELECT name FROM people WHERE id = 1")
+    val cat2 = new GraftCatalog
+    cat2.initialize("graft2",
+      new CaseInsensitiveStringMap(Map("warehouse" -> wh).asJava))
+    spark.conf.set("spark.sql.catalog.graft2.warehouse", wh)
+    val v = cat2.loadView(Identifier.of(Array("ns"), "keeper"))
+    assert(v.query().contains("SELECT name FROM people"))
+    assert(v.schema().fieldNames.toSeq == Seq("name"))
+    assert(cat2.listViews("ns").map(_.name).toSeq == Seq("keeper"))
+    // and the SQL read path still serves it (file-backed, no session state)
+    assert(spark.sql("SELECT * FROM graft.ns.keeper").as[String].head() == "alice")
+  }
+
+  test("ViewCatalog API: create/list/alter/rename/drop programmatically") {
+    val wh = freshCatalog("api")
+    people(wh)
+    val cat = new GraftCatalog
+    cat.initialize("graft", new CaseInsensitiveStringMap(Map("warehouse" -> wh).asJava))
+    val ident = Identifier.of(Array("ns"), "api_v")
+    cat.createView(new ViewInfo(ident, "SELECT id FROM people", "graft",
+      Array("ns"), new StructType(), Array.empty, Array.empty, Array.empty,
+      Map("owner" -> "me").asJava))
+    assert(cat.viewExists(ident))
+    assert(cat.loadView(ident).properties().get("owner") == "me")
+    // the schema is derived by validation, not trusted from the caller
+    assert(cat.loadView(ident).schema().fieldNames.toSeq == Seq("id"))
+    val altered = cat.alterView(ident, ViewChange.setProperty("tier", "gold"),
+      ViewChange.removeProperty("owner"))
+    assert(altered.properties().asScala == Map("tier" -> "gold"))
+    val renamed = Identifier.of(Array("ns"), "api_v2")
+    cat.renameView(ident, renamed)
+    assert(!cat.viewExists(ident) && cat.viewExists(renamed))
+    assert(cat.dropView(renamed) && !cat.dropView(renamed))
+  }
+
+  test("table/view name collisions are refused in both directions") {
+    val wh = freshCatalog("collide")
+    people(wh)
+    intercept[Exception](spark.sql(
+      "CREATE VIEW graft.ns.people AS SELECT 1 AS one"))
+    spark.sql("CREATE VIEW graft.ns.occupied AS SELECT id FROM people")
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft.ns.occupied (x BIGINT)"))
+    assert(e.getMessage.contains("VIEW"), e.getMessage)
+  }
+
+  test("temp views and session-catalog names are untouched by the interception") {
+    val wh = freshCatalog("temp")
+    people(wh)
+    Seq((99L, "temp")).toDF("id", "src").createOrReplaceTempView("scratch")
+    assert(spark.sql("SELECT src FROM scratch").as[String].head() == "temp")
+    spark.sql("DROP VIEW scratch") // session temp-view path, not graft's
+    intercept[Exception](spark.sql("SELECT * FROM scratch").collect())
+  }
+}
