@@ -184,7 +184,9 @@ object CoreQueries {
         // fixture materializes a deterministic avro copy of events
         // first (timestamps ride the timestamp-micros logical type).
         val t = TemplateLoader.get(TemplatesDir, "events")
-        val avroDir = java.nio.file.Files.createTempDirectory("scan_avro").toString
+        // deterministic per-run path, overwritten on each invocation —
+        // repeated Bench/Verify runs must not accumulate temp dirs
+        val avroDir = s"${System.getProperty("java.io.tmpdir")}/graft_scan_avro_fixture"
         tbl(s, dir, "events").filter(col("event_id") % 6 === 0)
           .write.mode("overwrite").format("avro").save(avroDir)
         SourceReader.read(s,

@@ -42,6 +42,71 @@ object MetaQueries {
     dir.toString
   }
 
+  /** Session cache of WARM stream-fixture bases: the immutable prelude
+    * (seed commits, staged source files, collected CDC batches) builds
+    * once per (key, sfDir); each invocation then works on a
+    * metadata-only CLONE, so mutating commits land per-run while the
+    * immutable data dirs stay referenced in place — the same pattern as
+    * the persisted ANN indexes (SimilarityQueries.indexWarehouseOnce).
+    * The bench then measures the streaming machinery under test, not
+    * rebuilding the same seed table three times per median.
+    */
+  private val warmBases = scala.collection.mutable.Map.empty[String, String]
+
+  /** Base warehouse built once per (key, sfDir); READ-ONLY thereafter. */
+  private[graft] def warmBaseDir(key: String, sfDir: String)(build: String => Unit): String =
+    warmBases.synchronized {
+      warmBases.getOrElseUpdate(s"$key|$sfDir", {
+        val dir = new File(
+          s"/tmp/graft_wh_base/${key}_${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}")
+        def rm(f: File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+        dir.mkdirs()
+        build(dir.toString)
+        dir.toString
+      })
+    }
+
+  /** Warm base + per-invocation metadata clone: returns a fresh
+    * warehouse whose tables start at the base's committed state.
+    */
+  private[graft] def warmCloneWarehouse(key: String, sfDir: String)(
+      build: String => Unit): String = {
+    val base = warmBaseDir(key, sfDir)(build)
+    val wh = freshWarehouse(key)
+    cloneWarehouseMetadata(base, wh)
+    wh
+  }
+
+  /** Metadata-only warehouse clone: each table dir's ROOT-LEVEL files
+    * (snapshot log, properties, refs, manifests, partition spec) copy;
+    * data dirs are absolute paths and stay referenced in place under
+    * the source, so nothing row-sized moves.
+    */
+  private[graft] def cloneWarehouseMetadata(src: String, dst: String): Unit =
+    Option(new File(src).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach { tableDir =>
+        val out = java.nio.file.Paths.get(dst, tableDir.getName)
+        java.nio.file.Files.createDirectories(out)
+        Option(tableDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).foreach { f =>
+            java.nio.file.Files.copy(f.toPath, out.resolve(f.getName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+      }
+
+  /** Once-per-(key, sfDir) memo for driver-local fixture data (e.g.
+    * collected MemoryStream batches).
+    */
+  private val memoCache = scala.collection.mutable.Map.empty[String, Any]
+  private[graft] def memoFixture[T](key: String, sfDir: String)(f: => T): T =
+    memoCache.synchronized {
+      memoCache.getOrElseUpdate(s"$key|$sfDir", f)
+    }.asInstanceOf[T]
+
   private val EventsCut = "2024-01-30 00:00:00"
   private val EventsMidCut = "2024-01-25 00:00:00"
 
@@ -897,14 +962,14 @@ object MetaQueries {
           "CALL graft.system.rewrite_manifests('testdata.events_manifests')").head()
         require(res.getInt(0) == 3 && res.getInt(1) > 0,
           s"expected 3 dirs consolidated, got $res")
-        val sidecarsBefore = SnapshotTable.sidecarReads.get()
-        val manifestsBefore = SnapshotTable.manifestReads.get()
+        val sidecarsBefore = SnapshotTable.sidecarReads.get(table.root)
+        val manifestsBefore = SnapshotTable.manifestReads.get(table.root)
         val files = table.fileStats(s)
         val agg = files.groupBy(col("partition_path"))
           .agg(sum(col("record_count")).as("row_count"))
         val out = agg.collect() // force the serving path before reading counters
-        require(SnapshotTable.sidecarReads.get() == sidecarsBefore &&
-          SnapshotTable.manifestReads.get() > manifestsBefore,
+        require(SnapshotTable.sidecarReads.get(table.root) == sidecarsBefore &&
+          SnapshotTable.manifestReads.get(table.root) > manifestsBefore,
           "post-rewrite $files must serve from the consolidated manifest, " +
             "not per-dir sidecars")
         import s.implicits._
@@ -931,11 +996,11 @@ object MetaQueries {
       },
       Some("""WITH b AS (
              |  SELECT event_type, CAST(count(*) AS BIGINT) AS base_n,
-             |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS base_mean
+             |    (round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) + 0.0) AS base_mean
              |  FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1),
              |c AS (
              |  SELECT event_type, CAST(count(*) AS BIGINT) AS cur_n,
-             |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS cur_mean
+             |    (round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) + 0.0) AS cur_mean
              |  FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1)
              |SELECT event_type, base_n, base_mean, cur_n, cur_mean,
              |  round(abs(cur_mean - base_mean) / abs(base_mean), 6) AS rel_delta,
@@ -1302,6 +1367,63 @@ object MetaQueries {
               |FROM events GROUP BY 2""".stripMargin),
       doc = "Iceberg-style metadata tables via SQL (graft.ns.t.snapshots / " +
         ".partitions): pure metadata listings, zero data I/O"),
+
+    "sql_view" -> QueryDef(
+      (s, dir) => {
+        // SAVED VIEWS — the reference pre-provisions its user-facing
+        // entry points as NAMED Athena queries over the lakehouse
+        // (aws/modules/athena/main.tf:26-67: DDL plus time-travel
+        // listings saved for console users to run). The engine's form:
+        // CREATE VIEW persisted as a warehouse sidecar, re-expanded as
+        // TEXT on every read. Exercises the whole surface: bare-name
+        // scoping to the view's namespace, time travel INSIDE a view
+        // body, user column aliases, a view over a view, SHOW VIEWS,
+        // and file-backed persistence (the listing needs no session
+        // state — a reloaded catalog serves the same views).
+        val wh = freshWarehouse("sql_view")
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        val saved = SnapshotTable.clockMs
+        try {
+          SnapshotTable.clockMs = () => 1000L
+          TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+          SnapshotTable.clockMs = () => 2000L
+          TableSink.append(events.filter(col("ts") >= cut), t, table)
+        } finally SnapshotTable.clockMs = saved
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        // named query 1: daily per-type counts (bare `events` binds to
+        // the view's own namespace, graft.testdata)
+        s.sql("""CREATE VIEW graft.testdata.daily_counts AS
+                |SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+                |FROM events GROUP BY 1, 2""".stripMargin)
+        // named query 2: the pre-append state — time travel in the body
+        s.sql("""CREATE VIEW graft.testdata.initial_load (d, n) AS
+                |SELECT CAST(ts AS DATE), count(*)
+                |FROM graft.testdata.events VERSION AS OF 1
+                |GROUP BY 1""".stripMargin)
+        // named query 3: a view over a view
+        s.sql("""CREATE OR REPLACE VIEW graft.testdata.top_days AS
+                |SELECT d, sum(n) AS total FROM daily_counts GROUP BY d""".stripMargin)
+        require(s.sql("SHOW VIEWS IN graft.testdata").count() == 3,
+          "SHOW VIEWS must list all three saved views")
+        s.sql("""SELECT v.d, v.total, i.n AS initial_n
+                |FROM graft.testdata.top_days v
+                |LEFT JOIN graft.testdata.initial_load i ON v.d = i.d""".stripMargin)
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+              |  FROM events GROUP BY 1, 2),
+              |top AS (SELECT d, CAST(sum(n) AS BIGINT) AS total FROM daily GROUP BY d),
+              |init AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+              |  FROM events WHERE ts < TIMESTAMP '$EventsCut' GROUP BY 1)
+              |SELECT t.d, t.total, i.n AS initial_n
+              |FROM top t LEFT JOIN init i ON t.d = i.d""".stripMargin),
+      doc = "saved views (the reference's named-query surface): CREATE VIEW " +
+        "persisted as a warehouse sidecar, bare names scoped to the view's " +
+        "namespace, time travel inside the body, views over views, SHOW VIEWS"),
 
     "sql_delete" -> QueryDef(
       (s, dir) => {

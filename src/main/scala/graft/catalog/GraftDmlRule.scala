@@ -786,7 +786,16 @@ final case class GraftNotInCommand(
       table.fullName.split("\\.", 2).last, table.fullName, "write")
     import org.apache.spark.sql.functions.col
     def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
-    val src = GraftSqlShim.ofRows(spark, keysPlan)
+    // ONE evaluation of the subquery key frame feeds the NULL probe,
+    // the empty probe, AND the merge source: a non-deterministic
+    // subquery must not be classified by one evaluation and applied
+    // from another (same localCheckpoint discipline as
+    // SnapshotTable.materializeSource; lazy — simple deterministic
+    // scans still cost one job, paid by the first probe)
+    val src0 = GraftSqlShim.ofRows(spark, keysPlan)
+    val deterministic = !src0.queryExecution.analyzed.exists(
+      p => !p.expressions.forall(_.deterministic))
+    val src = if (deterministic) src0 else src0.localCheckpoint(eager = false)
     val kCol = keys.head._2
     if (src.filter(col(kCol).isNull).limit(1).collect().nonEmpty) return Nil
     if (src.limit(1).collect().isEmpty) {
@@ -803,7 +812,9 @@ final case class GraftNotInCommand(
           else table.deleteRows(spark, c)
       }
     } else {
-      GraftMergeCommand(table, keysPlan, keys,
+      // the merge consumes the SAME (possibly checkpointed) frame the
+      // probes classified — never a fresh evaluation of keysPlan
+      GraftMergeCommand(table, src.queryExecution.analyzed, keys,
         matchedClauses = Nil, notMatchedClauses = Nil,
         notMatchedBySourceClauses = Seq(bySourceClause),
         modeProperty = modeProperty).run(spark)

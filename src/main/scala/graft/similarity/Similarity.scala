@@ -115,9 +115,23 @@ object Similarity {
     * the returned candidate ids.
     */
   def signHammingTopK(
-      queries: DataFrame, corpus: DataFrame, dims: Int, k: Int): DataFrame = {
+      queries: DataFrame, corpus: DataFrame, dims: Int, k: Int,
+      maxQueries: Long = 100000L): DataFrame = {
     val q = quantizeSign(queries, dims)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    // the shape's standing assumption, enforced: the QUERY side
+    // broadcasts whole (each executor holds |Q| signatures while the
+    // corpus streams past once). Correct and fast for bounded query
+    // sets; passing the corpus as queries would OOM every executor —
+    // fail actionably instead. 100k queries × 8-byte sigs ≈ 1 MB
+    // broadcast, far under any executor budget; the count() probe is
+    // one cheap job on the small-by-contract side.
+    val nQ = q.count()
+    require(nQ <= maxQueries,
+      s"signHammingTopK broadcasts the query side: got $nQ query vectors " +
+        s"(bound $maxQueries). For corpus-scale query sets, batch the " +
+        "queries or use lshTopK (bucket equi-join, no broadcast of the " +
+        "full query side).")
     val c = quantizeSign(corpus, dims).select(col("vec_id"), col("sig"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),

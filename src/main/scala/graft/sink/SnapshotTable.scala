@@ -2596,17 +2596,20 @@ final class SnapshotTable(val root: String, val fullName: String) {
     */
   private def readManifest(snapshotId: Long): Option[Seq[(String, String, String, Long, Long)]] = {
     val p = manifestFilePath(snapshotId)
-    if (!Files.exists(p)) None
-    else {
-      SnapshotTable.manifestReads.incrementAndGet(): Unit
-      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      Some(MetadataJson.parse(json).asArr.map { v =>
-        val o = v.asObj
-        val dir = Paths.get(root, o("dir").asStr).toString
-        (new File(dir, o("file").asStr).getAbsolutePath,
-          dir, o("partition").asStr, o("bytes").asLong, o("rows").asLong)
-      })
-    }
+    // read-then-catch, not exists-then-read: rewriteManifests deletes
+    // stale manifests under the commit lock, which readers don't take —
+    // a concurrent lister that loses that race falls back to the
+    // per-dir sidecars instead of surfacing NoSuchFileException
+    val json =
+      try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => return None }
+    SnapshotTable.manifestReads.inc(root)
+    Some(MetadataJson.parse(json).asArr.map { v =>
+      val o = v.asObj
+      val dir = Paths.get(root, o("dir").asStr).toString
+      (new File(dir, o("file").asStr).getAbsolutePath,
+        dir, o("partition").asStr, o("bytes").asLong, o("rows").asLong)
+    })
   }
 
   /** Iceberg's `rewrite_manifests`: consolidate the per-dir file
@@ -3629,7 +3632,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     val p = filesSidecarPath(dataDir)
     if (!Files.exists(p)) None
     else {
-      SnapshotTable.sidecarReads.incrementAndGet(): Unit
+      SnapshotTable.sidecarReads.inc(root)
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       Some(MetadataJson.parse(json).asArr.map { v =>
         val o = v.asObj
@@ -3953,8 +3956,22 @@ object SnapshotTable {
     * can prove WHICH path served a listing (the scale contract of
     * rewrite_manifests is exactly "one open instead of one per dir").
     */
-  private[graft] val sidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
-  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val sidecarReads = new PerRootCounter
+  private[graft] val manifestReads = new PerRootCounter
+
+  /** Diagnostic read counter SCOPED PER TABLE ROOT: a pin on one
+    * table's serving path must not be perturbed by concurrent queries
+    * touching other tables' sidecars (suites and the bench run
+    * queries in parallel).
+    */
+  final class PerRootCounter {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def inc(root: String): Unit =
+      m.computeIfAbsent(root, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+        .incrementAndGet(): Unit
+    def get(root: String): Long = Option(m.get(root)).map(_.get()).getOrElse(0L)
+  }
 
   /** Footer opens made on a NON-executor (driver) thread — the spec's
     * evidence that bulk import (`addFiles`) distributes its footer walk

@@ -114,16 +114,19 @@ final class GraftAvroFileFormat extends FileFormat with DataSourceRegister with 
     (file: PartitionedFile) => {
       val conf = confHolder.conf
       val in = new FsInput(file.toPath, conf)
-      // resolve against a READER schema built from requiredSchema: avro
-      // schema resolution then skip-decodes every pruned column, so a
-      // two-column projection (or a count()) never deserializes the
-      // full row width. The reader record takes the WRITER's name
-      // (resolution matches records by full name), so files written by
-      // any producer resolve.
+      // resolve against a READER schema PRUNED from the writer's own
+      // schema: avro schema resolution then skip-decodes every pruned
+      // column, so a two-column projection (or a count()) never
+      // deserializes the full row width. Pruning (rather than
+      // synthesizing from requiredSchema) keeps every record full name
+      // — top-level AND nested — identical to the writer's, because
+      // resolution matches records by full name: files with nested
+      // structs written by other producers (e.g. spark-avro, which
+      // names nested records differently) resolve too.
       val datumReader = new GenericDatumReader[GenericRecord]()
       val reader = new DataFileReader(in, datumReader)
-      datumReader.setExpected(GraftAvroFileFormat.toAvro(
-        requiredSchema, reader.getSchema.getFullName))
+      datumReader.setExpected(GraftAvroFileFormat.pruneAvro(
+        reader.getSchema, requiredSchema))
       val proj = UnsafeProjection.create(requiredSchema)
       // close at exhaustion AND at task end (limit()/take() stop early);
       // DataFileReader.close is idempotent, the double close is safe
@@ -169,6 +172,55 @@ object GraftAvroFileFormat {
     val rec = AvroSchema.createRecord(recordName, null, "graft.avro", false)
     rec.setFields(java.util.Arrays.asList(fields: _*))
     rec
+  }
+
+  /** READER schema for `required`, derived by pruning the WRITER's
+    * schema: record names and namespaces (nested ones included) are the
+    * writer's own, atomic/logical types come from the writer, and only
+    * the requested fields survive. A required field the writer lacks
+    * falls back to a synthesized nullable type with a null default
+    * (schema-evolution reads: the column backfills null).
+    */
+  def pruneAvro(writer: AvroSchema, required: StructType): AvroSchema = {
+    val w = nonNullBranch(writer)
+    require(w.getType == AvroSchema.Type.RECORD,
+      s"avro reader pruning expects a record, got ${w.getType}")
+    val fields = required.fields.map { f =>
+      Option(w.getField(f.name)) match {
+        case Some(wf) =>
+          new AvroSchema.Field(f.name,
+            pruneAvroFieldType(wf.schema(), f.dataType), null.asInstanceOf[String])
+        case None =>
+          val t = toAvroType(f.dataType, s"${w.getName}_${f.name}")
+          new AvroSchema.Field(f.name,
+            AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), t),
+            null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+      }
+    }
+    val rec = AvroSchema.createRecord(w.getName, null, w.getNamespace, false)
+    rec.setFields(java.util.Arrays.asList(fields: _*))
+    rec
+  }
+
+  private def nonNullBranch(s: AvroSchema): AvroSchema =
+    if (s.getType == AvroSchema.Type.UNION)
+      s.getTypes.asScala.filterNot(_.getType == AvroSchema.Type.NULL).head
+    else s
+
+  /** Prune one field's writer schema against the required Catalyst
+    * type, preserving the writer's union (nullability) shape.
+    */
+  private def pruneAvroFieldType(writer: AvroSchema, dt: DataType): AvroSchema = {
+    val inner = nonNullBranch(writer)
+    val pruned = dt match {
+      case st: StructType => pruneAvro(inner, st)
+      case ArrayType(et, _) =>
+        AvroSchema.createArray(pruneAvroFieldType(inner.getElementType, et))
+      case _ => inner // atomic: the writer's type, logical annotations intact
+    }
+    if (writer.getType == AvroSchema.Type.UNION)
+      AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), pruned)
+    else pruned
   }
 
   private def toAvroType(dt: DataType, name: String): AvroSchema = dt match {

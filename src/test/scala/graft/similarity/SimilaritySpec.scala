@@ -401,6 +401,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._2, r._3)) == Seq((1L, 0L), (2L, 1L), (3L, 64L)))
   }
 
+  test("signHammingTopK refuses a query side beyond its broadcast bound, actionably") {
+    val base = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = (0L until 4L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.signHammingTopK(df, df, dims = 64, k = 1, maxQueries = 2L))
+    assert(e.getMessage.contains("broadcasts the query side") &&
+      e.getMessage.contains("lshTopK"), e.getMessage)
+    // at the bound, the path still serves
+    assert(Similarity.signHammingTopK(
+      df.filter($"vec_id" < 2), df, dims = 64, k = 1, maxQueries = 2L).count() == 2)
+  }
+
   test("embeddingAudit counts the poison classes; NaN rows never taint norms") {
     val rows = Seq(
       (1L, 1, Seq(3.0f, 4.0f)),               // norm 5

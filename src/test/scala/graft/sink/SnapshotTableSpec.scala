@@ -99,16 +99,16 @@ class SnapshotTableSpec extends SparkSpec {
     def stats() = t.fileStats(spark).select("partition_path", "record_count")
       .as[(String, Long)].collect().sorted.toSeq
     val viaSidecars = Seq(("day=a", 1L), ("day=a", 1L), ("day=b", 1L))
-    val (s0, m0) = (SnapshotTable.sidecarReads.get(), SnapshotTable.manifestReads.get())
+    val (s0, m0) = (SnapshotTable.sidecarReads.get(t.root), SnapshotTable.manifestReads.get(t.root))
     assert(stats() == viaSidecars)
-    assert(SnapshotTable.sidecarReads.get() == s0 && SnapshotTable.manifestReads.get() > m0,
+    assert(SnapshotTable.sidecarReads.get(t.root) == s0 && SnapshotTable.manifestReads.get(t.root) > m0,
       "the consolidated manifest must serve, zero per-dir sidecar opens")
     // a NEW commit changes the snapshot id: the stale manifest is
     // bypassed (correctness first) and the sidecar path serves again
     t.append(Seq((4L, "c")).toDF("id", "day"), partitionCols = Seq("day"))
-    val s1 = SnapshotTable.sidecarReads.get()
+    val s1 = SnapshotTable.sidecarReads.get(t.root)
     assert(stats() == viaSidecars :+ (("day=c", 1L)))
-    assert(SnapshotTable.sidecarReads.get() > s1, "stale manifest must be bypassed")
+    assert(SnapshotTable.sidecarReads.get(t.root) > s1, "stale manifest must be bypassed")
     // re-rewriting adopts the new head and drops the stale manifest file
     t.rewriteManifests(): Unit
     val manifests = Option(new java.io.File(t.root).listFiles()).get

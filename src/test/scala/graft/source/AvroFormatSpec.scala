@@ -77,6 +77,41 @@ class AvroFormatSpec extends SparkSpec {
     assert(got.map(_.get(1)).forall(_ == null))
   }
 
+  test("foreign producers' nested record names resolve (reader schema pruned from the writer)") {
+    // simulate another producer (e.g. spark-avro): nested records named
+    // and namespaced DIFFERENTLY than this format's own synthesized
+    // names — avro resolution matches records by FULL NAME, so the
+    // reader schema must take the writer's names, not invent its own
+    import org.apache.avro.{Schema => A}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val nested = A.createRecord("st", null, "some.other.producer", false)
+    nested.setFields(java.util.Arrays.asList(
+      new A.Field("x", A.create(A.Type.LONG), null.asInstanceOf[String]),
+      new A.Field("y", A.create(A.Type.STRING), null.asInstanceOf[String])))
+    val top = A.createRecord("topLevelRecord", null, "", false)
+    top.setFields(java.util.Arrays.asList(
+      new A.Field("id", A.create(A.Type.LONG), null.asInstanceOf[String]),
+      new A.Field("st",
+        A.createUnion(A.create(A.Type.NULL), nested), null, A.Field.NULL_DEFAULT_VALUE)))
+    val dir = Files.createTempDirectory("graft_avro_foreign")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](top))
+    w.create(top, dir.resolve("part-0.avro").toFile)
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).foreach { case (id, x, y) =>
+      val n = new GenericData.Record(nested)
+      n.put("x", x); n.put("y", y)
+      val r = new GenericData.Record(top)
+      r.put("id", id); r.put("st", n)
+      w.append(r)
+    }
+    w.close()
+    val back = spark.read.format("avro").load(dir.toString)
+    // full read AND a pruned nested projection must both resolve
+    assert(back.count() == 2L)
+    assert(back.select(col("id"), col("st.y")).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("avro write rejects unsupported column types actionably") {
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
     val e = intercept[Exception](df.write.format("avro").save(tmp()))
