@@ -228,11 +228,14 @@ object ExtQueries {
         val t = graft.template.TemplateLoader.get(MetaQueries.TemplatesDir, "events")
         val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
         val ev = Queries.tbl(s, dir, "events")
-        val cut = lit("2024-01-25 00:00:00").cast("timestamp")
-        // two source files -> maxFilesPerTrigger=1 -> two microbatches
-        val srcDir = s"$wh/src"
-        ev.filter(col("ts") < cut).coalesce(1).write.parquet(s"$srcDir/b0")
-        ev.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$srcDir/b1")
+        // two source files -> maxFilesPerTrigger=1 -> two microbatches;
+        // the staged files are immutable: written once per session,
+        // read per run (table + checkpoint stay per-run fresh)
+        val srcDir = MetaQueries.warmBaseDir("stream_exactly_once_src", dir) { b =>
+          val cut = lit("2024-01-25 00:00:00").cast("timestamp")
+          ev.filter(col("ts") < cut).coalesce(1).write.parquet(s"$b/src/b0")
+          ev.filter(col("ts") >= cut).coalesce(1).write.parquet(s"$b/src/b1")
+        } + "/src"
         val schema = s.read.parquet(s"$srcDir/b0").schema
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1)
@@ -316,13 +319,16 @@ object ExtQueries {
         // state, then each append commit arrives as its own O(delta)
         // microbatch (readIncremental dir-set difference; scan I/O per
         // trigger is the new dirs only, never the table).
-        val wh = MetaQueries.freshWarehouse("stream_lakehouse_tail")
-        val table = graft.sink.SnapshotTable(wh, "testdata", "events_tail")
         val ev = Queries.tbl(s, dir, "events")
           .select("event_id", "ts", "user_id", "event_type")
         val cut1 = lit("2024-01-25 00:00:00").cast("timestamp")
         val cut2 = lit("2024-01-30 00:00:00").cast("timestamp")
-        table.overwrite(ev.filter(col("ts") < cut1))
+        // seed commit builds once per session; appends land on the clone
+        val wh = MetaQueries.warmCloneWarehouse("stream_lakehouse_tail", dir) { b =>
+          graft.sink.SnapshotTable(b, "testdata", "events_tail")
+            .overwrite(ev.filter(col("ts") < cut1)): Unit
+        }
+        val table = graft.sink.SnapshotTable(wh, "testdata", "events_tail")
         val q = s.readStream.format("graft-stream")
           .option("warehouse", wh).option("table", "testdata.events_tail").load()
           .writeStream.format("memory").queryName("lakehouse_tail_sink")
@@ -348,14 +354,18 @@ object ExtQueries {
         // leak into the tail (offsets walk the ref's parent chain, not
         // the snapshot list). The published head stays at the seed
         // state throughout, pinned below.
-        val wh = MetaQueries.freshWarehouse("stream_branch_tail")
-        val table = graft.sink.SnapshotTable(wh, "testdata", "events_branch")
         val ev = Queries.tbl(s, dir, "events")
           .select("event_id", "ts", "user_id", "event_type")
         val cut1 = lit("2024-01-25 00:00:00").cast("timestamp")
         val cut2 = lit("2024-01-30 00:00:00").cast("timestamp")
-        table.overwrite(ev.filter(col("ts") < cut1)): Unit
-        table.createBranch("audit"): Unit
+        // seed commit + branch ref build once per session (refs.json is
+        // part of the metadata clone); branch appends land on the clone
+        val wh = MetaQueries.warmCloneWarehouse("stream_branch_tail", dir) { b =>
+          val seed = graft.sink.SnapshotTable(b, "testdata", "events_branch")
+          seed.overwrite(ev.filter(col("ts") < cut1)): Unit
+          seed.createBranch("audit"): Unit
+        }
+        val table = graft.sink.SnapshotTable(wh, "testdata", "events_branch")
         val q = s.readStream.format("graft-stream")
           .option("warehouse", wh).option("table", "testdata.events_branch")
           .option("branch", "audit").load()
@@ -391,21 +401,28 @@ object ExtQueries {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        val wh = MetaQueries.freshWarehouse("stream_corpus_ingest_dedup")
-        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
         // bounded slice: the operator under test is the per-batch gate,
-        // not shoveling the corpus through a driver-local MemoryStream
-        val base = Queries.tbl(s, dir, "documents")
+        // not shoveling the corpus through a driver-local MemoryStream;
+        // seed commit + collected batches build once, clone per run
+        def base = Queries.tbl(s, dir, "documents")
           .filter(col("doc_id") < 2000)
           .select("doc_id", "text", "lang", "source", "n_chars")
-        table.overwrite(base.filter(col("doc_id") % 3 === 0)): Unit
-        val b1 = base.filter(col("doc_id") % 3 <= 1)
-          .as[(Long, String, String, String, Long)].collect().toSeq
-        val b2src = base.filter(col("doc_id") % 3 >= 1)
-        val b2 = (b2src.as[(Long, String, String, String, Long)].collect() ++
-          b2src.select(col("doc_id") + 200000L, col("text"), col("lang"),
-              col("source"), col("n_chars"))
-            .as[(Long, String, String, String, Long)].collect()).toSeq
+        val wh = MetaQueries.warmCloneWarehouse("stream_corpus_ingest_dedup", dir) { b =>
+          graft.sink.SnapshotTable(b, "lakehouse", "documents")
+            .overwrite(base.filter(col("doc_id") % 3 === 0)): Unit
+        }
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
+        val (b1, b2) = MetaQueries.memoFixture[
+            (Seq[(Long, String, String, String, Long)], Seq[(Long, String, String, String, Long)])](
+            "stream_corpus_ingest_batches", dir) {
+          val b2src = base.filter(col("doc_id") % 3 >= 1)
+          (base.filter(col("doc_id") % 3 <= 1)
+             .as[(Long, String, String, String, Long)].collect().toSeq,
+           (b2src.as[(Long, String, String, String, Long)].collect() ++
+             b2src.select(col("doc_id") + 200000L, col("text"), col("lang"),
+                 col("source"), col("n_chars"))
+               .as[(Long, String, String, String, Long)].collect()).toSeq)
+        }
         val mem = MemoryStream[(Long, String, String, String, Long)]
         val q = Streaming.startDedupIngest(
           mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
@@ -453,15 +470,17 @@ object ExtQueries {
         // (Delta CDF's streaming shape) — per-commit pairing needs no
         // cross-batch state because a changelog microbatch IS one
         // commit's rows.
-        val wh = MetaQueries.freshWarehouse("stream_cdc_updates")
-        val table = graft.sink.SnapshotTable(wh, "testdata", "events_cdc")
         // bounded seed (cost here is streaming machinery + the MOR
-        // commit, not rows — same discipline as stream_mor_upsert)
-        val ev = Queries.tbl(s, dir, "events")
-          .filter(col("event_id") % 4 === 0)
-          .select("event_id", "user_id", "event_type", "value")
-        table.overwrite(ev): Unit // snap 1
-        table.setProperties(Map("write.update.mode" -> "merge-on-read"))
+        // commit, not rows — same discipline as stream_mor_upsert);
+        // seed commit + properties build once, clone per run
+        val wh = MetaQueries.warmCloneWarehouse("stream_cdc_updates", dir) { b =>
+          val seed = graft.sink.SnapshotTable(b, "testdata", "events_cdc")
+          seed.overwrite(Queries.tbl(s, dir, "events")
+            .filter(col("event_id") % 4 === 0)
+            .select("event_id", "user_id", "event_type", "value")): Unit // snap 1
+          seed.setProperties(Map("write.update.mode" -> "merge-on-read"))
+        }
+        val table = graft.sink.SnapshotTable(wh, "testdata", "events_cdc")
         val out = s"$wh/_cdc_out"
         val q = Streaming.startCdcUpdates(s, wh, "testdata.events_cdc",
           keys = Seq("event_id"), outPath = out, checkpoint = s"$wh/_ckpt")
@@ -499,16 +518,24 @@ object ExtQueries {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        val wh = MetaQueries.freshWarehouse("stream_scd2_merge")
+        // seed dim commit + collected feeds build once per session;
+        // the streaming merges commit onto the per-run clone
+        val wh = MetaQueries.warmCloneWarehouse("stream_scd2_merge", dir) { b =>
+          graft.sink.SnapshotTable(b, "lakehouse", "dim_customer_scd")
+            .overwrite(PatternQueries.dim(s, dir)): Unit
+        }
         val table = graft.sink.SnapshotTable(wh, "lakehouse", "dim_customer_scd")
-        table.overwrite(PatternQueries.dim(s, dir))
         // the MemoryStream source is the harness stand-in for Kafka; its
         // staged contents are dimension-feed sized (bounded), never
         // fact-stream sized
-        val b1 = PatternQueries.feed(s, dir)
-          .as[(Long, String, String, Double)].collect().toSeq
-        val b2 = PatternQueries.feed2(s, dir)
-          .as[(Long, String, String, Double)].collect().toSeq
+        val (b1, b2) = MetaQueries.memoFixture[
+            (Seq[(Long, String, String, Double)], Seq[(Long, String, String, Double)])](
+            "stream_scd2_feeds", dir) {
+          (PatternQueries.feed(s, dir)
+             .as[(Long, String, String, Double)].collect().toSeq,
+           PatternQueries.feed2(s, dir)
+             .as[(Long, String, String, Double)].collect().toSeq)
+        }
         val mem = MemoryStream[(Long, String, String, Double)]
         val q = Streaming.startScd2Merge(
           mem.toDF().toDF("natural_key", "name", "segment", "acctbal"),
@@ -543,30 +570,35 @@ object ExtQueries {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        val wh = MetaQueries.freshWarehouse("stream_mor_upsert")
-        val table = graft.sink.SnapshotTable(wh, "lakehouse", "customer_cdc")
         // a bounded dimension slice: the operator under test is the
         // per-batch MOR merge machinery, not shoveling the full table
-        // through the driver-local MemoryStream at every scale
-        val c = Queries.tbl(s, dir, "customer")
+        // through the driver-local MemoryStream at every scale. The
+        // seed commit and the collected CDC batches are the IMMUTABLE
+        // fixture prelude — built once per session, cloned per run.
+        def c = Queries.tbl(s, dir, "customer")
           .filter(col("c_custkey") <= 5000)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        table.overwrite(c): Unit
+        val wh = MetaQueries.warmCloneWarehouse("stream_mor_upsert", dir) { base =>
+          graft.sink.SnapshotTable(base, "lakehouse", "customer_cdc").overwrite(c): Unit
+        }
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "customer_cdc")
         val origDirs = table.currentSnapshot.get.dataDirs
-        val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
-        // the MemoryStream staging is dimension-feed sized (CDC deltas),
-        // never fact-stream sized — same profile as stream_scd2_merge
-        val upd = c.filter(col("c_custkey") % 7 === 0)
-          .as[(Long, String, Double)].collect().toSeq
-        val b1: Seq[(Long, String, Double, Long)] =
-          upd.map { case (k, n, b) => (k, n, b + 50.0, 1L) } ++
+        val (b1, b2) = MetaQueries.memoFixture[
+            (Seq[(Long, String, Double, Long)], Seq[(Long, String, Double, Long)])](
+            "stream_mor_upsert_batches", dir) {
+          val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
+          // the MemoryStream staging is dimension-feed sized (CDC
+          // deltas), never fact-stream sized — as in stream_scd2_merge
+          val upd = c.filter(col("c_custkey") % 7 === 0)
+            .as[(Long, String, Double)].collect().toSeq
+          (upd.map { case (k, n, b) => (k, n, b + 50.0, 1L) } ++
             upd.map { case (k, n, b) => (k, n, b + 100.0, 2L) } ++
             c.filter(col("c_custkey") % 7 === 3)
               .as[(Long, String, Double)].collect().toSeq
-              .map { case (k, _, b) => (k + maxKey, "new", b, 1L) }
-        val b2: Seq[(Long, String, Double, Long)] =
-          upd.filter(_._1 % 14 == 0)
-            .map { case (k, n, b) => (k, n, b + 200.0, 3L) }
+              .map { case (k, _, b) => (k + maxKey, "new", b, 1L) },
+            upd.filter(_._1 % 14 == 0)
+              .map { case (k, n, b) => (k, n, b + 200.0, 3L) })
+        }
         val mem = MemoryStream[(Long, String, Double, Long)]
         val q = Streaming.startMorUpsert(
           mem.toDF().toDF("c_custkey", "c_name", "c_acctbal", "ord"),
@@ -671,22 +703,27 @@ object ExtQueries {
         // no-op.
         import s.implicits._
         import graft.quality.Quality
-        val wh = MetaQueries.freshWarehouse("stream_quarantine_replay")
         val t = graft.template.TemplateLoader.get(MetaQueries.TemplatesDir, "events")
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        // the incident is the IMMUTABLE prelude: the clean batch landed,
+        // the poisoned one was quarantined whole (same split the gated
+        // stream produces) — committed once, cloned per run; the replay
+        // under test then mutates only the clone
+        val wh = MetaQueries.warmCloneWarehouse("stream_quarantine_replay", dir) { b =>
+          val events = Queries.tbl(s, dir, "events").filter(col("event_id") < 2000)
+          val clean = events.filter(col("event_id") % 2 === 0).select(cols.map(col): _*)
+          val poisoned = events.filter(col("event_id") % 2 === 1)
+            .withColumn("user_id",
+              when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
+            .select(cols.map(col): _*)
+          graft.sink.TableSink.append(clean, t,
+            graft.sink.SnapshotTable(b, t.namespace, t.name)): Unit
+          graft.sink.TableSink.append(poisoned, t,
+            graft.sink.SnapshotTable(b, t.namespace, "events_quarantine")): Unit
+        }
         val table = graft.sink.SnapshotTable(wh, t.namespace, t.name)
         val quarantine = graft.sink.SnapshotTable(wh, t.namespace, "events_quarantine")
-        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-        val events = Queries.tbl(s, dir, "events").filter(col("event_id") < 2000)
-        val clean = events.filter(col("event_id") % 2 === 0).select(cols.map(col): _*)
-        val poisoned = events.filter(col("event_id") % 2 === 1)
-          .withColumn("user_id",
-            when(col("event_id") % 7 === 0, lit(null)).otherwise(col("user_id")))
-          .select(cols.map(col): _*)
         val checks = Seq(Quality.rowCount(), Quality.missingCount("user_id"))
-        // the incident: the clean batch landed, the poisoned one was
-        // quarantined whole (same split the gated stream produces)
-        graft.sink.TableSink.append(clean, t, table): Unit
-        graft.sink.TableSink.append(poisoned, t, quarantine): Unit
         // a replay whose fix does NOT cure still-null user_ids must fail
         // the gate and mutate neither table
         val (mainHead, qHead) =
