@@ -608,12 +608,14 @@ object MetaQueries {
         // the rewritten + inserted rows. The trickle-merge shape: a
         // small delivery into a huge table costs O(touched + inserted),
         // untouched rows of touched files are never rewritten.
-        val wh = freshWarehouse("sql_merge_mor")
-        val table = SnapshotTable(wh, "testdata", "customer_mor")
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        table.overwrite(c): Unit
-        table.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+        val wh = warmCloneWarehouse("sql_merge_mor", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "customer_mor")
+          seed.overwrite(c): Unit
+          seed.setProperties(Map("write.merge.mode" -> "merge-on-read"))
+        }
+        val table = SnapshotTable(wh, "testdata", "customer_mor")
         val origDirs = table.currentSnapshot.get.dataDirs
         val before = table.currentSnapshot.get.rowCount
         val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
@@ -703,13 +705,17 @@ object MetaQueries {
         // the last-good state — zero data I/O, the bad snapshot stays
         // time-travelable until expiry, and the rollback is itself
         // auditable history.
-        val wh = freshWarehouse("maintenance_rollback")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // the incident (good load + corrupted refresh) commits once per
+        // session; the rollback under test lands on the per-run clone
+        val wh = warmCloneWarehouse("maintenance_rollback", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          val events = tbl(s, dir, "events")
+          TableSink.overwrite(events.filter(col("event_id") % 3 === 0), t, seed)
+          TableSink.overwrite(events.withColumn("value", col("value") * 100), t, seed): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        val good = TableSink.overwrite(events.filter(col("event_id") % 3 === 0), t, table)
-        // the bad load: corrupted values over the full table
-        TableSink.overwrite(events.withColumn("value", col("value") * 100), t, table)
+        val good = table.snapshots.find(_.id == 1L).get
         val snap = table.rollback(good.id)
         require(snap.operation == "rollback", snap.operation)
         require(snap.rowCount == good.rowCount, "rollback must restore the row count")
@@ -730,12 +736,17 @@ object MetaQueries {
         // reads — audited against the candidate table state, and only
         // then published (O(1) metadata flip). The poisoned delivery is
         // audited, rejected and discarded; the table never exposed it.
-        val wh = freshWarehouse("wap_publish")
         val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
         val events = tbl(s, dir, "events")
         val cut = lit(EventsCut).cast("timestamp")
-        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
+        // the published seed commits once per session; staged commits,
+        // discard, and publish (the WAP machinery under test) land on
+        // the per-run clone
+        val wh = warmCloneWarehouse("wap_publish", dir) { b =>
+          TableSink.overwrite(events.filter(col("ts") < cut), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
+        val table = SnapshotTable(wh, t.namespace, t.name)
         val baseRows = table.currentSnapshot.get.rowCount
 
         // failed-audit path: nulls in a required column
@@ -849,12 +860,14 @@ object MetaQueries {
         // listing, not the write: the fixture commits a narrow
         // two-column projection so the bench measures the operator, not
         // a wide partitioned rewrite of the fact table.
-        val wh = freshWarehouse("table_partitions")
+        val wh = warmBaseDir("table_partitions", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "events_partstats")
+          val ev = tbl(s, dir, "events")
+            .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+          seed.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+          seed.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
+        }
         val table = SnapshotTable(wh, "testdata", "events_partstats")
-        val ev = tbl(s, dir, "events")
-          .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
-        table.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
-        table.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
         val stats = table.partitionStats(s)
         require(!stats.queryExecution.optimizedPlan.exists(
           _.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]),
@@ -880,12 +893,14 @@ object MetaQueries {
         // pinned below. The oracle cross-checks ground truth: the
         // per-partition sums of per-file record counts must equal the
         // true per-day row counts.
-        val wh = freshWarehouse("table_files")
+        val wh = warmBaseDir("table_files", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "events_filestats")
+          val ev = tbl(s, dir, "events")
+            .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+          seed.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+          seed.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
+        }
         val table = SnapshotTable(wh, "testdata", "events_filestats")
-        val ev = tbl(s, dir, "events")
-          .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
-        table.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
-        table.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
         val footersBefore = SnapshotTable.footerReads.get()
         val files = table.fileStats(s)
         require(SnapshotTable.footerReads.get() == footersBefore,
@@ -949,13 +964,17 @@ object MetaQueries {
         // manifest (counter +) and ZERO per-dir sidecars; a subsequent
         // commit bypasses the now-stale manifest and still answers
         // correctly from sidecars.
-        val wh = freshWarehouse("rewrite_manifests")
+        // the three-commit lineage builds once per session; the CALL
+        // writes/GCs manifests at the CLONE's table root only
+        val wh = warmCloneWarehouse("rewrite_manifests", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "events_manifests")
+          val ev = tbl(s, dir, "events")
+            .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+          seed.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+          seed.append(ev.filter(col("event_id") % 4 === 1), partitionCols = Seq("ts_day")): Unit
+          seed.append(ev.filter(col("event_id") % 4 === 3), partitionCols = Seq("ts_day")): Unit
+        }
         val table = SnapshotTable(wh, "testdata", "events_manifests")
-        val ev = tbl(s, dir, "events")
-          .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
-        table.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
-        table.append(ev.filter(col("event_id") % 4 === 1), partitionCols = Seq("ts_day")): Unit
-        table.append(ev.filter(col("event_id") % 4 === 3), partitionCols = Seq("ts_day")): Unit
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         val res = s.sql(
@@ -1011,13 +1030,17 @@ object MetaQueries {
     "time_travel_snapshots" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val wh = freshWarehouse("time_travel")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // two-commit lineage builds once per session; the listing under
+        // test is a pure metadata read of it
+        val wh = warmBaseDir("time_travel", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          val events = tbl(s, dir, "events")
+          val cut = lit(EventsCut).cast("timestamp")
+          TableSink.overwrite(events.filter(col("ts") < cut), t, seed)
+          TableSink.append(events.filter(col("ts") >= cut), t, seed): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        val cut = lit(EventsCut).cast("timestamp")
-        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
-        TableSink.append(events.filter(col("ts") >= cut), t, table)
         // snapshot history, newest first, limit 10 (committed_at is wall
         // clock, so the oracle-checked projection is id/op/row_count).
         // A PURE metadata read: row counts were recorded at commit time,
@@ -1088,17 +1111,20 @@ object MetaQueries {
         // (snap 2), GDPR-erase every 10th key (snap 3). The changelog
         // over (1, 3] = the appended rows as inserts @2 plus the
         // ERASED ROWS (full rows, not just keys) as deletes @3.
-        val wh = freshWarehouse("time_travel_changelog")
-        val table = SnapshotTable(wh, "testdata", "customer_cdc")
-        val c = tbl(s, dir, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        val halfC = c.agg(max(col("c_custkey"))).head.getLong(0) / 2
-        table.overwrite(c.filter(col("c_custkey") < halfC)): Unit
-        table.append(c.filter(col("c_custkey") >= halfC)): Unit
-        table.deleteWhere(
-          c.filter(col("c_custkey") % 10 === 0).select("c_custkey"),
-          Seq("c_custkey")): Unit
-        table.readChangelog(s, 1L, 3L)
+        // the three-commit incident lineage builds once per session;
+        // the changelog read under test never mutates it
+        val wh = warmBaseDir("time_travel_changelog", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "customer_cdc")
+          val c = tbl(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          val halfC = c.agg(max(col("c_custkey"))).head.getLong(0) / 2
+          seed.overwrite(c.filter(col("c_custkey") < halfC)): Unit
+          seed.append(c.filter(col("c_custkey") >= halfC)): Unit
+          seed.deleteWhere(
+            c.filter(col("c_custkey") % 10 === 0).select("c_custkey"),
+            Seq("c_custkey")): Unit
+        }
+        SnapshotTable(wh, "testdata", "customer_cdc").readChangelog(s, 1L, 3L)
       },
       Some("""SELECT c_custkey, c_name, c_acctbal,
              |  'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot_id
@@ -1120,14 +1146,17 @@ object MetaQueries {
         // table's declared identifier.fields re-stamps them as an update
         // pair. O(changed rows): one validation agg + one keyed window
         // over the changelog slice, never the table.
-        val wh = freshWarehouse("changelog_updates")
+        // seed + properties commit once per session; the MOR UPDATE
+        // and its changelog pairing land on the per-run clone
+        val wh = warmCloneWarehouse("changelog_updates", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "events")
+          seed.overwrite(tbl(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")): Unit // snap 1
+          seed.setProperties(Map(
+            "write.update.mode" -> "merge-on-read",
+            "identifier.fields" -> "event_id"))
+        }
         val table = SnapshotTable(wh, "testdata", "events")
-        val ev = tbl(s, dir, "events")
-          .select("event_id", "user_id", "event_type", "value")
-        table.overwrite(ev): Unit // snap 1
-        table.setProperties(Map(
-          "write.update.mode" -> "merge-on-read",
-          "identifier.fields" -> "event_id"))
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         s.sql("""UPDATE graft.testdata.events SET value = value + 1000
@@ -1158,12 +1187,16 @@ object MetaQueries {
         // null in the new column; the pre-evolution snapshot time-travels
         // with the OLD schema; a metadata-only rename then re-labels the
         // column with zero data I/O (the id, not the name, binds dirs).
-        val wh = freshWarehouse("schema_evolution")
-        val table = SnapshotTable(wh, "testdata", "events_evolving")
         val events = tbl(s, dir, "events")
           .select("event_id", "ts", "user_id", "event_type", "value")
         val cut = lit(EventsCut).cast("timestamp")
-        table.overwrite(events.filter(col("ts") < cut))
+        // pre-evolution seed commits once; the evolving append, rename,
+        // and time-travel checks run on the per-run clone
+        val wh = warmCloneWarehouse("schema_evolution", dir) { b =>
+          SnapshotTable(b, "testdata", "events_evolving")
+            .overwrite(events.filter(col("ts") < cut)): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "events_evolving")
         val batch = events.filter(col("ts") >= cut)
           .withColumn("ingest_src",
             concat(lit("src-"), (col("event_id") % 3).cast("string")))
@@ -1195,13 +1228,15 @@ object MetaQueries {
         // ONLY commit — existing dirs keep their physical int bytes and
         // upcast losslessly at read; the next append then writes values
         // beyond int range. Narrowing is rejected (spec-pinned).
-        val wh = freshWarehouse("schema_promote")
-        val table = SnapshotTable(wh, "testdata", "events_promote")
         val events = tbl(s, dir, "events")
           .select("event_id", "ts", "user_id", "event_type")
         val cut = lit(EventsCut).cast("timestamp")
-        table.overwrite(events.filter(col("ts") < cut)
-          .withColumn("amount", (col("event_id") % 1000).cast("int")))
+        val wh = warmCloneWarehouse("schema_promote", dir) { b =>
+          SnapshotTable(b, "testdata", "events_promote")
+            .overwrite(events.filter(col("ts") < cut)
+              .withColumn("amount", (col("event_id") % 1000).cast("int"))): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "events_promote")
         val promoted = table.updateColumnType(s, "amount", "BIGINT")
         require(promoted.operation == "schema" &&
           promoted.dataDirs == table.snapshots.head.dataDirs,
@@ -1223,18 +1258,22 @@ object MetaQueries {
         // FOR SYSTEM_TIME AS OF (Iceberg/Athena timestamp travel): resolve
         // the newest snapshot committed at or before t. Commit times are
         // injected through the clock seam so the query is deterministic.
-        val wh = freshWarehouse("time_travel_timestamp")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // the clock-pinned lineage builds once; the as-of read under
+        // test is pure metadata + scan of it
+        val wh = warmBaseDir("time_travel_timestamp", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          val events = tbl(s, dir, "events")
+          val cut = lit(EventsCut).cast("timestamp")
+          val saved = SnapshotTable.clockMs
+          try {
+            SnapshotTable.clockMs = () => 1000L
+            TableSink.overwrite(events.filter(col("ts") < cut), t, seed)
+            SnapshotTable.clockMs = () => 2000L
+            TableSink.append(events.filter(col("ts") >= cut), t, seed): Unit
+          } finally SnapshotTable.clockMs = saved
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        val cut = lit(EventsCut).cast("timestamp")
-        val saved = SnapshotTable.clockMs
-        try {
-          SnapshotTable.clockMs = () => 1000L
-          TableSink.overwrite(events.filter(col("ts") < cut), t, table)
-          SnapshotTable.clockMs = () => 2000L
-          TableSink.append(events.filter(col("ts") >= cut), t, table)
-        } finally SnapshotTable.clockMs = saved
         // as-of t=1500: the append (committed at 2000) must not appear
         table.readAsOf(s, 1500L)
           .select("event_id", "ts", "user_id", "event_type")
@@ -1252,10 +1291,11 @@ object MetaQueries {
         // The partition-column predicate prunes at planning exactly as
         // in the Scala API (the extension rule inlines the native scan
         // plan; PlanSpec pins the pruned file count through this path).
-        val wh = freshWarehouse("sql_table_read")
         val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
+        val wh = warmBaseDir("sql_table_read", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         s.sql("""SELECT event_id, ts, user_id, event_type
@@ -1274,18 +1314,19 @@ object MetaQueries {
         // through the catalog's loadTable(ident, version|timestamp)
         // hooks. Commit times are injected via the clock seam, so the
         // TIMESTAMP AS OF literal is deterministic.
-        val wh = freshWarehouse("sql_time_travel")
         val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        val cut = lit(EventsCut).cast("timestamp")
-        val saved = SnapshotTable.clockMs
-        try {
-          SnapshotTable.clockMs = () => 1000L
-          TableSink.overwrite(events.filter(col("ts") < cut), t, table)
-          SnapshotTable.clockMs = () => 2000L
-          TableSink.append(events.filter(col("ts") >= cut), t, table)
-        } finally SnapshotTable.clockMs = saved
+        val wh = warmBaseDir("sql_time_travel", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          val events = tbl(s, dir, "events")
+          val cut = lit(EventsCut).cast("timestamp")
+          val saved = SnapshotTable.clockMs
+          try {
+            SnapshotTable.clockMs = () => 1000L
+            TableSink.overwrite(events.filter(col("ts") < cut), t, seed)
+            SnapshotTable.clockMs = () => 2000L
+            TableSink.append(events.filter(col("ts") >= cut), t, seed): Unit
+          } finally SnapshotTable.clockMs = saved
+        }
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         s.sql("""SELECT event_id, ts, user_id, event_type
@@ -1338,16 +1379,17 @@ object MetaQueries {
         // the SUBJECT is the metadata listings, not the write: commit a
         // narrow two-column projection (same rows/partitions as the fact
         // table) so the bench measures the listings, not a wide rewrite
-        val wh = freshWarehouse("sql_metadata_tables")
-        val table = SnapshotTable(wh, "testdata", "events")
-        val ev = tbl(s, dir, "events")
-          .select(col("event_id"), col("ts"),
-            date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
-        val cut = lit(EventsCut).cast("timestamp")
-        table.overwrite(ev.filter(col("ts") < cut).drop("ts"),
-          partitionCols = Seq("ts_day")): Unit
-        table.append(ev.filter(col("ts") >= cut).drop("ts"),
-          partitionCols = Seq("ts_day")): Unit
+        val wh = warmBaseDir("sql_metadata_tables", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "events")
+          val ev = tbl(s, dir, "events")
+            .select(col("event_id"), col("ts"),
+              date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+          val cut = lit(EventsCut).cast("timestamp")
+          seed.overwrite(ev.filter(col("ts") < cut).drop("ts"),
+            partitionCols = Seq("ts_day")): Unit
+          seed.append(ev.filter(col("ts") >= cut).drop("ts"),
+            partitionCols = Seq("ts_day")): Unit
+        }
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         s.sql("""SELECT 'snapshots' AS kind, CAST(snapshot_id AS STRING) AS k,
@@ -1380,18 +1422,21 @@ object MetaQueries {
         // body, user column aliases, a view over a view, SHOW VIEWS,
         // and file-backed persistence (the listing needs no session
         // state — a reloaded catalog serves the same views).
-        val wh = freshWarehouse("sql_view")
         val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        val cut = lit(EventsCut).cast("timestamp")
-        val saved = SnapshotTable.clockMs
-        try {
-          SnapshotTable.clockMs = () => 1000L
-          TableSink.overwrite(events.filter(col("ts") < cut), t, table)
-          SnapshotTable.clockMs = () => 2000L
-          TableSink.append(events.filter(col("ts") >= cut), t, table)
-        } finally SnapshotTable.clockMs = saved
+        // the two-commit seed builds once per session; the view DDL
+        // under test writes sidecars into the per-run clone's _views
+        val wh = warmCloneWarehouse("sql_view", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          val events = tbl(s, dir, "events")
+          val cut = lit(EventsCut).cast("timestamp")
+          val saved = SnapshotTable.clockMs
+          try {
+            SnapshotTable.clockMs = () => 1000L
+            TableSink.overwrite(events.filter(col("ts") < cut), t, seed)
+            SnapshotTable.clockMs = () => 2000L
+            TableSink.append(events.filter(col("ts") >= cut), t, seed): Unit
+          } finally SnapshotTable.clockMs = saved
+        }
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         // named query 1: daily per-type counts (bare `events` binds to
@@ -1433,10 +1478,13 @@ object MetaQueries {
         // file rewritten (the in-query requires pin both), rows gone
         // from every subsequent read until compaction applies the
         // delete physically.
-        val wh = freshWarehouse("sql_delete")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // seed commits once per session; the DELETE lands on the clone
+        val wh = warmCloneWarehouse("sql_delete", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
         val dirsBefore = table.currentSnapshot.get.dataDirs
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
@@ -1464,12 +1512,16 @@ object MetaQueries {
         // -carry dir instead of being decoded and rewritten. At 100 TB
         // an update matching a few rows costs O(affected files), never
         // O(dir) and never O(table).
-        val wh = freshWarehouse("sql_update")
-        val table = SnapshotTable(wh, "testdata", "orders_cow")
         val o = tbl(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         val quarter = o.agg(max(col("o_orderkey"))).head.getLong(0) / 4
-        table.overwrite(o.repartitionByRange(4, col("o_orderkey"))): Unit
+        // the 4-file range-partitioned seed commits once per session;
+        // the COW rewrite (and its hard-link carry) lands on the clone
+        val wh = warmCloneWarehouse("sql_update", dir) { b =>
+          SnapshotTable(b, "testdata", "orders_cow")
+            .overwrite(o.repartitionByRange(4, col("o_orderkey"))): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "orders_cow")
         val origDir = table.currentSnapshot.get.dataDirs.head
         val origFiles = new java.io.File(origDir).listFiles()
           .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.toPath).toMap
@@ -1512,14 +1564,16 @@ object MetaQueries {
         // update from the source, unmatched source rows insert, the SQL
         // cardinality rule enforced before any write. Row count moves
         // by exactly the insert count (pinned).
-        val wh = freshWarehouse("sql_merge")
-        val table = SnapshotTable(wh, "testdata", "customer_cow")
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
         val halfC = maxKey / 2
-        table.overwrite(c.filter(col("c_custkey") < halfC)): Unit
-        table.append(c.filter(col("c_custkey") >= halfC)): Unit
+        val wh = warmCloneWarehouse("sql_merge", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "customer_cow")
+          seed.overwrite(c.filter(col("c_custkey") < halfC)): Unit
+          seed.append(c.filter(col("c_custkey") >= halfC)): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "customer_cow")
         val before = table.currentSnapshot.get.rowCount
         val updates = c.filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), col("c_name"),
@@ -1563,13 +1617,15 @@ object MetaQueries {
         // first-true-wins in order (SQL semantics); the engine lowers
         // all of it onto the same dir-granular copy-on-write rewrite.
         // Row count moves by -deletes +inserts (pinned).
-        val wh = freshWarehouse("sql_merge_conditional")
-        val table = SnapshotTable(wh, "testdata", "customer_ccow")
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val maxKey = c.agg(max(col("c_custkey"))).head.getLong(0)
-        table.overwrite(c.filter(col("c_custkey") < maxKey / 2)): Unit
-        table.append(c.filter(col("c_custkey") >= maxKey / 2)): Unit
+        val wh = warmCloneWarehouse("sql_merge_conditional", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "customer_ccow")
+          seed.overwrite(c.filter(col("c_custkey") < maxKey / 2)): Unit
+          seed.append(c.filter(col("c_custkey") >= maxKey / 2)): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "customer_ccow")
         val before = table.currentSnapshot.get.rowCount
         val matchedSrc = c.filter(col("c_custkey") % 7 === 0)
         val news = c.filter(col("c_custkey") % 7 === 3)
@@ -1617,11 +1673,12 @@ object MetaQueries {
         // first-true-wins over exactly the unmatched target rows.
         // Delivery: keys % 3 == 0 (balances restated). Absent rows:
         // negative balances DELETE, others get flagged with name prefix.
-        val wh = freshWarehouse("sql_merge_nbs")
-        val table = SnapshotTable(wh, "testdata", "customer_nbs")
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        table.overwrite(c): Unit
+        val wh = warmCloneWarehouse("sql_merge_nbs", dir) { b =>
+          SnapshotTable(b, "testdata", "customer_nbs").overwrite(c): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "customer_nbs")
         val before = table.currentSnapshot.get.rowCount
         val delivered = c.filter(col("c_custkey") % 3 === 0)
           .withColumn("c_acctbal", col("c_acctbal") + 5.0)
@@ -1665,10 +1722,13 @@ object MetaQueries {
         // data file rewritten, the key frame distributed end-to-end
         // (the require pins all of it). IN-semantics note: NULL keys
         // (subquery or target side) match nothing — exactly SQL IN.
-        val wh = freshWarehouse("sql_delete_in_sub")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // seed commits once per session; the DML lands on the clone
+        val wh = warmCloneWarehouse("sql_delete_in_sub", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
         val dirsBefore = table.currentSnapshot.get.dataDirs
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
@@ -1700,10 +1760,13 @@ object MetaQueries {
         // Here the subquery is non-empty and NULL-free, so the require
         // pins the anti-join merge commit. The spec covers the NULL and
         // empty branches.
-        val wh = freshWarehouse("sql_delete_not_in")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // seed commits once per session; the DML lands on the clone
+        val wh = warmCloneWarehouse("sql_delete_not_in", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
         val before = table.currentSnapshot.get.rowCount
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
@@ -1729,10 +1792,13 @@ object MetaQueries {
         // UPDATE ... WHERE k NOT IN (SELECT ...): same null-aware
         // lowering, update shape — zero out the value of every event
         // whose user never made a qualifying purchase.
-        val wh = freshWarehouse("sql_update_not_in")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // seed commits once per session; the DML lands on the clone
+        val wh = warmCloneWarehouse("sql_update_not_in", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
         s.sql("""UPDATE graft.testdata.events SET value = -1.0
@@ -1761,10 +1827,13 @@ object MetaQueries {
         // (SnapshotTable.deleteRows) instead of dying at planning.
         // Rows where the predicate is NULL survive (SQL DELETE removes
         // only where TRUE — the oracle's COALESCE pins it).
-        val wh = freshWarehouse("sql_delete_pred")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // seed commits once per session; the DML lands on the clone
+        val wh = warmCloneWarehouse("sql_delete_pred", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
         val before = table.currentSnapshot.get.rowCount
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
@@ -1789,11 +1858,12 @@ object MetaQueries {
         // affected-dir detection, key-pruned scans), the residual
         // conjunct rides as the matched clause's condition. At 100 TB
         // the key set stays a distributed frame; nothing collects.
-        val wh = freshWarehouse("sql_update_in_sub")
-        val table = SnapshotTable(wh, "testdata", "orders_insub")
         val o = tbl(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        table.overwrite(o): Unit
+        val wh = warmCloneWarehouse("sql_update_in_sub", dir) { b =>
+          SnapshotTable(b, "testdata", "orders_insub").overwrite(o): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "orders_insub")
         val before = table.currentSnapshot.get.rowCount
         tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
           .select(col("l_orderkey")).createOrReplaceTempView("sql_upd_in_keys")
@@ -1827,10 +1897,13 @@ object MetaQueries {
         // condition the statement lands on the SAME merge-on-read
         // equality-delete contract as an IN — O(|keys|) delete file,
         // zero data files rewritten (the require pins all of it).
-        val wh = freshWarehouse("sql_delete_exists")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // seed commits once per session; the DML lands on the clone
+        val wh = warmCloneWarehouse("sql_delete_exists", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
         val dirsBefore = table.currentSnapshot.get.dataDirs
         tbl(s, dir, "events").filter(col("event_type") === "purchase")
           .select(col("user_id"), col("value"))
@@ -1863,11 +1936,12 @@ object MetaQueries {
         // broadcast subquery keys (WHEN NOT MATCHED BY SOURCE THEN
         // DELETE), so detection is key-pruned and dirs whose rows all
         // have matches stay untouched.
-        val wh = freshWarehouse("sql_delete_not_exists")
-        val table = SnapshotTable(wh, "testdata", "orders_ne")
         val o = tbl(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        table.overwrite(o): Unit
+        val wh = warmCloneWarehouse("sql_delete_not_exists", dir) { b =>
+          SnapshotTable(b, "testdata", "orders_ne").overwrite(o): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "orders_ne")
         val before = table.currentSnapshot.get.rowCount
         tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
           .createOrReplaceTempView("sql_del_ne_src")
@@ -1896,11 +1970,12 @@ object MetaQueries {
         // correlation equality becomes the semi-join key, the residual
         // target-only conjunct rides as the matched clause's condition
         // — one COW MERGE, keys distributed end-to-end.
-        val wh = freshWarehouse("sql_update_exists")
-        val table = SnapshotTable(wh, "testdata", "customer_uex")
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        table.overwrite(c): Unit
+        val wh = warmCloneWarehouse("sql_update_exists", dir) { b =>
+          SnapshotTable(b, "testdata", "customer_uex").overwrite(c): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "customer_uex")
         val before = table.currentSnapshot.get.rowCount
         tbl(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
           .createOrReplaceTempView("sql_upd_ex_src")
@@ -1937,11 +2012,12 @@ object MetaQueries {
         // — pinned by the require below, since a semi-join alone would
         // silently skip them. Distributed end-to-end; count-shaped
         // subqueries are refused (the count-bug), never rewritten wrong.
-        val wh = freshWarehouse("sql_update_corr_scalar")
-        val table = SnapshotTable(wh, "testdata", "customer_cs")
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-        table.overwrite(c): Unit
+        val wh = warmCloneWarehouse("sql_update_corr_scalar", dir) { b =>
+          SnapshotTable(b, "testdata", "customer_cs").overwrite(c): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "customer_cs")
         val before = table.currentSnapshot.get.rowCount
         // big-ticket orders only, so some customers are KEYLESS — the
         // empty-subquery NULL arm is part of the contract under test
@@ -2013,13 +2089,15 @@ object MetaQueries {
 
     "time_travel_as_of" -> QueryDef(
       (s, dir) => {
-        val wh = freshWarehouse("time_travel_as_of")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        val wh = warmBaseDir("time_travel_as_of", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          val events = tbl(s, dir, "events")
+          val cut = lit(EventsCut).cast("timestamp")
+          TableSink.overwrite(events.filter(col("ts") < cut), t, seed)
+          TableSink.append(events.filter(col("ts") >= cut), t, seed): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        val cut = lit(EventsCut).cast("timestamp")
-        TableSink.overwrite(events.filter(col("ts") < cut), t, table)
-        TableSink.append(events.filter(col("ts") >= cut), t, table)
         // query AS OF the first snapshot: the appended rows must not appear
         table.readSnapshot(s, 1L)
           .select("event_id", "ts", "user_id", "event_type")
@@ -2033,15 +2111,17 @@ object MetaQueries {
         // three-snapshot append lineage; the incremental read from the
         // FIRST snapshot to the head returns exactly the two appended
         // deltas and never rescans the base data (dir-set difference)
-        val wh = freshWarehouse("time_travel_incremental")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        val wh = warmBaseDir("time_travel_incremental", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          val events = tbl(s, dir, "events")
+          val cut1 = lit(EventsMidCut).cast("timestamp")
+          val cut2 = lit(EventsCut).cast("timestamp")
+          TableSink.overwrite(events.filter(col("ts") < cut1), t, seed)
+          TableSink.append(events.filter(col("ts") >= cut1 && col("ts") < cut2), t, seed)
+          TableSink.append(events.filter(col("ts") >= cut2), t, seed): Unit
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        val events = tbl(s, dir, "events")
-        val cut1 = lit(EventsMidCut).cast("timestamp")
-        val cut2 = lit(EventsCut).cast("timestamp")
-        TableSink.overwrite(events.filter(col("ts") < cut1), t, table)
-        TableSink.append(events.filter(col("ts") >= cut1 && col("ts") < cut2), t, table)
-        TableSink.append(events.filter(col("ts") >= cut2), t, table)
         table.readIncremental(s, fromId = 1L, toId = 3L)
           .select("event_id", "ts", "user_id", "event_type")
       },

@@ -830,6 +830,42 @@ object SimilarityQueries {
       doc = "LSH radius search: every neighbor within a cosine threshold - " +
         "no ranking stage, the filter parallelizes flat after the bucket join"),
 
+    "embedding_drift" -> QueryDef(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |bc AS (SELECT label, u.i AS pos,
+             |    (round(avg(v[CAST(u.i AS INT) + 1]), 6) + 0.0) AS c
+             |  FROM e, unnest(range(0, 64)) AS u(i)
+             |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+             |cc AS (SELECT label, u.i AS pos,
+             |    (round(avg(v[CAST(u.i AS INT) + 1]), 6) + 0.0) AS c
+             |  FROM e, unnest(range(0, 64)) AS u(i)
+             |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+             |bvt AS (SELECT label, list(c ORDER BY pos) AS bv FROM bc GROUP BY 1),
+             |cvt AS (SELECT label, list(c ORDER BY pos) AS cv FROM cc GROUP BY 1),
+             |m AS (SELECT b.label,
+             |  (round(list_reduce(list_transform(range(1, 65),
+             |      i -> bv[CAST(i AS INT)] * cv[CAST(i AS INT)]), (x, y) -> x + y) /
+             |    (sqrt(list_reduce(list_transform(bv, x -> x * x), (x, y) -> x + y)) *
+             |     sqrt(list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y))), 4)
+             |    + 0.0) AS cos,
+             |  round(sqrt(list_reduce(list_transform(range(1, 65),
+             |    i -> (bv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+             |       * (bv[CAST(i AS INT)] - cv[CAST(i AS INT)])), (x, y) -> x + y)), 6)
+             |    AS l2_shift
+             |  FROM bvt b JOIN cvt c USING (label))
+             |SELECT label, cos, l2_shift, cos < 0.98 AS drifted FROM m""".stripMargin),
+      doc = "per-label embedding centroid drift between a baseline and a " +
+        "current slice (the vector counterpart of drift_stats): map-side " +
+        "means reduce each side to |labels|x(dims) centroids, then cosine + " +
+        "L2 shift via the codegen sequential-fold expressions; flags encoder " +
+        "shifts before downstream metrics notice"),
+
     "embedding_project_rp" -> QueryDef(
       (s, dir) => Similarity.randomProject(tbl(s, dir, "embeddings"), outDims = 16),
       Some {

@@ -193,6 +193,24 @@ final class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterfac
     case DropView(UnresolvedIdentifier(parts, _), ifExists)
         if GraftViewSql.target(parts).isDefined =>
       GraftDropViewCommand(parts, ifExists)
+    case AlterViewAs(u: org.apache.spark.sql.catalyst.analysis.UnresolvedView,
+        originalText, _) if GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
+      GraftAlterViewAsCommand(u.multipartIdentifier, originalText)
+    case SetViewProperties(u: org.apache.spark.sql.catalyst.analysis.UnresolvedView,
+        props) if GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
+      GraftViewPropertiesCommand(u.multipartIdentifier, set = props,
+        unset = Nil, unsetIfExists = true)
+    case UnsetViewProperties(u: org.apache.spark.sql.catalyst.analysis.UnresolvedView,
+        keys, ifExists) if GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
+      GraftViewPropertiesCommand(u.multipartIdentifier, set = Map.empty,
+        unset = keys, unsetIfExists = ifExists)
+    case RenameTable(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        newName, true) if GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
+      GraftRenameViewCommand(u.multipartIdentifier, newName)
+    case ShowCreateTable(
+        u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView, _, output)
+        if GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
+      GraftShowCreateViewCommand(u.multipartIdentifier, output)
     case ShowViews(UnresolvedNamespace(parts, _), pattern, output)
         if parts.length == 2 && GraftViewSql.isGraftCatalogName(parts.head) =>
       GraftShowViewsCommand(parts.head, parts(1), pattern, output)
@@ -283,6 +301,87 @@ final case class GraftDropViewCommand(parts: Seq[String], ifExists: Boolean)
     if (!GraftViewStore.delete(GraftViewSql.warehouseOf(cat), ident) && !ifExists)
       throw new NoSuchViewException(ident)
     Nil
+  }
+}
+
+/** ALTER VIEW graft.ns.v AS <query> — re-validate and swap the body;
+  * properties survive, user column aliases reset (the new query's own
+  * names are the contract, exactly Spark's session-catalog semantics).
+  */
+final case class GraftAlterViewAsCommand(parts: Seq[String], sql: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftViewSql.target(parts).get
+    val wh = GraftViewSql.warehouseOf(cat)
+    val sv = GraftViewStore.read(wh, ident).getOrElse(
+      throw new NoSuchViewException(ident))
+    graft.governance.AccessControl.checkNamespaceAccess(
+      ident.namespace.head, s"${ident.namespace.head}.${ident.name}", spark)
+    val (qNames, schema) = GraftViewSql.validate(spark, cat, ident, sql, Nil)
+    GraftViewStore.write(wh, sv.copy(sql = sql, schemaJson = schema.json,
+      queryColumnNames = qNames, columnAliases = Nil))
+    Nil
+  }
+}
+
+/** ALTER VIEW ... SET/UNSET TBLPROPERTIES over the sidecar store. */
+final case class GraftViewPropertiesCommand(
+    parts: Seq[String], set: Map[String, String],
+    unset: Seq[String], unsetIfExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftViewSql.target(parts).get
+    val wh = GraftViewSql.warehouseOf(cat)
+    val sv = GraftViewStore.read(wh, ident).getOrElse(
+      throw new NoSuchViewException(ident))
+    if (!unsetIfExists) {
+      val missing = unset.filterNot(sv.properties.contains)
+      require(missing.isEmpty,
+        s"ALTER VIEW ${parts.mkString(".")} UNSET TBLPROPERTIES: " +
+          s"missing ${missing.mkString(", ")} (use IF EXISTS)")
+    }
+    GraftViewStore.write(wh,
+      sv.copy(properties = sv.properties ++ set -- unset))
+    Nil
+  }
+}
+
+/** ALTER VIEW ... RENAME TO — the sidecar moves within its warehouse. */
+final case class GraftRenameViewCommand(parts: Seq[String], newName: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = GraftViewSql.target(parts).get
+    val wh = GraftViewSql.warehouseOf(cat)
+    // RENAME TO takes the bare target (ns.v or v) within the same catalog
+    val toIdent = newName match {
+      case Seq(n) => Identifier.of(ident.namespace, n)
+      case Seq(ns, n) => Identifier.of(Array(ns), n)
+      case Seq(`cat`, ns, n) => Identifier.of(Array(ns), n)
+      case other => throw new IllegalArgumentException(
+        s"cannot RENAME view across catalogs: ${other.mkString(".")}")
+    }
+    if (GraftViewStore.exists(wh, toIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(toIdent)
+    GraftViewStore.rename(wh, ident, toIdent)
+    Nil
+  }
+}
+
+/** SHOW CREATE TABLE on a saved view: render the re-runnable DDL. */
+final case class GraftShowCreateViewCommand(
+    parts: Seq[String], override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, sv) = GraftViewSql.storedView(parts).get
+    val cols =
+      if (sv.columnAliases.isEmpty) ""
+      else sv.columnAliases.mkString(" (", ", ", ")")
+    val props =
+      if (sv.properties.isEmpty) ""
+      else sv.properties.toSeq.sorted
+        .map { case (k, v) => s"'$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    Seq(Row(
+      s"CREATE VIEW $cat.${ident.namespace.head}.${ident.name}$cols$props AS\n${sv.sql}"))
   }
 }
 

@@ -868,6 +868,36 @@ object Similarity {
         .getField("m").as("centroid"),
         count(lit(1)).as("dims"))
 
+  /** `embedding_drift`: per-label centroid drift between a BASELINE and
+    * a CURRENT slice of a vector corpus — the embedding counterpart of
+    * the tabular drift sensor (a re-trained or silently-changed encoder
+    * shifts class centroids long before downstream task metrics react;
+    * index assignments and ANN recall quietly degrade). Both sides
+    * reduce to per-label mean vectors first — bounded |labels|×dims
+    * rows — so the comparison joins CENTROIDS, never vectors; at 100 TB
+    * the only full pass is the map-side mean. Cosine and L2 shift run
+    * on the assembled arrays with the codegen sequential-fold
+    * expressions, bit-identical to the oracle's list_reduce. Labels
+    * present in only one slice drop (no centroid to compare).
+    */
+  def centroidDrift(
+      base: DataFrame, cur: DataFrame,
+      labelCol: String = "label", minCos: Double = 0.98): DataFrame = {
+    import graft.functions.VectorMath
+    val b = centroidVectors(base, labelCol)
+      .select(col("label"), col("centroid").as("bv"))
+    val c = centroidVectors(cur, labelCol)
+      .select(col("label"), col("centroid").as("cv"))
+    b.join(c, "label")
+      .select(col("label"),
+        (round(VectorMath.dotProduct(col("bv"), col("cv")) /
+          (sqrt(VectorMath.sumSquares(col("bv"))) *
+           sqrt(VectorMath.sumSquares(col("cv")))), 4) + lit(0.0)).as("cos"),
+        round(sqrt(VectorMath.sumSquares(
+          zip_with(col("bv"), col("cv"), (x, y) => x - y))), 6).as("l2_shift"))
+      .withColumn("drifted", col("cos") < lit(minCos))
+  }
+
   /** `similarity_recall`: per-query recall@k of an approximate (ANN)
     * top-k against the exact top-k — the evaluation loop every ANN
     * deployment needs before trusting an index (tune nprobe / planes /

@@ -188,6 +188,30 @@ class GraftViewSpec extends SparkSpec {
     assert(e.getMessage.contains("VIEW"), e.getMessage)
   }
 
+  test("ALTER VIEW AS / SET-UNSET TBLPROPERTIES / RENAME TO / SHOW CREATE TABLE") {
+    val wh = freshCatalog("alter")
+    people(wh)
+    spark.sql("CREATE VIEW graft.ns.v AS SELECT id FROM people")
+    // swap the body: re-validated, properties survive, output renames
+    spark.sql("ALTER VIEW graft.ns.v SET TBLPROPERTIES ('tier' = 'gold', 'tmp' = 'x')")
+    spark.sql("ALTER VIEW graft.ns.v AS SELECT name, age FROM people WHERE age > 30")
+    assert(spark.sql("SELECT * FROM graft.ns.v").columns.toSeq == Seq("name", "age"))
+    assert(spark.sql("SELECT count(*) FROM graft.ns.v").head.getLong(0) == 2L)
+    intercept[Exception](spark.sql("ALTER VIEW graft.ns.v AS SELECT nope FROM people"))
+    spark.sql("ALTER VIEW graft.ns.v UNSET TBLPROPERTIES ('tmp')")
+    intercept[Exception](
+      spark.sql("ALTER VIEW graft.ns.v UNSET TBLPROPERTIES ('never_set')"))
+    spark.sql("ALTER VIEW graft.ns.v UNSET TBLPROPERTIES IF EXISTS ('never_set')")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.ns.v").head.getString(0)
+    assert(ddl.contains("CREATE VIEW graft.ns.v") &&
+      ddl.contains("'tier' = 'gold'") && !ddl.contains("tmp") &&
+      ddl.contains("SELECT name, age FROM people WHERE age > 30"), ddl)
+    spark.sql("ALTER VIEW graft.ns.v RENAME TO ns.v2")
+    assert(spark.sql("SHOW VIEWS IN graft.ns").collect()
+      .map(_.getString(1)).toSeq == Seq("v2"))
+    assert(spark.sql("SELECT * FROM graft.ns.v2").count() == 2)
+  }
+
   test("temp views and session-catalog names are untouched by the interception") {
     val wh = freshCatalog("temp")
     people(wh)

@@ -401,6 +401,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._2, r._3)) == Seq((1L, 0L), (2L, 1L), (3L, 64L)))
   }
 
+  test("centroidDrift: identical slices read cos 1; a shifted label flags; one-sided labels drop") {
+    def vec(seed: Int, shift: Float = 0f): Seq[Float] =
+      (0 until 64).map(i => ((i * 31 + seed) % 7 - 3).toFloat + shift)
+    val base = Seq(
+      (0L, "a", vec(1)), (1L, "a", vec(2)),
+      (2L, "b", vec(3)), (3L, "b", vec(4)),
+      (4L, "gone", vec(5))).toDF("vec_id", "label", "embedding")
+    val cur = Seq(
+      (10L, "a", vec(1)), (11L, "a", vec(2)),       // unchanged centroid
+      (12L, "b", vec(3)), (13L, "b", vec(4)))
+      .toDF("vec_id", "label", "embedding")
+    val same = Similarity.centroidDrift(base, cur, "label")
+      .orderBy("label").collect()
+    // the 'gone' label exists only in base: no comparison row
+    assert(same.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(same.forall(r => r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0
+      && !r.getBoolean(3)), same.mkString(", "))
+    // shift every 'b' vector hard: its centroid moves, 'a' stays green
+    val curShifted = Seq(
+      (10L, "a", vec(1)), (11L, "a", vec(2)),
+      (12L, "b", vec(3, 50f)), (13L, "b", vec(4, 50f)))
+      .toDF("vec_id", "label", "embedding")
+    val drift = Similarity.centroidDrift(base, curShifted, "label")
+      .orderBy("label").collect()
+    val a = drift(0); val b = drift(1)
+    assert(a.getString(0) == "a" && !a.getBoolean(3))
+    assert(b.getString(0) == "b" && b.getBoolean(3) && b.getDouble(2) > 100.0,
+      b.toString)
+  }
+
   test("signHammingTopK refuses a query side beyond its broadcast bound, actionably") {
     val base = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
     val df = (0L until 4L).map(i => (i, base)).toDF("vec_id", "embedding")
