@@ -1470,6 +1470,53 @@ object MetaQueries {
         "persisted as a warehouse sidecar, bare names scoped to the view's " +
         "namespace, time travel inside the body, views over views, SHOW VIEWS"),
 
+    "sql_materialized_view" -> QueryDef(
+      (s, dir) => {
+        // MATERIALIZED views (Iceberg's MV shape: view metadata +
+        // storage table + refresh state) through the procedure surface
+        // — the serving-layer half of the named-query story: the query
+        // PRECOMPUTES into a real snapshot table, reads are plain
+        // pruned scans of it, and staleness is one snapshot-id
+        // watermark probe per source (O(#sources) metadata, never a
+        // scan). The fixture pins the full lifecycle: fresh at create,
+        // no-op refresh while fresh, stale after a source append, real
+        // recompute after, second refresh a no-op again.
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val events = tbl(s, dir, "events")
+        val cut = lit(EventsCut).cast("timestamp")
+        val wh = warmCloneWarehouse("sql_materialized_view", dir) { b =>
+          TableSink.overwrite(events.filter(col("ts") < cut), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""CALL graft.system.create_materialized_view(
+                |  `table` => 'testdata.daily_mv',
+                |  query => 'SELECT CAST(ts AS DATE) AS d, event_type,
+                |            count(*) AS n FROM graft.testdata.events
+                |            GROUP BY 1, 2')""".stripMargin)
+        def status() = s.sql(
+          "CALL graft.system.materialized_view_status(`table` => 'testdata.daily_mv')")
+        def refresh() = s.sql(
+          "CALL graft.system.refresh_materialized_view(`table` => 'testdata.daily_mv')")
+        require(status().collect().forall(_.getBoolean(3)),
+          "a freshly created MV must read fresh on every source")
+        require(!refresh().head.getBoolean(0), "a fresh MV refresh must be a no-op")
+        TableSink.append(events.filter(col("ts") >= cut), t,
+          SnapshotTable(wh, t.namespace, t.name)): Unit
+        require(status().collect().exists(!_.getBoolean(3)),
+          "a source append must mark the MV stale")
+        require(refresh().head.getBoolean(0), "a stale MV must recompute")
+        require(!refresh().head.getBoolean(0), "refresh must re-watermark")
+        s.sql("SELECT d, event_type, n FROM graft.testdata.daily_mv")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      doc = "materialized views via CALL procedures (Iceberg MV shape: view " +
+        "metadata + storage snapshot table + per-source snapshot-id " +
+        "watermarks): precomputed serving reads, O(#sources) metadata " +
+        "staleness probe, refresh only when a source moved"),
+
     "sql_delete" -> QueryDef(
       (s, dir) => {
         // GDPR erasure through SQL: DELETE FROM pushes its equality

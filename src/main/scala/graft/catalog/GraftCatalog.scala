@@ -109,7 +109,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t = tableOf(ident)
     if (!t.existsVisible) throw new NoSuchTableException(ident)
     checkTeamAccess(ident.name, t.fullName, "read")
-    new GraftSparkTable(t, None, None)
+    new GraftSparkTable(t, None, None,
+      mvStorage = GraftViewStore.read(warehouse, ident)
+        .exists(GraftViewSql.isMaterialized))
   }
 
   /** Time travel: `VERSION AS OF <snapshot-id | 'ref-name'>` — a
@@ -292,6 +294,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    GraftViewStore.read(warehouse, ident)
+      .filter(GraftViewSql.isMaterialized)
+      .foreach(_ => throw new IllegalArgumentException(
+        s"${ident.toString} is a MATERIALIZED view's storage table — " +
+          "CALL graft.system.drop_materialized_view instead"))
     val t = tableOf(ident)
     if (!t.exists) return false
     checkTeamAccess(ident.name, t.fullName, "alter")
@@ -551,7 +558,10 @@ final class GraftSparkTable(
     val snapTable: SnapshotTable,
     val pinnedVersion: Option[Long],
     val pinnedAsOfMs: Option[Long],
-    val metaKind: Option[String] = None) extends Table with SupportsRead
+    val metaKind: Option[String] = None,
+    // MATERIALIZED-view storage: engine-managed, SQL writes refuse with
+    // a pointer to CALL refresh_materialized_view
+    val mvStorage: Boolean = false) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -714,10 +724,14 @@ final class GraftSparkTable(
     metaKind.isEmpty && pinnedVersion.isEmpty && pinnedAsOfMs.isEmpty &&
       GraftSparkTable.keyRows(filters).isDefined
 
-  private def teamCheck(verb: String): Unit =
+  private def teamCheck(verb: String): Unit = {
+    if (verb == "write") require(!mvStorage,
+      s"${snapTable.fullName} is a MATERIALIZED view: its storage is " +
+        "engine-managed — CALL graft.system.refresh_materialized_view instead")
     SparkSession.getActiveSession.foreach(s =>
       graft.governance.AccessControl.checkTableAccess(
         s, snapTable.fullName.split("\\.", 2).last, snapTable.fullName, verb))
+  }
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     teamCheck("write")

@@ -57,6 +57,57 @@ object GraftProcedures {
       requiresTable: Boolean = true)
 
   val all: Seq[ProcDef] = Seq(
+    ProcDef("create_materialized_view",
+      Seq(p("table", StringType), p("query", StringType)),
+      StructType(Seq(
+        StructField("materialized_view", StringType),
+        StructField("row_count", LongType),
+        StructField("source_count", IntegerType))),
+      "Create a MATERIALIZED view: validate the query, precompute it into " +
+        "a storage snapshot table, and record one snapshot-id watermark per " +
+        "source table (staleness = O(#sources) metadata probe). Reads of " +
+        "the name serve the storage table directly.",
+      (t, in, spark) => {
+        require(!in.isNullAt(1), "create_materialized_view: 'query' is required")
+        val (rows, sources) = GraftMaterializedView.create(
+          spark, t, in.getUTF8String(1).toString)
+        Seq(Array[Any](utf8(t.fullName), rows, sources))
+      },
+      requiresTable = false),
+
+    ProcDef("refresh_materialized_view",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("refreshed", BooleanType),
+        StructField("row_count", LongType),
+        StructField("stale_sources", StringType))),
+      "Refresh a materialized view IFF any source table's snapshot moved " +
+        "past the recorded watermark; a fresh MV is a metadata-probe no-op. " +
+        "Returns whether a recompute happened and which sources were stale.",
+      (t, in, spark) => {
+        val (refreshed, rows, stale) = GraftMaterializedView.refresh(spark, t)
+        Seq(Array[Any](refreshed, rows, utf8(stale.mkString(","))))
+      }),
+
+    ProcDef("materialized_view_status",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("source", StringType),
+        StructField("recorded_snapshot_id", LongType),
+        StructField("current_snapshot_id", LongType),
+        StructField("fresh", BooleanType))),
+      "Per-source freshness of a materialized view: the recorded watermark " +
+        "vs the source's current snapshot id — a pure metadata listing.",
+      (t, _, _) => GraftMaterializedView.status(t).map { case (src, rec, cur, fresh) =>
+        Array[Any](utf8(src), rec, cur, fresh)
+      }),
+
+    ProcDef("drop_materialized_view",
+      Seq(p("table", StringType)),
+      StructType(Seq(StructField("dropped", BooleanType))),
+      "Drop a materialized view: the sidecar and its storage table.",
+      (t, _, _) => Seq(Array[Any](GraftMaterializedView.drop(t)))),
+
     ProcDef("expire_snapshots",
       Seq(p("table", StringType), opt("older_than_ms", LongType),
         opt("retain_last", IntegerType)),

@@ -159,6 +159,10 @@ object GraftViewSql {
     (qNames, schema)
   }
 
+  /** Is this stored view a MATERIALIZED view (storage-table-backed)? */
+  def isMaterialized(sv: GraftViewStore.StoredView): Boolean =
+    sv.properties.get(GraftMaterializedView.MaterializedProp).contains("true")
+
   /** SHOW VIEWS pattern semantics: '*' = any chars, '|' = alternation,
     * case-insensitive (Spark's session-catalog behavior).
     */
@@ -223,7 +227,10 @@ final class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterfac
         case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
           tt.relation match {
             case u: UnresolvedRelation
-                if GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
+                if GraftViewSql.storedView(u.multipartIdentifier)
+                  .exists(v => !GraftViewSql.isMaterialized(v._3)) =>
+              // a MATERIALIZED view's storage is a snapshot table whose
+              // own history time-travels; only TEXT views refuse
               throw new IllegalArgumentException(
                 s"${u.multipartIdentifier.mkString(".")} is a VIEW: time travel " +
                   "applies to tables — put VERSION AS OF / TIMESTAMP AS OF " +
@@ -298,7 +305,12 @@ final case class GraftDropViewCommand(parts: Seq[String], ifExists: Boolean)
     val (cat, ident) = GraftViewSql.target(parts).get
     graft.governance.AccessControl.checkNamespaceAccess(
       ident.namespace.head, s"${ident.namespace.head}.${ident.name}", spark)
-    if (!GraftViewStore.delete(GraftViewSql.warehouseOf(cat), ident) && !ifExists)
+    val wh = GraftViewSql.warehouseOf(cat)
+    GraftViewStore.read(wh, ident).foreach(sv =>
+      require(!GraftViewSql.isMaterialized(sv),
+        s"${parts.mkString(".")} is a MATERIALIZED view — " +
+          "CALL graft.system.drop_materialized_view to drop it with its storage"))
+    if (!GraftViewStore.delete(wh, ident) && !ifExists)
       throw new NoSuchViewException(ident)
     Nil
   }
@@ -414,14 +426,163 @@ final class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if !u.isStreaming &&
           GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
-        if (writeTargets(u)) throw new IllegalArgumentException(
-          s"${u.multipartIdentifier.mkString(".")} is a VIEW (a saved query): " +
-            "it cannot be a write or DML target")
-        if (timeTravelTargets(u)) throw new IllegalArgumentException(
-          s"${u.multipartIdentifier.mkString(".")} is a VIEW: time travel applies " +
-            "to tables — put VERSION AS OF / TIMESTAMP AS OF inside the view body")
         val Some((cat, ident, sv)) = GraftViewSql.storedView(u.multipartIdentifier)
-        GraftViewSql.expandView(spark, cat, ident, sv, Set.empty)
+        if (writeTargets(u)) throw new IllegalArgumentException(
+          if (GraftViewSql.isMaterialized(sv))
+            s"${u.multipartIdentifier.mkString(".")} is a MATERIALIZED VIEW: its " +
+              "storage is engine-managed — CALL refresh_materialized_view instead"
+          else s"${u.multipartIdentifier.mkString(".")} is a VIEW (a saved query): " +
+            "it cannot be a write or DML target")
+        if (GraftViewSql.isMaterialized(sv)) u // serve the STORAGE table
+        else {
+          if (timeTravelTargets(u)) throw new IllegalArgumentException(
+            s"${u.multipartIdentifier.mkString(".")} is a VIEW: time travel applies " +
+              "to tables — put VERSION AS OF / TIMESTAMP AS OF inside the view body")
+          GraftViewSql.expandView(spark, cat, ident, sv, Set.empty)
+        }
     }
+  }
+}
+
+/** MATERIALIZED views: a saved query whose result is PRECOMPUTED into a
+  * real snapshot table (the dashboard / serving-layer half of the
+  * named-query surface — Iceberg's materialized-view shape: view
+  * metadata + storage table + refresh state). The sidecar stores the
+  * query text plus one SNAPSHOT-ID WATERMARK per source table captured
+  * at refresh; staleness is an O(#sources) metadata probe, never a
+  * scan. Reads hit the storage table directly — plain pruned scans,
+  * and (being a snapshot table) the MV's own HISTORY time-travels.
+  * Managed via `CALL graft.system.{create,refresh,drop}_materialized_
+  * view` (Spark's parser has no MV grammar; the procedure surface is
+  * the Iceberg-idiomatic home for engine-managed maintenance anyway).
+  */
+object GraftMaterializedView {
+
+  val MaterializedProp = "materialized"
+  private val WatermarkPrefix = "mv.watermark."
+
+  def warehouseOfTable(t: graft.sink.SnapshotTable): String =
+    java.nio.file.Paths.get(t.root).getParent.toString
+
+  /** The graft catalog name bound to `warehouse` in the session conf —
+    * procedures receive only a table handle, so the name-resolution
+    * context is recovered from the catalog registration itself.
+    */
+  def catalogNameFor(warehouse: String): String = {
+    val norm = java.nio.file.Paths.get(warehouse).normalize().toString
+    val names = SQLConf.get.getAllConfs.collect {
+      case (k, v) if k.startsWith("spark.sql.catalog.") && !k.drop(18).contains(".") &&
+          v == classOf[GraftCatalog].getName => k.drop(18)
+    }.filter { n =>
+      Option(SQLConf.get.getConfString(s"spark.sql.catalog.$n.warehouse", null))
+        .exists(w => java.nio.file.Paths.get(w).normalize().toString == norm)
+    }.toSeq.sorted
+    names.headOption.getOrElse(throw new IllegalArgumentException(
+      s"no graft catalog registered for warehouse $warehouse — set " +
+        "spark.sql.catalog.<name> and spark.sql.catalog.<name>.warehouse"))
+  }
+
+  /** Source GRAFT TABLES of an expanded view body (nested views already
+    * expanded away), with their current snapshot ids.
+    */
+  private def sourceWatermarks(
+      spark: SparkSession, cat: String, ident: Identifier,
+      sql: String): Map[String, String] = {
+    val expanded = GraftViewSql.expandBody(
+      spark, sql, cat, Seq(ident.namespace.head), Set(s"$cat.${ident.toString}"))
+    expanded.collect { case u: UnresolvedRelation =>
+      GraftViewSql.target(u.multipartIdentifier)
+    }.flatten.distinct.flatMap { case (c, id) =>
+      val t = graft.sink.SnapshotTable(
+        GraftViewSql.warehouseOf(c), id.namespace.head, id.name)
+      t.currentSnapshot.map(s =>
+        s"$WatermarkPrefix$c.${id.namespace.head}.${id.name}" -> s.id.toString)
+    }.toMap
+  }
+
+  /** CREATE: validate + compute + commit storage + persist sidecar. */
+  def create(spark: SparkSession, t: graft.sink.SnapshotTable,
+      sql: String): (Long, Int) = {
+    val wh = warehouseOfTable(t)
+    val cat = catalogNameFor(wh)
+    val Array(ns, name) = t.fullName.split("\\.", 2)
+    val ident = Identifier.of(Array(ns), name)
+    require(!GraftViewStore.exists(wh, ident),
+      s"cannot create materialized view ${t.fullName}: a view with that name exists")
+    require(!t.existsVisible,
+      s"cannot create materialized view ${t.fullName}: a table with that name exists")
+    val (qNames, schema) = GraftViewSql.validate(spark, cat, ident, sql, Nil)
+    // capture watermarks BEFORE computing: a commit racing the refresh
+    // marks the MV stale rather than silently fresh
+    val marks = sourceWatermarks(spark, cat, ident, sql)
+    val expanded = GraftViewSql.expandBody(
+      spark, sql, cat, Seq(ns), Set(s"$cat.${ident.toString}"))
+    val snap = t.overwrite(GraftSqlShim.ofRows(spark, expanded))
+    GraftViewStore.write(wh, GraftViewStore.StoredView(
+      namespace = ns, name = name, sql = sql, currentCatalog = cat,
+      currentNamespace = Seq(ns), schemaJson = schema.json,
+      queryColumnNames = qNames, columnAliases = Nil,
+      properties = Map(MaterializedProp -> "true") ++ marks))
+    (snap.rowCount, marks.size)
+  }
+
+  /** Per-source freshness: (source, recorded id, current id, fresh). */
+  def status(t: graft.sink.SnapshotTable): Seq[(String, Long, Long, Boolean)] = {
+    val wh = warehouseOfTable(t)
+    val Array(ns, name) = t.fullName.split("\\.", 2)
+    val sv = mvSidecar(wh, ns, name)
+    sv.properties.toSeq.collect {
+      case (k, rec) if k.startsWith(WatermarkPrefix) =>
+        val full = k.stripPrefix(WatermarkPrefix)
+        val Array(c, sns, sname) = full.split("\\.", 3)
+        val cur = graft.sink.SnapshotTable(GraftViewSql.warehouseOf(c), sns, sname)
+          .currentSnapshot.map(_.id).getOrElse(-1L)
+        (full, rec.toLong, cur, rec.toLong == cur)
+    }.sortBy(_._1)
+  }
+
+  /** REFRESH: recompute iff any source moved; returns (refreshed, rows,
+    * stale sources at entry).
+    */
+  def refresh(spark: SparkSession, t: graft.sink.SnapshotTable)
+      : (Boolean, Long, Seq[String]) = {
+    val wh = warehouseOfTable(t)
+    val cat = catalogNameFor(wh)
+    val Array(ns, name) = t.fullName.split("\\.", 2)
+    val sv = mvSidecar(wh, ns, name)
+    val stale = status(t).filterNot(_._4).map(_._1)
+    if (stale.isEmpty)
+      return (false, t.currentSnapshot.map(_.rowCount).getOrElse(0L), Nil)
+    val ident = Identifier.of(Array(ns), name)
+    val marks = sourceWatermarks(spark, cat, ident, sv.sql)
+    val expanded = GraftViewSql.expandBody(
+      spark, sv.sql, sv.currentCatalog, sv.currentNamespace,
+      Set(s"$cat.${ident.toString}"))
+    val snap = t.overwrite(GraftSqlShim.ofRows(spark, expanded))
+    GraftViewStore.write(wh, sv.copy(properties =
+      sv.properties.filterNot(_._1.startsWith(WatermarkPrefix)) ++ marks))
+    (true, snap.rowCount, stale)
+  }
+
+  /** DROP: sidecar first, then the storage table's directory. */
+  def drop(t: graft.sink.SnapshotTable): Boolean = {
+    val wh = warehouseOfTable(t)
+    val Array(ns, name) = t.fullName.split("\\.", 2)
+    mvSidecar(wh, ns, name) // require it IS a materialized view
+    GraftViewStore.delete(wh, Identifier.of(Array(ns), name)): Unit
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(t.root))
+    true
+  }
+
+  private def mvSidecar(wh: String, ns: String, name: String): GraftViewStore.StoredView = {
+    val sv = GraftViewStore.read(wh, Identifier.of(Array(ns), name)).getOrElse(
+      throw new IllegalArgumentException(s"$ns.$name is not a materialized view"))
+    require(GraftViewSql.isMaterialized(sv),
+      s"$ns.$name is a plain view, not a materialized view")
+    sv
   }
 }

@@ -212,6 +212,52 @@ class GraftViewSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft.ns.v2").count() == 2)
   }
 
+  test("materialized views: precomputed serving, watermark staleness, guarded lifecycle") {
+    val wh = freshCatalog("mv")
+    val t = people(wh)
+    spark.sql("""CALL graft.system.create_materialized_view(
+                |  `table` => 'ns.age_counts',
+                |  query => 'SELECT age, count(*) AS n FROM graft.ns.people GROUP BY age')"""
+      .stripMargin)
+    // serving read = the precomputed storage table
+    assert(spark.sql("SELECT * FROM graft.ns.age_counts ORDER BY age")
+      .as[(Long, Long)].collect().toSeq == Seq((30L, 1L), (40L, 2L)))
+    // the storage plan is a SCAN of the MV table, not a recompute of people
+    val plan = spark.sql("SELECT * FROM graft.ns.age_counts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"MV read must not re-aggregate:\n$plan")
+    // SHOW VIEWS lists it; DROP VIEW and INSERT refuse with pointers
+    assert(spark.sql("SHOW VIEWS IN graft.ns").collect().map(_.getString(1))
+      .contains("age_counts"))
+    assert(intercept[Exception](spark.sql("DROP VIEW graft.ns.age_counts"))
+      .getMessage.contains("drop_materialized_view"))
+    assert(intercept[Exception](spark.sql(
+      "INSERT INTO graft.ns.age_counts VALUES (1, 1)"))
+      .getMessage.contains("MATERIALIZED"))
+    // stale after a source commit; refresh recomputes exactly once
+    t.append(Seq((9L, "zed", 40L)).toDF("id", "name", "age"))
+    val status = spark.sql(
+      "CALL graft.system.materialized_view_status(`table` => 'ns.age_counts')").collect()
+    assert(status.length == 1 && !status.head.getBoolean(3))
+    assert(spark.sql(
+      "CALL graft.system.refresh_materialized_view(`table` => 'ns.age_counts')")
+      .head.getBoolean(0))
+    assert(spark.sql("SELECT n FROM graft.ns.age_counts WHERE age = 40")
+      .as[Long].head() == 3L)
+    assert(!spark.sql(
+      "CALL graft.system.refresh_materialized_view(`table` => 'ns.age_counts')")
+      .head.getBoolean(0))
+    // the MV's own history time-travels (it is a snapshot table)
+    assert(spark.sql("SELECT n FROM graft.ns.age_counts VERSION AS OF 1 WHERE age = 40")
+      .as[Long].head() == 2L)
+    // lifecycle end: drop removes sidecar + storage
+    assert(spark.sql(
+      "CALL graft.system.drop_materialized_view(`table` => 'ns.age_counts')")
+      .head.getBoolean(0))
+    assert(spark.sql("SHOW VIEWS IN graft.ns").count() == 0)
+    intercept[Exception](spark.sql("SELECT * FROM graft.ns.age_counts").collect())
+  }
+
   test("temp views and session-catalog names are untouched by the interception") {
     val wh = freshCatalog("temp")
     people(wh)
