@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
 
 /** Deduplication operators over the `documents` / `embeddings` tables
   * (north-star LLM-pipeline surface). Oracles rebuild the identical
@@ -184,6 +184,63 @@ object DedupQueries {
               |SELECT doc_id, lang, source, n_chars FROM kept
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
       doc = "capstone pipeline: quality + language + exact dedup + near-dup removal in one plan"),
+
+    "dedup_url" -> QueryDef(
+      (s, dir) => {
+        // URL-level dedup, the CHEAPEST layer a web corpus runs before
+        // any content hashing (CCNet/RefinedWeb): the same page crawled
+        // under many surface forms — case noise, default ports,
+        // fragments, tracking params, unordered query params, trailing
+        // slashes — collapses by canonical URL. The fixture synthesizes
+        // four deterministic surface forms per page; three canonicalize
+        // together, the http variant stays its own page.
+        val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+        val page = (col("doc_id") % 40).cast("string")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"), page))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("HTTPS://"), col("source"), lit(".EXAMPLE.COM:443/docs/"),
+              page, lit("/#top")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+              page, lit("?utm_source=feed&fbclid=z")))
+          .otherwise(
+            concat(lit("http://"), col("source"), lit(".example.com:80/docs/"),
+              page, lit("/?b=2&a=1&ref="), (col("doc_id") % 7).cast("string")))
+        graft.dedup.UrlDedup.dedupByUrl(d.withColumn("url", url), "url")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(doc_id % 40 AS VARCHAR) AS page FROM documents),
+             |u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+             |    WHEN 0 THEN 'https://' || source || '.example.com/docs/' || page
+             |    WHEN 1 THEN 'HTTPS://' || source || '.EXAMPLE.COM:443/docs/' || page || '/#top'
+             |    WHEN 2 THEN 'https://' || source || '.example.com/docs/' || page || '?utm_source=feed&fbclid=z'
+             |    ELSE 'http://' || source || '.example.com:80/docs/' || page || '/?b=2&a=1&ref=' || CAST(doc_id % 7 AS VARCHAR)
+             |  END AS url FROM d),
+             |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+             |p AS (SELECT doc_id,
+             |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+             |    regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+             |    list_filter(string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+             |      q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')) AS params
+             |  FROM n),
+             |c AS (SELECT doc_id,
+             |    scheme || '://' ||
+             |    (CASE WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+             |          WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+             |          ELSE hostraw END) || path ||
+             |    (CASE WHEN len(params) > 0
+             |          THEN '?' || array_to_string(list_sort(params), '&')
+             |          ELSE '' END) AS canonical_url
+             |  FROM p)
+             |SELECT min(doc_id) AS doc_id, canonical_url,
+             |  count(*) AS n_forms
+             |FROM c GROUP BY 2""".stripMargin),
+      doc = "URL-level dedup (CCNet/RefinedWeb first layer): canonicalize " +
+        "scheme/host case, default ports, fragments, tracking params, query " +
+        "order, trailing slashes - map-side expressions + one hash agg on " +
+        "the canonical key; min-doc_id keeper, surface-form count as evidence"),
 
     "dedup_exact" -> QueryDef(
       (s, dir) => Dedup.exact(tbl(s, dir, "documents"), "text"),

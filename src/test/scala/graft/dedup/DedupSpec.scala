@@ -318,4 +318,30 @@ class DedupSpec extends SparkSpec {
     assert(st(2L)._2 == 14L)
     assert(st(3L) == ((3, 0L, 0.0)))
   }
+
+  test("UrlDedup canonicalization: each normalization rule, and the keeper/count contract") {
+    import graft.dedup.UrlDedup
+    val cases = Seq(
+      // case + default port + trailing slash + fragment
+      (1L, "HTTPS://News.Example.COM:443/a/b/#sec", "https://news.example.com/a/b"),
+      (2L, "https://news.example.com/a/b", "https://news.example.com/a/b"),
+      // tracking params drop entirely; root path normalizes away
+      (3L, "http://x.org:80/?utm_source=a&fbclid=b&ref=c", "http://x.org"),
+      // surviving params sort; non-tracking 'referer' is NOT stripped
+      (4L, "https://x.org/p?z=1&a=2&utm_campaign=x&referer=ok",
+        "https://x.org/p?a=2&referer=ok&z=1"),
+      // :8443 is not a default port — it stays
+      (5L, "https://x.org:8443/p", "https://x.org:8443/p"))
+    val got = cases.toDF("doc_id", "url", "expected")
+      .select(col("doc_id"), UrlDedup.canonicalize(col("url")).as("c"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}: ${r.getString(1)} != ${r.getString(2)}"))
+    val dd = UrlDedup.dedupByUrl(
+      cases.toDF("doc_id", "url", "expected").select("doc_id", "url"), "url")
+      .orderBy("doc_id").collect()
+    // docs 1+2 collapse (keeper 1, n_forms 2); 3,4,5 stand alone
+    assert(dd.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
 }
