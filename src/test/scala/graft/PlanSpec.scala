@@ -188,6 +188,23 @@ class PlanSpec extends SparkSpec {
       s"expected directory-level pruning through SQL, got $pruned vs $total")
   }
 
+  test("view reads expand to native pruned scans; a filter through a view pushes down") {
+    // the sql_view registry query reads through three stacked views
+    // (view -> view -> table); expansion + the inline rule must still
+    // plan native file scans with pushdown intact — a user parking
+    // their queries as views pays zero plan overhead
+    val df = Queries.all("sql_view").fn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"),
+      s"view reads must plan native scans:\n${plan.take(600)}")
+    // a predicate applied THROUGH the view body reaches the scan
+    val filtered = spark.sql(
+      "SELECT * FROM graft.testdata.daily_counts WHERE event_type = 'purchase'")
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(fp.contains("EqualTo(event_type,purchase)"),
+      s"filter through a view must push into the scan:\n${fp.take(800)}")
+  }
+
   test("snapshot history listing is a pure metadata read (no data file scan)") {
     // row counts come from snapshot metadata recorded at commit time —
     // the listing never rescans table data (Iceberg $snapshots contract)
