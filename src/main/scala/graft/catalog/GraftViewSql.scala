@@ -90,6 +90,12 @@ object GraftViewSql {
     val cteNames = parsed.collect {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
+    // relations under a time-travel clause: expanding a TEXT view there
+    // would produce an unplannable tree — refuse with a pointer inward
+    // (materialized views' storage tables time-travel normally)
+    val timeTraveled: Set[LogicalPlan] = parsed.collect {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => tt.relation
+    }.toSet
     parsed.transformUp {
       case u: UnresolvedRelation if !u.isStreaming =>
         val parts = u.multipartIdentifier
@@ -100,7 +106,14 @@ object GraftViewSql {
           else if (parts.length == 2) currentCatalog +: parts
           else parts
         storedView(qualified) match {
-          case Some((cat, ident, sv)) => expandView(spark, cat, ident, sv, seen)
+          case Some((cat, ident, sv)) if !GraftViewSql.isMaterialized(sv) =>
+            if (timeTraveled(u)) throw new IllegalArgumentException(
+              s"${qualified.mkString(".")} is a VIEW: time travel applies to " +
+                "tables — put VERSION AS OF / TIMESTAMP AS OF inside the view body")
+            expandView(spark, cat, ident, sv, seen)
+          case Some(_) if qualified ne parts => // materialized: serve storage
+            u.copy(multipartIdentifier = qualified)
+          case Some(_) => u
           case None if qualified ne parts =>
             u.copy(multipartIdentifier = qualified)
           case None => u

@@ -109,8 +109,8 @@ object GraftViewStore {
     val dir = viewsDir(warehouse)
     if (!Files.isDirectory(dir)) return Nil
     val prefix = namespace + "."
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
       .filter(n => n.endsWith(".json") && !n.startsWith(".") && n.startsWith(prefix))
       .map(n => Identifier.of(Array(namespace), n.stripPrefix(prefix).stripSuffix(".json")))
       .toSeq.sortBy(_.name)

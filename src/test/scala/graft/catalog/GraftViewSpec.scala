@@ -66,6 +66,10 @@ class GraftViewSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft.ns.ev_v1 VERSION AS OF 1").collect())
     assert(e.getMessage.contains("inside the view body"))
+    // ... and time travel over a view INSIDE another view's body too
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE VIEW graft.ns.bad_tt AS SELECT * FROM graft.ns.ev_v1 TIMESTAMP AS OF '1970-01-01'"))
+    assert(e2.getMessage.contains("inside the view body"), e2.getMessage)
   }
 
   test("SHOW VIEWS lists with pattern filtering; DROP VIEW removes") {
