@@ -25,6 +25,13 @@ object CoreQueries {
   /** 2024-02-01T00:00:00Z, just after the events table's max ts. */
   val FreshnessAsOfMs = 1706745600000L
 
+  /** scan_avro's staged fixture: one unique dir per JVM, created lazily
+    * and reused across invocations — no temp-dir accumulation over
+    * repeated runs, and no overwrite-while-read races across JVMs.
+    */
+  private[graft] lazy val scanAvroFixtureDir: String =
+    java.nio.file.Files.createTempDirectory("graft_scan_avro").toString
+
   def defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -184,9 +191,10 @@ object CoreQueries {
         // fixture materializes a deterministic avro copy of events
         // first (timestamps ride the timestamp-micros logical type).
         val t = TemplateLoader.get(TemplatesDir, "events")
-        // deterministic per-run path, overwritten on each invocation —
-        // repeated Bench/Verify runs must not accumulate temp dirs
-        val avroDir = s"${System.getProperty("java.io.tmpdir")}/graft_scan_avro_fixture"
+        // one unique dir PER JVM, reused across invocations: no temp-dir
+        // accumulation over repeated runs, and no overwrite-while-read
+        // race between concurrent JVMs (bench + verify) or users
+        val avroDir = CoreQueries.scanAvroFixtureDir
         tbl(s, dir, "events").filter(col("event_id") % 6 === 0)
           .write.mode("overwrite").format("avro").save(avroDir)
         SourceReader.read(s,

@@ -57,8 +57,11 @@ object MetaQueries {
   private[graft] def warmBaseDir(key: String, sfDir: String)(build: String => Unit): String =
     warmBases.synchronized {
       warmBases.getOrElseUpdate(s"$key|$sfDir", {
+        // the readable slug can collide across distinct sfDirs
+        // (/data/sf1 vs /data.sf1); the exact-path hash cannot
         val dir = new File(
-          s"/tmp/graft_wh_base/${key}_${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}")
+          s"/tmp/graft_wh_base/${key}_${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}" +
+            f"_${sfDir.hashCode & 0x7fffffff}%08x")
         def rm(f: File): Unit = {
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
           f.delete(): Unit
@@ -901,9 +904,9 @@ object MetaQueries {
           seed.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
         }
         val table = SnapshotTable(wh, "testdata", "events_filestats")
-        val footersBefore = SnapshotTable.footerReads.get()
+        val footersBefore = SnapshotTable.footerReadsOnThread
         val files = table.fileStats(s)
-        require(SnapshotTable.footerReads.get() == footersBefore,
+        require(SnapshotTable.footerReadsOnThread == footersBefore,
           "$files must serve from commit-time sidecars, not query-time footer reads")
         val bad = files.filter(col("record_count") < 0 || col("size_bytes") <= 0).count()
         require(bad == 0, s"$bad files with unknown records / empty sizes")

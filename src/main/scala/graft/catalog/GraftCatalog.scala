@@ -378,6 +378,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.View = {
     val sv = GraftViewStore.read(warehouse, viewIdent(ident)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    require(!GraftViewSql.isMaterialized(sv),
+      s"${ident.toString} is a MATERIALIZED view: its properties carry " +
+        "engine-managed refresh watermarks and cannot be edited")
     val props = changes.foldLeft(sv.properties) {
       case (p, set: ViewChange.SetProperty) => p + (set.property -> set.value)
       case (p, rm: ViewChange.RemoveProperty) => p - rm.property
@@ -389,13 +392,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftView(catalogName, updated)
   }
 
-  override def dropView(ident: Identifier): Boolean =
+  override def dropView(ident: Identifier): Boolean = {
+    GraftViewStore.read(warehouse, ident)
+      .filter(GraftViewSql.isMaterialized)
+      .foreach(_ => throw new IllegalArgumentException(
+        s"${ident.toString} is a MATERIALIZED view — " +
+          "CALL graft.system.drop_materialized_view to drop it with its storage"))
     ident.namespace.length == 1 && GraftViewStore.delete(warehouse, ident)
+  }
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     viewIdent(oldIdent); viewIdent(newIdent)
+    GraftViewStore.read(warehouse, oldIdent)
+      .filter(GraftViewSql.isMaterialized)
+      .foreach(_ => throw new IllegalArgumentException(
+        s"${oldIdent.toString} is a MATERIALIZED view: its name binds the " +
+          "storage table — drop and recreate instead of renaming"))
     if (viewExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    if (tableOf(newIdent).existsVisible)
+      throw new IllegalArgumentException(
+        s"cannot rename view to ${newIdent.toString}: a TABLE with that name exists")
     GraftViewStore.rename(warehouse, oldIdent, newIdent)
   }
 

@@ -85,8 +85,13 @@ object GraftViewSql {
       spark: SparkSession, sql: String, currentCatalog: String,
       currentNamespace: Seq[String], seen: Set[String]): LogicalPlan = {
     val parsed = GraftSqlShim.parsePlan(spark, sql)
-    // over-collecting CTE names from anywhere in the body is safe: an
-    // over-excluded bare name just keeps vanilla resolution semantics
+    // CTE names are collected from ANYWHERE in the body (scopes are not
+    // tracked): an over-excluded bare name keeps vanilla resolution
+    // semantics instead of view-namespace binding. The trade-off is a
+    // body that names a CTE after a graft table in a DIFFERENT scope —
+    // there the bare name resolves in session scope (or fails analysis
+    // at CREATE, never silently at read); precise scoping would need a
+    // full resolver. Qualify such names explicitly.
     val cteNames = parsed.collect {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
     }.flatten.toSet
@@ -340,6 +345,9 @@ final case class GraftAlterViewAsCommand(parts: Seq[String], sql: String)
     val wh = GraftViewSql.warehouseOf(cat)
     val sv = GraftViewStore.read(wh, ident).getOrElse(
       throw new NoSuchViewException(ident))
+    require(!GraftViewSql.isMaterialized(sv),
+      s"${parts.mkString(".")} is a MATERIALIZED view: redefine it with " +
+        "CALL graft.system.drop_materialized_view + create_materialized_view")
     graft.governance.AccessControl.checkNamespaceAccess(
       ident.namespace.head, s"${ident.namespace.head}.${ident.name}", spark)
     val (qNames, schema) = GraftViewSql.validate(spark, cat, ident, sql, Nil)
@@ -358,6 +366,9 @@ final case class GraftViewPropertiesCommand(
     val wh = GraftViewSql.warehouseOf(cat)
     val sv = GraftViewStore.read(wh, ident).getOrElse(
       throw new NoSuchViewException(ident))
+    require(!GraftViewSql.isMaterialized(sv),
+      s"${parts.mkString(".")} is a MATERIALIZED view: its properties carry " +
+        "engine-managed refresh watermarks and cannot be edited")
     if (!unsetIfExists) {
       val missing = unset.filterNot(sv.properties.contains)
       require(missing.isEmpty,
@@ -384,8 +395,16 @@ final case class GraftRenameViewCommand(parts: Seq[String], newName: Seq[String]
       case other => throw new IllegalArgumentException(
         s"cannot RENAME view across catalogs: ${other.mkString(".")}")
     }
+    GraftViewStore.read(wh, ident).foreach(sv =>
+      require(!GraftViewSql.isMaterialized(sv),
+        s"${parts.mkString(".")} is a MATERIALIZED view: its name binds the " +
+          "storage table — drop and recreate instead of renaming"))
     if (GraftViewStore.exists(wh, toIdent))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(toIdent)
+    require(!graft.sink.SnapshotTable(
+        wh, toIdent.namespace.head, toIdent.name).existsVisible,
+      s"cannot RENAME view to ${toIdent.toString}: a TABLE with that name " +
+        "exists (the view would shadow it for every SQL read)")
     GraftViewStore.rename(wh, ident, toIdent)
     Nil
   }
@@ -437,21 +456,25 @@ final class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel => tt.relation
     }.toSet
     plan.resolveOperatorsUp {
-      case u: UnresolvedRelation if !u.isStreaming &&
-          GraftViewSql.storedView(u.multipartIdentifier).isDefined =>
-        val Some((cat, ident, sv)) = GraftViewSql.storedView(u.multipartIdentifier)
-        if (writeTargets(u)) throw new IllegalArgumentException(
-          if (GraftViewSql.isMaterialized(sv))
-            s"${u.multipartIdentifier.mkString(".")} is a MATERIALIZED VIEW: its " +
-              "storage is engine-managed — CALL refresh_materialized_view instead"
-          else s"${u.multipartIdentifier.mkString(".")} is a VIEW (a saved query): " +
-            "it cannot be a write or DML target")
-        if (GraftViewSql.isMaterialized(sv)) u // serve the STORAGE table
-        else {
-          if (timeTravelTargets(u)) throw new IllegalArgumentException(
-            s"${u.multipartIdentifier.mkString(".")} is a VIEW: time travel applies " +
-              "to tables — put VERSION AS OF / TIMESTAMP AS OF inside the view body")
-          GraftViewSql.expandView(spark, cat, ident, sv, Set.empty)
+      // one sidecar read per relation per iteration: non-views return
+      // unchanged (a no-op for the fixpoint), views branch on the result
+      case u: UnresolvedRelation if !u.isStreaming =>
+        GraftViewSql.storedView(u.multipartIdentifier) match {
+          case None => u
+          case Some((cat, ident, sv)) =>
+            if (writeTargets(u)) throw new IllegalArgumentException(
+              if (GraftViewSql.isMaterialized(sv))
+                s"${u.multipartIdentifier.mkString(".")} is a MATERIALIZED VIEW: its " +
+                  "storage is engine-managed — CALL refresh_materialized_view instead"
+              else s"${u.multipartIdentifier.mkString(".")} is a VIEW (a saved query): " +
+                "it cannot be a write or DML target")
+            if (GraftViewSql.isMaterialized(sv)) u // serve the STORAGE table
+            else {
+              if (timeTravelTargets(u)) throw new IllegalArgumentException(
+                s"${u.multipartIdentifier.mkString(".")} is a VIEW: time travel applies " +
+                  "to tables — put VERSION AS OF / TIMESTAMP AS OF inside the view body")
+              GraftViewSql.expandView(spark, cat, ident, sv, Set.empty)
+            }
         }
     }
   }

@@ -34,8 +34,7 @@ object UrlDedup {
       .when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
       .otherwise(hostRaw)
     val pathRaw = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val path = when(regexp_replace(pathRaw, "/+$", "") === "", lit(""))
-      .otherwise(regexp_replace(pathRaw, "/+$", ""))
+    val path = regexp_replace(pathRaw, "/+$", "")
     val queryRaw = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val params = filter(
       split(queryRaw, "&"),

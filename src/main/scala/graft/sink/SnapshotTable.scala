@@ -3951,6 +3951,17 @@ object SnapshotTable {
     */
   private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Footer opens ON THE CURRENT THREAD — the concurrency-immune form
+    * of the zero-footer serving-path pins: a sidecar fallback would
+    * read footers on the CALLING (driver) thread, so an equality pin
+    * on this counter cannot be perturbed by concurrent queries or
+    * executor-side footer walks on other threads.
+    */
+  private[graft] val footerReadsLocal = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
+  private[graft] def footerReadsOnThread: Long = footerReadsLocal.get()
+
   /** Metadata-I/O counters of the $files serving paths — per-dir file
     * sidecars vs a consolidated manifest — so specs and in-query pins
     * can prove WHICH path served a listing (the scale contract of
@@ -4014,6 +4025,7 @@ object SnapshotTable {
   private[sink] def parquetRecordCount(f: File): Long =
     try {
       footerReads.incrementAndGet(): Unit
+      footerReadsLocal.set(footerReadsLocal.get() + 1L)
       if (!Thread.currentThread().getName.startsWith("Executor task launch"))
         driverFooterReads.incrementAndGet(): Unit
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -216,7 +216,15 @@ object GraftAvroFileFormat {
       case st: StructType => pruneAvro(inner, st)
       case ArrayType(et, _) =>
         AvroSchema.createArray(pruneAvroFieldType(inner.getElementType, et))
-      case _ => inner // atomic: the writer's type, logical annotations intact
+      // atomic: keep the writer's schema when it already maps to the
+      // required Catalyst type (logical annotations intact); when it
+      // does NOT (a wider user schema, or mixed-width files in one
+      // directory), use the REQUIRED type so Avro schema resolution
+      // applies its promotions (int→long, int/long→float/double,
+      // float→double) instead of handing the row converter a narrower
+      // runtime class than the projection expects
+      case _ if toCatalystType(inner)._1 == dt => inner
+      case _ => toAvroType(dt, inner.getFullName)
     }
     if (writer.getType == AvroSchema.Type.UNION)
       AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), pruned)

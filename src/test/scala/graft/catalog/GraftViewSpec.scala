@@ -254,12 +254,34 @@ class GraftViewSpec extends SparkSpec {
     // the MV's own history time-travels (it is a snapshot table)
     assert(spark.sql("SELECT n FROM graft.ns.age_counts VERSION AS OF 1 WHERE age = 40")
       .as[Long].head() == 2L)
+    // every definition-mutating DDL refuses on an MV (the sidecar
+    // carries engine state; the name binds the storage table)
+    assert(intercept[Exception](spark.sql(
+      "ALTER VIEW graft.ns.age_counts AS SELECT age FROM graft.ns.people"))
+      .getMessage.contains("MATERIALIZED"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER VIEW graft.ns.age_counts SET TBLPROPERTIES ('x' = 'y')"))
+      .getMessage.contains("MATERIALIZED"))
+    assert(intercept[Exception](spark.sql(
+      "ALTER VIEW graft.ns.age_counts RENAME TO ns.other_name"))
+      .getMessage.contains("MATERIALIZED"))
     // lifecycle end: drop removes sidecar + storage
     assert(spark.sql(
       "CALL graft.system.drop_materialized_view(`table` => 'ns.age_counts')")
       .head.getBoolean(0))
     assert(spark.sql("SHOW VIEWS IN graft.ns").count() == 0)
     intercept[Exception](spark.sql("SELECT * FROM graft.ns.age_counts").collect())
+  }
+
+  test("renaming a view onto an existing table name is refused") {
+    val wh = freshCatalog("rename_guard")
+    people(wh)
+    spark.sql("CREATE VIEW graft.ns.v AS SELECT id FROM people")
+    val e = intercept[Exception](
+      spark.sql("ALTER VIEW graft.ns.v RENAME TO ns.people"))
+    assert(e.getMessage.contains("TABLE"), e.getMessage)
+    // the view still answers under its old name
+    assert(spark.sql("SELECT * FROM graft.ns.v").count() == 3)
   }
 
   test("temp views and session-catalog names are untouched by the interception") {

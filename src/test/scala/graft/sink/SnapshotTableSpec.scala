@@ -801,9 +801,9 @@ class SnapshotTableSpec extends SparkSpec {
     t.overwrite(df, partitionCols = Seq("part"))
     t.append((101 to 120).map(i => (i.toLong, "d0")).toDF("id", "part"),
       partitionCols = Seq("part"))
-    val before = SnapshotTable.footerReads.get()
+    val before = SnapshotTable.footerReadsOnThread
     val files = t.fileStats(spark).collect()
-    assert(SnapshotTable.footerReads.get() == before,
+    assert(SnapshotTable.footerReadsOnThread == before,
       "the $files SERVING path must be sidecar-only (footers are commit-time)")
     assert(files.map(_.getAs[Long]("record_count")).sum == 120)
     assert(files.forall(_.getAs[Long]("size_bytes") > 0))
@@ -859,9 +859,9 @@ class SnapshotTableSpec extends SparkSpec {
     val stats = t.partitionStats(spark).collect()
       .map(r => r.getAs[String]("partition_path") -> r.getAs[Long]("row_count")).toMap
     assert(stats == Map("part=d0" -> 45L, "part=d1" -> 45L), s"got $stats")
-    val before = SnapshotTable.footerReads.get()
+    val before = SnapshotTable.footerReadsOnThread
     assert(t.fileStats(spark).collect().map(_.getAs[Long]("record_count")).sum == 90L)
-    assert(SnapshotTable.footerReads.get() == before)
+    assert(SnapshotTable.footerReadsOnThread == before)
     // partition-column range bounds are ABSENT on the micro dir (written-
     // type bounds could prune unsoundly); data-column bounds remain
     val microDir = t.currentSnapshot.get.dataDirs.last

@@ -112,6 +112,33 @@ class AvroFormatSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("avro schema-resolution promotions survive pruning (int file read as long/double)") {
+    // a WIDER user schema over a narrower writer must promote via avro
+    // resolution (int→long, int→double), not hand the row converter a
+    // narrower runtime class than the projection expects
+    import org.apache.avro.{Schema => A}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val top = A.createRecord("r", null, "p", false)
+    top.setFields(java.util.Arrays.asList(
+      new A.Field("id", A.create(A.Type.INT), null.asInstanceOf[String]),
+      new A.Field("v", A.create(A.Type.FLOAT), null.asInstanceOf[String])))
+    val dir = Files.createTempDirectory("graft_avro_promote")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](top))
+    w.create(top, dir.resolve("part-0.avro").toFile)
+    Seq((7, 1.5f), (8, 2.5f)).foreach { case (i, v) =>
+      val r = new GenericData.Record(top)
+      r.put("id", i); r.put("v", v)
+      w.append(r)
+    }
+    w.close()
+    val wide = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val got = spark.read.format("avro").schema(wide).load(dir.toString)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((7L, 1.5), (8L, 2.5)))
+  }
+
   test("avro write rejects unsupported column types actionably") {
     val df = Seq((1L, Map("k" -> 1))).toDF("id", "m")
     val e = intercept[Exception](df.write.format("avro").save(tmp()))
