@@ -68,10 +68,16 @@ object GraftViewSql {
       .getOrElse(throw new IllegalArgumentException(
         s"catalog $catalogName needs spark.sql.catalog.$catalogName.warehouse"))
 
-  /** Stored view for fully-qualified `parts`, if one exists. */
+  /** Stored view for fully-qualified `parts`, if one exists. A graft
+    * catalog registered WITHOUT a warehouse simply has no views (the
+    * missing-conf error surfaces on the catalog's own operations, not
+    * as a failure of every unrelated statement this probe touches).
+    */
   def storedView(parts: Seq[String]): Option[(String, Identifier, GraftViewStore.StoredView)] =
     target(parts).flatMap { case (cat, ident) =>
-      GraftViewStore.read(warehouseOf(cat), ident).map((cat, ident, _))
+      Option(SQLConf.get.getConfString(s"spark.sql.catalog.$cat.warehouse", null))
+        .flatMap(wh => GraftViewStore.read(wh, ident))
+        .map((cat, ident, _))
     }
 
   private def viewKey(cat: String, ident: Identifier): String =
