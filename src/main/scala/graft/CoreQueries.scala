@@ -32,6 +32,10 @@ object CoreQueries {
   private[graft] lazy val scanAvroFixtureDir: String =
     java.nio.file.Files.createTempDirectory("graft_scan_avro").toString
 
+  /** scan_orc's staged fixture: same per-JVM pattern as scan_avro. */
+  private[graft] lazy val scanOrcFixtureDir: String =
+    java.nio.file.Files.createTempDirectory("graft_scan_orc").toString
+
   def defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -206,6 +210,29 @@ object CoreQueries {
       doc = "avro scan through the validated-source front door (path guard + " +
         "schema conform), served by the avro-core FileFormat; container-header " +
         "schema inference, logical-type timestamps"),
+
+    "scan_orc" -> QueryDef(
+      (s, dir) => {
+        // the orc READ front door: orc is a declared source/write format
+        // in the reference's template schema (table-templates/
+        // _schema.json:100-103); the engine already WRITES orc natively
+        // (SnapshotTable format dispatch) — this is the matching ingest
+        // path through the same validated-path + schema-conform pipeline
+        // as parquet/csv/json/avro, with the declared schema pushed to
+        // Spark's columnar orc reader (no inference pass).
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val orcDir = CoreQueries.scanOrcFixtureDir
+        tbl(s, dir, "events").filter(col("event_id") % 5 === 0)
+          .write.mode("overwrite").orc(orcDir)
+        SourceReader.read(s,
+          graft.template.SourceDef(s"local://$orcDir", "orc"), t.schema)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      },
+      Some("""SELECT event_id, ts, event_type, value
+             |FROM events WHERE event_id % 5 = 0""".stripMargin),
+      doc = "orc scan through the validated-source front door (path guard + " +
+        "schema conform), served by Spark's native columnar orc source with " +
+        "the declared schema (no inference pass)"),
 
     "q1_agg" -> QueryDef(
       (s, dir) => Q1.build(tbl(s, dir, "lineitem")),

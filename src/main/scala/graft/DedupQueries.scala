@@ -196,7 +196,12 @@ object DedupQueries {
         // together, the http variant stays its own page.
         val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
         val page = (col("doc_id") % 40).cast("string")
-        val url = when(col("doc_id") % 4 === 0,
+        // the %10==7 branch is deliberately MALFORMED (no scheme): it
+        // must pass through canonicalization unchanged, grouping only
+        // with byte-identical strings — never with other malformed URLs
+        val url = when(col("doc_id") % 10 === 7,
+            concat(lit("www."), col("source"), lit(".example.com/docs/"), page))
+          .when(col("doc_id") % 4 === 0,
             concat(lit("https://"), col("source"), lit(".example.com/docs/"), page))
           .when(col("doc_id") % 4 === 1,
             concat(lit("HTTPS://"), col("source"), lit(".EXAMPLE.COM:443/docs/"),
@@ -211,13 +216,17 @@ object DedupQueries {
       },
       Some("""WITH d AS (SELECT doc_id, source,
              |    CAST(doc_id % 40 AS VARCHAR) AS page FROM documents),
-             |u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
-             |    WHEN 0 THEN 'https://' || source || '.example.com/docs/' || page
-             |    WHEN 1 THEN 'HTTPS://' || source || '.EXAMPLE.COM:443/docs/' || page || '/#top'
-             |    WHEN 2 THEN 'https://' || source || '.example.com/docs/' || page || '?utm_source=feed&fbclid=z'
+             |u AS (SELECT doc_id, CASE
+             |    WHEN doc_id % 10 = 7 THEN 'www.' || source || '.example.com/docs/' || page
+             |    WHEN doc_id % 4 = 0 THEN 'https://' || source || '.example.com/docs/' || page
+             |    WHEN doc_id % 4 = 1 THEN 'HTTPS://' || source || '.EXAMPLE.COM:443/docs/' || page || '/#top'
+             |    WHEN doc_id % 4 = 2 THEN 'https://' || source || '.example.com/docs/' || page || '?utm_source=feed&fbclid=z'
              |    ELSE 'http://' || source || '.example.com:80/docs/' || page || '/?b=2&a=1&ref=' || CAST(doc_id % 7 AS VARCHAR)
              |  END AS url FROM d),
-             |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+             |w AS (SELECT doc_id, url,
+             |    regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS wellformed FROM u),
+             |n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf
+             |  FROM w WHERE wellformed),
              |p AS (SELECT doc_id,
              |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
@@ -233,10 +242,12 @@ object DedupQueries {
              |    (CASE WHEN len(params) > 0
              |          THEN '?' || array_to_string(list_sort(params), '&')
              |          ELSE '' END) AS canonical_url
-             |  FROM p)
+             |  FROM p),
+             |all_c AS (SELECT doc_id, canonical_url FROM c
+             |  UNION ALL SELECT doc_id, url AS canonical_url FROM w WHERE NOT wellformed)
              |SELECT min(doc_id) AS doc_id, canonical_url,
              |  count(*) AS n_forms
-             |FROM c GROUP BY 2""".stripMargin),
+             |FROM all_c GROUP BY 2""".stripMargin),
       doc = "URL-level dedup (CCNet/RefinedWeb first layer): canonicalize " +
         "scheme/host case, default ports, fragments, tracking params, query " +
         "order, trailing slashes - map-side expressions + one hash agg on " +

@@ -30,9 +30,36 @@ object MetaQueries {
 
   val TemplatesDir = "/root/repo/templates"
 
+  /** Per-JVM scratch roots: every process gets its own unique directory
+    * tree (the `scanAvroFixtureDir` pattern), so two JVMs running the
+    * same registry key concurrently — bench + verify, or a test suite
+    * alongside a main — can never wipe-and-rebuild a dir the other is
+    * reading. Within a JVM the per-key subdirs still wipe per
+    * invocation (commits are real) and warm bases build exactly once.
+    */
+  private[graft] lazy val scratchRoot: String =
+    perJvmRoot("graft_wh")
+  private lazy val warmRoot: String =
+    perJvmRoot("graft_wh_base")
+
+  /** Unique-per-process temp root, recursively removed at JVM exit so
+    * repeated bench/verify runs don't accumulate fixture trees in /tmp.
+    */
+  private def perJvmRoot(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Scratch warehouse, wiped per query invocation (commits are real). */
   private[graft] def freshWarehouse(key: String): String = {
-    val dir = new File(s"/tmp/graft_wh/$key")
+    val dir = new File(s"$scratchRoot/$key")
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
       f.delete(): Unit
@@ -58,15 +85,12 @@ object MetaQueries {
     warmBases.synchronized {
       warmBases.getOrElseUpdate(s"$key|$sfDir", {
         // the readable slug can collide across distinct sfDirs
-        // (/data/sf1 vs /data.sf1); the exact-path hash cannot
+        // (/data/sf1 vs /data.sf1); the exact-path hash cannot. The
+        // root is per-JVM (warmRoot), so the first-use build can never
+        // race a concurrent process reading the same base.
         val dir = new File(
-          s"/tmp/graft_wh_base/${key}_${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}" +
+          s"$warmRoot/${key}_${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}" +
             f"_${sfDir.hashCode & 0x7fffffff}%08x")
-        def rm(f: File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
         dir.mkdirs()
         build(dir.toString)
         dir.toString
@@ -919,6 +943,76 @@ object MetaQueries {
       doc = "Iceberg $files parity: per-file size + record stats from commit-time " +
         "sidecars (manifest role) — zero footer or data I/O at query time, " +
         "pinned in-query; per-partition sums cross-check the oracle"),
+
+    "table_history" -> QueryDef(
+      (s, dir) => {
+        // the Iceberg `$history` metadata table: the commit lineage with
+        // is_current_ancestor — a rollback repoints the head at its
+        // TARGET, so the abandoned commit stays listed (its id still
+        // time-travels) but is marked off the current ancestor chain.
+        // The Athena console exposes metadata-table SQL as a first-class
+        // entry point (aws/modules/athena/main.tf:56-60); this goes
+        // through the same SQL front door. Pure metadata: snapshot JSON
+        // only, zero data I/O at any table size.
+        val wh = warmBaseDir("table_history", dir) { b =>
+          val t = SnapshotTable(b, "testdata", "customer")
+          val customer = tbl(s, dir, "customer")
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          t.overwrite(customer.filter(col("c_custkey") % 2 === 0)) // snap 1
+          t.append(customer.filter(col("c_custkey") % 2 === 1))    // snap 2
+          t.append(customer.filter(col("c_custkey") % 3 === 0))    // snap 3 (bad load)
+          t.rollback(2L): Unit // snap 4: parent = 2, snap 3 abandoned
+        }
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        // committed_at is wall clock; the oracle-checked projection is
+        // the lineage itself
+        s.sql("""SELECT snapshot_id, operation, parent_id, is_current_ancestor
+                |FROM graft.testdata.customer.history""".stripMargin)
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS snapshot_id, 'overwrite' AS operation,
+             |  CAST(0 AS BIGINT) AS parent_id, TRUE AS is_current_ancestor
+             |UNION ALL SELECT 2, 'append', 1, TRUE
+             |UNION ALL SELECT 3, 'append', 2, FALSE
+             |UNION ALL SELECT 4, 'rollback', 2, TRUE""".stripMargin),
+      doc = "Iceberg $history parity: commit lineage with is_current_ancestor " +
+        "through the SQL metadata-table front door; a rollback leaves the " +
+        "abandoned commit listed but off the ancestor chain"),
+
+    "table_manifests" -> QueryDef(
+      (s, dir) => {
+        // the Iceberg `$manifests` metadata table: one row per manifest
+        // (= the engine's per-dir files sidecar) of the current
+        // snapshot, with the snapshot that ADDED it. Dirs are immutable,
+        // so first appearance is the add; the row/file totals serve from
+        // the sidecars — zero footer or data I/O, pinned in-query.
+        val wh = warmBaseDir("table_manifests", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "events_manifests")
+          val ev = tbl(s, dir, "events")
+            .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+          seed.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+          seed.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "events_manifests")
+        val footersBefore = SnapshotTable.footerReadsOnThread
+        val m = table.manifestStats(s)
+        val bad = m.filter(col("row_count") < 0 || col("file_count") < 1 ||
+          col("manifest_path") === "").count()
+        require(SnapshotTable.footerReadsOnThread == footersBefore,
+          "$manifests must serve from commit-time sidecars, not footer reads")
+        require(bad == 0, s"$bad manifests with unknown rows / no files / no path")
+        // manifest_path/data_dir are physical; the oracle checks the
+        // lineage + per-manifest row totals exactly
+        m.select(col("added_snapshot_id"), col("added_by_current"), col("row_count"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS added_snapshot_id,
+             |  FALSE AS added_by_current,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS row_count
+             |UNION ALL SELECT 2, TRUE,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 1)""".stripMargin),
+      doc = "Iceberg $manifests parity: one row per per-dir files sidecar " +
+        "(manifest role) with added_snapshot_id lineage and sidecar-served " +
+        "totals — zero footer/data I/O, pinned in-query"),
 
     "sql_show_create" -> QueryDef(
       (s, dir) => {

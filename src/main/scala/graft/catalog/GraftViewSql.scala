@@ -560,11 +560,25 @@ object GraftMaterializedView {
     val expanded = GraftViewSql.expandBody(
       spark, sql, cat, Seq(ns), Set(s"$cat.${ident.toString}"))
     val snap = t.overwrite(GraftSqlShim.ofRows(spark, expanded))
-    GraftViewStore.write(wh, GraftViewStore.StoredView(
-      namespace = ns, name = name, sql = sql, currentCatalog = cat,
-      currentNamespace = Seq(ns), schemaJson = schema.json,
-      queryColumnNames = qNames, columnAliases = Nil,
-      properties = Map(MaterializedProp -> "true") ++ marks))
+    try {
+      GraftViewStore.write(wh, GraftViewStore.StoredView(
+        namespace = ns, name = name, sql = sql, currentCatalog = cat,
+        currentNamespace = Seq(ns), schemaJson = schema.json,
+        queryColumnNames = qNames, columnAliases = Nil,
+        properties = Map(MaterializedProp -> "true") ++ marks))
+    } catch {
+      case e: Throwable =>
+        // a storage table without its sidecar is an ORPHAN: it blocks
+        // re-create ("a table with that name exists") yet cannot be
+        // dropped via drop_materialized_view. Roll the storage back so
+        // a failed create leaves no trace.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(t.root))
+        throw e
+    }
     (snap.rowCount, marks.size)
   }
 

@@ -47,8 +47,34 @@ object GraftViewStore {
 
   private def viewsDir(warehouse: String): Path = Paths.get(warehouse, "_views")
 
+  /** Percent-encodes every char outside [A-Za-z0-9_-] — including '.',
+    * '/', '\' and path-traversal sequences — so a backquoted view name
+    * can neither escape the _views directory nor collide across
+    * namespaces (ns='a', name='b.c' vs ns='a.b', name='c' encode
+    * differently because the in-segment dots are escaped while the
+    * single separator dot is not).
+    */
+  private def encSeg(s: String): String = s.flatMap {
+    case c if (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '-' => c.toString
+    case c => c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString
+  }
+
+  private def decSeg(s: String): String = {
+    val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+        i += 3
+      } else { bytes ++= s.charAt(i).toString.getBytes("UTF-8"); i += 1 }
+    }
+    new String(bytes.toArray, "UTF-8")
+  }
+
   private def fileOf(warehouse: String, ident: Identifier): Path =
-    viewsDir(warehouse).resolve(s"${ident.namespace.head}.${ident.name}.json")
+    viewsDir(warehouse).resolve(
+      s"${encSeg(ident.namespace.head)}.${encSeg(ident.name)}.json")
 
   def exists(warehouse: String, ident: Identifier): Boolean =
     ident.namespace.length == 1 && Files.exists(fileOf(warehouse, ident))
@@ -108,11 +134,12 @@ object GraftViewStore {
   def list(warehouse: String, namespace: String): Seq[Identifier] = {
     val dir = viewsDir(warehouse)
     if (!Files.isDirectory(dir)) return Nil
-    val prefix = namespace + "."
+    val prefix = encSeg(namespace) + "."
     Option(dir.toFile.listFiles()).getOrElse(Array.empty)
       .map(_.getName)
       .filter(n => n.endsWith(".json") && !n.startsWith(".") && n.startsWith(prefix))
-      .map(n => Identifier.of(Array(namespace), n.stripPrefix(prefix).stripSuffix(".json")))
+      .map(n => Identifier.of(Array(namespace),
+        decSeg(n.stripPrefix(prefix).stripSuffix(".json"))))
       .toSeq.sortBy(_.name)
   }
 

@@ -25,8 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object UrlDedup {
 
-  /** Canonical form of a URL column (see object doc for the rules). */
-  def canonicalize(url: Column): Column = {
+  /** Canonical form of a URL column (see object doc for the rules).
+    *
+    * A string with no well-formed `scheme://` prefix (relative path,
+    * bare host, garbage) passes through UNCHANGED: the component
+    * regexes would all extract empty strings and every malformed URL
+    * would collapse onto the degenerate key "://", silently merging
+    * unrelated documents. Pass-through keeps dedup total (identical
+    * malformed strings still group) without ever merging distinct ones.
+    */
+  def canonicalize(url: Column): Column =
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), canonicalizeWellFormed(url))
+      .otherwise(url)
+
+  private def canonicalizeWellFormed(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))

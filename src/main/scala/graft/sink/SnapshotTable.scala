@@ -2560,6 +2560,35 @@ final class SnapshotTable(val root: String, val fullName: String) {
     rows.toDF("file_path", "data_dir", "partition_path", "size_bytes", "record_count")
   }
 
+  /** Manifest listing of the current snapshot (the Iceberg `$manifests`
+    * metadata-table role). The engine's manifest analog is the per-dir
+    * files sidecar (one immutable JSON beside each immutable data dir),
+    * so `$manifests` lists one row per data dir of the current
+    * snapshot: sidecar path, owning dir, the snapshot that first
+    * introduced the dir (`added_snapshot_id` — dirs are immutable, so
+    * first appearance IS the add), whether the current snapshot added
+    * it, and the dir's live file/row totals (masked partitions
+    * excluded). Pure metadata: snapshot JSON + tiny sidecars, zero data
+    * or footer I/O — same bound as `$files`/`$partitions`.
+    */
+  def manifestStats(spark: SparkSession): DataFrame = {
+    val snap = requireCurrent
+    val firstSeen: Map[String, Long] = snapshots.filterNot(_.staged)
+      .sortBy(_.id)
+      .flatMap(s => s.dataDirs.map(_ -> s.id))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+    import spark.implicits._
+    snap.dataDirs.map { d =>
+      val entries = dirFileEntries(snap, d)
+      val rows = entries.map(_._5)
+      val addedId = firstSeen.getOrElse(d, snap.id)
+      (filesSidecarPath(d).toString, d, addedId, addedId == snap.id,
+        entries.size.toLong,
+        if (rows.exists(_ < 0)) -1L else rows.sum)
+    }.toDF("manifest_path", "data_dir", "added_snapshot_id",
+      "added_by_current", "file_count", "row_count")
+  }
+
   /** One dir's $files entries (sidecar-served; legacy dirs fall back to
     * a walk + footer read), masked partitions excluded.
     */

@@ -66,6 +66,13 @@ object SourceReader {
         // served by graft.source.GraftAvroFileFormat (avro-core-backed);
         // schema inferred from the container header, conform casts below
         spark.read.format("avro").load(path)
+      case "orc"     =>
+        // orc is a declared write format (table-templates/_schema.json:
+        // 100-103) and the engine writes it natively; the read front
+        // door uses Spark's built-in columnar orc source with the
+        // declared schema pushed down (no inference pass), same as
+        // parquet.
+        spark.read.schema(schema).orc(path)
       case other => throw new IllegalArgumentException(s"Unsupported source format: $other")
     }
     conform(raw, schema)

@@ -181,6 +181,37 @@ class GraftViewSpec extends SparkSpec {
     assert(cat.dropView(renamed) && !cat.dropView(renamed))
   }
 
+  test("hostile view names stay inside _views and never collide across namespaces") {
+    val wh = freshCatalog("hostile")
+    people(wh)
+    val cat = new GraftCatalog
+    cat.initialize("graft", new CaseInsensitiveStringMap(Map("warehouse" -> wh).asJava))
+    def mk(ns: String, name: String): Unit =
+      cat.createView(new ViewInfo(Identifier.of(Array(ns), name),
+        "SELECT id FROM ns.people", "graft", Array("ns"), new StructType(),
+        Array.empty, Array.empty, Array.empty, Map.empty[String, String].asJava))
+    // path-traversal characters in the name must not escape _views
+    mk("ns", "../escape")
+    mk("ns", "a/b")
+    val viewsDir = new java.io.File(wh, "_views")
+    val inside = Option(viewsDir.listFiles()).getOrElse(Array.empty).map(_.getName)
+    assert(inside.count(_.endsWith(".json")) == 2, inside.toSeq)
+    assert(!new java.io.File(wh, "escape.json").exists())
+    // dotted names are unambiguous across namespaces: (ns, x.y) and
+    // (ns.x, y) are DIFFERENT views with different sidecars
+    mk("ns", "x.y")
+    mk("ns.x", "y")
+    assert(cat.viewExists(Identifier.of(Array("ns"), "x.y")))
+    assert(cat.viewExists(Identifier.of(Array("ns.x"), "y")))
+    // listing ns does not leak ns.x's views; round-trips decoded names
+    val listed = cat.listViews("ns").map(_.name()).toSeq
+    assert(listed.contains("x.y") && listed.contains("../escape") &&
+      listed.contains("a/b") && !listed.contains("y"), listed)
+    assert(cat.listViews("ns.x").map(_.name()).toSeq == Seq("y"))
+    assert(cat.dropView(Identifier.of(Array("ns"), "x.y")))
+    assert(cat.viewExists(Identifier.of(Array("ns.x"), "y")))
+  }
+
   test("table/view name collisions are refused in both directions") {
     val wh = freshCatalog("collide")
     people(wh)

@@ -331,7 +331,12 @@ class DedupSpec extends SparkSpec {
       (4L, "https://x.org/p?z=1&a=2&utm_campaign=x&referer=ok",
         "https://x.org/p?a=2&referer=ok&z=1"),
       // :8443 is not a default port — it stays
-      (5L, "https://x.org:8443/p", "https://x.org:8443/p"))
+      (5L, "https://x.org:8443/p", "https://x.org:8443/p"),
+      // malformed (no scheme) passes through UNCHANGED — no collapse
+      // onto a degenerate '://' key with other malformed URLs
+      (6L, "www.a.org/p#frag", "www.a.org/p#frag"),
+      (7L, "relative/path?utm_source=x", "relative/path?utm_source=x"),
+      (8L, "", ""))
     val got = cases.toDF("doc_id", "url", "expected")
       .select(col("doc_id"), UrlDedup.canonicalize(col("url")).as("c"), col("expected"))
       .collect()
@@ -340,8 +345,9 @@ class DedupSpec extends SparkSpec {
     val dd = UrlDedup.dedupByUrl(
       cases.toDF("doc_id", "url", "expected").select("doc_id", "url"), "url")
       .orderBy("doc_id").collect()
-    // docs 1+2 collapse (keeper 1, n_forms 2); 3,4,5 stand alone
+    // docs 1+2 collapse (keeper 1, n_forms 2); 3-8 stand alone — in
+    // particular the three malformed URLs do NOT merge with each other
     assert(dd.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
-      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L), (7L, 1L), (8L, 1L)))
   }
 }
