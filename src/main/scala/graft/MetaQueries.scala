@@ -1963,6 +1963,68 @@ object MetaQueries {
         "the same null-aware run-time branch, lowered onto MERGE's " +
         "WHEN NOT MATCHED BY SOURCE arm"),
 
+    "sql_delete_not_in_multi" -> QueryDef(
+      (s, dir) => {
+        // DELETE ... WHERE (u, e) NOT IN (SELECT ...) — the MULTI-column
+        // null-aware form, which is null-aware per COLUMN (a source row
+        // NULL in one column still blocks/passes on the other), so the
+        // single-column three-branch shortcut cannot apply. GraftDmlRule
+        // lowers it onto GraftNotInMultiDeleteCommand: run-time null-mask
+        // decomposition into pure equi anti-joins (never a nested-loop
+        // join). The fixture plants NULLs on BOTH sides and in BOTH
+        // columns, so all mask pairs — including the
+        // no-common-non-null-column ones — are exercised and
+        // oracle-checked.
+        val wh = warmCloneWarehouse("sql_delete_not_in_multi", dir) { b =>
+          val ev = tbl(s, dir, "events").select(
+            col("event_id"),
+            when(col("user_id") % 7 === 0, lit(null).cast("bigint"))
+              .otherwise(col("user_id") % 50).as("u"),
+            when(col("event_id") % 11 === 0, lit(null).cast("string"))
+              .otherwise(col("event_type")).as("e"),
+            col("value"))
+          SnapshotTable(b, "testdata", "events_multi").overwrite(ev): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "events_multi")
+        val before = table.currentSnapshot.get.rowCount
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        // the subquery's two NULL-producing ranges are disjoint (and the
+        // first coalesces away pre-existing NULLs), so no all-NULL tuple
+        // can no-op the statement — source masks {none, u-null, e-null}
+        s.sql("""DELETE FROM graft.testdata.events_multi
+                |WHERE (u, e) NOT IN (
+                |  SELECT CASE WHEN value > 450 THEN CAST(NULL AS BIGINT)
+                |              ELSE coalesce(u, -1) END,
+                |         CASE WHEN value > 350 AND value <= 450 THEN CAST(NULL AS STRING)
+                |              ELSE e END
+                |  FROM graft.testdata.events_multi
+                |  WHERE e = 'purchase' AND value > 200)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "delete" && snap.rowCount < before && snap.rowCount > 0,
+          s"the multi-column NOT IN DELETE must land a partial COW delete " +
+            s"(op=${snap.operation}, rows=${snap.rowCount}/$before)")
+        s.sql("SELECT event_id, u, e, value FROM graft.testdata.events_multi")
+      },
+      // survivors = rows where NOT IN is FALSE or UNKNOWN = rows with a
+      // "possibly equal" source row (agreeing wherever both sides are
+      // non-NULL) — DuckDB 1.0 has no row-value IN subquery, so the
+      // oracle states the textbook expansion directly
+      Some("""WITH t AS (SELECT event_id,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 50 END AS u,
+             |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS e,
+             |    value FROM events),
+             |src AS (SELECT CASE WHEN value > 450 THEN NULL ELSE coalesce(u, -1) END AS su,
+             |    CASE WHEN value > 350 AND value <= 450 THEN NULL ELSE e END AS se
+             |  FROM t WHERE e = 'purchase' AND value > 200)
+             |SELECT event_id, u, e, value FROM t
+             |WHERE EXISTS (SELECT 1 FROM src
+             |  WHERE (t.u = src.su OR t.u IS NULL OR src.su IS NULL)
+             |    AND (t.e = src.se OR t.e IS NULL OR src.se IS NULL))""".stripMargin),
+      doc = "SQL DELETE with a MULTI-column uncorrelated NOT IN: exact per-column " +
+        "null-aware semantics via run-time null-mask decomposition into equi " +
+        "anti-joins (no nested-loop join), NULLs planted on both sides/columns"),
+
     "sql_delete_predicate" -> QueryDef(
       (s, dir) => {
         // DELETE with an ARBITRARY predicate (`value * 2 > 500` — the

@@ -93,6 +93,11 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             plainSets = Some(assignments.map(a =>
               topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, AttributeSet.empty)).toMap),
             modeProperty = "write.update.mode")
+        case Some((NotInMultiArm, _, _, _)) =>
+          throw new UnsupportedOperationException(
+            "multi-column NOT IN is supported for DELETE but not yet for " +
+              "UPDATE; materialize the subquery as a source table or temp " +
+              "view and use MERGE (WHEN NOT MATCHED BY SOURCE THEN UPDATE)")
         case None =>
           lowerCorrScalarUpdate(t, assignments, condition, tSet).getOrElse(
             GraftUpdateCommand(
@@ -156,6 +161,13 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Merge.Delete, Some(xlate(antiCond, tSet, sSet))),
             plainCond = rest.map(xlate(_, tSet, AttributeSet.empty)),
             plainSets = None,
+            modeProperty = "write.delete.mode")
+        // DELETE ... WHERE (a, b, ...) NOT IN (SELECT ...): exact
+        // multi-column null-aware semantics via run-time null-mask
+        // decomposition into equi anti-joins (see the command's doc)
+        case Some((NotInMultiArm, keys, srcPlan, rest)) =>
+          GraftNotInMultiDeleteCommand(t.snapTable, srcPlan, keys,
+            plainCond = rest.map(xlate(_, tSet, AttributeSet.empty)),
             modeProperty = "write.delete.mode")
         case None =>
           // scalar/EXISTS-only subquery conditions: evaluate statement-
@@ -316,6 +328,18 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val aliased = Alias(lq.plan.output.head, "__gkey0")()
         Some((NotInArm, Seq(keyName -> "__gkey0"),
           Distinct(Project(Seq(aliased), lq.plan)), rest))
+      // uncorrelated MULTI-column NOT IN: the same null-aware contract,
+      // decomposed by null masks at RUN time into pure equi anti-joins
+      // (GraftNotInMultiDeleteCommand) — never a nested-loop join
+      case Not(InSubquery(values, lq: ListQuery))
+          if values.size > 1 && lq.outerAttrs.isEmpty && lq.plan.resolved &&
+            values.forall(targetAttr) && lq.plan.output.size == values.size =>
+        val names = values.map(_.asInstanceOf[AttributeReference].name)
+        val aliased = lq.plan.output.zipWithIndex.map {
+          case (o, i) => Alias(o, s"__gkey$i")()
+        }
+        Some((NotInMultiArm, names.zip(aliased.map(_.name)),
+          Distinct(Project(aliased, lq.plan)), rest))
       case _ => None
     }
   }
@@ -534,12 +558,12 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "SCALAR and EXISTS subqueries anywhere in UPDATE/MERGE conditions " +
           "and assignments, and ONE top-level WHERE conjunct of UPDATE or " +
           "DELETE that is `col IN (SELECT ...)` (over plain target columns, " +
-          "correlated or not), `col NOT IN (SELECT ...)` (uncorrelated, " +
-          "single column, full null-aware semantics), or a correlated " +
-          "`[NOT] EXISTS` whose correlation predicates are plain column " +
-          "equalities; for multi-column or correlated NOT IN, non-equality " +
-          "correlation, or other forms, materialize the subquery as a " +
-          "source table or temp view and use MERGE")
+          "correlated or not), `[(]col[, ...)] NOT IN (SELECT ...)` " +
+          "(uncorrelated, full null-aware semantics; the multi-column form " +
+          "for DELETE), or a correlated `[NOT] EXISTS` whose correlation " +
+          "predicates are plain column equalities; for correlated NOT IN, " +
+          "non-equality correlation, or other forms, materialize the " +
+          "subquery as a source table or temp view and use MERGE")
     GraftSqlShim.column(prepared.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))
@@ -637,6 +661,14 @@ case object AntiArm extends ArmKind
   * lowers to [[GraftNotInCommand]]'s run-time branch, not a plain anti.
   */
 case object NotInArm extends ArmKind
+
+/** Uncorrelated MULTI-column NOT IN — null-aware per COLUMN, not per
+  * tuple: a source row that is NULL in one column can still be
+  * definitely-different on another, so the single-column three-branch
+  * classification does not carry over. Lowers to
+  * [[GraftNotInMultiDeleteCommand]]'s null-mask decomposition.
+  */
+case object NotInMultiArm extends ArmKind
 
 /** Placeholder carrying an uncorrelated scalar subquery's resolved plan
   * through a lowered DML Column until command RUN time, where it
@@ -819,6 +851,105 @@ final case class GraftNotInCommand(
         notMatchedBySourceClauses = Seq(bySourceClause),
         modeProperty = modeProperty).run(spark)
     }
+    Nil
+  }
+}
+
+/** Executable lowering of `DELETE FROM graft.ns.t WHERE (a, b, ...) NOT
+  * IN (SELECT x, y, ... FROM s)` — EXACT SQL null-aware semantics for
+  * the multi-column form, which is null-aware per COLUMN: a target row
+  * deletes iff EVERY source row is definitely different, i.e. differs
+  * on at least one column where both sides are non-NULL. The naive
+  * lowering is a non-equi anti-join (`(a<=>x OR a IS NULL OR x IS
+  * NULL) AND ...`) that Spark can only execute as a nested-loop join —
+  * O(target × source), forbidden engine-wide. Instead the row set
+  * decomposes by NULL MASK:
+  *
+  *  - a target row with null-mask Q is "possibly equal" to a source row
+  *    with null-mask P iff they agree on the columns where BOTH are
+  *    non-null, `comp(P|Q)` — a pure EQUI join key once (P, Q) is fixed;
+  *  - distinct masks are data-driven but bounded by 2^k (k = statement
+  *    key count, tiny), and in the overwhelmingly common all-non-null
+  *    case there is exactly ONE (P, Q) pair — a single struct-shaped
+  *    broadcast anti-join;
+  *  - deleted = for each Q: target[Q] anti-joined against each source
+  *    mask's distinct `comp(P|Q)` projection in turn; a pair with NO
+  *    both-non-null column means every source row of that mask blocks
+  *    every target row of Q (equality never FALSE) — the piece empties.
+  *
+  * Statement-level short-circuits mirror the single-column command: an
+  * empty subquery makes NOT IN TRUE everywhere (the residual condition
+  * alone decides), and an all-NULL source tuple blocks every row (one
+  * metadata-cheap mask probe, then no-op). The write shape follows
+  * `write.delete.mode`: COW rewrites only affected dirs (kept rows =
+  * exact multiset complement), merge-on-read writes one positional
+  * delete file — both through the matcher seam, never a table rewrite.
+  */
+final case class GraftNotInMultiDeleteCommand(
+    @transient table: SnapshotTable,
+    @transient keysPlan: LogicalPlan,
+    keys: Seq[(String, String)],
+    plainCond: Option[Column],
+    modeProperty: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
+    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+    val k = keys.size
+    // same one-evaluation discipline as GraftNotInCommand: the mask
+    // probe and every per-mask projection must see the SAME rows
+    val src0 = GraftSqlShim.ofRows(spark, keysPlan)
+    val deterministic = !src0.queryExecution.analyzed.exists(
+      p => !p.expressions.forall(_.deterministic))
+    val src = if (deterministic) src0 else src0.localCheckpoint(eager = false)
+    def maskOf(cols: Seq[Column]): Column =
+      cols.zipWithIndex.map { case (c, i) =>
+        when(c.isNull, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+    val srcMask = maskOf(keys.map { case (_, sk) => col(sk) })
+    val srcMasks = src.select(srcMask.as("__gmask")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val mor = table.properties.get(modeProperty).contains("merge-on-read")
+    val rest = plainCond.map(DeferredScalarSubquery.materialize(spark, _))
+    if (srcMasks.isEmpty) {
+      // empty subquery: NOT IN is TRUE for every row (null keys too)
+      val c = rest.getOrElse(lit(true))
+      if (mor) table.deletePositions(spark, c) else table.deleteRows(spark, c)
+      return Nil
+    }
+    if (srcMasks.contains((1 << k) - 1)) return Nil // all-NULL source tuple
+    // target masks: one key-columns-only pass, superset of any probe
+    // frame's masks (an unpopulated mask just yields an empty piece)
+    val tgtMasks = table.read(spark)
+      .select(maskOf(keys.map { case (tk, _) => col(tk) }).as("__gmask"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val matcher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+      val pieces = tgtMasks.map { q =>
+        val qCond = keys.map(_._1).zipWithIndex.map { case (c, i) =>
+          if ((q & (1 << i)) != 0) col(c).isNull else col(c).isNotNull
+        }.reduce(_ && _)
+        var rows = df.filter(qCond)
+        srcMasks.foreach { p =>
+          val u = (0 until k).filter(i => ((p | q) & (1 << i)) == 0)
+          if (u.isEmpty)
+            // no both-non-null column: every src[p] row possibly equals
+            // every target[q] row — nothing in this piece can delete
+            rows = rows.filter(lit(false))
+          else {
+            val proj = src.filter(srcMask === p)
+              .select(u.map(i => col(keys(i)._2)): _*).distinct()
+            val joinCond = u.map(i => rows(keys(i)._1) === proj(keys(i)._2))
+              .reduce(_ && _)
+            rows = rows.join(broadcast(proj), joinCond, "left_anti")
+          }
+        }
+        rows
+      }
+      val candidates = pieces.reduce(_ unionByName _)
+      rest.map(candidates.filter).getOrElse(candidates)
+    }
+    if (mor) table.deletePositionsMatching(spark, matcher)
+    else table.deleteRowsMatching(spark, matcher)
     Nil
   }
 }

@@ -478,6 +478,17 @@ final class SnapshotTable(val root: String, val fullName: String) {
   def deletePositions(
       spark: SparkSession,
       cond: org.apache.spark.sql.Column,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    deletePositionsMatching(spark, _.filter(cond), numRetries)
+
+  /** Merge-on-read flavor of [[deleteRowsMatching]]: `matcher` selects
+    * the row set to delete (row-preserving ops only, row-id columns
+    * carried through), and the matched positions become ONE positional
+    * delete file — O(matched rows), zero data files rewritten.
+    */
+  def deletePositionsMatching(
+      spark: SparkSession,
+      matcher: DataFrame => DataFrame,
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
     import org.apache.spark.sql.functions.col
     var attempt = 0
@@ -491,7 +502,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val probe = cur.dataDirs.map(d => readDirWithRowId(spark, cur, d)
           .withColumn(SnapshotTable.RowIdDirCol, lit(d)))
         .reduce(_ unionByName _)
-      val matches = probe.filter(cond)
+      val matches = matcher(probe)
         .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol),
           col(SnapshotTable.RowIdDirCol))
       // ONE probe scan: write the (tiny) positions file, then read the
@@ -782,14 +793,36 @@ final class SnapshotTable(val root: String, val fullName: String) {
       cond: org.apache.spark.sql.Column,
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    deleteRowsMatching(spark, _.filter(cond),
+      keeper = Some(df => df.filter(not(coalesce(cond, lit(false))))),
+      numRetries = numRetries)
+  }
+
+  /** COW delete of an arbitrary matched-row SET: `matcher` maps any
+    * frame of table rows to the subset to delete using row-preserving
+    * ops only (filters, anti/semi joins — never projections), so it
+    * composes with the dir-affinity probe and the file-granular split
+    * exactly like a plain condition. `keeper` computes the complement
+    * when a cheap closed form exists (a boolean condition's negation);
+    * otherwise the kept rows are the exact multiset complement
+    * (`exceptAll`) — null- and NaN-safe, duplicate-exact. This is the
+    * seam join-shaped DML (multi-column NOT IN) lowers onto: the
+    * matched set is defined by joins against another frame, which no
+    * single `Column` can express.
+    */
+  def deleteRowsMatching(
+      spark: SparkSession,
+      matcher: DataFrame => DataFrame,
+      keeper: Option[DataFrame => DataFrame] = None,
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
     var attempt = 0
     while (true) {
       val cur = requireCurrent
-      val affected = affectedDirs(spark, cur, _.filter(cond))
+      val affected = affectedDirs(spark, cur, matcher)
       if (affected.isEmpty) return cur
-      val (view, carryDirs) = splitForRewrite(spark, cur, affected, _.filter(cond))
+      val (view, carryDirs) = splitForRewrite(spark, cur, affected, matcher)
       val affectedRows = if (cur.rowCount < 0) -1L else view.count()
-      val kept = view.filter(not(coalesce(cond, lit(false))))
+      val kept = keeper.map(_(view)).getOrElse(view.exceptAll(matcher(view)))
       rewriteDirs(spark, cur, affected, kept, "delete",
         newTotal = if (cur.rowCount < 0) -1L else -2L,
         attempt = attempt, removedRows = affectedRows,

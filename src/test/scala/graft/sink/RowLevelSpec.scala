@@ -497,13 +497,77 @@ class RowLevelSpec extends SparkSpec {
     spark.sql("""UPDATE graft.ns.nin5 SET bal = 0
                 |WHERE id NOT IN (SELECT k FROM rl_nin_empty)""".stripMargin)
     assert(t5.read(spark).select("bal").as[Double].collect().toSeq.forall(_ == 0.0))
-    // 6. multi-column NOT IN keeps the actionable error
+    // 6. multi-column NOT IN UPDATE keeps the actionable error (the
+    //    DELETE form is supported — its own test below)
     val t6 = fresh("nin6")
     Seq((1L, 1.0)).toDF("k", "b").createOrReplaceTempView("rl_nin_pair")
     val e = intercept[Exception](spark.sql(
-      """DELETE FROM graft.ns.nin6
+      """UPDATE graft.ns.nin6 SET bal = -1
         |WHERE (id, bal) NOT IN (SELECT k, b FROM rl_nin_pair)""".stripMargin))
-    assert(e.getMessage.contains("subquery"), e.getMessage)
+    assert(e.getMessage.contains("MERGE"), e.getMessage)
+  }
+
+  test("multi-column NOT IN DELETE: exact per-column null-aware semantics") {
+    val wh = Files.createTempDirectory("graft_rl_ninm").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    def fresh(name: String, mor: Boolean = false): SnapshotTable = {
+      val t = SnapshotTable(wh, "ns", name)
+      t.overwrite(Seq[(java.lang.Long, String, Double)](
+        (1L, "x", 1.0), (2L, null, 2.0), (null, "y", 3.0),
+        (null, null, 4.0), (3L, "z", 5.0), (5L, "x", 6.0))
+        .toDF("a", "b", "bal"))
+      if (mor) t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+      t
+    }
+    // source has a partial NULL in EACH column position: per-column
+    // null-awareness, not the single-column all-or-nothing shortcut
+    Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (3L, "q"))
+      .toDF("k1", "k2").createOrReplaceTempView("rl_ninm_src")
+    def del(name: String, extra: String = ""): Unit =
+      spark.sql(s"""DELETE FROM graft.ns.$name
+                   |WHERE (a, b) NOT IN (SELECT k1, k2 FROM rl_ninm_src)$extra""".stripMargin)
+    def bals(t: SnapshotTable): Seq[Double] =
+      t.read(spark).select("bal").as[Double].collect().sorted.toSeq
+    // ground truth (per-row): (1,x) equals a source row; (2,NULL) is
+    // possibly-equal to (NULL,y) (both columns have a NULL side);
+    // (NULL,y) matches (NULL,y); (NULL,NULL) is possibly-equal to
+    // everything; (3,z) and (5,x) definitely differ from ALL source
+    // rows on a both-non-null column → ONLY those two delete
+    val t1 = fresh("ninm_cow")
+    del("ninm_cow")
+    assert(t1.currentSnapshot.get.operation == "delete")
+    assert(bals(t1) == Seq(1.0, 2.0, 3.0, 4.0),
+      "COW: exactly (3,z) and (5,x) satisfy the multi-column NOT IN")
+    // merge-on-read: same rows via ONE positional delete file
+    val t2 = fresh("ninm_mor", mor = true)
+    del("ninm_mor")
+    assert(bals(t2) == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(t2.currentSnapshot.get.deletes.exists(_.positional),
+      "merge-on-read must land a positional delete, not a rewrite")
+    // empty subquery: NOT IN is TRUE everywhere — ALL rows delete,
+    // NULL-keyed ones included
+    val t3 = fresh("ninm_empty")
+    spark.sql("SELECT k1, k2 FROM rl_ninm_src WHERE k1 = -999")
+      .createOrReplaceTempView("rl_ninm_none")
+    spark.sql("""DELETE FROM graft.ns.ninm_empty
+                |WHERE (a, b) NOT IN (SELECT k1, k2 FROM rl_ninm_none)""".stripMargin)
+    assert(t3.read(spark).count() == 0L)
+    // an all-NULL source tuple is possibly-equal to every row: the
+    // statement is a complete no-op (no new snapshot)
+    val t4 = fresh("ninm_allnull")
+    Seq[(java.lang.Long, String)]((null, null), (1L, "x"))
+      .toDF("k1", "k2").createOrReplaceTempView("rl_ninm_allnull")
+    val snapBefore = t4.currentSnapshot.get.id
+    spark.sql("""DELETE FROM graft.ns.ninm_allnull
+                |WHERE (a, b) NOT IN (SELECT k1, k2 FROM rl_ninm_allnull)""".stripMargin)
+    assert(t4.currentSnapshot.get.id == snapBefore && t4.read(spark).count() == 6L,
+      "an all-NULL source tuple blocks every row — statement no-ops")
+    // residual conjunct ANDed with the NOT IN
+    val t5 = fresh("ninm_rest")
+    del("ninm_rest", " AND bal > 5.5")
+    assert(bals(t5) == Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      "only (5,x,6.0) is both NOT IN and bal>5.5")
   }
 
   test("correlated [NOT] EXISTS and correlated IN decorrelate onto the join paths") {
