@@ -67,7 +67,109 @@ object TextQueries {
   private def markerSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** BPE train/encode fixtures share the learned model: the train
+    * corpus is the doc_id % 3 == 0 slice, K = 8 merges, and the model
+    * memoizes per (sfDir) so the encode key never re-trains.
+    */
+  private val BpeK = 8
+
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession, dir: String): Seq[graft.text.Bpe.Merge] =
+    MetaQueries.memoFixture("text_bpe_merges", dir) {
+      val wc = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(explode(graft.text.Bpe.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val m = graft.text.Bpe.train(wc, BpeK)
+      // the unrolled oracle states exactly K merges; a thinner corpus
+      // would silently desynchronize the two — fail loudly instead
+      require(m.size == BpeK,
+        s"BPE fixture corpus yielded only ${m.size}/$BpeK merges")
+      m
+    }
+
+  /** The unrolled DuckDB replica of Bpe.train: K chained
+    * (pair-count → argmax → replace) rounds over the same word-count
+    * table, every CTE MATERIALIZED (the chain re-references each round
+    * several times; inlining would re-evaluate it exponentially).
+    */
+  private def bpeTrainCtes: String = {
+    val head =
+      """words AS MATERIALIZED (
+        |  SELECT w AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
+        |    FROM documents WHERE doc_id % 3 = 0) WHERE w <> '' GROUP BY 1),
+        |w0 AS MATERIALIZED (SELECT cnt, regexp_replace(word, '(.)', '<\1>', 'g') AS ts FROM words)""".stripMargin
+    val rounds = (1 to BpeK).map { n =>
+      val m = n - 1
+      s"""p$n AS MATERIALIZED (
+         |  SELECT t[i] AS l, t[i+1] AS r, sum(cnt) AS c
+         |  FROM (SELECT cnt, string_split(ts[2:len(ts)-1], '><') AS t FROM w$m) s,
+         |       UNNEST(range(1, len(s.t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$n AS MATERIALIZED (SELECT l, r, c FROM p$n ORDER BY c DESC, l, r LIMIT 1),
+         |w$n AS MATERIALIZED (
+         |  SELECT cnt, replace(ts, '<' || b.l || '><' || b.r || '>',
+         |                          '<' || b.l || b.r || '>') AS ts
+         |  FROM w$m, b$n b)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    "text_bpe_train" -> QueryDef(
+      (s, dir) => {
+        // distributed BPE tokenizer TRAINING (Sennrich et al. 2016):
+        // state is the word-count table (vocab-sized, never the
+        // corpus); each of the 8 rounds is one vocab-sized pair-count
+        // aggregation + a single-row argmax collect + a map-side
+        // replace — the word-count-keyed sharding real distributed BPE
+        // trainers use. The result IS the model: the rank-ordered merge
+        // table, which the oracle re-derives round by round.
+        import s.implicits._
+        bpeMerges(s, dir)
+          .map(m => (m.rank, m.left, m.right, m.pairCount))
+          .toDF("rank", "merge_left", "merge_right", "pair_count")
+      },
+      Some(s"""WITH $bpeTrainCtes
+              |SELECT * FROM (
+              |${(1 to BpeK).map(n =>
+                 s"  SELECT $n AS rank, l AS merge_left, r AS merge_right, c AS pair_count FROM b$n")
+                 .mkString(" UNION ALL\n")})""".stripMargin),
+      doc = "BPE tokenizer training (Sennrich et al. 2016) as a distributed " +
+        "word-count-keyed loop: corpus pass once, then K vocab-sized " +
+        "pair-count rounds with deterministic tie-breaks; the merge table " +
+        "is the model and the oracle replays every round"),
+
+    "text_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        // the broadcast-merges ENCODER: the 8 learned merges compile
+        // into a chain of codegen'd string replaces applied per word —
+        // pure map-side (higher-order aggregate, no explode, no
+        // shuffle), linear in the corpus. Encodes the doc_id % 3 == 1
+        // slice, DISJOINT from the training slice, so unseen words
+        // exercise real subword segmentation.
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        graft.text.Bpe.encodeCounts(docs, "text", "doc_id", bpeMerges(s, dir))
+      },
+      Some(s"""WITH $bpeTrainCtes,
+              |m AS MATERIALIZED (SELECT ${(1 to BpeK).map(n =>
+                 s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")}
+              |  FROM ${(1 to BpeK).map(n => s"b$n").mkString(", ")}),
+              |ew AS (SELECT doc_id, w FROM (
+              |    SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
+              |    FROM documents WHERE doc_id % 3 = 1) WHERE w <> ''),
+              |ap AS (SELECT doc_id, ${(1 to BpeK).foldLeft(
+                 "regexp_replace(w, '(.)', '<\\1>', 'g')") { (acc, n) =>
+                 s"replace($acc, '<' || l$n || '><' || r$n || '>', '<' || l$n || r$n || '>')"
+               }} AS ts
+              |  FROM ew, m)
+              |SELECT doc_id, count(*) AS n_words,
+              |  sum(len(string_split(ts[2:len(ts)-1], '><'))) AS n_tokens
+              |FROM ap GROUP BY 1""".stripMargin),
+      doc = "BPE encode with broadcast merges: rank-ordered replace chain per " +
+        "word, map-side only (no shuffle); per-doc word + token counts over a " +
+        "slice disjoint from training, oracle replays train + apply"),
 
     "text_normalize_unicode" -> QueryDef(
       (s, dir) => {

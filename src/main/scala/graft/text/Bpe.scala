@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer: train + encode.
+  *
+  * Real LLM-pipeline decisions (sequence packing, token budgets, dedup
+  * thresholds) key on TOKENIZER tokens, not whitespace words — this is
+  * the classic Sennrich et al. 2016 BPE, restructured for Spark:
+  *
+  *  - TRAIN state is the WORD-COUNT table (vocab-sized, never the
+  *    corpus): one corpus pass builds (word, cnt); each of the K merge
+  *    rounds is a vocab-sized pair-count aggregation + a 1-row argmax
+  *    collect (bounded driver state: the merge list itself, ≤ K rows) +
+  *    a map-side merge application. At 100 TB the corpus pass dominates
+  *    and is embarrassingly parallel; the per-round work is O(vocab),
+  *    independent of corpus size — exactly how distributed BPE trainers
+  *    shard (word-count keyed, merges broadcast back).
+  *  - ENCODE is a pure map-side operator: the learned merge list (tiny)
+  *    compiles into a chain of K string `replace`s applied per word —
+  *    no shuffle, no state, linear in the corpus.
+  *
+  * Tokens are kept in a wrapped string form `<t1><t2>...`: applying a
+  * merge (l, r) is then ONE codegen'd `replace(ts, "<l><r>", "<lr>")`,
+  * which is boundary-safe (a token can never match across `><`) and
+  * reproduces greedy left-to-right merge application exactly (`replace`
+  * scans left to right, non-overlapping) — and the DuckDB oracle can
+  * replicate it bit-for-bit with its own `replace`. The corpus
+  * normalizes to [a-z ] first, so `<` and `>` can never occur inside a
+  * token. No end-of-word marker (a documented simplification: merges
+  * never cross word boundaries because words tokenize independently).
+  *
+  * Ties in the pair-count argmax break lexicographically on (left,
+  * right) — both engines compare [a-z]-only strings, so binary and
+  * lexicographic order agree.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), left/right tokens, pair count. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Normalized word array of a text column: lowercase, every
+    * non-[a-z ] character becomes a space, split on runs of spaces,
+    * empty fragments dropped.
+    */
+  def words(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z ]", " "), " +"), w => w =!= "")
+
+  /** A word as wrapped initial (character) tokens: "cat" → "<c><a><t>". */
+  def wrapChars(word: Column): Column = regexp_replace(word, "(.)", "<$1>")
+
+  /** Unwrap a token string back to its token array. */
+  def unwrap(ts: Column): Column =
+    split(ts.substr(lit(2), length(ts) - 2), "><")
+
+  /** Train `numMerges` BPE merges over a (word, cnt) frame. Each round:
+    * pair counts over the vocab (weighted by cnt), deterministic argmax
+    * (count desc, left asc, right asc), merge applied map-side. The
+    * returned list is the full model — bounded by K, the only
+    * driver-side state. Rounds re-derive the token state from the
+    * cached word frame (K nested replaces by the last round — an
+    * O(K²·vocab) expression cost, negligible next to the corpus pass).
+    */
+  def train(wordCounts: DataFrame, numMerges: Int): Seq[Merge] = {
+    val base = wordCounts
+      .select(col("cnt"), wrapChars(col("word")).as("ts"))
+      .persist()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      var cur = base
+      var rank = 1
+      var done = false
+      while (rank <= numMerges && !done) {
+        val toks = unwrap(col("ts"))
+        val best = cur
+          .filter(size(toks) >= 2)
+          .select(col("cnt"), toks.as("t"))
+          .select(col("cnt"),
+            explode(expr(
+              "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS l, t[i + 1] AS r))"))
+              .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1)
+          .collect() // exactly one row per round: the argmax — bounded
+        if (best.isEmpty) done = true
+        else {
+          val (l, r, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+          merges += Merge(rank, l, r, c)
+          cur = cur.withColumn("ts",
+            org.apache.spark.sql.functions.replace(
+              col("ts"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+          rank += 1
+        }
+      }
+      merges.toSeq
+    } finally {
+      base.unpersist(): Unit
+    }
+  }
+
+  /** The merge chain as a column transform: rank-ordered `replace`s
+    * over a wrapped token string — the broadcast-merges encoder, pure
+    * map-side.
+    */
+  def applyMerges(ts: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(ts) { (c, m) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(s"<${m.left}><${m.right}>"), lit(s"<${m.left}${m.right}>"))
+    }
+
+  /** Encode a corpus: per document, the word count and the total token
+    * count under the learned merges. Entirely map-side (higher-order
+    * aggregate over the word array — no explode, no shuffle); documents
+    * that normalize to zero words are dropped (they have no token
+    * content to measure).
+    */
+  def encodeCounts(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ws = words(col(textCol))
+    val tokensPerWord = transform(ws, w => size(unwrap(applyMerges(wrapChars(w), merges))))
+    docs.select(
+        col(idCol),
+        size(ws).as("n_words"),
+        aggregate(tokensPerWord, lit(0), (acc, n) => acc + n).as("n_tokens"))
+      .filter(col("n_words") > 0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer train + encode: merge order and tie-breaks against a
+  * hand-derived reference, greedy left-to-right application (including
+  * the overlapping-pair case), and the encoder's behavior on words the
+  * training corpus never saw.
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("train derives the hand-computed merge sequence with deterministic tie-breaks") {
+    // corpus: "the cat sat on the mat" / "the cat ate the rat" /
+    // "a cat and a rat sat" — reference merges worked out by hand
+    // (pair counts weighted by word count, ties broken (left, right)):
+    // (a,t):9, (h,e):4, (t,he):4, (c,at):3, (r,at):2, (s,at):2
+    val words = Seq(
+      "the cat sat on the mat", "the cat ate the rat", "a cat and a rat sat")
+      .toDF("text")
+      .select(explode(Bpe.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val merges = Bpe.train(words, 6)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) == Seq(
+      (1, "a", "t", 9L), (2, "h", "e", 4L), (3, "t", "he", 4L),
+      (4, "c", "at", 3L), (5, "r", "at", 2L), (6, "s", "at", 2L)))
+  }
+
+  test("merge application is greedy left-to-right: 'aaaa' + (a,a) -> aa|aa, 'aaa' -> aa|a") {
+    val merges = Seq(Bpe.Merge(1, "a", "a", 1L))
+    val got = Seq("aaaa", "aaa", "baa", "aab")
+      .toDF("w")
+      .select(col("w"),
+        Bpe.unwrap(Bpe.applyMerges(Bpe.wrapChars(col("w")), merges)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("aaaa") == List("aa", "aa"))
+    assert(got("aaa") == List("aa", "a"))
+    // boundary safety: the trailing 'a' of 'b','a' never merges across
+    // a token boundary with a neighboring token's leading char
+    assert(got("baa") == List("b", "aa"))
+    assert(got("aab") == List("aa", "b"))
+  }
+
+  test("merges never fire out of rank order and compose on unseen words") {
+    // (h,e) then (t,he): "then" (unseen as a word) still segments to
+    // [the, n] because the merges apply by rank, not by training vocab
+    val merges = Seq(Bpe.Merge(1, "h", "e", 1L), Bpe.Merge(2, "t", "he", 1L))
+    val enc = Bpe.encodeCounts(
+      Seq((1L, "then the theorem"), (2L, ""), (3L, "!!!")).toDF("doc_id", "text"),
+      "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList
+    // "then"->[the,n]=2, "the"->[the]=1, "theorem"->[the,o,r,e,m]=5;
+    // docs 2 and 3 normalize to zero words and drop
+    assert(enc == List((1L, 3, 8)))
+  }
+}
