@@ -2217,7 +2217,7 @@ object MetaQueries {
         // take NULL via the BY SOURCE arm (SQL's empty-subquery scalar)
         // — pinned by the require below, since a semi-join alone would
         // silently skip them. Distributed end-to-end; count-shaped
-        // subqueries are refused (the count-bug), never rewritten wrong.
+        // subqueries take the 0-on-empty arm (`sql_update_corr_count`).
         val c = tbl(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val wh = warmCloneWarehouse("sql_update_corr_scalar", dir) { b =>
@@ -2255,8 +2255,56 @@ object MetaQueries {
              |FROM customer c""".stripMargin),
       doc = "SQL UPDATE with a correlated scalar subquery assignment: Kim " +
         "decorrelation onto the MERGE path (per-key aggregate source; keyless " +
-        "rows take NULL via the BY SOURCE arm; count-shaped subqueries refused " +
-        "— the count-bug)"),
+        "rows take NULL via the BY SOURCE arm)"),
+
+    "sql_update_corr_count" -> QueryDef(
+      (s, dir) => {
+        // the COUNT-shaped correlated scalar — the form the classic
+        // count-bug makes dangerous: a naive join rewrite gives keyless
+        // rows NULL (or drops them), but SQL's empty-subquery count is
+        // 0. The lowering's BY SOURCE arm substitutes the replayed
+        // 0-literal, pinned below by requiring every order-less
+        // customer to land on exactly 0, never NULL.
+        val c = tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), lit(-1L).as("order_cnt"))
+        val wh = warmCloneWarehouse("sql_update_corr_count", dir) { b =>
+          SnapshotTable(b, "testdata", "customer_cc").overwrite(c): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "customer_cc")
+        val before = table.currentSnapshot.get.rowCount
+        val bigOrders = tbl(s, dir, "orders")
+          .filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey"), col("o_totalprice"))
+        bigOrders.createOrReplaceTempView("sql_ucc_src")
+        val keyless = c.join(bigOrders,
+          col("c_custkey") === col("o_custkey"), "left_anti").count()
+        require(keyless > 0, "fixture needs customers without orders")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.customer_cc c
+                |SET order_cnt = (SELECT count(*) FROM sql_ucc_src o
+                |                 WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "merge" && snap.rowCount == before,
+          "a correlated-count UPDATE must ride the MERGE path, row count unchanged")
+        require(s.sql(
+          "SELECT count(*) FROM graft.testdata.customer_cc WHERE order_cnt = 0")
+          .head.getLong(0) == keyless &&
+          s.sql(
+            "SELECT count(*) FROM graft.testdata.customer_cc WHERE order_cnt IS NULL")
+            .head.getLong(0) == 0L,
+          "customers without orders must take the empty-subquery COUNT of 0, not NULL")
+        s.sql("SELECT c_custkey, c_name, order_cnt FROM graft.testdata.customer_cc")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey
+             |     AND o.o_totalprice > 250000) AS order_cnt
+             |FROM customer c""".stripMargin),
+      doc = "SQL UPDATE with a correlated COUNT subquery assignment: the " +
+        "count-bug handled exactly — keyless rows take the empty-group 0 " +
+        "via the BY SOURCE arm's replayed literal, matched rows the per-key " +
+        "aggregate"),
 
     "sql_replace_table" -> QueryDef(
       (s, dir) => {

@@ -351,12 +351,14 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * which also makes the merge keys unique by construction), the
     * statement lowers onto the COW/MOR MERGE with the subquery node
     * substituted by the source's aggregate column in the matched arm —
-    * and by NULL in a WHEN NOT MATCHED BY SOURCE arm, because SQL gives
-    * keyless rows the empty-subquery scalar (NULL), and a semi-join
-    * alone would silently skip them. Restricted to NULL-on-empty
-    * aggregates (max/min/sum/avg): COUNT over an empty group is 0, not
-    * NULL — the classic count-bug — so count-shaped subqueries keep the
-    * actionable unsupported error instead of a silently-wrong rewrite.
+    * and by the aggregate's EMPTY-GROUP value in a WHEN NOT MATCHED BY
+    * SOURCE arm, because SQL gives keyless rows the empty-subquery
+    * scalar and a semi-join alone would silently skip them. That value
+    * is NULL for max/min/sum/avg but 0 for COUNT — the classic
+    * count-bug — so the count arm replays the subquery's output
+    * expression over a 0 literal (any Alias/Cast wrapper applies to it
+    * exactly as it would to the aggregate); other aggregates keep the
+    * actionable unsupported error rather than a silently-wrong rewrite.
     */
   private def lowerCorrScalarUpdate(
       t: GraftSparkTable,
@@ -364,7 +366,7 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       condition: Option[Expression],
       tSet: AttributeSet): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, OuterReference, ScalarSubquery}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, AggregateExpression, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, AggregateExpression, Count, Max, Min, Sum}
     val subs = assignments.flatMap(_.value.collect {
       case s: ScalarSubquery if s.outerAttrs.nonEmpty => s
     }).distinct
@@ -392,14 +394,29 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case c: org.apache.spark.sql.catalyst.expressions.Cast => bare(c.child)
               case other => other
             }
-            val nullOnEmpty = bare(outExpr) match {
+            // the value the keyless (empty-group) arm substitutes for
+            // the subquery: NULL for the NULL-on-empty aggregates, the
+            // wrapped 0 for COUNT, nothing (= refuse) otherwise
+            val emptyGroupValue: Option[Expression] = bare(outExpr) match {
               case ae: AggregateExpression => ae.aggregateFunction match {
-                case _: Max | _: Min | _: Sum | _: Average => true
-                case _ => false
+                case _: Max | _: Min | _: Sum | _: Average =>
+                  Some(Literal.create(null, sub.dataType))
+                case _: Count =>
+                  val unAliased = outExpr match {
+                    case Alias(c2, _) => c2
+                    case other => other
+                  }
+                  Some(unAliased.transform {
+                    case ae2: AggregateExpression
+                        if ae2.aggregateFunction.isInstanceOf[Count] =>
+                      Literal(0L)
+                  })
+                case _ => None
               }
-              case _ => false
+              case _ => None
             }
-            if (!nullOnEmpty || outExpr.exists(_.isInstanceOf[OuterReference])) None
+            if (emptyGroupValue.isEmpty ||
+              outExpr.exists(_.isInstanceOf[OuterReference])) None
             else decorrelate(aggChild, tSet).flatMap { case (pairs, child) =>
               val keyAls = pairs.map(_._2).zipWithIndex.map {
                 case (a, i) => Alias(a, s"__gkey$i")()
@@ -422,7 +439,7 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   Merge.Update(sets(valAl.toAttribute)), cond)),
                 notMatchedClauses = Nil,
                 notMatchedBySourceClauses = Seq(Merge.WhenNotMatchedBySource(
-                  Merge.Update(sets(Literal.create(null, sub.dataType))), cond)),
+                  Merge.Update(sets(emptyGroupValue.get)), cond)),
                 modeProperty = "write.update.mode"))
             }
           case _ => None
@@ -560,10 +577,12 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "DELETE that is `col IN (SELECT ...)` (over plain target columns, " +
           "correlated or not), `[(]col[, ...)] NOT IN (SELECT ...)` " +
           "(uncorrelated, full null-aware semantics; the multi-column form " +
-          "for DELETE), or a correlated `[NOT] EXISTS` whose correlation " +
-          "predicates are plain column equalities; for correlated NOT IN, " +
-          "non-equality correlation, or other forms, materialize the " +
-          "subquery as a source table or temp view and use MERGE")
+          "for DELETE), a correlated `[NOT] EXISTS` whose correlation " +
+          "predicates are plain column equalities, or an UPDATE assignment " +
+          "whose value is a correlated scalar max/min/sum/avg/count over " +
+          "plain equality correlation; for correlated NOT IN, non-equality " +
+          "correlation, or other forms, materialize the subquery as a " +
+          "source table or temp view and use MERGE")
     GraftSqlShim.column(prepared.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))

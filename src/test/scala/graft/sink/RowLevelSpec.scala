@@ -606,7 +606,7 @@ class RowLevelSpec extends SparkSpec {
     assert(t.currentSnapshot.get.operation == "merge")
   }
 
-  test("correlated scalar assignment decorrelates; keyless rows take NULL; count refused") {
+  test("correlated scalar assignment decorrelates; keyless rows take NULL; count takes 0") {
     val wh = Files.createTempDirectory("graft_rl_cs").toString
     val t = SnapshotTable(wh, "ns", "cst")
     t.overwrite(Seq((1L, 0.0), (2L, 0.0), (3L, 99.0)).toDF("id", "best"))
@@ -628,12 +628,23 @@ class RowLevelSpec extends SparkSpec {
     val out2 = t.read(spark).orderBy("id").as[(Long, Option[Double])].collect().toSeq
     assert(out2 == Seq((1L, Some(40.0)), (2L, Some(-1.0)), (3L, None)),
       s"cond-false rows untouched on both arms: $out2")
-    // COUNT over an empty group is 0, not NULL — the count-bug means a
-    // grouped rewrite would be silently wrong; must refuse instead
-    val e = intercept[Exception](spark.sql(
-      """UPDATE graft.ns.cst t
-        |SET best = (SELECT count(*) FROM rl_cs_src s WHERE s.k = t.id)""".stripMargin))
-    assert(e.getMessage.contains("subquery"), e.getMessage)
+    // COUNT over an empty group is 0, not NULL — the count-bug: the
+    // keyless arm must substitute the replayed 0, never NULL
+    t.overwrite(Seq((1L, 0.0), (2L, 0.0), (3L, 99.0)).toDF("id", "best")): Unit
+    spark.sql("""UPDATE graft.ns.cst t
+                |SET best = (SELECT count(*) FROM rl_cs_src s WHERE s.k = t.id)""".stripMargin)
+    val out3 = t.read(spark).orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(out3 == Seq((1L, Some(2.0)), (2L, Some(1.0)), (3L, Some(0.0))),
+      s"per-key counts for matched rows, 0 (not NULL) for the keyless row: $out3")
+    // count(col) over the group's non-NULLs, still 0 on the keyless arm
+    t.overwrite(Seq((1L, 0.0), (2L, 0.0), (3L, 99.0)).toDF("id", "best")): Unit
+    Seq((1L, Some(10.0)), (1L, None), (2L, Some(20.0))).toDF("k", "v")
+      .createOrReplaceTempView("rl_cs_nulls")
+    spark.sql("""UPDATE graft.ns.cst t
+                |SET best = (SELECT count(v) FROM rl_cs_nulls s WHERE s.k = t.id)""".stripMargin)
+    val out4 = t.read(spark).orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(out4 == Seq((1L, Some(1.0)), (2L, Some(1.0)), (3L, Some(0.0))),
+      s"count(col) skips NULLs in-group and is 0 on the keyless arm: $out4")
     // ... and so does ANY NULL-to-non-NULL wrapper around a legal
     // aggregate (coalesce maps the empty-group NULL to 0 — substituting
     // NULL on the keyless arm would silently diverge)
