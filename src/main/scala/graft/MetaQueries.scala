@@ -2134,6 +2134,44 @@ object MetaQueries {
         "(equality correlation = join key) onto the merge-on-read equality " +
         "delete — same O(keys) contract as IN, no rewrite"),
 
+    "sql_delete_exists_theta" -> QueryDef(
+      (s, dir) => {
+        // DELETE ... WHERE EXISTS with NON-EQUALITY correlation beside
+        // the equality — "erase events outspent 2-to-1 by a purchase of
+        // the same user", the per-row-threshold probe no pure key join
+        // can express. The theta conjunct (p.value > t.value * 2) rides
+        // the equality-keyed semi join as an extra condition — the plan
+        // stays a distributed equi-join, never a nested loop — and the
+        // matched ROW SET deletes through the matcher seam (COW here:
+        // the require pins a rewrite of affected dirs, no delete file).
+        val t = TemplateLoader.get(TemplatesDir, "events")
+        val wh = warmCloneWarehouse("sql_delete_exists_theta", dir) { b =>
+          TableSink.overwrite(tbl(s, dir, "events"), t,
+            SnapshotTable(b, t.namespace, t.name)): Unit
+        }
+        val table = SnapshotTable(wh, t.namespace, t.name)
+        tbl(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"))
+          .createOrReplaceTempView("sql_del_ext_src")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""DELETE FROM graft.testdata.events t
+                |WHERE EXISTS (SELECT 1 FROM sql_del_ext_src s
+                |              WHERE s.user_id = t.user_id
+                |                AND s.value > t.value * 2)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        require(snap.operation == "delete" && snap.deletes.isEmpty,
+          "a theta-EXISTS DELETE under default write.delete.mode is a COW rewrite")
+        s.sql("SELECT event_id, ts, user_id, event_type, value FROM graft.testdata.events")
+      },
+      Some("""SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value FROM events e
+             |WHERE NOT EXISTS (SELECT 1 FROM events p
+             |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+             |    AND p.value > e.value * 2)""".stripMargin),
+      doc = "SQL DELETE with a theta-correlated EXISTS: non-equality " +
+        "conjuncts ride the equality-keyed semi join as residual " +
+        "conditions — distributed equi-join, never a nested loop"),
+
     "sql_delete_not_exists" -> QueryDef(
       (s, dir) => {
         // DELETE ... WHERE NOT EXISTS (correlated) — the referential-

@@ -169,13 +169,24 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftNotInMultiDeleteCommand(t.snapTable, srcPlan, keys,
             plainCond = rest.map(xlate(_, tSet, AttributeSet.empty)),
             modeProperty = "write.delete.mode")
-        case None =>
-          // scalar/EXISTS-only subquery conditions: evaluate statement-
-          // level via the deferred machinery on the UPDATE-free engine
-          // delete path (deleteRows below translates through xlate and
-          // rejects the unsupported forms with the actionable message)
-          GraftDeleteWhereCommand(t.snapTable,
-            xlate(condition, tSet, AttributeSet.empty))
+        case None => extractThetaExistsArm(condition, tSet) match {
+          // correlated [NOT] EXISTS with theta residuals alongside its
+          // equality correlation: the equalities key a real semi/anti
+          // join (never a nested loop), the thetas ride it as extra
+          // join conditions, and the matched ROW SET deletes through
+          // the matcher seam (COW complement or one positional file)
+          case Some((negated, srcPlan, keys, theta, rest)) =>
+            GraftThetaExistsDeleteCommand(t.snapTable, srcPlan, keys, theta,
+              negated, rest.map(xlate(_, tSet, AttributeSet.empty)),
+              modeProperty = "write.delete.mode")
+          case None =>
+            // scalar/EXISTS-only subquery conditions: evaluate statement-
+            // level via the deferred machinery on the UPDATE-free engine
+            // delete path (deleteRows below translates through xlate and
+            // rejects the unsupported forms with the actionable message)
+            GraftDeleteWhereCommand(t.snapTable,
+              xlate(condition, tSet, AttributeSet.empty))
+        }
       }
 
     case m: MergeIntoTable if m.resolved && graftRel(m.targetTable).isDefined =>
@@ -500,6 +511,132 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** [[decorrelate]]'s relaxation for EXISTS semantics: the correlated
+    * Filter's outer-referencing conjuncts split into plain equalities
+    * (the join KEYS — at least one is required, so the lowered join is
+    * always equi-keyed, never a nested loop) and arbitrary THETA
+    * residuals (`s.ts < t.ts`, `s.v > t.bal / 2`, ...), which ride the
+    * same join as extra conditions. Safe for [NOT] EXISTS only: row
+    * multiplicity is irrelevant there, so duplicate key tuples across
+    * distinct theta values cannot change the answer the way they would
+    * break a MERGE-cardinality lowering. Each theta conjunct must be
+    * closed over the two relations: outer references wrap plain target
+    * attributes, every other attribute belongs to the subquery child.
+    * Returns (equality pairs, theta conjuncts, inner-filtered child).
+    */
+  private def decorrelateTheta(plan: LogicalPlan, tSet: AttributeSet)
+      : Option[(Seq[(AttributeReference, AttributeReference)],
+          Seq[Expression], LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.{OuterReference, SubqueryExpression}
+    def outerCount(e: Expression): Int = {
+      var n = 0
+      e.foreach { case _: OuterReference => n += 1; case _ => () }
+      n
+    }
+    if (plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[SubqueryExpression]))))
+      return None
+    val planOuter = plan.collect { case n => n }
+      .map(_.expressions.map(outerCount).sum).sum
+    val corrFilters = plan.collect {
+      case f: Filter if outerCount(f.condition) > 0 => f
+    }
+    corrFilters match {
+      case Seq(f) if outerCount(f.condition) == planOuter =>
+        def pathOk(p: LogicalPlan): Boolean = p match {
+          case x if x eq f => true
+          case Project(_, child) => pathOk(child)
+          case SubqueryAlias(_, child) => pathOk(child)
+          case Distinct(child) => pathOk(child)
+          case _ => false
+        }
+        if (!pathOk(plan)) return None
+        val (corrArms, innerArms) = splitConj(f.condition).partition(outerCount(_) > 0)
+        def asPair(e: Expression): Option[(AttributeReference, AttributeReference)] =
+          e match {
+            case EqualTo(a: AttributeReference, OuterReference(o: AttributeReference))
+                if tSet.contains(o) && f.child.outputSet.contains(a) => Some(o -> a)
+            case EqualTo(OuterReference(o: AttributeReference), a: AttributeReference)
+                if tSet.contains(o) && f.child.outputSet.contains(a) => Some(o -> a)
+            case _ => None
+          }
+        def closedTheta(e: Expression): Boolean = {
+          var ok = true
+          def walk(x: Expression): Unit = x match {
+            case OuterReference(o: AttributeReference) =>
+              if (!tSet.contains(o)) ok = false
+            case _: OuterReference => ok = false
+            case a: AttributeReference =>
+              if (!f.child.outputSet.contains(a)) ok = false
+            case other => other.children.foreach(walk)
+          }
+          walk(e); ok
+        }
+        val (pairs, thetas) = corrArms.partitionMap(e =>
+          asPair(e).toLeft(e))
+        if (pairs.isEmpty || thetas.isEmpty || !thetas.forall(closedTheta)) None
+        else Some((pairs, thetas,
+          innerArms.reduceOption(And).map(Filter(_, f.child)).getOrElse(f.child)))
+      case _ => None
+    }
+  }
+
+  /** DELETE-only companion to [[extractSubqueryArm]], tried after it
+    * declines: exactly ONE conjunct is a correlated `[NOT] EXISTS` whose
+    * correlation mixes plain equalities with theta residuals
+    * ([[decorrelateTheta]]). Returns (negated, source plan projecting
+    * `__gkeyN` key + `__gresN` theta columns, target-col -> key-col
+    * pairs, the theta join condition over `__t`/`__s` frames, remaining
+    * plain conjuncts). UPDATE keeps the refusal: its MERGE lowering
+    * needs key-unique sources, which theta duplicates would break.
+    */
+  private def extractThetaExistsArm(cond: Expression, tSet: AttributeSet)
+      : Option[(Boolean, LogicalPlan, Seq[(String, String)], Column, Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Exists, ListQuery, Not, OuterReference}
+    val arms = splitConj(cond)
+    def lowerable(e: Expression): Boolean = e.exists {
+      case _: ListQuery => true
+      case ex: Exists => ex.outerAttrs.nonEmpty
+      case _ => false
+    }
+    val subArms = arms.filter(lowerable)
+    if (subArms.size != 1) return None
+    val rest = arms.filterNot(_ eq subArms.head).reduceOption(And)
+    val (negated, ex) = subArms.head match {
+      case Not(e: Exists) if e.outerAttrs.nonEmpty && e.plan.resolved => (true, e)
+      case e: Exists if e.outerAttrs.nonEmpty && e.plan.resolved => (false, e)
+      case _ => return None
+    }
+    decorrelateTheta(ex.plan, tSet).map { case (pairs, thetas, child) =>
+      val keyAls = pairs.map(_._2).zipWithIndex.map {
+        case (a, i) => Alias(a, s"__gkey$i")()
+      }
+      // inner attributes the thetas reference (NOT the ones inside
+      // OuterReference wrappers — those are target-side), aliased into
+      // the source frame under collision-free names
+      def innerRefs(e: Expression): Seq[AttributeReference] = e match {
+        case OuterReference(_) => Nil
+        case a: AttributeReference => Seq(a)
+        case other => other.children.flatMap(innerRefs)
+      }
+      val resAttrs = thetas.flatMap(innerRefs).distinct
+      val resAls = resAttrs.zipWithIndex.map {
+        case (a, i) => Alias(a, s"__gres$i")()
+      }
+      val resMap = resAttrs.map(_.exprId).zip(resAls.map(_.name)).toMap
+      // no Distinct: semi/anti joins are duplicate-insensitive, and a
+      // distinct over keys+thetas would buy one extra shuffle for nothing
+      val srcPlan = Project(keyAls ++ resAls, child)
+      val theta = GraftSqlShim.column(thetas.map(_.transform {
+        case OuterReference(a: AttributeReference) =>
+          UnresolvedAttribute(Seq("__t", a.name))
+        case a: AttributeReference if resMap.contains(a.exprId) =>
+          UnresolvedAttribute(Seq("__s", resMap(a.exprId)))
+      }).reduce(And))
+      (negated, srcPlan: LogicalPlan,
+        pairs.map(_._1.name).zip(keyAls.map(_.name)), theta, rest)
+    }
+  }
+
   /** Trace `attrs` (output attributes of `plan`) down through the
     * row-preserving nodes to attributes available at `stop`'s level
     * (the decorrelated child — `stop` must be reachable through
@@ -577,12 +714,13 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "DELETE that is `col IN (SELECT ...)` (over plain target columns, " +
           "correlated or not), `[(]col[, ...)] NOT IN (SELECT ...)` " +
           "(uncorrelated, full null-aware semantics; the multi-column form " +
-          "for DELETE), a correlated `[NOT] EXISTS` whose correlation " +
-          "predicates are plain column equalities, or an UPDATE assignment " +
+          "for DELETE), a correlated `[NOT] EXISTS` on plain column-equality " +
+          "correlation (DELETE additionally accepts non-equality theta " +
+          "conjuncts beside at least one equality), or an UPDATE assignment " +
           "whose value is a correlated scalar max/min/sum/avg/count over " +
-          "plain equality correlation; for correlated NOT IN, non-equality " +
-          "correlation, or other forms, materialize the subquery as a " +
-          "source table or temp view and use MERGE")
+          "plain equality correlation; for correlated NOT IN, purely " +
+          "non-equality correlation, or other forms, materialize the " +
+          "subquery as a source table or temp view and use MERGE")
     GraftSqlShim.column(prepared.transform {
       case a: AttributeReference if sSet.contains(a) =>
         UnresolvedAttribute(Seq("__s", a.name))
@@ -968,6 +1106,47 @@ final case class GraftNotInMultiDeleteCommand(
       rest.map(candidates.filter).getOrElse(candidates)
     }
     if (mor) table.deletePositionsMatching(spark, matcher)
+    else table.deleteRowsMatching(spark, matcher)
+    Nil
+  }
+}
+
+/** Executable lowering of `DELETE ... WHERE [NOT] EXISTS (SELECT ...
+  * WHERE s.k = t.k AND s.x < t.y ...)` — correlated EXISTS whose
+  * correlation carries non-equality THETA conjuncts beside its
+  * equalities. The equalities key a distributed semi (EXISTS) or anti
+  * (NOT EXISTS) join; the thetas are extra conditions ON that join, so
+  * the plan stays an equi-join (sort-merge or broadcast-hash under
+  * Catalyst's sizing), never a nested loop. The matched row set then
+  * deletes through the matcher seam: COW rewrites only the affected
+  * dirs (multiset complement), merge-on-read writes one positional
+  * delete file. EXISTS row-multiplicity semantics make the undistinct'd
+  * source safe: a target row joins at most once into a semi/anti join
+  * regardless of how many source rows satisfy the condition.
+  */
+final case class GraftThetaExistsDeleteCommand(
+    @transient table: SnapshotTable,
+    @transient srcPlan: LogicalPlan,
+    keys: Seq[(String, String)],
+    theta: Column,
+    negated: Boolean,
+    plainCond: Option[Column],
+    modeProperty: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
+    import org.apache.spark.sql.functions.col
+    val src = GraftSqlShim.ofRows(spark, srcPlan).alias("__s")
+    val rest = plainCond.map(DeferredScalarSubquery.materialize(spark, _))
+    val matcher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+      val pre = rest.map(df.filter).getOrElse(df)
+      val joinCond = (keys.map { case (tk, sk) =>
+        col(s"__t.$tk") === col(s"__s.$sk") } :+ theta).reduce(_ && _)
+      pre.alias("__t").join(src, joinCond,
+        if (negated) "left_anti" else "left_semi")
+    }
+    if (table.properties.get(modeProperty).contains("merge-on-read"))
+      table.deletePositionsMatching(spark, matcher)
     else table.deleteRowsMatching(spark, matcher)
     Nil
   }

@@ -606,6 +606,71 @@ class RowLevelSpec extends SparkSpec {
     assert(t.currentSnapshot.get.operation == "merge")
   }
 
+  test("theta-correlated [NOT] EXISTS DELETE rides the equi-join with residual conditions") {
+    val wh = Files.createTempDirectory("graft_rl_theta").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    def fresh(name: String): SnapshotTable = {
+      val t = SnapshotTable(wh, "ns", name)
+      t.overwrite(Seq((1L, 5.0), (2L, 50.0), (3L, 5.0), (4L, 5.0))
+        .toDF("id", "bal")): Unit
+      t
+    }
+    Seq((1L, 10.0), (2L, 10.0), (3L, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("rl_theta_src")
+    // EXISTS with equality + theta: delete rows having a source row on
+    // the SAME key whose v exceeds bal — id=1 only (id=2's v=10 < 50,
+    // id=3's v=1 < 5, id=4 has no source row)
+    val t1 = fresh("theta_cow")
+    spark.sql("""DELETE FROM graft.ns.theta_cow t
+                |WHERE EXISTS (SELECT 1 FROM rl_theta_src s
+                |              WHERE s.k = t.id AND s.v > t.bal)""".stripMargin)
+    assert(t1.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L), "only id=1 has a same-key source row with v > bal")
+    assert(t1.currentSnapshot.get.operation == "delete" &&
+      t1.currentSnapshot.get.deletes.isEmpty, "default write.delete.mode is COW")
+    // same statement, merge-on-read: one positional delete file
+    val t2 = fresh("theta_mor")
+    t2.setProperties(Map("write.delete.mode" -> "merge-on-read")): Unit
+    val dirsBefore = t2.currentSnapshot.get.dataDirs
+    spark.sql("""DELETE FROM graft.ns.theta_mor t
+                |WHERE EXISTS (SELECT 1 FROM rl_theta_src s
+                |              WHERE s.k = t.id AND s.v > t.bal)""".stripMargin)
+    assert(t2.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    assert(t2.currentSnapshot.get.dataDirs == dirsBefore &&
+      t2.currentSnapshot.get.deletes.nonEmpty, "MOR keeps data files, adds a delete file")
+    // NOT EXISTS with theta: keep only rows that DO have such a source
+    // row; residual plain conjunct restricts the statement further
+    val t3 = fresh("theta_anti")
+    spark.sql("""DELETE FROM graft.ns.theta_anti t
+                |WHERE NOT EXISTS (SELECT 1 FROM rl_theta_src s
+                |                  WHERE s.k = t.id AND s.v > t.bal)
+                |  AND t.id < 4""".stripMargin)
+    assert(t3.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 4L), "ids 2,3 lack a qualifying source row and are < 4; id=4 is shielded")
+    // theta through arithmetic on both sides still lowers
+    val t4 = fresh("theta_arith")
+    spark.sql("""DELETE FROM graft.ns.theta_arith t
+                |WHERE EXISTS (SELECT 1 FROM rl_theta_src s
+                |              WHERE s.k = t.id AND s.v * 2 > t.bal + 10)""".stripMargin)
+    assert(t4.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L), "20 > 15 only for id=1")
+    // PURELY non-equality correlation stays refused (no equi key — a
+    // nested-loop join at scale), as does theta correlation in UPDATE
+    val t5 = fresh("theta_refuse")
+    val e = intercept[Exception](spark.sql(
+      """DELETE FROM graft.ns.theta_refuse t
+        |WHERE EXISTS (SELECT 1 FROM rl_theta_src s WHERE s.v > t.bal)""".stripMargin))
+    assert(e.getMessage.contains("subquery"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """UPDATE graft.ns.theta_refuse t SET bal = 0
+        |WHERE EXISTS (SELECT 1 FROM rl_theta_src s
+        |              WHERE s.k = t.id AND s.v > t.bal)""".stripMargin))
+    assert(e2.getMessage.contains("subquery"), e2.getMessage)
+    assert(t5.read(spark).count() == 4L, "refused statements must not mutate")
+  }
+
   test("correlated scalar assignment decorrelates; keyless rows take NULL; count takes 0") {
     val wh = Files.createTempDirectory("graft_rl_cs").toString
     val t = SnapshotTable(wh, "ns", "cst")
