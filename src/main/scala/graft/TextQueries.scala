@@ -171,6 +171,63 @@ object TextQueries {
         "word, map-side only (no shuffle); per-doc word + token counts over a " +
         "slice disjoint from training, oracle replays train + apply"),
 
+    "text_bpe_fertility" -> QueryDef(
+      (s, dir) => {
+        // tokenizer FERTILITY audit: per-language tokens-per-word and
+        // chars-per-token under the learned merges — the metric that
+        // decides whether a tokenizer is fit for a language mix (high
+        // fertility = the language pays more sequence length per word,
+        // skewing effective epoch budgets). Exact integer sums per
+        // language, two divisions at the end; everything before the
+        // one language-keyed aggregation is map-side.
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        val enc = graft.text.Bpe.encodeCounts(
+          docs, "text", "doc_id", bpeMerges(s, dir))
+        val chars = docs.select(col("doc_id"),
+          aggregate(graft.text.Bpe.words(col("text")), lit(0L),
+            (a, w) => a + length(w)).as("n_chars"))
+        enc.join(chars, "doc_id")
+          .join(docs.select(col("doc_id"),
+            coalesce(col("lang"), lit("<none>")).as("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+            sum("n_tokens").as("n_tokens"), sum("n_chars").as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_tokens"), col("n_chars"),
+            (round(col("n_tokens") / col("n_words").cast("double"), 6) + lit(0.0))
+              .as("fertility"),
+            (round(col("n_chars") / col("n_tokens").cast("double"), 6) + lit(0.0))
+              .as("chars_per_token"))
+      },
+      Some(s"""WITH $bpeTrainCtes,
+              |m AS MATERIALIZED (SELECT ${(1 to BpeK).map(n =>
+                 s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")}
+              |  FROM ${(1 to BpeK).map(n => s"b$n").mkString(", ")}),
+              |ew AS (SELECT doc_id, w FROM (
+              |    SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
+              |    FROM documents WHERE doc_id % 3 = 1) WHERE w <> ''),
+              |ap AS (SELECT doc_id, w, ${(1 to BpeK).foldLeft(
+                 "regexp_replace(w, '(.)', '<\\1>', 'g')") { (acc, n) =>
+                 s"replace($acc, '<' || l$n || '><' || r$n || '>', '<' || l$n || r$n || '>')"
+               }} AS ts
+              |  FROM ew, m),
+              |per AS (SELECT doc_id, count(*) AS n_words,
+              |    sum(len(string_split(ts[2:len(ts)-1], '><'))) AS n_tokens,
+              |    sum(len(w)) AS n_chars
+              |  FROM ap GROUP BY 1)
+              |SELECT coalesce(d.lang, '<none>') AS lang,
+              |  count(*) AS n_docs,
+              |  CAST(sum(per.n_words) AS BIGINT) AS n_words,
+              |  CAST(sum(per.n_tokens) AS BIGINT) AS n_tokens,
+              |  CAST(sum(per.n_chars) AS BIGINT) AS n_chars,
+              |  (round(CAST(sum(per.n_tokens) AS BIGINT) / CAST(sum(per.n_words) AS DOUBLE), 6) + 0.0) AS fertility,
+              |  (round(CAST(sum(per.n_chars) AS BIGINT) / CAST(sum(per.n_tokens) AS DOUBLE), 6) + 0.0) AS chars_per_token
+              |FROM per JOIN documents d USING (doc_id)
+              |GROUP BY 1""".stripMargin),
+      doc = "per-language tokenizer fertility audit under the trained BPE: " +
+        "tokens-per-word and chars-per-token from exact per-language sums " +
+        "— the language-mix fitness signal for packing and epoch budgets"),
+
     "text_normalize_unicode" -> QueryDef(
       (s, dir) => {
         // Unicode NFC canonicalization (the first multi-source cleaning
@@ -934,6 +991,36 @@ object TextQueries {
       doc = "Gumbel-top-k resampling over DSIR weights: deterministic " +
         "hash-derived noise makes the without-replacement draw " +
         "reproducible across runs, engines, and partitionings"),
+
+    "corpus_ppl_buckets" -> QueryDef(
+      (s, dir) =>
+        // CCNet's head/middle/tail split: per-language perplexity
+        // terciles under the corpus's own unigram LM; integer rank
+        // math for the cut, two-pass distributed rank for the
+        // per-language ordering — see TextAnalysis.pplBuckets.
+        TextAnalysis.pplBuckets(tbl(s, dir, "documents"), "text",
+          nParts = graft.text.TrainingMix.defaultShards(s)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM f),
+             |sc AS (SELECT doc_id, (round(-avg(ln(f.c / tot.n)), 4) + 0.0) AS nll
+             |  FROM t JOIN f USING (tok) CROSS JOIN tot GROUP BY 1),
+             |j AS (SELECT d.doc_id, coalesce(d.lang, '<none>') AS lang, sc.nll
+             |  FROM documents d JOIN sc USING (doc_id)),
+             |r AS (SELECT doc_id, lang, nll,
+             |    row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM j)
+             |SELECT doc_id, lang, nll,
+             |  CASE WHEN rk * 3 <= n THEN 'head'
+             |       WHEN rk * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM r""".stripMargin),
+      doc = "CCNet head/middle/tail buckets (Wenzek et al. 2020): " +
+        "per-language perplexity terciles under the corpus's own unigram " +
+        "LM — the fluency-sliced sampling stage; distributed rank, " +
+        "integer-exact cuts"),
 
     "corpus_length_hist" -> QueryDef(
       (s, dir) => {

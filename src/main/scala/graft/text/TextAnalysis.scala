@@ -195,6 +195,34 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** `corpus_ppl_buckets`: CCNet's head/middle/tail corpus split
+    * (Wenzek et al. 2020 §3 — each language's documents rank by LM
+    * perplexity and cut into equal terciles; "head" is the most
+    * fluent third, the slice most LLM pretraining mixes upsample).
+    * The LM is the corpus's own unigram model ([[unigramLogprob]],
+    * already 4-dp-rounded and sign-normalized, so the ORDERING the
+    * cut depends on is bit-identical across engines); the tercile
+    * assignment is pure integer rank math (rk*3 vs n), no floating
+    * percentile to knife-edge on.
+    *
+    * Scale: the per-language rank is the two-pass
+    * [[graft.plans.DistributedRank]] — a plain per-language window
+    * would pull corpus/|languages| onto single tasks. Everything else
+    * is the unigram scorer's two hash aggs + one doc-keyed join.
+    */
+  def pplBuckets(df: DataFrame, textCol: String, nParts: Int): DataFrame = {
+    val nll = unigramLogprob(df, textCol).select(col("doc_id"), col("nll"))
+    val scored = df.select(col("doc_id"),
+        coalesce(col("lang"), lit("<none>")).as("lang"))
+      .join(nll, "doc_id")
+    graft.plans.DistributedRank.withGlobalRank(
+        scored, Seq("lang"), Seq(col("nll").asc, col("doc_id").asc), nParts)
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("_rk") * 3 <= col("_n"), "head")
+          .when(col("_rk") * 3 <= col("_n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** `corpus_line_dedup`: C4's line-level dedup (Raffel et al. 2020
     * §2.2 — "we discarded all but one of any three-sentence span
     * occurring more than once", realized here at line granularity, the

@@ -143,4 +143,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._2 <= out(1L)._2)
     assert(out(3L)._1 != out(1L)._1, "content hash must see the suffix")
   }
+
+  test("ppl buckets: per-language terciles, fluent third is head, nParts-invariant") {
+    // 6 'en' docs spanning common -> hapax vocab (distinct NLLs): 2 per
+    // tercile. The null-lang doc groups under '<none>' as a singleton
+    // language, where the integer cut (rk*3 vs n) lands its one row in
+    // 'tail' (3 > 1 and 3 > 2) — pinned so the closed form stays put.
+    val docs = Seq(
+      (1L, "en", "the the the the"),
+      (2L, "en", "the the the cat"),
+      (3L, "en", "the the cat sat"),
+      (4L, "en", "the cat sat mat"),
+      (5L, "en", "cat sat mat dog"),
+      (6L, "en", "qqq www eee rrr"),
+      (7L, null.asInstanceOf[String], "the the the the"))
+      .toDF("doc_id", "lang", "text")
+    for (nParts <- Seq(1, 3, 7)) {
+      val out = TextAnalysis.pplBuckets(docs, "text", nParts)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+        4L -> "middle", 5L -> "tail", 6L -> "tail", 7L -> "tail"),
+        s"nParts=$nParts: $out")
+    }
+  }
 }
