@@ -1014,6 +1014,47 @@ object MetaQueries {
         "(manifest role) with added_snapshot_id lineage and sidecar-served " +
         "totals — zero footer/data I/O, pinned in-query"),
 
+    "table_entries" -> QueryDef(
+      (s, dir) => {
+        // the Iceberg `$entries` metadata table: every data file with
+        // its lifecycle STATUS against the current commit — ADDED (1),
+        // EXISTING (0, carried; snapshot_id = the adding commit) and
+        // DELETED (2, retired BY the current commit — the audit row
+        // that shows what a commit removed). Fixture: evens dir (snap
+        // 1), odds dir (snap 2), then a COW delete of part of the odds
+        // (snap 3) — the evens dir carries as EXISTING@1, the odds
+        // rewrite is ADDED@3, and the pre-delete odds files list as
+        // DELETED@3. Aggregated to exact ground-truth row totals so
+        // the oracle needs no physical paths.
+        val wh = warmBaseDir("table_entries", dir) { b =>
+          val seed = SnapshotTable(b, "testdata", "events_entries")
+          val ev = tbl(s, dir, "events")
+            .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("ts_day"))
+          seed.overwrite(ev.filter(col("event_id") % 2 === 0), partitionCols = Seq("ts_day")): Unit
+          seed.append(ev.filter(col("event_id") % 2 === 1), partitionCols = Seq("ts_day")): Unit
+          seed.deleteRows(s, col("event_id") % 4 === 1): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "events_entries")
+        val footersBefore = SnapshotTable.footerReadsOnThread
+        val e = table.entryStats(s)
+        val agg = e.groupBy(col("status"), col("snapshot_id"))
+          .agg(sum(col("record_count")).as("row_count"))
+        val out = agg.collect() // bounded: |statuses| x |snapshots|
+        require(SnapshotTable.footerReadsOnThread == footersBefore,
+          "$entries must serve from commit-time sidecars, not footer reads")
+        require(out.forall(_.getLong(2) >= 0), "entry record counts must be known")
+        agg
+      },
+      Some("""SELECT 0 AS status, CAST(1 AS BIGINT) AS snapshot_id,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 0) AS row_count
+             |UNION ALL SELECT 1, 3,
+             |  (SELECT count(*) FROM events WHERE event_id % 4 = 3)
+             |UNION ALL SELECT 2, 3,
+             |  (SELECT count(*) FROM events WHERE event_id % 2 = 1)""".stripMargin),
+      doc = "Iceberg $entries parity: per-file lifecycle status against the " +
+        "current commit (ADDED/EXISTING/DELETED with the owning snapshot id) " +
+        "— the commit audit view, served from snapshot JSON + sidecars only"),
+
     "sql_show_create" -> QueryDef(
       (s, dir) => {
         // SHOW CREATE TABLE round-trips the full DSv2 definition —

@@ -454,8 +454,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 object GraftCatalog {
   /** Metadata-table names resolvable as `graft.<ns>.<table>.<meta>`. */
   val MetaTables: Set[String] =
-    Set("snapshots", "history", "partitions", "files", "manifests", "refs",
-      "deletes", "position_deletes")
+    Set("snapshots", "history", "partitions", "files", "manifests", "entries",
+      "refs", "deletes", "position_deletes")
 
   /** Keys the engine computes on read (or Spark manages itself) — never
     * stored as user properties and not settable via DDL.
@@ -621,6 +621,7 @@ final class GraftSparkTable(
     case Some("partitions") => snapTable.partitionStats(spark)
     case Some("files") => snapTable.fileStats(spark)
     case Some("manifests") => snapTable.manifestStats(spark)
+    case Some("entries") => snapTable.entryStats(spark)
     case Some("refs") =>
       import spark.implicits._
       // the published head surfaces as the implicit `main` branch,

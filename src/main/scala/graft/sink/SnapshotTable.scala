@@ -2622,6 +2622,43 @@ final class SnapshotTable(val root: String, val fullName: String) {
       "added_by_current", "file_count", "row_count")
   }
 
+  /** Manifest-entry listing of the current snapshot (the Iceberg
+    * `$entries` metadata-table role): one row per data file with its
+    * lifecycle status against the current commit — 1 = ADDED (its dir
+    * first appears in the current snapshot), 0 = EXISTING (carried from
+    * an earlier commit; `snapshot_id` is the adding commit), 2 = DELETED
+    * (the file's dir was live in the parent snapshot and the current
+    * commit removed it; `snapshot_id` is the removing commit — the
+    * audit row Iceberg keeps so a reader can see what a commit
+    * retired). Pure metadata: snapshot JSON + per-dir sidecars, zero
+    * data or footer I/O at any table size.
+    */
+  def entryStats(spark: SparkSession): DataFrame = {
+    val snap = requireCurrent
+    val firstSeen: Map[String, Long] = snapshots.filterNot(_.staged)
+      .sortBy(_.id)
+      .flatMap(s => s.dataDirs.map(_ -> s.id))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+    val live = snap.dataDirs.flatMap { d =>
+      val addedId = firstSeen.getOrElse(d, snap.id)
+      dirFileEntries(snap, d).map { case (path, dir, part, bytes, rows) =>
+        (if (addedId == snap.id) 1 else 0, addedId, path, dir, part, bytes, rows)
+      }
+    }
+    val removed = snap.parentId.filter(_ != 0L)
+      .flatMap(pid => snapshots.find(_.id == pid)).toSeq
+      .flatMap { p =>
+        p.dataDirs.filterNot(snap.dataDirs.contains).flatMap { d =>
+          dirFileEntries(p, d).map { case (path, dir, part, bytes, rows) =>
+            (2, snap.id, path, dir, part, bytes, rows)
+          }
+        }
+      }
+    import spark.implicits._
+    (live ++ removed).toDF("status", "snapshot_id", "file_path", "data_dir",
+      "partition_path", "size_bytes", "record_count")
+  }
+
   /** One dir's $files entries (sidecar-served; legacy dirs fall back to
     * a walk + footer read), masked partitions excluded.
     */

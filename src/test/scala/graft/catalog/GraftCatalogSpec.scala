@@ -174,6 +174,27 @@ class GraftCatalogSpec extends SparkSpec {
       s"rollback(1) should orphan snapshot 2 from the current lineage: $hist")
   }
 
+  test("$entries lists ADDED/EXISTING/DELETED file lifecycle per commit") {
+    val wh = freshCatalog("entries")
+    val t = SnapshotTable(wh, "ns", "ent")
+    t.overwrite(Seq((1L, "a"), (2L, "a")).toDF("id", "v"))  // snap 1
+    t.append(Seq((3L, "b"), (4L, "b")).toDF("id", "v"))     // snap 2
+    // fresh append head: snap-1 files EXISTING@1, snap-2 files ADDED@2
+    val e2 = spark.sql(
+      """SELECT status, snapshot_id, sum(record_count)
+        |FROM graft.ns.ent.entries GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(e2 == Seq((0, 1L, 2L), (1, 2L, 2L)), s"append head: $e2")
+    // a full overwrite retires BOTH live dirs: everything DELETED@3
+    // beside the replacement ADDED@3
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))             // snap 3
+    val e3 = spark.sql(
+      """SELECT status, snapshot_id, sum(record_count)
+        |FROM graft.ns.ent.entries GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(e3 == Seq((1, 3L, 1L), (2, 3L, 4L)), s"overwrite head: $e3")
+  }
+
   test("TBLPROPERTIES persist, SET/UNSET round-trip, reserved keys refused") {
     val wh = freshCatalog("props")
     spark.sql(
