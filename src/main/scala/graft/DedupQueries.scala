@@ -185,6 +185,57 @@ object DedupQueries {
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
       doc = "capstone pipeline: quality + language + exact dedup + near-dup removal in one plan"),
 
+    "corpus_url_filter" -> QueryDef(
+      (s, dir) => {
+        // RefinedWeb URL curation: domain blocklist + weighted soft
+        // word score over the URL string, decided before any content
+        // work. The fixture synthesizes four URL shapes per doc: a
+        // blocked-subdomain hit, a two-word score at 1.2 (dropped), a
+        // one-word score at 0.8 (kept — soft matching means one
+        // incidental word is not a verdict), and clean.
+        val d = tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+        val page = (col("doc_id") % 50).cast("string")
+        val url = when(col("doc_id") % 7 === 0,
+            concat(lit("https://ads.spam-mirror.example.com/p/"), page))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit("https://"), col("source"),
+              lit(".example.com/free-casino-poker/"), page))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit("https://"), col("source"),
+              lit(".example.com/casino-news/"), page))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/articles/"), page))
+        graft.dedup.UrlDedup.urlFilter(d.withColumn("url", url), "url",
+          blockedDomains = Seq("spam-mirror.example.com", "blocked.site"),
+          badWords = Seq("casino" -> 0.8, "poker" -> 0.4, "xxx" -> 1.0))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(doc_id % 50 AS VARCHAR) AS page FROM documents),
+             |u AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'https://ads.spam-mirror.example.com/p/' || page
+             |         WHEN doc_id % 7 = 1 THEN 'https://' || source || '.example.com/free-casino-poker/' || page
+             |         WHEN doc_id % 7 = 2 THEN 'https://' || source || '.example.com/casino-news/' || page
+             |         ELSE 'https://' || source || '.example.com/articles/' || page END AS url
+             |  FROM d),
+             |h AS (SELECT doc_id, url,
+             |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+             |    (round(CAST(
+             |           CASE WHEN contains(lower(url), 'casino') THEN 0.8 ELSE 0.0 END
+             |         + CASE WHEN contains(lower(url), 'poker') THEN 0.4 ELSE 0.0 END
+             |         + CASE WHEN contains(lower(url), 'xxx') THEN 1.0 ELSE 0.0 END
+             |           AS DOUBLE), 4) + 0.0) AS url_score
+             |  FROM u),
+             |b AS (SELECT doc_id, host, url_score,
+             |    (host = 'spam-mirror.example.com' OR host LIKE '%.spam-mirror.example.com'
+             |     OR host = 'blocked.site' OR host LIKE '%.blocked.site') AS blocked
+             |  FROM h)
+             |SELECT doc_id, host, url_score, blocked,
+             |  (NOT blocked AND url_score < 1.0) AS keep
+             |FROM b""".stripMargin),
+      doc = "RefinedWeb URL curation: domain blocklist (registrable-suffix " +
+        "match) + weighted soft word score, decided map-side before any " +
+        "content fetch or scoring — no shuffle, no join"),
+
     "dedup_url" -> QueryDef(
       (s, dir) => {
         // URL-level dedup, the CHEAPEST layer a web corpus runs before

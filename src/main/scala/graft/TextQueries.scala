@@ -992,6 +992,50 @@ object TextQueries {
         "hash-derived noise makes the without-replacement draw " +
         "reproducible across runs, engines, and partitionings"),
 
+    "text_batch_bucketing" -> QueryDef(
+      (s, dir) => {
+        // LENGTH-GROUPED BATCHING (sorted batching): rank the corpus by
+        // token length desc, cut into fixed-size batches of B=32, and
+        // report each batch's padding fraction — the padding a trainer
+        // pays when it pads every sequence in a batch to the batch max.
+        // Length-sorted batches put like-sized docs together, so the
+        // metric is the evidence that bucketing works (near-0 padding
+        // except at length cliffs). The global rank is the two-pass
+        // DistributedRank: a keyless row_number window would pull the
+        // whole corpus onto one task.
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        val b = 32
+        graft.plans.DistributedRank.withGlobalRank(
+            docs, Seq.empty, Seq(col("n").desc, col("doc_id").asc),
+            nParts = graft.text.TrainingMix.defaultShards(s))
+          .withColumn("batch_id", ((col("_rk") - 1) / b).cast("long"))
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"), max(col("n")).as("max_tokens"),
+            sum(col("n")).as("sum_tokens"))
+          .select(col("batch_id"), col("n_docs"), col("max_tokens"),
+            col("sum_tokens"),
+            (round(lit(1.0) - col("sum_tokens") /
+              (col("max_tokens") * col("n_docs").cast("double")), 6) + lit(0.0))
+              .as("padding_frac"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+             |  FROM documents),
+             |r AS (SELECT doc_id, n,
+             |    row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk FROM t)
+             |SELECT CAST(rk // 32 AS BIGINT) AS batch_id,
+             |  count(*) AS n_docs,
+             |  max(n) AS max_tokens,
+             |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+             |  (round(1.0 - CAST(sum(n) AS BIGINT) / (max(n) * CAST(count(*) AS DOUBLE)), 6) + 0.0) AS padding_frac
+             |FROM r GROUP BY 1""".stripMargin),
+      doc = "length-grouped (sorted) batching: global length rank cut into " +
+        "fixed batches with per-batch padding fraction — the pad-to-max " +
+        "waste metric bucketed batching exists to minimize; distributed " +
+        "rank, no single-task window"),
+
     "corpus_ppl_buckets" -> QueryDef(
       (s, dir) =>
         // CCNet's head/middle/tail split: per-language perplexity

@@ -56,6 +56,38 @@ object UrlDedup {
     concat(scheme, lit("://"), host, path, query)
   }
 
+  /** `corpus_url_filter`: RefinedWeb-style URL quality filtering
+    * (Penedo et al. 2023 §3.1 — the curation layer BEFORE any content
+    * is fetched or scored): a hard domain blocklist (host equals a
+    * blocked registrable domain or is a subdomain of one) plus a soft
+    * weighted word score over the lowercased URL string; a document
+    * keeps only if it is neither blocked nor at/over the score
+    * threshold. Pure map-side string expressions — no shuffle, no
+    * state; the blocklist and word table are compile-time-bounded
+    * expression literals, never a join side.
+    */
+  def urlFilter(
+      docs: DataFrame, urlCol: String,
+      blockedDomains: Seq[String],
+      badWords: Seq[(String, Double)],
+      threshold: Double = 1.0): DataFrame = {
+    require(blockedDomains.nonEmpty && badWords.nonEmpty,
+      "urlFilter needs a blocklist and a word table")
+    val u = lower(col(urlCol))
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val blocked = blockedDomains.map(d =>
+      host === d || host.endsWith("." + d)).reduce(_ || _)
+    // left-to-right fold, 4-dp rounded once: the decision compares the
+    // SAME rounded value the row reports, bit-stable across engines
+    val score = round(badWords.map { case (w, wt) =>
+      when(u.contains(w), lit(wt)).otherwise(lit(0.0))
+    }.reduce(_ + _), 4) + lit(0.0)
+    docs.select(col("doc_id"), host.as("host"), score.as("url_score"),
+      blocked.as("blocked"),
+      (!blocked && score < threshold).as("keep"))
+  }
+
   /** URL-level dedup: one row per canonical URL — the smallest doc_id
     * wins (deterministic first-crawl keeper), with the surface-form
     * count as evidence. One map-side canonicalization + one hash

@@ -350,4 +350,28 @@ class DedupSpec extends SparkSpec {
     assert(dd.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
       Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L), (7L, 1L), (8L, 1L)))
   }
+
+  test("urlFilter: blocklist suffix matching, score threshold, malformed hosts") {
+    import graft.dedup.UrlDedup
+    val docs = Seq(
+      (1L, "https://bad.site/x"),                 // exact blocked domain
+      (2L, "https://cdn.bad.site/x"),             // subdomain of blocked
+      (3L, "https://notbad.site/x"),              // similar suffix: NOT blocked
+      (4L, "https://ok.org/casino-poker/x"),      // 0.8+0.4 = 1.2 >= 1.0: drop
+      (5L, "https://ok.org/casino-review/x"),     // 0.8 < 1.0: keep
+      (6L, "https://ok.org/xxx"),                 // 1.0 >= threshold: drop
+      (7L, "https://ok.org/articles/x"),          // clean: keep
+      (8L, "no-scheme/casino"))                   // malformed: empty host, scored
+      .toDF("doc_id", "url")
+    val out = UrlDedup.urlFilter(docs, "url",
+        blockedDomains = Seq("bad.site"),
+        badWords = Seq("casino" -> 0.8, "poker" -> 0.4, "xxx" -> 1.0))
+      .orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out == Map(
+      1L -> ((true, false)), 2L -> ((true, false)), 3L -> ((false, true)),
+      4L -> ((false, false)), 5L -> ((false, true)), 6L -> ((false, false)),
+      7L -> ((false, true)), 8L -> ((false, true))),
+      s"blocked/keep decisions: $out")
+  }
 }
