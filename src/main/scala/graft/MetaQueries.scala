@@ -2066,6 +2066,67 @@ object MetaQueries {
         "null-aware semantics via run-time null-mask decomposition into equi " +
         "anti-joins (no nested-loop join), NULLs planted on both sides/columns"),
 
+    "sql_update_not_in_multi" -> QueryDef(
+      (s, dir) => {
+        // UPDATE ... WHERE (u, e) NOT IN (SELECT ...) — the UPDATE twin
+        // of the multi-column null-aware form: same run-time null-mask
+        // decomposition, matched rows rewritten through the COW matcher
+        // seam with the assignment applied. Same NULL-planted fixture
+        // as the DELETE twin so every mask pair is oracle-exercised;
+        // the flag column makes the touched/untouched split explicit.
+        val wh = warmCloneWarehouse("sql_update_not_in_multi", dir) { b =>
+          val ev = tbl(s, dir, "events").select(
+            col("event_id"),
+            when(col("user_id") % 7 === 0, lit(null).cast("bigint"))
+              .otherwise(col("user_id") % 50).as("u"),
+            when(col("event_id") % 11 === 0, lit(null).cast("string"))
+              .otherwise(col("event_type")).as("e"),
+            col("value"), lit(0L).as("flag"))
+          SnapshotTable(b, "testdata", "events_multi_u").overwrite(ev): Unit
+        }
+        val table = SnapshotTable(wh, "testdata", "events_multi_u")
+        val before = table.currentSnapshot.get.rowCount
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        s.sql("""UPDATE graft.testdata.events_multi_u
+                |SET flag = 1
+                |WHERE (u, e) NOT IN (
+                |  SELECT CASE WHEN value > 450 THEN CAST(NULL AS BIGINT)
+                |              ELSE coalesce(u, -1) END,
+                |         CASE WHEN value > 350 AND value <= 450 THEN CAST(NULL AS STRING)
+                |              ELSE e END
+                |  FROM graft.testdata.events_multi_u
+                |  WHERE e = 'purchase' AND value > 200)""".stripMargin)
+        val snap = table.currentSnapshot.get
+        val flagged = s.sql(
+          "SELECT count(*) FROM graft.testdata.events_multi_u WHERE flag = 1")
+          .head.getLong(0)
+        require(snap.operation == "update" && snap.rowCount == before &&
+          flagged > 0 && flagged < before,
+          s"the multi-column NOT IN UPDATE must flag a strict subset " +
+            s"(op=${snap.operation}, flagged=$flagged/$before)")
+        s.sql("SELECT event_id, u, e, value, flag FROM graft.testdata.events_multi_u")
+      },
+      // flag = 1 exactly where NO source row is possibly-equal (the
+      // textbook NOT IN expansion, stated directly as in the DELETE twin)
+      Some("""WITH t AS (SELECT event_id,
+             |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 50 END AS u,
+             |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS e,
+             |    value FROM events),
+             |src AS (SELECT CASE WHEN value > 450 THEN NULL ELSE coalesce(u, -1) END AS su,
+             |    CASE WHEN value > 350 AND value <= 450 THEN NULL ELSE e END AS se
+             |  FROM t WHERE e = 'purchase' AND value > 200)
+             |SELECT event_id, u, e, value,
+             |  CAST(CASE WHEN EXISTS (SELECT 1 FROM src
+             |    WHERE (t.u = src.su OR t.u IS NULL OR src.su IS NULL)
+             |      AND (t.e = src.se OR t.e IS NULL OR src.se IS NULL))
+             |  THEN 0 ELSE 1 END AS BIGINT) AS flag
+             |FROM t""".stripMargin),
+      doc = "SQL UPDATE with a MULTI-column uncorrelated NOT IN: the DELETE " +
+        "twin's null-mask decomposition feeding the copy-on-write update " +
+        "matcher seam — matched rows rewritten with the assignment, " +
+        "unmatched carried verbatim"),
+
     "sql_delete_predicate" -> QueryDef(
       (s, dir) => {
         // DELETE with an ARBITRARY predicate (`value * 2 > 500` — the

@@ -93,11 +93,15 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             plainSets = Some(assignments.map(a =>
               topLevelName(a.key, "UPDATE") -> xlate(a.value, tSet, AttributeSet.empty)).toMap),
             modeProperty = "write.update.mode")
-        case Some((NotInMultiArm, _, _, _)) =>
-          throw new UnsupportedOperationException(
-            "multi-column NOT IN is supported for DELETE but not yet for " +
-              "UPDATE; materialize the subquery as a source table or temp " +
-              "view and use MERGE (WHEN NOT MATCHED BY SOURCE THEN UPDATE)")
+        // UPDATE ... WHERE (a, b, ...) NOT IN (SELECT ...): the same
+        // run-time null-mask decomposition as the DELETE twin; matched
+        // rows update through the COW/MOR matcher seam
+        case Some((NotInMultiArm, keys, srcPlan, rest)) =>
+          GraftNotInMultiUpdateCommand(t.snapTable, srcPlan, keys,
+            sets = assignments.map(a => topLevelName(a.key, "UPDATE") ->
+              xlate(a.value, tSet, AttributeSet.empty)).toMap,
+            plainCond = rest.map(xlate(_, tSet, AttributeSet.empty)),
+            modeProperty = "write.update.mode")
         case None =>
           lowerCorrScalarUpdate(t, assignments, condition, tSet).getOrElse(
             GraftUpdateCommand(
@@ -713,8 +717,8 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "and assignments, and ONE top-level WHERE conjunct of UPDATE or " +
           "DELETE that is `col IN (SELECT ...)` (over plain target columns, " +
           "correlated or not), `[(]col[, ...)] NOT IN (SELECT ...)` " +
-          "(uncorrelated, full null-aware semantics; the multi-column form " +
-          "for DELETE), a correlated `[NOT] EXISTS` on plain column-equality " +
+          "(uncorrelated, full null-aware semantics, single- or " +
+          "multi-column), a correlated `[NOT] EXISTS` on plain column-equality " +
           "correlation (DELETE additionally accepts non-equality theta " +
           "conjuncts beside at least one equality), or an UPDATE assignment " +
           "whose value is a correlated scalar max/min/sum/avg/count over " +
@@ -1051,6 +1055,82 @@ final case class GraftNotInMultiDeleteCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     graft.governance.AccessControl.checkTableAccess(spark,
       table.fullName.split("\\.", 2).last, table.fullName, "write")
+    import org.apache.spark.sql.functions.lit
+    val mor = table.properties.get(modeProperty).contains("merge-on-read")
+    val rest = plainCond.map(DeferredScalarSubquery.materialize(spark, _))
+    NotInMultiRuntime.classify(spark, table, keysPlan, keys, rest) match {
+      case NotInMultiRuntime.NoOp => ()
+      case NotInMultiRuntime.EverywhereTrue =>
+        // empty subquery: NOT IN is TRUE for every row (null keys too)
+        val c = rest.getOrElse(lit(true))
+        if (mor) table.deletePositions(spark, c) else table.deleteRows(spark, c)
+      case NotInMultiRuntime.Matched(matcher) =>
+        if (mor) table.deletePositionsMatching(spark, matcher)
+        else table.deleteRowsMatching(spark, matcher)
+    }
+    Nil
+  }
+}
+
+/** Executable lowering of `UPDATE ... SET ... WHERE (a, b, ...) NOT IN
+  * (SELECT …)` — the UPDATE twin of [[GraftNotInMultiDeleteCommand]]:
+  * identical run-time null-mask classification (no-op on an all-NULL
+  * source tuple, plain update on an empty subquery, the per-mask
+  * equi-anti-join matcher otherwise); the matched row set updates
+  * through the matcher seam — COW dir rewrite or MOR positional delete
+  * + append per `write.update.mode`.
+  */
+final case class GraftNotInMultiUpdateCommand(
+    @transient table: SnapshotTable,
+    @transient keysPlan: LogicalPlan,
+    keys: Seq[(String, String)],
+    sets: Map[String, Column],
+    plainCond: Option[Column],
+    modeProperty: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.governance.AccessControl.checkTableAccess(spark,
+      table.fullName.split("\\.", 2).last, table.fullName, "write")
+    import org.apache.spark.sql.functions.lit
+    val mor = table.properties.get(modeProperty).contains("merge-on-read")
+    def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
+    val rest = plainCond.map(m)
+    val matSets = sets.map { case (k2, v) => k2 -> m(v) }
+    NotInMultiRuntime.classify(spark, table, keysPlan, keys, rest) match {
+      case NotInMultiRuntime.NoOp => ()
+      case NotInMultiRuntime.EverywhereTrue =>
+        val c = rest.getOrElse(lit(true))
+        if (mor) table.updatePositions(spark, c, matSets)
+        else table.updateWhere(spark, c, matSets)
+      case NotInMultiRuntime.Matched(matcher) =>
+        if (mor) table.updatePositionsMatching(spark, matcher, matSets)
+        else table.updateRowsMatching(spark, matcher, matSets)
+    }
+    Nil
+  }
+}
+
+/** Run-time null-mask classification + matcher shared by the
+  * multi-column NOT IN DELETE and UPDATE commands. NOT IN is null-aware
+  * per COLUMN: distinct source null masks (≤2^k, data-driven) each pair
+  * with every target null mask into a pure equi anti-join over the
+  * both-non-null columns — never a nested-loop join. An all-NULL source
+  * tuple makes the statement a no-op; an empty subquery makes NOT IN
+  * TRUE everywhere (the caller falls back to its plain predicate path).
+  */
+private[catalog] object NotInMultiRuntime {
+  sealed trait Plan
+  case object NoOp extends Plan
+  case object EverywhereTrue extends Plan
+  final case class Matched(
+      matcher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+    extends Plan
+
+  def classify(
+      spark: SparkSession,
+      table: SnapshotTable,
+      keysPlan: LogicalPlan,
+      keys: Seq[(String, String)],
+      rest: Option[Column]): Plan = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, when}
     val k = keys.size
     // same one-evaluation discipline as GraftNotInCommand: the mask
@@ -1066,21 +1146,14 @@ final case class GraftNotInMultiDeleteCommand(
     val srcMask = maskOf(keys.map { case (_, sk) => col(sk) })
     val srcMasks = src.select(srcMask.as("__gmask")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val mor = table.properties.get(modeProperty).contains("merge-on-read")
-    val rest = plainCond.map(DeferredScalarSubquery.materialize(spark, _))
-    if (srcMasks.isEmpty) {
-      // empty subquery: NOT IN is TRUE for every row (null keys too)
-      val c = rest.getOrElse(lit(true))
-      if (mor) table.deletePositions(spark, c) else table.deleteRows(spark, c)
-      return Nil
-    }
-    if (srcMasks.contains((1 << k) - 1)) return Nil // all-NULL source tuple
+    if (srcMasks.isEmpty) return EverywhereTrue
+    if (srcMasks.contains((1 << k) - 1)) return NoOp // all-NULL source tuple
     // target masks: one key-columns-only pass, superset of any probe
     // frame's masks (an unpopulated mask just yields an empty piece)
     val tgtMasks = table.read(spark)
       .select(maskOf(keys.map { case (tk, _) => col(tk) }).as("__gmask"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val matcher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+    Matched { df =>
       val pieces = tgtMasks.map { q =>
         val qCond = keys.map(_._1).zipWithIndex.map { case (c, i) =>
           if ((q & (1 << i)) != 0) col(c).isNull else col(c).isNotNull
@@ -1090,7 +1163,7 @@ final case class GraftNotInMultiDeleteCommand(
           val u = (0 until k).filter(i => ((p | q) & (1 << i)) == 0)
           if (u.isEmpty)
             // no both-non-null column: every src[p] row possibly equals
-            // every target[q] row — nothing in this piece can delete
+            // every target[q] row — nothing in this piece can match
             rows = rows.filter(lit(false))
           else {
             val proj = src.filter(srcMask === p)
@@ -1105,9 +1178,6 @@ final case class GraftNotInMultiDeleteCommand(
       val candidates = pieces.reduce(_ unionByName _)
       rest.map(candidates.filter).getOrElse(candidates)
     }
-    if (mor) table.deletePositionsMatching(spark, matcher)
-    else table.deleteRowsMatching(spark, matcher)
-    Nil
   }
 }
 

@@ -642,6 +642,19 @@ final class SnapshotTable(val root: String, val fullName: String) {
       spark: SparkSession,
       cond: org.apache.spark.sql.Column,
       sets: Map[String, org.apache.spark.sql.Column],
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot =
+    updatePositionsMatching(spark, _.filter(cond), sets, numRetries)
+
+  /** [[updatePositions]] generalized to a row MATCHER (a transform of
+    * the probe frame to its to-update subset) for update sets no single
+    * predicate can express — e.g. the null-mask anti-join pieces of a
+    * multi-column NOT IN. Same contract: one positional delete file +
+    * one append of the rewritten rows, no data file rewritten.
+    */
+  def updatePositionsMatching(
+      spark: SparkSession,
+      matcher: DataFrame => DataFrame,
+      sets: Map[String, org.apache.spark.sql.Column],
       numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
     import org.apache.spark.sql.functions.col
     require(sets.nonEmpty, s"merge-on-read UPDATE on $fullName needs at least one assignment")
@@ -660,7 +673,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val probe = cur.dataDirs.map(d => readDirWithRowId(spark, cur, d)
           .withColumn(SnapshotTable.RowIdDirCol, lit(d)))
         .reduce(_ unionByName _)
-      val matched = probe.filter(cond)
+      val matched = matcher(probe)
       val positions = matched
         .select(col(SnapshotTable.RowIdFileCol), col(SnapshotTable.RowIdPosCol),
           col(SnapshotTable.RowIdDirCol))
@@ -767,6 +780,52 @@ final class SnapshotTable(val root: String, val fullName: String) {
       }: _*)
       rewriteDirs(spark, cur, affected, updated, "update",
         newTotal = cur.rowCount, attempt = attempt, carryDirs = carryDirs) match {
+        case Right(snap) => return snap
+        case Left(conflict) =>
+          if (attempt >= numRetries)
+            throw CommitFailedException(fullName, attempt + 1, conflict)
+          Thread.sleep(SnapshotTable.backoffMs(attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[updateWhere]] generalized to a row MATCHER for update row sets
+    * no single predicate can express (the multi-column NOT IN pieces).
+    * Copy-on-write at dir granularity like updateWhere: affected dirs
+    * detected through the matcher, rewritten as (unmatched rows
+    * verbatim) ∪ (matched rows with `sets` applied); untouched dirs
+    * carry forward byte-identical. The multiset split (`exceptAll`)
+    * matches the delete seam's contract: a matcher decides per row
+    * CONTENT, so duplicate rows either all match or none do.
+    */
+  def updateRowsMatching(
+      spark: SparkSession,
+      matcher: DataFrame => DataFrame,
+      sets: Map[String, org.apache.spark.sql.Column],
+      numRetries: Int = SnapshotTable.DefaultCommitRetries): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    require(sets.nonEmpty, s"UPDATE on $fullName needs at least one assignment")
+    var attempt = 0
+    while (true) {
+      val cur = requireCurrent
+      val schemaCols = snapshotSchema(spark, cur)
+      val names = schemaCols.map(_._1)
+      sets.keys.foreach(k => require(names.contains(k),
+        s"UPDATE on $fullName assigns unknown column $k (columns: ${names.mkString(", ")})"))
+      val affected = affectedDirs(spark, cur, matcher)
+      if (affected.isEmpty) return cur
+      val (view, carryDirs) = splitForRewrite(spark, cur, affected, matcher)
+      val matched = matcher(view)
+      val rewritten = matched.select(schemaCols.map { case (n, t) =>
+        sets.get(n).map(_.cast(t).as(n)).getOrElse(col(n))
+      }: _*)
+      val untouched = view.exceptAll(matched)
+        .select(schemaCols.map { case (n, _) => col(n) }: _*)
+      rewriteDirs(spark, cur, affected, untouched.unionByName(rewritten),
+        "update", newTotal = cur.rowCount, attempt = attempt,
+        carryDirs = carryDirs) match {
         case Right(snap) => return snap
         case Left(conflict) =>
           if (attempt >= numRetries)

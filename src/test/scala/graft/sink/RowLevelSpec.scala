@@ -497,14 +497,29 @@ class RowLevelSpec extends SparkSpec {
     spark.sql("""UPDATE graft.ns.nin5 SET bal = 0
                 |WHERE id NOT IN (SELECT k FROM rl_nin_empty)""".stripMargin)
     assert(t5.read(spark).select("bal").as[Double].collect().toSeq.forall(_ == 0.0))
-    // 6. multi-column NOT IN UPDATE keeps the actionable error (the
-    //    DELETE form is supported — its own test below)
+    // 6. multi-column NOT IN UPDATE: same null-mask machinery as the
+    //    DELETE twin. (1,1.0) equals the source pair and stays; every
+    //    other row — including (NULL,9.0), whose both-non-null column
+    //    bal=9.0 definitely differs from b=1.0 — updates
     val t6 = fresh("nin6")
     Seq((1L, 1.0)).toDF("k", "b").createOrReplaceTempView("rl_nin_pair")
-    val e = intercept[Exception](spark.sql(
-      """UPDATE graft.ns.nin6 SET bal = -1
-        |WHERE (id, bal) NOT IN (SELECT k, b FROM rl_nin_pair)""".stripMargin))
-    assert(e.getMessage.contains("MERGE"), e.getMessage)
+    spark.sql("""UPDATE graft.ns.nin6 SET bal = -1
+                |WHERE (id, bal) NOT IN (SELECT k, b FROM rl_nin_pair)""".stripMargin)
+    assert(t6.read(spark).select("bal").as[Double].collect().sorted.toSeq ==
+      Seq(-1.0, -1.0, -1.0, 1.0),
+      "exact rows definitely-absent from the pair list must update")
+    assert(t6.currentSnapshot.get.operation == "update")
+    // ... and merge-on-read: positional delete + append, no rewrite
+    val t7 = fresh("nin7")
+    t7.setProperties(Map("write.update.mode" -> "merge-on-read")): Unit
+    val dirsBefore = t7.currentSnapshot.get.dataDirs
+    spark.sql("""UPDATE graft.ns.nin7 SET bal = -1
+                |WHERE (id, bal) NOT IN (SELECT k, b FROM rl_nin_pair)""".stripMargin)
+    assert(t7.read(spark).select("bal").as[Double].collect().sorted.toSeq ==
+      Seq(-1.0, -1.0, -1.0, 1.0))
+    assert(dirsBefore.forall(t7.currentSnapshot.get.dataDirs.contains) &&
+      t7.currentSnapshot.get.deletes.exists(_.positional),
+      "MOR multi-column NOT IN UPDATE must not rewrite data files")
   }
 
   test("multi-column NOT IN DELETE: exact per-column null-aware semantics") {
