@@ -281,7 +281,57 @@ object CoreQueries {
              |ORDER BY revenue DESC, l_orderkey ASC
              |LIMIT 10""".stripMargin),
       doc = "TPC-H Q3-shaped star join: filtered dim broadcast, filters " +
-        "pushed to every scan, decimal-exact revenue, deterministic top-10")
+        "pushed to every scan, decimal-exact revenue, deterministic top-10"),
+
+    "q18_big_orders" -> QueryDef(
+      (s, dir) => {
+        // TPC-H Q18-shaped flagship (large-volume customers): the
+        // HAVING-subquery pattern — a fact self-aggregation gates the
+        // main join via a SEMI join on its keys (never a second full
+        // join), then customer/orders/lineitem re-aggregate over the
+        // survivors. Quantity sums ride DECIMAL end-to-end (a double
+        // sum is partition-order-dependent and both the >250 gate and
+        // the oracle hash would knife-edge); top-100 is a distributed
+        // TakeOrdered, not a global sort.
+        val dec = (c: String) => col(c).cast("decimal(18,2)")
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), dec("l_quantity").as("lq"))
+        val bigKeys = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("lq")).as("q"))
+          .filter(col("q") > lit(250).cast("decimal(18,2)"))
+          .select(col("l_orderkey").as("bk"))
+        val ord = tbl(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          .join(bigKeys, col("o_orderkey") === col("bk"), "left_semi")
+        val cust = tbl(s, dir, "customer").select("c_custkey", "c_name")
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice"))
+          .agg(sum(col("lq")).cast("double").as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+            col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey FROM lineitem
+             |  GROUP BY 1
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+             |  o_totalprice,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+             |LIMIT 100""".stripMargin),
+      doc = "TPC-H Q18-shaped flagship: HAVING-gated fact self-aggregation " +
+        "feeding a semi join (never a second full join), broadcast customer " +
+        "dim, decimal-exact quantities, distributed top-100")
   )
 
   /** TPC-H Q1-shaped flagship: filter -> groupBy -> multi-aggregate.

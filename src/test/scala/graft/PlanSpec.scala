@@ -27,6 +27,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must push")
   }
 
+  test("q18_big_orders: HAVING gate is a semi join, customer broadcasts, top-k no global sort") {
+    val p = planOf("q18_big_orders")
+    assert(p.contains("LeftSemi"), "the big-order gate must be a SEMI join, not a second full join")
+    assert(p.contains("BroadcastHashJoin"), "the customer dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must be distributed take-ordered")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("filter_predicate pushes every conjunct") {
     val p = planOf("filter_predicate")
     assert(p.contains("GreaterThanOrEqual(l_shipda") || p.contains("PushedFilters: [IsNotNull"))
