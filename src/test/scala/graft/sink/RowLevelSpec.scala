@@ -621,6 +621,84 @@ class RowLevelSpec extends SparkSpec {
     assert(t.currentSnapshot.get.operation == "merge")
   }
 
+  test("multi-column NOT IN differential: engine DELETE + UPDATE match Spark's native evaluation") {
+    // seeded random tables with NULLs scattered across both columns and
+    // both sides — the engine's null-mask runtime must agree ROW-FOR-ROW
+    // with Spark's own null-aware evaluation of the same predicate on a
+    // plain view (the differential oracle nobody hand-derived)
+    val wh = Files.createTempDirectory("graft_rl_nind").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val rng = new scala.util.Random(20260816L)
+    def cell(): java.lang.Long =
+      if (rng.nextInt(4) == 0) null else java.lang.Long.valueOf(rng.nextInt(4).toLong)
+    for (round <- 1 to 6) {
+      val rows = Seq.tabulate(14)(i =>
+        (i.toLong, cell(), cell()))
+      val srcRows = Seq.fill(rng.nextInt(5))((cell(), cell()))
+      val target = rows.toDF("rid", "a", "b")
+      target.createOrReplaceTempView("rl_nind_t")
+      srcRows.toDF("k1", "k2").createOrReplaceTempView("rl_nind_s")
+      // Spark's native answer on plain views
+      val expectDeleted = spark.sql(
+        """SELECT rid FROM rl_nind_t
+          |WHERE (a, b) NOT IN (SELECT k1, k2 FROM rl_nind_s)""".stripMargin)
+        .as[Long].collect().sorted.toSeq
+      val t = SnapshotTable(wh, "ns", s"nind$round")
+      t.overwrite(target): Unit
+      spark.sql(s"""DELETE FROM graft.ns.nind$round
+                   |WHERE (a, b) NOT IN (SELECT k1, k2 FROM rl_nind_s)""".stripMargin)
+      val survivors = t.read(spark).select("rid").as[Long].collect().sorted.toSeq
+      assert(survivors == rows.map(_._1).filterNot(expectDeleted.contains),
+        s"round $round: DELETE divergence (src=$srcRows)\n" +
+          s"  expectDeleted=$expectDeleted survivors=$survivors")
+      // UPDATE twin flags exactly the same row set
+      val u = SnapshotTable(wh, "ns", s"nindu$round")
+      u.overwrite(target.withColumn("flag", lit(0L))): Unit
+      spark.sql(s"""UPDATE graft.ns.nindu$round SET flag = 1
+                   |WHERE (a, b) NOT IN (SELECT k1, k2 FROM rl_nind_s)""".stripMargin)
+      val flagged = u.read(spark).filter(col("flag") === 1L)
+        .select("rid").as[Long].collect().sorted.toSeq
+      assert(flagged == expectDeleted,
+        s"round $round: UPDATE divergence (src=$srcRows) " +
+          s"expect=$expectDeleted flagged=$flagged")
+    }
+  }
+
+  test("theta-EXISTS differential: engine DELETE matches Spark's native evaluation") {
+    // seeded random targets/sources incl. NULLs in keys AND theta
+    // operands: the decorrelated equi-join + theta condition must agree
+    // row-for-row with Spark's own correlated-EXISTS evaluation
+    val wh = Files.createTempDirectory("graft_rl_thd").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val rng = new scala.util.Random(815L)
+    def num(): java.lang.Double =
+      if (rng.nextInt(5) == 0) null else java.lang.Double.valueOf(rng.nextInt(6).toDouble)
+    for ((neg, round) <- Seq(false, true, false, true).zipWithIndex) {
+      val rows = Seq.tabulate(12)(i =>
+        (i.toLong, (rng.nextInt(4)).toLong, num()))
+      val srcRows = Seq.fill(6)((rng.nextInt(4).toLong, num()))
+      rows.toDF("rid", "k", "bal").createOrReplaceTempView("rl_thd_t")
+      srcRows.toDF("sk", "sv").createOrReplaceTempView("rl_thd_s")
+      val word = if (neg) "NOT EXISTS" else "EXISTS"
+      val expectDeleted = spark.sql(
+        s"""SELECT rid FROM rl_thd_t t
+           |WHERE $word (SELECT 1 FROM rl_thd_s s
+           |             WHERE s.sk = t.k AND s.sv > t.bal)""".stripMargin)
+        .as[Long].collect().sorted.toSeq
+      val t = SnapshotTable(wh, "ns", s"thd$round")
+      t.overwrite(rows.toDF("rid", "k", "bal")): Unit
+      spark.sql(s"""DELETE FROM graft.ns.thd$round t
+                   |WHERE $word (SELECT 1 FROM rl_thd_s s
+                   |             WHERE s.sk = t.k AND s.sv > t.bal)""".stripMargin)
+      val survivors = t.read(spark).select("rid").as[Long].collect().sorted.toSeq
+      assert(survivors == rows.map(_._1).filterNot(expectDeleted.contains),
+        s"round $round ($word): src=$srcRows rows=$rows\n" +
+          s"  expectDeleted=$expectDeleted survivors=$survivors")
+    }
+  }
+
   test("theta-correlated [NOT] EXISTS DELETE rides the equi-join with residual conditions") {
     val wh = Files.createTempDirectory("graft_rl_theta").toString
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
