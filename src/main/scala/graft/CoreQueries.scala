@@ -26,15 +26,17 @@ object CoreQueries {
   val FreshnessAsOfMs = 1706745600000L
 
   /** scan_avro's staged fixture: one unique dir per JVM, created lazily
-    * and reused across invocations — no temp-dir accumulation over
-    * repeated runs, and no overwrite-while-read races across JVMs.
+    * and reused across invocations — no overwrite-while-read races
+    * across JVMs. Rooted under MetaQueries' per-JVM scratch so the
+    * exit hook reclaims it (a bare createTempDirectory here would leak
+    * one events slice per bench/verify/test JVM forever).
     */
   private[graft] lazy val scanAvroFixtureDir: String =
-    java.nio.file.Files.createTempDirectory("graft_scan_avro").toString
+    MetaQueries.freshWarehouse("scan_avro_fixture")
 
   /** scan_orc's staged fixture: same per-JVM pattern as scan_avro. */
   private[graft] lazy val scanOrcFixtureDir: String =
-    java.nio.file.Files.createTempDirectory("graft_scan_orc").toString
+    MetaQueries.freshWarehouse("scan_orc_fixture")
 
   def defs: Map[String, QueryDef] = Map(
 

@@ -91,6 +91,16 @@ object MetaQueries {
         val dir = new File(
           s"$warmRoot/${key}_${sfDir.replaceAll("[^A-Za-z0-9]+", "_")}" +
             f"_${sfDir.hashCode & 0x7fffffff}%08x")
+        // wipe first: a PRIOR build of this key that threw mid-way left
+        // debris here (getOrElseUpdate caches nothing on exception), and
+        // rebuilding on top would corrupt the fixture for the rest of
+        // the JVM (path-exists write failures, doubled commits). The
+        // root is per-JVM, so the wipe can never race another process.
+        def rm(f: File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
         dir.mkdirs()
         build(dir.toString)
         dir.toString

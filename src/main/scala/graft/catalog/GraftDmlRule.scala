@@ -1058,7 +1058,7 @@ final case class GraftNotInMultiDeleteCommand(
     import org.apache.spark.sql.functions.lit
     val mor = table.properties.get(modeProperty).contains("merge-on-read")
     val rest = plainCond.map(DeferredScalarSubquery.materialize(spark, _))
-    NotInMultiRuntime.classify(spark, table, keysPlan, keys, rest) match {
+    NotInMultiRuntime.classify(spark, keysPlan, keys, rest) match {
       case NotInMultiRuntime.NoOp => ()
       case NotInMultiRuntime.EverywhereTrue =>
         // empty subquery: NOT IN is TRUE for every row (null keys too)
@@ -1095,7 +1095,7 @@ final case class GraftNotInMultiUpdateCommand(
     def m(c: Column) = DeferredScalarSubquery.materialize(spark, c)
     val rest = plainCond.map(m)
     val matSets = sets.map { case (k2, v) => k2 -> m(v) }
-    NotInMultiRuntime.classify(spark, table, keysPlan, keys, rest) match {
+    NotInMultiRuntime.classify(spark, keysPlan, keys, rest) match {
       case NotInMultiRuntime.NoOp => ()
       case NotInMultiRuntime.EverywhereTrue =>
         val c = rest.getOrElse(lit(true))
@@ -1127,7 +1127,6 @@ private[catalog] object NotInMultiRuntime {
 
   def classify(
       spark: SparkSession,
-      table: SnapshotTable,
       keysPlan: LogicalPlan,
       keys: Seq[(String, String)],
       rest: Option[Column]): Plan = {
@@ -1148,11 +1147,13 @@ private[catalog] object NotInMultiRuntime {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (srcMasks.isEmpty) return EverywhereTrue
     if (srcMasks.contains((1 << k) - 1)) return NoOp // all-NULL source tuple
-    // target masks: one key-columns-only pass, superset of any probe
-    // frame's masks (an unpopulated mask just yields an empty piece)
-    val tgtMasks = table.read(spark)
-      .select(maskOf(keys.map { case (tk, _) => col(tk) }).as("__gmask"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // target pieces enumerate ALL 2^k masks (k = tuple width, tiny —
+    // an unpopulated mask is just an empty filtered piece): the matcher
+    // closure re-applies against a NEWER probe after a commit-retry
+    // conflict, so a data-driven mask scan taken here could go stale
+    // and silently drop rows a rival commit introduced — full
+    // enumeration is both retry-safe and one table scan cheaper
+    val tgtMasks = 0 until (1 << k)
     Matched { df =>
       val pieces = tgtMasks.map { q =>
         val qCond = keys.map(_._1).zipWithIndex.map { case (c, i) =>
@@ -1206,7 +1207,15 @@ final case class GraftThetaExistsDeleteCommand(
     graft.governance.AccessControl.checkTableAccess(spark,
       table.fullName.split("\\.", 2).last, table.fullName, "write")
     import org.apache.spark.sql.functions.col
-    val src = GraftSqlShim.ofRows(spark, srcPlan).alias("__s")
+    // one-evaluation discipline (as NotInMultiRuntime): the matcher is
+    // applied several times (affected-dir detection, the rewrite split,
+    // the kept-rows complement) — a nondeterministic source must see
+    // the SAME rows in each, or the COW rewrite corrupts
+    val src0 = GraftSqlShim.ofRows(spark, srcPlan)
+    val deterministic = !src0.queryExecution.analyzed.exists(
+      p => !p.expressions.forall(_.deterministic))
+    val src = (if (deterministic) src0 else src0.localCheckpoint(eager = false))
+      .alias("__s")
     val rest = plainCond.map(DeferredScalarSubquery.materialize(spark, _))
     val matcher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
       val pre = rest.map(df.filter).getOrElse(df)

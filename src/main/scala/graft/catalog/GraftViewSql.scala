@@ -572,11 +572,7 @@ object GraftMaterializedView {
         // re-create ("a table with that name exists") yet cannot be
         // dropped via drop_materialized_view. Roll the storage back so
         // a failed create leaves no trace.
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(t.root))
+        deleteTableDir(t)
         throw e
     }
     (snap.rowCount, marks.size)
@@ -626,12 +622,17 @@ object GraftMaterializedView {
     val Array(ns, name) = t.fullName.split("\\.", 2)
     mvSidecar(wh, ns, name) // require it IS a materialized view
     GraftViewStore.delete(wh, Identifier.of(Array(ns), name)): Unit
+    deleteTableDir(t)
+    true
+  }
+
+  /** Remove a storage table's directory tree (create-rollback + drop). */
+  private def deleteTableDir(t: graft.sink.SnapshotTable): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
     rm(new java.io.File(t.root))
-    true
   }
 
   private def mvSidecar(wh: String, ns: String, name: String): GraftViewStore.StoredView = {

@@ -61,10 +61,16 @@ object GraftViewStore {
   }
 
   private def decSeg(s: String): String = {
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
     val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+      // only a well-formed %XX decodes; a bare '%' (a sidecar written
+      // before the encoder existed, or a foreign file) passes through
+      // verbatim instead of crashing the whole namespace listing
+      if (s.charAt(i) == '%' && i + 3 <= s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
         bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
         i += 3
       } else { bytes ++= s.charAt(i).toString.getBytes("UTF-8"); i += 1 }

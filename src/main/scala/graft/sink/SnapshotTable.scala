@@ -2663,12 +2663,18 @@ final class SnapshotTable(val root: String, val fullName: String) {
     * excluded). Pure metadata: snapshot JSON + tiny sidecars, zero data
     * or footer I/O — same bound as `$files`/`$partitions`.
     */
-  def manifestStats(spark: SparkSession): DataFrame = {
-    val snap = requireCurrent
-    val firstSeen: Map[String, Long] = snapshots.filterNot(_.staged)
-      .sortBy(_.id)
+  /** dir -> the PUBLISHED snapshot that first listed it (dirs are
+    * immutable, so first appearance IS the add) — the lineage rule
+    * `$manifests` and `$entries` share.
+    */
+  private def dirAddedSnapshotIds: Map[String, Long] =
+    snapshots.filterNot(_.staged)
       .flatMap(s => s.dataDirs.map(_ -> s.id))
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+
+  def manifestStats(spark: SparkSession): DataFrame = {
+    val snap = requireCurrent
+    val firstSeen = dirAddedSnapshotIds
     import spark.implicits._
     snap.dataDirs.map { d =>
       val entries = dirFileEntries(snap, d)
@@ -2694,10 +2700,7 @@ final class SnapshotTable(val root: String, val fullName: String) {
     */
   def entryStats(spark: SparkSession): DataFrame = {
     val snap = requireCurrent
-    val firstSeen: Map[String, Long] = snapshots.filterNot(_.staged)
-      .sortBy(_.id)
-      .flatMap(s => s.dataDirs.map(_ -> s.id))
-      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+    val firstSeen = dirAddedSnapshotIds
     val live = snap.dataDirs.flatMap { d =>
       val addedId = firstSeen.getOrElse(d, snap.id)
       dirFileEntries(snap, d).map { case (path, dir, part, bytes, rows) =>
