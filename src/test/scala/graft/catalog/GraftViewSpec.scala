@@ -210,6 +210,15 @@ class GraftViewSpec extends SparkSpec {
     assert(cat.listViews("ns.x").map(_.name()).toSeq == Seq("y"))
     assert(cat.dropView(Identifier.of(Array("ns"), "x.y")))
     assert(cat.viewExists(Identifier.of(Array("ns.x"), "y")))
+    // a LEGACY sidecar written before the percent-encoder (raw '%' not
+    // followed by two hex digits) must not crash the namespace listing;
+    // its name passes through verbatim
+    val legacy = new java.io.File(viewsDir, "ns.50%off.json")
+    java.nio.file.Files.write(legacy.toPath,
+      """{"namespace":"ns","name":"50%off","sql":"SELECT 1 AS x","currentCatalog":"spark_catalog","currentNamespace":[],"schemaJson":"","queryColumnNames":[],"columnAliases":[],"properties":{}}"""
+        .getBytes("UTF-8")): Unit
+    assert(cat.listViews("ns").map(_.name()).contains("50%off"),
+      "legacy un-encoded sidecars must list, not crash the namespace")
   }
 
   test("table/view name collisions are refused in both directions") {
