@@ -819,6 +819,35 @@ object SimilarityQueries {
               |WHERE rank <= 5""".stripMargin),
       doc = "hyperplane-LSH bucketed ANN: equi-join on 8-bit signature, then rank"),
 
+    "similarity_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        // contrastive-training negative mining: top-5 most similar
+        // DIFFERENT-label vectors per query — the labels stand in for
+        // the positive set, so what survives is exactly what the
+        // embedding space confuses across classes. LSH-bucketed
+        // candidates, label exclusion BEFORE scoring, shared ranking.
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 20), emb, "label", k = 5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |c AS (SELECT vec_id, label, v, ${bucketSql("v")} AS b FROM e),
+              |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, b AS qb
+              |      FROM c WHERE vec_id < 20),
+              |scored AS (
+              |  SELECT q.query_id, c.vec_id, ${cosSql("q.qv", "c.v")} AS cos
+              |  FROM c JOIN q ON q.qb = c.b AND q.query_id <> c.vec_id
+              |   AND c.label <> q.qlabel)
+              |SELECT query_id, vec_id, cos, rank FROM (
+              |  SELECT query_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5""".stripMargin),
+      doc = "hard-negative mining for contrastive training: LSH-bucketed " +
+        "top-k of DIFFERENT-label neighbors per query (label = positive-set " +
+        "proxy; same-label pairs are never scored)"),
+
     "similarity_range" -> QueryDef(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")

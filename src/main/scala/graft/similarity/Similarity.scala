@@ -283,6 +283,34 @@ object Similarity {
     rankWindow(scoreCandidates(candidates, queries, corpus), k)
   }
 
+  /** `similarity_hard_negatives`: negative mining for contrastive /
+    * embedding training — for each query vector, the top-k most similar
+    * corpus vectors with a DIFFERENT label (same-label neighbors are
+    * the positive set; the valuable negatives are the ones the current
+    * embedding space confuses with it — "hard" negatives, the standard
+    * curriculum for retrieval/embedding training). Candidates are the
+    * LSH bucket collisions (bounded, never all-pairs), labels join
+    * map-side before scoring so excluded pairs are never scored, and
+    * the ranking is the shared top-k window.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, labelCol: String, k: Int): DataFrame = {
+    val qe = exploded(queries, "vec_id", "query_id")
+    val ce = exploded(corpus, "vec_id", "vec_id")
+    val qLabels = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("qlabel"))
+    val cLabels = corpus.select(col("vec_id"), col(labelCol).as("clabel"))
+    val candidates = buckets(ce, "vec_id")
+      .join(broadcast(buckets(qe, "query_id")
+        .withColumnRenamed("bucket", "qbucket")), col("bucket") === col("qbucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(cLabels, "vec_id")
+      .join(broadcast(qLabels), "query_id")
+      .filter(col("clabel") =!= col("qlabel"))
+      .select("query_id", "vec_id")
+    rankWindow(scoreCandidates(candidates, queries, corpus), k)
+  }
+
   /** `embedding_project_rp`: sparse random projection (Achlioptas 2003,
     * "Database-friendly random projections") — the Johnson-Lindenstrauss
     * dimension reducer that needs no training at all: weights

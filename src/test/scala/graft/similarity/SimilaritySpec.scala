@@ -25,6 +25,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
   }
 
+  test("hard negatives: same-label neighbors never surface, ranks stay dense") {
+    // vec 6 duplicates query 0's vector exactly (guaranteed bucket
+    // collision even on the zero-projection planes of this toy corpus)
+    // but carries a DIFFERENT label — the textbook hard negative: a
+    // cross-class collision the embedding space cannot separate at
+    // all. Vecs 1 and 5 are equally close but share the query's label
+    // (positives): they must never surface, no matter how similar.
+    val labeled = corpus
+      .unionByName(Seq((6L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
+      .withColumn("label",
+        when($"vec_id".isin(0L, 1L, 5L), "a")
+          .when($"vec_id".isin(2L, 4L, 6L), "b").otherwise("c"))
+    val out = Similarity.hardNegatives(
+        labeled.filter($"vec_id" === 0), labeled, "label", k = 3)
+      .orderBy($"rank").collect()
+    assert(out.nonEmpty, "the collinear cross-label vector must be a candidate")
+    assert(!out.exists(r => Seq(0L, 1L, 5L).contains(r.getAs[Long]("vec_id"))),
+      s"same-label (positive-set) vectors must never mine as negatives: ${out.toSeq}")
+    assert(out.head.getAs[Long]("vec_id") == 6L,
+      s"the hardest cross-label negative (vec 6, cos~1) must rank first: ${out.toSeq}")
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length).toSeq)
+  }
+
   test("self-matches are excluded") {
     val out = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, k = 10)
     assert(!out.collect().exists(_.getAs[Long]("vec_id") == 0L))
