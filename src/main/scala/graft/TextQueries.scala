@@ -992,6 +992,32 @@ object TextQueries {
         "hash-derived noise makes the without-replacement draw " +
         "reproducible across runs, engines, and partitionings"),
 
+    "corpus_zipf_fit" -> QueryDef(
+      (s, dir) =>
+        // whole-corpus Zipf health gauge: ln(freq)-vs-ln(rank) slope
+        // over the top-1000 tokens — see TextAnalysis.zipfFit for the
+        // bounded-fit-frame and exact-decimal-sum scale notes.
+        TextAnalysis.zipfFit(tbl(s, dir, "documents"), "text", topN = 1000),
+      Some("""WITH t AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+             |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r
+             |  FROM f ORDER BY c DESC, tok ASC LIMIT 1000),
+             |p AS (SELECT CAST(round(ln(r), 10) AS DECIMAL(18,10)) AS x,
+             |             CAST(round(ln(c), 10) AS DECIMAL(18,10)) AS y FROM top),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |             CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+             |      FROM p)
+             |SELECT CAST(n AS BIGINT) AS n_fit,
+             |  (round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) + 0.0) AS zipf_slope,
+             |  (round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) + 0.0) AS intercept
+             |FROM s""".stripMargin),
+      doc = "Zipf-law fit of the token frequency distribution (slope of " +
+        "ln-freq over ln-rank, top-1000 tokens): the one-number corpus " +
+        "health gauge — natural text sits near -1, boilerplate flattens it"),
+
     "text_batch_bucketing" -> QueryDef(
       (s, dir) => {
         // LENGTH-GROUPED BATCHING (sorted batching): rank the corpus by

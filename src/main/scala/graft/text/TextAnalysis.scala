@@ -195,6 +195,44 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** `corpus_zipf_fit`: least-squares fit of the token frequency
+    * distribution against Zipf's law — slope of ln(freq) over ln(rank)
+    * for the top-N tokens. A natural corpus sits near slope ≈ −1;
+    * boilerplate-heavy or templated corpora flatten it, spammy
+    * repetition steepens it, so the single number is a cheap
+    * whole-corpus health gauge to trend per ingest batch.
+    *
+    * Scale: one token count (hash agg), a distributed top-N
+    * (TakeOrdered — N caps the tail, so the fit frame is bounded at
+    * any corpus size; the keyless rank window runs over exactly N
+    * rows), and exact DECIMAL sums of the 10-dp-rounded log points so
+    * the regression is bit-stable under any partitioning.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN > 1, "the fit needs at least two points")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = freq.orderBy(col("c").desc, col("tok").asc).limit(topN)
+    val d10 = (e: Column) => round(e, 10).cast("decimal(18,10)")
+    val pts = top
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("tok").asc)))
+      .select(d10(log(col("r"))).as("x"), d10(log(col("c"))).as("y"))
+    val s = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").cast("long").as("n_fit"),
+      (round(slope, 4) + lit(0.0)).as("zipf_slope"),
+      (round((col("sy") - slope * col("sx")) / col("n"), 4) + lit(0.0))
+        .as("intercept"))
+  }
+
   /** `corpus_ppl_buckets`: CCNet's head/middle/tail corpus split
     * (Wenzek et al. 2020 §3 — each language's documents rank by LM
     * perplexity and cut into equal terciles; "head" is the most

@@ -144,6 +144,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L)._1 != out(1L)._1, "content hash must see the suffix")
   }
 
+  test("zipf fit: recovers ~-1 on a synthetic zipfian corpus, partition-invariant") {
+    // token w_r appears floor(1024/r) times: an exact-Zipf frequency
+    // table, so the ln-ln regression must land near slope -1
+    val words = (1 to 50).flatMap(r => Seq.fill(1024 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfFit(docs, "text", topN = 50).head()
+    assert(fit.getLong(0) == 50L)
+    val slope = fit.getDouble(1)
+    assert(slope > -1.1 && slope < -0.9, s"zipfian corpus must fit near -1: $slope")
+    // exact decimal sums: the fit is bit-identical under any partitioning
+    val re = TextAnalysis.zipfFit(docs.repartition(7), "text", topN = 50).head()
+    assert(re == fit, s"partitioning changed the fit: $re != $fit")
+  }
+
   test("ppl buckets: per-language terciles, fluent third is head, nParts-invariant") {
     // 6 'en' docs spanning common -> hapax vocab (distinct NLLs): 2 per
     // tercile. The null-lang doc groups under '<none>' as a singleton
