@@ -779,6 +779,52 @@ object ExtQueries {
              |FROM b""".stripMargin),
       doc = "batched binary decode (stub kernel): payload -> fixed-width features"),
 
+    "mm_image_dedup_phash" -> QueryDef(
+      (s, dir) => {
+        // perceptual-hash image dedup over a deterministic fixture:
+        // even/odd media pairs share their first 80 payload bytes (re-
+        // encodes of the same picture: identical "pixels", different
+        // trailing bytes — an exact-content hash would MISS them) while
+        // %3==0 media get fully unique material (singletons). The dHash
+        // grid reads bytes 1..73, inside the shared head, so planted
+        // pairs collide at hamming 0 and singletons stand alone. See
+        // Multimodal.phashDedup for the stubbed-decoder contract.
+        val d = tbl(s, dir, "documents")
+          .filter(col("doc_id") < 400).select(col("doc_id").as("media_id"))
+        val grp = when(col("media_id") % 3 === 0, -col("media_id") - 1)
+          .otherwise(col("media_id") - col("media_id") % 2)
+        val hx = concat(
+          (0 until 5).map(j =>
+            md5(concat(lit("ph:"), grp.cast("string"), lit(s":$j")))) :+
+            md5(concat(lit("pt:"), col("media_id").cast("string"))): _*)
+        val media = d.select(col("media_id"), unhex(hx).as("payload"))
+        Multimodal.phashDedup(media, "media_id", "payload")
+      },
+      Some("""WITH d AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 400),
+             |g AS (SELECT media_id,
+             |    CASE WHEN media_id % 3 = 0 THEN -media_id - 1
+             |         ELSE media_id - media_id % 2 END AS grp FROM d),
+             |p AS (SELECT media_id,
+             |    md5('ph:' || grp || ':0') || md5('ph:' || grp || ':1') ||
+             |    md5('ph:' || grp || ':2') || md5('ph:' || grp || ':3') ||
+             |    md5('ph:' || grp || ':4') || md5('pt:' || media_id) AS hx
+             |  FROM g),
+             |ph AS (SELECT media_id,
+             |    string_agg(CASE WHEN CAST(CONCAT('0x', substr(hx, 2*i+1, 2)) AS INT)
+             |                       > CAST(CONCAT('0x', substr(hx, 2*i-1, 2)) AS INT)
+             |               THEN '1' ELSE '0' END, '' ORDER BY i) AS phash
+             |  FROM p, unnest(range(1, 73)) AS u(i)
+             |  GROUP BY media_id)
+             |SELECT media_id, phash,
+             |  min(media_id) OVER (PARTITION BY phash) AS keeper_id,
+             |  min(media_id) OVER (PARTITION BY phash) <> media_id AS is_dup
+             |FROM ph""".stripMargin),
+      doc = "perceptual-hash (dHash) image dedup: gradient-sign bitstring " +
+        "over the decoded grid (decoder stubbed deterministically — no " +
+        "codecs in this container), 4x18 banded candidate join (exact " +
+        "pigeonhole recall below 18 bits), hamming-thresholded keeper " +
+        "election — catches re-encodes an exact content hash misses"),
+
     "mm_image_header" -> QueryDef(
       (s, dir) => Multimodal.imageHeaders(imageMedia(s, dir)),
       Some(s"""WITH $MetaSql,

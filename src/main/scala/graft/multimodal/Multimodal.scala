@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support: images/audio/video ride through the engine
@@ -89,6 +89,65 @@ object Multimodal {
     * WILL contain malformed files, and one bad byte must not kill a
     * partition).
     */
+  /** `mm_image_dedup_phash`: perceptual-hash image dedup — the
+    * multimodal twin of text near-dup. The REAL pipeline dHash-es a
+    * decoded, resized luma grid; this container ships no image codecs,
+    * so the decode step is a DOCUMENTED DETERMINISTIC STUB: the first
+    * 73 payload bytes stand in for the luma grid (the Spark-side
+    * plumbing — hash construction, banded candidate join, hamming
+    * threshold, keeper election — is the real, tested machinery; swap
+    * `phashBits`' byte source for a decoder and nothing else moves).
+    *
+    * dHash: bit i = byte(i+1) > byte(i) for i in 1..72 — gradient
+    * signs, robust to uniform brightness/level shifts. The 72-bit hash
+    * rides as a bitstring column; banding splits it into 4×18-char
+    * bands, candidate pairs share at least one exact band (any pair
+    * within hamming 4 of a 72-bit hash shares an exact 18-bit band by
+    * pigeonhole — the guarantee is exact, not heuristic), and the
+    * hamming filter keeps pairs ≤ `maxHamming`. All map-side except
+    * one bounded band equi-join — never all-pairs.
+    */
+  def phashBits(payload: Column): Column = {
+    def byteAt(i: Int): Column =
+      conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
+    concat((1 to 72).map(i =>
+      when(byteAt(i + 1) > byteAt(i), lit("1")).otherwise(lit("0"))): _*)
+  }
+
+  def phashDedup(
+      media: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 18,
+      s"banding guarantees recall only below 18 bits of distance (got $maxHamming)")
+    val hashed = media.select(col(idCol).as("media_id"),
+      phashBits(col(payloadCol)).as("phash"))
+    val bands = hashed.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("band_idx"),
+            substring(col("phash"), 1 + 18 * k, 18).as("band_val"))): _*)).as("b"))
+      .select(col("media_id"), col("phash"),
+        col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    def hamming(a: Column, b: Column): Column =
+      (1 to 72).map(i =>
+        when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
+        .reduce(_ + _)
+    val pairs = bands.toDF("a_id", "a_phash", "band_idx", "band_val")
+      .join(bands.toDF("b_id", "b_phash", "band_idx", "band_val"),
+        Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_phash", "b_id", "b_phash").distinct()
+      .filter(hamming(col("a_phash"), col("b_phash")) <= maxHamming)
+    // keeper = min id over the media's hamming-neighbors ∪ itself (one
+    // hop; identical-hash groups — the common case — resolve exactly)
+    val partners = pairs.select(col("a_id").as("media_id"), col("b_id").as("partner"))
+      .unionByName(pairs.select(col("b_id").as("media_id"), col("a_id").as("partner")))
+    hashed.join(partners, Seq("media_id"), "left_outer")
+      .groupBy(col("media_id"), col("phash"))
+      .agg(least(min(col("partner")), col("media_id").cast("long")).as("keeper_id"))
+      .select(col("media_id"), col("phash"), col("keeper_id"),
+        (col("keeper_id") =!= col("media_id")).as("is_dup"))
+  }
+
   def parseImageHeader(bytes: Array[Byte]): (String, Option[Int], Option[Int]) = {
     def u8(i: Int) = bytes(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)

@@ -194,4 +194,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(hexBytes("FFD8" + "FFE0" + "0000" + "AA")) ==
       ("jpeg", None, None))
   }
+
+  test("phash dedup: hamming within/over threshold, band recall, keeper election") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ascending bytes: every dHash gradient bit is 1
+    val base = Array.tabulate(96)(i => i.toByte)
+    def bumped(positions: Int*): Array[Byte] = {
+      // raising a non-adjacent byte to 200 flips exactly ONE bit each
+      // (the forward gradient at that position; the backward one stays 1)
+      val b = base.clone(); positions.foreach(p => b(p) = 200.toByte); b
+    }
+    val media = Seq(
+      10L -> base,                                  // anchor
+      11L -> bumped(10),                            // hamming 1: dup of 10
+      12L -> Array.tabulate(96)(i => (95 - i).toByte), // all-0 bits: singleton
+      13L -> base.clone(),                          // identical: dup of 10
+      14L -> bumped(20, 23, 26, 29, 32, 35))        // hamming 6 > 4: band-mate, not dup
+      .toDF("media_id", "payload")
+    val out = Multimodal.phashDedup(media, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      10L -> ((10L, false)), 11L -> ((10L, true)), 12L -> ((12L, false)),
+      13L -> ((10L, true)), 14L -> ((14L, false))),
+      s"keeper election wrong: $out")
+    // the hamming-6 media DID share an exact band with the anchor (its
+    // first 18 bits are untouched) — it was a candidate, then filtered
+    val ph = media.select(col("media_id"),
+      Multimodal.phashBits(col("payload")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ph(14L).take(18) == ph(10L).take(18) && ph(14L) != ph(10L))
+    assert(ph(10L) == "1" * 72 && ph(12L) == "0" * 72)
+  }
 }
