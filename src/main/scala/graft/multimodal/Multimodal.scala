@@ -121,29 +121,39 @@ object Multimodal {
       s"banding guarantees recall only below 18 bits of distance (got $maxHamming)")
     val hashed = media.select(col(idCol).as("media_id"),
       phashBits(col(payloadCol)).as("phash"))
-    val bands = hashed.select(col("media_id"), col("phash"),
+    // collapse EXACT-hash groups before banding: identical re-encodes —
+    // the dominant duplicate class — are one hash aggregation, and only
+    // one REPRESENTATIVE per distinct hash (its min id) enters the band
+    // join, so a 10k-copy image can never make a band bucket quadratic.
+    // Recall is unchanged: exact-group members share every band anyway.
+    val groups = hashed.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("rep"))
+    val bands = groups.select(col("rep"), col("phash"),
         explode(array((0 until 4).map(k =>
           struct(lit(k).as("band_idx"),
             substring(col("phash"), 1 + 18 * k, 18).as("band_val"))): _*)).as("b"))
-      .select(col("media_id"), col("phash"),
+      .select(col("rep"), col("phash"),
         col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
     def hamming(a: Column, b: Column): Column =
       (1 to 72).map(i =>
         when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
         .reduce(_ + _)
-    val pairs = bands.toDF("a_id", "a_phash", "band_idx", "band_val")
-      .join(bands.toDF("b_id", "b_phash", "band_idx", "band_val"),
+    val pairs = bands.toDF("a_rep", "a_phash", "band_idx", "band_val")
+      .join(bands.toDF("b_rep", "b_phash", "band_idx", "band_val"),
         Seq("band_idx", "band_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "a_phash", "b_id", "b_phash").distinct()
+      .filter(col("a_rep") < col("b_rep"))
+      .select("a_rep", "a_phash", "b_rep", "b_phash").distinct()
       .filter(hamming(col("a_phash"), col("b_phash")) <= maxHamming)
-    // keeper = min id over the media's hamming-neighbors ∪ itself (one
-    // hop; identical-hash groups — the common case — resolve exactly)
-    val partners = pairs.select(col("a_id").as("media_id"), col("b_id").as("partner"))
-      .unionByName(pairs.select(col("b_id").as("media_id"), col("a_id").as("partner")))
-    hashed.join(partners, Seq("media_id"), "left_outer")
-      .groupBy(col("media_id"), col("phash"))
-      .agg(least(min(col("partner")), col("media_id").cast("long")).as("keeper_id"))
+    // keeper = min over the group's hamming-neighbor reps ∪ its own rep
+    // (one hop between DISTINCT hashes; exact-hash groups — the common
+    // case — resolve exactly through their representative)
+    val partners = pairs.select(col("a_rep").as("rep"), col("b_rep").as("partner"))
+      .unionByName(pairs.select(col("b_rep").as("rep"), col("a_rep").as("partner")))
+    val keepers = groups.join(partners, Seq("rep"), "left_outer")
+      .groupBy(col("phash"), col("rep"))
+      .agg(least(min(col("partner")), col("rep")).as("keeper_id"))
+      .select(col("phash"), col("keeper_id"))
+    hashed.join(keepers, "phash")
       .select(col("media_id"), col("phash"), col("keeper_id"),
         (col("keeper_id") =!= col("media_id")).as("is_dup"))
   }
