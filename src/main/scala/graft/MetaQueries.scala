@@ -47,26 +47,23 @@ object MetaQueries {
     */
   private def perJvmRoot(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(dir.toFile)))
     dir.toString
   }
 
   /** Scratch warehouse, wiped per query invocation (commits are real). */
   private[graft] def freshWarehouse(key: String): String = {
     val dir = new File(s"$scratchRoot/$key")
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(dir)
+    deleteRecursively(dir)
     dir.mkdirs()
     dir.toString
+  }
+
+  /** The one recursive tree delete every scratch/warm path shares. */
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Session cache of WARM stream-fixture bases: the immutable prelude
@@ -96,11 +93,7 @@ object MetaQueries {
         // rebuilding on top would corrupt the fixture for the rest of
         // the JVM (path-exists write failures, doubled commits). The
         // root is per-JVM, so the wipe can never race another process.
-        def rm(f: File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir)
+        deleteRecursively(dir)
         dir.mkdirs()
         build(dir.toString)
         dir.toString

@@ -985,10 +985,7 @@ final case class GraftNotInCommand(
     // from another (same localCheckpoint discipline as
     // SnapshotTable.materializeSource; lazy — simple deterministic
     // scans still cost one job, paid by the first probe)
-    val src0 = GraftSqlShim.ofRows(spark, keysPlan)
-    val deterministic = !src0.queryExecution.analyzed.exists(
-      p => !p.expressions.forall(_.deterministic))
-    val src = if (deterministic) src0 else src0.localCheckpoint(eager = false)
+    val src = SourcePin.pin(spark, keysPlan)
     val kCol = keys.head._2
     if (src.filter(col(kCol).isNull).limit(1).collect().nonEmpty) return Nil
     if (src.limit(1).collect().isEmpty) {
@@ -1109,6 +1106,32 @@ final case class GraftNotInMultiUpdateCommand(
   }
 }
 
+/** One-evaluation discipline for DML source subqueries, shared by the
+  * NOT IN / theta-EXISTS command runtimes: a source that can change
+  * between evaluations must not be classified by one evaluation and
+  * joined from another (the matcher seams apply it several times —
+  * detection, split, complement). The determinism probe descends into
+  * NESTED subquery plans (`SubqueryExpression.deterministic` does not
+  * reflect its inner plan, and `plan.exists` does not traverse it), so
+  * a rand() hiding inside a scalar subquery still pins. Lazy
+  * checkpoint: simple deterministic scans stay streaming and cost
+  * nothing extra; the first probe materializes a pinned copy otherwise.
+  */
+private[catalog] object SourcePin {
+  private def planDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(_.exists {
+      case sub: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        !planDeterministic(sub.plan)
+      case e => !e.deterministic
+    }))
+
+  def pin(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame = {
+    val src0 = GraftSqlShim.ofRows(spark, plan)
+    if (planDeterministic(src0.queryExecution.analyzed)) src0
+    else src0.localCheckpoint(eager = false)
+  }
+}
+
 /** Run-time null-mask classification + matcher shared by the
   * multi-column NOT IN DELETE and UPDATE commands. NOT IN is null-aware
   * per COLUMN: distinct source null masks (≤2^k, data-driven) each pair
@@ -1134,10 +1157,7 @@ private[catalog] object NotInMultiRuntime {
     val k = keys.size
     // same one-evaluation discipline as GraftNotInCommand: the mask
     // probe and every per-mask projection must see the SAME rows
-    val src0 = GraftSqlShim.ofRows(spark, keysPlan)
-    val deterministic = !src0.queryExecution.analyzed.exists(
-      p => !p.expressions.forall(_.deterministic))
-    val src = if (deterministic) src0 else src0.localCheckpoint(eager = false)
+    val src = SourcePin.pin(spark, keysPlan)
     def maskOf(cols: Seq[Column]): Column =
       cols.zipWithIndex.map { case (c, i) =>
         when(c.isNull, 1 << i).otherwise(0)
@@ -1147,14 +1167,20 @@ private[catalog] object NotInMultiRuntime {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (srcMasks.isEmpty) return EverywhereTrue
     if (srcMasks.contains((1 << k) - 1)) return NoOp // all-NULL source tuple
-    // target pieces enumerate ALL 2^k masks (k = tuple width, tiny —
-    // an unpopulated mask is just an empty filtered piece): the matcher
-    // closure re-applies against a NEWER probe after a commit-retry
-    // conflict, so a data-driven mask scan taken here could go stale
-    // and silently drop rows a rival commit introduced — full
-    // enumeration is both retry-safe and one table scan cheaper
-    val tgtMasks = 0 until (1 << k)
+    // target pieces: the matcher closure re-applies against a NEWER
+    // probe after a commit-retry conflict, so the mask set must derive
+    // from the frame IN HAND, never a scan taken here that a rival
+    // commit could stale-out. Narrow tuples enumerate all 2^k masks
+    // (retry-safe for free, an unpopulated mask is an empty piece, and
+    // it saves the probe pass); wide tuples — where 2^k pieces would
+    // explode the plan — scan the live probe inside the closure instead
+    val tgtMasksOf: org.apache.spark.sql.DataFrame => Seq[Int] =
+      if (k <= 6) _ => 0 until (1 << k)
+      else df => df
+        .select(maskOf(keys.map { case (tk, _) => col(tk) }).as("__gmask"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
     Matched { df =>
+      val tgtMasks = tgtMasksOf(df)
       val pieces = tgtMasks.map { q =>
         val qCond = keys.map(_._1).zipWithIndex.map { case (c, i) =>
           if ((q & (1 << i)) != 0) col(c).isNull else col(c).isNotNull
@@ -1211,11 +1237,7 @@ final case class GraftThetaExistsDeleteCommand(
     // applied several times (affected-dir detection, the rewrite split,
     // the kept-rows complement) — a nondeterministic source must see
     // the SAME rows in each, or the COW rewrite corrupts
-    val src0 = GraftSqlShim.ofRows(spark, srcPlan)
-    val deterministic = !src0.queryExecution.analyzed.exists(
-      p => !p.expressions.forall(_.deterministic))
-    val src = (if (deterministic) src0 else src0.localCheckpoint(eager = false))
-      .alias("__s")
+    val src = SourcePin.pin(spark, srcPlan).alias("__s")
     val rest = plainCond.map(DeferredScalarSubquery.materialize(spark, _))
     val matcher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
       val pre = rest.map(df.filter).getOrElse(df)

@@ -100,12 +100,17 @@ object Multimodal {
     *
     * dHash: bit i = byte(i+1) > byte(i) for i in 1..72 — gradient
     * signs, robust to uniform brightness/level shifts. The 72-bit hash
-    * rides as a bitstring column; banding splits it into 4×18-char
-    * bands, candidate pairs share at least one exact band (any pair
-    * within hamming 4 of a 72-bit hash shares an exact 18-bit band by
-    * pigeonhole — the guarantee is exact, not heuristic), and the
-    * hamming filter keeps pairs ≤ `maxHamming`. All map-side except
-    * one bounded band equi-join — never all-pairs.
+    * rides as a bitstring column; banding splits it into the smallest
+    * divisor-of-72 band count ABOVE maxHamming, so by pigeonhole (h
+    * flipped bits can dirty at most h bands) every pair within the
+    * threshold shares at least one exact band — the recall guarantee
+    * is exact, not heuristic, and it is the band COUNT that must
+    * exceed the distance, not the band width. Candidate pairs then
+    * filter by true hamming, and duplicate groups close TRANSITIVELY
+    * through the shared min-label connected components (a hamming
+    * chain A~B~C collapses to one keeper even when d(A,C) exceeds the
+    * threshold — the standard near-dup clustering semantics). All
+    * map-side except one bounded band equi-join — never all-pairs.
     */
   def phashBits(payload: Column): Column = {
     def byteAt(i: Int): Column =
@@ -117,8 +122,14 @@ object Multimodal {
   def phashDedup(
       media: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 4): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 18,
-      s"banding guarantees recall only below 18 bits of distance (got $maxHamming)")
+    // pigeonhole needs MORE bands than flipped bits; pick the smallest
+    // divisor of 72 strictly above the threshold so bands stay equal
+    val nBands = Seq(2, 3, 4, 6, 8, 9, 12, 18, 24, 36, 72)
+      .find(_ > maxHamming).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxHamming $maxHamming leaves no exact-recall banding of a " +
+            "72-bit hash (needs a divisor-of-72 band count above it, max 72)"))
+    val width = 72 / nBands
     val hashed = media.select(col(idCol).as("media_id"),
       phashBits(col(payloadCol)).as("phash"))
     // collapse EXACT-hash groups before banding: identical re-encodes —
@@ -129,9 +140,9 @@ object Multimodal {
     val groups = hashed.groupBy(col("phash"))
       .agg(min(col("media_id")).as("rep"))
     val bands = groups.select(col("rep"), col("phash"),
-        explode(array((0 until 4).map(k =>
+        explode(array((0 until nBands).map(k =>
           struct(lit(k).as("band_idx"),
-            substring(col("phash"), 1 + 18 * k, 18).as("band_val"))): _*)).as("b"))
+            substring(col("phash"), 1 + width * k, width).as("band_val"))): _*)).as("b"))
       .select(col("rep"), col("phash"),
         col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
     def hamming(a: Column, b: Column): Column =
@@ -144,15 +155,15 @@ object Multimodal {
       .filter(col("a_rep") < col("b_rep"))
       .select("a_rep", "a_phash", "b_rep", "b_phash").distinct()
       .filter(hamming(col("a_phash"), col("b_phash")) <= maxHamming)
-    // keeper = min over the group's hamming-neighbor reps ∪ its own rep
-    // (one hop between DISTINCT hashes; exact-hash groups — the common
-    // case — resolve exactly through their representative)
-    val partners = pairs.select(col("a_rep").as("rep"), col("b_rep").as("partner"))
-      .unionByName(pairs.select(col("b_rep").as("rep"), col("a_rep").as("partner")))
-    val keepers = groups.join(partners, Seq("rep"), "left_outer")
-      .groupBy(col("phash"), col("rep"))
-      .agg(least(min(col("partner")), col("rep")).as("keeper_id"))
-      .select(col("phash"), col("keeper_id"))
+    // close duplicate groups TRANSITIVELY: the shared min-label
+    // connected components give every rep its component minimum, so a
+    // keeper_id is never itself a dup (one-hop min would leave hamming
+    // chains with dangling canonical pointers)
+    val cc = graft.dedup.Dedup.connectedComponents(
+      pairs.select(col("a_rep").as("doc_a"), col("b_rep").as("doc_b")))
+    val keepers = groups
+      .join(cc.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
+      .select(col("phash"), coalesce(col("cluster_id"), col("rep")).as("keeper_id"))
     hashed.join(keepers, "phash")
       .select(col("media_id"), col("phash"), col("keeper_id"),
         (col("keeper_id") =!= col("media_id")).as("is_dup"))

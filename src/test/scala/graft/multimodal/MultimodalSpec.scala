@@ -210,7 +210,7 @@ class MultimodalSpec extends SparkSpec {
       11L -> bumped(10),                            // hamming 1: dup of 10
       12L -> Array.tabulate(96)(i => (95 - i).toByte), // all-0 bits: singleton
       13L -> base.clone(),                          // identical: dup of 10
-      14L -> bumped(20, 23, 26, 29, 32, 35))        // hamming 6 > 4: band-mate, not dup
+      14L -> bumped(20, 23, 26, 29, 32, 35))        // hamming 6 > 4 from anchor
       .toDF("media_id", "payload")
     val out = Multimodal.phashDedup(media, "media_id", "payload")
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
@@ -218,12 +218,27 @@ class MultimodalSpec extends SparkSpec {
       10L -> ((10L, false)), 11L -> ((10L, true)), 12L -> ((12L, false)),
       13L -> ((10L, true)), 14L -> ((14L, false))),
       s"keeper election wrong: $out")
-    // the hamming-6 media DID share an exact band with the anchor (its
+    // the hamming-6 media DID share exact bands with the anchor (its
     // first 18 bits are untouched) — it was a candidate, then filtered
     val ph = media.select(col("media_id"),
       Multimodal.phashBits(col("payload")).as("ph"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ph(14L).take(18) == ph(10L).take(18) && ph(14L) != ph(10L))
     assert(ph(10L) == "1" * 72 && ph(12L) == "0" * 72)
+    // TRANSITIVE closure: a bridge at hamming 2 from the anchor and 4
+    // from the hamming-6 media chains all of them into one component,
+    // so the far end collapses too (d(anchor, far) = 6 > threshold) —
+    // and no keeper_id ever points at a row that is itself a dup
+    val chained = media.unionByName(
+      Seq(15L -> bumped(20, 23)).toDF("media_id", "payload"))
+    val out2 = Multimodal.phashDedup(chained, "media_id", "payload")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out2 == Map(
+      10L -> ((10L, false)), 11L -> ((10L, true)), 12L -> ((12L, false)),
+      13L -> ((10L, true)), 14L -> ((10L, true)), 15L -> ((10L, true))),
+      s"hamming chain must close transitively onto one keeper: $out2")
+    val keepers2 = out2.values.map(_._1).toSet
+    assert(keepers2.forall(k => !out2(k)._2),
+      s"a keeper_id must never be a dup itself: $out2")
   }
 }
