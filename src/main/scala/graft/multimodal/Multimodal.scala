@@ -130,8 +130,12 @@ object Multimodal {
           s"maxHamming $maxHamming leaves no exact-recall banding of a " +
             "72-bit hash (needs a divisor-of-72 band count above it, max 72)"))
     val width = 72 / nBands
+    // materialize (id, phash) ONCE: the 72-term hash expression is a
+    // heavy codegen unit, and without the cut every consumer stage
+    // (grouping, banding, the final join-back) re-compiles and
+    // re-evaluates it against the raw payload bytes
     val hashed = media.select(col(idCol).as("media_id"),
-      phashBits(col(payloadCol)).as("phash"))
+      phashBits(col(payloadCol)).as("phash")).localCheckpoint()
     // collapse EXACT-hash groups before banding: identical re-encodes —
     // the dominant duplicate class — are one hash aggregation, and only
     // one REPRESENTATIVE per distinct hash (its min id) enters the band
@@ -155,15 +159,35 @@ object Multimodal {
       .filter(col("a_rep") < col("b_rep"))
       .select("a_rep", "a_phash", "b_rep", "b_phash").distinct()
       .filter(hamming(col("a_phash"), col("b_phash")) <= maxHamming)
-    // close duplicate groups TRANSITIVELY: the shared min-label
-    // connected components give every rep its component minimum, so a
-    // keeper_id is never itself a dup (one-hop min would leave hamming
-    // chains with dangling canonical pointers)
-    val cc = graft.dedup.Dedup.connectedComponents(
-      pairs.select(col("a_rep").as("doc_a"), col("b_rep").as("doc_b")))
-    val keepers = groups
-      .join(cc.select(col("doc_id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
-      .select(col("phash"), coalesce(col("cluster_id"), col("rep")).as("keeper_id"))
+    // close duplicate groups TRANSITIVELY — a keeper_id must never
+    // itself be a dup. Near-dup groups are almost always CLIQUES
+    // (re-encodes of one picture all pair with each other), where ONE
+    // hop of min-label already is the fixpoint; pay the iterative
+    // connected-components machinery only when a dangling chain proves
+    // a second hop is needed (one tiny rep-level probe decides).
+    val partners = pairs.select(col("a_rep").as("rep"), col("b_rep").as("partner"))
+      .unionByName(pairs.select(col("b_rep").as("rep"), col("a_rep").as("partner")))
+      .localCheckpoint() // the pair pipeline (band join + hamming) runs once
+    val oneHop = partners.groupBy(col("rep"))
+      .agg(least(min(col("partner")), col("rep")).as("keeper"))
+    // fixpoint test: min-label has converged exactly when every edge's
+    // endpoints already agree on a keeper; any disagreeing edge is a
+    // chain needing another hop (one bounded rep-level probe)
+    val dangling = partners
+      .join(oneHop, "rep")
+      .join(oneHop.toDF("partner", "pkeeper"), "partner")
+      .filter(col("keeper") =!= col("pkeeper"))
+      .limit(1).collect().nonEmpty
+    val repKeeper =
+      if (!dangling) oneHop
+      else graft.dedup.Dedup.connectedComponents(
+          // the checkpointed partner frame, so the band+hamming pipeline
+          // never re-executes; both directions present is harmless (CC
+          // symmetrizes anyway)
+          partners.select(col("rep").as("doc_a"), col("partner").as("doc_b")))
+        .select(col("doc_id").as("rep"), col("cluster_id").as("keeper"))
+    val keepers = groups.join(repKeeper, Seq("rep"), "left_outer")
+      .select(col("phash"), coalesce(col("keeper"), col("rep")).as("keeper_id"))
     hashed.join(keepers, "phash")
       .select(col("media_id"), col("phash"), col("keeper_id"),
         (col("keeper_id") =!= col("media_id")).as("is_dup"))
