@@ -50,23 +50,35 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
-    val results = selected.map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: forces full materialization of every output column
-        // (a bare count() would let Catalyst prune computed columns and
-        // under-measure narrow projections)
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> r4(median(samples))
+    // INTERLEAVED sampling (round-16 hardening): round-robin the full
+    // key list `runs` times instead of running each key's samples
+    // back-to-back. With back-to-back samples, one loaded scheduling
+    // window on the shared machine poisoned ALL of a key's samples and
+    // the median recorded the distortion as if it were the query (r15:
+    // q1_agg 9.4 s driver vs 1.2 s isolated). Interleaved, a load spike
+    // spreads one bad sample across many keys and each key's median
+    // survives it.
+    val keys = selected.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; (name, fn) <- keys) {
+      val t0 = System.nanoTime()
+      // noop sink: forces full materialization of every output column
+      // (a bare count() would let Catalyst prune computed columns and
+      // under-measure narrow projections)
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
+    val results = keys.map { case (name, _) => name -> r4(median(samples(name))) }.toMap
+    // min-of-N beside the median: the min is the least load-contaminated
+    // sample, so (median - min) per key diagnoses residual contention
+    val mins = keys.map { case (name, _) => name -> r4(samples(name).min) }.toMap
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = r4(if (results.nonEmpty) results.values.sum else 0.0)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"median","queries":${jsonMap(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"median","interleaved":true,"queries":${jsonMap(results.toSeq.sortBy(_._1))},"queries_min":${jsonMap(mins.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     val top10 = results.toSeq.sortBy(-_._2).take(10)
     val summaryLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"agg":"median","queries":${jsonMap(top10)},"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""

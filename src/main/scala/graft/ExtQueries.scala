@@ -781,49 +781,99 @@ object ExtQueries {
 
     "mm_image_dedup_phash" -> QueryDef(
       (s, dir) => {
-        // perceptual-hash image dedup over a deterministic fixture:
-        // even/odd media pairs share their first 80 payload bytes (re-
-        // encodes of the same picture: identical "pixels", different
-        // trailing bytes — an exact-content hash would MISS them) while
-        // %3==0 media get fully unique material (singletons). The dHash
-        // grid reads bytes 1..73, inside the shared head, so planted
-        // pairs collide at hamming 0 and singletons stand alone. See
-        // Multimodal.phashDedup for the stubbed-decoder contract.
+        // perceptual-hash image dedup over a deterministic fixture that
+        // exercises EVERY path of the operator (the r15 fixture planted
+        // only hamming-0 twins, leaving the band join spec-only). Roles
+        // by media_id % 8:
+        //   0       -> singleton (fully unique material)
+        //   1,2,3   -> near-dup CHAIN: 2 perturbs two dHash-grid bytes
+        //      of 1's head, 3 perturbs those two PLUS two more (same
+        //      md5-derived values), so 1~2 and 2~3 each sit within the
+        //      hamming threshold while 1~3 can exceed it — the keeper
+        //      election must close transitively, not one-hop
+        //   4,5     -> exact twins (hamming 0: the pre-band
+        //      exact-group collapse path)
+        //   6,7     -> far pair: 7 replaces a whole 16-byte block of
+        //      6's head, so the pair still shares clean bands (a band
+        //      join CANDIDATE) but lands far above the threshold — the
+        //      hamming filter must reject it
+        // Every byte is md5-derived, so the oracle rebuilds identical
+        // payloads and replays band recall as ALL-PAIRS hamming <= 4
+        // (banding has exact pigeonhole recall at the threshold, so
+        // the two formulations agree exactly) plus a recursive-CTE
+        // transitive closure. Pair members differ in trailing bytes
+        // past the 73-byte grid (re-encodes: same "pixels", different
+        // container bytes — an exact content hash would miss them).
+        // See Multimodal.phashDedup for the stubbed-decoder contract.
         val d = tbl(s, dir, "documents")
           .filter(col("doc_id") < 400).select(col("doc_id").as("media_id"))
-        val grp = when(col("media_id") % 3 === 0, -col("media_id") - 1)
-          .otherwise(col("media_id") - col("media_id") % 2)
-        val hx = concat(
-          (0 until 5).map(j =>
-            md5(concat(lit("ph:"), grp.cast("string"), lit(s":$j")))) :+
-            md5(concat(lit("pt:"), col("media_id").cast("string"))): _*)
+        val r = col("media_id") % 8
+        val grp = when(r === 0, -col("media_id") - 1)
+          .when(r.isin(1, 2, 3), col("media_id") - (r - 1))
+          .when(r.isin(4, 5), col("media_id") - (r - 4))
+          .otherwise(col("media_id") - (r - 6))
+        val head = concat((0 until 5).map(j =>
+          md5(concat(lit("ph:"), grp.cast("string"), lit(s":$j")))): _*)
+        def pbyte(pos: Int): org.apache.spark.sql.Column =
+          substring(md5(concat(lit("px:"), grp.cast("string"), lit(s":$pos"))), 1, 2)
+        def patched(ps: Seq[Int]): org.apache.spark.sql.Column = ps.foldLeft(head) { (h, p) =>
+          concat(substring(h, 1, 2 * p - 2), pbyte(p), substring(h, 2 * p + 1, 160))
+        }
+        val hxHead = when(r === 2, patched(Seq(17, 41)))
+          .when(r === 3, patched(Seq(17, 41, 53, 67)))
+          .when(r === 7, concat(substring(head, 1, 32),
+            md5(concat(lit("pf:"), grp.cast("string"))), substring(head, 65, 160)))
+          .otherwise(head)
+        val hx = concat(hxHead,
+          md5(concat(lit("pt:"), col("media_id").cast("string"))))
         val media = d.select(col("media_id"), unhex(hx).as("payload"))
         Multimodal.phashDedup(media, "media_id", "payload")
       },
-      Some("""WITH d AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 400),
-             |g AS (SELECT media_id,
-             |    CASE WHEN media_id % 3 = 0 THEN -media_id - 1
-             |         ELSE media_id - media_id % 2 END AS grp FROM d),
-             |p AS (SELECT media_id,
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id AS media_id, doc_id % 8 AS r FROM documents WHERE doc_id < 400),
+             |g AS (SELECT media_id, r,
+             |    CASE WHEN r = 0 THEN -media_id - 1
+             |         WHEN r IN (1, 2, 3) THEN media_id - (r - 1)
+             |         WHEN r IN (4, 5) THEN media_id - (r - 4)
+             |         ELSE media_id - (r - 6) END AS grp FROM d),
+             |h0 AS (SELECT media_id, r, grp,
              |    md5('ph:' || grp || ':0') || md5('ph:' || grp || ':1') ||
              |    md5('ph:' || grp || ':2') || md5('ph:' || grp || ':3') ||
-             |    md5('ph:' || grp || ':4') || md5('pt:' || media_id) AS hx
-             |  FROM g),
+             |    md5('ph:' || grp || ':4') AS head FROM g),
+             |p AS (SELECT media_id, string_agg(
+             |    CASE WHEN (r = 2 AND i IN (17, 41)) OR (r = 3 AND i IN (17, 41, 53, 67))
+             |           THEN substr(md5('px:' || grp || ':' || i), 1, 2)
+             |         WHEN r = 7 AND i BETWEEN 17 AND 32
+             |           THEN substr(md5('pf:' || grp), 2 * (i - 17) + 1, 2)
+             |         ELSE substr(head, 2 * i - 1, 2) END, '' ORDER BY i) AS hx
+             |  FROM h0, unnest(range(1, 81)) AS u(i) GROUP BY media_id),
              |ph AS (SELECT media_id,
              |    string_agg(CASE WHEN CAST(CONCAT('0x', substr(hx, 2*i+1, 2)) AS INT)
              |                       > CAST(CONCAT('0x', substr(hx, 2*i-1, 2)) AS INT)
              |               THEN '1' ELSE '0' END, '' ORDER BY i) AS phash
              |  FROM p, unnest(range(1, 73)) AS u(i)
-             |  GROUP BY media_id)
-             |SELECT media_id, phash,
-             |  min(media_id) OVER (PARTITION BY phash) AS keeper_id,
-             |  min(media_id) OVER (PARTITION BY phash) <> media_id AS is_dup
-             |FROM ph""".stripMargin),
+             |  GROUP BY media_id),
+             |pairs AS (SELECT a.media_id AS pa, b.media_id AS pb
+             |  FROM ph a JOIN ph b ON a.media_id < b.media_id
+             |  WHERE len(list_filter(range(1, 73),
+             |    i -> substr(a.phash, CAST(i AS INT), 1) <> substr(b.phash, CAST(i AS INT), 1))) <= 4),
+             |e AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT media_id, media_id FROM ph
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+             |SELECT ph.media_id, ph.phash, cc.keeper_id,
+             |  cc.keeper_id <> ph.media_id AS is_dup
+             |FROM ph JOIN (SELECT a AS media_id, min(b) AS keeper_id
+             |              FROM reach GROUP BY a) cc USING (media_id)""".stripMargin),
       doc = "perceptual-hash (dHash) image dedup: gradient-sign bitstring " +
         "over the decoded grid (decoder stubbed deterministically — no " +
-        "codecs in this container), 4x18 banded candidate join (exact " +
-        "pigeonhole recall below 18 bits), hamming-thresholded keeper " +
-        "election — catches re-encodes an exact content hash misses"),
+        "codecs in this container), banded candidate join with the " +
+        "smallest divisor-of-72 band count strictly above the hamming " +
+        "threshold (6x12 at the default h<=4 — exact pigeonhole recall), " +
+        "hamming filter, transitive keeper election — catches re-encodes " +
+        "an exact content hash misses; the fixture plants exact twins, " +
+        "near-dup chains, and over-threshold band candidates"),
 
     "mm_image_header" -> QueryDef(
       (s, dir) => Multimodal.imageHeaders(imageMedia(s, dir)),
@@ -1005,7 +1055,7 @@ object ExtQueries {
     "mm_frame_sample" -> QueryDef(
       (s, dir) => Multimodal.frameSample(media(s, dir), stride = 3, maxFrames = 10),
       Some(s"""WITH $MetaSql
-              |SELECT media_id, unnest((range(0, n_frames, 3))[1:10]) AS frame_idx
+              |SELECT media_id, CAST(unnest((range(0, n_frames, 3))[1:10]) AS INT) AS frame_idx
               |FROM m WHERE n_frames > 0""".stripMargin),
       doc = "uniform frame sampling via generator over metadata")
   )

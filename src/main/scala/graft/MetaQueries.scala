@@ -1193,7 +1193,7 @@ object MetaQueries {
           .toDF("snapshot_id", "operation", "row_count")
       },
       Some(s"""SELECT * FROM (
-              |  SELECT 1 AS snapshot_id, 'overwrite' AS operation,
+              |  SELECT CAST(1 AS BIGINT) AS snapshot_id, 'overwrite' AS operation,
               |    (SELECT count(*) FROM events WHERE ts < TIMESTAMP '$EventsCut') AS row_count
               |  UNION ALL
               |  SELECT 2, 'append', (SELECT count(*) FROM events))""".stripMargin),

@@ -237,8 +237,8 @@ object RelationalQueries {
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
-             |    row_number() OVER (PARTITION BY o_custkey
-             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |    CAST(row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
              |  FROM orders) WHERE rn <= 3""".stripMargin),
       doc = "top-3 orders per customer; total-order tie-break on o_orderkey"),
 
@@ -403,8 +403,8 @@ object RelationalQueries {
       (s, dir) =>
         tbl(s, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(grouping(col("l_returnflag")).as("g_rf"),
-            grouping(col("l_linestatus")).as("g_ls"),
+          .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
             count(lit(1)).as("n"),
             sum(dec("l_quantity")).cast("double").as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus,
@@ -418,8 +418,8 @@ object RelationalQueries {
       (s, dir) =>
         tbl(s, dir, "orders")
           .cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(grouping(col("o_orderstatus")).as("g_st"),
-            grouping(col("o_orderpriority")).as("g_pr"),
+          .agg(grouping(col("o_orderstatus")).cast("int").as("g_st"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pr"),
             count(lit(1)).as("n")),
       Some("""SELECT o_orderstatus, o_orderpriority,
              |  CAST(grouping(o_orderstatus) AS INT) AS g_st,

@@ -645,7 +645,7 @@ object SimilarityQueries {
     "embedding_kmeans" -> QueryDef(
       (s, dir) => Similarity.kmeans(tbl(s, dir, "embeddings"), k = 8, iters = 2),
       Some(s"""WITH ${kmeansCte(8, 2)}
-              |SELECT a.cell, ex.pos, (round(avg(ex.x), 6) + 0.0) AS c
+              |SELECT a.cell, CAST(ex.pos AS INT) AS pos, (round(avg(ex.x), 6) + 0.0) AS c
               |FROM ex JOIN a2 a USING (vec_id)
               |GROUP BY 1, 2""".stripMargin),
       doc = "distributed Lloyd k-means (k=8, 2 rounds): trains the IVF coarse " +

@@ -134,7 +134,7 @@ object TextQueries {
       Some(s"""WITH $bpeTrainCtes
               |SELECT * FROM (
               |${(1 to BpeK).map(n =>
-                 s"  SELECT $n AS rank, l AS merge_left, r AS merge_right, c AS pair_count FROM b$n")
+                 s"  SELECT $n AS rank, l AS merge_left, r AS merge_right, CAST(c AS BIGINT) AS pair_count FROM b$n")
                  .mkString(" UNION ALL\n")})""".stripMargin),
       doc = "BPE tokenizer training (Sennrich et al. 2016) as a distributed " +
         "word-count-keyed loop: corpus pass once, then K vocab-sized " +
@@ -164,8 +164,8 @@ object TextQueries {
                  s"replace($acc, '<' || l$n || '><' || r$n || '>', '<' || l$n || r$n || '>')"
                }} AS ts
               |  FROM ew, m)
-              |SELECT doc_id, count(*) AS n_words,
-              |  sum(len(string_split(ts[2:len(ts)-1], '><'))) AS n_tokens
+              |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+              |  CAST(sum(len(string_split(ts[2:len(ts)-1], '><'))) AS INT) AS n_tokens
               |FROM ap GROUP BY 1""".stripMargin),
       doc = "BPE encode with broadcast merges: rank-ordered replace chain per " +
         "word, map-side only (no shuffle); per-doc word + token counts over a " +
@@ -250,8 +250,8 @@ object TextQueries {
           md5(nfc).as("nfc_hash"))
       },
       Some("""SELECT doc_id,
-             |  length('A' || chr(778) || ' ' || text) AS n_raw_chars,
-             |  length(nfc_normalize('A' || chr(778) || ' ' || text)) AS n_nfc_chars,
+             |  CAST(length('A' || chr(778) || ' ' || text) AS INT) AS n_raw_chars,
+             |  CAST(length(nfc_normalize('A' || chr(778) || ' ' || text)) AS INT) AS n_nfc_chars,
              |  md5(nfc_normalize('A' || chr(778) || ' ' || text)) AS nfc_hash
              |FROM documents""".stripMargin),
       doc = "Unicode NFC normalization as a codegen'd native expression " +
@@ -267,7 +267,7 @@ object TextQueries {
              |    regexp_split_to_array(text, '\n') AS lines
              |  FROM documents)
              |SELECT doc_id,
-             |  len(toks) AS n_words,
+             |  CAST(len(toks) AS INT) AS n_words,
              |  round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
              |    / len(toks), 6) AS mean_word_len,
              |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))

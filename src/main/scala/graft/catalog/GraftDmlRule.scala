@@ -1170,12 +1170,15 @@ private[catalog] object NotInMultiRuntime {
     // target pieces: the matcher closure re-applies against a NEWER
     // probe after a commit-retry conflict, so the mask set must derive
     // from the frame IN HAND, never a scan taken here that a rival
-    // commit could stale-out. Narrow tuples enumerate all 2^k masks
-    // (retry-safe for free, an unpopulated mask is an empty piece, and
-    // it saves the probe pass); wide tuples — where 2^k pieces would
-    // explode the plan — scan the live probe inside the closure instead
+    // commit could stale-out. Tiny tuples (k<=2, at most 4 masks)
+    // enumerate statically — an unpopulated mask is an empty piece and
+    // the probe pass is saved. Anything wider scans the live probe
+    // inside the closure (derived from `df`, so retry-safe for free):
+    // real data populates FEW masks, and enumerating 2^k pieces each
+    // carrying up to |srcMasks| anti-joins plus a 2^k-way union builds
+    // a far larger plan than the probe costs
     val tgtMasksOf: org.apache.spark.sql.DataFrame => Seq[Int] =
-      if (k <= 6) _ => 0 until (1 << k)
+      if (k <= 2) _ => 0 until (1 << k)
       else df => df
         .select(maskOf(keys.map { case (tk, _) => col(tk) }).as("__gmask"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted

@@ -3,9 +3,15 @@
 
 Runs each oracle SQL from oracle_sql.json in DuckDB over views of the
 sf-dir parquet tables, loads the corresponding Spark result parquet, and
-compares: schema (sorted column names), row count, and values (columns
+compares: schema (sorted column names), row count, values (columns
 sorted by name, rows sorted by all columns) — strict equality, the way a
-hash compare would see it.
+hash compare would see it — AND the physical pandas dtype of every
+column on both sides. The dtype leg exists because the driver hashes
+dtype-sensitively: DuckDB sum() returns HUGEINT, which pandas
+materializes as float64, so an uncast oracle aggregate hash-reds against
+a Spark LongType column even when every value matches (the round-15
+text_bpe_train/encode false-green — canon() unified int widths and this
+script reported green while the driver saw red).
 
 Usage: verify_local.py <sfDir> <outDir> [key ...]
 (outDir must already contain Verify.scala's dumps.)
@@ -97,6 +103,28 @@ def main():
         except Exception as e:
             failed.append((key, f"spark result missing: {e}"))
             rec(key, False, False, False, None, len(orows), f"spark result missing: {e}")
+            continue
+        # Physical dtype leg: re-run both sides through DuckDB→pandas
+        # (exactly the driver's materialization path) and require the
+        # per-column dtypes to be identical. Values matching is NOT
+        # enough — int32 vs int64 vs float64 widths change the driver's
+        # bitwise hash even when canon() sees equal numbers.
+        try:
+            odf = con.execute(sql).fetch_df()
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')").fetch_df()
+            ot = {c: str(odf[c].dtype) for c in odf.columns}
+            st = {c: str(sdf[c].dtype) for c in sdf.columns}
+        except Exception as e:
+            failed.append((key, f"dtype fetch error: {e}"))
+            rec(key, False, False, False, len(srows), len(orows), f"dtype fetch error: {e}")
+            continue
+        if ot != st:
+            diff = {c: (st.get(c), ot.get(c))
+                    for c in sorted(set(ot) | set(st)) if st.get(c) != ot.get(c)}
+            failed.append((key, f"dtype mismatch (spark, oracle): {diff}"))
+            rec(key, len(srows) == len(orows), sorted(ot) == sorted(st), False,
+                len(srows), len(orows), f"dtype mismatch (spark, oracle): {diff}")
             continue
         oc, orws = frame(ocols, orows)
         sc, srws = frame(scols, srows)
