@@ -87,6 +87,75 @@ object TextQueries {
       m
     }
 
+  /** Batched-BPE fixture: same training slice, `BpeBatchRounds` rounds
+    * of up to `BpeBatchM` non-interacting merges greedily accepted from
+    * a `BpeBatchPool`-candidate pool — the production-vocab-scale
+    * relaxation (at K = 32000 the exact one-merge-per-round trainer is
+    * driver-round-trip bound; batching cuts rounds by ~M).
+    */
+  private val BpeBatchRounds = 3
+  private val BpeBatchM = 4
+  private val BpeBatchPool = 16
+
+  private def bpeBatchedMerges(
+      s: org.apache.spark.sql.SparkSession, dir: String): Seq[graft.text.Bpe.BatchedMerge] =
+    MetaQueries.memoFixture("text_bpe_batched_merges", dir) {
+      val wc = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(explode(graft.text.Bpe.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val m = graft.text.Bpe.trainBatched(
+        wc, BpeBatchRounds, BpeBatchM, BpeBatchPool)
+      require(m.nonEmpty, "batched BPE fixture corpus yielded no merges")
+      m
+    }
+
+  /** The unrolled DuckDB replica of Bpe.trainBatched: per round, the
+    * pair-count CTE, a ranked candidate pool, a RECURSIVE greedy
+    * selection walking the pool in rank order carrying the used-token
+    * list (accept iff left, right, and left+right are all unseen —
+    * exactly the trainer's non-interaction rule), and a list_reduce
+    * applying the whole accepted batch in one pass.
+    */
+  private def bpeBatchedCtes: String = {
+    val head =
+      """words AS MATERIALIZED (
+        |  SELECT w AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
+        |    FROM documents WHERE doc_id % 3 = 0) WHERE w <> '' GROUP BY 1),
+        |w0 AS MATERIALIZED (SELECT cnt, regexp_replace(word, '(.)', '<\1>', 'g') AS ts FROM words)""".stripMargin
+    val accept = s"""len(s.acc) < $BpeBatchM AND NOT list_contains(s.used, c.l)
+         |              AND NOT list_contains(s.used, c.r)
+         |              AND NOT list_contains(s.used, c.l || c.r)""".stripMargin
+    val rounds = (1 to BpeBatchRounds).map { n =>
+      val m = n - 1
+      s"""p$n AS MATERIALIZED (
+         |  SELECT t[i] AS l, t[i+1] AS r, sum(cnt) AS c
+         |  FROM (SELECT cnt, string_split(ts[2:len(ts)-1], '><') AS t FROM w$m) s,
+         |       UNNEST(range(1, len(s.t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |c$n AS MATERIALIZED (
+         |  SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l, r) AS rk
+         |  FROM (SELECT * FROM p$n ORDER BY c DESC, l, r LIMIT $BpeBatchPool)),
+         |s$n(rk, acc, used) AS (
+         |  SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[])
+         |  UNION ALL
+         |  SELECT c.rk,
+         |    CASE WHEN $accept
+         |         THEN list_append(s.acc, c.l || '|' || c.r) ELSE s.acc END,
+         |    CASE WHEN $accept
+         |         THEN list_concat(s.used, [c.l, c.r, c.l || c.r]) ELSE s.used END
+         |  FROM s$n s JOIN c$n c ON c.rk = s.rk + 1),
+         |sel$n AS MATERIALIZED (SELECT acc FROM s$n ORDER BY rk DESC LIMIT 1),
+         |w$n AS MATERIALIZED (
+         |  SELECT cnt, list_reduce(list_concat([ts], acc), (a, x) ->
+         |    replace(a, '<' || split_part(x, '|', 1) || '><' || split_part(x, '|', 2) || '>',
+         |               '<' || split_part(x, '|', 1) || split_part(x, '|', 2) || '>')) AS ts
+         |  FROM w$m, sel$n)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** The unrolled DuckDB replica of Bpe.train: K chained
     * (pair-count → argmax → replace) rounds over the same word-count
     * table, every CTE MATERIALIZED (the chain re-references each round
@@ -227,6 +296,73 @@ object TextQueries {
       doc = "per-language tokenizer fertility audit under the trained BPE: " +
         "tokens-per-word and chars-per-token from exact per-language sums " +
         "— the language-mix fitness signal for packing and epoch budgets"),
+
+    "text_bpe_train_batched" -> QueryDef(
+      (s, dir) => {
+        // BATCHED BPE training — the production-vocab-scale shape: each
+        // round accepts up to M non-interacting merges from a bounded
+        // candidate pool and applies them in ONE map-side pass, so K
+        // merges cost ~K/M driver round-trips instead of K (the exact
+        // trainer is round-trip bound at K = 32000). Non-interaction
+        // (left, right, and produced token unseen among earlier
+        // accepts) makes the simultaneous application order-free; the
+        // recorded counts are the pre-round pair counts — the standard
+        // documented relaxation. The oracle replays the pool ranking,
+        // the greedy scan (recursive CTE carrying the used-token
+        // list), and the batch application round by round.
+        import s.implicits._
+        bpeBatchedMerges(s, dir)
+          .map(m => (m.round, m.idx, m.left, m.right, m.pairCount))
+          .toDF("round", "idx", "merge_left", "merge_right", "pair_count")
+      },
+      Some(s"""WITH RECURSIVE $bpeBatchedCtes
+              |SELECT * FROM (
+              |${(1 to BpeBatchRounds).map(n =>
+                 s"""  SELECT $n AS round, CAST(u.i AS INT) AS idx,
+                    |    split_part(acc[u.i], '|', 1) AS merge_left,
+                    |    split_part(acc[u.i], '|', 2) AS merge_right,
+                    |    (SELECT CAST(c AS BIGINT) FROM c$n
+                    |      WHERE l = split_part(acc[u.i], '|', 1)
+                    |        AND r = split_part(acc[u.i], '|', 2)) AS pair_count
+                    |  FROM sel$n, unnest(range(1, len(acc) + 1)) AS u(i)""".stripMargin)
+                 .mkString(" UNION ALL\n")})""".stripMargin),
+      doc = "batched BPE training (top-M non-interacting merges per round — " +
+        "the distributed-BPE relaxation for production vocab sizes): bounded " +
+        "candidate-pool collect, greedy token-disjoint acceptance, one " +
+        "map-side application per round; oracle replays pool, greedy scan, " +
+        "and batch application exactly"),
+
+    "text_bpe_encode_batched" -> QueryDef(
+      (s, dir) => {
+        // the encoder under the BATCHED model, over the third corpus
+        // slice (disjoint from both the training slice %3==0 and the
+        // exact-model encode slice %3==1): merges compile into the
+        // same rank-ordered codegen replace chain — map-side only.
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 2)
+        val merges = bpeBatchedMerges(s, dir).zipWithIndex.map { case (b, i) =>
+          graft.text.Bpe.Merge(i + 1, b.left, b.right, b.pairCount)
+        }
+        graft.text.Bpe.encodeCounts(docs, "text", "doc_id", merges)
+      },
+      Some(s"""WITH RECURSIVE $bpeBatchedCtes,
+              |allm AS (SELECT ${(1 to BpeBatchRounds).map(n => s"sel$n.acc")
+                 .reduceLeft((a, b) => s"list_concat($a, $b)")} AS acc
+              |  FROM ${(1 to BpeBatchRounds).map(n => s"sel$n").mkString(", ")}),
+              |ew AS (SELECT doc_id, w FROM (
+              |    SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
+              |    FROM documents WHERE doc_id % 3 = 2) WHERE w <> ''),
+              |ap AS (SELECT doc_id,
+              |    list_reduce(list_concat([regexp_replace(w, '(.)', '<\\1>', 'g')], acc), (a, x) ->
+              |      replace(a, '<' || split_part(x, '|', 1) || '><' || split_part(x, '|', 2) || '>',
+              |                 '<' || split_part(x, '|', 1) || split_part(x, '|', 2) || '>')) AS ts
+              |  FROM ew, allm)
+              |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+              |  CAST(sum(len(string_split(ts[2:len(ts)-1], '><'))) AS INT) AS n_tokens
+              |FROM ap GROUP BY 1""".stripMargin),
+      doc = "BPE encode under the batched-trained model over a slice disjoint " +
+        "from both training and the exact-model encode: same broadcast " +
+        "replace-chain encoder, map-side only; oracle replays batched train " +
+        "+ apply"),
 
     "text_normalize_unicode" -> QueryDef(
       (s, dir) => {

@@ -101,6 +101,104 @@ object Bpe {
     }
   }
 
+  /** One merge accepted by the batched trainer: (round, idx) position
+    * plus the pair and its pre-round count.
+    */
+  final case class BatchedMerge(
+      round: Int, idx: Int, left: String, right: String, pairCount: Long)
+
+  /** BATCHED BPE training — the standard distributed-BPE relaxation
+    * for production vocab sizes. `train`'s one-merge-per-round loop is
+    * exact but runs K sequential Spark jobs: at K = 32000 the trainer
+    * is driver-round-trip bound, not compute bound. The relaxation:
+    * each round collects a bounded candidate POOL (the top `pool`
+    * pairs by count), greedily accepts up to `batch` NON-INTERACTING
+    * merges from it, and applies them all in one map-side pass — K
+    * merges now cost ~K/batch rounds.
+    *
+    * Non-interaction is what makes the simultaneous application
+    * well-defined: a candidate is accepted only if its left token,
+    * right token, AND produced token (left+right) are all absent from
+    * every previously accepted merge's {left, right, left+right} set.
+    * Token-disjoint patterns can never overlap in the wrapped string,
+    * so the accepted replaces commute and "apply all at once" equals
+    * any sequential order. (The produced-token check matters: after
+    * (a,b)→ab a later (ab,c) in the SAME batch would see occurrences
+    * of ab that exist only post-application — order would leak in.)
+    *
+    * Counts recorded per merge are the PRE-round pair counts (stale
+    * within a batch — the documented, industry-standard deviation from
+    * exact BPE; merges 2..batch of a round would have slightly lower
+    * counts if recounted after merge 1).
+    *
+    * Driver state stays bounded: `pool` rows per round plus the merge
+    * list itself — never the vocab, never the corpus.
+    */
+  def trainBatched(wordCounts: DataFrame, rounds: Int, batch: Int,
+      pool: Int): Seq[BatchedMerge] = {
+    val base = wordCounts
+      .select(col("cnt"), wrapChars(col("word")).as("ts"))
+      .persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[BatchedMerge]
+      var cur = base
+      var round = 1
+      var exhausted = false
+      while (round <= rounds && !exhausted) {
+        val toks = unwrap(col("ts"))
+        val cands = cur
+          .filter(size(toks) >= 2)
+          .select(col("cnt"), toks.as("t"))
+          .select(col("cnt"),
+            explode(expr(
+              "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS l, t[i + 1] AS r))"))
+              .as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(pool)
+          .collect() // bounded: the candidate pool, never the vocab
+        val accepted = greedySelect(
+          cands.map(row => (row.getString(0), row.getString(1), row.getLong(2))).toSeq,
+          batch)
+        if (accepted.isEmpty) exhausted = true
+        else {
+          accepted.zipWithIndex.foreach { case ((l, r, c), i) =>
+            out += BatchedMerge(round, i + 1, l, r, c)
+          }
+          cur = accepted.foldLeft(cur) { case (df, (l, r, _)) =>
+            df.withColumn("ts",
+              org.apache.spark.sql.functions.replace(
+                col("ts"), lit(s"<$l><$r>"), lit(s"<$l$r>")))
+          }
+          round += 1
+        }
+      }
+      out.toSeq
+    } finally {
+      base.unpersist(): Unit
+    }
+  }
+
+  /** The greedy non-interaction scan over a rank-ordered candidate
+    * pool: accept a pair iff its left, right, AND produced (left+right)
+    * tokens are all absent from every previously accepted pair's
+    * {left, right, left+right} set, stopping at `batch` accepts. Pure —
+    * the one rule both the trainer and the oracle replay.
+    */
+  private[text] def greedySelect(
+      cands: Seq[(String, String, Long)], batch: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    cands.foreach { case (l, r, c) =>
+      if (accepted.size < batch && !used(l) && !used(r) && !used(l + r)) {
+        accepted += ((l, r, c))
+        used ++= Seq(l, r, l + r)
+      }
+    }
+    accepted.toSeq
+  }
+
   /** The merge chain as a column transform: rank-ordered `replace`s
     * over a wrapped token string — the broadcast-merges encoder, pure
     * map-side.

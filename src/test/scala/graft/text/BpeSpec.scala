@@ -43,6 +43,52 @@ class BpeSpec extends SparkSpec {
     assert(got("aab") == List("aa", "b"))
   }
 
+  test("trainBatched reproduces the hand-derived batched rounds on the same corpus") {
+    // same corpus as the exact trainer's test; hand-derived with
+    // M=4, pool=16. Round 1 raw pair counts: (a,t):9, (h,e):4,
+    // (t,h):4, (c,a):3, (r,a):2, (s,a):2, (a,n):1, (m,a):1, (n,d):1,
+    // (o,n):1, (t,e):1. Greedy: accept (a,t); accept (h,e); (t,h)
+    // shares t; (c,a)/(r,a)/(s,a)/(a,n)/(m,a) share a; accept (n,d);
+    // (o,n) shares n; (t,e) shares both -> round 1 = 3 merges (pool
+    // dry before the batch fills). Round 2 over [t,he]/[c,at]/[s,at]/
+    // [o,n]/[m,at]/[at,e]/[r,at]/[a,nd]/[a]: (t,he):4, (c,at):3,
+    // (r,at):2, (s,at):2, (a,nd):1, (at,e):1, (m,at):1, (o,n):1 ->
+    // accept (t,he), (c,at), skip (r,at)/(s,at) [at], accept (a,nd),
+    // skip (at,e)/(m,at), accept (o,n) -> batch FULL at 4. Round 3:
+    // (r,at):2, (s,at):2, (at,e):1, (m,at):1 -> accept (r,at), rest
+    // share at -> 1 merge.
+    val words = Seq(
+      "the cat sat on the mat", "the cat ate the rat", "a cat and a rat sat")
+      .toDF("text")
+      .select(explode(Bpe.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val got = Bpe.trainBatched(words, rounds = 3, batch = 4, pool = 16)
+      .map(m => (m.round, m.idx, m.left, m.right, m.pairCount))
+    assert(got == Seq(
+      (1, 1, "a", "t", 9L), (1, 2, "h", "e", 4L), (1, 3, "n", "d", 1L),
+      (2, 1, "t", "he", 4L), (2, 2, "c", "at", 3L), (2, 3, "a", "nd", 1L),
+      (2, 4, "o", "n", 1L),
+      (3, 1, "r", "at", 2L)))
+  }
+
+  test("greedySelect rejects token-sharing AND produced-token candidates, caps at batch") {
+    // (a,bc) accepted -> produced token 'abc'; (ab,c) has neither side
+    // used but WOULD produce/consume 'abc' -> the l+r rule rejects it
+    // (without it, simultaneous application would be order-dependent:
+    // '<a><b><c>' under (a,bc) vs (ab,c) first differs)
+    val got = Bpe.greedySelect(Seq(
+      ("a", "bc", 10L),   // accept
+      ("ab", "c", 9L),    // reject: produced token abc already used
+      ("bc", "d", 8L),    // reject: bc used
+      ("x", "y", 7L),     // accept
+      ("q", "xy", 6L),    // reject: produced token xy of (x,y) is used
+      ("m", "n", 5L),     // accept
+      ("p", "q", 4L),     // accept -> batch full
+      ("u", "v", 3L)),    // would accept, but batch = 4
+      batch = 4)
+    assert(got == Seq(("a", "bc", 10L), ("x", "y", 7L), ("m", "n", 5L), ("p", "q", 4L)))
+  }
+
   test("merges never fire out of rank order and compose on unseen words") {
     // (h,e) then (t,he): "then" (unseen as a word) still segments to
     // [the, n] because the merges apply by rank, not by training vocab
