@@ -156,6 +156,28 @@ object TextQueries {
     (head +: rounds).mkString(",\n")
   }
 
+  /** The encode replica shared by `text_bpe_encode` (in-memory model)
+    * and `text_bpe_vocab_persisted` (model loaded from the persisted
+    * snapshot table): train replay + the rank-ordered apply chain over
+    * the %3==1 slice — the two keys must be bit-identical by contract.
+    */
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeTrainCtes,
+       |m AS MATERIALIZED (SELECT ${(1 to BpeK).map(n =>
+          s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")}
+       |  FROM ${(1 to BpeK).map(n => s"b$n").mkString(", ")}),
+       |ew AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
+       |    FROM documents WHERE doc_id % 3 = 1) WHERE w <> ''),
+       |ap AS (SELECT doc_id, ${(1 to BpeK).foldLeft(
+          "regexp_replace(w, '(.)', '<\\1>', 'g')") { (acc, n) =>
+          s"replace($acc, '<' || l$n || '><' || r$n || '>', '<' || l$n || r$n || '>')"
+        }} AS ts
+       |  FROM ew, m)
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       |  CAST(sum(len(string_split(ts[2:len(ts)-1], '><'))) AS INT) AS n_tokens
+       |FROM ap GROUP BY 1""".stripMargin
+
   /** The unrolled DuckDB replica of Bpe.train: K chained
     * (pair-count → argmax → replace) rounds over the same word-count
     * table, every CTE MATERIALIZED (the chain re-references each round
@@ -221,24 +243,40 @@ object TextQueries {
         val docs = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 1)
         graft.text.Bpe.encodeCounts(docs, "text", "doc_id", bpeMerges(s, dir))
       },
-      Some(s"""WITH $bpeTrainCtes,
-              |m AS MATERIALIZED (SELECT ${(1 to BpeK).map(n =>
-                 s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")}
-              |  FROM ${(1 to BpeK).map(n => s"b$n").mkString(", ")}),
-              |ew AS (SELECT doc_id, w FROM (
-              |    SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +')) AS w
-              |    FROM documents WHERE doc_id % 3 = 1) WHERE w <> ''),
-              |ap AS (SELECT doc_id, ${(1 to BpeK).foldLeft(
-                 "regexp_replace(w, '(.)', '<\\1>', 'g')") { (acc, n) =>
-                 s"replace($acc, '<' || l$n || '><' || r$n || '>', '<' || l$n || r$n || '>')"
-               }} AS ts
-              |  FROM ew, m)
-              |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
-              |  CAST(sum(len(string_split(ts[2:len(ts)-1], '><'))) AS INT) AS n_tokens
-              |FROM ap GROUP BY 1""".stripMargin),
+      Some(bpeEncodeOracle),
       doc = "BPE encode with broadcast merges: rank-ordered replace chain per " +
         "word, map-side only (no shuffle); per-doc word + token counts over a " +
         "slice disjoint from training, oracle replays train + apply"),
+
+    "text_bpe_vocab_persisted" -> QueryDef(
+      (s, dir) => {
+        // the production tokenizer-serving shape (mirrors
+        // similarity_pq_persisted): the trained merge table PERSISTS
+        // once as a snapshot table — the vocab artifact every pipeline
+        // stage shares — and the encode path LOADS it from storage
+        // (rank-ordered read, bounded K-row collect), never retrains.
+        // Encoding the same slice as text_bpe_encode pins the contract:
+        // a loaded vocab must reproduce the in-memory model bit for bit
+        // (strings and longs parquet-round-trip exactly).
+        import s.implicits._
+        val wh = MetaQueries.warmBaseDir("text_bpe_vocab", dir) { b =>
+          val df = bpeMerges(s, dir)
+            .map(m => (m.rank, m.left, m.right, m.pairCount))
+            .toDF("rank", "merge_left", "merge_right", "pair_count")
+          graft.sink.SnapshotTable(b, "testdata", "bpe_vocab").overwrite(df): Unit
+        }
+        val loaded = graft.sink.SnapshotTable(wh, "testdata", "bpe_vocab")
+          .read(s).orderBy("rank").collect() // bounded: the K-row vocab
+          .map(r => graft.text.Bpe.Merge(
+            r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        graft.text.Bpe.encodeCounts(docs, "text", "doc_id", loaded)
+      },
+      Some(bpeEncodeOracle),
+      doc = "BPE vocab persisted as a snapshot table and served from storage: " +
+        "the encode path loads the rank-ordered merge artifact (never " +
+        "retrains) and must reproduce the in-memory model's encoding exactly"),
 
     "text_bpe_fertility" -> QueryDef(
       (s, dir) => {
