@@ -162,24 +162,42 @@ object Multimodal {
     // close duplicate groups TRANSITIVELY — a keeper_id must never
     // itself be a dup. Near-dup groups are almost always CLIQUES
     // (re-encodes of one picture all pair with each other), where ONE
-    // hop of min-label already is the fixpoint; pay the iterative
-    // connected-components machinery only when a dangling chain proves
-    // a second hop is needed (one tiny rep-level probe decides).
+    // hop of min-label already is the fixpoint, and occasionally SHORT
+    // CHAINS (an edit ladder), where a couple more hops close them.
+    // So: hop min-label with a converged-probe between hops (each hop
+    // is one join+agg; each probe one bounded rep-level job), and pay
+    // the full iterative connected-components machinery — per-round
+    // lineage checkpoints, change counts — only if a component's
+    // diameter outlives the hop budget (adversarially long ladders).
     val partners = pairs.select(col("a_rep").as("rep"), col("b_rep").as("partner"))
       .unionByName(pairs.select(col("b_rep").as("rep"), col("a_rep").as("partner")))
       .localCheckpoint() // the pair pipeline (band join + hamming) runs once
-    val oneHop = partners.groupBy(col("rep"))
-      .agg(least(min(col("partner")), col("rep")).as("keeper"))
     // fixpoint test: min-label has converged exactly when every edge's
-    // endpoints already agree on a keeper; any disagreeing edge is a
-    // chain needing another hop (one bounded rep-level probe)
-    val dangling = partners
-      .join(oneHop, "rep")
-      .join(oneHop.toDF("partner", "pkeeper"), "partner")
+    // endpoints agree on a keeper; any disagreeing edge needs a hop
+    def disagree(lbl: DataFrame): Boolean = partners
+      .join(lbl, "rep")
+      .join(lbl.toDF("partner", "pkeeper"), "partner")
       .filter(col("keeper") =!= col("pkeeper"))
       .limit(1).collect().nonEmpty
+    def hop(lbl: DataFrame): DataFrame = {
+      val nbrMin = partners
+        .join(lbl.toDF("partner", "pkeeper"), "partner")
+        .groupBy(col("rep")).agg(min(col("pkeeper")).as("nmin"))
+      lbl.join(nbrMin, Seq("rep"), "left_outer")
+        .select(col("rep"),
+          least(col("keeper"), coalesce(col("nmin"), col("keeper"))).as("keeper"))
+    }
+    var lbl = partners.groupBy(col("rep"))
+      .agg(least(min(col("partner")), col("rep")).as("keeper"))
+    var hopsLeft = 3 // hop plans nest; past this depth checkpointed CC wins
+    var converged = !disagree(lbl)
+    while (!converged && hopsLeft > 0) {
+      lbl = hop(lbl)
+      hopsLeft -= 1
+      converged = !disagree(lbl)
+    }
     val repKeeper =
-      if (!dangling) oneHop
+      if (converged) lbl
       else graft.dedup.Dedup.connectedComponents(
           // the checkpointed partner frame, so the band+hamming pipeline
           // never re-executes; both directions present is harmless (CC

@@ -241,4 +241,34 @@ class MultimodalSpec extends SparkSpec {
     assert(keepers2.forall(k => !out2(k)._2),
       s"a keeper_id must never be a dup itself: $out2")
   }
+
+  test("phash dedup: hamming ladders close transitively at any diameter") {
+    import org.apache.spark.sql.functions.col
+    // an edit LADDER: consecutive rungs differ by 3 bits (<= threshold
+    // 4), skipping a rung costs 6 (> threshold) — so the pair graph is
+    // a PATH whose diameter grows with ladder length. A 5-rung ladder
+    // (diameter 4) converges inside the bounded min-label hop budget;
+    // a 9-rung ladder (diameter 8) must fall back to the iterative
+    // connected-components machinery — both collapse onto the min id.
+    val base = Array.tabulate(96)(i => i.toByte)
+    def bumped(positions: Int*): Array[Byte] = {
+      val b = base.clone(); positions.foreach(p => b(p) = 200.toByte); b
+    }
+    // 24 bump positions on a stride-3 grid (2, 5, ..., 71): pairwise
+    // non-adjacent, all inside the 73-byte hash window, so every bump
+    // flips exactly one bit and steps never interact
+    val steps = (0 until 24).map(k => 2 + 3 * k).grouped(3).toSeq
+    def ladder(firstId: Long, rungs: Int) = (0 until rungs).map { i =>
+      (firstId + i) -> bumped(steps.take(i).flatten: _*)
+    }
+    for (rungs <- Seq(5, 9)) {
+      val media = ladder(100L, rungs)
+        .toDF("media_id", "payload")
+      val out = Multimodal.phashDedup(media, "media_id", "payload")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+      val want = (0 until rungs)
+        .map(i => (100L + i) -> ((100L, i != 0))).toMap
+      assert(out == want, s"ladder of $rungs must collapse onto 100: $out")
+    }
+  }
 }
