@@ -549,12 +549,16 @@ object MetaQueries {
         // copy-on-write rewrite. Appends after the delete — even rows
         // matching the predicate — survive (dir-scoped, the sequence-
         // number rule).
-        val wh = freshWarehouse("sink_positional_delete")
         val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
         val events = tbl(s, dir, "events")
-        TableSink.overwrite(events, t, table)
-        table.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+        // seed + mode property commit once per session; the MOR DML —
+        // the operator under test — lands on a per-run metadata clone
+        val wh = warmCloneWarehouse("sink_positional_delete", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          TableSink.overwrite(events, t, seed): Unit
+          seed.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+        }
+        val table = SnapshotTable(wh, t.namespace, t.name)
         val filesBefore = table.dataFileCount
         val dirsBefore = table.currentSnapshot.get.dataDirs
         val before = table.currentSnapshot.get.rowCount
@@ -597,11 +601,15 @@ object MetaQueries {
         // not a rewrite of every touched file. The riding delete scopes
         // to pre-commit dirs, so the commit's own re-inserted rows
         // survive it by construction (pinned below).
-        val wh = freshWarehouse("sink_positional_update")
         val t = TemplateLoader.get(TemplatesDir, "events")
+        // seed + mode property commit once per session; the MOR DML —
+        // the operator under test — lands on a per-run metadata clone
+        val wh = warmCloneWarehouse("sink_positional_update", dir) { b =>
+          val seed = SnapshotTable(b, t.namespace, t.name)
+          TableSink.overwrite(tbl(s, dir, "events"), t, seed): Unit
+          seed.setProperties(Map("write.update.mode" -> "merge-on-read"))
+        }
         val table = SnapshotTable(wh, t.namespace, t.name)
-        TableSink.overwrite(tbl(s, dir, "events"), t, table)
-        table.setProperties(Map("write.update.mode" -> "merge-on-read"))
         val origDirs = table.currentSnapshot.get.dataDirs
         val before = table.currentSnapshot.get.rowCount
         val snapsBefore = table.snapshots.size
@@ -3398,10 +3406,15 @@ object MetaQueries {
         // template's 7 days — nothing expires. Phase 2: the override
         // removed and retain_last=2 set — expiry honors the count
         // guarantee (newest two survive regardless of age).
-        val wh = freshWarehouse("retention_policy_override")
         val t = TemplateLoader.get(TemplatesDir, "events")
-        val table = SnapshotTable(wh, t.namespace, t.name)
         val events = tbl(s, dir, "events")
+        // NOT warm-based on purpose (the retention_expire discipline):
+        // phase-2 expiry PHYSICALLY deletes snapshot-1's data dirs, and
+        // under a metadata clone those are absolute paths into the
+        // shared base — a clone run would mutate the base for the rest
+        // of the session. Expiry keys rebuild their seed per run.
+        val wh = freshWarehouse("retention_policy_override")
+        val table = SnapshotTable(wh, t.namespace, t.name)
         TableSink.overwrite(events.filter(col("event_id") % 5 === 0), t, table)
         TableSink.overwrite(events.filter(col("event_id") % 3 === 0), t, table)
         TableSink.overwrite(events.filter(col("event_id") % 2 === 0), t, table)
