@@ -663,6 +663,28 @@ class RowLevelSpec extends SparkSpec {
         s"round $round: UPDATE divergence (src=$srcRows) " +
           s"expect=$expectDeleted flagged=$flagged")
     }
+    // THREE-column rounds: k=3 rides the DATA-DRIVEN target-mask probe
+    // (k<=2 enumerates statically), so this leg is the differential
+    // coverage for the probe path — masks derive from the live frame
+    // inside the matcher closure
+    for (round <- 1 to 4) {
+      val rows = Seq.tabulate(14)(i => (i.toLong, cell(), cell(), cell()))
+      val srcRows = Seq.fill(1 + rng.nextInt(5))((cell(), cell(), cell()))
+      rows.toDF("rid", "a", "b", "c").createOrReplaceTempView("rl_nind3_t")
+      srcRows.toDF("k1", "k2", "k3").createOrReplaceTempView("rl_nind3_s")
+      val expectDeleted = spark.sql(
+        """SELECT rid FROM rl_nind3_t
+          |WHERE (a, b, c) NOT IN (SELECT k1, k2, k3 FROM rl_nind3_s)""".stripMargin)
+        .as[Long].collect().sorted.toSeq
+      val t = SnapshotTable(wh, "ns", s"nind3_$round")
+      t.overwrite(rows.toDF("rid", "a", "b", "c")): Unit
+      spark.sql(s"""DELETE FROM graft.ns.nind3_$round
+                   |WHERE (a, b, c) NOT IN (SELECT k1, k2, k3 FROM rl_nind3_s)""".stripMargin)
+      val survivors = t.read(spark).select("rid").as[Long].collect().sorted.toSeq
+      assert(survivors == rows.map(_._1).filterNot(expectDeleted.contains),
+        s"3-col round $round: DELETE divergence (src=$srcRows)\n" +
+          s"  expectDeleted=$expectDeleted survivors=$survivors")
+    }
   }
 
   test("theta-EXISTS differential: engine DELETE matches Spark's native evaluation") {
