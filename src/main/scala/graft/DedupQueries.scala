@@ -497,6 +497,62 @@ object DedupQueries {
               |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.4""".stripMargin),
       doc = "batch-vs-corpus near-dup check (ingestion shape): cost scales with the delta, not corpus^2"),
 
+    "dedup_minhash_persisted" -> QueryDef(
+      (s, dir) => {
+        // the PERSISTED LSH index — the dedup twin of the persisted ANN
+        // index: corpus band buckets build ONCE and store as a snapshot
+        // table; each ingested delta hashes only ITSELF (O(delta)
+        // map-side shingle+signature work), joins the stored buckets
+        // for candidates, and exact-verifies candidate pairs on the
+        // postings index. At 100 TB the corpus text is never
+        // re-shingled on ingest — the bucket table is the contract
+        // (and delta buckets append to it as the batch commits).
+        import org.apache.spark.sql.functions.pmod
+        val docs = tbl(s, dir, "documents")
+        val wh = MetaQueries.warmBaseDir("dedup_minhash_index", dir) { b =>
+          val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+          val buckets = Dedup.bandBuckets(
+            Dedup.minhashSignature(Dedup.shinglePostings(corpus, "text", 3)),
+            rowsPerBand = 2)
+          graft.sink.SnapshotTable(b, "dedup", "minhash_buckets")
+            .overwrite(buckets): Unit
+        }
+        val stored = graft.sink.SnapshotTable(wh, "dedup", "minhash_buckets").read(s)
+        val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        val deltaBuckets = Dedup.bandBuckets(
+          Dedup.minhashSignature(Dedup.shinglePostings(delta, "text", 3)),
+          rowsPerBand = 2)
+        Dedup.minhashPersistedPairs(stored, deltaBuckets,
+          Dedup.sharedPostings(docs, "text", 3), minJaccard = 0.4)
+      },
+      Some(s"""WITH $ShinglesSql,
+              |$SigsSql,
+              |banded AS (
+              |  SELECT doc_id, t.b AS band,
+              |    CONCAT(sig[2 * CAST(t.b AS INT) + 1], ':', sig[2 * CAST(t.b AS INT) + 2]) AS bucket
+              |  FROM sigs, range(0, 4) t(b)),
+              |bn AS (SELECT * FROM banded WHERE doc_id % 10 = 7),
+              |cand AS (
+              |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+              |    greatest(a.doc_id, b.doc_id) AS doc_b
+              |  FROM banded a JOIN bn b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+              |verified AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+              |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+              |  FROM cand
+              |  JOIN sh sa ON doc_a = sa.doc_id
+              |  JOIN sh sb ON doc_b = sb.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+              |FROM verified
+              |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.4""".stripMargin),
+      doc = "MinHash LSH with a PERSISTED band-bucket index: the delta hashes " +
+        "only itself, candidates come from the stored bucket table " +
+        "(delta-vs-corpus + delta-vs-delta), exact-Jaccard verified — " +
+        "steady-state ingest dedup where corpus text is never re-shingled"),
+
     "dedup_minhash" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(
         tbl(s, dir, "documents"), "text", n = 3, rowsPerBand = 2, minJaccard = 0.4),

@@ -273,6 +273,22 @@ object Dedup {
         A.indices.tail.map(i => min((lit(A(i)) * h + lit(B(i))) % P).as(s"sig$i")): _*)
   }
 
+  /** LSH band buckets of a K-wide minhash signature frame:
+    * (doc_id, band, bucket) rows, `bucket` the ':'-joined row slice —
+    * the join key of candidate generation AND the persistable index
+    * payload (`dedup_minhash_persisted` stores exactly this frame).
+    */
+  def bandBuckets(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = A.size / rowsPerBand
+    sigs.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col(s"sig${b * rowsPerBand + r}")): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** `dedup_minhash`: LSH banding over minhash signatures, candidate
     * pairs from band-bucket collisions, verified with exact Jaccard
     * computed on the postings index (no shingle arrays are ever built).
@@ -288,15 +304,7 @@ object Dedup {
     // tokenize+window+distinct pipeline runs once per dataset, not once
     // per operator (MEMORY_AND_DISK: spills instead of recomputing)
     val postings = sharedPostings(df, textCol, n)
-    val sigs = minhashSignature(postings)
-    val bands = A.size / rowsPerBand
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r =>
-            col(s"sig${b * rowsPerBand + r}")): _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandBuckets(minhashSignature(postings), rowsPerBand)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -307,6 +315,38 @@ object Dedup {
     val pa = postings.select(col("doc_id").as("doc_a"), col("sh"))
     val pb = postings.select(col("doc_id").as("doc_b"), col("sh"))
     val common = candidates.join(pa, "doc_a").join(pb, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** `dedup_minhash_persisted` read path: candidate pairs from the
+    * STORED band-bucket index joined with the delta's freshly hashed
+    * buckets — delta-vs-corpus and delta-vs-delta; corpus-vs-corpus
+    * pairs were settled when those batches ingested — then exact
+    * Jaccard verification on the postings index restricted to candidate
+    * docs. The index table is the ingest contract: corpus text is never
+    * re-shingled when a delta arrives.
+    */
+  def minhashPersistedPairs(
+      storedBuckets: DataFrame, deltaBuckets: DataFrame,
+      postings: DataFrame, minJaccard: Double): DataFrame = {
+    val all = storedBuckets.unionByName(deltaBuckets)
+    val cand = all.as("a").join(deltaBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val pa = postings.select(col("doc_id").as("doc_a"), col("sh"))
+    val pb = postings.select(col("doc_id").as("doc_b"), col("sh"))
+    val common = cand.join(pa, "doc_a").join(pb, Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     common

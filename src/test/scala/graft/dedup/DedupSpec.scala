@@ -134,6 +134,33 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet == Set((3L, 4L), (5L, 6L), (7L, 8L)))
   }
 
+  test("persisted minhash index: delta pairs only, corpus never re-hashed pairs") {
+    // corpus: 1~2 identical (settled history — must NOT re-report);
+    // delta: 9 identical to both, 10 unrelated. Expected: (1,9), (2,9)
+    // and nothing else — the stored buckets serve corpus candidates,
+    // the delta hashes only itself.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "entirely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog"),
+      (10L, "totally novel text neither corpus doc resembles at all"))
+      .toDF("doc_id", "text")
+    val stored = Dedup.bandBuckets(
+      Dedup.minhashSignature(Dedup.shinglePostings(corpus, "text", 3)), rowsPerBand = 2)
+    val deltaB = Dedup.bandBuckets(
+      Dedup.minhashSignature(Dedup.shinglePostings(delta, "text", 3)), rowsPerBand = 2)
+    val all = corpus.unionByName(delta)
+    val got = Dedup.minhashPersistedPairs(stored, deltaB,
+        Dedup.shinglePostings(all, "text", 3), minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 9L), (2L, 9L)),
+      s"delta-only pairs expected: $got")
+    assert(got.values.forall(_ == 1.0), s"identical docs must verify at 1.0: $got")
+  }
+
   test("decontamination flags shared rare n-grams; df cap mutes common phrases") {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = Seq(
