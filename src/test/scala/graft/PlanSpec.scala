@@ -245,6 +245,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BPE encode is map-side: the replace-chain encoder never shuffles") {
+    // the encoder's scale contract (text/Bpe.scala): merges compile into
+    // per-word string replaces inside a higher-order aggregate — linear
+    // in the corpus, zero exchanges in BOTH encode keys (exact + batched;
+    // training happened before the plan under test, memoized)
+    for (q <- Seq("text_bpe_encode", "text_bpe_encode_batched")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(800)}")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q should scan once:\n${p.take(800)}")
+    }
+  }
+
   test("decontamination broadcasts only the benchmark side") {
     val conf = spark.conf
     val prevAqe = conf.get("spark.sql.adaptive.enabled")

@@ -71,6 +71,29 @@ class BpeSpec extends SparkSpec {
       (3, 1, "r", "at", 2L)))
   }
 
+  test("trainBatched with batch=1, pool=1 degenerates to the exact trainer") {
+    // one accepted merge per round from a one-candidate pool IS the
+    // exact argmax loop — the relaxation must vanish at M=1, so the
+    // batched trainer inherits the exact trainer's entire test weight
+    // (tie-breaks, greedy application, count bookkeeping) at that point
+    for (corpus <- Seq(
+      Seq("the cat sat on the mat", "the cat ate the rat", "a cat and a rat sat"),
+      Seq("ab ab abc abcd", "zz zzz z", "banana bandana"))) {
+      val words = corpus.toDF("text")
+        .select(explode(Bpe.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val exact = Bpe.train(words, 6)
+        .map(m => (m.rank, m.left, m.right, m.pairCount))
+      val batched = Bpe.trainBatched(words, rounds = 6, batch = 1, pool = 1)
+        .map(m => (m.round, m.left, m.right, m.pairCount))
+      assert(batched == exact,
+        s"M=1 batched trainer must equal the exact trainer on $corpus:\n" +
+          s"  exact  =$exact\n  batched=$batched")
+      assert(Bpe.trainBatched(words, rounds = 6, batch = 1, pool = 1)
+        .forall(_.idx == 1), "one merge per round must carry idx 1")
+    }
+  }
+
   test("greedySelect rejects token-sharing AND produced-token candidates, caps at batch") {
     // (a,bc) accepted -> produced token 'abc'; (ab,c) has neither side
     // used but WOULD produce/consume 'abc' -> the l+r rule rejects it
