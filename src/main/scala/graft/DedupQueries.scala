@@ -500,30 +500,33 @@ object DedupQueries {
     "dedup_minhash_persisted" -> QueryDef(
       (s, dir) => {
         // the PERSISTED LSH index — the dedup twin of the persisted ANN
-        // index: corpus band buckets build ONCE and store as a snapshot
-        // table; each ingested delta hashes only ITSELF (O(delta)
-        // map-side shingle+signature work), joins the stored buckets
-        // for candidates, and exact-verifies candidate pairs on the
-        // postings index. At 100 TB the corpus text is never
-        // re-shingled on ingest — the bucket table is the contract
-        // (and delta buckets append to it as the batch commits).
+        // index: corpus band buckets AND the shingle postings (the
+        // inverted index exact verification joins) build ONCE and store
+        // as snapshot tables; each ingested delta hashes only ITSELF
+        // (O(delta) map-side shingle+signature work), joins the stored
+        // buckets for candidates, and exact-verifies against stored ∪
+        // delta postings. At 100 TB the corpus text is never touched on
+        // ingest — the two index tables are the whole contract (and the
+        // delta's buckets + postings append as its batch commits).
         import org.apache.spark.sql.functions.pmod
         val docs = tbl(s, dir, "documents")
         val wh = MetaQueries.warmBaseDir("dedup_minhash_index", dir) { b =>
           val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
-          val buckets = Dedup.bandBuckets(
-            Dedup.minhashSignature(Dedup.shinglePostings(corpus, "text", 3)),
-            rowsPerBand = 2)
-          graft.sink.SnapshotTable(b, "dedup", "minhash_buckets")
-            .overwrite(buckets): Unit
+          val postings = Dedup.shinglePostings(corpus, "text", 3)
+          graft.sink.SnapshotTable(b, "dedup", "minhash_buckets").overwrite(
+            Dedup.bandBuckets(Dedup.minhashSignature(postings), rowsPerBand = 2)): Unit
+          graft.sink.SnapshotTable(b, "dedup", "shingle_postings")
+            .overwrite(postings): Unit
         }
         val stored = graft.sink.SnapshotTable(wh, "dedup", "minhash_buckets").read(s)
+        val storedPostings =
+          graft.sink.SnapshotTable(wh, "dedup", "shingle_postings").read(s)
         val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        val deltaPostings = Dedup.shinglePostings(delta, "text", 3)
         val deltaBuckets = Dedup.bandBuckets(
-          Dedup.minhashSignature(Dedup.shinglePostings(delta, "text", 3)),
-          rowsPerBand = 2)
+          Dedup.minhashSignature(deltaPostings), rowsPerBand = 2)
         Dedup.minhashPersistedPairs(stored, deltaBuckets,
-          Dedup.sharedPostings(docs, "text", 3), minJaccard = 0.4)
+          storedPostings.unionByName(deltaPostings), minJaccard = 0.4)
       },
       Some(s"""WITH $ShinglesSql,
               |$SigsSql,
