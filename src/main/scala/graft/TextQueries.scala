@@ -161,8 +161,12 @@ object TextQueries {
     * snapshot table): train replay + the rank-ordered apply chain over
     * the %3==1 slice — the two keys must be bit-identical by contract.
     */
-  private def bpeEncodeOracle: String =
-    s"""WITH $bpeTrainCtes,
+  /** The train-replay + apply-chain CTE prefix over the %3==1 encode
+    * slice, ending in `ap(doc_id, ts)` — shared by the encode,
+    * persisted-vocab, and BPE-packing oracles.
+    */
+  private def bpeApplyCtes: String =
+    s"""$bpeTrainCtes,
        |m AS MATERIALIZED (SELECT ${(1 to BpeK).map(n =>
           s"b$n.l AS l$n, b$n.r AS r$n").mkString(", ")}
        |  FROM ${(1 to BpeK).map(n => s"b$n").mkString(", ")}),
@@ -173,7 +177,10 @@ object TextQueries {
           "regexp_replace(w, '(.)', '<\\1>', 'g')") { (acc, n) =>
           s"replace($acc, '<' || l$n || '><' || r$n || '>', '<' || l$n || r$n || '>')"
         }} AS ts
-       |  FROM ew, m)
+       |  FROM ew, m)""".stripMargin
+
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeApplyCtes
        |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
        |  CAST(sum(len(string_split(ts[2:len(ts)-1], '><'))) AS INT) AS n_tokens
        |FROM ap GROUP BY 1""".stripMargin
@@ -334,6 +341,36 @@ object TextQueries {
       doc = "per-language tokenizer fertility audit under the trained BPE: " +
         "tokens-per-word and chars-per-token from exact per-language sums " +
         "— the language-mix fitness signal for packing and epoch budgets"),
+
+    "text_pack_bpe" -> QueryDef(
+      (s, dir) => {
+        // packing budgets are TOKENIZER-token budgets in production —
+        // whitespace counts misprice dense scripts, code, and URL-heavy
+        // text. Count each doc under the TRAINED merges (the map-side
+        // encode), then the same sharded concat-and-chunk rule as
+        // text_pack_sequences (a global cumsum would serialize the
+        // corpus through one partition; bin ids depend on the pinned
+        // shard count 16, and the oracle packs with 16).
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        val enc = graft.text.Bpe.encodeCounts(
+          docs, "text", "doc_id", bpeMerges(s, dir))
+        graft.text.TrainingMix.packCounts(
+          enc.select(col("doc_id"), col("n_tokens")), budget = 512, shards = 16)
+      },
+      Some(s"""WITH $bpeApplyCtes,
+              |per AS (SELECT doc_id,
+              |    CAST(sum(len(string_split(ts[2:len(ts)-1], '><'))) AS INT) AS n_tokens
+              |  FROM ap GROUP BY 1),
+              |d AS (SELECT doc_id, n_tokens,
+              |    CAST(CONCAT('0x', substr(md5('shard:' || doc_id), 1, 15)) AS BIGINT) % 16 AS shard
+              |  FROM per)
+              |SELECT doc_id, n_tokens, shard,
+              |  CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)
+              |    // 512 AS BIGINT) AS bin
+              |FROM d""".stripMargin),
+      doc = "sequence packing under the TRAINED tokenizer: per-doc BPE token " +
+        "counts (map-side encode) feed the sharded concat-and-chunk binning " +
+        "— budgets priced in the tokens the model will actually see"),
 
     "text_bpe_train_batched" -> QueryDef(
       (s, dir) => {

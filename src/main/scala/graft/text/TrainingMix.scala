@@ -37,11 +37,20 @@ object TrainingMix {
     * themselves depend on the shard count, so pipelines must pin it for
     * reproducibility (the registry pins 16 to match the oracle).
     */
-  def packSequences(docs: DataFrame, textCol: String, budget: Int, shards: Int): DataFrame = {
-    require(budget > 0 && shards > 0, "budget and shards must be positive")
-    val d = docs.select(
+  def packSequences(docs: DataFrame, textCol: String, budget: Int, shards: Int): DataFrame =
+    packCounts(docs.select(
       col("doc_id"),
-      size(TextAnalysis.wordTokens(col(textCol))).as("n_tokens"),
+      size(TextAnalysis.wordTokens(col(textCol))).as("n_tokens")), budget, shards)
+
+  /** The packing rule over a pre-counted (doc_id, n_tokens) frame — the
+    * seam `text_pack_bpe` shares: token counting is the tokenizer's
+    * job (whitespace, BPE, anything), binning is this one sharded
+    * cumsum regardless.
+    */
+  def packCounts(counted: DataFrame, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val d = counted.select(
+      col("doc_id"), col("n_tokens"),
       pmod(TextAnalysis.hash60(concat(lit("shard:"), col("doc_id"))), lit(shards.toLong)).as("shard"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     d.withColumn("cum", sum(col("n_tokens")).over(w))
