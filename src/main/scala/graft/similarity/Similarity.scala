@@ -324,20 +324,44 @@ object Similarity {
     * Scale: one pass over the row view, one groupBy(vec_id) with
     * map-side partials — identical shape to [[buckets]].
     */
-  def randomProject(emb: DataFrame, outDims: Int = 16): DataFrame = {
-    require(outDims > 0, "outDims must be positive")
-    val e = exploded(emb, "vec_id", "vec_id")
-    val scale = math.sqrt(3.0 / outDims)
+  def randomProject(emb: DataFrame, outDims: Int = 16, dims: Int = 64): DataFrame = {
+    require(outDims > 0 && dims > 0, "outDims and dims must be positive")
+    val scale = rpScale(outDims)
+    // the {+1,-1,0} weight matrix depends only on (pos, j) — outDims×dims
+    // constants. The r15 formulation re-derived each weight PER DATA ROW
+    // (an md5 per element per output dim — 1024 digests per vector) and
+    // paid an explode + groupBy shuffle to sum; the matrix now
+    // materializes ONCE driver-side (same md5 draw, bit-identical to the
+    // oracle's) and rides as literal arrays into the native codegen dot
+    // product: one map-side pass, no shuffle, no per-row hashing. The
+    // fold order is unchanged — dotProduct is the sequential
+    // left-to-right sum the row-view aggregation accumulated in pos
+    // order, and the oracle's list_reduce replays.
+    def w(pos: Int, j: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$pos:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 6 match {
+        case 0 => 1.0
+        case 1 => -1.0
+        case _ => 0.0
+      }
+    }
+    val v = asDouble(col("embedding"))
     val projections = (0 until outDims).map { j =>
-      val h = pmod(graft.text.TextAnalysis.hash60(
-        concat(lit("rp:"), col("pos"), lit(s":$j"))), lit(6L))
-      val w = when(h === 0L, lit(1.0)).when(h === 1L, lit(-1.0)).otherwise(lit(0.0))
+      // sliced to the vector's own length: weights are per-position, so
+      // shorter vectors see exactly the prefix they used to hash
+      // row-by-row (vectors wider than `dims` dot to NULL — loud, not
+      // silently truncated)
+      val wj = slice(lit((0 until dims).map(p => w(p, j)).toArray),
+        lit(1), size(v))
       // `+ 0.0` normalizes IEEE negative zero: a negative sum rounding to
       // zero must hash identically across engines (DuckDB's round()
       // preserves the sign; Spark's BigDecimal round() does not).
-      (round(sum(col("x") * w) * lit(scale), 4) + lit(0.0)).as(s"p$j")
+      (round(graft.functions.VectorMath.dotProduct(v, wj) * lit(scale), 4) + lit(0.0))
+        .as(s"p$j")
     }
-    e.groupBy(col("vec_id")).agg(projections.head, projections.tail: _*)
+    emb.select(col("vec_id") +: projections: _*)
   }
 
   /** The [[randomProject]] scale factor, shared with the oracle SQL so
