@@ -522,7 +522,10 @@ object DedupQueries {
         val storedPostings =
           graft.sink.SnapshotTable(wh, "dedup", "shingle_postings").read(s)
         val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
-        val deltaPostings = Dedup.shinglePostings(delta, "text", 3)
+        // through the keyed cache: the delta's tokenize+window+distinct
+        // pipeline feeds TWO consumers in one plan (signature->buckets
+        // and the verification union) — uncached it would execute twice
+        val deltaPostings = Dedup.sharedPostings(delta, "text", 3)
         val deltaBuckets = Dedup.bandBuckets(
           Dedup.minhashSignature(deltaPostings), rowsPerBand = 2)
         Dedup.minhashPersistedPairs(stored, deltaBuckets,

@@ -156,14 +156,10 @@ object TextQueries {
     (head +: rounds).mkString(",\n")
   }
 
-  /** The encode replica shared by `text_bpe_encode` (in-memory model)
-    * and `text_bpe_vocab_persisted` (model loaded from the persisted
-    * snapshot table): train replay + the rank-ordered apply chain over
-    * the %3==1 slice — the two keys must be bit-identical by contract.
-    */
   /** The train-replay + apply-chain CTE prefix over the %3==1 encode
     * slice, ending in `ap(doc_id, ts)` — shared by the encode,
-    * persisted-vocab, and BPE-packing oracles.
+    * persisted-vocab (which must be bit-identical to encode by
+    * contract), and BPE-packing oracles.
     */
   private def bpeApplyCtes: String =
     s"""$bpeTrainCtes,

@@ -1170,15 +1170,18 @@ private[catalog] object NotInMultiRuntime {
     // target pieces: the matcher closure re-applies against a NEWER
     // probe after a commit-retry conflict, so the mask set must derive
     // from the frame IN HAND, never a scan taken here that a rival
-    // commit could stale-out. Tiny tuples (k<=2, at most 4 masks)
-    // enumerate statically — an unpopulated mask is an empty piece and
-    // the probe pass is saved. Anything wider scans the live probe
-    // inside the closure (derived from `df`, so retry-safe for free):
-    // real data populates FEW masks, and enumerating 2^k pieces each
-    // carrying up to |srcMasks| anti-joins plus a 2^k-way union builds
-    // a far larger plan than the probe costs
+    // commit could stale-out. Narrow tuples (k<=4, at most 16 masks)
+    // enumerate statically — an unpopulated mask is an empty piece, and
+    // the probe is NOT free: it is a distinct+collect scan of the
+    // target that the matcher pays 2-3 times per statement
+    // (affected-dir detection, rewrite split, kept-rows complement).
+    // Wider tuples scan the live probe inside the closure (derived from
+    // `df`, so retry-safe for free): real data populates FEW masks, and
+    // enumerating 2^k pieces each carrying up to |srcMasks| anti-joins
+    // plus a 2^k-way union builds a far larger plan than the probe
+    // costs at that width
     val tgtMasksOf: org.apache.spark.sql.DataFrame => Seq[Int] =
-      if (k <= 2) _ => 0 until (1 << k)
+      if (k <= 4) _ => 0 until (1 << k)
       else df => df
         .select(maskOf(keys.map { case (tk, _) => col(tk) }).as("__gmask"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted

@@ -187,12 +187,18 @@ object Multimodal {
         .select(col("rep"),
           least(col("keeper"), coalesce(col("nmin"), col("keeper"))).as("keeper"))
     }
+    // hop OUTPUTS cut their lineage (each is referenced twice by the
+    // next probe and twice by the next hop — uncheckpointed, hop k's
+    // plan would re-run the label aggregation 2^k times, a real cost
+    // once reps number in the millions); the INITIAL label frame stays
+    // lazy — it is one tiny aggregation over the checkpointed partners,
+    // and the common clique case ends after a single probe of it
     var lbl = partners.groupBy(col("rep"))
       .agg(least(min(col("partner")), col("rep")).as("keeper"))
-    var hopsLeft = 3 // hop plans nest; past this depth checkpointed CC wins
+    var hopsLeft = 3 // past this diameter the checkpointed CC loop wins
     var converged = !disagree(lbl)
     while (!converged && hopsLeft > 0) {
-      lbl = hop(lbl)
+      lbl = hop(lbl).localCheckpoint()
       hopsLeft -= 1
       converged = !disagree(lbl)
     }

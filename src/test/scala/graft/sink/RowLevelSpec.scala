@@ -663,10 +663,11 @@ class RowLevelSpec extends SparkSpec {
         s"round $round: UPDATE divergence (src=$srcRows) " +
           s"expect=$expectDeleted flagged=$flagged")
     }
-    // THREE-column rounds: k=3 rides the DATA-DRIVEN target-mask probe
-    // (k<=2 enumerates statically), so this leg is the differential
-    // coverage for the probe path — masks derive from the live frame
-    // inside the matcher closure
+    // THREE-column rounds exercise the wider static enumeration (k<=4,
+    // 8 masks); FIVE-column rounds ride the DATA-DRIVEN target-mask
+    // probe (k>=5) — masks derive from the live frame inside the
+    // matcher closure — so both lowering paths carry differential
+    // coverage against Spark's native evaluation
     for (round <- 1 to 4) {
       val rows = Seq.tabulate(14)(i => (i.toLong, cell(), cell(), cell()))
       val srcRows = Seq.fill(1 + rng.nextInt(5))((cell(), cell(), cell()))
@@ -683,6 +684,26 @@ class RowLevelSpec extends SparkSpec {
       val survivors = t.read(spark).select("rid").as[Long].collect().sorted.toSeq
       assert(survivors == rows.map(_._1).filterNot(expectDeleted.contains),
         s"3-col round $round: DELETE divergence (src=$srcRows)\n" +
+          s"  expectDeleted=$expectDeleted survivors=$survivors")
+    }
+    for (round <- 1 to 2) {
+      val rows = Seq.tabulate(14)(i =>
+        (i.toLong, cell(), cell(), cell(), cell(), cell()))
+      val srcRows = Seq.fill(1 + rng.nextInt(5))(
+        (cell(), cell(), cell(), cell(), cell()))
+      rows.toDF("rid", "a", "b", "c", "d", "e").createOrReplaceTempView("rl_nind5_t")
+      srcRows.toDF("k1", "k2", "k3", "k4", "k5").createOrReplaceTempView("rl_nind5_s")
+      val expectDeleted = spark.sql(
+        """SELECT rid FROM rl_nind5_t
+          |WHERE (a, b, c, d, e) NOT IN (SELECT k1, k2, k3, k4, k5 FROM rl_nind5_s)""".stripMargin)
+        .as[Long].collect().sorted.toSeq
+      val t = SnapshotTable(wh, "ns", s"nind5_$round")
+      t.overwrite(rows.toDF("rid", "a", "b", "c", "d", "e")): Unit
+      spark.sql(s"""DELETE FROM graft.ns.nind5_$round
+                   |WHERE (a, b, c, d, e) NOT IN (SELECT k1, k2, k3, k4, k5 FROM rl_nind5_s)""".stripMargin)
+      val survivors = t.read(spark).select("rid").as[Long].collect().sorted.toSeq
+      assert(survivors == rows.map(_._1).filterNot(expectDeleted.contains),
+        s"5-col round $round: DELETE divergence (src=$srcRows)\n" +
           s"  expectDeleted=$expectDeleted survivors=$survivors")
     }
   }
