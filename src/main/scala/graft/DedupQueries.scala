@@ -559,6 +559,75 @@ object DedupQueries {
         "(delta-vs-corpus + delta-vs-delta), exact-Jaccard verified — " +
         "steady-state ingest dedup where corpus text is never re-shingled"),
 
+    "dedup_minhash_index_append" -> QueryDef(
+      (s, dir) => {
+        // the index MAINTENANCE leg the persisted key's contract rests
+        // on: after a batch's verdicts, its buckets AND postings append
+        // to the index tables in O(delta) commits — so the NEXT batch's
+        // candidates see it through the INDEX, never by re-reading its
+        // text. Two sequential deltas: batch 1 (%10==7) appends, then
+        // batch 2 (%10==3) queries the grown index — its output
+        // includes batch-2-vs-batch-1 pairs that exist ONLY if the
+        // append really landed (the require pins the O(delta) shape).
+        import org.apache.spark.sql.functions.pmod
+        val docs = tbl(s, dir, "documents")
+        // appends are commits: the seed index builds once per session,
+        // the per-run appends land on a metadata clone
+        val wh = MetaQueries.warmCloneWarehouse("dedup_minhash_index_app", dir) { b =>
+          val corpus = docs.filter(
+            pmod(col("doc_id"), lit(10)) =!= 7 && pmod(col("doc_id"), lit(10)) =!= 3)
+          val postings = Dedup.shinglePostings(corpus, "text", 3)
+          graft.sink.SnapshotTable(b, "dedup", "mh_app_buckets").overwrite(
+            Dedup.bandBuckets(Dedup.minhashSignature(postings), rowsPerBand = 2)): Unit
+          graft.sink.SnapshotTable(b, "dedup", "mh_app_postings")
+            .overwrite(postings): Unit
+        }
+        val bTable = graft.sink.SnapshotTable(wh, "dedup", "mh_app_buckets")
+        val pTable = graft.sink.SnapshotTable(wh, "dedup", "mh_app_postings")
+        val d1 = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        val d1Postings = Dedup.sharedPostings(d1, "text", 3)
+        val dirsBefore = bTable.currentSnapshot.get.dataDirs.size
+        val sb = bTable.append(
+          Dedup.bandBuckets(Dedup.minhashSignature(d1Postings), rowsPerBand = 2))
+        val sp = pTable.append(d1Postings)
+        require(sb.operation == "append" && sp.operation == "append" &&
+          sb.dataDirs.size == dirsBefore + 1,
+          "index maintenance must be one O(delta) append per table, not a rewrite")
+        val d2 = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        val d2Postings = Dedup.sharedPostings(d2, "text", 3)
+        Dedup.minhashPersistedPairs(
+          bTable.read(s),
+          Dedup.bandBuckets(Dedup.minhashSignature(d2Postings), rowsPerBand = 2),
+          pTable.read(s).unionByName(d2Postings), minJaccard = 0.4)
+      },
+      Some(s"""WITH $ShinglesSql,
+              |$SigsSql,
+              |banded AS (
+              |  SELECT doc_id, t.b AS band,
+              |    CONCAT(sig[2 * CAST(t.b AS INT) + 1], ':', sig[2 * CAST(t.b AS INT) + 2]) AS bucket
+              |  FROM sigs, range(0, 4) t(b)),
+              |bn AS (SELECT * FROM banded WHERE doc_id % 10 = 3),
+              |cand AS (
+              |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+              |    greatest(a.doc_id, b.doc_id) AS doc_b
+              |  FROM banded a JOIN bn b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+              |verified AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+              |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+              |  FROM cand
+              |  JOIN sh sa ON doc_a = sa.doc_id
+              |  JOIN sh sb ON doc_b = sb.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+              |FROM verified
+              |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.4""".stripMargin),
+      doc = "persisted-LSH-index MAINTENANCE: a batch's buckets + postings " +
+        "append in O(delta) commits, so the next batch's candidates see it " +
+        "through the index (batch-2-vs-batch-1 pairs prove the append landed) " +
+        "— the steady-state ingest loop closed end to end"),
+
     "dedup_minhash" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(
         tbl(s, dir, "documents"), "text", n = 3, rowsPerBand = 2, minJaccard = 0.4),
