@@ -254,6 +254,44 @@ class DedupSpec extends SparkSpec {
     assert(ok == (1L to 8L).map(i => (i, 1L, 8L)).toSet)
   }
 
+  test("connected components: differential vs union-find on seeded random graphs") {
+    // the distributed min-label fixpoint against a driver-side
+    // union-find reference over graphs nobody hand-shaped: random
+    // densities from near-forest (long chains, many rounds) to dense
+    // (few components, fast convergence)
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n).map(i => i -> find(i)).toMap
+    }
+    val rng = new scala.util.Random(16L)
+    for (round <- 1 to 4) {
+      val n = 30
+      val nEdges = Seq(12, 20, 35, 60)(round - 1)
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expect = unionFind(n, edges)
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // only nodes with at least one edge appear in the distributed output
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched,
+        s"round $round: node set mismatch (edges=$edges)")
+      touched.foreach { v =>
+        assert(got(v) == expect(v),
+          s"round $round: node $v label ${got(v)} != union-find ${expect(v)} (edges=$edges)")
+      }
+    }
+  }
+
   test("connected components: empty pair set yields an empty, well-typed frame") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(empty)
