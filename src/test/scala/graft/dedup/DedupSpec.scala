@@ -254,6 +254,52 @@ class DedupSpec extends SparkSpec {
     assert(ok == (1L to 8L).map(i => (i, 1L, 8L)).toSet)
   }
 
+  test("minhash LSH differential on random docs: no false positives, exact dups never missed, persisted split agrees") {
+    // random docs from a tiny vocab (so near-dups actually occur) plus
+    // planted exact clones. Three contracts over unshaped inputs:
+    //  1. every reported pair verifies: its jaccard equals the exact
+    //     driver-side jaccard and clears the threshold (no false pos);
+    //  2. exact clones (jaccard 1.0, identical signatures) are NEVER
+    //     missed — they collide on every band;
+    //  3. the persisted-index split (corpus = even ids, delta = odd)
+    //     reports exactly the full run's delta-touching pairs.
+    val rng = new scala.util.Random(42L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val bodies = (0 until 16).map(i =>
+      i.toLong -> Seq.fill(8)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    val clones = Seq(100L -> bodies(3)._2, 101L -> bodies(8)._2)
+    val all = bodies ++ clones
+    val docs = all.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val exact = (for {
+      (a, ta) <- all; (b, tb) <- all if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    } yield (a, b) -> math.rint(j * 1e6) / 1e6).toMap
+    val got = Dedup.minhashLshPairs(docs, "text", n = 3, rowsPerBand = 2, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (p, j) =>
+      assert(exact(p) == j && j >= 0.4, s"false positive or wrong score: $p -> $j vs ${exact(p)}")
+    }
+    assert(got.contains((3L, 100L)) && got((3L, 100L)) == 1.0)
+    assert(got.contains((8L, 101L)) && got((8L, 101L)) == 1.0)
+    // persisted split: corpus = even doc_ids, delta = odd — its output
+    // must equal the full run restricted to pairs touching the delta
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    val cb = Dedup.bandBuckets(
+      Dedup.minhashSignature(Dedup.shinglePostings(corpus, "text", 3)), rowsPerBand = 2)
+    val db = Dedup.bandBuckets(
+      Dedup.minhashSignature(Dedup.shinglePostings(delta, "text", 3)), rowsPerBand = 2)
+    val split = Dedup.minhashPersistedPairs(cb, db,
+        Dedup.shinglePostings(docs, "text", 3), minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val wantSplit = got.filter { case ((a, b), _) => a % 2 == 1 || b % 2 == 1 }
+    assert(split == wantSplit,
+      s"persisted split must equal the full run's delta-touching pairs:\n  split=$split\n  want =$wantSplit")
+  }
+
   test("connected components: differential vs union-find on seeded random graphs") {
     // the distributed min-label fixpoint against a driver-side
     // union-find reference over graphs nobody hand-shaped: random
