@@ -574,16 +574,63 @@ object TextQueries {
 
     "text_cdc_chunks" -> QueryDef(
       // ENGINE-DEFAULT mode: xxhash64 boundaries + chunk keys (codegen'd
-      // native hash; no per-gram digest/hex/conv chain). Not DuckDB-
-      // replicable, so the CDC invariants (coverage, shift-robustness,
-      // chunk-length distribution) are spec-pinned and the bit-exact
-      // oracle lives on the dedicated md5 variant key below.
-      (s, dir) => TextAnalysis.cdcChunksFast(tbl(s, dir, "documents"), "text"),
-      None,
+      // native hash; no per-gram digest/hex/conv chain). DuckDB cannot
+      // replicate xxhash64 bit-for-bit, but the CDC contract is still
+      // fully oracle-checkable as INVARIANTS over the chunk frame: the
+      // chunks, concatenated back in chunk_id order, md5-hash to the
+      // source text (coverage + order + non-overlap in one equality);
+      // the summed lengths and boundary positions pin the frame edges;
+      // chunk keys are injective per doc (distinct keys == distinct
+      // chunk texts); and every non-final chunk really ends where the
+      // engine hash of its trailing 8-gram is ≡ 0 (mod 64). The
+      // bit-exact boundary/key oracle lives on the md5 variant below.
+      (s, dir) => {
+        val k = 8
+        val divisor = 64
+        val docs = tbl(s, dir, "documents")
+        val chunks = TextAnalysis.cdcChunksFast(docs, "text", k, divisor)
+        val j = chunks
+          .join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), col("chunk_id"), col("start_char"),
+            col("chunk_len"), col("chunk_hash"),
+            col("text").substr(col("start_char"), col("chunk_len")).as("_ct"),
+            // a non-final chunk's 1-based end position must satisfy the
+            // boundary rule: xxhash64 of the trailing k-gram ≡ 0 (mod d)
+            ((col("start_char") + col("chunk_len") - 1 === length(col("text"))) ||
+              (xxhash64(col("text").substr(
+                col("start_char") + col("chunk_len") - k, lit(k))) % divisor === 0))
+              .as("_bok"))
+        j.groupBy(col("doc_id"))
+          .agg(
+            sort_array(collect_list(struct(col("chunk_id"), col("_ct")))).as("_cs"),
+            sum(col("chunk_len")).as("_cov"),
+            min(col("start_char")).as("first_start"),
+            max(col("start_char") + col("chunk_len") - 1).as("_end"),
+            countDistinct(col("chunk_hash")).as("_nk"),
+            countDistinct(col("_ct")).as("_nt"),
+            min(col("_bok")).as("boundaries_valid"))
+          .select(col("doc_id"),
+            md5(array_join(transform(col("_cs"), c => c.getField("_ct")), ""))
+              .as("reassembled_md5"),
+            col("_cov").cast("int").as("covered_len"),
+            col("first_start"),
+            col("_end").cast("int").as("last_end"),
+            (col("_nk") === col("_nt")).as("keys_injective"),
+            col("boundaries_valid"))
+      },
+      Some("""SELECT doc_id, md5(text) AS reassembled_md5,
+             |  CAST(length(text) AS INT) AS covered_len,
+             |  CAST(1 AS INT) AS first_start,
+             |  CAST(length(text) AS INT) AS last_end,
+             |  TRUE AS keys_injective,
+             |  TRUE AS boundaries_valid
+             |FROM documents""".stripMargin),
       doc = "content-defined chunking, engine default (xxhash64 Rabin-style " +
         "boundaries, ~64-char expected chunks): shift-robust per-chunk keys " +
-        "for offset-independent dedup; map-only, position-local; invariants " +
-        "spec-pinned, bit-exact oracle on text_cdc_chunks_md5"),
+        "for offset-independent dedup; map-only, position-local. Oracle " +
+        "verifies the CDC invariants (ordered reassembly md5 == md5(text), " +
+        "full coverage, boundary rule, per-doc key injectivity); bit-exact " +
+        "boundaries/keys on text_cdc_chunks_md5"),
 
     "text_cdc_chunks_md5" -> QueryDef(
       (s, dir) => TextAnalysis.cdcChunks(tbl(s, dir, "documents"), "text"),
@@ -1382,12 +1429,37 @@ object TextQueries {
 
     "text_fingerprint" -> QueryDef(
       // ENGINE-DEFAULT mode: xxhash64 content key + min-xxhash64 shingle
-      // (same structure, no digest/hex/conv chain); equality classes are
-      // spec-pinned, the bit-exact oracle lives on the md5 variant below.
-      (s, dir) => TextAnalysis.fingerprintFast(tbl(s, dir, "documents"), "text", k = 8),
-      None,
+      // (same structure, no digest/hex/conv chain). The VALUES can't be
+      // DuckDB-replicated, but the fingerprint's dedup power is its
+      // EQUALITY PARTITION — and that is oracle-checkable: grouping docs
+      // by the engine content key must induce exactly the partition
+      // DuckDB gets grouping by md5(text) (same representative, same
+      // class size — a merge OR a split on either side reds the row),
+      // and within a content class the min-shingle must be constant
+      // (identical text ⇒ identical shingle set ⇒ identical min). The
+      // bit-exact value oracle lives on the md5 variant below.
+      (s, dir) => {
+        val fp = TextAnalysis.fingerprintFast(tbl(s, dir, "documents"), "text", k = 8)
+        val classes = fp.groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("content_rep"),
+            count(lit(1)).as("n_same_content"),
+            (countDistinct(col("min_shingle_hash")) === 1).as("minsh_consistent"))
+        fp.join(classes, "content_hash")
+          .select(col("doc_id"), col("content_rep"), col("n_same_content"),
+            col("minsh_consistent"))
+      },
+      Some("""WITH g AS (
+             |  SELECT md5(text) AS h, min(doc_id) AS content_rep,
+             |    CAST(count(*) AS BIGINT) AS n_same_content
+             |  FROM documents GROUP BY 1)
+             |SELECT d.doc_id, g.content_rep, g.n_same_content,
+             |  TRUE AS minsh_consistent
+             |FROM documents d JOIN g ON md5(d.text) = g.h""".stripMargin),
       doc = "content hash + winnowing-style min-shingle rolling fingerprint, " +
-        "engine default (xxhash64); bit-exact oracle on text_fingerprint_md5"),
+        "engine default (xxhash64). Oracle verifies the equality-class " +
+        "invariants: the content-key partition matches md5(text)'s exactly " +
+        "and min-shingles are constant within a class; bit-exact values on " +
+        "text_fingerprint_md5"),
 
     "text_fingerprint_md5" -> QueryDef(
       (s, dir) => TextAnalysis.fingerprint(tbl(s, dir, "documents"), "text", k = 8),

@@ -23,22 +23,18 @@ class SurveyCountsSpec extends AnyFunSuite {
         s"${SparkEntry.queries.size} - update the doc")
   }
 
-  test("every oracle key has a query; every query has an oracle or an md5 twin") {
+  test("every oracle key has a query; EVERY query has an oracle") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracleSql keys without a query: ${o -- q}")
-    // the driver records a weaker rows-only check for oracle-less
-    // queries. The ONLY keys allowed to be oracle-less are the
-    // engine-default fast-hash variants (xxhash64 — DuckDB cannot
-    // replicate it), and each must have a dedicated `<key>_md5` twin
-    // that IS oracle-compared bit-exactly, so every operator's logic
-    // stays externally verified.
-    val fastAllowlist = Set("text_cdc_chunks", "text_fingerprint")
-    assert((q -- o) == fastAllowlist,
-      s"oracle-less queries must be exactly the fast-hash allowlist: ${q -- o}")
-    fastAllowlist.foreach { k =>
-      assert(o.contains(s"${k}_md5"),
-        s"fast-hash key $k needs its oracle-backed ${k}_md5 twin")
-    }
+    // Since round 17 there is NO oracle-less key: the two engine-default
+    // fast-hash variants (text_cdc_chunks, text_fingerprint — xxhash64,
+    // which DuckDB cannot bit-replicate) now project oracle-checkable
+    // INVARIANTS (reassembly md5, coverage, boundary rule, equality
+    // partitions) instead of bypassing the gate, and their `_md5` twins
+    // keep the bit-exact value oracles. Any future key must carry an
+    // oracle — invariant-shaped if its values aren't DuckDB-expressible.
+    assert((q -- o).isEmpty,
+      s"every registry query must carry an oracle; missing: ${q -- o}")
   }
 }
