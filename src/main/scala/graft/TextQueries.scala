@@ -251,6 +251,26 @@ object TextQueries {
         "word, map-side only (no shuffle); per-doc word + token counts over a " +
         "slice disjoint from training, oracle replays train + apply"),
 
+    "text_bpe_encode_scaled" -> QueryDef(
+      (s, dir) => {
+        // the VOCAB-SCALE encoder: identical output contract to
+        // text_bpe_encode (same slice, same trained model, same
+        // counts), but the model rides as ONE reference object inside
+        // a native codegen expression doing min-rank-first merging per
+        // word — plan size independent of K. At the fixture's K = 8 it
+        // must reproduce the replace-chain encoder bit for bit (same
+        // oracle); BpeScaledSpec additionally exercises it at K ≥ 256,
+        // where the chain encoder's expression tree stops being viable.
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") % 3 === 1)
+        graft.text.Bpe.encodeCountsScaled(docs, "text", "doc_id", bpeMerges(s, dir))
+      },
+      Some(bpeEncodeOracle),
+      doc = "BPE encode at production vocab scale: broadcast merge-rank table " +
+        "+ min-rank-first per-word merging in one native codegen expression " +
+        "(plan cost independent of K, unlike the K-deep replace chain); " +
+        "bit-identical to text_bpe_encode on the trained model, oracle " +
+        "replays train + apply"),
+
     "text_bpe_vocab_persisted" -> QueryDef(
       (s, dir) => {
         // the production tokenizer-serving shape (mirrors

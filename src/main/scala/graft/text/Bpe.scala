@@ -225,4 +225,33 @@ object Bpe {
         aggregate(tokensPerWord, lit(0), (acc, n) => acc + n).as("n_tokens"))
       .filter(col("n_words") > 0)
   }
+
+  /** The merge list as a [[graft.functions.BpeMergeTable]] — the single
+    * broadcastable model object the vocab-scale encoder keys on.
+    */
+  def mergeTable(merges: Seq[Merge]): graft.functions.BpeMergeTable =
+    new graft.functions.BpeMergeTable(
+      merges.sortBy(_.rank).map(_.left).toArray,
+      merges.sortBy(_.rank).map(_.right).toArray)
+
+  /** [[encodeCounts]] at PRODUCTION VOCAB SCALE: same output contract
+    * (per-doc word + token counts, same slice semantics), but the model
+    * is ONE reference object inside a native codegen expression doing
+    * min-rank-first merging per word — plan size and per-word cost are
+    * independent of K, where the replace chain folds K `replace`s into
+    * the expression tree (unplannable at a 32 000-merge vocab). For
+    * trained merge lists the two encoders are bit-identical
+    * (causally-ordered merges — see [[graft.functions.BpeMergeTable]];
+    * BpeScaledSpec pins the equivalence differentially).
+    */
+  def encodeCountsScaled(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val ws = words(col(textCol))
+    val perWord = graft.functions.BpeTokenCounts.bpeTokenCounts(ws, mergeTable(merges))
+    docs.select(
+        col(idCol),
+        size(ws).as("n_words"),
+        aggregate(perWord, lit(0), (acc, n) => acc + n).as("n_tokens"))
+      .filter(col("n_words") > 0)
+  }
 }
