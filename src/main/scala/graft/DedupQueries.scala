@@ -628,6 +628,95 @@ object DedupQueries {
         "through the index (batch-2-vs-batch-1 pairs prove the append landed) " +
         "— the steady-state ingest loop closed end to end"),
 
+    "dedup_minhash_index_compact" -> QueryDef(
+      (s, dir) => {
+        // the COMPACTION leg of index maintenance: append-per-ingest
+        // grows the band-bucket and postings tables one small dir per
+        // batch, so after N ingests every probe fans over N dirs —
+        // compaction folds them back into target-size files as ONE
+        // `replace` commit per table (the same SnapshotTable.compact
+        // machinery as maintenance_compact, applied to the index
+        // artifacts), and the probe's verdicts must be bit-identical
+        // before and after (the index is pure content; only the file
+        // layout may change). Fixture: seed index (all but %10∈{7,3})
+        // + TWO fragmenting delta appends (batch 7 in halves), then a
+        // %10==3 probe measured against the index pre- and
+        // post-compaction.
+        import org.apache.spark.sql.functions.pmod
+        val docs = tbl(s, dir, "documents")
+        val wh = MetaQueries.warmCloneWarehouse("dedup_minhash_index_cpt", dir) { b =>
+          val corpus = docs.filter(
+            pmod(col("doc_id"), lit(10)) =!= 7 && pmod(col("doc_id"), lit(10)) =!= 3)
+          val postings = Dedup.shinglePostings(corpus, "text", 3)
+          graft.sink.SnapshotTable(b, "dedup", "mh_cpt_buckets").overwrite(
+            Dedup.bandBuckets(Dedup.minhashSignature(postings), rowsPerBand = 2)): Unit
+          graft.sink.SnapshotTable(b, "dedup", "mh_cpt_postings")
+            .overwrite(postings): Unit
+          Seq(7, 17).foreach { r =>
+            val dp = Dedup.shinglePostings(
+              docs.filter(pmod(col("doc_id"), lit(20)) === r), "text", 3)
+            graft.sink.SnapshotTable(b, "dedup", "mh_cpt_buckets").append(
+              Dedup.bandBuckets(Dedup.minhashSignature(dp), rowsPerBand = 2)): Unit
+            graft.sink.SnapshotTable(b, "dedup", "mh_cpt_postings").append(dp): Unit
+          }
+        }
+        val bT = graft.sink.SnapshotTable(wh, "dedup", "mh_cpt_buckets")
+        val pT = graft.sink.SnapshotTable(wh, "dedup", "mh_cpt_postings")
+        val probePostings = Dedup.sharedPostings(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3), "text", 3)
+        val probeBuckets = Dedup.bandBuckets(
+          Dedup.minhashSignature(probePostings), rowsPerBand = 2)
+        def pairs() = Dedup.minhashPersistedPairs(bT.read(s), probeBuckets,
+          pT.read(s).unionByName(probePostings), minJaccard = 0.4)
+        // the probe's near-dup verdicts: bounded (one batch's pairs)
+        val before = pairs().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val bDirs = bT.currentSnapshot.get.dataDirs.size
+        val pDirs = pT.currentSnapshot.get.dataDirs.size
+        require(bDirs >= 3 && pDirs >= 3,
+          s"fixture must be fragmented before compaction (got $bDirs/$pDirs dirs)")
+        val cb = bT.compact(s)
+        val cp = pT.compact(s)
+        require(cb.operation == "replace" && cp.operation == "replace",
+          "index compaction must commit replace snapshots")
+        require(bT.currentSnapshot.get.dataDirs.size < bDirs &&
+          pT.currentSnapshot.get.dataDirs.size < pDirs,
+          "compaction must fold the per-ingest delta dirs")
+        val after = pairs()
+        require(after.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == before,
+          "compaction must not change probe verdicts — same pairs, same jaccards")
+        after
+      },
+      Some(s"""WITH $ShinglesSql,
+              |$SigsSql,
+              |banded AS (
+              |  SELECT doc_id, t.b AS band,
+              |    CONCAT(sig[2 * CAST(t.b AS INT) + 1], ':', sig[2 * CAST(t.b AS INT) + 2]) AS bucket
+              |  FROM sigs, range(0, 4) t(b)),
+              |bn AS (SELECT * FROM banded WHERE doc_id % 10 = 3),
+              |cand AS (
+              |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+              |    greatest(a.doc_id, b.doc_id) AS doc_b
+              |  FROM banded a JOIN bn b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+              |verified AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+              |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+              |  FROM cand
+              |  JOIN sh sa ON doc_a = sa.doc_id
+              |  JOIN sh sb ON doc_b = sb.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+              |FROM verified
+              |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.4""".stripMargin),
+      doc = "persisted-LSH-index COMPACTION: the per-ingest delta dirs fold " +
+        "back into target-size files as one replace commit per index table " +
+        "(same machinery as maintenance_compact), probe verdicts proven " +
+        "bit-identical before/after — steady-state ingest stays O(delta) " +
+        "without the probe fan-out growing with ingest count"),
+
     "dedup_minhash" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(
         tbl(s, dir, "documents"), "text", n = 3, rowsPerBand = 2, minJaccard = 0.4),

@@ -161,6 +161,46 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ == 1.0), s"identical docs must verify at 1.0: $got")
   }
 
+  test("index compaction folds delta dirs and leaves probe verdicts bit-identical") {
+    // seed + two fragmenting appends, then compact both index tables —
+    // the probe's pairs (and jaccards) must be THE SAME frame before
+    // and after: compaction may only change file layout, never content
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different content about spark engines today"))
+      .toDF("doc_id", "text")
+    val d1 = Seq((11L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val d2 = Seq((12L, "entirely different content about spark engines today")).toDF("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("graft_mh_cpt").toString
+    val bT = graft.sink.SnapshotTable(wh, "dedup", "buckets")
+    val pT = graft.sink.SnapshotTable(wh, "dedup", "postings")
+    def ingest(df: org.apache.spark.sql.DataFrame, first: Boolean): Unit = {
+      val p = Dedup.shinglePostings(df, "text", 3)
+      val bk = Dedup.bandBuckets(Dedup.minhashSignature(p), rowsPerBand = 2)
+      if (first) { bT.overwrite(bk): Unit; pT.overwrite(p): Unit }
+      else { bT.append(bk): Unit; pT.append(p): Unit }
+    }
+    ingest(corpus, first = true); ingest(d1, first = false); ingest(d2, first = false)
+    val probe = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog"),
+      (22L, "entirely different content about spark engines today"),
+      (23L, "a totally unrelated probe document about nothing")).toDF("doc_id", "text")
+    val pp = Dedup.shinglePostings(probe, "text", 3)
+    val pb = Dedup.bandBuckets(Dedup.minhashSignature(pp), rowsPerBand = 2)
+    def pairs() = Dedup.minhashPersistedPairs(bT.read(spark), pb,
+        pT.read(spark).unionByName(pp), minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairs()
+    assert(before == Set((1L, 21L, 1.0), (11L, 21L, 1.0), (2L, 22L, 1.0), (12L, 22L, 1.0)),
+      s"probe verdicts before compaction: $before")
+    val bDirs = bT.currentSnapshot.get.dataDirs.size
+    assert(bDirs == 3 && pT.currentSnapshot.get.dataDirs.size == 3)
+    assert(bT.compact(spark).operation == "replace")
+    assert(pT.compact(spark).operation == "replace")
+    assert(bT.currentSnapshot.get.dataDirs.size < bDirs)
+    assert(pairs() == before, "compaction changed probe verdicts")
+  }
+
   test("decontamination flags shared rare n-grams; df cap mutes common phrases") {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = Seq(
