@@ -987,8 +987,16 @@ final case class GraftNotInCommand(
     // scans still cost one job, paid by the first probe)
     val src = SourcePin.pin(spark, keysPlan)
     val kCol = keys.head._2
-    if (src.filter(col(kCol).isNull).limit(1).collect().nonEmpty) return Nil
-    if (src.limit(1).collect().isEmpty) {
+    // ONE aggregate job classifies the statement (count(*) vs
+    // count(kCol) — their difference is the NULL-key count): the frame
+    // is delta-sized and localCheckpoint-pinned, so a full-pass
+    // aggregate costs less than the two limit-1 driver round-trips it
+    // replaces on every UPDATE/DELETE-with-subquery statement
+    val probe = src.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.count(col(kCol)).as("nn")).head()
+    if (probe.getLong(0) > probe.getLong(1)) return Nil // a NULL key: no-op
+    if (probe.getLong(0) == 0L) {
       val mor = table.properties.get(modeProperty).contains("merge-on-read")
       plainSets match {
         case Some(sets) =>
