@@ -325,11 +325,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("no query in the registry plans a cartesian product or nested-loop join") {
-    for ((k, d) <- Queries.all) {
-      val p = d.fn(spark, dir).queryExecution.executedPlan.toString
+  test("no registry query plans a cartesian, an inner NL join, or an unbounded global window") {
+    // unpartitioned WindowExec serializes its whole input through ONE
+    // task — legal only over frames that are provably bounded by
+    // construction. The allowlist names each such frame and its bound;
+    // any new key that sneaks a corpus-sized global window past review
+    // fails here.
+    val boundedWindowAllow: Map[String, String] = Map(
+      "corpus_zipf_fit" -> ("rank over exactly the top-N token rows " +
+        "(TextAnalysis.zipfFit — distributed top-N caps the frame before the window)"),
+      "sample_gumbel_topk" -> ("rank over the <= k TakeOrdered survivors " +
+        "(TrainingMix.gumbelTopK:418-421)"),
+      "sample_interleave" -> ("source-index window over the DISTINCT source names " +
+        "— |sources| rows (TrainingMix.interleave:262-270)"),
+      "sample_dsir_weights" -> ("DistributedRank keyless offsets window over the " +
+        "per-partition count table — nParts rows (DistributedRank.scala:74-77)"),
+      "text_batch_bucketing" -> ("DistributedRank keyless offsets window over the " +
+        "per-partition count table — nParts rows (DistributedRank.scala:74-77)"))
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val observed = scala.collection.mutable.Set.empty[String]
+    // AQE off for PLANNING: under AQE the executed plan is one opaque
+    // AdaptiveSparkPlanExec node, so collect() never sees the window
+    // operators inside (the string checks worked by accident; the typed
+    // check silently found nothing)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for ((k, d) <- Queries.all) {
+      val plan = d.fn(spark, dir).queryExecution.executedPlan
+      val p = plan.toString
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin Inner"), s"$k plans an inner NL join")
-    }
+      val globalWindows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      if (globalWindows.nonEmpty) {
+        observed += k
+        if (!boundedWindowAllow.contains(k)) offenders += k
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec outside the bounded-frame allowlist: " +
+        s"${offenders.mkString(", ")} — key each window or document its bound here")
+    // tightness: a stale allowlist entry hides the next real offender
+    val stale = boundedWindowAllow.keySet -- observed
+    assert(stale.isEmpty,
+      s"allowlist entries whose keys no longer plan a global window: $stale")
   }
 }
