@@ -61,27 +61,38 @@ object Bench {
     val keys = selected.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     for (_ <- 1 to runs; (name, fn) <- keys) {
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column
       // (a bare count() would let Catalyst prune computed columns and
       // under-measure narrow projections)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case _: Throwable => failures(name) += 1; false }
+      // a failed attempt's elapsed time is NOT a measurement of the
+      // query (a fast throw would record a misleadingly good number) —
+      // it is excluded from median/min and surfaced in `failures`
+      if (ok) samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
-    val results = keys.map { case (name, _) => name -> r4(median(samples(name))) }.toMap
+    // a key whose every sample failed reports -1 (loud in any diff)
+    val results = keys.map { case (name, _) =>
+      name -> (if (samples(name).isEmpty) -1.0 else r4(median(samples(name)))) }.toMap
     // min-of-N beside the median: the min is the least load-contaminated
     // sample, so (median - min) per key diagnoses residual contention
-    val mins = keys.map { case (name, _) => name -> r4(samples(name).min) }.toMap
+    val mins = keys.map { case (name, _) =>
+      name -> (if (samples(name).isEmpty) -1.0 else r4(samples(name).min)) }.toMap
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = r4(if (results.nonEmpty) results.values.sum else 0.0)
+    val total = r4(if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0)
+    val failJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"median","interleaved":true,"queries":${jsonMap(results.toSeq.sortBy(_._1))},"queries_min":${jsonMap(mins.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"median","interleaved":true,"queries":${jsonMap(results.toSeq.sortBy(_._1))},"queries_min":${jsonMap(mins.toSeq.sortBy(_._1))},"failures":$failJson,"sf":"$sfDir"}"""
     val top10 = results.toSeq.sortBy(-_._2).take(10)
     val summaryLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"agg":"median","queries":${jsonMap(top10)},"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"agg":"median","queries":${jsonMap(top10)},"n_failed_samples":${failures.values.sum},"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

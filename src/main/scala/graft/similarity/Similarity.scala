@@ -321,8 +321,10 @@ object Similarity {
     * state, any executor reproduces any weight on demand (nothing is
     * broadcast, trained, or stored).
     *
-    * Scale: one pass over the row view, one groupBy(vec_id) with
-    * map-side partials — identical shape to [[buckets]].
+    * Scale: a pure map-side select — the {+1,−1,0} weight matrix
+    * materializes once driver-side and rides as literal arrays into a
+    * native codegen dot product per output dim; no explode, no groupBy,
+    * no shuffle, no per-row hashing (see the r16 note below).
     */
   def randomProject(emb: DataFrame, outDims: Int = 16, dims: Int = 64): DataFrame = {
     require(outDims > 0 && dims > 0, "outDims and dims must be positive")

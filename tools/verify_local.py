@@ -84,41 +84,41 @@ def main():
             "oracle_rows": o_rows, "err": err,
         }
 
+    def fetch(cur):
+        # ONE materialization per side, through DuckDB→pandas — exactly
+        # the driver's path. Both the value rows and the per-column
+        # dtype map derive from it (the r16 version re-executed each
+        # side a second time just for dtypes). Values therefore carry
+        # the pandas representation (numpy scalars, NaN-for-NULL in
+        # float columns) — MORE driver-faithful than the old fetchall
+        # natives, and cross-width unification in canon() is no longer
+        # load-bearing because the dtype gate below requires identical
+        # widths before any value compares.
+        df = cur.fetch_df()
+        cols = list(df.columns)
+        dtypes = {c: str(df[c].dtype) for c in cols}
+        rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+        return cols, dtypes, rows
+
     for key in sorted(oracles):
         if only and key not in only:
             continue
         sql = oracles[key]
         try:
-            ocur = con.execute(sql)
-            ocols = [d[0] for d in ocur.description]
-            orows = ocur.fetchall()
+            ocols, ot, orows = fetch(con.execute(sql))
         except Exception as e:
             failed.append((key, f"oracle error: {e}"))
             rec(key, False, False, False, None, None, f"oracle error: {e}")
             continue
         try:
-            scur = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')")
-            scols = [d[0] for d in scur.description]
-            srows = scur.fetchall()
+            scols, st, srows = fetch(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')"))
         except Exception as e:
             failed.append((key, f"spark result missing: {e}"))
             rec(key, False, False, False, None, len(orows), f"spark result missing: {e}")
             continue
-        # Physical dtype leg: re-run both sides through DuckDB→pandas
-        # (exactly the driver's materialization path) and require the
-        # per-column dtypes to be identical. Values matching is NOT
-        # enough — int32 vs int64 vs float64 widths change the driver's
-        # bitwise hash even when canon() sees equal numbers.
-        try:
-            odf = con.execute(sql).fetch_df()
-            sdf = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')").fetch_df()
-            ot = {c: str(odf[c].dtype) for c in odf.columns}
-            st = {c: str(sdf[c].dtype) for c in sdf.columns}
-        except Exception as e:
-            failed.append((key, f"dtype fetch error: {e}"))
-            rec(key, False, False, False, len(srows), len(orows), f"dtype fetch error: {e}")
-            continue
+        # Physical dtype leg: int32 vs int64 vs float64 widths change
+        # the driver's bitwise hash even when canon() sees equal numbers.
         if ot != st:
             diff = {c: (st.get(c), ot.get(c))
                     for c in sorted(set(ot) | set(st)) if st.get(c) != ot.get(c)}
