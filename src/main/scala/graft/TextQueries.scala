@@ -1460,13 +1460,18 @@ object TextQueries {
       // bit-exact value oracle lives on the md5 variant below.
       (s, dir) => {
         val fp = TextAnalysis.fingerprintFast(tbl(s, dir, "documents"), "text", k = 8)
-        val classes = fp.groupBy(col("content_hash"))
-          .agg(min(col("doc_id")).as("content_rep"),
-            count(lit(1)).as("n_same_content"),
-            (countDistinct(col("min_shingle_hash")) === 1).as("minsh_consistent"))
-        fp.join(classes, "content_hash")
-          .select(col("doc_id"), col("content_rep"), col("n_same_content"),
-            col("minsh_consistent"))
+        // class stats via a window over content_hash, NOT a
+        // groupBy-and-join-back: the join-back shape evaluates the fp
+        // lineage twice, and at corpus scale the min-shingle explode IS
+        // the cost — one pass + one hash shuffle instead. The window
+        // partitions are duplicate classes (bounded by dup multiplicity,
+        // never corpus-sized), so no single-task funnel.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+        fp.select(col("doc_id"),
+          min(col("doc_id")).over(w).as("content_rep"),
+          count(lit(1)).over(w).as("n_same_content"),
+          (size(collect_set(col("min_shingle_hash")).over(w)) === 1)
+            .as("minsh_consistent"))
       },
       Some("""WITH g AS (
              |  SELECT md5(text) AS h, min(doc_id) AS content_rep,
