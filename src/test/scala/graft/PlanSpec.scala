@@ -257,6 +257,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vocab-scale BPE encode: map-side, one scan, model as one reference object") {
+    // same map-side contract as the chain encoder, plus the scale
+    // property that motivates it: the plan must carry the native
+    // bpe_token_counts expression (the whole model rides as ONE
+    // reference object) and NOT a merge-count-deep replace chain —
+    // plan size independent of K
+    val p = planOf("text_bpe_encode_scaled")
+    assert(!p.contains("Exchange"), s"must not shuffle:\n${p.take(800)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"should scan once:\n${p.take(800)}")
+    assert(p.contains("bpetokencounts") || p.toLowerCase.contains("bpetokencounts"),
+      s"plan should contain the native expression:\n${p.take(800)}")
+    assert(!p.contains("replace(replace("),
+      s"plan must not contain a nested replace chain:\n${p.take(800)}")
+  }
+
   test("decontamination broadcasts only the benchmark side") {
     val conf = spark.conf
     val prevAqe = conf.get("spark.sql.adaptive.enabled")
