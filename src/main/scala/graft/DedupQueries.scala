@@ -717,6 +717,86 @@ object DedupQueries {
         "bit-identical before/after — steady-state ingest stays O(delta) " +
         "without the probe fan-out growing with ingest count"),
 
+    "dedup_minhash_index_evict" -> QueryDef(
+      (s, dir) => {
+        // EVICTION completes the persisted-index lifecycle (build →
+        // probe → append → compact → evict): when corpus docs are
+        // DELETED (decontamination, takedowns, retention), their
+        // buckets and postings must leave the index too — otherwise
+        // every future probe reports pairs against GHOSTS and exact
+        // verification joins deleted postings. Eviction is one MOR
+        // equality-delete commit per index table on doc_id —
+        // O(|evicted|), no data dir rewritten, reads anti-join the
+        // delete file (the same contract corpus-side deletes get).
+        // Fixture: index over everything but the %10==3 probe batch;
+        // the %10∈{7,9} slices then evict. The requires pin
+        // non-vacuity (the probe really reported a pair against a
+        // to-be-evicted doc first — planted near-dups guarantee one at
+        // every SF) and the post-eviction ghost-free contract.
+        import org.apache.spark.sql.functions.pmod
+        val docs = tbl(s, dir, "documents")
+        val wh = MetaQueries.warmCloneWarehouse("dedup_minhash_index_evc", dir) { b =>
+          val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+          val postings = Dedup.shinglePostings(corpus, "text", 3)
+          graft.sink.SnapshotTable(b, "dedup", "mh_evc_buckets").overwrite(
+            Dedup.bandBuckets(Dedup.minhashSignature(postings), rowsPerBand = 2)): Unit
+          graft.sink.SnapshotTable(b, "dedup", "mh_evc_postings")
+            .overwrite(postings): Unit
+        }
+        val bT = graft.sink.SnapshotTable(wh, "dedup", "mh_evc_buckets")
+        val pT = graft.sink.SnapshotTable(wh, "dedup", "mh_evc_postings")
+        val probePostings = Dedup.sharedPostings(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3), "text", 3)
+        val probeBuckets = Dedup.bandBuckets(
+          Dedup.minhashSignature(probePostings), rowsPerBand = 2)
+        def pairs() = Dedup.minhashPersistedPairs(bT.read(s), probeBuckets,
+          pT.read(s).unionByName(probePostings), minJaccard = 0.4)
+        val isGhost =
+          pmod(col("doc_a"), lit(10)).isin(7, 9) ||
+            pmod(col("doc_b"), lit(10)).isin(7, 9)
+        require(pairs().filter(isGhost).limit(1).collect().nonEmpty,
+          "fixture must report a pair against a to-be-evicted doc first")
+        val evictKeys = docs
+          .filter(pmod(col("doc_id"), lit(10)).isin(7, 9)).select("doc_id")
+        val db = bT.deleteWhere(evictKeys, Seq("doc_id"))
+        val dp = pT.deleteWhere(evictKeys, Seq("doc_id"))
+        require(db.operation == "delete" && dp.operation == "delete",
+          "eviction must be O(|evicted|) equality-delete commits, not rewrites")
+        val after = pairs()
+        require(after.filter(isGhost).limit(1).collect().isEmpty,
+          "evicted docs must not appear in any probe pair")
+        after
+      },
+      Some(s"""WITH $ShinglesSql,
+              |$SigsSql,
+              |banded AS (
+              |  SELECT doc_id, t.b AS band,
+              |    CONCAT(sig[2 * CAST(t.b AS INT) + 1], ':', sig[2 * CAST(t.b AS INT) + 2]) AS bucket
+              |  FROM sigs, range(0, 4) t(b)),
+              |bn AS (SELECT * FROM banded WHERE doc_id % 10 = 3),
+              |cand AS (
+              |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+              |    greatest(a.doc_id, b.doc_id) AS doc_b
+              |  FROM banded a JOIN bn b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+              |    AND a.doc_id % 10 NOT IN (7, 9)),
+              |verified AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+              |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+              |  FROM cand
+              |  JOIN sh sa ON doc_a = sa.doc_id
+              |  JOIN sh sb ON doc_b = sb.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+              |FROM verified
+              |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.4""".stripMargin),
+      doc = "persisted-LSH-index EVICTION: deleted corpus docs leave the index " +
+        "via one MOR equality-delete commit per table (O(|evicted|), no dir " +
+        "rewritten); require-pinned ghost-pair proof before and ghost-free " +
+        "probe after — the index lifecycle (build/probe/append/compact/evict) " +
+        "closed end to end"),
+
     "dedup_minhash" -> QueryDef(
       (s, dir) => Dedup.minhashLshPairs(
         tbl(s, dir, "documents"), "text", n = 3, rowsPerBand = 2, minJaccard = 0.4),
