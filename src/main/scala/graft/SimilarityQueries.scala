@@ -201,7 +201,12 @@ object SimilarityQueries {
     */
   private def ivfPqCte(
       nCells: Int, m: Int, codes: Int, iters: Int,
-      nQueries: Int, nprobe: Int): String = {
+      nQueries: Int, nprobe: Int,
+      // candidate-side corpus predicate over alias `a` (the assignment
+      // row) — the eviction oracle restricts to surviving vectors;
+      // training always replays over the FULL corpus, matching an index
+      // trained before the eviction
+      corpusPred: String = "TRUE"): String = {
     val subDim = 64 / m
     val residual =
       s"""ccb AS (SELECT a.cell, ex.pos, (round(avg(ex.x), 6) + 0.0) AS c
@@ -231,7 +236,7 @@ object SimilarityQueries {
          |cand AS (
          |  SELECT p.query_id, a.vec_id, p.cdot
          |  FROM probe p JOIN a$iters a USING (cell)
-         |  WHERE p.query_id <> a.vec_id),
+         |  WHERE p.query_id <> a.vec_id AND ($corpusPred)),
          |ivfpq_adot AS (
          |  SELECT cand.query_id, cand.vec_id,
          |    round(any_value(cand.cdot) + sum(l.pdot), 6) AS adot
@@ -787,6 +792,56 @@ object SimilarityQueries {
       doc = "incremental IVF-PQ maintenance: delta batch coarse-assigned + " +
         "residual-encoded against the EXISTING trained artifacts (zero Lloyd " +
         "runs), appended as O(batch) commits; search spans the combined index"),
+
+    "similarity_ivfpq_evict" -> QueryDef(
+      (s, dir) => {
+        // index EVICTION — FAISS remove_ids on a trained IndexIVFPQ:
+        // deleted vectors (takedowns, dedup verdicts, retention) leave
+        // the three per-vector artifact tables (assign, codes, norms)
+        // via one MOR equality-delete commit each — O(|evicted|), no
+        // data dir rewritten; the model tables (coarse centroids,
+        // codebooks) are per-vector-free and stay, exactly like a
+        // trained FAISS index after remove_ids. Search must then never
+        // return an evicted id. Requires pin non-vacuity (the evicted
+        // set really appeared in pre-eviction top-10s — vec_id % 7 == 3
+        // hits results at every SF, measured before fixing the
+        // fixture) and the ghost-free contract after; the oracle
+        // replays full-corpus training (the index was trained BEFORE
+        // the eviction) with candidates restricted to survivors.
+        import org.apache.spark.sql.functions.pmod
+        val emb = tbl(s, dir, "embeddings")
+        val evictPred = pmod(col("vec_id"), lit(7)) === 3
+        val built = indexWarehouseOnce(s"similarity_ivfpq_evict_base_${slug(dir)}")(w =>
+          Similarity.ivfPqIndexPersist(emb, w,
+            nCells = 8, m = 4, codes = 8, iters = 2, dims = 64))
+        val wh = MetaQueries.freshWarehouse("similarity_ivfpq_evict")
+        cloneWarehouseMetadata(built, wh)
+        val queries = emb.filter(col("vec_id") < 5)
+        def search() = Similarity.ivfPqTopKPersisted(
+          queries, wh, k = 10, nprobe = 2, m = 4, dims = 64)
+        require(search().filter(pmod(col("vec_id"), lit(7)) === 3)
+            .limit(1).collect().nonEmpty,
+          "pre-eviction top-10s must contain a to-be-evicted vector")
+        val keys = emb.filter(evictPred).select("vec_id")
+        val ops = Seq("ivfpq_assign", "ivfpq_codes", "ivfpq_norms").map(t =>
+          graft.sink.SnapshotTable(wh, "ann", t).deleteWhere(keys, Seq("vec_id")).operation)
+        require(ops.forall(_ == "delete"),
+          s"eviction must be O(|evicted|) equality-delete commits, got $ops")
+        val after = search()
+        require(after.filter(pmod(col("vec_id"), lit(7)) === 3)
+            .limit(1).collect().isEmpty,
+          "evicted vectors must not appear in any post-eviction top-10")
+        after
+      },
+      Some(s"""WITH ${ivfPqCte(nCells = 8, m = 4, codes = 8, iters = 2,
+               nQueries = 5, nprobe = 2, corpusPred = "a.vec_id % 7 <> 3")}
+              |SELECT query_id, vec_id, cos, rank FROM ivfpq_ranked
+              |WHERE rank <= 10""".stripMargin),
+      doc = "IVF-PQ index eviction (FAISS remove_ids): deleted vectors leave " +
+        "the per-vector artifacts via one MOR equality-delete commit each " +
+        "(O(|evicted|)); model tables untouched; pre-eviction ghost proof + " +
+        "ghost-free post-eviction search, oracle replays full-corpus training " +
+        "with survivor-restricted candidates"),
 
     "embedding_centroids" -> QueryDef(
       // LONG shape (label, pos, m): scalar columns only, so the driver's
