@@ -793,6 +793,60 @@ object SimilarityQueries {
         "residual-encoded against the EXISTING trained artifacts (zero Lloyd " +
         "runs), appended as O(batch) commits; search spans the combined index"),
 
+    "similarity_ivfpq_compact" -> QueryDef(
+      (s, dir) => {
+        // index COMPACTION — the ANN twin of dedup_minhash_index_compact:
+        // incremental folds grow assign/codes/norms one small dir per
+        // delta (similarity_ivfpq_incremental's O(batch) appends), so
+        // after N ingests every search fans over N dirs. Compaction
+        // folds them back into target-size files as one `replace`
+        // commit per per-vector table (model tables are single-commit
+        // already); the index is pure content, so search results must
+        // be BIT-IDENTICAL before and after. Fixture = the trained
+        // index with one delta batch folded in, same shape (and same
+        // oracle) as the incremental key.
+        val emb = tbl(s, dir, "embeddings")
+        val batchPred = col("vec_id") % 83 === 7
+        val combined = indexWarehouseOnce(s"similarity_ivfpq_cpt_base_${slug(dir)}") { w =>
+          Similarity.ivfPqIndexPersist(emb.filter(!batchPred), w,
+            nCells = 8, m = 4, codes = 8, iters = 2, dims = 64)
+          Similarity.ivfPqIndexAppend(emb.filter(batchPred), w, m = 4, dims = 64)
+        }
+        val wh = MetaQueries.freshWarehouse("similarity_ivfpq_compact")
+        cloneWarehouseMetadata(combined, wh)
+        val queries = emb.filter(col("vec_id") < 5)
+        def search() = Similarity.ivfPqTopKPersisted(
+          queries, wh, k = 10, nprobe = 2, m = 4, dims = 64)
+        // bounded: 5 queries x top-10
+        val before = search().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        val perVec = Seq("ivfpq_assign", "ivfpq_codes", "ivfpq_norms")
+          .map(t => graft.sink.SnapshotTable(wh, "ann", t))
+        require(perVec.forall(_.currentSnapshot.get.dataDirs.size >= 2),
+          "fixture must be fragmented (trained dirs + delta dir) before compaction")
+        perVec.foreach { t =>
+          val dirs = t.currentSnapshot.get.dataDirs.size
+          require(t.compact(s).operation == "replace",
+            s"${t.fullName} compaction must commit a replace snapshot")
+          require(t.currentSnapshot.get.dataDirs.size < dirs,
+            s"${t.fullName} compaction must fold the delta dirs")
+        }
+        val after = search()
+        require(after.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet == before,
+          "compaction must not change search results — same neighbors, same cosines")
+        after
+      },
+      Some(s"""WITH ${ivfPqIncCte(nCells = 8, m = 4, codes = 8, iters = 2,
+               nQueries = 5, nprobe = 2, batchPred = "vec_id % 83 = 7")}
+              |SELECT query_id, vec_id, cos, rank FROM inc_ranked
+              |WHERE rank <= 10""".stripMargin),
+      doc = "IVF-PQ index compaction: the per-delta dirs of assign/codes/norms " +
+        "fold back into target-size files as one replace commit per table " +
+        "(same machinery as maintenance_compact), search results proven " +
+        "bit-identical before/after — steady-state ANN serving stays flat as " +
+        "ingest count grows"),
+
     "similarity_ivfpq_evict" -> QueryDef(
       (s, dir) => {
         // index EVICTION — FAISS remove_ids on a trained IndexIVFPQ:
