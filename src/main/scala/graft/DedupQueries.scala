@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
+import org.apache.spark.sql.functions.{col, concat, count, lit, pmod, when}
 
 /** Deduplication operators over the `documents` / `embeddings` tables
   * (north-star LLM-pipeline surface). Oracles rebuild the identical
@@ -822,6 +822,63 @@ object DedupQueries {
               |FROM verified
               |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.4""".stripMargin),
       doc = "MinHash(8) + LSH(4 bands x 2) candidate pairs, Jaccard-verified"),
+
+    "dedup_minhash_capped" -> QueryDef(
+      (s, dir) => {
+        // the HOT-BUCKET CAP — production LSH's quadratic-blowup
+        // safeguard: a degenerate bucket with B members (boilerplate /
+        // templated pages sharing a signature slice) yields B²/2
+        // candidates regardless of banding quality, so buckets above
+        // the cap are skipped for candidate generation (one
+        // partial-agg size pass + an equi join back). The fixture cap
+        // of 2 is deliberately tiny so the skip path is EXERCISED at
+        // every SF (production caps sit in the hundreds); the require
+        // pins non-vacuity — at least one bucket really got dropped.
+        // The recall trade is deliberate and documented on the
+        // operator: over-cap members usually co-occur in a colder
+        // band, and hot buckets mostly hold near-identical boilerplate
+        // that exact dedup removes anyway.
+        val docs = tbl(s, dir, "documents")
+        val cap = 2
+        val banded = Dedup.bandBuckets(Dedup.minhashSignature(
+          Dedup.sharedPostings(docs, "text", 3)), rowsPerBand = 2)
+        val probe = banded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("total"),
+            count(when(col("c") > cap, 1)).as("hot")).head()
+        require(probe.getLong(1) > 0,
+          s"fixture must contain at least one over-cap bucket (cap=$cap)")
+        Dedup.minhashLshPairsCapped(docs, "text", n = 3,
+          rowsPerBand = 2, minJaccard = 0.4, maxBucket = cap)
+      },
+      Some(s"""WITH $ShinglesSql,
+              |$SigsSql,
+              |banded AS (
+              |  SELECT doc_id, t.b AS band,
+              |    CONCAT(sig[2 * CAST(t.b AS INT) + 1], ':', sig[2 * CAST(t.b AS INT) + 2]) AS bucket
+              |  FROM sigs, range(0, 4) t(b)),
+              |cold AS (SELECT band, bucket FROM banded
+              |  GROUP BY band, bucket HAVING count(*) <= 2),
+              |bk AS (SELECT banded.* FROM banded JOIN cold USING (band, bucket)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bk a JOIN bk b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              |verified AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(sa.shingles, sb.shingles)) AS common,
+              |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+              |  FROM cand
+              |  JOIN sh sa ON doc_a = sa.doc_id
+              |  JOIN sh sb ON doc_b = sb.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+              |FROM verified
+              |WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= 0.4""".stripMargin),
+      doc = "MinHash LSH with the production hot-bucket cap: over-cap buckets " +
+        "skipped for candidate generation (B-member bucket = B²/2 candidates " +
+        "— one hot bucket turns candidate generation quadratic); size pass + " +
+        "equi join back, both corpus-scale safe; oracle replays the cap"),
 
     "dedup_simhash" -> QueryDef(
       (s, dir) => Dedup.sharedSimhash(tbl(s, dir, "documents"), "text"),

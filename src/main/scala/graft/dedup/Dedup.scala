@@ -305,6 +305,40 @@ object Dedup {
     // per operator (MEMORY_AND_DISK: spills instead of recomputing)
     val postings = sharedPostings(df, textCol, n)
     val banded = bandBuckets(minhashSignature(postings), rowsPerBand)
+    bandedVerifiedPairs(banded, postings, minJaccard)
+  }
+
+  /** [[minhashLshPairs]] with a HOT-BUCKET CAP — the standard production
+    * LSH safeguard: a degenerate bucket with B members (boilerplate,
+    * empty-ish texts, templated pages all sharing a signature slice)
+    * yields B²/2 candidate pairs, so one hot bucket turns candidate
+    * generation quadratic no matter how good the banding is. Buckets
+    * with more than `maxBucket` members are SKIPPED for candidate
+    * generation (one partial-agg size pass + an equi join back — both
+    * corpus-scale safe); the recall trade is documented and deliberate:
+    * members of an over-cap bucket usually still co-occur in another,
+    * colder band, and what a hot bucket mostly holds is near-identical
+    * boilerplate the pipeline handles with exact dedup anyway.
+    */
+  def minhashLshPairsCapped(
+      df: DataFrame, textCol: String, n: Int = 3,
+      rowsPerBand: Int = 2, minJaccard: Double = 0.4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"a bucket cap below 2 can never emit a pair ($maxBucket)")
+    val postings = sharedPostings(df, textCol, n)
+    val banded = bandBuckets(minhashSignature(postings), rowsPerBand)
+    val cold = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bc")).filter(col("_bc") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    bandedVerifiedPairs(banded.join(cold, Seq("band", "bucket")), postings, minJaccard)
+  }
+
+  /** Candidate generation (bucket self-join) + exact-Jaccard
+    * verification over the postings index — shared by the capped and
+    * uncapped LSH pair operators.
+    */
+  private def bandedVerifiedPairs(
+      banded: DataFrame, postings: DataFrame, minJaccard: Double): DataFrame = {
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
