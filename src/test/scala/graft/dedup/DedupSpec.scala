@@ -161,6 +161,27 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ == 1.0), s"identical docs must verify at 1.0: $got")
   }
 
+  test("hot-bucket cap skips the degenerate bucket's quadratic pairs, keeps cold pairs") {
+    // 40 identical boilerplate docs share every band bucket -> the
+    // uncapped self-join yields all 780 boilerplate pairs (plus the one
+    // real pair); capped at 3, the hot buckets are skipped and ONLY the
+    // cold 2-member bucket's pair survives - the B^2/2 blowup is the
+    // thing the cap exists to stop
+    val boiler = (1L to 40L).map(i =>
+      (i, "lorem ipsum dolor sit amet boilerplate page footer text"))
+    val real = Seq(
+      (101L, "a unique sentence about spark physical plans today"),
+      (102L, "a unique sentence about spark physical plans today"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, "text", 3, 2, minJaccard = 0.9).count()
+    assert(uncapped == 40L * 39 / 2 + 1, s"expected 781 uncapped pairs, got $uncapped")
+    val capped = Dedup.minhashLshPairsCapped(
+        docs, "text", 3, 2, minJaccard = 0.9, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)),
+      s"cap must drop the hot bucket's pairs and keep the cold pair: $capped")
+  }
+
   test("index compaction folds delta dirs and leaves probe verdicts bit-identical") {
     // seed + two fragmenting appends, then compact both index tables —
     // the probe's pairs (and jaccards) must be THE SAME frame before
