@@ -605,38 +605,10 @@ object TextQueries {
       // engine hash of its trailing 8-gram is ≡ 0 (mod 64). The
       // bit-exact boundary/key oracle lives on the md5 variant below.
       (s, dir) => {
-        val k = 8
-        val divisor = 64
         val docs = tbl(s, dir, "documents")
-        val chunks = TextAnalysis.cdcChunksFast(docs, "text", k, divisor)
-        val j = chunks
-          .join(docs.select(col("doc_id"), col("text")), "doc_id")
-          .select(col("doc_id"), col("chunk_id"), col("start_char"),
-            col("chunk_len"), col("chunk_hash"),
-            col("text").substr(col("start_char"), col("chunk_len")).as("_ct"),
-            // a non-final chunk's 1-based end position must satisfy the
-            // boundary rule: xxhash64 of the trailing k-gram ≡ 0 (mod d)
-            ((col("start_char") + col("chunk_len") - 1 === length(col("text"))) ||
-              (xxhash64(col("text").substr(
-                col("start_char") + col("chunk_len") - k, lit(k))) % divisor === 0))
-              .as("_bok"))
-        j.groupBy(col("doc_id"))
-          .agg(
-            sort_array(collect_list(struct(col("chunk_id"), col("_ct")))).as("_cs"),
-            sum(col("chunk_len")).as("_cov"),
-            min(col("start_char")).as("first_start"),
-            max(col("start_char") + col("chunk_len") - 1).as("_end"),
-            countDistinct(col("chunk_hash")).as("_nk"),
-            countDistinct(col("_ct")).as("_nt"),
-            min(col("_bok")).as("boundaries_valid"))
-          .select(col("doc_id"),
-            md5(array_join(transform(col("_cs"), c => c.getField("_ct")), ""))
-              .as("reassembled_md5"),
-            col("_cov").cast("int").as("covered_len"),
-            col("first_start"),
-            col("_end").cast("int").as("last_end"),
-            (col("_nk") === col("_nt")).as("keys_injective"),
-            col("boundaries_valid"))
+        TextAnalysis.cdcInvariants(
+          TextAnalysis.cdcChunksFast(docs, "text", 8, 64),
+          docs, "text", k = 8, divisor = 64, keyCol = "chunk_hash")
       },
       Some("""SELECT doc_id, md5(text) AS reassembled_md5,
              |  CAST(length(text) AS INT) AS covered_len,

@@ -640,6 +640,59 @@ object TextAnalysis {
         chunkKey(col("_t").substr(col("col.s") + 1, col("col.l"))).as(keyName))
   }
 
+  /** Per-doc CDC invariant audit over a chunk frame — the oracle shape
+    * for the engine-default (xxhash64) chunker whose hash values DuckDB
+    * cannot bit-replicate: instead of comparing hashes, verify the
+    * properties that MAKE the frame a valid chunking of `docs`:
+    *
+    *  - `reassembled_md5`: the chunk texts, concatenated in chunk_id
+    *    order, md5-hash to the source text — coverage, order, and
+    *    non-overlap in one equality (any gap, overlap, or reorder
+    *    changes the digest);
+    *  - `covered_len` / `first_start` / `last_end`: the frame edges;
+    *  - `keys_injective`: distinct chunk keys == distinct chunk texts
+    *    per doc (a collapsed or duplicated key breaks dedup payloads);
+    *  - `boundaries_valid`: every non-final chunk really ends where the
+    *    engine hash of its trailing k-gram is ≡ 0 (mod divisor).
+    *
+    * CdcInvariantSpec pins SENSITIVITY: each planted corruption class
+    * (dropped chunk, shifted boundary, reordered ids, gap+overlap that
+    * cancel in the length sum) flips at least one output column. One
+    * doc_id-keyed join + one per-doc aggregation; the per-group
+    * collect_list is the doc's own text — never more state than one
+    * document per task.
+    */
+  def cdcInvariants(
+      chunks: DataFrame, docs: DataFrame, textCol: String,
+      k: Int, divisor: Int, keyCol: String): DataFrame = {
+    val j = chunks
+      .join(docs.select(col("doc_id"), col(textCol).as("_t")), "doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("start_char"),
+        col("chunk_len"), col(keyCol).as("_key"),
+        col("_t").substr(col("start_char"), col("chunk_len")).as("_ct"),
+        ((col("start_char") + col("chunk_len") - 1 === length(col("_t"))) ||
+          (xxhash64(col("_t").substr(
+            col("start_char") + col("chunk_len") - k, lit(k))) % divisor === 0))
+          .as("_bok"))
+    j.groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("chunk_id"), col("_ct")))).as("_cs"),
+        sum(col("chunk_len")).as("_cov"),
+        min(col("start_char")).as("first_start"),
+        max(col("start_char") + col("chunk_len") - 1).as("_end"),
+        countDistinct(col("_key")).as("_nk"),
+        countDistinct(col("_ct")).as("_nt"),
+        min(col("_bok")).as("boundaries_valid"))
+      .select(col("doc_id"),
+        md5(array_join(transform(col("_cs"), c => c.getField("_ct")), ""))
+          .as("reassembled_md5"),
+        col("_cov").cast("int").as("covered_len"),
+        col("first_start"),
+        col("_end").cast("int").as("last_end"),
+        (col("_nk") === col("_nt")).as("keys_injective"),
+        col("boundaries_valid"))
+  }
+
   /** Overlapping token-window chunks — the RAG / context-length
     * preprocessing step: each document's whitespace tokens split into
     * windows of `window` tokens starting every `window − overlap`
