@@ -414,8 +414,12 @@ object ExtQueries {
         val wh = MetaQueries.warmCloneWarehouse("stream_corpus_ingest_dedup", dir) { b =>
           graft.sink.SnapshotTable(b, "lakehouse", "documents")
             .overwrite(base.filter(col("doc_id") % 3 === 0)): Unit
+          // the content-hash index seeds once with the corpus (the one
+          // full pass); every batch then probes and appends O(batch)
+          // hash rows — the corpus text is never re-hashed on ingest
         }
         val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
+        val hashIdx = graft.sink.SnapshotTable(wh, "lakehouse", "documents_content_idx")
         val (b1, b2) = MetaQueries.memoFixture[
             (Seq[(Long, String, String, String, Long)], Seq[(Long, String, String, String, Long)])](
             "stream_corpus_ingest_batches", dir) {
@@ -430,7 +434,7 @@ object ExtQueries {
         val mem = MemoryStream[(Long, String, String, String, Long)]
         val q = Streaming.startDedupIngest(
           mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
-          table, "text", s"$wh/_checkpoint")
+          table, hashIdx, "text", s"$wh/_checkpoint", queryId = "corpus_ingest")
         try {
           mem.addData(b1)
           q.processAllAvailable()

@@ -188,8 +188,10 @@ object Streaming {
   def startDedupIngest(
       stream: DataFrame,
       table: graft.sink.SnapshotTable,
+      hashIndex: graft.sink.SnapshotTable,
       textCol: String,
       checkpoint: String,
+      queryId: String,
       idCol: String = "doc_id") = {
     // fail at call time, not inside the first microbatch
     Seq(idCol, textCol).foreach(c => require(stream.columns.contains(c),
@@ -200,8 +202,32 @@ object Streaming {
     // real hashes disjoint from the sentinel
     def contentKey(c: org.apache.spark.sql.Column) =
       when(c.isNull, lit("null:")).otherwise(concat(lit("txt:"), md5(c)))
+    // The gate probes a PERSISTED content-hash index, not the corpus:
+    // the previous shape re-read and re-hashed the WHOLE table text
+    // every microbatch — O(corpus) per batch, the scan that dominates
+    // everything at the 100 TB target. The index is hash-only rows
+    // (orders of magnitude narrower than the corpus), seeded from the
+    // table once at stream start if absent, and grows by one O(batch)
+    // append per batch.
+    //
+    // Exactly-once across TWO tables under foreachBatch's
+    // at-least-once delivery: both appends are appendOnce commits
+    // keyed (queryId, batchId), and index rows carry their (q, b) so a
+    // re-delivered batch EXCLUDES its own (possibly already landed)
+    // index append when re-deriving the novel set. All four crash
+    // interleavings converge: neither landed → both commit; corpus
+    // landed → same novel set (index unchanged), corpus skips on its
+    // watermark, index commits; index landed → the exclusion restores
+    // the same novel set, corpus commits, index skips; both landed →
+    // both skip.
+    if (hashIndex.currentSnapshot.isEmpty) {
+      val spark = stream.sparkSession
+      hashIndex.overwrite(table.read(spark)
+        .select(contentKey(col(textCol)).as("_h")).distinct()
+        .withColumn("_q", lit("seed")).withColumn("_b", lit(-1L))): Unit
+    }
     stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val withHash = batch.toDF().withColumn("_h", contentKey(col(textCol)))
         val w = org.apache.spark.sql.expressions.Window
@@ -209,16 +235,20 @@ object Streaming {
         val firstPerHash = withHash
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-        val existing = table.read(spark)
-          .select(contentKey(col(textCol)).as("_h")).distinct()
-        // persisted: the emptiness probe and the append below would
-        // otherwise each run the whole gate (window + table re-hash +
-        // anti-join) — 2x the per-batch cost
-        val novel = firstPerHash.join(existing, Seq("_h"), "left_anti")
-          .drop("_h").persist()
+        val known = hashIndex.read(spark)
+          .filter(!(col("_q") === queryId && col("_b") === batchId))
+          .select(col("_h"))
+        // persisted: the emptiness probe and the two appends below would
+        // otherwise each run the whole gate (window + probe anti-join)
+        val novel = firstPerHash.join(known, Seq("_h"), "left_anti").persist()
         // no empty commits: an all-duplicate batch leaves no snapshot
-        try { if (!novel.isEmpty) { table.append(novel, micro = true): Unit } }
-        finally { novel.unpersist(): Unit }
+        try {
+          if (!novel.isEmpty) {
+            table.appendOnce(queryId, batchId, novel.drop("_h")): Unit
+            hashIndex.appendOnce(queryId, batchId, novel.select(col("_h"),
+              lit(queryId).as("_q"), lit(batchId).as("_b"))): Unit
+          }
+        } finally { novel.unpersist(): Unit }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -475,10 +475,15 @@ class StreamingSpec extends SparkSpec {
     val table = graft.sink.SnapshotTable(wh, "t", "docs")
     table.overwrite(Seq((1L, "alpha text", "en"), (2L, "beta text", "en"))
       .toDF("doc_id", "text", "lang")): Unit
+    val idx = graft.sink.SnapshotTable(wh, "t", "docs_content_idx")
     val mem = MemoryStream[(Long, String, String)]
     val q = Streaming.startDedupIngest(
-      mem.toDF().toDF("doc_id", "text", "lang"), table, "text", s"$wh/_ckpt")
+      mem.toDF().toDF("doc_id", "text", "lang"), table, idx, "text",
+      s"$wh/_ckpt", queryId = "spec_ingest")
     try {
+      // the index auto-seeded from the table at stream start: one hash
+      // row per seed doc, and the corpus is never re-hashed after this
+      assert(idx.read(spark).count() == 2)
       // batch 1: a re-delivery of doc 1 (drops at the table gate), novel
       // doc 3, a same-text clone of 3 in the SAME batch (original wins),
       // and a null-text doc
@@ -488,19 +493,63 @@ class StreamingSpec extends SparkSpec {
       val after1 = table.read(spark).select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(after1 == Set(1L, 2L, 3L, 4L))
+      // the index grew by exactly the batch's novel hashes (O(batch))
+      assert(idx.read(spark).count() == 4)
       val snaps1 = table.snapshots.size
+      val idxSnaps1 = idx.snapshots.size
       // batch 2: ALL duplicates — incl. a null-text re-delivery, the case
-      // a plain md5 key re-appends forever — and no commit must land
+      // a plain md5 key re-appends forever — and no commit must land on
+      // EITHER table
       mem.addData(Seq((3L, "gamma text", "en"), (5L, null, "en")))
       q.processAllAvailable()
       assert(table.read(spark).count() == 4)
       assert(table.snapshots.size == snaps1, "all-duplicate batch must not commit")
+      assert(idx.snapshots.size == idxSnaps1, "all-duplicate batch must not grow the index")
     } finally q.stop()
     // a stream without the id column fails at call time, not mid-stream
     val bad = intercept[IllegalArgumentException] {
       Streaming.startDedupIngest(
-        mem.toDF().toDF("id", "text", "lang"), table, "text", s"$wh/_ckpt2")
+        mem.toDF().toDF("id", "text", "lang"), table, idx, "text",
+        s"$wh/_ckpt2", queryId = "spec_ingest")
     }
     assert(bad.getMessage.contains("doc_id"))
+  }
+
+  test("dedup ingest two-table exactly-once: a partial index append converges on re-delivery") {
+    // the crash interleaving the (q, b)-carrying index rows exist for:
+    // the INDEX append landed but the corpus append did not (crash
+    // between the two commits), and foreachBatch re-delivers the batch.
+    // The probe excludes this (queryId, batchId)'s own index rows, so
+    // the novel set is re-derived IDENTICALLY and the corpus append
+    // lands; the index appendOnce skips on its watermark.
+    val wh = java.nio.file.Files.createTempDirectory("graft_dedup_ingest_crash").toString
+    val table = graft.sink.SnapshotTable(wh, "t", "docs")
+    table.overwrite(Seq((1L, "alpha text", "en")).toDF("doc_id", "text", "lang")): Unit
+    val idx = graft.sink.SnapshotTable(wh, "t", "docs_content_idx")
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, when}
+    def key(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("null:")).otherwise(concat(lit("txt:"), md5(c)))
+    idx.overwrite(table.read(spark).select(key(col("text")).as("_h"))
+      .withColumn("_q", lit("seed")).withColumn("_b", lit(-1L))): Unit
+    // simulate the partial batch 0: its index rows landed, corpus rows did not
+    val batch = Seq((2L, "beta text", "en"), (3L, "gamma text", "en"))
+      .toDF("doc_id", "text", "lang")
+    idx.appendOnce("crash_q", 0L, batch.select(key(col("text")).as("_h"),
+      lit("crash_q").as("_q"), lit(0L).as("_b"))): Unit
+    // re-delivery through the real stream path with the same queryId:
+    // Spark assigns batchId 0 to the first batch of a fresh checkpoint
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.startDedupIngest(
+      mem.toDF().toDF("doc_id", "text", "lang"), table, idx, "text",
+      s"$wh/_ckpt", queryId = "crash_q")
+    try {
+      mem.addData(Seq((2L, "beta text", "en"), (3L, "gamma text", "en")))
+      q.processAllAvailable()
+      assert(table.read(spark).select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L), "the corpus append must land on re-delivery")
+      // the index did NOT double-append: one seed row + the two batch rows
+      assert(idx.read(spark).count() == 3)
+    } finally q.stop()
   }
 }
