@@ -605,7 +605,11 @@ object TextQueries {
       // engine hash of its trailing 8-gram is ≡ 0 (mod 64). The
       // bit-exact boundary/key oracle lives on the md5 variant below.
       (s, dir) => {
-        val docs = tbl(s, dir, "documents")
+        // scoped to non-null texts on BOTH sides: a NULL text has no
+        // chunking semantics, and null-vs-empty behavior diverges
+        // between xxhash64 (seed for both) and md5 (NULL vs a digest) —
+        // the operator's own null handling is spec'd on the operator
+        val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
         TextAnalysis.cdcInvariants(
           TextAnalysis.cdcChunksFast(docs, "text", 8, 64),
           docs, "text", k = 8, divisor = 64, keyCol = "chunk_hash")
@@ -616,7 +620,7 @@ object TextQueries {
              |  CAST(length(text) AS INT) AS last_end,
              |  TRUE AS keys_injective,
              |  TRUE AS boundaries_valid
-             |FROM documents""".stripMargin),
+             |FROM documents WHERE text IS NOT NULL""".stripMargin),
       doc = "content-defined chunking, engine default (xxhash64 Rabin-style " +
         "boundaries, ~64-char expected chunks): shift-robust per-chunk keys " +
         "for offset-independent dedup; map-only, position-local. Oracle " +
@@ -1431,7 +1435,12 @@ object TextQueries {
       // (identical text ⇒ identical shingle set ⇒ identical min). The
       // bit-exact value oracle lives on the md5 variant below.
       (s, dir) => {
-        val fp = TextAnalysis.fingerprintFast(tbl(s, dir, "documents"), "text", k = 8)
+        // non-null texts only, both sides: xxhash64 collapses NULL and
+        // "" onto the seed while md5(NULL) is NULL (the oracle's join
+        // would silently drop the row) — the operator's own null path
+        // (left_outer, null min-shingle) is spec'd on the operator
+        val fp = TextAnalysis.fingerprintFast(
+          tbl(s, dir, "documents").filter(col("text").isNotNull), "text", k = 8)
         // class stats via a window over content_hash, NOT a
         // groupBy-and-join-back: the join-back shape evaluates the fp
         // lineage twice, and at corpus scale the min-shingle explode IS
@@ -1445,13 +1454,14 @@ object TextQueries {
           (size(collect_set(col("min_shingle_hash")).over(w)) === 1)
             .as("minsh_consistent"))
       },
-      Some("""WITH g AS (
+      Some("""WITH nn AS (SELECT * FROM documents WHERE text IS NOT NULL),
+             |g AS (
              |  SELECT md5(text) AS h, min(doc_id) AS content_rep,
              |    CAST(count(*) AS BIGINT) AS n_same_content
-             |  FROM documents GROUP BY 1)
+             |  FROM nn GROUP BY 1)
              |SELECT d.doc_id, g.content_rep, g.n_same_content,
              |  TRUE AS minsh_consistent
-             |FROM documents d JOIN g ON md5(d.text) = g.h""".stripMargin),
+             |FROM nn d JOIN g ON md5(d.text) = g.h""".stripMargin),
       doc = "content hash + winnowing-style min-shingle rolling fingerprint, " +
         "engine default (xxhash64). Oracle verifies the equality-class " +
         "invariants: the content-key partition matches md5(text)'s exactly " +

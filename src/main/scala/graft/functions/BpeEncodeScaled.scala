@@ -43,6 +43,13 @@ final class BpeMergeTable(val lefts: Array[String], val rights: Array[String])
     extends Serializable {
   require(lefts.length == rights.length,
     s"operand arrays disagree: ${lefts.length} vs ${rights.length}")
+  // the rank map keys pairs as `left SEP right`; a token containing the
+  // separator would alias two different pairs onto one key, and the
+  // apply loop could then find a "best" rank whose operands never match
+  // an adjacent pair — an infinite loop. Impossible for Bpe.words
+  // tokens ([a-z] only), but the constructor is public: fail loudly.
+  require(lefts.forall(!_.contains("\\u0000")) && rights.forall(!_.contains("\\u0000")),
+    "merge operand tokens must not contain the reserved separator \\u0000")
 
   def numMerges: Int = lefts.length
 

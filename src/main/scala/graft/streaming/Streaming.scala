@@ -173,17 +173,23 @@ object Streaming {
     * microbatch admits only CONTENT-novel documents — first the batch
     * dedups against itself (min doc_id per content hash, so a clone and
     * its original arriving together keep the original), then an
-    * anti-join against the governed table's content hashes drops
-    * everything already landed. Idempotent corpus ingestion: re-sent or
-    * re-crawled documents never append twice, and dedup happens at the
-    * door instead of as a retroactive rewrite pass.
+    * anti-join against the PERSISTED content-hash index drops everything
+    * already landed. Idempotent corpus ingestion: re-sent or re-crawled
+    * documents never append twice, and dedup happens at the door instead
+    * of as a retroactive rewrite pass.
     *
-    * Scale: the anti-join moves HASHES only (computed map-side; the
-    * batch's text never shuffles, the table's text never leaves its
-    * scan). The per-batch table re-hash is the sandbox simplification —
-    * a 100 TB deployment keeps a persistent content-hash index (a
-    * bloom-filtered sidecar per commit, the shape the $files sidecars
-    * already model) instead of re-reading the corpus per batch.
+    * Scale: the anti-join moves HASHES only, against the hash-only
+    * index table (orders of magnitude narrower than the corpus); the
+    * corpus text is hashed once per document EVER — at seed/catch-up
+    * time or when its batch arrives — never per batch.
+    *
+    * Gate contract: the index is the gate's source of truth. At stream
+    * START the gate reconciles it with the table (seeds it if absent;
+    * otherwise folds in hashes of any rows appended OUT-OF-BAND while
+    * no stream was running — one hash-and-anti-join pass of the table,
+    * the price the old per-batch re-hash paid on EVERY batch). A writer
+    * that bypasses the gate MID-stream must append the matching index
+    * rows itself, the standard contract of any secondary index.
     */
   def startDedupIngest(
       stream: DataFrame,
@@ -220,11 +226,25 @@ object Streaming {
     // watermark, index commits; index landed → the exclusion restores
     // the same novel set, corpus commits, index skips; both landed →
     // both skip.
-    if (hashIndex.currentSnapshot.isEmpty) {
+    locally {
       val spark = stream.sparkSession
-      hashIndex.overwrite(table.read(spark)
-        .select(contentKey(col(textCol)).as("_h")).distinct()
-        .withColumn("_q", lit("seed")).withColumn("_b", lit(-1L))): Unit
+      if (hashIndex.currentSnapshot.isEmpty) {
+        hashIndex.overwrite(table.read(spark)
+          .select(contentKey(col(textCol)).as("_h")).distinct()
+          .withColumn("_q", lit("seed")).withColumn("_b", lit(-1L))): Unit
+      } else {
+        // START-time reconciliation: rows appended to the table while no
+        // stream was running (backfills, DML, rival writers) are not in
+        // the index yet — fold their hashes in, or the gate would
+        // re-admit those texts as novel. One table hash + anti-join pass
+        // per stream START (the old shape paid it per BATCH); no commit
+        // when the index is already complete.
+        val missing = table.read(spark)
+          .select(contentKey(col(textCol)).as("_h")).distinct()
+          .join(hashIndex.read(spark).select(col("_h")), Seq("_h"), "left_anti")
+          .withColumn("_q", lit("catchup")).withColumn("_b", lit(-1L))
+        if (!missing.isEmpty) hashIndex.append(missing): Unit
+      }
     }
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

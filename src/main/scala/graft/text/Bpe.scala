@@ -229,10 +229,11 @@ object Bpe {
   /** The merge list as a [[graft.functions.BpeMergeTable]] — the single
     * broadcastable model object the vocab-scale encoder keys on.
     */
-  def mergeTable(merges: Seq[Merge]): graft.functions.BpeMergeTable =
+  def mergeTable(merges: Seq[Merge]): graft.functions.BpeMergeTable = {
+    val ranked = merges.sortBy(_.rank)
     new graft.functions.BpeMergeTable(
-      merges.sortBy(_.rank).map(_.left).toArray,
-      merges.sortBy(_.rank).map(_.right).toArray)
+      ranked.map(_.left).toArray, ranked.map(_.right).toArray)
+  }
 
   /** [[encodeCounts]] at PRODUCTION VOCAB SCALE: same output contract
     * (per-doc word + token counts, same slice semantics), but the model

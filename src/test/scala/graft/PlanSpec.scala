@@ -266,7 +266,7 @@ class PlanSpec extends SparkSpec {
     val p = planOf("text_bpe_encode_scaled")
     assert(!p.contains("Exchange"), s"must not shuffle:\n${p.take(800)}")
     assert("Scan parquet".r.findAllIn(p).size == 1, s"should scan once:\n${p.take(800)}")
-    assert(p.contains("bpetokencounts") || p.toLowerCase.contains("bpetokencounts"),
+    assert(p.toLowerCase.contains("bpetokencounts"),
       s"plan should contain the native expression:\n${p.take(800)}")
     assert(!p.contains("replace(replace("),
       s"plan must not contain a nested replace chain:\n${p.take(800)}")

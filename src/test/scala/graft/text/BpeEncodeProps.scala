@@ -23,16 +23,9 @@ object BpeEncodeProps extends Properties("BpeEncodeScaled") {
 
   private val alphabet = "abcde"
 
-  /** Reference replay of Bpe.applyMerges' semantics on the JVM: wrap
-    * chars, then one left-to-right String.replace per merge in rank
-    * order.
-    */
-  private def chainRef(word: String, merges: Seq[(String, String)]): String = {
-    val wrapped = word.map(c => s"<$c>").mkString
-    merges.foldLeft(wrapped) { case (s, (l, r)) =>
-      s.replace(s"<$l><$r>", s"<$l$r>")
-    }
-  }
+  /** The shared JVM reference for replace-chain semantics. */
+  private def chainRef(word: String, merges: Seq[(String, String)]): String =
+    BpeChainRef(word, merges)
 
   /** A causally-ordered, product-unique merge list: operands drawn from
     * base chars plus earlier products; candidates whose product already

@@ -22,17 +22,9 @@ class BpeScaledSpec extends SparkSpec {
 
   import spark.implicits._
 
-  /** Reference implementation of the replace-chain semantics on the
-    * JVM: wrap chars, then one left-to-right `String.replace` per merge
-    * in rank order — exactly what Bpe.applyMerges compiles into
-    * Catalyst, minus the expression tree.
-    */
-  private def chainRef(word: String, merges: Seq[Bpe.Merge]): String = {
-    val wrapped = word.map(c => s"<$c>").mkString
-    merges.sortBy(_.rank).foldLeft(wrapped) { (s, m) =>
-      s.replace(s"<${m.left}><${m.right}>", s"<${m.left}${m.right}>")
-    }
-  }
+  /** The shared JVM reference for replace-chain semantics. */
+  private def chainRef(word: String, merges: Seq[Bpe.Merge]): String =
+    BpeChainRef(word, merges)
 
   private def trainOn(texts: Seq[String], k: Int): Seq[Bpe.Merge] = {
     val wc = texts.toDF("text")
