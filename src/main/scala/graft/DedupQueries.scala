@@ -668,9 +668,13 @@ object DedupQueries {
           Dedup.minhashSignature(probePostings), rowsPerBand = 2)
         def pairs() = Dedup.minhashPersistedPairs(bT.read(s), probeBuckets,
           pT.read(s).unionByName(probePostings), minJaccard = 0.4)
-        // the probe's near-dup verdicts: bounded (one batch's pairs)
-        val before = pairs().collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        // the pre-compaction verdicts are a DETERMINISTIC property of
+        // the warm fixture (every run's clone has identical content),
+        // so the proof's baseline collects once per session — the bench
+        // measures compaction + one probe, not three probes
+        val before = MetaQueries.memoFixture("dedup_mh_cpt_before", dir) {
+          pairs().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        }
         val bDirs = bT.currentSnapshot.get.dataDirs.size
         val pDirs = pT.currentSnapshot.get.dataDirs.size
         require(bDirs >= 3 && pDirs >= 3,
@@ -754,8 +758,13 @@ object DedupQueries {
         val isGhost =
           pmod(col("doc_a"), lit(10)).isin(7, 9) ||
             pmod(col("doc_b"), lit(10)).isin(7, 9)
-        require(pairs().filter(isGhost).limit(1).collect().nonEmpty,
-          "fixture must report a pair against a to-be-evicted doc first")
+        // the ghost-pair proof is a deterministic property of the warm
+        // fixture — prove it once per session, not once per bench sample
+        MetaQueries.memoFixture("dedup_mh_evc_ghost", dir) {
+          require(pairs().filter(isGhost).limit(1).collect().nonEmpty,
+            "fixture must report a pair against a to-be-evicted doc first")
+          true
+        }: Unit
         val evictKeys = docs
           .filter(pmod(col("doc_id"), lit(10)).isin(7, 9)).select("doc_id")
         val db = bT.deleteWhere(evictKeys, Seq("doc_id"))

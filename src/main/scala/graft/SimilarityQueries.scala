@@ -817,9 +817,14 @@ object SimilarityQueries {
         val queries = emb.filter(col("vec_id") < 5)
         def search() = Similarity.ivfPqTopKPersisted(
           queries, wh, k = 10, nprobe = 2, m = 4, dims = 64)
-        // bounded: 5 queries x top-10
-        val before = search().collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        // bounded: 5 queries x top-10. The baseline is a deterministic
+        // property of the warm index (every run's clone is identical),
+        // so it collects once per session — the bench measures the
+        // compaction + one search, not two searches
+        val before = MetaQueries.memoFixture("ivfpq_cpt_before", dir) {
+          search().collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        }
         val perVec = Seq("ivfpq_assign", "ivfpq_codes", "ivfpq_norms")
           .map(t => graft.sink.SnapshotTable(wh, "ann", t))
         require(perVec.forall(_.currentSnapshot.get.dataDirs.size >= 2),
@@ -873,9 +878,14 @@ object SimilarityQueries {
         val queries = emb.filter(col("vec_id") < 5)
         def search() = Similarity.ivfPqTopKPersisted(
           queries, wh, k = 10, nprobe = 2, m = 4, dims = 64)
-        require(search().filter(pmod(col("vec_id"), lit(7)) === 3)
-            .limit(1).collect().nonEmpty,
-          "pre-eviction top-10s must contain a to-be-evicted vector")
+        // the ghost proof is a deterministic property of the warm index:
+        // prove it once per session, not once per bench sample
+        MetaQueries.memoFixture("ivfpq_evc_ghost", dir) {
+          require(search().filter(pmod(col("vec_id"), lit(7)) === 3)
+              .limit(1).collect().nonEmpty,
+            "pre-eviction top-10s must contain a to-be-evicted vector")
+          true
+        }: Unit
         val keys = emb.filter(evictPred).select("vec_id")
         val ops = Seq("ivfpq_assign", "ivfpq_codes", "ivfpq_norms").map(t =>
           graft.sink.SnapshotTable(wh, "ann", t).deleteWhere(keys, Seq("vec_id")).operation)
