@@ -182,6 +182,30 @@ class DedupSpec extends SparkSpec {
       s"cap must drop the hot bucket's pairs and keep the cold pair: $capped")
   }
 
+  test("capped LSH == uncapped when the cap exceeds every bucket; subset otherwise") {
+    // random docs (seeded): with the cap above the largest bucket the
+    // two operators must agree pair-for-pair (the cap path is a pure
+    // candidate filter); with a tight cap the result must be a subset
+    // (the cap can only DROP candidates, never invent or rescore them)
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 30L).map(i => (i, doc(6 + rnd.nextInt(6))))
+    // planted duplicate cluster -> at least one genuinely hot bucket
+    val dups = (101L to 106L).map(i => (i, base.head._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = pairs(Dedup.minhashLshPairs(docs, "text", 3, 2, minJaccard = 0.3))
+    val loose = pairs(Dedup.minhashLshPairsCapped(
+      docs, "text", 3, 2, minJaccard = 0.3, maxBucket = 1000))
+    assert(loose == uncapped, "a never-binding cap must be a no-op")
+    val tight = pairs(Dedup.minhashLshPairsCapped(
+      docs, "text", 3, 2, minJaccard = 0.3, maxBucket = 3))
+    assert(tight.subsetOf(uncapped), "the cap may only drop pairs")
+    assert(tight.size < uncapped.size, "the planted 7-dup cluster must trip a cap=3 bucket")
+  }
+
   test("index compaction folds delta dirs and leaves probe verdicts bit-identical") {
     // seed + two fragmenting appends, then compact both index tables —
     // the probe's pairs (and jaccards) must be THE SAME frame before
