@@ -48,8 +48,9 @@ final class BpeMergeTable(val lefts: Array[String], val rights: Array[String])
   // apply loop could then find a "best" rank whose operands never match
   // an adjacent pair — an infinite loop. Impossible for Bpe.words
   // tokens ([a-z] only), but the constructor is public: fail loudly.
-  require(lefts.forall(!_.contains("\\u0000")) && rights.forall(!_.contains("\\u0000")),
-    "merge operand tokens must not contain the reserved separator \\u0000")
+  require(lefts.forall(!_.contains(BpeMergeTable.Sep)) &&
+      rights.forall(!_.contains(BpeMergeTable.Sep)),
+    "merge operand tokens must not contain the reserved separator NUL (U+0000)")
 
   def numMerges: Int = lefts.length
 
@@ -59,7 +60,7 @@ final class BpeMergeTable(val lefts: Array[String], val rights: Array[String])
     val m = new java.util.HashMap[String, Integer](lefts.length * 2)
     var i = 0
     while (i < lefts.length) {
-      m.putIfAbsent(lefts(i) + "\\u0000" + rights(i), Integer.valueOf(i))
+      m.putIfAbsent(lefts(i) + BpeMergeTable.Sep + rights(i), Integer.valueOf(i))
       i += 1
     }
     m
@@ -81,7 +82,7 @@ final class BpeMergeTable(val lefts: Array[String], val rights: Array[String])
       var j = 0
       val sz = ts.size
       while (j < sz - 1) {
-        val r = rank.get(ts.get(j) + "\\u0000" + ts.get(j + 1))
+        val r = rank.get(ts.get(j) + BpeMergeTable.Sep + ts.get(j + 1))
         if (r != null && r.intValue() < best) best = r.intValue()
         j += 1
       }
@@ -122,6 +123,17 @@ final class BpeMergeTable(val lefts: Array[String], val rights: Array[String])
     }
     sb.toString
   }
+}
+
+object BpeMergeTable {
+  /** Pair-key separator: the actual NUL character (U+0000). A single
+    * char that can never self-overlap keeps the key injective; the
+    * constructor require bars it from operand tokens. (Before r18 this
+    * was the SIX-char literal `\u0000` — injective too, since the
+    * require barred that literal, but the guard did not match what the
+    * comments claimed: a token containing a real NUL was accepted.)
+    */
+  private[functions] val Sep = "\u0000"
 }
 
 /** Per-word BPE token counts over a word array, as ONE native codegen
