@@ -887,7 +887,46 @@ object DedupQueries {
       doc = "MinHash LSH with the production hot-bucket cap: over-cap buckets " +
         "skipped for candidate generation (B-member bucket = B²/2 candidates " +
         "— one hot bucket turns candidate generation quadratic); size pass + " +
-        "equi join back, both corpus-scale safe; oracle replays the cap"),
+        "equi join back, both corpus-scale safe; oracle replays the cap; " +
+        "dedup_minhash_cap_stats reports what the cap skipped"),
+
+    "dedup_minhash_cap_stats" -> QueryDef(
+      (s, dir) =>
+        // the cap's TELEMETRY — "no silent caps": per band, the buckets
+        // the cap=2 fixture drops and the candidate-pair volume
+        // (Σ B·(B−1)/2) those buckets would have generated, so a user
+        // can read exactly how much candidate recall the capped run
+        // above traded on this corpus. Two keyed aggregations over the
+        // same shared postings/signature pipeline the operator uses —
+        // never a pair join, safe at any scale.
+        Dedup.minhashLshCapStats(tbl(s, dir, "documents"), "text", n = 3,
+          rowsPerBand = 2, maxBucket = 2),
+      Some(s"""WITH $ShinglesSql,
+              |$SigsSql,
+              |banded AS (
+              |  SELECT doc_id, CAST(t.b AS INT) AS band,
+              |    CONCAT(sig[2 * CAST(t.b AS INT) + 1], ':', sig[2 * CAST(t.b AS INT) + 2]) AS bucket
+              |  FROM sigs, range(0, 4) t(b)),
+              |bs AS (SELECT band, bucket, count(*) AS bc FROM banded GROUP BY 1, 2),
+              |agg AS (
+              |  SELECT band,
+              |    count(*) AS buckets,
+              |    count(CASE WHEN bc > 2 THEN 1 END) AS buckets_skipped,
+              |    CAST(sum(bc * (bc - 1) // 2) AS BIGINT) AS pairs_total,
+              |    CAST(coalesce(sum(CASE WHEN bc > 2 THEN bc * (bc - 1) // 2 END), 0)
+              |      AS BIGINT) AS pairs_skipped
+              |  FROM bs GROUP BY 1)
+              |SELECT band, buckets, buckets_skipped, pairs_total, pairs_skipped,
+              |  round(CAST(buckets_skipped AS DOUBLE) / greatest(buckets, 1), 6)
+              |    AS bucket_skip_frac,
+              |  round(CAST(pairs_skipped AS DOUBLE) / CAST(greatest(pairs_total, 1) AS DOUBLE), 6)
+              |    AS pair_skip_frac
+              |FROM agg""".stripMargin),
+      doc = "hot-bucket cap telemetry (the 'no silent caps' surface for " +
+        "dedup_minhash_capped): per-band skipped-bucket count, skipped " +
+        "candidate-pair volume sum(B*(B-1)/2), and skip fractions; integer " +
+        "pair arithmetic (div), fractions rounded 6dp; oracle replays the " +
+        "same bucket-size arithmetic"),
 
     "dedup_simhash" -> QueryDef(
       (s, dir) => Dedup.sharedSimhash(tbl(s, dir, "documents"), "text"),

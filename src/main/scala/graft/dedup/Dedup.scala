@@ -319,6 +319,11 @@ object Dedup {
     * members of an over-cap bucket usually still co-occur in another,
     * colder band, and what a hot bucket mostly holds is near-identical
     * boilerplate the pipeline handles with exact dedup anyway.
+    *
+    * The skip is NOT silent: [[minhashLshCapStats]] reports, per band,
+    * how many buckets the cap dropped and the candidate-pair volume
+    * (Σ B·(B−1)/2) it saved/cost — run it alongside to see what recall
+    * the cap traded on a given corpus.
     */
   def minhashLshPairsCapped(
       df: DataFrame, textCol: String, n: Int = 3,
@@ -331,6 +336,43 @@ object Dedup {
       .agg(count(lit(1)).as("_bc")).filter(col("_bc") <= maxBucket)
       .select(col("band"), col("bucket"))
     bandedVerifiedPairs(banded.join(cold, Seq("band", "bucket")), postings, minJaccard)
+  }
+
+  /** Cap TELEMETRY for [[minhashLshPairsCapped]] — the "no silent caps"
+    * surface: per band, how many buckets exist, how many the cap skips,
+    * the total candidate-pair volume (Σ B·(B−1)/2 over every bucket),
+    * the volume the skipped buckets would have generated, and the
+    * resulting skip fractions. A user reads `pairs_skipped` /
+    * `pair_skip_frac` to see exactly how much candidate recall the cap
+    * traded on THEIR corpus (and `pairs_total − pairs_skipped` to see
+    * the quadratic blowup it prevented). Same bucket pipeline as the
+    * operator (shared postings cache, one partial-agg size pass), so the
+    * numbers describe the exact buckets the capped run uses; cost is two
+    * keyed aggregations, never a pair join — safe to run at any scale.
+    * Integer pair arithmetic (`div`) keeps the counts bit-stable
+    * cross-engine; the fraction is rounded to 6 dp like every ratio.
+    */
+  def minhashLshCapStats(
+      df: DataFrame, textCol: String, n: Int = 3,
+      rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"a bucket cap below 2 can never emit a pair ($maxBucket)")
+    val postings = sharedPostings(df, textCol, n)
+    val banded = bandBuckets(minhashSignature(postings), rowsPerBand)
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bc"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("buckets"),
+        count(when(col("_bc") > maxBucket, 1)).as("buckets_skipped"),
+        sum(expr("_bc * (_bc - 1) div 2")).as("pairs_total"),
+        sum(when(col("_bc") > maxBucket, expr("_bc * (_bc - 1) div 2"))
+          .otherwise(lit(0L))).as("pairs_skipped"))
+      .select(col("band"), col("buckets"), col("buckets_skipped"),
+        col("pairs_total"), col("pairs_skipped"),
+        round(col("buckets_skipped").cast("double") /
+          greatest(col("buckets"), lit(1L)), 6).as("bucket_skip_frac"),
+        round(col("pairs_skipped").cast("double") /
+          greatest(col("pairs_total"), lit(1L)).cast("double"), 6).as("pair_skip_frac"))
   }
 
   /** Candidate generation (bucket self-join) + exact-Jaccard

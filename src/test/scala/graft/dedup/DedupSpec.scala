@@ -206,6 +206,37 @@ class DedupSpec extends SparkSpec {
     assert(tight.size < uncapped.size, "the planted 7-dup cluster must trip a cap=3 bucket")
   }
 
+  test("cap stats report exactly the buckets and pair volume the cap skips") {
+    // same fixture as the cap test: 40 identical boilerplate docs (one
+    // hot bucket per band) + 1 identical real pair (one cold 2-member
+    // bucket per band). Per band the telemetry must read: 2 buckets,
+    // 1 skipped, 781 total candidate pairs (40·39/2 + 1), 780 skipped —
+    // the "no silent caps" surface quantifying what the capped operator
+    // above dropped
+    val boiler = (1L to 40L).map(i =>
+      (i, "lorem ipsum dolor sit amet boilerplate page footer text"))
+    val real = Seq(
+      (101L, "a unique sentence about spark physical plans today"),
+      (102L, "a unique sentence about spark physical plans today"))
+    val docs = (boiler ++ real).toDF("doc_id", "text")
+    val stats = Dedup.minhashLshCapStats(docs, "text", 3, 2, maxBucket = 3)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(stats.keySet == Set(0, 1, 2, 3), s"one row per band: $stats")
+    val expectedFrac = math.round(780.0 / 781.0 * 1e6) / 1e6
+    stats.foreach { case (band, s) =>
+      assert(s == ((2L, 1L, 781L, 780L, 0.5, expectedFrac)),
+        s"band $band stats off: $s")
+    }
+    // never-binding cap -> zero skipped everywhere, fractions 0
+    val loose = Dedup.minhashLshCapStats(docs, "text", 3, 2, maxBucket = 1000)
+      .collect()
+    assert(loose.forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L &&
+      r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0),
+      "a never-binding cap must report zero skips")
+  }
+
   test("index compaction folds delta dirs and leaves probe verdicts bit-identical") {
     // seed + two fragmenting appends, then compact both index tables —
     // the probe's pairs (and jaccards) must be THE SAME frame before
