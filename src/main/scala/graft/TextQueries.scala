@@ -605,11 +605,15 @@ object TextQueries {
       // engine hash of its trailing 8-gram is ≡ 0 (mod 64). The
       // bit-exact boundary/key oracle lives on the md5 variant below.
       (s, dir) => {
-        // scoped to non-null texts on BOTH sides: a NULL text has no
-        // chunking semantics, and null-vs-empty behavior diverges
-        // between xxhash64 (seed for both) and md5 (NULL vs a digest) —
-        // the operator's own null handling is spec'd on the operator
-        val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        // scoped to non-null, NON-EMPTY texts on BOTH sides: a NULL text
+        // has no chunking semantics, null-vs-empty behavior diverges
+        // between xxhash64 (seed for both) and md5 (NULL vs a digest),
+        // and an EMPTY doc yields zero chunks (so cdcInvariants emits no
+        // group row) while the oracle would emit an md5('')/covered_len-0
+        // row — the operator's own null/empty handling is spec'd on the
+        // operator
+        val docs = tbl(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
         TextAnalysis.cdcInvariants(
           TextAnalysis.cdcChunksFast(docs, "text", 8, 64),
           docs, "text", k = 8, divisor = 64, keyCol = "chunk_hash")
@@ -620,7 +624,7 @@ object TextQueries {
              |  CAST(length(text) AS INT) AS last_end,
              |  TRUE AS keys_injective,
              |  TRUE AS boundaries_valid
-             |FROM documents WHERE text IS NOT NULL""".stripMargin),
+             |FROM documents WHERE text IS NOT NULL AND length(text) > 0""".stripMargin),
       doc = "content-defined chunking, engine default (xxhash64 Rabin-style " +
         "boundaries, ~64-char expected chunks): shift-robust per-chunk keys " +
         "for offset-independent dedup; map-only, position-local. Oracle " +
@@ -654,6 +658,78 @@ object TextQueries {
       doc = "content-defined chunking, md5 ORACLE variant (boundaries where the " +
         "trailing 8-gram md5-hash % 64 = 0): bit-exact DuckDB replication of " +
         "boundaries and per-chunk md5s; the engine default is text_cdc_chunks"),
+
+    "text_cdc_chunks_bounded" -> QueryDef(
+      // BOUNDED CDC, engine default (xxhash64): the production-chunker
+      // size rule — suppress candidates closer than 32 chars to the last
+      // boundary, force a cut at 128 when the hash rule stays silent —
+      // closing the unbounded variant's documented deviation. Verified
+      // as INVARIANTS like text_cdc_chunks, extended with the size
+      // window: every non-final chunk in [32,128] and either on an
+      // engine hash boundary or a forced 128-cut; final chunk <= 128.
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+        TextAnalysis.cdcInvariantsBounded(
+          TextAnalysis.cdcChunksBoundedFast(docs, "text", 8, 64, 32, 128),
+          docs, "text", k = 8, divisor = 64, minLen = 32, maxLen = 128,
+          keyCol = "chunk_hash")
+      },
+      Some("""SELECT doc_id, md5(text) AS reassembled_md5,
+             |  CAST(length(text) AS INT) AS covered_len,
+             |  CAST(1 AS INT) AS first_start,
+             |  CAST(length(text) AS INT) AS last_end,
+             |  TRUE AS keys_injective,
+             |  TRUE AS boundaries_valid,
+             |  TRUE AS sizes_valid
+             |FROM documents WHERE text IS NOT NULL AND length(text) > 0""".stripMargin),
+      doc = "size-bounded content-defined chunking, engine default: chunk " +
+        "lengths confined to [32,128] via suppress-below-min / cut-at-max " +
+        "over the xxhash64 boundary rule (boundaries resynchronize after " +
+        "edits the standard CDC way); oracle verifies reassembly, coverage, " +
+        "the adjusted boundary rule, and the size window; bit-exact " +
+        "boundaries on text_cdc_chunks_bounded_md5"),
+
+    "text_cdc_chunks_bounded_md5" -> QueryDef(
+      (s, dir) => TextAnalysis.cdcChunksBounded(
+        tbl(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0),
+        "text", 8, 64, 32, 128),
+      // the oracle replays the SAME walk as a per-doc recursive descent:
+      // next boundary = LEAST(p + 128, first hash candidate >= p + 32,
+      // falling back to len) — provably the closed form of the engine's
+      // suppress/force fold (candidates below p+32 are suppressed, a
+      // candidate beyond p+128 yields the forced cut first)
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+             |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+             |b AS (SELECT doc_id, text, len,
+             |  CASE WHEN len >= 8 THEN list_filter(
+             |    list_transform(range(8, len + 1), i ->
+             |      CASE WHEN CAST(CONCAT('0x',
+             |          substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 15))
+             |        AS BIGINT) % 64 = 0 THEN CAST(i AS INT) END),
+             |    x -> x IS NOT NULL AND x < len)
+             |  ELSE [] END AS cs
+             |  FROM d),
+             |walk AS (
+             |  SELECT doc_id, text, len, cs,
+             |    0 AS s, 0 AS e, 0 AS ord FROM b
+             |  UNION ALL
+             |  SELECT doc_id, text, len, cs, e AS s,
+             |    LEAST(e + 128,
+             |      COALESCE(list_min(list_filter(cs, c -> c >= e + 32)), len)) AS e,
+             |    ord + 1
+             |  FROM walk WHERE e < len)
+             |SELECT doc_id, CAST(ord - 1 AS INT) AS chunk_id,
+             |  CAST(s + 1 AS INT) AS start_char,
+             |  CAST(e - s AS INT) AS chunk_len,
+             |  md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS chunk_md5
+             |FROM walk WHERE ord >= 1""".stripMargin),
+      doc = "size-bounded CDC, md5 ORACLE variant: bit-exact DuckDB replay of " +
+        "the suppress-below-32 / force-at-128 walk (recursive descent over " +
+        "the same md5 boundary candidates); the engine default is " +
+        "text_cdc_chunks_bounded"),
 
     "text_token_count" -> QueryDef(
       (s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"), "text"),

@@ -612,21 +612,29 @@ object TextAnalysis {
     cdcChunksWith(df, textCol, k, divisor,
       gramHash = xxhash64(_), chunkKey = xxhash64(_), keyName = "chunk_hash")
 
-  private def cdcChunksWith(
-      df: DataFrame, textCol: String, k: Int, divisor: Int,
-      gramHash: Column => Column, chunkKey: Column => Column,
-      keyName: String): DataFrame = {
-    require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
+  /** Candidate boundary positions: i in [k, len) with
+    * gramHash(trailing k-gram) % divisor == 0, ascending (a boundary at
+    * exactly len would duplicate the end sentinel — dropped).
+    */
+  private def cdcCandidates(
+      textCol: String, k: Int, divisor: Int,
+      gramHash: Column => Column): Column = {
     val len = length(col(textCol))
-    // candidate boundaries: i in [k, len] with gramHash(trailing k-gram) % divisor == 0;
-    // a boundary at exactly len would duplicate the end sentinel — drop it
-    val bounds = when(len >= k,
+    when(len >= k,
       filter(
         transform(sequence(lit(k), len), i =>
           when(gramHash(col(textCol).substr(i - (k - 1), lit(k))) % divisor === 0, i)),
         x => x.isNotNull && x < len)).otherwise(array().cast("array<int>"))
-    val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
-      concat(array(lit(0)), bounds, array(len)).as("_b"))
+  }
+
+  /** Chunk rows from a per-doc boundary array `_b` (0 and len sentinels
+    * included): consecutive boundary pairs become (chunk_id, start_char
+    * 1-based, chunk_len, key) rows — shared by the unbounded and bounded
+    * chunkers.
+    */
+  private def emitChunks(
+      withBounds: DataFrame, chunkKey: Column => Column,
+      keyName: String): DataFrame =
     withBounds
       .select(col("doc_id"), col("_t"),
         posexplode(when(size(col("_b")) > 1,
@@ -638,6 +646,107 @@ object TextAnalysis {
         (col("col.s") + 1).cast("int").as("start_char"),
         col("col.l").cast("int").as("chunk_len"),
         chunkKey(col("_t").substr(col("col.s") + 1, col("col.l"))).as(keyName))
+
+  private def cdcChunksWith(
+      df: DataFrame, textCol: String, k: Int, divisor: Int,
+      gramHash: Column => Column, chunkKey: Column => Column,
+      keyName: String): DataFrame = {
+    require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
+    val len = length(col(textCol))
+    val bounds = cdcCandidates(textCol, k, divisor, gramHash)
+    val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
+      concat(array(lit(0)), bounds, array(len)).as("_b"))
+    emitChunks(withBounds, chunkKey, keyName)
+  }
+
+  /** [[cdcChunks]] with SIZE BOUNDS — the production-chunker rule the
+    * unbounded variant documents as its one deviation: chunk lengths are
+    * confined to [minLen, maxLen] (except a possibly-short FINAL chunk)
+    * via the standard cut-at-max / suppress-below-min walk over the same
+    * hash-rule candidate boundaries:
+    *
+    *  - from the last boundary p, candidates closer than `minLen` are
+    *    SUPPRESSED (no pathological splinter chunks where the hash rule
+    *    fires densely);
+    *  - if no candidate lands within `maxLen`, a cut is FORCED at
+    *    p + maxLen (no unbounded chunk where the rule never fires);
+    *  - the final chunk ends at len and may be shorter than minLen.
+    *
+    * Boundaries are no longer strictly position-local — they depend on
+    * the previous boundary — but RESYNCHRONIZE the standard CDC way:
+    * after an edit, as soon as both versions accept the same candidate
+    * (at most a few chunks downstream), all later boundaries coincide
+    * again, so shift-robust dedup power is retained (spec-pinned).
+    * Still embarrassingly parallel and one map-side pass: the walk is a
+    * per-DOC `aggregate` fold over that doc's candidate array (state:
+    * last boundary + emitted boundary list — bounded by the doc), never
+    * a cross-row scan. Invariants (every non-final chunk in
+    * [minLen, maxLen]; shorter-than-max non-final chunks end ON a hash
+    * boundary; forced cuts are exactly maxLen) are pinned in
+    * CdcInvariantSpec; the md5 twin is bit-compared against a DuckDB
+    * replay of the same walk.
+    */
+  def cdcChunksBounded(
+      df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64,
+      minLen: Int = 32, maxLen: Int = 128): DataFrame =
+    cdcChunksBoundedWith(df, textCol, k, divisor, minLen, maxLen,
+      gramHash = hash60, chunkKey = md5, keyName = "chunk_md5")
+
+  /** [[cdcChunksBounded]] with the ENGINE-DEFAULT hash (xxhash64 — see
+    * [[cdcChunksFast]]); same size-bound walk, invariant-oracled.
+    */
+  def cdcChunksBoundedFast(
+      df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64,
+      minLen: Int = 32, maxLen: Int = 128): DataFrame =
+    cdcChunksBoundedWith(df, textCol, k, divisor, minLen, maxLen,
+      gramHash = xxhash64(_), chunkKey = xxhash64(_), keyName = "chunk_hash")
+
+  private def cdcChunksBoundedWith(
+      df: DataFrame, textCol: String, k: Int, divisor: Int,
+      minLen: Int, maxLen: Int,
+      gramHash: Column => Column, chunkKey: Column => Column,
+      keyName: String): DataFrame = {
+    require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
+    require(minLen > 0 && minLen <= maxLen,
+      s"need 0 < minLen <= maxLen, got $minLen/$maxLen")
+    val len = length(col(textCol))
+    val cands = cdcCandidates(textCol, k, divisor, gramHash)
+    val emptyBs = array().cast("array<int>")
+    // forced cuts between boundary p and the next stop s (candidate or
+    // len): one at p + maxLen, p + 2·maxLen, ... while the gap exceeds
+    // maxLen — f = floor((s - p - 1) / maxLen) cuts (0 when s - p <= maxLen)
+    def forcedCount(p: Column, s: Column): Column =
+      floor((s - p - lit(1)).cast("double") / lit(maxLen)).cast("int")
+    def forcedCuts(p: Column, f: Column): Column =
+      when(f > 0, transform(sequence(lit(1), f), j => p + j * lit(maxLen)))
+        .otherwise(emptyBs)
+    // the walk: fold ascending candidates carrying (last boundary p,
+    // emitted boundaries bs); per candidate c — force cuts across any
+    // over-max gap first, then accept c iff it clears minLen from the
+    // (possibly advanced) last boundary
+    val walked = aggregate(
+      cands,
+      struct(lit(0).as("p"), emptyBs.as("bs")),
+      (acc, c) => {
+        val p = acc.getField("p")
+        val f = forcedCount(p, c)
+        val np = p + f * lit(maxLen)
+        val withForced = concat(acc.getField("bs"), forcedCuts(p, f))
+        when(c - np >= minLen,
+          struct(c.as("p"), concat(withForced, array(c)).as("bs")))
+          .otherwise(struct(np.as("p"), withForced.as("bs")))
+      },
+      acc => {
+        // tail: force cuts across the last gap, then the len sentinel
+        // (the final chunk may undershoot minLen — standard CDC rule)
+        val p = acc.getField("p")
+        val f = forcedCount(p, len)
+        concat(array(lit(0)), acc.getField("bs"), forcedCuts(p, f), array(len))
+      })
+    // empty docs chunk to nothing: a lone [0] sentinel emits no pairs
+    val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
+      when(len > 0, walked).otherwise(array(lit(0))).as("_b"))
+    emitChunks(withBounds, chunkKey, keyName)
   }
 
   /** Per-doc CDC invariant audit over a chunk frame — the oracle shape
@@ -691,6 +800,56 @@ object TextAnalysis {
         col("_end").cast("int").as("last_end"),
         (col("_nk") === col("_nt")).as("keys_injective"),
         col("boundaries_valid"))
+  }
+
+  /** [[cdcInvariants]] for a BOUNDED chunk frame
+    * ([[cdcChunksBoundedFast]]): same reassembly/coverage/injectivity
+    * audit, with the boundary rule adjusted for the size-bound walk —
+    * every NON-FINAL chunk must (a) have length in [minLen, maxLen] and
+    * (b) end on an engine hash boundary OR be a forced cut of exactly
+    * maxLen; the final chunk must not exceed maxLen (it may undershoot
+    * minLen). `boundaries_valid` carries (b), `sizes_valid` carries the
+    * length windows — a chunker that stopped suppressing short
+    * candidates or capping long gaps flips one of them (sensitivity
+    * planted in CdcInvariantSpec).
+    */
+  def cdcInvariantsBounded(
+      chunks: DataFrame, docs: DataFrame, textCol: String,
+      k: Int, divisor: Int, minLen: Int, maxLen: Int,
+      keyCol: String): DataFrame = {
+    val j = chunks
+      .join(docs.select(col("doc_id"), col(textCol).as("_t")), "doc_id")
+      .select(col("doc_id"), col("chunk_id"), col("start_char"),
+        col("chunk_len"), col(keyCol).as("_key"),
+        col("_t").substr(col("start_char"), col("chunk_len")).as("_ct"),
+        (col("start_char") + col("chunk_len") - 1 === length(col("_t"))).as("_fin"),
+        (xxhash64(col("_t").substr(
+          col("start_char") + col("chunk_len") - k, lit(k))) % divisor === 0)
+          .as("_hok"))
+      .select(col("doc_id"), col("chunk_id"), col("_key"), col("_ct"),
+        col("chunk_len"), col("start_char"),
+        (col("_fin") || col("_hok") || col("chunk_len") === maxLen).as("_bok"),
+        (when(col("_fin"), col("chunk_len") <= maxLen)
+          .otherwise(col("chunk_len").between(minLen, maxLen))).as("_sok"))
+    j.groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("chunk_id"), col("_ct")))).as("_cs"),
+        sum(col("chunk_len")).as("_cov"),
+        min(col("start_char")).as("first_start"),
+        max(col("start_char") + col("chunk_len") - 1).as("_end"),
+        countDistinct(col("_key")).as("_nk"),
+        countDistinct(col("_ct")).as("_nt"),
+        min(col("_bok")).as("boundaries_valid"),
+        min(col("_sok")).as("sizes_valid"))
+      .select(col("doc_id"),
+        md5(array_join(transform(col("_cs"), c => c.getField("_ct")), ""))
+          .as("reassembled_md5"),
+        col("_cov").cast("int").as("covered_len"),
+        col("first_start"),
+        col("_end").cast("int").as("last_end"),
+        (col("_nk") === col("_nt")).as("keys_injective"),
+        col("boundaries_valid"),
+        col("sizes_valid"))
   }
 
   /** Overlapping token-window chunks — the RAG / context-length

@@ -112,4 +112,123 @@ class CdcInvariantSpec extends SparkSpec {
     assert(!a._5, "keys_injective must flip when distinct chunks share a key")
     assert(audit(corrupted)(2L)._5, "other docs unaffected")
   }
+
+  // ------------------------------------------------------------------
+  // size-bounded walk (cdcChunksBoundedFast + cdcInvariantsBounded)
+  // ------------------------------------------------------------------
+
+  private val longDocs = Seq(
+    (1L, ("the quick brown fox jumps over the lazy dog and then naps " * 6).trim),
+    (2L, ("entirely different content about spark physical plans and shuffles " * 5).trim),
+    (3L, "short one"))
+    .toDF("doc_id", "text")
+
+  private val MinL = 12
+  private val MaxL = 20
+
+  private def boundedChunks: DataFrame =
+    TextAnalysis.cdcChunksBoundedFast(longDocs, "text", 8, 4, MinL, MaxL)
+
+  private def auditBounded(c: DataFrame): Map[Long, (String, Int, Boolean, Boolean, Boolean)] =
+    TextAnalysis.cdcInvariantsBounded(c, longDocs, "text",
+        k = 8, divisor = 4, minLen = MinL, maxLen = MaxL, keyCol = "chunk_hash")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+
+  test("bounded: clean frame passes, every non-final chunk inside [min,max]") {
+    val rows = boundedChunks.collect()
+    assert(rows.length > longDocs.count(), "fixture must split")
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, cs) =>
+      val last = cs.map(_.getInt(1)).max
+      cs.foreach { r =>
+        val len = r.getInt(3)
+        assert(len <= MaxL, s"doc $id chunk ${r.getInt(1)} over max: $len")
+        if (r.getInt(1) != last)
+          assert(len >= MinL, s"doc $id non-final chunk ${r.getInt(1)} under min: $len")
+      }
+    }
+    auditBounded(boundedChunks).foreach { case (id, a) =>
+      assert(a._3 && a._4 && a._5, s"doc $id flags: $a")
+      val text = longDocs.filter(col("doc_id") === id).head().getString(1)
+      assert(a._2 == text.length, s"doc $id coverage")
+    }
+  }
+
+  test("bounded: with no candidates the walk degrades to exact max-length slabs") {
+    // a divisor the 60-bit hash never satisfies on these docs -> pure
+    // cut-at-max: lengths are max, max, ..., tail (tail may undershoot
+    // min - the documented final-chunk exception)
+    val slabs = TextAnalysis.cdcChunksBoundedFast(
+        longDocs, "text", 8, 1 << 30, MinL, MaxL)
+      .collect().groupBy(_.getLong(0))
+    slabs.foreach { case (id, cs) =>
+      val text = longDocs.filter(col("doc_id") === id).head().getString(1)
+      val lens = cs.sortBy(_.getInt(1)).map(_.getInt(3)).toSeq
+      val want = Seq.fill(text.length / MaxL)(MaxL) ++
+        (if (text.length % MaxL != 0) Seq(text.length % MaxL) else Nil)
+      assert(lens == want, s"doc $id slab lengths: $lens vs $want")
+    }
+  }
+
+  test("bounded: min=1/max=huge reproduces the unbounded chunker bit-for-bit") {
+    // with no binding bound every hash candidate is accepted and no cut
+    // is forced - the walk must equal cdcChunksFast frame-for-frame
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+    val unb = TextAnalysis.cdcChunksFast(longDocs, "text", 8, 4)
+      .collect().map(key).toSet
+    val bnd = TextAnalysis.cdcChunksBoundedFast(longDocs, "text", 8, 4, 1, 1 << 20)
+      .collect().map(key).toSet
+    assert(unb.nonEmpty && bnd == unb)
+  }
+
+  test("bounded: boundaries resynchronize after a prefix edit (shift robustness)") {
+    val s = ("the quick brown fox jumps over the lazy dog and then naps " * 8).trim
+    val pair = Seq((10L, s), (11L, "INSERTED PREFIX CHANGES EVERYTHING " + s))
+      .toDF("doc_id", "text")
+    val cs = TextAnalysis.cdcChunksBoundedFast(pair, "text", 8, 4, MinL, MaxL)
+      .collect().groupBy(_.getLong(0))
+    val ka = cs(10L).map(_.getLong(4)).toSet
+    val kb = cs(11L).map(_.getLong(4)).toSet
+    val shared = ka.intersect(kb)
+    assert(shared.size >= ka.size / 2,
+      s"bounded boundaries must resync after the edit: ${shared.size} of ${ka.size} shared")
+  }
+
+  test("bounded: a splinter chunk flips sizes_valid") {
+    // split doc 1's first chunk into 1 + rest: coverage and reassembly
+    // survive, but a 1-char non-final chunk violates the min bound
+    val c0 = boundedChunks
+    val splinter = c0.filter(col("doc_id") === 1 && col("chunk_id") === 0)
+      .select(col("doc_id"), lit(-1).as("chunk_id"), col("start_char"),
+        lit(1).as("chunk_len"), col("chunk_hash"))
+    val rest = c0.withColumn("start_char",
+        when(col("doc_id") === 1 && col("chunk_id") === 0, col("start_char") + 1)
+          .otherwise(col("start_char")))
+      .withColumn("chunk_len",
+        when(col("doc_id") === 1 && col("chunk_id") === 0, col("chunk_len") - 1)
+          .otherwise(col("chunk_len")))
+    val a = auditBounded(rest.unionByName(splinter))(1L)
+    assert(a._2 == auditBounded(c0)(1L)._2, "coverage intact by construction")
+    assert(!a._5, "sizes_valid must flip on an under-min splinter")
+  }
+
+  test("bounded: a merged over-max chunk flips sizes_valid") {
+    // extend doc 1's chunk 0 over chunk 1 and drop chunk 1: reassembly
+    // and coverage stay intact, but the merged length exceeds max
+    val c0 = boundedChunks
+    val len1 = c0.filter(col("doc_id") === 1 && col("chunk_id") === 1)
+      .head().getInt(3)
+    val corrupted = c0
+      .filter(!(col("doc_id") === 1 && col("chunk_id") === 1))
+      .withColumn("chunk_len",
+        when(col("doc_id") === 1 && col("chunk_id") === 0, col("chunk_len") + len1)
+          .otherwise(col("chunk_len")))
+    val a = auditBounded(corrupted)(1L)
+    assert(a._1 == auditBounded(c0)(1L)._1, "reassembly intact by construction")
+    assert(!a._5, "sizes_valid must flip on an over-max merged chunk")
+  }
 }
