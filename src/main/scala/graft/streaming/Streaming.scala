@@ -172,14 +172,25 @@ object Streaming {
   /** Dedup-gated corpus ingest (`stream_corpus_ingest_dedup`): each
     * microbatch admits only CONTENT-novel documents — first the batch
     * dedups against itself (min doc_id per content hash, so a clone and
-    * its original arriving together keep the original), then an
-    * anti-join against the PERSISTED content-hash index drops everything
-    * already landed. Idempotent corpus ingestion: re-sent or re-crawled
+    * its original arriving together keep the original), then a BLOOM
+    * probe against the index's sidecar filter splits the batch map-side:
+    * rows the bloom rules out are novel WITHOUT touching the index (no
+    * false negatives), only potential hits anti-join the exact hash
+    * index. Idempotent corpus ingestion: re-sent or re-crawled
     * documents never append twice, and dedup happens at the door instead
     * of as a retroactive rewrite pass.
     *
-    * Scale: the anti-join moves HASHES only, against the hash-only
-    * index table (orders of magnitude narrower than the corpus); the
+    * Scale: steady-state batches are mostly novel, so the common case
+    * plans NO index join at all (spec-pinned) — the r17 shape anti-joined
+    * the FULL hash index every microbatch, an O(index) scan+shuffle per
+    * batch. The bloom is CUMULATIVE over the index and persists as a
+    * per-commit sidecar (`_blooms/<snapshotId>.bloom`, ~bits/8 bytes):
+    * a restart loads the head sidecar instead of re-scanning the index,
+    * and a head moved by another committer folds in exactly the delta
+    * (`readIncremental`, O(delta)). False positives only cost the exact
+    * anti-join fall-through; `bloomBits` sizes the filter (default 2^23
+    * bits = 1 MiB ≈ 1% FP at ~10^6 hashes — production sizes it to the
+    * corpus, or ships it as a broadcast variable past ~100 MB). The
     * corpus text is hashed once per document EVER — at seed/catch-up
     * time or when its batch arrives — never per batch.
     *
@@ -190,6 +201,17 @@ object Streaming {
     * the price the old per-batch re-hash paid on EVERY batch). A writer
     * that bypasses the gate MID-stream must append the matching index
     * rows itself, the standard contract of any secondary index.
+    *
+    * `queryId` must be UNIQUE PER CHECKPOINT LINEAGE (the same rule as
+    * Delta's streaming `txnAppId`): exactly-once keys on (queryId,
+    * Spark's per-checkpoint batchId), so re-using a queryId against the
+    * same tables with a NEW or reset checkpoint restarts batchId at 0
+    * and the monotonic appendOnce watermark would silently drop those
+    * batches' novel rows. The gate therefore records its checkpoint
+    * path against the queryId in the index table's properties at START
+    * and FAILS LOUDLY if a later start re-binds the queryId to a
+    * different checkpoint — re-pointing a stream at a fresh checkpoint
+    * requires a fresh queryId (or clearing the recorded binding).
     */
   def startDedupIngest(
       stream: DataFrame,
@@ -198,7 +220,9 @@ object Streaming {
       textCol: String,
       checkpoint: String,
       queryId: String,
-      idCol: String = "doc_id") = {
+      idCol: String = "doc_id",
+      bloomItems: Long = 1L << 20,
+      bloomBits: Long = 1L << 23) = {
     // fail at call time, not inside the first microbatch
     Seq(idCol, textCol).foreach(c => require(stream.columns.contains(c),
       s"dedup ingest needs column $c (stream has: ${stream.columns.mkString(", ")})"))
@@ -214,7 +238,9 @@ object Streaming {
     // everything at the 100 TB target. The index is hash-only rows
     // (orders of magnitude narrower than the corpus), seeded from the
     // table once at stream start if absent, and grows by one O(batch)
-    // append per batch.
+    // append per batch. The index itself is probed through its BLOOM
+    // SIDECAR first (see IngestBloomState): a batch with zero bloom
+    // hits never plans the index join at all.
     //
     // Exactly-once across TWO tables under foreachBatch's
     // at-least-once delivery: both appends are appendOnce commits
@@ -245,34 +271,198 @@ object Streaming {
           .withColumn("_q", lit("catchup")).withColumn("_b", lit(-1L))
         if (!missing.isEmpty) hashIndex.append(missing): Unit
       }
+      // (queryId -> checkpoint) binding: batchId is per-checkpoint, so a
+      // queryId re-bound to a different checkpoint would replay batch
+      // ids 0..n against an already-advanced watermark and appendOnce
+      // would silently drop novel rows. First start records the binding
+      // (after the seed/catchup commit above, so the index root exists);
+      // every later start verifies it.
+      val bindKey = s"dedup-ingest.checkpoint.$queryId"
+      hashIndex.properties.get(bindKey) match {
+        case None => hashIndex.setProperties(Map(bindKey -> checkpoint))
+        case Some(prev) => require(prev == checkpoint,
+          s"queryId '$queryId' is bound to checkpoint lineage '$prev' but " +
+            s"this start supplies '$checkpoint' — batch ids would restart at 0 " +
+            "and the exactly-once watermark would silently drop their novel " +
+            "rows; use a fresh queryId for a fresh checkpoint (or clear the " +
+            s"'$bindKey' property after deliberately resetting the lineage)")
+      }
     }
+    val bloomState = new IngestBloomState(hashIndex, bloomItems, bloomBits)
+    // pay the first bloom load/build at START (one sidecar read after a
+    // restart; one index pass only when no sidecar survives), not inside
+    // the first microbatch's trigger
+    bloomState.sync(stream.sparkSession)
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // a head moved since the last batch (out-of-band committer) folds
+        // in as an O(delta) increment; steady state is a no-op
+        bloomState.sync(spark)
         val withHash = batch.toDF().withColumn("_h", contentKey(col(textCol)))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_h")).orderBy(col(idCol).asc)
         val firstPerHash = withHash
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-        val known = hashIndex.read(spark)
+        // the exact index probe — CONSTRUCTED ONLY when the bloom flags
+        // potential hits (by-name into bloomGatedNovel): excludes this
+        // batch's own (q, b) rows so a re-delivered batch re-derives the
+        // same novel set it committed before the crash
+        def known = hashIndex.read(spark)
           .filter(!(col("_q") === queryId && col("_b") === batchId))
           .select(col("_h"))
+        val (novelRaw, release) = bloomGatedNovel(firstPerHash, known, bloomState.bloom)
         // persisted: the emptiness probe and the two appends below would
-        // otherwise each run the whole gate (window + probe anti-join)
-        val novel = firstPerHash.join(known, Seq("_h"), "left_anti").persist()
+        // otherwise each run the whole gate (window + bloom split + join)
+        val novel = novelRaw.persist()
         // no empty commits: an all-duplicate batch leaves no snapshot
         try {
           if (!novel.isEmpty) {
             table.appendOnce(queryId, batchId, novel.drop("_h")): Unit
             hashIndex.appendOnce(queryId, batchId, novel.select(col("_h"),
-              lit(queryId).as("_q"), lit(batchId).as("_b"))): Unit
+              lit(queryId).as("_q"), lit(batchId).as("_b")))
+              // fold the committed hashes (cheaper than re-reading the
+              // delta) and persist the new head's cumulative sidecar; a
+              // watermark-skipped re-delivery changes nothing — sync
+              // already covered those rows
+              .foreach(snap => bloomState.committed(novel.select(col("_h")), snap.id))
           }
-        } finally { novel.unpersist(): Unit }
+        } finally { novel.unpersist(): Unit; release() }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** The bloom split of the ingest gate: rows of `firstPerHash` whose
+    * `_h` the bloom rules out are novel WITHOUT the index (bloom filters
+    * have no false negatives); only flagged rows anti-join the exact
+    * index. `known` is BY-NAME: a batch with zero bloom hits never
+    * constructs the index read, so its plan contains no join at all
+    * (spec-pinned); bloom false positives fall through to the anti-join
+    * and cost only that work. Returns the novel frame plus a release
+    * handle for the internal split cache (call after consuming novel).
+    */
+  private[streaming] def bloomGatedNovel(
+      firstPerHash: DataFrame, known: => DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): (DataFrame, () => Unit) = {
+    val flagged = firstPerHash.withColumn("_maybe",
+      graft.functions.BloomMightContain.bloomMightContain(col("_h"), bloom))
+      .persist()
+    val anyMaybe = !flagged.filter(col("_maybe")).isEmpty
+    val novel =
+      if (!anyMaybe) flagged.drop("_maybe")
+      else flagged.filter(!col("_maybe")).drop("_maybe")
+        .unionByName(flagged.filter(col("_maybe")).drop("_maybe")
+          .join(known, Seq("_h"), "left_anti"))
+    (novel, () => { flagged.unpersist(): Unit })
+  }
+
+  /** Per-partition bloom build over a single-string-column frame, merged
+    * on the driver. Build/probe symmetry is by construction: `putString`
+    * here hashes the UTF-8 bytes, exactly what the probe expression's
+    * `mightContainBinary(utf8)` reads back. Driver transfer is
+    * numPartitions × bits/8 (a 1000-executor deployment would
+    * `treeReduce` the partials instead of collecting them).
+    */
+  private[streaming] def buildBloom(
+      hashes: DataFrame, items: Long, bits: Long): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val parts = hashes.as[String].mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val b = BloomFilter.create(items, bits)
+        it.foreach(b.putString)
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos)
+        Iterator.single(bos.toByteArray)
+      }
+    }.collect()
+    val merged = BloomFilter.create(items, bits)
+    parts.foreach(bs => merged.mergeInPlace(BloomFilter.readFrom(bs)): Unit)
+    merged
+  }
+
+  /** Cumulative bloom-sidecar state of a hash index — the probe side of
+    * [[startDedupIngest]]'s gate. The filter covers EVERY `_h` in the
+    * index as of snapshot `covered` and persists as
+    * `<index root>/_blooms/<snapshotId>.bloom` (cumulative through that
+    * snapshot, so a restart loads ONE file instead of re-scanning the
+    * index; predecessors are deleted on advance). Overwrites or deletes
+    * in the index only ever leave STALE hashes in the filter — false
+    * positives that fall through to the exact anti-join — never false
+    * negatives, so the gate stays correct under any index history.
+    * Changing the bloom sizing between runs is detected (incompatible
+    * merge / sidecar) and answered with one full rebuild.
+    */
+  private[streaming] final class IngestBloomState(
+      index: graft.sink.SnapshotTable, items: Long, bits: Long) {
+    import org.apache.spark.util.sketch.{BloomFilter, IncompatibleMergeException}
+    private val dir = java.nio.file.Paths.get(index.root, "_blooms")
+    private var filter: BloomFilter = BloomFilter.create(items, bits)
+    private var covered: Long = -1L
+    def bloom: BloomFilter = filter
+    private[streaming] def coveredSnapshot: Long = covered
+    private def sidecar(id: Long) = dir.resolve(s"$id.bloom")
+    private def writeSidecar(id: Long): Unit = {
+      java.nio.file.Files.createDirectories(dir): Unit
+      val tmp = dir.resolve(s"$id.bloom.tmp-${System.nanoTime()}")
+      val os = java.nio.file.Files.newOutputStream(tmp)
+      try filter.writeTo(os) finally os.close()
+      java.nio.file.Files.move(tmp, sidecar(id),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      val files = dir.toFile.listFiles()
+      if (files != null) files.filter { f =>
+        f.getName.endsWith(".bloom") &&
+          f.getName.stripSuffix(".bloom").toLongOption.exists(_ < id)
+      }.foreach(f => { f.delete(): Unit })
+    }
+    /** Bring the filter up to the index head: load the head's sidecar
+      * (restart, O(1)), fold the delta since `covered` (another
+      * committer moved the head, O(delta)), or rebuild from the whole
+      * index (no usable sidecar — one pass, the price the pre-bloom
+      * shape paid per BATCH).
+      */
+    def sync(spark: SparkSession): Unit = {
+      val head = index.currentSnapshot.map(_.id).getOrElse(return)
+      if (covered == head) return
+      def rebuild(): Unit = {
+        filter = Streaming.buildBloom(
+          index.read(spark).select(org.apache.spark.sql.functions.col("_h")),
+          items, bits)
+        covered = head
+        writeSidecar(head)
+      }
+      if (covered < 0) {
+        val p = sidecar(head)
+        if (java.nio.file.Files.exists(p)) {
+          val is = java.nio.file.Files.newInputStream(p)
+          val loaded = try BloomFilter.readFrom(is) finally is.close()
+          if (loaded.isCompatible(filter)) { filter = loaded; covered = head }
+          else rebuild()
+        } else rebuild()
+      } else {
+        val delta = index.readIncremental(spark, covered, head)
+          .select(org.apache.spark.sql.functions.col("_h"))
+        try {
+          filter.mergeInPlace(Streaming.buildBloom(delta, items, bits)): Unit
+          covered = head
+          writeSidecar(head)
+        } catch { case _: IncompatibleMergeException => rebuild() }
+      }
+    }
+    /** Fold a just-committed batch's hashes (O(batch), no table re-read)
+      * and persist the new head's cumulative sidecar.
+      */
+    def committed(hashes: DataFrame, newHead: Long): Unit = {
+      filter.mergeInPlace(Streaming.buildBloom(hashes, items, bits)): Unit
+      covered = newHead
+      writeSidecar(newHead)
+    }
   }
 
   /** Streaming SCD2 dimension maintenance (`stream_scd2_merge`): each

@@ -552,4 +552,103 @@ class StreamingSpec extends SparkSpec {
       assert(idx.read(spark).count() == 3)
     } finally q.stop()
   }
+
+  test("bloom gate: zero hits plan no index join; false positives fall through; true dups drop") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.util.sketch.BloomFilter
+    val first = Seq(("txt:aaa", 1L), ("txt:bbb", 2L)).toDF("_h", "doc_id")
+
+    // ZERO bloom hits: everything is novel, the exact index read is
+    // never even CONSTRUCTED and the plan carries no join
+    var constructed = false
+    def known: org.apache.spark.sql.DataFrame = {
+      constructed = true; Seq("txt:aaa").toDF("_h")
+    }
+    val (novel, release) = Streaming.bloomGatedNovel(
+      first, known, BloomFilter.create(1000, 8192))
+    try {
+      assert(novel.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+      assert(!constructed, "zero bloom hits must not construct the index read")
+      assert(!novel.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join]),
+        "zero-bloom-hit batch must plan no join")
+    } finally release()
+
+    // planted FALSE POSITIVE: the bloom claims txt:bbb but the index
+    // does not have it — the row must fall through the exact anti-join
+    // and still come out novel (blooms may only SAVE work)
+    val fp = BloomFilter.create(1000, 8192)
+    fp.putString("txt:bbb"): Unit
+    val (novelFp, releaseFp) = Streaming.bloomGatedNovel(
+      first, Seq("txt:zzz").toDF("_h"), fp)
+    try {
+      assert(novelFp.collect().map(_.getLong(1)).toSet == Set(1L, 2L),
+        "a bloom false positive must fall through to novel via the exact join")
+      assert(novelFp.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join]),
+        "a flagged batch must plan the exact anti-join")
+    } finally releaseFp()
+
+    // TRUE duplicate: bloom hit + present in the index -> dropped
+    val dup = BloomFilter.create(1000, 8192)
+    dup.putString("txt:aaa"): Unit
+    val (novelDup, releaseDup) = Streaming.bloomGatedNovel(
+      first, Seq("txt:aaa").toDF("_h"), dup)
+    try assert(novelDup.collect().map(_.getLong(1)).toSet == Set(2L))
+    finally releaseDup()
+  }
+
+  test("bloom build/probe symmetry: no false negatives over 5000 keys") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 5000).map(i => s"txt:key$i").toDF("_h").repartition(7)
+    val bloom = Streaming.buildBloom(df, items = 10000, bits = 1L << 17)
+    val misses = df.filter(
+      !graft.functions.BloomMightContain.bloomMightContain(col("_h"), bloom)).count()
+    assert(misses == 0, s"$misses bloom false negatives - the gate would admit duplicates")
+  }
+
+  test("bloom sidecar: cumulative head sidecar persists across restart; rebind fails loudly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_dedup_ingest_bloom").toString
+    val table = graft.sink.SnapshotTable(wh, "t", "docs")
+    table.overwrite(Seq((1L, "alpha text", "en"))
+      .toDF("doc_id", "text", "lang")): Unit
+    val idx = graft.sink.SnapshotTable(wh, "t", "docs_content_idx")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.startDedupIngest(
+      mem.toDF().toDF("doc_id", "text", "lang"), table, idx, "text",
+      s"$wh/_ckpt", queryId = "sc_q")
+    try {
+      mem.addData(Seq((2L, "beta text", "en")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val head = idx.currentSnapshot.map(_.id).getOrElse(fail("index must have commits"))
+    val bloomDir = new java.io.File(s"${idx.root}/_blooms")
+    val sidecars = bloomDir.listFiles().filter(_.getName.endsWith(".bloom"))
+    assert(sidecars.map(_.getName).toSeq == Seq(s"$head.bloom"),
+      s"exactly the cumulative HEAD sidecar must survive: ${sidecars.mkString(",")}")
+    // a SECOND stream over the same tables (fresh queryId + checkpoint —
+    // MemoryStream lineages don't survive checkpoint resume in-process):
+    // its start-time sync finds the head sidecar and LOADS it instead of
+    // rescanning the index, and the gate must still hold — an
+    // all-duplicate batch commits nothing
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = Streaming.startDedupIngest(
+      mem2.toDF().toDF("doc_id", "text", "lang"), table, idx, "text",
+      s"$wh/_ckpt_b", queryId = "sc_q2")
+    try {
+      val snaps = table.snapshots.size
+      mem2.addData(Seq((9L, "beta text", "en"), (10L, "alpha text", "en")))
+      q2.processAllAvailable()
+      assert(table.snapshots.size == snaps, "all-dup batch after restart must not commit")
+    } finally q2.stop()
+    // ADVICE r17: re-binding a queryId to a DIFFERENT checkpoint would
+    // restart batch ids against an advanced watermark and silently drop
+    // rows - the gate must refuse at start time
+    val e = intercept[IllegalArgumentException] {
+      Streaming.startDedupIngest(
+        mem2.toDF().toDF("doc_id", "text", "lang"), table, idx, "text",
+        s"$wh/_ckpt_other", queryId = "sc_q")
+    }
+    assert(e.getMessage.contains("checkpoint lineage"),
+      s"rebind must fail with the lineage explanation: ${e.getMessage}")
+  }
 }
