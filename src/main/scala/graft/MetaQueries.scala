@@ -3417,6 +3417,111 @@ object MetaQueries {
         "Iceberg WRITE ORDERED BY role): catalog writes land files internally " +
         "sorted; physical order pinned per file, data oracle-checked"),
 
+    "write_distribution_mode" -> QueryDef(
+      (s, dir) => {
+        // Iceberg's write.distribution-mode (hash | range | none): how a
+        // write shuffles rows across tasks, i.e. the per-partition-dir
+        // FILE COUNT guarantee under skewed input. The fixture inserts
+        // the same 90/10-skewed frame from an 8-task source under each
+        // mode and pins the physical layout:
+        //  - none: files mirror input tasks — every task holds both
+        //    partition values, so each dir collects exactly 8 files;
+        //  - hash (the default): one task per partition value — exactly
+        //    1 file per dir no matter how scattered the input;
+        //  - range: the hot value spreads over >1 sampled range task
+        //    (balanced files, pinned as a bound — the exact count is an
+        //    environment detail), the cold value stays bounded.
+        // Row content is oracle-checked after every mode (a distribution
+        // may only move rows between files, never change them).
+        import s.implicits._
+        val wh = freshWarehouse("write_distribution_mode")
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        val src = tbl(s, dir, "events")
+          .select(col("event_id"), col("value"),
+            when(col("event_id") % 10 === 0, lit("cold")).otherwise(lit("hot"))
+              .as("pcat"))
+          .repartition(8) // round-robin: every task holds hot AND cold rows
+        src.createOrReplaceTempView("wdm_src")
+        val nRows = src.count()
+        val checksum = src.agg(sum(col("event_id"))).head().getLong(0)
+        // the declared sort order is what lets RANGE spread a hot
+        // partition VALUE: range keys are (partition cols ++ sort order),
+        // and pcat alone has two distinct values — at most two range
+        // tasks. The (pcat, event_id) pair is Iceberg's own pairing of
+        // the two properties.
+        s.sql("""CREATE TABLE graft.testdata.events_dist (
+                |  event_id BIGINT, value DOUBLE, pcat STRING)
+                |PARTITIONED BY (pcat)
+                |TBLPROPERTIES ('write.distribution-mode'='none',
+                |  'write.sort.order'='event_id ASC')""".stripMargin)
+        val table = SnapshotTable(wh, "testdata", "events_dist")
+        def filesPerDir(): Map[String, Int] = {
+          val dirs = table.currentSnapshot.get.dataDirs
+          Seq("pcat=hot", "pcat=cold").map { p =>
+            p -> dirs.map { d =>
+              Option(new java.io.File(s"$d/$p").listFiles())
+                .fold(0)(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
+            }.sum
+          }.toMap
+        }
+        def contentOk(): Unit = {
+          val got = table.read(s)
+            .agg(count(lit(1)), sum(col("event_id"))).head()
+          require(got.getLong(0) == nRows && got.getLong(1) == checksum,
+            s"distribution changed row content: ${got.getLong(0)}/$nRows rows, " +
+              s"checksum ${got.getLong(1)}/$checksum")
+        }
+        def insert(mode: String): Map[String, Int] = {
+          table.setProperties(Map("write.distribution-mode" -> mode))
+          s.sql("INSERT OVERWRITE graft.testdata.events_dist SELECT * FROM wdm_src")
+          contentOk()
+          filesPerDir()
+        }
+        s.sql("INSERT INTO graft.testdata.events_dist SELECT * FROM wdm_src")
+        contentOk()
+        val none = filesPerDir()
+        require(none == Map("pcat=hot" -> 8, "pcat=cold" -> 8),
+          s"mode none must mirror the 8 input tasks into each dir: $none")
+        val hash = insert("hash")
+        require(hash == Map("pcat=hot" -> 1, "pcat=cold" -> 1),
+          s"mode hash must land exactly one file per partition dir: $hash")
+        // at fixture scale AQE coalesces the range shuffle back to one
+        // task (tens of KB against a 64 MB advisory size — the CORRECT
+        // production behavior: range tasks are sized by bytes, and at
+        // 100 TB they stay spread). Disable coalescing for this one
+        // insert so the sampled split itself is observable.
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prevCoalesce = s.conf.getOption(coalesceKey)
+        s.conf.set(coalesceKey, "false")
+        val range =
+          try insert("range")
+          finally prevCoalesce.fold(s.conf.unset(coalesceKey))(
+            v => s.conf.set(coalesceKey, v))
+        require(range("pcat=hot") > 1,
+          s"mode range must spread the hot partition over >1 sampled task: $range")
+        val rangeTasks = s.conf.get("spark.sql.shuffle.partitions").toInt
+        require(range.values.forall(n => n >= 1 && n <= rangeTasks),
+          s"mode range file counts must stay bounded by the $rangeTasks " +
+            s"sampled range tasks: $range")
+        Seq(
+          ("none", nRows, none("pcat=hot"), none("pcat=cold")),
+          ("hash", nRows, hash("pcat=hot"), hash("pcat=cold")),
+          // range's exact split is a sampling detail — the >1 spread and
+          // the bound are pinned above, the oracle row carries -1
+          ("range", nRows, -1, -1))
+          .toDF("mode", "n_rows", "hot_dir_files", "cold_dir_files")
+      },
+      Some("""SELECT t.mode, (SELECT count(*) FROM events) AS n_rows,
+             |  t.hot_dir_files, t.cold_dir_files
+             |FROM (VALUES ('none', 8, 8), ('hash', 1, 1), ('range', -1, -1))
+             |  AS t(mode, hot_dir_files, cold_dir_files)""".stripMargin),
+      doc = "Iceberg write.distribution-mode (hash/range/none): catalog writes " +
+        "shuffle per the declared mode — hash lands exactly 1 file per " +
+        "partition dir, none mirrors input tasks, range spreads hot " +
+        "partitions over balanced sampled tasks; physical file counts " +
+        "pinned in-query, row content oracle-checked per mode"),
+
     "retention_policy_override" -> QueryDef(
       (s, dir) => {
         import s.implicits._

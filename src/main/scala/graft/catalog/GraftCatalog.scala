@@ -502,6 +502,8 @@ object GraftCatalog {
     props.foreach { case (k, v) =>
       if (k == graft.sink.WriteSortOrder.Key)
         graft.sink.WriteSortOrder.parse(v): Unit
+      if (k == graft.sink.WriteDistribution.Key)
+        graft.sink.WriteDistribution.parse(v): Unit
       if (k.startsWith(graft.sink.SnapshotTable.BloomEnabledPrefix))
         require(v == "true" || v == "false",
           s"'$k' must be true or false, got '$v'")

@@ -3042,14 +3042,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
     // swap wins, and two optimistic writers must never share a path
     val dataDir = Paths.get(root,
       s"snap-${java.util.UUID.randomUUID().toString.take(8)}").toString
-    // cluster rows by partition value before a partitioned write: without
-    // this every task writes a file into every partition directory
-    // (tasks x partitions small files — the classic small-file explosion);
-    // with it each partition directory gets O(1) files.
-    val clustered =
-      if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      else df
+    // cluster rows per the declared write.distribution-mode before a
+    // partitioned write (default hash-by-partition-key: without it every
+    // task writes a file into every partition directory — tasks x
+    // partitions small files, the classic explosion; `range` spreads hot
+    // partition values over balanced tasks instead; `none` trusts the
+    // caller's layout). See WriteDistribution.
+    val clustered = WriteDistribution.cluster(this, df, partitionCols, sortCols)
     val sorted = if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols: _*) else clustered
     // Row count + column range stats ride along with the WRITE itself
     // (Dataset.observe → CollectMetrics inside the write job): min/max/

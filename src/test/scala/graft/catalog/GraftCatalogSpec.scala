@@ -348,6 +348,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(desc.contains("days(ts)"), s"expected days(ts) in:\n$desc")
   }
 
+  test("write.distribution-mode is operative: none mirrors tasks, hash bounds files; bad DDL fails early") {
+    val wh = freshCatalog("wdm")
+    spark.sql("""CREATE TABLE graft.ns.wd (id BIGINT, cat STRING)
+                |PARTITIONED BY (cat)
+                |TBLPROPERTIES ('write.distribution-mode'='none')""".stripMargin)
+    // 4-task round-robin source: every task holds both partition values
+    (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "cat")
+      .repartition(4).createOrReplaceTempView("wd_src")
+    val t = SnapshotTable(wh, "ns", "wd")
+    def filesIn(p: String): Int = t.currentSnapshot.get.dataDirs.map { d =>
+      Option(new java.io.File(s"$d/$p").listFiles())
+        .fold(0)(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
+    }.sum
+    spark.sql("INSERT INTO graft.ns.wd SELECT * FROM wd_src")
+    assert(filesIn("cat=a") == 4 && filesIn("cat=b") == 4,
+      "mode none must mirror the 4 input tasks into each partition dir")
+    spark.sql(
+      "ALTER TABLE graft.ns.wd SET TBLPROPERTIES('write.distribution-mode'='hash')")
+    spark.sql("INSERT OVERWRITE graft.ns.wd SELECT * FROM wd_src")
+    assert(filesIn("cat=a") == 1 && filesIn("cat=b") == 1,
+      "mode hash must land exactly one file per partition dir")
+    assert(spark.table("graft.ns.wd").count() == 200)
+    // a mode outside the Iceberg vocabulary fails the ALTER itself
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.ns.wd SET TBLPROPERTIES('write.distribution-mode'='sideways')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("write.distribution-mode")), s"got: ${msgs(e)}")
+    // ... and fails a CREATE that declares it
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.ns.wd2 (id BIGINT)
+                  |TBLPROPERTIES ('write.distribution-mode'='shuffle')""".stripMargin)
+    }
+  }
+
   test("write.sort.order is operative: inserts land sorted; bad DDL fails early") {
     val wh = freshCatalog("wso")
     spark.sql("CREATE TABLE graft.ns.ws (id BIGINT, score DOUBLE)")
