@@ -93,10 +93,19 @@ object Bench {
     val top10 = results.toSeq.sortBy(-_._2).take(10)
     val summaryLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"agg":"median","queries":${jsonMap(top10)},"n_failed_samples":${failures.values.sum},"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // the full per-query map is persisted TWICE: /tmp for ad-hoc
+    // profiling, and BENCH_FULL.json in the working directory (the repo,
+    // when run from it) so every round leaves a diffable all-keys record
+    // in-repo — the driver's BENCH_r{N}.json tail truncates past top-10
+    // (round close also commits a BENCH_FULL_r{N}.json copy)
+    // (subset runs skip the repo copy — a SPARK_GRAFT_BENCH_ONLY profile
+    // must not masquerade as the round's all-keys record)
+    for (p <- Seq("/tmp/graft_bench.json") ++
+        (if (only.isEmpty) Seq("BENCH_FULL.json") else Nil))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
     spark.stop()
     // after spark.stop() so no shutdown logging can interleave past them;
     // summary LAST — the tail's final complete line must be the short one

@@ -41,13 +41,24 @@ def _fbits(v):
 
 
 def canon(v):
+    # fetch() materializes via pandas, so scalars arrive as NUMPY
+    # generics (np.int64 is not int, np.bool_ is not bool) and DuckDB
+    # LIST columns as np.ndarray — unwrap to Python natives FIRST or
+    # none of the branches below fire (scalars survived only because
+    # both sides share the path; an array-typed oracle column would
+    # reach frame()'s sort as ndarray and crash on ambiguous truth).
+    import numpy as np
+    if isinstance(v, np.generic):
+        v = v.item()
+    elif isinstance(v, np.ndarray):
+        v = list(v)
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
         return _fbits(v)
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     import datetime
     if isinstance(v, datetime.datetime):
