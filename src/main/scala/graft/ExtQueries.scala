@@ -434,7 +434,13 @@ object ExtQueries {
         val mem = MemoryStream[(Long, String, String, String, Long)]
         val q = Streaming.startDedupIngest(
           mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
-          table, hashIdx, "text", s"$wh/_checkpoint", queryId = "corpus_ingest")
+          table, hashIdx, "text", s"$wh/_checkpoint", queryId = "corpus_ingest",
+          // fixture-sized bloom (16 Kbit): the production default (2^23
+          // bits) makes every per-partition partial 1 MiB, and at the
+          // fixture's ~700 hashes the collect+merge of 32 such partials
+          // IS the query's cost; semantics are identical (FPs only fall
+          // through to the exact anti-join)
+          bloomItems = 1L << 12, bloomBits = 1L << 14)
         try {
           mem.addData(b1)
           q.processAllAvailable()

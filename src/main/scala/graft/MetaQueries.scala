@@ -3437,14 +3437,19 @@ object MetaQueries {
         val wh = freshWarehouse("write_distribution_mode")
         s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        // bounded slice (the operator under test is the write SHUFFLE
+        // SHAPE, not shoveling sf-scale rows through 4 inserts): keep
+        // every cold row so all 8 round-robin tasks hold both partition
+        // values at every SF, thin the hot side 7x
         val src = tbl(s, dir, "events")
+          .filter(col("event_id") % 7 === 0 || col("event_id") % 10 === 0)
           .select(col("event_id"), col("value"),
             when(col("event_id") % 10 === 0, lit("cold")).otherwise(lit("hot"))
               .as("pcat"))
           .repartition(8) // round-robin: every task holds hot AND cold rows
         src.createOrReplaceTempView("wdm_src")
-        val nRows = src.count()
-        val checksum = src.agg(sum(col("event_id"))).head().getLong(0)
+        val srcAgg = src.agg(count(lit(1)), sum(col("event_id"))).head()
+        val (nRows, checksum) = (srcAgg.getLong(0), srcAgg.getLong(1))
         // the declared sort order is what lets RANGE spread a hot
         // partition VALUE: range keys are (partition cols ++ sort order),
         // and pcat alone has two distinct values — at most two range
@@ -3512,7 +3517,9 @@ object MetaQueries {
           ("range", nRows, -1, -1))
           .toDF("mode", "n_rows", "hot_dir_files", "cold_dir_files")
       },
-      Some("""SELECT t.mode, (SELECT count(*) FROM events) AS n_rows,
+      Some("""SELECT t.mode,
+             |  (SELECT count(*) FROM events
+             |   WHERE event_id % 7 = 0 OR event_id % 10 = 0) AS n_rows,
              |  t.hot_dir_files, t.cold_dir_files
              |FROM (VALUES ('none', 8, 8), ('hash', 1, 1), ('range', -1, -1))
              |  AS t(mode, hot_dir_files, cold_dir_files)""".stripMargin),

@@ -312,13 +312,16 @@ object Streaming {
         def known = hashIndex.read(spark)
           .filter(!(col("_q") === queryId && col("_b") === batchId))
           .select(col("_h"))
-        val (novelRaw, release) = bloomGatedNovel(firstPerHash, known, bloomState.bloom)
-        // persisted: the emptiness probe and the two appends below would
-        // otherwise each run the whole gate (window + bloom split + join)
+        val (novelRaw, knownNonEmpty, release) =
+          bloomGatedNovel(firstPerHash, known, bloomState.bloom)
+        // persisted: the two appends below would otherwise each run the
+        // whole gate (window + bloom split + join)
         val novel = novelRaw.persist()
-        // no empty commits: an all-duplicate batch leaves no snapshot
+        // no empty commits: an all-duplicate batch leaves no snapshot.
+        // The split's aggregate already settled emptiness except in the
+        // every-row-flagged shape (knownNonEmpty = None — probe the join)
         try {
-          if (!novel.isEmpty) {
+          if (knownNonEmpty.getOrElse(!novel.isEmpty)) {
             table.appendOnce(queryId, batchId, novel.drop("_h")): Unit
             hashIndex.appendOnce(queryId, batchId, novel.select(col("_h"),
               lit(queryId).as("_q"), lit(batchId).as("_b")))
@@ -341,22 +344,35 @@ object Streaming {
     * index. `known` is BY-NAME: a batch with zero bloom hits never
     * constructs the index read, so its plan contains no join at all
     * (spec-pinned); bloom false positives fall through to the anti-join
-    * and cost only that work. Returns the novel frame plus a release
-    * handle for the internal split cache (call after consuming novel).
+    * and cost only that work.
+    *
+    * Returns (novel, knownNonEmpty, release): ONE aggregate job over the
+    * cached split decides the batch shape — zero hits ⇒ novel = the
+    * whole batch; some row unflagged ⇒ novel provably non-empty with NO
+    * emptiness probe; only an every-row-flagged batch (the all-duplicate
+    * re-delivery shape) leaves `knownNonEmpty = None` and the caller
+    * probes the join result. Call `release` after consuming novel.
     */
   private[streaming] def bloomGatedNovel(
       firstPerHash: DataFrame, known: => DataFrame,
-      bloom: org.apache.spark.util.sketch.BloomFilter): (DataFrame, () => Unit) = {
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      : (DataFrame, Option[Boolean], () => Unit) = {
     val flagged = firstPerHash.withColumn("_maybe",
       graft.functions.BloomMightContain.bloomMightContain(col("_h"), bloom))
       .persist()
-    val anyMaybe = !flagged.filter(col("_maybe")).isEmpty
-    val novel =
-      if (!anyMaybe) flagged.drop("_maybe")
-      else flagged.filter(!col("_maybe")).drop("_maybe")
-        .unionByName(flagged.filter(col("_maybe")).drop("_maybe")
-          .join(known, Seq("_h"), "left_anti"))
-    (novel, () => { flagged.unpersist(): Unit })
+    val counts = flagged.agg(count(lit(1)),
+      count(when(col("_maybe"), 1))).head()
+    val (nRows, nMaybe) = (counts.getLong(0), counts.getLong(1))
+    val (novel, nonEmpty) =
+      if (nMaybe == 0) (flagged.drop("_maybe"), Some(nRows > 0))
+      else (
+        flagged.filter(!col("_maybe")).drop("_maybe")
+          .unionByName(flagged.filter(col("_maybe")).drop("_maybe")
+            .join(known, Seq("_h"), "left_anti")),
+        // an unflagged row survives any join outcome; all-flagged is the
+        // one shape whose emptiness only the join can decide
+        if (nMaybe < nRows) Some(true) else None)
+    (novel, nonEmpty, () => { flagged.unpersist(): Unit })
   }
 
   /** Per-partition bloom build over a single-string-column frame, merged

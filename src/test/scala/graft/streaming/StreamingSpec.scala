@@ -564,10 +564,12 @@ class StreamingSpec extends SparkSpec {
     def known: org.apache.spark.sql.DataFrame = {
       constructed = true; Seq("txt:aaa").toDF("_h")
     }
-    val (novel, release) = Streaming.bloomGatedNovel(
+    val (novel, nonEmpty, release) = Streaming.bloomGatedNovel(
       first, known, BloomFilter.create(1000, 8192))
     try {
       assert(novel.collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+      assert(nonEmpty == Some(true),
+        "the split aggregate must settle emptiness without another job")
       assert(!constructed, "zero bloom hits must not construct the index read")
       assert(!novel.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join]),
         "zero-bloom-hit batch must plan no join")
@@ -578,8 +580,10 @@ class StreamingSpec extends SparkSpec {
     // and still come out novel (blooms may only SAVE work)
     val fp = BloomFilter.create(1000, 8192)
     fp.putString("txt:bbb"): Unit
-    val (novelFp, releaseFp) = Streaming.bloomGatedNovel(
+    val (novelFp, fpNonEmpty, releaseFp) = Streaming.bloomGatedNovel(
       first, Seq("txt:zzz").toDF("_h"), fp)
+    assert(fpNonEmpty == Some(true),
+      "an unflagged row proves novel non-empty before any join runs")
     try {
       assert(novelFp.collect().map(_.getLong(1)).toSet == Set(1L, 2L),
         "a bloom false positive must fall through to novel via the exact join")
@@ -590,10 +594,24 @@ class StreamingSpec extends SparkSpec {
     // TRUE duplicate: bloom hit + present in the index -> dropped
     val dup = BloomFilter.create(1000, 8192)
     dup.putString("txt:aaa"): Unit
-    val (novelDup, releaseDup) = Streaming.bloomGatedNovel(
+    val (novelDup, dupNonEmpty, releaseDup) = Streaming.bloomGatedNovel(
       first, Seq("txt:aaa").toDF("_h"), dup)
-    try assert(novelDup.collect().map(_.getLong(1)).toSet == Set(2L))
-    finally releaseDup()
+    try {
+      assert(dupNonEmpty == Some(true))
+      assert(novelDup.collect().map(_.getLong(1)).toSet == Set(2L))
+    } finally releaseDup()
+
+    // EVERY row flagged: the one shape whose emptiness only the exact
+    // join can decide - the split must say so instead of guessing
+    val all = BloomFilter.create(1000, 8192)
+    all.putString("txt:aaa"): Unit
+    all.putString("txt:bbb"): Unit
+    val (novelAll, allNonEmpty, releaseAll) = Streaming.bloomGatedNovel(
+      first, Seq("txt:aaa", "txt:bbb").toDF("_h"), all)
+    try {
+      assert(allNonEmpty.isEmpty, "all-flagged batch emptiness is join-determined")
+      assert(novelAll.isEmpty)
+    } finally releaseAll()
   }
 
   test("bloom build/probe symmetry: no false negatives over 5000 keys") {
