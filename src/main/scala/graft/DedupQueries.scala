@@ -465,6 +465,62 @@ object DedupQueries {
       doc = "containment-scored near-dups (Broder): common / min(|A|,|B|) - " +
         "catches a short doc quoted inside a long one that Jaccard misses"),
 
+    "dedup_cdc_containment" -> QueryDef(
+      // the dedup CONSUMER of the bounded CDC chunker: docs sharing >= 2
+      // bounded-chunk keys pair up, containment-scored — shift-robust
+      // (an excerpt shares its source's chunk keys at ANY offset; fixed
+      // windows reshift, whole-doc hashes miss everything partial).
+      // Chunk-key postings are df-capped like every pair generator here
+      // (a boilerplate chunk in 10^4 docs is boilerplate, not 10^8
+      // candidate pairs); the oracle replays the identical bounded walk
+      // (recursive closed form) + pair arithmetic.
+      (s, dir) => Dedup.cdcContainmentPairs(
+        tbl(s, dir, "documents"), "text",
+        k = 8, divisor = 64, minLen = 32, maxLen = 128,
+        minShared = 2, maxDf = 8),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, text, CAST(length(text) AS INT) AS len
+             |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+             |b AS (SELECT doc_id, text, len,
+             |  CASE WHEN len >= 8 THEN list_filter(
+             |    list_transform(range(8, len + 1), i ->
+             |      CASE WHEN CAST(CONCAT('0x',
+             |          substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 15))
+             |        AS BIGINT) % 64 = 0 THEN CAST(i AS INT) END),
+             |    x -> x IS NOT NULL AND x < len)
+             |  ELSE [] END AS cs
+             |  FROM d),
+             |walk AS (
+             |  SELECT doc_id, text, len, cs, 0 AS s, 0 AS e, 0 AS ord FROM b
+             |  UNION ALL
+             |  SELECT doc_id, text, len, cs, e AS s,
+             |    LEAST(e + 128,
+             |      COALESCE(list_min(list_filter(cs, c -> c >= e + 32)), len)) AS e,
+             |    ord + 1
+             |  FROM walk WHERE e < len),
+             |ch AS (SELECT DISTINCT doc_id,
+             |    md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS ck
+             |  FROM walk WHERE ord >= 1),
+             |dfq AS (SELECT ck, count(*) AS df FROM ch GROUP BY 1),
+             |rare AS (SELECT ch.doc_id, ch.ck FROM ch JOIN dfq USING (ck)
+             |  WHERE df <= 8),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+             |  FROM rare a JOIN rare b ON a.ck = b.ck AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY 1)
+             |SELECT doc_a, doc_b, shared,
+             |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+             |FROM pairs
+             |JOIN sz sa ON doc_a = sa.doc_id
+             |JOIN sz sb ON doc_b = sb.doc_id
+             |WHERE shared >= 2""".stripMargin),
+      doc = "shift-robust near-dup pairs over bounded CDC chunk keys: docs " +
+        "sharing >= 2 chunk keys, containment = shared/min(|A|,|B|); " +
+        "df-capped chunk postings (boilerplate chunks can't explode " +
+        "pairs), equi-join candidate generation; oracle replays the " +
+        "bounded walk + pair arithmetic bit-exactly"),
+
     "dedup_incremental" -> QueryDef(
       (s, dir) => {
         // the "new batch" is docs with doc_id % 10 == 7 (an arbitrary,

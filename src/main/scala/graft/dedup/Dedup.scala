@@ -402,6 +402,59 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** `dedup_cdc_containment`: shift-robust near-dup pairs over BOUNDED
+    * content-defined chunks — the dedup CONSUMER the CDC chunkers exist
+    * for. Each doc becomes its distinct set of [minLen,maxLen]-bounded
+    * chunk keys ([[graft.text.TextAnalysis.cdcChunksBounded]]); docs
+    * sharing ≥ `minShared` keys pair up, scored by containment =
+    * shared / min(|A|, |B|) (the quote/excerpt measure — an excerpt
+    * scores ~1 against its source no matter how small a fraction of the
+    * source it is). Because CDC boundaries resynchronize after edits, a
+    * doc shares its unedited spans' keys at ANY offset — the detector
+    * fixed windows and whole-doc hashes both miss.
+    *
+    * Scale shape: chunk-key POSTINGS with a document-frequency cap
+    * (`maxDf`) — a boilerplate chunk appearing in ten thousand docs is
+    * evidence of boilerplate, not of pairwise similarity, and without
+    * the cap it alone generates 10^8 candidate pairs (the same
+    * safeguard as [[rarePostings]] and the LSH hot-bucket cap; the cap
+    * is visible in the df frame, not silent). Pairs come from an
+    * equi-join on the chunk key — never an all-pairs comparison — and
+    * everything else is keyed aggregation. Containment denominators use
+    * the UNCAPPED per-doc chunk counts, so scores are conservative
+    * (capped keys can only lower them), matching
+    * [[incrementalJaccardPairs]]'s convention.
+    */
+  def cdcContainmentPairs(
+      df: DataFrame, textCol: String,
+      k: Int = 8, divisor: Int = 64, minLen: Int = 32, maxLen: Int = 128,
+      minShared: Long = 2, maxDf: Int = 8): DataFrame = {
+    val docs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+    // the chunk-key postings feed FOUR consumers (df frame, both sides
+    // of the pair self-join, sizes) — without the cache Catalyst
+    // recomputes the per-position hash walk once per consumer, turning
+    // one corpus hashing pass into four (plan-audited; the same reason
+    // the shingle postings are cached)
+    val ch = sharedDerived(docs, s"cdc-chunks:$textCol:$k:$divisor:$minLen:$maxLen") {
+      graft.text.TextAnalysis
+        .cdcChunksBounded(docs, textCol, k, divisor, minLen, maxLen)
+        .select(col("doc_id"), col("chunk_md5").as("ck")).distinct()
+    }
+    val dfreq = ch.groupBy(col("ck")).agg(count(lit(1)).as("_df"))
+    val rare = ch.join(dfreq.filter(col("_df") <= maxDf).select(col("ck")), "ck")
+    val sizes = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    rare.as("a").join(rare.as("b"),
+        col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
+  }
+
   /** `dedup_minhash_persisted` read path: candidate pairs from the
     * STORED band-bucket index joined with the delta's freshly hashed
     * buckets — delta-vs-corpus and delta-vs-delta; corpus-vs-corpus

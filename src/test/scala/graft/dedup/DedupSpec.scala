@@ -237,6 +237,37 @@ class DedupSpec extends SparkSpec {
       "a never-binding cap must report zero skips")
   }
 
+  test("cdc containment pairs an offset excerpt with its source; df cap kills boilerplate blowup") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    def prose(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val source = prose(120) // ~700 chars -> several bounded chunks
+    // the excerpt is a long MIDDLE slice of the source at a different
+    // offset (prefix changes everything a fixed-window scheme keys on)
+    val excerpt = "totally new leading words here " + source.substring(180, 650)
+    val noise = (10L to 19L).map(i => (i, prose(80)))
+    val boiler = (100L to 139L).map(i => (i, "identical boilerplate page " * 12))
+    val docs = (Seq((1L, source), (2L, excerpt)) ++ noise ++ boiler)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cdcContainmentPairs(docs, "text", maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // shift robustness: the offset excerpt shares its unedited spans'
+    // chunk keys with the source -> the pair MUST surface, containment
+    // measured against the smaller (excerpt) side
+    val (shared, containment) = pairs.getOrElse((1L, 2L),
+      fail(s"excerpt/source pair missing: ${pairs.keySet}"))
+    assert(shared >= 2, s"expected >=2 shared chunk keys, got $shared")
+    assert(containment >= 0.5,
+      s"an excerpt must score high containment vs its source: $containment")
+    // df cap: 40 identical boilerplate docs share every chunk key at
+    // df=40 > 8 -> ALL their keys are capped and none of the 780
+    // boilerplate pairs may appear
+    assert(!pairs.keySet.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"boilerplate pairs must be df-capped away: ${pairs.keySet}")
+  }
+
   test("index compaction folds delta dirs and leaves probe verdicts bit-identical") {
     // seed + two fragmenting appends, then compact both index tables —
     // the probe's pairs (and jaccards) must be THE SAME frame before
