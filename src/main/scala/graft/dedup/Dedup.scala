@@ -424,21 +424,37 @@ object Dedup {
     * the UNCAPPED per-doc chunk counts, so scores are conservative
     * (capped keys can only lower them), matching
     * [[incrementalJaccardPairs]]'s convention.
+    *
+    * `fastHash = false` (the registry/oracle default) chunks with md5 so
+    * DuckDB can replay keys bit-exactly; a production pipeline passes
+    * `fastHash = true` for the xxhash64 chunker — same walk, same pair
+    * arithmetic, ~2-4× cheaper per position (the engine-default/oracle
+    * twin convention of the CDC and fingerprint families; boundaries
+    * differ between the hashes, so pair sets are hash-family-specific —
+    * the spec pins the same excerpt-detection and cap invariants on
+    * both).
     */
   def cdcContainmentPairs(
       df: DataFrame, textCol: String,
       k: Int = 8, divisor: Int = 64, minLen: Int = 32, maxLen: Int = 128,
-      minShared: Long = 2, maxDf: Int = 8): DataFrame = {
+      minShared: Long = 2, maxDf: Int = 8,
+      fastHash: Boolean = false): DataFrame = {
     val docs = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
     // the chunk-key postings feed FOUR consumers (df frame, both sides
     // of the pair self-join, sizes) — without the cache Catalyst
     // recomputes the per-position hash walk once per consumer, turning
     // one corpus hashing pass into four (plan-audited; the same reason
     // the shingle postings are cached)
-    val ch = sharedDerived(docs, s"cdc-chunks:$textCol:$k:$divisor:$minLen:$maxLen") {
-      graft.text.TextAnalysis
-        .cdcChunksBounded(docs, textCol, k, divisor, minLen, maxLen)
-        .select(col("doc_id"), col("chunk_md5").as("ck")).distinct()
+    val ch = sharedDerived(docs,
+        s"cdc-chunks:$textCol:$k:$divisor:$minLen:$maxLen:$fastHash") {
+      val chunks =
+        if (fastHash) graft.text.TextAnalysis
+          .cdcChunksBoundedFast(docs, textCol, k, divisor, minLen, maxLen)
+          .select(col("doc_id"), col("chunk_hash").cast("string").as("ck"))
+        else graft.text.TextAnalysis
+          .cdcChunksBounded(docs, textCol, k, divisor, minLen, maxLen)
+          .select(col("doc_id"), col("chunk_md5").as("ck"))
+      chunks.distinct()
     }
     val dfreq = ch.groupBy(col("ck")).agg(count(lit(1)).as("_df"))
     val rare = ch.join(dfreq.filter(col("_df") <= maxDf).select(col("ck")), "ck")

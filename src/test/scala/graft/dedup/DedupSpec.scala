@@ -250,22 +250,29 @@ class DedupSpec extends SparkSpec {
     val boiler = (100L to 139L).map(i => (i, "identical boilerplate page " * 12))
     val docs = (Seq((1L, source), (2L, excerpt)) ++ noise ++ boiler)
       .toDF("doc_id", "text")
-    val pairs = Dedup.cdcContainmentPairs(docs, "text", maxDf = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
-      .toMap
-    // shift robustness: the offset excerpt shares its unedited spans'
-    // chunk keys with the source -> the pair MUST surface, containment
-    // measured against the smaller (excerpt) side
-    val (shared, containment) = pairs.getOrElse((1L, 2L),
-      fail(s"excerpt/source pair missing: ${pairs.keySet}"))
-    assert(shared >= 2, s"expected >=2 shared chunk keys, got $shared")
-    assert(containment >= 0.5,
-      s"an excerpt must score high containment vs its source: $containment")
-    // df cap: 40 identical boilerplate docs share every chunk key at
-    // df=40 > 8 -> ALL their keys are capped and none of the 780
-    // boilerplate pairs may appear
-    assert(!pairs.keySet.exists { case (a, b) => a >= 100L && b >= 100L },
-      s"boilerplate pairs must be df-capped away: ${pairs.keySet}")
+    // BOTH hash families must satisfy the operator's invariants: the
+    // md5 variant is the oracle/registry default, the xxhash64 variant
+    // the production default (boundaries differ between hashes, so the
+    // exact pair sets are family-specific - the CONTRACT is not)
+    for (fast <- Seq(false, true)) {
+      val pairs = Dedup.cdcContainmentPairs(docs, "text", maxDf = 8,
+          fastHash = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      // shift robustness: the offset excerpt shares its unedited spans'
+      // chunk keys with the source -> the pair MUST surface, containment
+      // measured against the smaller (excerpt) side
+      val (shared, containment) = pairs.getOrElse((1L, 2L),
+        fail(s"excerpt/source pair missing (fast=$fast): ${pairs.keySet}"))
+      assert(shared >= 2, s"expected >=2 shared chunk keys (fast=$fast), got $shared")
+      assert(containment >= 0.5,
+        s"an excerpt must score high containment vs its source (fast=$fast): $containment")
+      // df cap: 40 identical boilerplate docs share every chunk key at
+      // df=40 > 8 -> ALL their keys are capped and none of the 780
+      // boilerplate pairs may appear
+      assert(!pairs.keySet.exists { case (a, b) => a >= 100L && b >= 100L },
+        s"boilerplate pairs must be df-capped away (fast=$fast): ${pairs.keySet}")
+    }
   }
 
   test("index compaction folds delta dirs and leaves probe verdicts bit-identical") {
