@@ -278,9 +278,15 @@ object Streaming {
       // (after the seed/catchup commit above, so the index root exists);
       // every later start verifies it.
       val bindKey = s"dedup-ingest.checkpoint.$queryId"
+      // compare NORMALIZED paths: a path-equivalent but textually
+      // different restart (trailing slash, relative vs absolute) is the
+      // same lineage, not a rebind
+      def norm(p: String): String =
+        try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+        catch { case _: java.nio.file.InvalidPathException => p }
       hashIndex.properties.get(bindKey) match {
-        case None => hashIndex.setProperties(Map(bindKey -> checkpoint))
-        case Some(prev) => require(prev == checkpoint,
+        case None => hashIndex.setProperties(Map(bindKey -> norm(checkpoint)))
+        case Some(prev) => require(norm(prev) == norm(checkpoint),
           s"queryId '$queryId' is bound to checkpoint lineage '$prev' but " +
             s"this start supplies '$checkpoint' — batch ids would restart at 0 " +
             "and the exactly-once watermark would silently drop their novel " +
@@ -329,7 +335,7 @@ object Streaming {
               // delta) and persist the new head's cumulative sidecar; a
               // watermark-skipped re-delivery changes nothing — sync
               // already covered those rows
-              .foreach(snap => bloomState.committed(novel.select(col("_h")), snap.id))
+              .foreach(snap => bloomState.committed(novel.select(col("_h")), snap))
           }
         } finally { novel.unpersist(): Unit; release() }
         ()
@@ -376,30 +382,30 @@ object Streaming {
   }
 
   /** Per-partition bloom build over a single-string-column frame, merged
-    * on the driver. Build/probe symmetry is by construction: `putString`
-    * here hashes the UTF-8 bytes, exactly what the probe expression's
-    * `mightContainBinary(utf8)` reads back. Driver transfer is
-    * numPartitions × bits/8 (a 1000-executor deployment would
-    * `treeReduce` the partials instead of collecting them).
+    * EXECUTOR-SIDE via `treeAggregate`: the driver receives a bounded
+    * handful of partials (branch factor 4 per tree level), i.e.
+    * O(bits/8) transfer regardless of input partitioning — at thousands
+    * of input partitions the former collect-all-partials merge shipped
+    * numPartitions × bits/8 to the driver on the hot streaming path.
+    * Merging is a bitset OR (associative + commutative), so the merged
+    * filter is BIT-IDENTICAL to a sequential build (spec-pinned in
+    * StreamingSpec). Build/probe symmetry is by construction:
+    * `putString` here hashes the UTF-8 bytes, exactly what the probe
+    * expression's `mightContainBinary(utf8)` reads back.
     */
   private[streaming] def buildBloom(
       hashes: DataFrame, items: Long, bits: Long): org.apache.spark.util.sketch.BloomFilter = {
     import org.apache.spark.util.sketch.BloomFilter
     val spark = hashes.sparkSession
     import spark.implicits._
-    val parts = hashes.as[String].mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val b = BloomFilter.create(items, bits)
-        it.foreach(b.putString)
-        val bos = new java.io.ByteArrayOutputStream()
-        b.writeTo(bos)
-        Iterator.single(bos.toByteArray)
-      }
-    }.collect()
-    val merged = BloomFilter.create(items, bits)
-    parts.foreach(bs => merged.mergeInPlace(BloomFilter.readFrom(bs)): Unit)
-    merged
+    val rdd = hashes.as[String].rdd
+    // depth so the final driver-side fold sees ≤~4 partials at any P
+    val p = math.max(1, rdd.getNumPartitions)
+    val depth = math.max(2, math.ceil(math.log(p.toDouble) / math.log(4.0)).toInt)
+    rdd.treeAggregate(BloomFilter.create(items, bits))(
+      (b, s) => { b.putString(s): Unit; b },
+      (a, b) => { a.mergeInPlace(b): Unit; a },
+      depth)
   }
 
   /** Cumulative bloom-sidecar state of a hash index — the probe side of
@@ -472,12 +478,23 @@ object Streaming {
       }
     }
     /** Fold a just-committed batch's hashes (O(batch), no table re-read)
-      * and persist the new head's cumulative sidecar.
+      * and persist the new head's cumulative sidecar. The O(batch) fast
+      * path is only sound when OUR append's parent is exactly the
+      * covered snapshot: an index snapshot committed by another writer
+      * between the batch-start sync and this append would otherwise be
+      * skipped forever (the next sync sees covered == head and no-ops,
+      * and the hole persists into the cumulative sidecar a restart
+      * trusts — bloom false NEGATIVES, duplicates through the gate).
+      * With an interleaved rival commit, fall back to sync(), which
+      * folds readIncremental(covered, head) — covering both the rival's
+      * rows and our own batch.
       */
-    def committed(hashes: DataFrame, newHead: Long): Unit = {
-      filter.mergeInPlace(Streaming.buildBloom(hashes, items, bits)): Unit
-      covered = newHead
-      writeSidecar(newHead)
+    def committed(hashes: DataFrame, snap: graft.sink.Snapshot): Unit = {
+      if (snap.parentId.getOrElse(-1L) == covered) {
+        filter.mergeInPlace(Streaming.buildBloom(hashes, items, bits)): Unit
+        covered = snap.id
+        writeSidecar(snap.id)
+      } else sync(hashes.sparkSession)
     }
   }
 

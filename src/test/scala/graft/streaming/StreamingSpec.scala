@@ -623,6 +623,52 @@ class StreamingSpec extends SparkSpec {
     assert(misses == 0, s"$misses bloom false negatives - the gate would admit duplicates")
   }
 
+  test("bloom executor-side treeAggregate merge is bit-identical to a sequential build") {
+    // the r18 verdict's one `weak`: the collect-all-partials driver merge
+    // shipped numPartitions x bits/8 to the driver; the treeAggregate
+    // replacement must produce the SAME filter (bitset OR is associative
+    // and commutative, so partition order cannot matter)
+    import org.apache.spark.util.sketch.BloomFilter
+    val df = (1 to 5000).map(i => s"txt:key$i").toDF("_h").repartition(13)
+    val tree = Streaming.buildBloom(df, items = 10000, bits = 1L << 17)
+    val seq = BloomFilter.create(10000, 1L << 17)
+    (1 to 5000).foreach(i => seq.putString(s"txt:key$i"): Unit)
+    def bytes(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(bytes(tree), bytes(seq)),
+      "executor-merged filter must be bit-identical to the sequential build")
+  }
+
+  test("committed() folds rival index commits instead of skipping them forever") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    val wh = java.nio.file.Files.createTempDirectory("graft_bloom_rival").toString
+    val idx = graft.sink.SnapshotTable(wh, "t", "idx")
+    idx.overwrite(Seq("txt:seed").toDF("_h")
+      .withColumn("_q", lit("seed")).withColumn("_b", lit(-1L))): Unit
+    val st = new Streaming.IngestBloomState(idx, 1000, 8192)
+    st.sync(spark)
+    // rival writer moves the head BETWEEN our batch-start sync and our
+    // own append — the fast fold's parent check must detect it
+    idx.append(Seq(("txt:rival", "other", 0L)).toDF("_h", "_q", "_b")): Unit
+    val snap = idx.append(Seq(("txt:ours", "q", 1L)).toDF("_h", "_q", "_b"))
+    st.committed(Seq("txt:ours").toDF("_h"), snap)
+    assert(st.bloom.mightContainString("txt:rival"),
+      "rival commit's hashes must be covered - a hole here is a bloom " +
+        "false negative and duplicates bypass the exact anti-join")
+    assert(st.bloom.mightContainString("txt:ours"))
+    assert(st.coveredSnapshot == idx.currentSnapshot.get.id)
+    // and the persisted sidecar is the CUMULATIVE head filter a restart
+    // trusts: reload and re-check
+    val st2 = new Streaming.IngestBloomState(idx, 1000, 8192)
+    st2.sync(spark)
+    assert(st2.bloom.mightContainString("txt:rival"),
+      "the cumulative sidecar must not persist the hole")
+  }
+
   test("bloom sidecar: cumulative head sidecar persists across restart; rebind fails loudly") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val wh = java.nio.file.Files.createTempDirectory("graft_dedup_ingest_bloom").toString
