@@ -596,7 +596,7 @@ object TextAnalysis {
   def cdcChunks(
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame =
     cdcChunksWith(df, textCol, k, divisor,
-      gramHash = hash60, chunkKey = md5, keyName = "chunk_md5")
+      md5Mode = true, chunkKey = md5, keyName = "chunk_md5")
 
   /** [[cdcChunks]] with the ENGINE-DEFAULT hash: xxhash64 for both the
     * boundary rule and the chunk key (a codegen'd native long hash vs
@@ -610,22 +610,25 @@ object TextAnalysis {
   def cdcChunksFast(
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame =
     cdcChunksWith(df, textCol, k, divisor,
-      gramHash = xxhash64(_), chunkKey = xxhash64(_), keyName = "chunk_hash")
+      md5Mode = false, chunkKey = xxhash64(_), keyName = "chunk_hash")
 
   /** Candidate boundary positions: i in [k, len) with
     * gramHash(trailing k-gram) % divisor == 0, ascending (a boundary at
-    * exactly len would duplicate the end sentinel — dropped).
+    * exactly len would duplicate the end sentinel — dropped). ONE native
+    * single-pass scan per document ([[graft.functions.TextHashScan]]) —
+    * value-identical to the former
+    * `filter(transform(sequence(k, len), i => when(hash(substr) % d ===
+    * 0, i)), ...)` HOF shape (spec-pinned), which paid an interpreted
+    * lambda + an O(position) substr byte re-scan + a UTF8String
+    * allocation per char position (O(len²) per doc). A null document
+    * yields the same empty candidate array the `when`-otherwise yielded.
     */
   private def cdcCandidates(
       textCol: String, k: Int, divisor: Int,
-      gramHash: Column => Column): Column = {
-    val len = length(col(textCol))
-    when(len >= k,
-      filter(
-        transform(sequence(lit(k), len), i =>
-          when(gramHash(col(textCol).substr(i - (k - 1), lit(k))) % divisor === 0, i)),
-        x => x.isNotNull && x < len)).otherwise(array().cast("array<int>"))
-  }
+      md5Mode: Boolean): Column =
+    coalesce(
+      graft.functions.TextHashScan.cdcBoundaries(col(textCol), k, divisor, md5Mode),
+      array().cast("array<int>"))
 
   /** Chunk rows from a per-doc boundary array `_b` (0 and len sentinels
     * included): consecutive boundary pairs become (chunk_id, start_char
@@ -649,11 +652,11 @@ object TextAnalysis {
 
   private def cdcChunksWith(
       df: DataFrame, textCol: String, k: Int, divisor: Int,
-      gramHash: Column => Column, chunkKey: Column => Column,
+      md5Mode: Boolean, chunkKey: Column => Column,
       keyName: String): DataFrame = {
     require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
     val len = length(col(textCol))
-    val bounds = cdcCandidates(textCol, k, divisor, gramHash)
+    val bounds = cdcCandidates(textCol, k, divisor, md5Mode)
     val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
       concat(array(lit(0)), bounds, array(len)).as("_b"))
     emitChunks(withBounds, chunkKey, keyName)
@@ -690,7 +693,7 @@ object TextAnalysis {
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64,
       minLen: Int = 32, maxLen: Int = 128): DataFrame =
     cdcChunksBoundedWith(df, textCol, k, divisor, minLen, maxLen,
-      gramHash = hash60, chunkKey = md5, keyName = "chunk_md5")
+      md5Mode = true, chunkKey = md5, keyName = "chunk_md5")
 
   /** [[cdcChunksBounded]] with the ENGINE-DEFAULT hash (xxhash64 — see
     * [[cdcChunksFast]]); same size-bound walk, invariant-oracled.
@@ -699,18 +702,18 @@ object TextAnalysis {
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64,
       minLen: Int = 32, maxLen: Int = 128): DataFrame =
     cdcChunksBoundedWith(df, textCol, k, divisor, minLen, maxLen,
-      gramHash = xxhash64(_), chunkKey = xxhash64(_), keyName = "chunk_hash")
+      md5Mode = false, chunkKey = xxhash64(_), keyName = "chunk_hash")
 
   private def cdcChunksBoundedWith(
       df: DataFrame, textCol: String, k: Int, divisor: Int,
       minLen: Int, maxLen: Int,
-      gramHash: Column => Column, chunkKey: Column => Column,
+      md5Mode: Boolean, chunkKey: Column => Column,
       keyName: String): DataFrame = {
     require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
     require(minLen > 0 && minLen <= maxLen,
       s"need 0 < minLen <= maxLen, got $minLen/$maxLen")
     val len = length(col(textCol))
-    val cands = cdcCandidates(textCol, k, divisor, gramHash)
+    val cands = cdcCandidates(textCol, k, divisor, md5Mode)
     val emptyBs = array().cast("array<int>")
     // forced cuts between boundary p and the next stop s (candidate or
     // len): one at p + maxLen, p + 2·maxLen, ... while the gap exceeds
@@ -773,14 +776,18 @@ object TextAnalysis {
     */
   def cdcInvariants(
       chunks: DataFrame, docs: DataFrame, textCol: String,
-      k: Int, divisor: Int, keyCol: String): DataFrame = {
+      k: Int, divisor: Int, keyCol: String,
+      // the boundary re-check must hash with the CHUNKER's gram hash:
+      // default matches cdcChunksFast (xxhash64); pass hash60 to audit
+      // an md5-variant frame
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
     val j = chunks
       .join(docs.select(col("doc_id"), col(textCol).as("_t")), "doc_id")
       .select(col("doc_id"), col("chunk_id"), col("start_char"),
         col("chunk_len"), col(keyCol).as("_key"),
         col("_t").substr(col("start_char"), col("chunk_len")).as("_ct"),
         ((col("start_char") + col("chunk_len") - 1 === length(col("_t"))) ||
-          (xxhash64(col("_t").substr(
+          (gramHash(col("_t").substr(
             col("start_char") + col("chunk_len") - k, lit(k))) % divisor === 0))
           .as("_bok"))
     j.groupBy(col("doc_id"))
@@ -816,14 +823,18 @@ object TextAnalysis {
   def cdcInvariantsBounded(
       chunks: DataFrame, docs: DataFrame, textCol: String,
       k: Int, divisor: Int, minLen: Int, maxLen: Int,
-      keyCol: String): DataFrame = {
+      keyCol: String,
+      // the boundary re-check must hash with the CHUNKER's gram hash:
+      // default matches cdcChunksBoundedFast (xxhash64); pass hash60 to
+      // audit an md5-variant frame (cdcChunksBounded)
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
     val j = chunks
       .join(docs.select(col("doc_id"), col(textCol).as("_t")), "doc_id")
       .select(col("doc_id"), col("chunk_id"), col("start_char"),
         col("chunk_len"), col(keyCol).as("_key"),
         col("_t").substr(col("start_char"), col("chunk_len")).as("_ct"),
         (col("start_char") + col("chunk_len") - 1 === length(col("_t"))).as("_fin"),
-        (xxhash64(col("_t").substr(
+        (gramHash(col("_t").substr(
           col("start_char") + col("chunk_len") - k, lit(k))) % divisor === 0)
           .as("_hok"))
       .select(col("doc_id"), col("chunk_id"), col("_key"), col("_ct"),
@@ -877,16 +888,16 @@ object TextAnalysis {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
-  def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
-    val n = greatest(length(col(textCol)) - (k - 1), lit(1))
-    val minh = df
-      .select(col("doc_id"), col(textCol).as("_t"),
-        explode(sequence(lit(1), n)).as("_i"))
-      .select(col("doc_id"), hash60(col("_t").substr(col("_i"), lit(k))).as("_h"))
-      .groupBy(col("doc_id")).agg(min(col("_h")).as("min_shingle_hash"))
-    df.select(col("doc_id"), md5(col(textCol)).as("content_md5"))
-      .join(minh, Seq("doc_id"), "left_outer")
-  }
+  def fingerprint(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    // ONE map-side pass: the min-shingle rolling hash is a native
+    // single-scan expression (TextHashScan), so the former
+    // explode(sequence) + groupBy(min) + join — len rows per doc through
+    // an aggregate plus a doc_id shuffle join — reduces to a projection
+    // with NO exchange at all. Values are bit-identical (spec-pinned;
+    // the DuckDB oracle is unchanged).
+    df.select(col("doc_id"), md5(col(textCol)).as("content_md5"),
+      graft.functions.TextHashScan.minShingleHash(col(textCol), k, md5Mode = true)
+        .as("min_shingle_hash"))
 
   /** [[fingerprint]] with the ENGINE-DEFAULT hash (xxhash64 content key
     * + min-xxhash64 shingle, no digest/hex/conv chain) — same rolling-
@@ -895,16 +906,15 @@ object TextAnalysis {
     * Shingle hashing stays map-side; the only shuffle is the per-doc
     * min aggregate, identical to the md5 variant's plan.
     */
-  def fingerprintFast(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
-    val n = greatest(length(col(textCol)) - (k - 1), lit(1))
-    val minh = df
-      .select(col("doc_id"), col(textCol).as("_t"),
-        explode(sequence(lit(1), n)).as("_i"))
-      .select(col("doc_id"), xxhash64(col("_t").substr(col("_i"), lit(k))).as("_h"))
-      .groupBy(col("doc_id")).agg(min(col("_h")).as("min_shingle_hash"))
-    df.select(col("doc_id"), xxhash64(col(textCol)).as("content_hash"))
-      .join(minh, Seq("doc_id"), "left_outer")
-  }
+  def fingerprintFast(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    // same one-pass map-side shape as [[fingerprint]] (see there). The
+    // coalesce preserves the former shape's null-text value: Spark's
+    // hash functions return the SEED (42) for null input, so the old
+    // min-over-xxhash64 produced 42 for a null document, never null.
+    df.select(col("doc_id"), xxhash64(col(textCol)).as("content_hash"),
+      coalesce(
+        graft.functions.TextHashScan.minShingleHash(col(textCol), k, md5Mode = false),
+        lit(42L)).as("min_shingle_hash"))
 
   /** `text_gopher_rules`: the Gopher/MassiveText repetition-and-shape
     * rule suite (Rae et al. 2021, §A.1.1) — the canonical cheap

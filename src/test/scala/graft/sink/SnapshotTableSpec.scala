@@ -832,21 +832,30 @@ class SnapshotTableSpec extends SparkSpec {
     val t = freshTable()
     t.overwrite((1 to 50).map(i => (i.toLong, s"d${i % 2}")).toDF("id", "part"),
       partitionCols = Seq("part"))
-    // jobs observed through the status tracker; listener delivery is
-    // async, so poll until the count stabilizes
+    // jobs observed through a SCOPED listener counter (monotonic, so
+    // immune to the shared session's status-store eviction — the
+    // tracker's getJobIdsForGroup count can go DOWN when the suite run's
+    // cumulative job total crosses the retention limit, which made this
+    // assertion flaky); listener delivery is async, so poll until the
+    // count stabilizes
     def jobsDuring(f: => Unit): Int = {
-      val tracker = spark.sparkContext.statusTracker
-      def settled(): Int = {
-        var prev = -1
-        var n = tracker.getJobIdsForGroup(null).length
-        val deadline = System.currentTimeMillis() + 10000
-        while (System.currentTimeMillis() < deadline && n != prev) {
-          prev = n; Thread.sleep(250)
-          n = tracker.getJobIdsForGroup(null).length
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(): Unit
         }
-        n
       }
-      val before = settled(); f; settled() - before
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        var prev = -1
+        val deadline = System.currentTimeMillis() + 10000
+        while (System.currentTimeMillis() < deadline && n.get() != prev) {
+          prev = n.get(); Thread.sleep(250)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
     }
     val batch = (51 to 70).map(i => (i.toLong, s"d${i % 2}")).toDF("id", "part")
     val fullJobs = jobsDuring(t.append(batch, partitionCols = Seq("part")))
