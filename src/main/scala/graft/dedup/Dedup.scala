@@ -151,20 +151,25 @@ object Dedup {
       .distinct()
 
   /** (doc_id, pos, gram) — every `n`-token window with its 0-based start
-    * position, the ONE row-shaped assembler (posexplode + window-lead,
-    * each token materialized once) behind the shingle postings AND the
-    * exact-substring / contamination gram views.
+    * position, the ONE row-shaped assembler behind the shingle postings
+    * AND the exact-substring / contamination gram views. MAP-SIDE: grams
+    * assemble from the per-doc token array (`array_join` over a slice)
+    * and posexplode, so the assembler adds NO exchange — the former
+    * posexplode + window-lead shape shuffled and sorted EVERY TOKEN ROW
+    * by doc_id before a single gram existed, a full corpus shuffle at
+    * the 100 TB target that this operator never needed (the window only
+    * ever read within one document). Output rows are value-identical:
+    * 0-based start positions, space-joined n-token grams, trailing
+    * partial windows dropped.
     */
-  private def positionalGrams(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = df.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col(textCol)))).toDF("doc_id", "pos", "tok")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"_t$o"))
-    toks.select(col("doc_id") +: col("pos") +: col("tok").as("_t0") +: leads: _*)
-      .filter(col(s"_t${n - 1}").isNotNull) // drop trailing partial grams
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", (0 until n).map(o => col(s"_t$o")): _*).as("gram"))
-  }
+  private def positionalGrams(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("_toks")) >= n,
+          transform(sequence(lit(0), size(col("_toks")) - n), j =>
+            array_join(slice(col("_toks"), j + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "gram")
 
   /** Array-of-shingles view (test/inspection surface; the operators
     * themselves stay on the postings representation).
