@@ -63,14 +63,18 @@ object Bench {
       .withDefaultValue(Nil)
     val failures = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
-    for (_ <- 1 to runs; (name, fn) <- keys) {
+    for (r <- 1 to runs; (name, fn) <- keys) {
       val t0 = System.nanoTime()
+      // label every job with its key (guide §1.5) so UI/event-log
+      // attribution maps jobs back to registry keys
+      spark.sparkContext.setJobDescription(s"bench:$name run$r")
       // noop sink: forces full materialization of every output column
       // (a bare count() would let Catalyst prune computed columns and
       // under-measure narrow projections)
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case _: Throwable => failures(name) += 1; false }
+      spark.sparkContext.setJobDescription(null)
       // a failed attempt's elapsed time is NOT a measurement of the
       // query (a fast throw would record a misleadingly good number) —
       // it is excluded from median/min and surfaced in `failures`

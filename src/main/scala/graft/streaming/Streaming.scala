@@ -402,10 +402,21 @@ object Streaming {
     // depth so the final driver-side fold sees ≤~4 partials at any P
     val p = math.max(1, rdd.getNumPartitions)
     val depth = math.max(2, math.ceil(math.log(p.toDouble) / math.log(4.0)).toInt)
-    rdd.treeAggregate(BloomFilter.create(items, bits))(
-      (b, s) => { b.putString(s): Unit; b },
-      (a, b) => { a.mergeInPlace(b): Unit; a },
-      depth)
+    // Option zero: the bits/8-sized filter is allocated lazily on a
+    // partition's FIRST element, so empty partitions ship a None instead
+    // of a bits/8 zero filter each way (a per-batch fold's frame is
+    // mostly empty partitions)
+    rdd.treeAggregate(Option.empty[BloomFilter])(
+      (acc, s) => {
+        val b = acc.getOrElse(BloomFilter.create(items, bits))
+        b.putString(s): Unit
+        Some(b)
+      },
+      (a, b) => (a, b) match {
+        case (Some(x), Some(y)) => x.mergeInPlace(y): Unit; Some(x)
+        case (x, y) => x.orElse(y)
+      },
+      depth).getOrElse(BloomFilter.create(items, bits))
   }
 
   /** Cumulative bloom-sidecar state of a hash index — the probe side of
