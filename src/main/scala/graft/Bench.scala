@@ -94,9 +94,25 @@ object Bench {
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"median","interleaved":true,"queries":${jsonMap(results.toSeq.sortBy(_._1))},"queries_min":${jsonMap(mins.toSeq.sortBy(_._1))},"failures":$failJson,"sf":"$sfDir"}"""
-    val top10 = results.toSeq.sortBy(-_._2).take(10)
-    val summaryLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"agg":"median","queries":${jsonMap(top10)},"n_failed_samples":${failures.values.sum},"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
+    // the summary line's `queries` map is all the round-over-round PERF
+    // comparison ever sees, and the driver keeps only a 2000-char stdout
+    // tail — a fixed top-10 starved it (r19: n_common = 3) while ~1 KB
+    // of tail budget sat unused, but ALL ~277 keys (~8 KB of names
+    // alone) can never fit. So: still slowest-first (the top-10 keys of
+    // the old contract are always a prefix — additions-only), extended
+    // greedily with the next-slowest keys while the whole line stays
+    // under SummaryBudget bytes, leaving room for the trailing sbt
+    // "[success]" line inside the tail window.
+    val SummaryBudget = 1800
+    def summaryWith(qs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs_per_query":$runs,"agg":"median","queries":${jsonMap(qs)},"n_failed_samples":${failures.values.sum},"sf":"$sfDir","full":"/tmp/graft_bench.json"}"""
+    val sortedDesc = results.toSeq.sortBy(-_._2)
+    var topN = math.min(10, sortedDesc.size)
+    var summaryLine = summaryWith(sortedDesc.take(topN))
+    while (topN < sortedDesc.size && {
+        val cand = summaryWith(sortedDesc.take(topN + 1))
+        cand.length <= SummaryBudget && { summaryLine = cand; true }
+      }) topN += 1
     // the full per-query map is persisted TWICE: /tmp for ad-hoc
     // profiling, and BENCH_FULL.json in the working directory (the repo,
     // when run from it) so every round leaves a diffable all-keys record

@@ -153,22 +153,23 @@ object Dedup {
   /** (doc_id, pos, gram) — every `n`-token window with its 0-based start
     * position, the ONE row-shaped assembler behind the shingle postings
     * AND the exact-substring / contamination gram views. MAP-SIDE: grams
-    * assemble from the per-doc token array (`array_join` over a slice)
-    * and posexplode, so the assembler adds NO exchange — the former
-    * posexplode + window-lead shape shuffled and sorted EVERY TOKEN ROW
-    * by doc_id before a single gram existed, a full corpus shuffle at
-    * the 100 TB target that this operator never needed (the window only
-    * ever read within one document). Output rows are value-identical:
-    * 0-based start positions, space-joined n-token grams, trailing
-    * partial windows dropped.
+    * assemble from the per-doc token array in one native pass
+    * ([[graft.functions.WordGramScan]]) and posexplode, so the assembler
+    * adds NO exchange — the former posexplode + window-lead shape
+    * shuffled and sorted EVERY TOKEN ROW by doc_id before a single gram
+    * existed, a full corpus shuffle at the 100 TB target that this
+    * operator never needed (the window only ever read within one
+    * document) — and no interpreted per-position lambda either (the
+    * r19 `transform`+`slice`+`array_join` HOF shape paid lambda
+    * dispatch plus an n-element slice allocation per gram, which at
+    * single-task fixture scale gave back most of the shuffle win).
+    * Output rows are value-identical: 0-based start positions,
+    * space-joined n-token grams, trailing partial windows dropped.
     */
   private def positionalGrams(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"),
-        posexplode(when(size(col("_toks")) >= n,
-          transform(sequence(lit(0), size(col("_toks")) - n), j =>
-            array_join(slice(col("_toks"), j + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))))
+        posexplode(graft.functions.WordGramScan.wordGrams(col("_toks"), n)))
       .toDF("doc_id", "pos", "gram")
 
   /** Array-of-shingles view (test/inspection surface; the operators
