@@ -880,11 +880,30 @@ final class SnapshotTable(val root: String, val fullName: String) {
       val affected = affectedDirs(spark, cur, matcher)
       if (affected.isEmpty) return cur
       val (view, carryDirs) = splitForRewrite(spark, cur, affected, matcher)
-      val affectedRows = if (cur.rowCount < 0) -1L else view.count()
-      val kept = keeper.map(_(view)).getOrElse(view.exceptAll(matcher(view)))
+      // keeper path (plain-condition deletes): the affected-row count is
+      // OBSERVED during the rewrite write instead of a separate full
+      // pre-write pass over affected dirs (guide §1.2). The exceptAll
+      // path keeps the explicit count — its plan references `view`
+      // twice, so an embedded metric would double-count; either way the
+      // count is by-name, paid after (or instead of) nothing else.
+      val (kept, affectedRows: (() => Long)) = keeper match {
+        case Some(kf) if cur.rowCount >= 0 =>
+          val o = org.apache.spark.sql.Observation(
+            s"graft-affected-${java.util.UUID.randomUUID().toString.take(8)}")
+          val observed = view.observe(o, org.apache.spark.sql.functions
+            .count(org.apache.spark.sql.functions.lit(1)).as("__affected"))
+          (kf(observed), () => o.get.get("__affected") match {
+            case Some(l: Long) => l
+            case _ => -1L // metric lost: total degrades to "unknown"
+          })
+        case Some(kf) => (kf(view), () => -1L)
+        case None =>
+          (view.exceptAll(matcher(view)),
+            () => if (cur.rowCount < 0) -1L else view.count())
+      }
       rewriteDirs(spark, cur, affected, kept, "delete",
         newTotal = if (cur.rowCount < 0) -1L else -2L,
-        attempt = attempt, removedRows = affectedRows,
+        attempt = attempt, removedRows = affectedRows(),
         carryDirs = carryDirs) match {
         case Right(snap) => return snap
         case Left(conflict) =>
@@ -1029,13 +1048,24 @@ final class SnapshotTable(val root: String, val fullName: String) {
           }
         (m.toSeq ++ bs.toSeq).reduce(_ unionByName _)
       }
-      val (view, carryDirs) =
-        if (affected.isEmpty) (None, Nil)
+      // affected-row count OBSERVED during the rewrite write (guide §1.2
+      // "don't compute things you throw away": the former standalone
+      // view.count() re-ran the affected-dir scan + broadcast probe as a
+      // full extra pass, O(affected dirs) at scale); rewriteDirs fetches
+      // it by-name strictly after the write job that populates it
+      val (view, carryDirs, affectedObs) =
+        if (affected.isEmpty) (None, Nil, None)
         else {
           val (v, cds) = splitForRewrite(spark, cur, affected, mergeShape)
-          (Some(v), cds)
+          val o = org.apache.spark.sql.Observation(
+            s"graft-affected-${java.util.UUID.randomUUID().toString.take(8)}")
+          (Some(v.observe(o, org.apache.spark.sql.functions
+            .count(lit(1)).as("__affected"))), cds, Some(o))
         }
-      val affectedRows = view.map(_.count()).getOrElse(0L)
+      def affectedRows: Long = affectedObs.map(_.get.get("__affected") match {
+        case Some(l: Long) => l
+        case _ => -1L // metric lost: total degrades to "unknown", never wrong
+      }).getOrElse(0L)
 
       val src = source.withColumn("__s_present", lit(true)).alias("__s")
       val joinCond = keys.map { case (tk, sk) =>
@@ -1317,13 +1347,16 @@ final class SnapshotTable(val root: String, val fullName: String) {
           val dd = Paths.get(root,
             s"snap-posdel-${java.util.UUID.randomUUID().toString.take(8)}").toString
           positions.write.mode("overwrite").format(cur.format).save(dd)
-          val f = spark.read.format(cur.format).load(dd)
-          val removed = f.count()
+          // one job over the (tiny) positions file yields BOTH the
+          // removed count and the hit-dir set (formerly a count job
+          // plus a distinct+collect job)
+          val hits = spark.read.format(cur.format).load(dd)
+            .groupBy(col(SnapshotTable.RowIdDirCol)).count().collect()
+          val removed = hits.map(_.getLong(1)).sum
           if (removed == 0L) {
             deleteRecursively(new File(dd)); None
           } else {
-            val hit = f.select(SnapshotTable.RowIdDirCol)
-              .distinct().collect().map(_.getString(0)).toSet
+            val hit = hits.map(_.getString(0)).toSet
             Some((dd, removed, cur.dataDirs.filter(hit.contains)))
           }
       }
@@ -1521,7 +1554,11 @@ final class SnapshotTable(val root: String, val fullName: String) {
       op: String,
       newTotal: Long,
       attempt: Int,
-      removedRows: Long = 0L,
+      // BY-NAME: evaluated once, AFTER the rewrite write, and only when
+      // the new total actually needs it — callers can hand an
+      // Observation-backed count collected during the write itself
+      // instead of paying a separate pre-write pass over affected dirs
+      removedRows: => Long = 0L,
       // file-granular COW: already-realized carry dirs (hard-linked
       // sibling files of split dirs) that join the snapshot alongside
       // the rewrite; cleaned up with the data dir on a lost CAS
@@ -1570,10 +1607,13 @@ final class SnapshotTable(val root: String, val fullName: String) {
       else graft.plans.RangeStats.writeSidecar(spark, dataDir, base.format, newRows)
     catch { case scala.util.control.NonFatal(_) => () }
     val total =
-      if (newTotal == -2L)
-        if (base.rowCount < 0 || removedRows < 0) -1L
-        else base.rowCount - removedRows + newRows
-      else newTotal
+      if (newTotal == -2L) {
+        if (base.rowCount < 0) -1L
+        else {
+          val rr = removedRows // by-name: force exactly once, post-write
+          if (rr < 0) -1L else base.rowCount - rr + newRows
+        }
+      } else newTotal
     SnapshotTable.beforeSwapHook(this, attempt)
     SnapshotTable.commitLock(root).synchronized {
       val prev = snapshots
