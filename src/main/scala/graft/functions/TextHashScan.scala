@@ -103,6 +103,109 @@ object TextHashScan {
   def minShingleHash(text: Column, k: Int, md5Mode: Boolean): Column =
     GraftSqlBridge.toColumn(
       MinShingleHash(GraftSqlBridge.toExpression(text), k, md5Mode))
+
+  /** Column surface: chunk rows (start char, length, content key) from
+    * a per-doc ascending boundary array — one O(len) walk.
+    */
+  def chunkSlices(text: Column, bounds: Column, md5HexMode: Boolean): Column =
+    GraftSqlBridge.toColumn(CdcChunkSlices(
+      GraftSqlBridge.toExpression(text), GraftSqlBridge.toExpression(bounds), md5HexMode))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of an md5 digest over a byte slice — bit-identical
+    * to `md5(substr(...))`'s hex string, no substring materialization.
+    */
+  private[functions] def md5Hex(
+      md: MessageDigest, buf: Array[Byte], bytes: Array[Byte], off: Int, len: Int): UTF8String = {
+    md.update(bytes, off, len)
+    md.digest(buf, 0, 16): Unit
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((buf(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(buf(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** Chunk rows of one document, given its ascending CHAR boundary array
+  * (0 and len sentinels included): element j =
+  * (s = b(j), l = b(j+1) - b(j), k = key of chars [s, s+l)), where the
+  * key is `md5(substr(text, s+1, l))`'s hex string (md5HexMode) or
+  * `xxhash64(substr(text, s+1, l))` — bit parity with the former
+  * per-chunk `chunkKey(_t.substr(s + 1, l))` projection, spec-pinned.
+  * That shape re-walked the text from byte 0 to locate each chunk's
+  * char offset (O(start) per chunk, Σ = O(len²/expected-chunk-len) per
+  * document); this walks the char offsets ONCE and hashes each chunk
+  * in place over the original byte buffer, so the whole chunker is
+  * O(len·k) end to end. A null document or boundary array yields null
+  * (no chunk rows after posexplode); fixtures contain no null
+  * documents, and the former shape's single degenerate
+  * (null-key, null-len) row for one was an accident of `concat` null
+  * propagation, not a contract.
+  */
+case class CdcChunkSlices(left: Expression, right: Expression, md5HexMode: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("l", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("k",
+        if (md5HexMode) StringType else LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"chunk_slices expects (string, array<int>), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(textIn: Any, boundsIn: Any): Any = {
+    val s = textIn.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val offs = TextHashScan.charStarts(bytes, 0, bytes.length)
+    val len = offs.length - 1 // numChars
+    val b = boundsIn.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = b.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val md = if (md5HexMode) TextHashScan.threadMd5() else null
+    val buf = if (md5HexMode) TextHashScan.threadBuf() else null
+    val out = new Array[Any](m - 1)
+    var j = 0
+    while (j < m - 1) {
+      val c0 = math.min(math.max(b.getInt(j), 0), len)
+      val c1 = math.min(math.max(b.getInt(j + 1), c0), len)
+      val from = offs(c0)
+      val until = offs(c1)
+      val key: Any =
+        if (md5HexMode) TextHashScan.md5Hex(md, buf, bytes, from, until - from)
+        else TextHashScan.xxHash(bytes, from, until - from)
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        b.getInt(j), b.getInt(j + 1) - b.getInt(j), key)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chunkSlices", this, classOf[CdcChunkSlices].getName)
+    nullSafeCodeGen(ctx, ev, (t, bnds) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalChunks($t, $bnds);")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected). */
+  def evalChunks(t: UTF8String, b: org.apache.spark.sql.catalyst.util.ArrayData): AnyRef =
+    nullSafeEval(t, b).asInstanceOf[AnyRef]
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CdcChunkSlices =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Candidate CDC boundary positions of a document: every 1-based char

@@ -40,6 +40,68 @@ object WordGramScan {
     */
   def wordGrams(tokens: Column, n: Int): Column =
     GraftSqlBridge.toColumn(WordNGrams(GraftSqlBridge.toExpression(tokens), n))
+
+  /** Column surface: all adjacent token pairs as `struct<prev, tok>`,
+    * in order (pair j = (tokens[j], tokens[j+1])).
+    */
+  def wordPairs(tokens: Column): Column =
+    GraftSqlBridge.toColumn(WordPairs(GraftSqlBridge.toExpression(tokens)))
+}
+
+/** All adjacent token pairs of a token array: element j =
+  * (tokens[j], tokens[j+1]), j in [0, size - 2]; empty array when
+  * size < 2; null input yields null. Value-identical (spec-pinned in
+  * WordGramScanSpec) to the zip-of-shifted-slices shape
+  * `zip_with(slice(toks, 1, sz-1), slice(toks, 2, sz-1),
+  * (p, w) => struct(p, w))` guarded by `size >= 2` — which paid an
+  * interpreted lambda call plus two slice copies per row; this is one
+  * walk of the array, embeddable in whole-stage codegen'd projects.
+  */
+case class WordPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("prev", StringType),
+      org.apache.spark.sql.types.StructField("tok", StringType))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"word_pairs expects array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    if (sz < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](sz)
+    var i = 0
+    while (i < sz) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](sz - 1)
+    var j = 0
+    while (j < sz - 1) {
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(toks(j), toks(j + 1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPairs", this, classOf[WordPairs].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalPairs($s);")
+  }
+
+  /** Codegen entry point (nullSafeEval is protected). */
+  def evalPairs(s: ArrayData): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]
+
+  override protected def withNewChildInternal(newChild: Expression): WordPairs =
+    copy(child = newChild)
 }
 
 /** All n-token space-joined grams of a token array: element j =

@@ -185,6 +185,12 @@ object TextAnalysis {
     * high-cardinality, well-distributed.
     */
   def unigramLogprob(df: DataFrame, textCol: String): DataFrame = {
+    // NOTE (r20, examined and deliberately kept): a per-(doc, token)
+    // pre-aggregation (score distinct pairs tf-weighted instead of
+    // every instance) was measured at +39% on this key at sf0.1 — the
+    // extra (doc, tok) hash-agg pays a full pass over all instances
+    // while fixture docs repeat tokens too little for the join-volume
+    // reduction to pay it back; kept as the instance-join shape
     val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("n"))
@@ -347,13 +353,18 @@ object TextAnalysis {
     val freq = uni.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val total = freq.agg(sum(col("c1")).as("n"))
     val bg = toks
-      .filter(size(col("toks")) >= 2)
+      // native one-pass adjacent-pair assembly (== the former zip_with
+      // of shifted slices guarded by size >= 2: empty below 2 tokens,
+      // spec-pinned in WordGramScanSpec); the zip_with paid an
+      // interpreted lambda plus two slice copies per document
       .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (p, w) => struct(p.as("prev"), w.as("tok")))).as("b"))
+        explode(graft.functions.WordGramScan.wordPairs(col("toks"))).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.tok").as("tok"))
+    // NOTE (r20, examined and deliberately kept): a per-(doc, prev,
+    // tok) pre-aggregation (score distinct triples weighted) was
+    // measured at +15% on this key at sf0.1 — bigrams are nearly
+    // unique within a document, so the extra hash-agg compresses
+    // nothing; kept as the instance-join shape
     val bfreq = bg.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
     val scored = bg
       .join(bfreq, Seq("prev", "tok"))
@@ -396,25 +407,37 @@ object TextAnalysis {
       df: DataFrame, textCol: String,
       maxTop2: Double = 0.08, maxDupWord: Double = 0.6): DataFrame = {
     val base = df.select(col("doc_id"), tokens(col(textCol)).as("toks"))
-    val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
-    val bigrams = base
+    // ONE corpus pass feeds BOTH signal families: words and 2-grams
+    // (native one-pass assembly, spec-pinned in WordGramScanSpec)
+    // explode together — they are textually disjoint, a token never
+    // contains a space and a 2-gram always contains exactly one — count
+    // in one (doc, element) aggregation, then split back with
+    // conditional aggregates over the space discriminator. The former
+    // shape tokenized and scanned the corpus twice and joined two
+    // doc-keyed aggregates back together (2 scans + 4 exchanges +
+    // 1 join → 1 scan + 2 exchanges); values are unchanged: each
+    // conditional aggregate sees exactly the rows its family's
+    // aggregation saw, and docs with no 2-gram (single-token docs)
+    // yield null max_bg/n_bg exactly as the former left join did.
+    val isWord = !col("e").contains(" ")
+    val stats = base
       .select(col("doc_id"),
-        explode(zip_with(slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        explode(concat(col("toks"),
+          graft.functions.WordGramScan.wordGrams(col("toks"), 2))).as("e"))
+      .groupBy(col("doc_id"), col("e")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))
+      .agg(
+        sum(when(isWord, col("c"))).as("n_words"),
+        count(when(isWord, lit(1))).as("n_distinct"),
+        sum(when(isWord,
+          col("c").cast("double") * log(col("c").cast("double")))).as("clnc"),
+        max(when(!isWord, col("c"))).as("max_bg"),
+        sum(when(!isWord, col("c"))).as("n_bg"))
     val dupWordFrac =
       round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
     val top2Frac = round(
       coalesce(col("max_bg").cast("double") / col("n_bg"), lit(0.0)), 4)
-    words.join(bigrams, Seq("doc_id"), "left_outer")
+    stats
       .select(col("doc_id"), col("n_words"),
         dupWordFrac.as("dup_word_frac"),
         top2Frac.as("top2gram_frac"),
@@ -450,15 +473,12 @@ object TextAnalysis {
     require(n >= 1, "n must be positive")
     require(minDf >= 1, "minDf must be positive")
     val toks = col("_toks")
-    val nWindows = size(toks) - (n - 1)
-    val grams = (0 until n)
-      .map(o => slice(toks, lit(o + 1), nWindows))
-      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
     val base = df.select(col("doc_id"), tokens(col(textCol)).as("_toks"))
-      // the when() guards slice's negative-length error on docs shorter
-      // than n (CASE branches evaluate lazily)
-      .withColumn("_grams",
-        when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+      // native one-pass gram assembly (value-identical to the former
+      // zip-of-shifted-slices: space-joined windows, empty below n —
+      // see WordGramScanSpec); the zip_with chain paid n-1 interpreted
+      // lambda passes over every window
+      .withColumn("_grams", graft.functions.WordGramScan.wordGrams(toks, n))
     // three consumers read the positional windows (df count, join probe,
     // coverage) — persist once through the plan-keyed cache instead of
     // re-tokenizing the corpus per consumer
@@ -596,7 +616,7 @@ object TextAnalysis {
   def cdcChunks(
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame =
     cdcChunksWith(df, textCol, k, divisor,
-      md5Mode = true, chunkKey = md5, keyName = "chunk_md5")
+      md5Mode = true, keyName = "chunk_md5")
 
   /** [[cdcChunks]] with the ENGINE-DEFAULT hash: xxhash64 for both the
     * boundary rule and the chunk key (a codegen'd native long hash vs
@@ -610,7 +630,7 @@ object TextAnalysis {
   def cdcChunksFast(
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64): DataFrame =
     cdcChunksWith(df, textCol, k, divisor,
-      md5Mode = false, chunkKey = xxhash64(_), keyName = "chunk_hash")
+      md5Mode = false, keyName = "chunk_hash")
 
   /** Candidate boundary positions: i in [k, len) with
     * gramHash(trailing k-gram) % divisor == 0, ascending (a boundary at
@@ -636,30 +656,35 @@ object TextAnalysis {
     * chunkers.
     */
   private def emitChunks(
-      withBounds: DataFrame, chunkKey: Column => Column,
+      withBounds: DataFrame, md5HexMode: Boolean,
       keyName: String): DataFrame =
+    // ONE native O(len) walk per document produces every chunk's
+    // (start, len, content key) — the former per-chunk
+    // `chunkKey(_t.substr(s + 1, l))` paid an O(start) byte re-scan per
+    // chunk to relocate its char offset (Σ = O(len²/chunk-len) per doc;
+    // a 100 kB document wasted ~39 M byte-scans), plus the interpreted
+    // `transform` lambda that assembled the (s, l) pairs. Values are
+    // bit-identical (spec-pinned in TextHashScanSpec, oracle-replayed
+    // for the md5 twins).
     withBounds
-      .select(col("doc_id"), col("_t"),
-        posexplode(when(size(col("_b")) > 1,
-          transform(sequence(lit(1), size(col("_b")) - 1), j =>
-            struct(element_at(col("_b"), j).as("s"),
-              (element_at(col("_b"), j + 1) - element_at(col("_b"), j)).as("l"))))
-          .otherwise(array().cast("array<struct<s:int,l:int>>"))))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHashScan.chunkSlices(
+          col("_t"), col("_b"), md5HexMode)))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
         (col("col.s") + 1).cast("int").as("start_char"),
         col("col.l").cast("int").as("chunk_len"),
-        chunkKey(col("_t").substr(col("col.s") + 1, col("col.l"))).as(keyName))
+        col("col.k").as(keyName))
 
   private def cdcChunksWith(
       df: DataFrame, textCol: String, k: Int, divisor: Int,
-      md5Mode: Boolean, chunkKey: Column => Column,
+      md5Mode: Boolean,
       keyName: String): DataFrame = {
     require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
     val len = length(col(textCol))
     val bounds = cdcCandidates(textCol, k, divisor, md5Mode)
     val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
       concat(array(lit(0)), bounds, array(len)).as("_b"))
-    emitChunks(withBounds, chunkKey, keyName)
+    emitChunks(withBounds, md5Mode, keyName)
   }
 
   /** [[cdcChunks]] with SIZE BOUNDS — the production-chunker rule the
@@ -693,7 +718,7 @@ object TextAnalysis {
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64,
       minLen: Int = 32, maxLen: Int = 128): DataFrame =
     cdcChunksBoundedWith(df, textCol, k, divisor, minLen, maxLen,
-      md5Mode = true, chunkKey = md5, keyName = "chunk_md5")
+      md5Mode = true, keyName = "chunk_md5")
 
   /** [[cdcChunksBounded]] with the ENGINE-DEFAULT hash (xxhash64 — see
     * [[cdcChunksFast]]); same size-bound walk, invariant-oracled.
@@ -702,12 +727,12 @@ object TextAnalysis {
       df: DataFrame, textCol: String, k: Int = 8, divisor: Int = 64,
       minLen: Int = 32, maxLen: Int = 128): DataFrame =
     cdcChunksBoundedWith(df, textCol, k, divisor, minLen, maxLen,
-      md5Mode = false, chunkKey = xxhash64(_), keyName = "chunk_hash")
+      md5Mode = false, keyName = "chunk_hash")
 
   private def cdcChunksBoundedWith(
       df: DataFrame, textCol: String, k: Int, divisor: Int,
       minLen: Int, maxLen: Int,
-      md5Mode: Boolean, chunkKey: Column => Column,
+      md5Mode: Boolean,
       keyName: String): DataFrame = {
     require(k > 0 && divisor > 0, s"need k > 0 and divisor > 0, got $k/$divisor")
     require(minLen > 0 && minLen <= maxLen,
@@ -749,7 +774,7 @@ object TextAnalysis {
     // empty docs chunk to nothing: a lone [0] sentinel emits no pairs
     val withBounds = df.select(col("doc_id"), col(textCol).as("_t"),
       when(len > 0, walked).otherwise(array(lit(0))).as("_b"))
-    emitChunks(withBounds, chunkKey, keyName)
+    emitChunks(withBounds, md5Mode, keyName)
   }
 
   /** Per-doc CDC invariant audit over a chunk frame — the oracle shape

@@ -102,6 +102,60 @@ class TextHashScanSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  for ((mode, md5HexMode) <- Seq(("md5-hex", true), ("xxhash64", false))) {
+    test(s"chunk slices: native == substr+chunkKey shape ($mode)") {
+      // the former emitChunks projection, verbatim: per boundary pair,
+      // (s, l) assembled by an interpreted transform, key =
+      // chunkKey(substr(s + 1, l)) with substr's O(start) re-scan
+      val chunkKey: Column => Column =
+        if (md5HexMode) md5(_) else xxhash64(_)
+      val len = length(col("text"))
+      val bounds = coalesce(
+        TextHashScan.cdcBoundaries(col("text"), k, divisor, md5HexMode),
+        array().cast("array<int>"))
+      val withB = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text").as("_t"),
+          concat(array(lit(0)), bounds, array(len)).as("_b"))
+      val old = withB
+        .select(col("doc_id"), col("_t"),
+          posexplode(when(size(col("_b")) > 1,
+            transform(sequence(lit(1), size(col("_b")) - 1), j =>
+              struct(element_at(col("_b"), j).as("s"),
+                (element_at(col("_b"), j + 1) - element_at(col("_b"), j)).as("l"))))
+            .otherwise(array().cast("array<struct<s:int,l:int>>"))))
+        .select(col("doc_id"), col("pos"), col("col.s"), col("col.l"),
+          chunkKey(col("_t").substr(col("col.s") + 1, col("col.l"))).as("key"))
+      val native = withB
+        .select(col("doc_id"),
+          posexplode(TextHashScan.chunkSlices(col("_t"), col("_b"), md5HexMode)))
+        .select(col("doc_id"), col("pos"), col("col.s"), col("col.l"),
+          col("col.k").as("key"))
+      val a = native.collect().map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted
+      val b = old.collect().map(r => r.toSeq.map(String.valueOf).mkString("|")).sorted
+      assert(a.nonEmpty && a.sameElements(b),
+        s"native chunks (${a.length}) != substr shape (${b.length})\n" +
+          a.take(3).mkString("\n") + "\n--\n" + b.take(3).mkString("\n"))
+    }
+  }
+
+  test("chunk slices: degenerate bounds (zero-length, clamped) match substr semantics") {
+    import spark.implicits._
+    // [0,5,5,12] has a zero-length middle chunk; [0,7,99] overshoots the
+    // end — substr truncates, the native clamps to the same bytes
+    val d = Seq(("héllo wörld x", Seq(0, 5, 5, 12)), ("héllo wörld x", Seq(0, 7, 99)))
+      .toDF("text", "_b")
+    val native = d.select(posexplode(
+        TextHashScan.chunkSlices(col("text"), col("_b"), true)))
+      .select(col("col.s"), col("col.l"), col("col.k")).collect()
+    val old = d.select(col("text"), posexplode(
+        transform(sequence(lit(1), size(col("_b")) - 1), j =>
+          struct(element_at(col("_b"), j).as("s"),
+            (element_at(col("_b"), j + 1) - element_at(col("_b"), j)).as("l")))))
+      .select(col("col.s"), col("col.l"),
+        md5(col("text").substr(col("col.s") + 1, col("col.l")))).collect()
+    assert(native.map(_.toSeq).toSeq == old.map(_.toSeq).toSeq)
+  }
+
   test("interpreted eval and codegen agree") {
     // force the interpreted path via a manual eval on a literal row
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -100,6 +100,30 @@ class WordGramScanSpec extends SparkSpec {
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
   }
 
+  test("wordPairs == zip-of-shifted-slices struct shape") {
+    // the shape bigramLogprob used before the native: zip_with of the
+    // two shifted slices under a size >= 2 guard
+    val zipShape = when(size(col("_toks")) >= 2,
+      zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (p, w) => struct(p.as("prev"), w.as("tok"))))
+      .otherwise(array().cast("array<struct<prev:string,tok:string>>"))
+    val a = docs.select(col("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"),
+        explode(WordGramScan.wordPairs(col("_toks"))).as("b"))
+      .select(col("doc_id"), col("b.prev"), col("b.tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val b = docs.select(col("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"), explode(zipShape).as("b"))
+      .select(col("doc_id"), col("b.prev"), col("b.tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      s"native pairs (${a.length}) != zip pairs (${b.length})")
+    // null text and the 1-token doc emit zero pairs from both shapes
+    assert(!a.exists(t => t._1 == 6L))
+  }
+
   test("interpreted eval and codegen agree") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
