@@ -324,8 +324,6 @@ object DedupQueries {
         // with HIGHER ids (originals win) and one with LOWER ids (the
         // clone wins, so canonicalization is exercised both ways).
         import org.apache.spark.sql.functions.min
-        val wh = MetaQueries.freshWarehouse("corpus_dedup_apply")
-        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
         val docs = tbl(s, dir, "documents")
           .select("doc_id", "text", "lang", "source", "n_chars")
         val corpus = docs
@@ -333,7 +331,16 @@ object DedupQueries {
             .withColumn("doc_id", col("doc_id") + 100000L))
           .unionByName(docs.filter(col("doc_id") % 10 === 0)
             .withColumn("doc_id", col("doc_id") - 100000L))
-        table.overwrite(corpus): Unit
+        // warm-clone discipline (see corpus_span_rewrite): the seeded
+        // corpus is immutable prelude; the MOR equality delete only adds
+        // a delete-file commit, never touching base data dirs, so a
+        // metadata clone per run is safe and the bench measures the
+        // verdict APPLY, not re-writing the seed three times per median
+        val wh = MetaQueries.warmCloneWarehouse("corpus_dedup_apply", dir) { b =>
+          graft.sink.SnapshotTable(b, "lakehouse", "documents")
+            .overwrite(corpus): Unit
+        }
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
         val before = table.currentSnapshot.get.rowCount
         val dirsBefore = table.currentSnapshot.get.dataDirs
         // verdict: keep the canonical min doc_id per content hash; every
@@ -742,7 +749,11 @@ object DedupQueries {
         require(bT.currentSnapshot.get.dataDirs.size < bDirs &&
           pT.currentSnapshot.get.dataDirs.size < pDirs,
           "compaction must fold the per-ingest delta dirs")
-        val after = pairs()
+        // materialize the probe ONCE inside the timed region: the
+        // bit-identity proof's collect and the returned frame otherwise
+        // each re-run the whole LSH probe pipeline (localCheckpoint =
+        // within-run reuse, not cross-run caching)
+        val after = pairs().localCheckpoint()
         require(after.collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == before,
           "compaction must not change probe verdicts — same pairs, same jaccards")
@@ -827,7 +838,9 @@ object DedupQueries {
         val dp = pT.deleteWhere(evictKeys, Seq("doc_id"))
         require(db.operation == "delete" && dp.operation == "delete",
           "eviction must be O(|evicted|) equality-delete commits, not rewrites")
-        val after = pairs()
+        // materialize ONCE: the ghost-free proof and the returned frame
+        // otherwise each re-run the whole probe pipeline
+        val after = pairs().localCheckpoint()
         require(after.filter(isGhost).limit(1).collect().isEmpty,
           "evicted docs must not appear in any probe pair")
         after
@@ -1166,11 +1179,21 @@ object DedupQueries {
         // below: every original dir survives), reads reconstruct. At
         // 100 TB a span-cut pass touches a few percent of docs; COW
         // would rewrite every file holding one.
-        val wh = MetaQueries.freshWarehouse("corpus_span_rewrite")
-        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
         val docs = tbl(s, dir, "documents")
           .select("doc_id", "text", "lang", "source", "n_chars")
-        table.overwrite(docs): Unit
+        // warm-clone discipline (see sink_positional_delete /
+        // maintenance_compact): the corpus seed commit is immutable
+        // prelude — build it once per session, clone metadata per run,
+        // so the bench measures the span-cut MERGE, not re-writing the
+        // same seed table three times per median. Clone-safe: the MOR
+        // merge only ADDS a positional-delete + append commit, it never
+        // touches the base's data dirs (unlike the retention/expiry
+        // keys, which physically delete dirs and must rebuild per run).
+        val wh = MetaQueries.warmCloneWarehouse("corpus_span_rewrite", dir) { b =>
+          graft.sink.SnapshotTable(b, "lakehouse", "documents")
+            .overwrite(docs): Unit
+        }
+        val table = graft.sink.SnapshotTable(wh, "lakehouse", "documents")
         val origDirs = table.currentSnapshot.get.dataDirs
         val before = table.currentSnapshot.get.rowCount
         // spans compute from the SOURCE frame (content-identical to the

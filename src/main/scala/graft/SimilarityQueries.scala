@@ -836,7 +836,10 @@ object SimilarityQueries {
           require(t.currentSnapshot.get.dataDirs.size < dirs,
             s"${t.fullName} compaction must fold the delta dirs")
         }
-        val after = search()
+        // materialize the search ONCE inside the timed region: the
+        // bit-identity proof's collect and the returned frame otherwise
+        // each re-run the whole IVF-PQ search
+        val after = search().localCheckpoint()
         require(after.collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet == before,
           "compaction must not change search results — same neighbors, same cosines")
@@ -891,7 +894,9 @@ object SimilarityQueries {
           graft.sink.SnapshotTable(wh, "ann", t).deleteWhere(keys, Seq("vec_id")).operation)
         require(ops.forall(_ == "delete"),
           s"eviction must be O(|evicted|) equality-delete commits, got $ops")
-        val after = search()
+        // materialize ONCE: the ghost-free proof and the returned frame
+        // otherwise each re-run the whole IVF-PQ search
+        val after = search().localCheckpoint()
         require(after.filter(pmod(col("vec_id"), lit(7)) === 3)
             .limit(1).collect().isEmpty,
           "evicted vectors must not appear in any post-eviction top-10")

@@ -112,12 +112,13 @@ object Multimodal {
     * threshold — the standard near-dup clustering semantics). All
     * map-side except one bounded band equi-join — never all-pairs.
     */
-  def phashBits(payload: Column): Column = {
-    def byteAt(i: Int): Column =
-      conv(hex(substring(payload, i, 1)), 16, 10).cast("int")
-    concat((1 to 72).map(i =>
-      when(byteAt(i + 1) > byteAt(i), lit("1")).otherwise(lit("0"))): _*)
-  }
+  // native one-pass dHash bit assembly (== the former 72-term
+  // when(conv(hex(substring(...))) > ...) chain: '1' iff unsigned
+  // byte i+1 > byte i with both in range — parity spec-pinned in
+  // PhashScanSpec); the chain paid a binary slice + hex render +
+  // base-16 reparse PER BIT and a ~432-node tree per consumer plan
+  def phashBits(payload: Column): Column =
+    graft.functions.PhashScan.phashBits(payload, 72)
 
   def phashDedup(
       media: DataFrame, idCol: String, payloadCol: String,
@@ -149,10 +150,11 @@ object Multimodal {
             substring(col("phash"), 1 + width * k, width).as("band_val"))): _*)).as("b"))
       .select(col("rep"), col("phash"),
         col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    // native hamming over the 72-char bit strings (== the former
+    // 72-term substring-inequality sum, 144 slices per candidate
+    // pair — parity spec-pinned in PhashScanSpec)
     def hamming(a: Column, b: Column): Column =
-      (1 to 72).map(i =>
-        when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
-        .reduce(_ + _)
+      graft.functions.PhashScan.charDiffCount(a, b, 72)
     val pairs = bands.toDF("a_rep", "a_phash", "band_idx", "band_val")
       .join(bands.toDF("b_rep", "b_phash", "band_idx", "band_val"),
         Seq("band_idx", "band_val"))
