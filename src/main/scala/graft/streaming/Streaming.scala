@@ -305,7 +305,30 @@ object Streaming {
         // a head moved since the last batch (out-of-band committer) folds
         // in as an O(delta) increment; steady state is a no-op
         bloomState.sync(spark)
-        val withHash = batch.toDF().withColumn("_h", contentKey(col(textCol)))
+        // scale-adaptive gate parallelism (guide §2): AQE is disabled
+        // inside streaming microbatches, so every per-batch shuffle
+        // otherwise runs at the session's spark.sql.shuffle.partitions
+        // — the setting sized for the 100 TB steady state — no matter
+        // how small the batch. At 32 partitions a ~2k-row batch pays
+        // 32 tasks of pure scheduler overhead per gate stage (window,
+        // split aggregate, anti-join, two commit writes — measured
+        // 32c SLOWER than 8c on this key). Derive the gate width from
+        // the batch's optimizer size estimate (exact for buffered
+        // sources) against a per-partition byte target, clamped to the
+        // session setting so a genuinely large batch keeps full width;
+        // the window and every downstream _h-keyed stage reuse this
+        // one exchange, and each commit writes gateParts files instead
+        // of shuffle.partitions near-empty ones (§6).
+        val targetBytes = spark.conf
+          .getOption("spark.graft.stream.gate.targetPartitionBytes")
+          .map(_.toLong).getOrElse(32L << 20)
+        val gateParts = math.max(1, math.min(
+          spark.sessionState.conf.numShufflePartitions,
+          ((batch.queryExecution.optimizedPlan.stats.sizeInBytes +
+            (targetBytes - 1)) / targetBytes).toInt))
+        val withHash = batch.toDF()
+          .withColumn("_h", contentKey(col(textCol)))
+          .repartition(gateParts, col("_h"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_h")).orderBy(col(idCol).asc)
         val firstPerHash = withHash
