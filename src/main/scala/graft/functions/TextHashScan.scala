@@ -74,14 +74,8 @@ object TextHashScan {
     * unsigned big-endian long (== `conv(substring(md5(x),1,15),16,10)`).
     */
   private[functions] def md5Hash60(
-      md: MessageDigest, buf: Array[Byte], bytes: Array[Byte], off: Int, len: Int): Long = {
-    md.update(bytes, off, len)
-    md.digest(buf, 0, 16): Unit // writes the digest and resets
-    (((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
-      ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
-      ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
-      ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)) >>> 4
-  }
+      md: MessageDigest, buf: Array[Byte], bytes: Array[Byte], off: Int, len: Int): Long =
+    md5First8(md, buf, bytes, off, len) >>> 4
 
   // one digest + output buffer per thread: expression instances can be
   // shared across an executor's task threads
@@ -110,6 +104,26 @@ object TextHashScan {
   def chunkSlices(text: Column, bounds: Column, md5HexMode: Boolean): Column =
     GraftSqlBridge.toColumn(CdcChunkSlices(
       GraftSqlBridge.toExpression(text), GraftSqlBridge.toExpression(bounds), md5HexMode))
+
+  /** Column surface: first `nibbles` hex digits of md5(c) as an unsigned
+    * long — bit-identical to `conv(substring(md5(c), 1, nibbles), 16,
+    * 10).cast("long")` without the four string round-trips that shape
+    * pays per row (32-char hex render, substring slice, conv's hex
+    * parse + DECIMAL STRING render, cast's decimal parse).
+    */
+  def md5Prefix(c: Column, nibbles: Int): Column =
+    GraftSqlBridge.toColumn(Md5PrefixBits(GraftSqlBridge.toExpression(c), nibbles))
+
+  /** First 8 digest bytes as an unsigned big-endian long. */
+  private[functions] def md5First8(
+      md: MessageDigest, buf: Array[Byte], bytes: Array[Byte], off: Int, len: Int): Long = {
+    md.update(bytes, off, len)
+    md.digest(buf, 0, 16): Unit // writes the digest and resets
+    ((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+      ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+      ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+      ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)
+  }
 
   private val HexChars = "0123456789abcdef".toCharArray
 
@@ -319,5 +333,48 @@ case class MinShingleHash(child: Expression, k: Int, md5Mode: Boolean)
   def evalMin(s: UTF8String): Long = nullSafeEval(s).asInstanceOf[Long]
 
   override protected def withNewChildInternal(newChild: Expression): MinShingleHash =
+    copy(child = newChild)
+}
+
+/** First `nibbles` hex digits of md5 as an unsigned long — the
+  * cross-engine-stable hash behind minhash signatures, simhash, and
+  * the deterministic samplers. Bit-identical (spec-pinned in
+  * TextHashScanSpec) to `conv(substring(md5(c), 1, nibbles), 16,
+  * 10).cast("long")`, which paid per row: a 32-char hex render, a
+  * substring slice, conv's hex parse PLUS decimal-string render, and
+  * cast's decimal parse. Nullable like Conv (null input -> null), so
+  * consumer schemas do not move.
+  */
+case class Md5PrefixBits(child: Expression, nibbles: Int) extends UnaryExpression {
+  require(nibbles >= 1 && nibbles <= 15,
+    s"md5_prefix needs 1..15 hex digits (60 bits max in a positive long), got $nibbles")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // matches Conv's unconditional nullability
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"md5_prefix expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(hashPrefix(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5Prefix", this, classOf[Md5PrefixBits].getName)
+    // primitive-long call — no boxing on the codegen'd per-row path
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.hashPrefix($s);")
+  }
+
+  /** Codegen entry point, primitive end to end. */
+  def hashPrefix(s: UTF8String): Long = {
+    val b = s.getBytes
+    TextHashScan.md5First8(TextHashScan.threadMd5(), TextHashScan.threadBuf(),
+      b, 0, b.length) >>> (64 - 4 * nibbles)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixBits =
     copy(child = newChild)
 }

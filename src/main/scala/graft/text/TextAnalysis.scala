@@ -17,9 +17,13 @@ object TextAnalysis {
     * md5). Used for fingerprints/minhash so the DuckDB oracle can
     * reproduce values exactly; Spark's native murmur `hash()` is faster
     * but engine-private (use it when oracle parity is not required).
+    * Native single pass — bit-identical (spec-pinned) to the former
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")`, which paid
+    * four string round-trips per row (hex render, substring, conv's
+    * hex parse + decimal render, cast's decimal parse).
     */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.TextHashScan.md5Prefix(c, 15)
 
   /** Whitespace tokens of a non-empty trimmed document. */
   def tokens(text: Column): Column =

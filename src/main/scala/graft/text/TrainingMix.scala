@@ -364,7 +364,9 @@ object TrainingMix {
       .select(col("doc_id"), target.as("is_target"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("b",
-        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("int"), lit(buckets)))
+        // native 24-bit md5 prefix (== the former conv(substring(md5)))
+        pmod(graft.functions.TextHashScan.md5Prefix(col("tok"), 6).cast("int"),
+          lit(buckets)))
     // ONE pass builds the per-doc feature counts; both models and the
     // totals derive from it (is_target is constant per doc, so the extra
     // grouping key changes nothing) — a per-aggregate formulation

@@ -156,6 +156,28 @@ class TextHashScanSpec extends SparkSpec {
     assert(native.map(_.toSeq).toSeq == old.map(_.toSeq).toSeq)
   }
 
+  test("md5Prefix == conv(substring(md5)) for 15 and 6 nibbles") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val strs = Seq("", "a", "the quick brown fox", "héllo wörld テスト",
+      "\u0000binary-ish\u0001", "x" * 4096).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val rows = strs.toDF("id", "t")
+      .select(col("id"),
+        TextHashScan.md5Prefix(col("t"), 15).as("n15"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h15"),
+        TextHashScan.md5Prefix(col("t"), 6).cast("int").as("n6"),
+        conv(substring(md5(col("t")), 1, 6), 16, 10).cast("int").as("h6"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"15-nibble diverged for id ${r.getLong(0)}")
+      assert(r.getInt(3) == r.getInt(4), s"6-nibble diverged for id ${r.getLong(0)}")
+    }
+    // null input -> null, like the conv shape
+    val nr = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextHashScan.md5Prefix(col("t"), 15)).head()
+    assert(nr.isNullAt(0))
+  }
+
   test("interpreted eval and codegen agree") {
     // force the interpreted path via a manual eval on a literal row
     import org.apache.spark.sql.catalyst.expressions.Literal
